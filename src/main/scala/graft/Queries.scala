@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The operator inventory (SURVEY.md §2) as named queries over the
+  * TESTDATA tables, with DuckDB oracle SQL where expressible.
+  */
+object Queries {
+
+  // Oracle-parity arithmetic: the synthetic data carries 2-decimal
+  // doubles, so casting *raw columns* to decimal(18,2) is engine-agnostic
+  // (the stored double is never exactly on a rounding boundary). All
+  // derived math then happens in exact decimal, and the FINAL value is
+  // cast back to double — decimal→double is correctly rounded in both
+  // Spark and DuckDB, so results are bit-identical. Never cast a
+  // *computed* double to decimal: Spark goes through Double.toString
+  // (shortest repr) while DuckDB rounds the binary value, and the two
+  // disagree on values like 0.615.
+  private val dec = DecimalType(18, 2)
+  private def d2(c: Column): Column = c.cast(dec)
+
+  // ---- §2.4 A1/A2: aggregations -------------------------------------
+
+  /** TPC-H Q1-style pricing summary: group-by agg with sums/counts.
+    * Exercises partial aggregation (map-side combine) + single shuffle.
+    * Ref: group-by aggregates, hudi-spark-minio-trino/README.md:380. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(d2(col("l_quantity"))).as("sum_qty"),
+        sum(d2(col("l_extendedprice"))).as("sum_price"),
+        sum(d2(col("l_extendedprice")) * (lit(1).cast(dec) - d2(col("l_discount")))).as("sum_disc_price"),
+        count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty").cast(DoubleType).as("sum_qty"),
+        col("sum_price").cast(DoubleType).as("sum_price"),
+        col("sum_disc_price").cast(DoubleType).as("sum_disc_price"), col("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** A1: group-by max + HAVING on the group key (the demo's flagship
+    * query shape: hudi-spark-minio-trino/README.md:380-381). The HAVING
+    * on a group column is a post-agg filter Catalyst pushes below agg. */
+  def q2GroupMaxHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(max("o_totalprice").as("max_price"), count(lit(1)).as("cnt"))
+      .filter(col("o_orderpriority") >= "3")
+      .orderBy("o_orderpriority")
+
+  private val q2Sql =
+    """SELECT o_orderpriority, max(o_totalprice) AS max_price, count(*) AS cnt
+      |FROM orders GROUP BY 1 HAVING o_orderpriority >= '3' ORDER BY 1""".stripMargin
+
+  // ---- §2.2 P1-P3: projection + filters -----------------------------
+
+  /** P1/P2: projection + equality filter; both pushed to the parquet
+    * scan (PushedFilters + ReadSchema pruning).
+    * Ref: README.md:386-389 `where symbol = 'GOOG'`. */
+  def q3ProjFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  private val q3Sql =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin
+
+  /** P3: range predicate (the `_hoodie_commit_time > t` shape,
+    * README.md:982) — here a timestamp range over orders. */
+  def q4RangeFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast(TimestampType) &&
+              col("o_orderdate") <  lit("1996-01-01").cast(TimestampType))
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      .orderBy("o_orderkey")
+
+  private val q4Sql =
+    """SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- §2.3 J1: joins -----------------------------------------------
+
+  /** J1: fact⋈dim inner equi-joins (customer⋈nation⋈region). nation and
+    * region are tiny → Catalyst broadcast-hash joins both; only the
+    * groupBy shuffles. Ref: notebook/demo.ipynb:273-276. */
+  def q5JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val nat  = Tables.load(spark, dir, "nation")
+    val reg  = Tables.load(spark, dir, "region")
+    cust
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("cnt"), sum(d2(col("c_acctbal"))).as("sum_bal"))
+      .select(col("r_name"), col("n_name"), col("cnt"),
+        col("sum_bal").cast(DoubleType).as("sum_bal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val q5Sql =
+    """SELECT r_name, n_name, count(*) AS cnt,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- §2.5 W1: latest-per-key window (the load-bearing primitive) --
+
+  /** W1: latest-per-key via row_number window — the precombine/dedup
+    * primitive behind upsert + MOR merge (README.md:226). Tie-broken by
+    * event_id so the result is deterministic. */
+  def q6LatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.load(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  private val q6Sql =
+    """SELECT user_id, event_id, event_type, value
+      |FROM (SELECT user_id, event_id, event_type, value,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---- §2.4 A2/A3: counts + key-uniqueness invariant ----------------
+
+  /** A2: global count. */
+  def q7Count(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+
+  private val q7Sql = "SELECT count(*) AS cnt FROM lineitem"
+
+  /** A3: duplicate-key detection — `group by key having count(*) > 1`
+    * (the test-suite uniqueness invariant,
+    * deltastreamer-hive-sync-presto.yaml:66-67). orders keys are unique
+    * so this returns 0 rows; the *shape* is the operator under test. */
+  def q8DupCheck(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .orderBy("o_orderkey")
+
+  private val q8Sql =
+    """SELECT o_orderkey, count(*) AS cnt FROM orders
+      |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q2_group_max_having" -> (q2GroupMaxHaving _),
+    "q3_proj_filter" -> (q3ProjFilter _),
+    "q4_range_filter" -> (q4RangeFilter _),
+    "q5_join_agg" -> (q5JoinAgg _),
+    "q6_latest_per_key" -> (q6LatestPerKey _),
+    "q7_count" -> (q7Count _),
+    "q8_dup_check" -> (q8DupCheck _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_group_max_having" -> q2Sql,
+    "q3_proj_filter" -> q3Sql,
+    "q4_range_filter" -> q4Sql,
+    "q5_join_agg" -> q5Sql,
+    "q6_latest_per_key" -> q6Sql,
+    "q7_count" -> q7Sql,
+    "q8_dup_check" -> q8Sql,
+  )
+}

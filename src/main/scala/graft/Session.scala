@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place for engine session config so Verify/Bench/tests agree.
+  *
+  * Notes:
+  *  - events.parquet carries TIMESTAMP(NANOS) which vanilla Spark
+  *    rejects; `nanosAsLong` surfaces it as epoch-nanos LongType and
+  *    [[Tables]]/queries convert explicitly.
+  *  - shuffle.partitions is sized to the local core count, not 200 —
+  *    on a real cluster this is set per-job from input stats.
+  */
+object Session {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+
+  /** Local session for tests / ad-hoc mains. */
+  def local(cores: Int = 4): SparkSession = {
+    val s = builder(s"local[$cores]", cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
