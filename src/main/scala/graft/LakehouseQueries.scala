@@ -1,0 +1,199 @@
+package graft
+
+import graft.core.{GraftTable, TableConfig, TableServices}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The lakehouse write/read operators (SURVEY.md §2.1 S7-S9, §2.6,
+  * §2.7, §2.9) exposed through the driver's oracle gate.
+  *
+  * Each query builds a fresh graft table from the `events` parquet —
+  * split into batch₁ (even event_id, the initial insert) and batch₂
+  * (odd event_id, the update wave) — then reads a view whose contents
+  * DuckDB can reproduce with a window query over the same parquet.
+  * Key = user_id, partition = event_type, ordering = ts: a later batch
+  * wins per key the way the stock-ticks demo's batch 2 updates batch 1
+  * (hudi-spark-minio-trino/README.md:134-139).
+  *
+  * `(event_type, user_id, ts)` is duplicate-free at every SF (checked),
+  * so latest-wins is deterministic; the `(event_id % 2)` tie-breaker in
+  * the oracle mirrors commit order without referencing wall-clock
+  * commit instants.
+  */
+object LakehouseQueries {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events") // ts: LongType (epoch nanos)
+
+  private def cfg(name: String, tpe: String) = TableConfig(
+    name = name, keyField = "user_id", orderingField = "ts",
+    partitionField = Some("event_type"), tableType = tpe, numBuckets = 4)
+
+  private def freshRoot(name: String): String =
+    Files.createTempDirectory(s"graft-$name-").toString
+
+  /** insert(batch₁) then upsert(batch₂). */
+  private def build(spark: SparkSession, dir: String, name: String,
+      tpe: String): GraftTable = {
+    val ev = events(spark, dir)
+    val t = GraftTable.create(spark, freshRoot(name), cfg(name, tpe))
+    t.insert(ev.filter(col("event_id") % 2 === 0))
+    t.upsert(ev.filter(col("event_id") % 2 === 1))
+    t
+  }
+
+  private val outCols = Seq("event_type", "user_id", "event_id", "ts_us", "value")
+
+  // DuckDB truncates parquet ns-timestamps to µs on read, so both
+  // sides compare at µs: integer division (exact), not double math.
+  private def out(df: DataFrame): DataFrame =
+    df.withColumn("ts_us", expr("ts DIV 1000"))
+      .select(outCols.map(col): _*)
+      .orderBy("event_type", "user_id")
+
+  /** DuckDB window-dedup over a subset of events. */
+  private def oracleMerge(where: String, tieBreak: Boolean): String = {
+    val tb = if (tieBreak) ", (event_id % 2) DESC" else ""
+    s"""SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us, value
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY event_type, user_id ORDER BY ts DESC$tb) AS rn
+       |      FROM events$where)
+       |WHERE rn = 1 ORDER BY event_type, user_id""".stripMargin
+  }
+
+  // ---- S9 upsert + S7 snapshot scan (COW) ---------------------------
+
+  def qCowUpsertSnapshot(spark: SparkSession, dir: String): DataFrame =
+    out(build(spark, dir, "ev_cow", TableConfig.Cow).read())
+
+  private val cowUpsertSql = oracleMerge("", tieBreak = true)
+
+  // ---- S8 MOR read-optimized vs realtime ----------------------------
+
+  /** `_ro` after a delta-only upsert: still batch₁'s state
+    * (README.md:728-730 staleness semantics). */
+  def qMorReadOptimized(spark: SparkSession, dir: String): DataFrame =
+    out(build(spark, dir, "ev_mor_ro", TableConfig.Mor).readOptimized())
+
+  private val morRoSql = oracleMerge(" WHERE event_id % 2 = 0", tieBreak = false)
+
+  /** `_rt` merges base + delta on the fly → same content as the COW
+    * snapshot. */
+  def qMorRealtime(spark: SparkSession, dir: String): DataFrame =
+    out(build(spark, dir, "ev_mor_rt", TableConfig.Mor).readRealtime())
+
+  // ---- T1 compaction: after compact, `_ro` converges to `_rt` -------
+
+  def qMorCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val t = build(spark, dir, "ev_mor_c", TableConfig.Mor)
+    TableServices.compact(t)
+    out(t.readOptimized())
+  }
+
+  // ---- Q3 incremental read (README.md:966-984) ----------------------
+
+  /** Changes since commit 1 = exactly batch₂'s rows (deduped). */
+  def qIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val t = GraftTable.create(spark, freshRoot("ev_incr"),
+      cfg("ev_incr", TableConfig.Cow))
+    val c1 = t.insert(ev.filter(col("event_id") % 2 === 0))
+    t.upsert(ev.filter(col("event_id") % 2 === 1))
+    out(t.readIncremental(fromExclusive = c1))
+  }
+
+  /** Incremental = snapshot rows whose winning version came from
+    * batch₂. An upsert whose ordering value is older than the existing
+    * row loses the merge (ordering-respecting payload) and therefore
+    * does not surface as a change. */
+  private val incrSql =
+    """SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us, value
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY event_type, user_id ORDER BY ts DESC, (event_id % 2) DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 AND event_id % 2 = 1
+      |ORDER BY event_type, user_id""".stripMargin
+
+  // ---- D5 delete-by-predicate (COW rewrite) -------------------------
+
+  def qDelete(spark: SparkSession, dir: String): DataFrame = {
+    val t = build(spark, dir, "ev_del", TableConfig.Cow)
+    t.deleteWhere(col("event_type") === "click")
+    out(t.read())
+  }
+
+  private val deleteSql =
+    """SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us, value
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY event_type, user_id ORDER BY ts DESC, (event_id % 2) DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 AND event_type <> 'click'
+      |ORDER BY event_type, user_id""".stripMargin
+
+  // ---- D6/D8 insert-overwrite + delete-partition --------------------
+
+  /** Overwrite the `view` partition with only its high-value rows, then
+    * drop the `error` partition entirely. */
+  def qOverwriteAndDropPartition(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val t = GraftTable.create(spark, freshRoot("ev_ovw"),
+      cfg("ev_ovw", TableConfig.Cow))
+    t.insert(ev)
+    t.insertOverwrite(ev.filter(col("event_type") === "view" && col("value") > 100.0))
+    t.deletePartitions(Seq("error"))
+    out(t.read())
+  }
+
+  private val overwriteSql =
+    """SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us, value
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY event_type, user_id ORDER BY ts DESC) AS rn
+      |      FROM events
+      |      WHERE event_type NOT IN ('view', 'error')
+      |         OR (event_type = 'view' AND value > 100.0))
+      |WHERE rn = 1 ORDER BY event_type, user_id""".stripMargin
+
+  // ---- A3 key-uniqueness invariant over the lakehouse table ---------
+
+  /** The test-suite's duplicate-detection gate run against our own
+    * snapshot (deltastreamer-hive-sync-presto.yaml:66-67): must be
+    * empty. */
+  def qUniqueInvariant(spark: SparkSession, dir: String): DataFrame =
+    build(spark, dir, "ev_uniq", TableConfig.Cow).read()
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .orderBy("event_type", "user_id")
+
+  private val uniqueSql =
+    """SELECT event_type, user_id, count(*) AS cnt
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY event_type, user_id ORDER BY ts DESC, (event_id % 2) DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l1_cow_upsert_snapshot" -> (qCowUpsertSnapshot _),
+    "l2_mor_read_optimized" -> (qMorReadOptimized _),
+    "l3_mor_realtime" -> (qMorRealtime _),
+    "l4_mor_compacted" -> (qMorCompacted _),
+    "l5_incremental" -> (qIncremental _),
+    "l6_delete_predicate" -> (qDelete _),
+    "l7_overwrite_drop_partition" -> (qOverwriteAndDropPartition _),
+    "l8_unique_invariant" -> (qUniqueInvariant _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "l1_cow_upsert_snapshot" -> cowUpsertSql,
+    "l2_mor_read_optimized" -> morRoSql,
+    "l3_mor_realtime" -> cowUpsertSql,
+    "l4_mor_compacted" -> cowUpsertSql,
+    "l5_incremental" -> incrSql,
+    "l6_delete_predicate" -> deleteSql,
+    "l7_overwrite_drop_partition" -> overwriteSql,
+    "l8_unique_invariant" -> uniqueSql,
+  )
+}

@@ -23,7 +23,8 @@ object SparkEntry {
     Queries.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all
+    Queries.all ++ LakehouseQueries.all
 
-  def oracleSql: Map[String, String] = Queries.oracles
+  def oracleSql: Map[String, String] =
+    Queries.oracles ++ LakehouseQueries.oracles
 }

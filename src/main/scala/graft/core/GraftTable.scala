@@ -1,0 +1,491 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** An upsertable, partitioned, bucketed, versioned table over Parquet —
+  * the engine's analog of the reference's Hudi tables
+  * (SURVEY.md §1.1). All data paths are ordinary Spark jobs; the only
+  * driver-side state is the commit log (metadata scale, never O(rows)).
+  *
+  * Physical layout:
+  * {{{
+  *   <root>/.graft/<instant>.json          commit timeline
+  *   <root>/.graft/table.json              TableConfig
+  *   <root>/data/<partition>/b<bucket>/<instant>-<n>[.delta].parquet
+  * }}}
+  *
+  * COW: a write rewrites the touched file groups' base files.
+  * MOR: a write appends `.delta` files; `readRealtime` merges base+delta
+  * with the latest-wins window; `Compactor` folds deltas into new bases.
+  */
+final class GraftTable private (
+    val spark: SparkSession,
+    val root: String,
+    val config: TableConfig) {
+
+  import TableConfig.CommitTimeCol
+  val log = new CommitLog(root)
+  private val softDel = config.softDeleteField
+
+  // ------------------------------------------------------------------
+  // schema
+  // ------------------------------------------------------------------
+
+  /** Latest committed schema (includes metadata columns). */
+  def schema: StructType = log.latestSchemaJson() match {
+    case Some(j) => DataType.fromJson(j).asInstanceOf[StructType]
+    case None => new StructType()
+  }
+
+  private def mergeSchemas(base: StructType, incoming: StructType): StructType = {
+    val names = base.fieldNames.toSet
+    StructType(base.fields ++ incoming.fields.filterNot(f => names.contains(f.name)))
+  }
+
+  /** Conform a batch to `target`: add missing columns as nulls, keep
+    * target column order (schema evolution = additive union, mirroring
+    * the reference's source→target derived-column evolution,
+    * test-suite/target.avsc vs source.avsc). */
+  private def align(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.columns.toSet
+    val cols = target.fields.map { f =>
+      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Batch preparation shared by all write ops: attach `_commit_time`,
+    * ensure the soft-delete flag exists, compute the evolved schema. */
+  private def prepare(df: DataFrame, instant: String): (DataFrame, StructType) = {
+    var batch = df
+    if (!batch.columns.contains(CommitTimeCol))
+      batch = batch.withColumn(CommitTimeCol, lit(instant))
+    else
+      batch = batch.withColumn(CommitTimeCol,
+        coalesce(col(CommitTimeCol).cast(StringType), lit(instant)))
+    if (!batch.columns.contains(softDel))
+      batch = batch.withColumn(softDel, lit(false))
+    val evolved = mergeSchemas(schema, batch.schema)
+    (align(batch, evolved), evolved)
+  }
+
+  // ------------------------------------------------------------------
+  // the latest-wins primitive (W1 — SURVEY.md §2.5)
+  // ------------------------------------------------------------------
+
+  /** Keep the newest row per (partition, key): ordering field desc, then
+    * commit time desc. Deterministic given unique (key, ordering,
+    * commit) triples — the in-batch precombine guarantees one row per
+    * key per commit. */
+  private def latestWins(df: DataFrame): DataFrame = {
+    val partCols = config.partitionField.toSeq :+ config.keyField
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col(config.orderingField).desc_nulls_last,
+        col(CommitTimeCol).desc_nulls_last)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------------------------
+  // physical write
+  // ------------------------------------------------------------------
+
+  private def partExpr: Column = config.partitionField match {
+    case Some(p) => coalesce(col(p).cast(StringType), lit("__null__"))
+    case None => lit("all")
+  }
+
+  private def bucketExpr: Column =
+    pmod(xxhash64(col(config.keyField)), lit(config.numBuckets)).cast(IntegerType)
+
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Write `df` into the bucketed layout, one commit's worth of files.
+    * Stages with partitionBy(_part,_bucket) (one shuffle, one file per
+    * file group per ~maxRecordsPerFile window), then renames into place
+    * and harvests per-group stats in a single extra aggregate. */
+  private def writeFiles(df: DataFrame, instant: String, delta: Boolean,
+      maxRecordsPerFile: Option[Long] = None,
+      sortByKey: Boolean = false): Seq[DataFileMeta] = {
+    val keyed = df
+      .withColumn("_part", partExpr)
+      .withColumn("_bucket", bucketExpr)
+    val staging = Paths.get(root, s".staging-$instant")
+    val shuffled0 = keyed.repartition(col("_part"), col("_bucket"))
+    val shuffled =
+      if (sortByKey)
+        shuffled0.sortWithinPartitions(col("_part"), col("_bucket"), col(config.keyField))
+      else shuffled0
+    val writer0 = shuffled.write.partitionBy("_part", "_bucket").mode("overwrite")
+    val writer = maxRecordsPerFile.fold(writer0)(n => writer0.option("maxRecordsPerFile", n))
+    writer.parquet(staging.toString)
+
+    // group-level stats in one pass (key range + ordering range + rows)
+    val statCols = (Seq(config.keyField, config.orderingField) ++ config.statsColumns).distinct
+      .filter(df.columns.contains)
+    val aggs = count(lit(1)).as("__rows") +: statCols.flatMap { c =>
+      Seq(min(col(c)).cast(StringType).as(s"__min_$c"),
+          max(col(c)).cast(StringType).as(s"__max_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+    }
+    val statRows = keyed.groupBy("_part", "_bucket")
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val statsByGroup = statRows.map { r =>
+      val part = r.getAs[String]("_part")
+      val bucket = r.getAs[Int]("_bucket")
+      val colStats = statCols.map { c =>
+        c -> ColStat(
+          Option(r.getAs[String](s"__min_$c")).getOrElse(""),
+          Option(r.getAs[String](s"__max_$c")).getOrElse(""),
+          r.getAs[Long](s"__nulls_$c"))
+      }.toMap
+      (part, bucket) -> (r.getAs[Long]("__rows"), colStats)
+    }.toMap
+
+    // move staged files into the stable layout
+    val metas = scala.collection.mutable.ArrayBuffer[DataFileMeta]()
+    if (Files.exists(staging)) {
+      Files.list(staging).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("_part=")).foreach { partDir =>
+          val partEnc = unescapePath(partDir.getFileName.toString.stripPrefix("_part="))
+          val part = if (partEnc == "__HIVE_DEFAULT_PARTITION__") "__null__" else partEnc
+          Files.list(partDir).iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("_bucket=")).foreach { bDir =>
+              val bucket = bDir.getFileName.toString.stripPrefix("_bucket=").toInt
+              val parts = Files.list(bDir).iterator().asScala
+                .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+              parts.zipWithIndex.foreach { case (src, i) =>
+                val suffix = if (delta) ".delta.parquet" else ".parquet"
+                val rel = s"data/${escapeDir(part)}/b$bucket/$instant-$i$suffix"
+                val dst = Paths.get(root, rel)
+                Files.createDirectories(dst.getParent)
+                Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+                val (rows, colStats) = statsByGroup.getOrElse((part, bucket), (0L, Map.empty[String, ColStat]))
+                val keyStat = colStats.get(config.keyField)
+                metas += DataFileMeta(
+                  path = rel, partition = part, bucket = bucket, delta = delta,
+                  rows = if (parts.size == 1) rows else rows / parts.size,
+                  bytes = Files.size(dst),
+                  minKey = keyStat.map(_.min).getOrElse(""),
+                  maxKey = keyStat.map(_.max).getOrElse(""),
+                  stats = colStats)
+              }
+            }
+        }
+      // clean staging remains (_SUCCESS etc.)
+      Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    metas.toSeq
+  }
+
+  private def escapeDir(s: String): String =
+    s.flatMap {
+      case c if c.isLetterOrDigit || c == '-' || c == '_' || c == '.' || c == '=' => c.toString
+      case c => f"%%${c.toInt}%02x"
+    }
+
+  /** Service-path write: base files, optional size packing + in-group
+    * key sort (clustering). */
+  private[core] def writeFilesForService(df: DataFrame, instant: String,
+      maxRecordsPerFile: Option[Long] = None,
+      sortInGroup: Boolean = false): Seq[DataFileMeta] =
+    writeFiles(df, instant, delta = false,
+      maxRecordsPerFile = maxRecordsPerFile, sortByKey = sortInGroup)
+
+  private[core] def commitService(c: Commit): String = commitOrThrow(c)
+
+  private def commitOrThrow(c: Commit): String = {
+    var attempt = c
+    var tries = 0
+    while (!log.tryCommit(attempt)) {
+      tries += 1
+      if (tries > 10) throw new IllegalStateException(
+        s"could not commit after $tries instant collisions")
+      attempt = attempt.copy(instant = log.nextInstant())
+    }
+    attempt.instant
+  }
+
+  // ------------------------------------------------------------------
+  // write operations (SURVEY.md §2.1 S9, §2.6)
+  // ------------------------------------------------------------------
+
+  /** Append after in-batch precombine; does NOT merge with existing keys
+    * (Hudi `insert` semantics — duplicates across commits are possible,
+    * the A3 invariant query is how the test-suite checks them). */
+  def insert(df: DataFrame): String = write(df, "insert", precombine = true)
+
+  /** Raw append, no dedup at all (Hudi `bulk_insert`). */
+  def bulkInsert(df: DataFrame): String = write(df, "bulk_insert", precombine = false)
+
+  private def write(df: DataFrame, op: String, precombine: Boolean): String = {
+    val instant = log.nextInstant()
+    val (batch0, evolved) = prepare(df, instant)
+    val batch = if (precombine) latestWins(batch0) else batch0
+    val added = writeFiles(batch, instant, delta = false)
+    commitOrThrow(Commit(instant, "commit", op, added = added,
+      schemaJson = evolved.json))
+  }
+
+  /** Keyed upsert with latest-wins ordering (the Streamer's default op,
+    * hudi-spark-minio-trino/README.md:211-215).
+    *
+    * COW: merge the batch into only the file groups its keys hash to,
+    * skipping files whose key range can't intersect the batch
+    * (StatsPruner). MOR: append delta files — zero read amplification.
+    */
+  def upsert(df: DataFrame): String = {
+    val instant = log.nextInstant()
+    val (batch0, evolved) = prepare(df, instant)
+    val batch = latestWins(batch0).persist()
+    try {
+      if (config.isMor) {
+        val added = writeFiles(batch, instant, delta = true)
+        commitOrThrow(Commit(instant, "commit", "upsert", added = added,
+          schemaJson = evolved.json))
+      } else {
+        val touched = batch
+          .withColumn("_part", partExpr).withColumn("_bucket", bucketExpr)
+          .groupBy("_part", "_bucket")
+          .agg(min(col(config.keyField)).cast(StringType).as("mn"),
+               max(col(config.keyField)).cast(StringType).as("mx"))
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getString(3)))
+          .toMap
+        val keyType = evolved.fields.find(_.name == config.keyField)
+          .map(_.dataType).getOrElse(StringType)
+        val (rewrite, untouched) = log.liveFiles().partition { f =>
+          touched.get((f.partition, f.bucket)) match {
+            case Some((mn, mx)) =>
+              StatsPruner.rangesOverlap(keyType, f.minKey, f.maxKey, mn, mx)
+            case None => false
+          }
+        }
+        val _ = untouched // files outside the batch's key ranges stay as-is
+        val existing = readFiles(rewrite, evolved)
+        val merged = latestWins(existing.unionByName(batch))
+          .filter(!coalesce(col(softDel), lit(false)))
+        val added = writeFiles(merged, instant, delta = false)
+        commitOrThrow(Commit(instant, "commit", "upsert", added = added,
+          removed = rewrite.map(_.path), schemaJson = evolved.json))
+      }
+    } finally batch.unpersist()
+  }
+
+  /** Delete the rows matching `cond` (SQL DELETE analog, D5). */
+  def deleteWhere(cond: Column): String = {
+    val victims = read().filter(cond)
+    deleteRows(victims)
+  }
+
+  /** Delete by a DataFrame of victim rows (must carry key + partition +
+    * ordering columns — e.g. rows selected from a snapshot read). */
+  def deleteRows(victims: DataFrame): String = {
+    val instant = log.nextInstant()
+    if (config.isMor) {
+      // tombstone deltas: same schema, soft-delete flag set, ordering
+      // preserved so the tombstone wins the merge at equal ordering via
+      // commit time.
+      val (batch0, evolved) = prepare(
+        victims.withColumn(softDel, lit(true))
+          .withColumn(CommitTimeCol, lit(instant)), instant)
+      val added = writeFiles(latestWins(batch0), instant, delta = true)
+      commitOrThrow(Commit(instant, "commit", "delete", added = added,
+        schemaJson = evolved.json))
+    } else {
+      val evolved = schema
+      val keyType = evolved.fields.find(_.name == config.keyField)
+        .map(_.dataType).getOrElse(StringType)
+      val idCols = config.partitionField.toSeq :+ config.keyField
+      val keys = victims
+        .withColumn("_part", partExpr).withColumn("_bucket", bucketExpr)
+        .select((Seq("_part", "_bucket") ++ idCols).map(col): _*)
+        .persist()
+      try {
+        val touched = keys.groupBy("_part", "_bucket")
+          .agg(min(col(config.keyField)).cast(StringType).as("mn"),
+               max(col(config.keyField)).cast(StringType).as("mx"))
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getString(3)))
+          .toMap
+        val (rewrite, _) = log.liveFiles().partition { f =>
+          touched.get((f.partition, f.bucket)) match {
+            case Some((mn, mx)) =>
+              StatsPruner.rangesOverlap(keyType, f.minKey, f.maxKey, mn, mx)
+            case None => false
+          }
+        }
+        val existing = readFiles(rewrite, evolved)
+        val kept = existing.join(
+          keys.select(idCols.map(col): _*).distinct(),
+          idCols, "left_anti")
+        val added = writeFiles(kept, instant, delta = false)
+        commitOrThrow(Commit(instant, "commit", "delete", added = added,
+          removed = rewrite.map(_.path), schemaJson = evolved.json))
+      } finally keys.unpersist()
+    }
+  }
+
+  /** Replace the partitions present in `df` (dynamic INSERT OVERWRITE,
+    * D6 / SparkInsertOverwriteNode). */
+  def insertOverwrite(df: DataFrame): String = {
+    val instant = log.nextInstant()
+    val (batch, evolved) = prepare(df, instant)
+    val parts = batch.select(partExpr.as("p")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val removed = log.liveFiles().filter(f => parts.contains(f.partition))
+    val added = writeFiles(latestWins(batch), instant, delta = false)
+    commitOrThrow(Commit(instant, "replace", "insert_overwrite",
+      added = added, removed = removed.map(_.path),
+      replacedPartitions = parts.toSeq.sorted, schemaJson = evolved.json))
+  }
+
+  /** Replace the whole table (D7 / SparkInsertOverwriteTableNode). */
+  def insertOverwriteTable(df: DataFrame): String = {
+    val instant = log.nextInstant()
+    val (batch, evolved) = prepare(df, instant)
+    val removed = log.liveFiles()
+    val added = writeFiles(latestWins(batch), instant, delta = false)
+    commitOrThrow(Commit(instant, "replace", "insert_overwrite_table",
+      added = added, removed = removed.map(_.path),
+      replacedPartitions = Seq("*"), schemaJson = evolved.json))
+  }
+
+  /** Drop whole partitions (D8 / SparkDeletePartitionNode,
+    * `partitions_to_delete`, spark-non-core-operations.yaml:175-179). */
+  def deletePartitions(values: Seq[String]): String = {
+    val instant = log.nextInstant()
+    val removed = log.liveFiles().filter(f => values.contains(f.partition))
+    commitOrThrow(Commit(instant, "replace", "delete_partition",
+      removed = removed.map(_.path), replacedPartitions = values,
+      schemaJson = schema.json))
+  }
+
+  // ------------------------------------------------------------------
+  // read views (S7/S8, Q3 incremental — SURVEY.md §2.1, §2.9)
+  // ------------------------------------------------------------------
+
+  private[core] def readFiles(files: Seq[DataFileMeta], sch: StructType): DataFrame = {
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    } else {
+      // explicit schema: no footer merging at read time (scale rule),
+      // older files surface later-added columns as nulls.
+      spark.read.schema(sch).parquet(files.map(f => s"$root/${f.path}"): _*)
+    }
+  }
+
+  /** Snapshot view: COW = live base files; MOR = realtime merge. */
+  def read(asOf: Option[String] = None): DataFrame =
+    if (config.isMor) readRealtime(asOf)
+    else {
+      val s = schemaAt(asOf)
+      readFiles(log.liveFiles(asOf).filterNot(_.delta), s)
+        .filter(!coalesce(col(softDel), lit(false)))
+    }
+
+  private def schemaAt(asOf: Option[String]): StructType =
+    log.latestSchemaJson(asOf)
+      .map(DataType.fromJson(_).asInstanceOf[StructType]).getOrElse(schema)
+
+  /** Read-optimized view (`_ro`): base files only — fast, possibly
+    * stale for MOR (README.md:728-730 divergence semantics). */
+  def readOptimized(asOf: Option[String] = None): DataFrame =
+    readFiles(log.liveFiles(asOf).filterNot(_.delta), schemaAt(asOf))
+
+  /** Realtime view (`_rt`): merge base + delta with latest-wins, drop
+    * tombstones (README.md:730). */
+  def readRealtime(asOf: Option[String] = None): DataFrame = {
+    val live = log.liveFiles(asOf)
+    val merged = latestWins(readFiles(live, schemaAt(asOf)))
+    merged.filter(!coalesce(col(softDel), lit(false)))
+  }
+
+  /** Incremental read: the latest state of rows written in commits in
+    * `(fromExclusive, fromExclusive + maxCommits]` (README.md:966-984).
+    * File skipping: only file groups touched by in-range row commits are
+    * scanned; table-service commits don't widen the range. */
+  def readIncremental(fromExclusive: String, maxCommits: Int = Int.MaxValue): DataFrame = {
+    val rowCommits = log.commits()
+      .filter(c => c.instant > fromExclusive)
+      .filter(c => c.action == "commit" || c.action == "replace")
+      .take(maxCommits)
+    if (rowCommits.isEmpty)
+      return readFiles(Nil, schema).limit(0)
+    val end = rowCommits.last.instant
+    val touched = rowCommits.flatMap(_.added).map(f => (f.partition, f.bucket)).toSet
+    val live = log.liveFiles(Some(end))
+      .filter(f => touched.contains((f.partition, f.bucket)))
+    val s = schemaAt(Some(end))
+    latestWins(readFiles(live, s))
+      .filter(col(TableConfig.CommitTimeCol) > fromExclusive &&
+              col(TableConfig.CommitTimeCol) <= end)
+      .filter(!coalesce(col(softDel), lit(false)))
+  }
+
+  /** Scan with driver-side file skipping on a stats column: only files
+    * whose [min,max] may contain a value in [lo,hi] are listed (the
+    * Delta-stats data-skipping analog, SURVEY.md §4). Filters must still
+    * be applied by the caller — this narrows IO, not semantics. */
+  def readWhereBetween(column: String, lo: Option[String], hi: Option[String]): DataFrame = {
+    val s = schema
+    val dt = s.fields.find(_.name == column).map(_.dataType).getOrElse(StringType)
+    val files = log.liveFiles().filter(f =>
+      StatsPruner.mayContain(dt, f.stats.get(column), lo, hi))
+    val df = readFiles(files, s)
+    if (config.isMor) latestWins(df).filter(!coalesce(col(softDel), lit(false)))
+    else df.filter(!coalesce(col(softDel), lit(false)))
+  }
+
+  /** Partition listing (SHOW PARTITIONS analog, README.md:372-374). */
+  def partitions(): Seq[String] =
+    log.liveFiles().map(_.partition).distinct.sorted
+
+  /** Register `name` (+ `_ro`/`_rt` for MOR) temp views, mirroring the
+    * reference's Hive-sync naming (README.md:341-344). */
+  def registerViews(): Unit = {
+    read().createOrReplaceTempView(config.name)
+    if (config.isMor) {
+      readOptimized().createOrReplaceTempView(s"${config.name}_ro")
+      readRealtime().createOrReplaceTempView(s"${config.name}_rt")
+    }
+  }
+}
+
+object GraftTable {
+
+  /** Create a new table directory with its properties file. */
+  def create(spark: SparkSession, root: String, config: TableConfig): GraftTable = {
+    val dir = Paths.get(root, CommitLog.Dir)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("table.json"),
+      CommitLog.mapper.writeValueAsBytes(config))
+    new GraftTable(spark, root, config)
+  }
+
+  /** Load an existing table from its properties file. */
+  def load(spark: SparkSession, root: String): GraftTable = {
+    val p = Paths.get(root, CommitLog.Dir, "table.json")
+    require(Files.exists(p), s"not a graft table: $root")
+    val config = CommitLog.mapper.readValue(Files.readAllBytes(p), classOf[TableConfig])
+    new GraftTable(spark, root, config)
+  }
+
+  def exists(root: String): Boolean =
+    Files.exists(Paths.get(root, CommitLog.Dir, "table.json"))
+}

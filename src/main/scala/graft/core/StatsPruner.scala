@@ -1,0 +1,40 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+
+/** Typed comparison over the stringly-stored commit-log stats.
+  *
+  * Stats land in JSON as strings; pruning decisions need the column's
+  * real ordering (numeric "10" > "9", not string). Used by upsert/delete
+  * planning (key-range file skipping — the bloom-index analog,
+  * spark/conf/hudi-defaults.conf:25) and scan-time data skipping.
+  */
+object StatsPruner {
+
+  /** negative/zero/positive like compareTo, under dataType ordering. */
+  def compare(dt: DataType, a: String, b: String): Int = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType =>
+      BigDecimal(a).compare(BigDecimal(b))
+    case _: BooleanType => a.toBoolean.compareTo(b.toBoolean)
+    case _ => a.compareTo(b) // string / timestamp-as-iso / date-as-iso
+  }
+
+  /** Does [minA, maxA] intersect [minB, maxB]? Null/empty bounds are
+    * treated as unknown → conservatively overlapping. */
+  def rangesOverlap(dt: DataType, minA: String, maxA: String,
+      minB: String, maxB: String): Boolean = {
+    if (minA == null || maxA == null || minB == null || maxB == null ||
+        minA.isEmpty || maxA.isEmpty || minB.isEmpty || maxB.isEmpty) true
+    else compare(dt, minA, maxB) <= 0 && compare(dt, minB, maxA) <= 0
+  }
+
+  /** Can a file with [min,max] contain a value in [lo,hi]? (None = open) */
+  def mayContain(dt: DataType, stat: Option[ColStat],
+      lo: Option[String], hi: Option[String]): Boolean = stat match {
+    case None => true
+    case Some(s) =>
+      lo.forall(l => s.max == null || s.max.isEmpty || compare(dt, s.max, l) >= 0) &&
+      hi.forall(h => s.min == null || s.min.isEmpty || compare(dt, s.min, h) <= 0)
+  }
+}

@@ -1,0 +1,46 @@
+package graft.core
+
+/** Static properties of a graft table (the `hoodie.properties` analog —
+  * cf. reference data/db/hudi_dimCustomer/.hoodie/hoodie.properties:19-39).
+  *
+  * Key layout decision for 100 TB: every record is routed to a *file
+  * group* `(partition, bucket)` where `bucket = hash(key) % numBuckets`.
+  * Upserts/deletes therefore touch only the groups their keys map to,
+  * never the whole table, and group membership is computable on the
+  * executor side with no index lookup (cf. the reference's bloom-index
+  * role, spark/conf/hudi-defaults.conf:25).
+  *
+  * @param keyField       record key column (unique per partition, like
+  *                       Hudi's non-global index)
+  * @param orderingField  precombine column — latest value wins
+  *                       (reference: `--source-ordering-field ts`)
+  * @param partitionField optional partition column
+  * @param tableType      "cow" (rewrite groups per commit) or "mor"
+  *                       (append delta files, merge on read/compaction)
+  * @param numBuckets     file groups per partition; at 100 TB this is
+  *                       sized so a group's base file lands near the
+  *                       1 GB clustering target
+  */
+case class TableConfig(
+    name: String,
+    keyField: String,
+    orderingField: String,
+    partitionField: Option[String] = None,
+    tableType: String = TableConfig.Cow,
+    numBuckets: Int = 8,
+    softDeleteField: String = "_is_deleted",
+    statsColumns: Seq[String] = Nil) {
+  require(tableType == TableConfig.Cow || tableType == TableConfig.Mor,
+    s"tableType must be cow|mor, got $tableType")
+  def isMor: Boolean = tableType == TableConfig.Mor
+}
+
+object TableConfig {
+  val Cow = "cow"
+  val Mor = "mor"
+  /** Metadata column carrying the commit instant of the writing commit;
+    * preserved verbatim through rewrites so incremental reads can filter
+    * rows by commit range (reference `_hoodie_commit_time`,
+    * hudi-spark-minio-trino/README.md:386-389). */
+  val CommitTimeCol = "_commit_time"
+}

@@ -1,0 +1,106 @@
+package graft.core
+
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Maintenance operators (SURVEY.md §2.7): compaction T1, clustering
+  * T2, cleaning/archival T3. All are ordinary Spark rewrites published
+  * as timeline commits — readers never block, they just resolve a
+  * different live-file set after the commit lands.
+  */
+object TableServices {
+
+  /** MOR compaction (T1): fold each file group's delta files into a new
+    * base file, after which `_ro` == `_rt` until the next delta write
+    * (the convergence the reference demos at README.md:1196-1216).
+    *
+    * Scale: file groups compact independently — on a cluster this is
+    * one job whose tasks each own a group; no global shuffle beyond the
+    * per-group latest-wins window.
+    */
+  def compact(t: GraftTable): Option[String] = {
+    val live = t.log.liveFiles()
+    val withDeltas = live.groupBy(f => (f.partition, f.bucket))
+      .filter { case (_, fs) => fs.exists(_.delta) }
+    if (withDeltas.isEmpty) return None
+    val instant = t.log.nextInstant()
+    val sch = t.schema
+    val victims = withDeltas.values.flatten.toSeq
+    // merge per group: latest-wins over base∪delta, tombstones dropped
+    val merged = mergeLatest(t, t.readFiles(victims, sch))
+      .filter(!coalesce(col(t.config.softDeleteField), lit(false)))
+    val added = t.writeFilesForService(merged, instant)
+    Some(t.commitService(Commit(instant, "compact", "compact",
+      added = added, removed = victims.map(_.path), schemaJson = sch.json)))
+  }
+
+  /** Clustering (T2): rewrite each file group sorted by key and packed
+    * toward `targetFileBytes` (the reference's sort-and-size strategy,
+    * test-clustering.properties:34-37). Bucket routing is part of the
+    * table contract, so sorting happens *within* groups — upsert key →
+    * group mapping stays valid. */
+  def cluster(t: GraftTable, partitions: Option[Seq[String]] = None,
+      targetFileBytes: Long = 1L << 30): Option[String] = {
+    val live = t.log.liveFiles()
+      .filter(f => partitions.forall(_.contains(f.partition)))
+    if (live.isEmpty) return None
+    val instant = t.log.nextInstant()
+    val sch = t.schema
+    val merged = mergeLatest(t, t.readFiles(live, sch))
+      .filter(!coalesce(col(t.config.softDeleteField), lit(false)))
+    val rows = live.map(_.rows).sum.max(1)
+    val bytes = live.map(_.bytes).sum.max(1)
+    val maxRecords = math.max(1L, targetFileBytes * rows / bytes)
+    val added = t.writeFilesForService(merged, instant,
+      maxRecordsPerFile = Some(maxRecords), sortInGroup = true)
+    Some(t.commitService(Commit(instant, "cluster", "cluster",
+      added = added, removed = live.map(_.path), schemaJson = sch.json)))
+  }
+
+  /** Cleaning (T3): physically delete files that are no longer live and
+    * were removed by a commit older than the `retainCommits`-newest —
+    * bounded time travel, bounded storage. Returns deleted paths. */
+  def clean(t: GraftTable, retainCommits: Int = 10): Seq[String] = {
+    val commits = t.log.commits()
+    if (commits.size <= retainCommits) return Nil
+    val horizon = commits(commits.size - retainCommits).instant
+    val liveNow = t.log.liveFiles().map(_.path).toSet
+    // files removed by commits at-or-before the horizon are unreachable
+    // by any snapshotAt >= horizon
+    val deletable = commits.filter(_.instant <= horizon)
+      .flatMap(_.removed).distinct
+      .filterNot(liveNow.contains)
+    deletable.foreach { rel =>
+      Files.deleteIfExists(Paths.get(t.root, rel))
+    }
+    // drop now-empty dirs
+    val dataDir = Paths.get(t.root, "data")
+    if (Files.exists(dataDir)) {
+      Files.walk(dataDir).iterator().asScala.toSeq.reverse
+        .filter(Files.isDirectory(_))
+        .foreach { d =>
+          if (!Files.list(d).iterator().hasNext) Files.deleteIfExists(d)
+        }
+    }
+    deletable
+  }
+
+  /** Archival (T3): fold old commit files into the archive log so the
+    * hot timeline dir stays O(retained). */
+  def archive(t: GraftTable, retainCommits: Int = 20): Int = {
+    val commits = t.log.commits()
+    if (commits.size <= retainCommits) 0
+    else t.log.archiveBefore(commits(commits.size - retainCommits).instant)
+  }
+
+  private def mergeLatest(t: GraftTable, df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val partCols = t.config.partitionField.toSeq :+ t.config.keyField
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col(t.config.orderingField).desc_nulls_last,
+        col(TableConfig.CommitTimeCol).desc_nulls_last)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+}
