@@ -1,0 +1,239 @@
+package graft
+
+import graft.functions.{GraftExpressions, TextFunctions}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (dedup / similarity / text
+  * analysis / multimodal) exposed through the driver's oracle gate
+  * over `documents` and `embeddings`.
+  *
+  * Oracle-parity rules here:
+  *  - shingling/tokenization uses single-space split, expressible
+  *    identically in DuckDB (string_split);
+  *  - jaccard/cosine are single divisions of exactly-computed values,
+  *    and vector sums are sequential double folds on both engines, so
+  *    thresholds/orderings can never diverge;
+  *  - md5 is bit-identical in both engines (exact dedup key).
+  *
+  * minhash/simhash/LSH entries carry *verified* outputs (exact metric
+  * on surviving pairs), so their oracles are the exact-metric SQL —
+  * the approximation must reach recall 1.0 on the planted duplicates
+  * to pass, which the chosen parameters guarantee overwhelmingly
+  * (P[miss at J=0.7 | 32×4 bands] ≈ 6e-13).
+  */
+object PipelineQueries {
+
+  // ---- dedup family --------------------------------------------------
+
+  def dExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .select("content_hash", "keep_id", "n_copies")
+      .orderBy("content_hash")
+
+  private val dExactSql =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Shared exact n-gram-Jaccard oracle (k=5 word shingles). */
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |        generate_series(1, greatest(1, len(ws) - 4)),
+       |        i -> array_to_string(ws[i:i+4], ' ')))) AS gram
+       |      FROM w),
+       |n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+       |FROM p JOIN n na ON p.doc_a = na.doc_id
+       |       JOIN n nb ON p.doc_b = nb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= $threshold
+       |ORDER BY 1, 2""".stripMargin
+
+  def dNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", k = 5, threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  def dMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", k = 5, numHashes = 128, numBands = 32,
+        threshold = 0.7)
+      .orderBy("doc_a", "doc_b")
+
+  /** SimHash near-dup pairs — not SQL-expressible (banded 64-bit
+    * fingerprints); covered by ScalaTest recall assertions instead. */
+  def dSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", maxHamming = 8)
+      .orderBy("doc_a", "doc_b")
+
+  def dEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(Tables.load(spark, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45)
+      .orderBy("id_a", "id_b")
+
+  private val dEmbeddingSql =
+    """WITH v AS (SELECT vec_id, embedding FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |  / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+      |   * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+      |       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) AS cosine
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      |  / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+      |       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+      |   * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+      |       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) >= 0.45
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- similarity search ---------------------------------------------
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 10. */
+  def sBruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private val sBruteSql =
+    """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+      |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |s AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+      |  list_sum(list_transform(generate_series(1, len(q.embedding)),
+      |    i -> q.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE))
+      |  / (sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)),
+      |       i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+      |   * sqrt(list_sum(list_transform(generate_series(1, len(v.embedding)),
+      |       i -> v.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE)))) AS cosine
+      |      FROM q JOIN v ON q.vec_id <> v.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+      |SELECT query_id, neighbor_id, rank, cosine FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** LSH ANN — approximate; covered by recall-vs-exact ScalaTest. */
+  def sLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    Similarity.lshTopK(embs, embs.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- text analysis -------------------------------------------------
+
+  def tQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val metrics = TextFunctions.qualityMetrics(col("text"))
+    docs.select(col("doc_id") +: metrics.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  private val stopList = TextFunctions.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  private val tQualitySql =
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_tokens,
+       |  length(text) AS n_chars,
+       |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS avg_token_len,
+       |  CAST(len(list_filter(string_split(text, ' '),
+       |        w -> w IN ($stopList))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS stopword_ratio,
+       |  CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+       |       AS DOUBLE) / length(text) AS punct_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language ID (custom Catalyst expression, trigram profiles) — not
+    * SQL-expressible; accuracy asserted in ScalaTest on multilingual
+    * fixtures. */
+  def tLangId(spark: SparkSession, dir: String): DataFrame = {
+    GraftExpressions.register(spark)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), GraftExpressions.lang_id(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing fingerprints (custom expression) — rows-only check. */
+  def tFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    GraftExpressions.register(spark)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        GraftExpressions.winnow_fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
+        element_at(col("fp"), 1).as("min_fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** Token count with a BPE-ish regex segmentation (words, digits,
+    * punctuation runs — the standard pre-tokenizer shape). Expressible
+    * in both engines via regexp_extract_all. */
+  def tTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .as("bpe_ish_tokens"))
+      .orderBy("doc_id")
+
+  private val tTokenSql =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- multimodal plumbing -------------------------------------------
+
+  /** Binary-column plumbing over text-as-bytes: byte length through the
+    * binary codepath (cast → octet_length), oracle-checked; the decode
+    * stubs are exercised in ScalaTest over synthesized image bytes. */
+  def mBinary(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text").cast("binary")).as("n_bytes"))
+      .orderBy("doc_id")
+
+  private val mBinarySql =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_dedup_exact" -> (dExact _),
+    "p2_dedup_ngram_jaccard" -> (dNgram _),
+    "p3_dedup_minhash_lsh" -> (dMinhash _),
+    "p4_dedup_simhash" -> (dSimhash _),
+    "p5_dedup_embedding" -> (dEmbedding _),
+    "p6_ann_brute_topk" -> (sBruteTopK _),
+    "p7_ann_lsh_topk" -> (sLshTopK _),
+    "p8_text_quality" -> (tQuality _),
+    "p9_lang_id" -> (tLangId _),
+    "p10_fingerprint" -> (tFingerprint _),
+    "p11_token_count" -> (tTokenCount _),
+    "p12_multimodal_binary" -> (mBinary _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p1_dedup_exact" -> dExactSql,
+    "p2_dedup_ngram_jaccard" -> jaccardOracle(0.5),
+    "p3_dedup_minhash_lsh" -> jaccardOracle(0.7),
+    "p5_dedup_embedding" -> dEmbeddingSql,
+    "p6_ann_brute_topk" -> sBruteSql,
+    "p8_text_quality" -> tQualitySql,
+    "p11_token_count" -> tTokenSql,
+    "p12_multimodal_binary" -> mBinarySql,
+    // p4, p7, p9, p10: not SQL-expressible → rows-only driver check +
+    // ScalaTest recall/accuracy assertions.
+  )
+}

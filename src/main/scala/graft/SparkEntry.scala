@@ -23,8 +23,8 @@ object SparkEntry {
     Queries.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ LakehouseQueries.all
+    Queries.all ++ LakehouseQueries.all ++ PipelineQueries.all
 
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ LakehouseQueries.oracles
+    Queries.oracles ++ LakehouseQueries.oracles ++ PipelineQueries.oracles
 }

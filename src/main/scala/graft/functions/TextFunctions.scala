@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the training-data pipeline operators, built
+  * entirely from codegen'd Spark SQL functions (no UDFs): tokenization,
+  * word shingles, quality ratios, SimHash, MinHash signatures.
+  *
+  * Everything here is a per-row expression — no shuffle, fully
+  * parallel, safe at 100 TB. The only shuffles in the dedup pipeline
+  * happen in the pair-generation joins (see operators.Dedup).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (single-space split, matching the generators'
+    * output and DuckDB's string_split for oracle parity). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word k-shingles: `transform(sequence(...), i ->
+    * concat_ws(' ', slice(tokens, i, k)))`. Short docs (< k words)
+    * yield their whole token list as one shingle. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val ws = tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(lit(1), size(ws) - lit(k - 1))),
+      i => concat_ws(" ", slice(ws, i, lit(k)))))
+  }
+
+  /** 64-bit hashes of the distinct shingles (xxhash64 inside the
+    * lambda — stays in whole-stage codegen). */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(wordShingles(text, k), g => xxhash64(g))
+
+  // ---- MinHash --------------------------------------------------------
+
+  /** Deterministic affine hash family: h_j(x) = a_j * x + b_j over the
+    * 2^64 ring (odd multipliers → bijective). Public technique: Broder,
+    * "On the resemblance and containment of documents" (1997). */
+  private def hashFamily(numHashes: Int): (Seq[Long], Seq[Long]) = {
+    val rnd = new java.util.Random(42)
+    val as = Seq.fill(numHashes)(rnd.nextLong() | 1L) // odd
+    val bs = Seq.fill(numHashes)(rnd.nextLong())
+    (as, bs)
+  }
+
+  /** MinHash signature (array<long> of length `numHashes`) over a
+    * column of shingle hashes. Pure expression composition:
+    * signature[j] = min over shingles of (a_j*h + b_j). */
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column = {
+    val (as, bs) = hashFamily(numHashes)
+    val aArr = array(as.map(lit): _*)
+    val bArr = array(bs.map(lit): _*)
+    transform(sequence(lit(0), lit(numHashes - 1)), j =>
+      aggregate(shingleHashes, lit(Long.MaxValue),
+        (acc, h) => least(acc, h * element_at(aArr, j + 1) + element_at(bArr, j + 1))))
+  }
+
+  /** LSH band keys from a minhash signature: `numBands` values, each a
+    * hash of `rowsPerBand` consecutive signature entries (banded LSH,
+    * same public scheme as Spark MLlib's MinHashLSH). Bands are
+    * unrolled at plan-build time — every slice offset is a literal, so
+    * the whole thing codegens flat. */
+  def lshBands(signature: Column, numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws("_",
+          slice(signature, b * rowsPerBand + 1, rowsPerBand))).as("sig"))
+    }: _*)
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** 64-bit SimHash over token hashes (Charikar, "Similarity estimation
+    * techniques from rounding algorithms", 2002): per bit, sum ±1 votes
+    * across token hashes, set the bit when the vote is positive. Built
+    * from nested higher-order functions — codegen'd, no shuffle. */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(split(text, " "), w => xxhash64(w))
+    (0 until 64).map { i =>
+      val vote = aggregate(hashes, lit(0L),
+        (v, h) => v + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Split a 64-bit simhash into 4 16-bit band values for candidate
+    * bucketing (pigeonhole: hamming ≤ 3 ⇒ at least one identical band). */
+  def simhashBands(sim: Column): Column =
+    array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(sim, b * 16).bitwiseAND(0xffffL).as("sig"))
+    }: _*)
+
+  // ---- quality metrics ------------------------------------------------
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this", "are")
+
+  /** Token count / char count / avg token length / stopword ratio /
+    * punctuation ratio — the standard cheap quality signals (cf. Gopher
+    * rules, Rae et al. 2021). All exact-arithmetic for oracle parity:
+    * integer counts, single double division at the end. */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val ws = tokens(text)
+    val nTokens = size(ws)
+    val nChars = length(text)
+    val alphaSpace = length(regexp_replace(text, "[^a-z0-9 ]", ""))
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nStop = size(filter(ws, w => array_contains(stopArr, w)))
+    Seq(
+      "n_tokens" -> nTokens,
+      "n_chars" -> nChars,
+      "avg_token_len" ->
+        (length(regexp_replace(text, " ", "")).cast("double") / nTokens),
+      "stopword_ratio" -> (nStop.cast("double") / nTokens),
+      "punct_ratio" -> ((nChars - alphaSpace).cast("double") / nChars))
+  }
+}

@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Character-trigram language identification as a native Catalyst
+  * expression (north-star text-analysis op; custom Expression because
+  * profile lookup isn't expressible with built-in functions).
+  *
+  * Method (public, textbook — Cavnar & Trenkle, "N-Gram-Based Text
+  * Categorization", 1994): score = fraction of the text's character
+  * trigrams found in a per-language profile of frequent trigrams;
+  * CJK codepoint ratio short-circuits to zh/ja. Returns the best
+  * language code, or "und" below a floor.
+  */
+case class LangIdExpression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      LangId.detect(input.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpression =
+    copy(child = newChild)
+}
+
+object LangId {
+  // Frequent trigrams (spaces significant) derived from common function
+  // words of each language — knowledge-level profiles, no external data.
+  private val profiles: Map[String, Set[String]] = Map(
+    "en" -> Set(" th", "the", "he ", " an", "and", "nd ", " of", "of ",
+      " to", "to ", "ing", "ng ", " in", "in ", "ion", " is", "is ",
+      "ed ", " be", "at ", "er ", " a ", " it", "hat", " ha", " re",
+      "tha", " wi", "ith", "th "),
+    "de" -> Set(" de", "der", "er ", "ie ", " di", "die", "und", " un",
+      "nd ", "ich", "ch ", "ein", " ei", "ne ", "in ", " ge", "sch",
+      "che", "en ", "das", " da", "it ", "mit", " mi", "ung", "ten"),
+    "fr" -> Set(" de", "de ", " le", "le ", "es ", " la", "la ", "ent",
+      "nt ", "et ", " et", "que", " qu", "ue ", " pa", "par", "les",
+      " le", "ais", "ait", "our", " po", "ion", "un ", " un", "re "),
+    "es" -> Set(" de", "de ", " la", "la ", "os ", " el", "el ", "que",
+      " qu", "ue ", "ar ", " co", "con", "ent", " en", "en ", "as ",
+      "ión", "ció", "aci", "los", " lo", "del", " se", "es ", "ado"),
+    "it" -> Set(" di", "di ", " de", "del", "la ", " la", "to ", "re ",
+      "che", " ch", "he ", "no ", " co", "con", "one", "ion", "zio",
+      "ne ", " pe", "per", "er ", "ell", "lla", " un", "na ", "ato"),
+    "pt" -> Set(" de", "de ", " a ", "os ", " co", "ão ", "ção", "açã",
+      " qu", "que", "ue ", "ar ", " pa", "par", "ra ", " do", "do ",
+      "da ", " da", "ent", " se", "es ", "ado", " um", "em ", " em"))
+
+  private def isCjk(cp: Int): Boolean =
+    (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+    (cp >= 0x3040 && cp <= 0x30FF) // hiragana/katakana
+
+  private def isHangul(cp: Int): Boolean =
+    (cp >= 0xAC00 && cp <= 0xD7AF) || (cp >= 0x1100 && cp <= 0x11FF)
+
+  def detect(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val cps = text.codePoints().toArray
+    if (cps.length >= 4) {
+      val cjk = cps.count(isCjk)
+      val hangul = cps.count(isHangul)
+      if (hangul.toDouble / cps.length > 0.25) return "ko"
+      if (cjk.toDouble / cps.length > 0.25) {
+        val kana = cps.count(cp => cp >= 0x3040 && cp <= 0x30FF)
+        return if (kana.toDouble / cps.length > 0.05) "ja" else "zh"
+      }
+    }
+    val t = " " + text.toLowerCase.replaceAll("[^\\p{L} ]", " ")
+      .replaceAll(" +", " ").trim + " "
+    if (t.length < 3) return "und"
+    val grams = (0 to t.length - 3).map(i => t.substring(i, i + 3))
+    var best = "und"
+    var bestScore = 0.0
+    profiles.foreach { case (lang, prof) =>
+      val hits = grams.count(prof.contains)
+      val score = hits.toDouble / grams.size
+      if (score > bestScore) { best = lang; bestScore = score }
+    }
+    if (bestScore >= 0.05) best else "und"
+  }
+}
+
+/** Winnowing document fingerprint (Schleimer, Wilkerson, Aiken,
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+  * 2003): rolling-hash every k-gram of tokens, slide a window of w
+  * hashes, keep each window's minimum → a compact, position-robust
+  * fingerprint set. Returns array<long> (sorted, distinct).
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+
+  private val Mod = 1000000007L
+  private val Base = 131L
+
+  private def tokenHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * Base + s.charAt(i)) % Mod; i += 1 }
+    h
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ")
+    // rolling hash over token k-grams
+    val n = math.max(1, toks.length - k + 1)
+    val grams = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var j = 0
+      while (j < k && i + j < toks.length) {
+        h = (h * Base + tokenHash(toks(i + j))) % Mod
+        j += 1
+      }
+      grams(i) = h
+      i += 1
+    }
+    // winnow: min of each window of w gram-hashes
+    val sel = scala.collection.mutable.SortedSet[Long]()
+    val wn = math.max(1, grams.length - w + 1)
+    var s = 0
+    while (s < wn) {
+      var m = Long.MaxValue
+      var j = 0
+      while (j < w && s + j < grams.length) {
+        if (grams(s + j) < m) m = grams(s + j)
+        j += 1
+      }
+      sel += m
+      s += 1
+    }
+    new GenericArrayData(sel.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
+/** Column-side entry points + SQL registration for the custom
+  * expressions. Spark 4's public Column API no longer exposes raw
+  * Expressions, so Column access goes through the function registry
+  * ([[register]] once per session, then `call_function`/SQL). */
+object GraftExpressions {
+  import org.apache.spark.sql.functions.call_function
+
+  def lang_id(c: Column): Column = call_function("lang_id", c)
+
+  def winnow_fingerprint(c: Column): Column =
+    call_function("winnow_fingerprint", c)
+
+  /** Register as SQL functions (`SELECT lang_id(text) ...`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lang_id", exprs => LangIdExpression(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fingerprint", exprs => WinnowFingerprint(exprs.head, 3, 4), "scala_udf")
+  }
+}

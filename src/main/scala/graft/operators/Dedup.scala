@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline (north-star
+  * extensions, BASELINE.json): exact, n-gram Jaccard, MinHash+LSH,
+  * SimHash, embedding-cosine. Each returns a DataFrame of duplicate
+  * groups or verified near-duplicate pairs.
+  *
+  * Scale design: every candidate-generation path is a key-equality
+  * join on a *bounded-fanout* key (hash, band signature) — never an
+  * all-pairs cross join — so shuffles stay O(candidates), and the
+  * expensive exact verification runs only on candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest id as the
+    * canonical representative. One shuffle on a 128-bit key; at 100 TB
+    * the md5 aggregation is the textbook first pass before any fuzzy
+    * stage. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct-shingle relation: (id, gram) with one row per distinct
+    * k-shingle per doc. */
+  private def shingleRel(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), k)).as("gram"))
+
+  /** Exact n-gram Jaccard near-dup pairs: candidates share ≥1 shingle
+    * (inverted-index join), then J = |∩| / |∪| exactly. Output:
+    * (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
+    *
+    * At 100 TB the shared-shingle join fans out on hot shingles — this
+    * operator is the *verifier*; use [[minhashLsh]] for candidate
+    * generation at scale. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val g = shingleRel(docs, idCol, textCol, k)
+    val sizes = g.groupBy("id").agg(count(lit(1)).as("n"))
+    jaccardOf(g, sizes, threshold)
+  }
+
+  private def jaccardOf(g: DataFrame, sizes: DataFrame, threshold: Double,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val a = g.as("a")
+    val b = g.as("b")
+    var inter = a.join(b, col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    candidates.foreach { c => inter = inter.join(c, Seq("doc_a", "doc_b"), "left_semi") }
+    inter
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash + banded LSH near-dup pairs (Broder '97 / LSH banding):
+    * signature of `numHashes` minhashes → `numBands` band keys →
+    * candidates collide on ≥1 band → exact-Jaccard verify. With
+    * 128/32×4 the collision probability at J=0.7 is ≈ 0.9998, so the
+    * verified output matches the exact operator while scanning only
+    * O(collisions) pairs — the 100 TB path. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, numHashes: Int = 128, numBands: Int = 32,
+      threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sigs = docs.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), k).as("hashes"))
+      .withColumn("sig", minhashSignature(col("hashes"), numHashes))
+      .withColumn("band", explode(lshBands(col("sig"), numBands, rowsPerBand)))
+      .select(col("id"), col("band.band").as("band"), col("band.sig").as("bsig"))
+    val a = sigs.as("a")
+    val b = sigs.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val g = shingleRel(docs, idCol, textCol, k)
+    val sizes = g.groupBy("id").agg(count(lit(1)).as("n"))
+    jaccardOf(g, sizes, threshold, candidates = Some(candidates))
+  }
+
+  /** SimHash near-dup pairs (Charikar 2002 / Manku et al. 2007
+    * pigeonhole banding): 64-bit fingerprints, candidates share one of
+    * four 16-bit bands, emit pairs with hamming distance ≤ maxHamming.
+    * Output: (doc_a, doc_b, hamming). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+    val banded = sigs.withColumn("band", explode(simhashBands(col("sim"))))
+      .select(col("id"), col("sim"), col("band.band").as("band"), col("band.sig").as("bsig"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold. Exact all-pairs via
+    * a block-nested join — kept for oracle verification and small dims;
+    * [[Similarity.lshCandidatePairs]] is the bucketed scale path. */
+  def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    val a = embs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = embs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

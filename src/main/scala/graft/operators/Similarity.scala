@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (north-star extension).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact cosine top-k, broadcast the (small)
+  *    query set against the corpus — one scan, no corpus shuffle.
+  *    The correctness baseline.
+  *  - [[lshTopK]]: random-hyperplane LSH bucketing (Charikar 2002) with
+  *    multi-probe flips — the 100 TB path: corpus hashed once,
+  *    candidates only from matching buckets.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector (excluding self).
+    * Queries are broadcast; the corpus is scanned once; per-query heap
+    * selection happens in the window. Output: (query_id, neighbor_id,
+    * rank, cosine). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** LSH-bucketed ANN, OR-construction (Indyk–Motwani): `numTables`
+    * independent `bitsPerTable`-plane signatures; a candidate is any
+    * corpus vector sharing a (table, bucket) key with the query;
+    * candidates rank by exact cosine. With p = 1 - θ/π per plane,
+    * recall ≈ 1-(1-p^b)^L — 16×4 gives ≈ 0.93+ even at cosine ≈ 0.4.
+    * Corpus-side cost is L bucket keys per vector (a hash index per
+    * table), candidate cost is O(colliding pairs) instead of O(N·Q). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      numTables: Int = 16, bitsPerTable: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("tk", explode(lshTableKeys(col("cvec"), dim, numTables, bitsPerTable)))
+      .select(col("neighbor_id"), col("cvec"),
+        col("tk.table").as("table"), col("tk.bucket").as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("tk", explode(lshTableKeys(col("qvec"), dim, numTables, bitsPerTable)))
+      .select(col("query_id"), col("qvec"),
+        col("tk.table").as("table"), col("tk.bucket").as("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Bucketed near-dup candidate pairs over a whole corpus (the scale
+    * path feeding Dedup.embeddingCosinePairs-style verification):
+    * pairs sharing an LSH bucket, exact cosine attached. */
+  def lshCandidatePairs(embs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, numTables: Int = 8,
+      bitsPerTable: Int = 8): DataFrame = {
+    val sig = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("tk", explode(lshTableKeys(col("v"), dim, numTables, bitsPerTable)))
+      .select(col("id"), col("v"),
+        col("tk.table").as("table"), col("tk.bucket").as("bucket"))
+    val a = sig.as("a")
+    val b = sig.as("b")
+    a.join(b, col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.Session
+import graft.functions.{GraftExpressions, LangId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Coverage for the pipeline operators whose outputs aren't
+  * SQL-expressible for the DuckDB oracle: language ID accuracy,
+  * simhash/LSH recall against the exact operators, winnowing
+  * fingerprints, multimodal decode plumbing.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs: DataFrame = spark.read.parquet(s"$dir/documents.parquet")
+  private def embs: DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("lang_id detects real multilingual text") {
+    // fixture sentences of function words; profiles derive from public
+    // common-word knowledge, not from this data
+    assert(LangId.detect("the cat is on the mat and it is happy that the day is warm") == "en")
+    assert(LangId.detect("der hund und die katze sind mit dem kind in dem garten") == "de")
+    assert(LangId.detect("le chien et le chat sont dans le jardin avec les enfants") == "fr")
+    assert(LangId.detect("el perro y el gato están en el jardín con los niños de la casa") == "es")
+    assert(LangId.detect("il cane e il gatto sono nel giardino con i bambini della casa") == "it")
+    assert(LangId.detect("o cachorro e o gato estão no jardim com as crianças da casa") == "pt")
+    assert(LangId.detect("今天天气很好我们一起去公园散步吧") == "zh")
+    assert(LangId.detect("今日はいい天気ですから公園へさんぽに行きましょう") == "ja")
+    assert(LangId.detect("오늘은 날씨가 좋아서 공원에 산책하러 갑니다") == "ko")
+    assert(LangId.detect("") == "und")
+    assert(LangId.detect("xyzzy qwfp 12345") == "und")
+  }
+
+  test("lang_id runs as a SQL function through the registry") {
+    GraftExpressions.register(spark)
+    docs.createOrReplaceTempView("docs_tmp")
+    val n = spark.sql("select lang_id(text) as l from docs_tmp").count()
+    assert(n == docs.count())
+  }
+
+  test("simhash finds the planted near-duplicates (recall vs exact jaccard)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val recall = exact.count(sim.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"simhash recall $recall over ${exact.size} pairs")
+  }
+
+  test("minhash LSH equals exact jaccard pairs at its threshold") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", k = 5, threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("LSH ANN recall vs brute force") {
+    val queries = embs.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(embs, queries, "vec_id", "embedding", k = 5, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // 16 tables × 4 planes: P[hit] ≈ 1-(1-p^4)^16 ≈ 0.93 at cosine 0.4
+    assert(recall >= 0.75, s"ANN recall $recall")
+  }
+
+  test("winnow fingerprints overlap heavily for near-dup docs, little for random") {
+    GraftExpressions.register(spark)
+    val fp = docs.select($"doc_id",
+      GraftExpressions.winnow_fingerprint($"text").as("fp"))
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val fpMap = fp.as[(Long, Array[Long])].collect().toMap
+    val (a, b) = pairs.head
+    val (fa, fb) = (fpMap(a).toSet, fpMap(b).toSet)
+    val overlap = fa.intersect(fb).size.toDouble / math.max(fa.size, fb.size)
+    assert(overlap > 0.5, s"near-dup fingerprint overlap $overlap")
+    // a random non-dup pair overlaps ~0
+    val ids = fpMap.keySet -- Set(a, b)
+    val (x, y) = (ids.min, ids.max)
+    val (fx, fy) = (fpMap(x).toSet, fpMap(y).toSet)
+    assert(fx.intersect(fy).size.toDouble / math.max(fx.size, fy.size) < 0.3)
+  }
+
+  test("multimodal: fake-codec metadata + thumbnail checksum through mapPartitions") {
+    // synthesize binary "images" with the fake 5-byte header
+    def img(fmt: Byte, w: Int, h: Int, payload: Int): Array[Byte] =
+      Array[Byte](fmt, (w >> 8).toByte, (w & 0xff).toByte,
+        (h >> 8).toByte, (h & 0xff).toByte) ++ Array.fill(payload)(0x7.toByte)
+    val rows = Seq(
+      (1L, img(1, 640, 480, 100)),
+      (2L, img(2, 1024, 768, 200)),
+      (3L, Array[Byte](9, 1)),     // corrupt: short + unknown format
+      (4L, null))
+    val df = rows.toDF("id", "img")
+    val withMeta = Multimodal.withImageMeta(df, "img")
+    val metas = withMeta.select($"id", $"image_meta.format", $"image_meta.width",
+        $"image_meta.height", $"image_meta.corrupt")
+      .as[(Long, String, Int, Int, Boolean)].collect().sortBy(_._1)
+    assert(metas(0) == ((1L, "png", 640, 480, false)))
+    assert(metas(1) == ((2L, "jpeg", 1024, 768, false)))
+    assert(metas(2)._5 == true)
+    assert(metas(3)._5 == true)
+    val sums = Multimodal.withThumbnailChecksum(df.filter($"img".isNotNull), "img", 256)
+      .select("thumb_checksum").as[Long].collect()
+    assert(sums.distinct.length == 3) // deterministic, distinct per payload
+    // frame sampling stub: one row per sampled index
+    val frames = Multimodal.sampleFrameIndexes(df.filter($"id" === 1), "img", 50)
+    assert(frames.count() == 3) // 105 bytes / 50 → indexes 0,1,2
+  }
+
+  test("quality metrics are sane on the documents fixture") {
+    val m = graft.PipelineQueries.tQuality(spark, dir)
+    val row = m.filter($"doc_id" === 0).head()
+    assert(row.getAs[Int]("n_tokens") > 0)
+    assert(row.getAs[Double]("avg_token_len") > 1.0)
+    assert(m.filter($"stopword_ratio" < 0 || $"stopword_ratio" > 1).count() == 0)
+  }
+}
