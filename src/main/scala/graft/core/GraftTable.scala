@@ -63,12 +63,13 @@ final class GraftTable private (
   /** Batch preparation shared by all write ops: attach `_commit_time`,
     * ensure the soft-delete flag exists, compute the evolved schema. */
   private def prepare(df: DataFrame, instant: String): (DataFrame, StructType) = {
-    var batch = df
-    if (!batch.columns.contains(CommitTimeCol))
-      batch = batch.withColumn(CommitTimeCol, lit(instant))
-    else
-      batch = batch.withColumn(CommitTimeCol,
-        coalesce(col(CommitTimeCol).cast(StringType), lit(instant)))
+    // incoming batches are ALWAYS stamped with the writing instant —
+    // even when the rows were sourced from a snapshot read (UPDATE =
+    // read-modify-write) they are new versions and must win the
+    // commit-time tie-break. Unchanged rows merged during a COW
+    // rewrite keep their original _commit_time via the `existing`
+    // branch of upsert, not via prepare.
+    var batch = df.withColumn(CommitTimeCol, lit(instant))
     if (!batch.columns.contains(softDel))
       batch = batch.withColumn(softDel, lit(false))
     val evolved = mergeSchemas(schema, batch.schema)
@@ -285,6 +286,17 @@ final class GraftTable private (
           removed = rewrite.map(_.path), schemaJson = evolved.json))
       }
     } finally batch.unpersist()
+  }
+
+  /** SQL UPDATE analog (D4 / SparkSqlUpdateNode): read-modify-write as
+    * an upsert of the modified rows — ordering unchanged, so the newer
+    * commit wins the tie against the old version. */
+  def updateWhere(cond: Column, assignments: Map[String, Column]): String = {
+    val victims = read().filter(cond)
+    val updated = assignments.foldLeft(victims) {
+      case (df, (name, value)) => df.withColumn(name, value)
+    }
+    upsert(updated)
   }
 
   /** Delete the rows matching `cond` (SQL DELETE analog, D5). */

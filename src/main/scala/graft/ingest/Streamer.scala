@@ -1,0 +1,153 @@
+package graft.ingest
+
+import graft.core.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Batch-incremental ingestion service — the Hudi Streamer analog
+  * (SURVEY.md §3.1; reference: spark-submit HoodieStreamer,
+  * hudi-spark-minio-trino/README.md:217-243).
+  *
+  * Each `runOnce` is one micro-batch: source reads rows *after its
+  * checkpoint*, the batch upserts into the target table, and the
+  * checkpoint advances atomically only after the commit lands —
+  * re-running a failed batch re-upserts the same rows, which is
+  * idempotent under keyed latest-wins (the reference's
+  * "commit file signals success" exactly-once story, README.md:252).
+  */
+object Streamer {
+
+  /** One micro-batch: returns the commit instant if rows were ingested. */
+  def runOnce(table: GraftTable, source: Source): Option[String] = {
+    val (df, ckpt) = source.next()
+    df match {
+      case Some(batch) =>
+        val instant = table.upsert(batch)
+        source.commitCheckpoint(ckpt)
+        Some(instant)
+      case None => None
+    }
+  }
+
+  /** Drain the source: loop runOnce until it reports no new data
+    * (the `--continuous` mode loop, bounded for tests). */
+  def runUntilCaughtUp(table: GraftTable, source: Source,
+      maxBatches: Int = 1000): Seq[String] = {
+    var out = List.empty[String]
+    var i = 0
+    var more = true
+    while (more && i < maxBatches) {
+      runOnce(table, source) match {
+        case Some(c) => out ::= c
+        case None => more = false
+      }
+      i += 1
+    }
+    out.reverse
+  }
+
+  /** Structured Streaming path: attach any streaming DataFrame to a
+    * graft table via foreachBatch upsert (SURVEY.md §2.9 — watermarks/
+    * windows compose upstream of the sink; keyed dedup happens in the
+    * upsert, so no watermark is needed for latest-wins). */
+  def streamInto(table: GraftTable, stream: DataFrame,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { table.upsert(batch); () }
+      }
+      .start()
+}
+
+/** A checkpointable micro-batch source. `next()` returns the new batch
+  * (None if caught up) plus an opaque checkpoint token that becomes
+  * durable only after the downstream commit succeeds. */
+trait Source {
+  def next(): (Option[DataFrame], String)
+  def commitCheckpoint(token: String): Unit
+}
+
+/** Incremental directory source — the DFS path-selector analog
+  * (reference dfs-source.properties:28-29, DFSTestSuitePathSelector):
+  * each batch = files that appeared since the checkpoint, ordered by
+  * (mtime, name). Driver lists one directory — O(files in dir), kept
+  * out of the data path; at 100 TB the listing would shard by prefix. */
+abstract class DirSource(spark: SparkSession, dir: String,
+    checkpointFile: String) extends Source {
+
+  protected def readFiles(paths: Seq[String]): DataFrame
+
+  private def processed(): Set[String] = {
+    val p = Paths.get(checkpointFile)
+    if (!Files.exists(p)) Set.empty
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty).toSet
+  }
+
+  override def next(): (Option[DataFrame], String) = {
+    val done = processed()
+    val all = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .toSeq.sortBy(p => (Files.getLastModifiedTime(p).toMillis, p.toString))
+    val fresh = all.map(_.toString).filterNot(done.contains)
+    if (fresh.isEmpty) (None, "")
+    else (Some(readFiles(fresh)), (done ++ fresh).toSeq.sorted.mkString("\n"))
+  }
+
+  override def commitCheckpoint(token: String): Unit = {
+    val p = Paths.get(checkpointFile)
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, token)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+/** JSON-lines directory source with a declared schema — the
+  * JsonKafkaSource + FilebasedSchemaProvider analog (S1; reference
+  * kafka-source.properties:22-28: schema file + earliest offset). */
+class JsonDirSource(spark: SparkSession, dir: String, schema: StructType,
+    checkpointFile: String) extends DirSource(spark, dir, checkpointFile) {
+  override protected def readFiles(paths: Seq[String]): DataFrame =
+    spark.read.schema(schema).json(paths: _*)
+}
+
+/** CSV directory source (S4; reference notebook/demo.ipynb cell 8:
+  * header=true + inferred or declared schema). */
+class CsvDirSource(spark: SparkSession, dir: String,
+    checkpointFile: String, schema: Option[StructType] = None)
+    extends DirSource(spark, dir, checkpointFile) {
+  override protected def readFiles(paths: Seq[String]): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(paths: _*)
+  }
+}
+
+/** Chained-table incremental source (S3; reference
+  * hoodie-incr.properties:25-27): reads another graft table's changes
+  * since the checkpointed commit instant. */
+class TableIncrementalSource(upstream: GraftTable, checkpointFile: String)
+    extends Source {
+  private def last(): String = {
+    val p = Paths.get(checkpointFile)
+    if (Files.exists(p)) Files.readString(p).trim else "0"
+  }
+
+  override def next(): (Option[DataFrame], String) = {
+    val from = last()
+    val latest = upstream.log.lastInstant().getOrElse("0")
+    if (latest <= from) (None, "")
+    else (Some(upstream.readIncremental(fromExclusive = from)), latest)
+  }
+
+  override def commitCheckpoint(token: String): Unit = {
+    val p = Paths.get(checkpointFile)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, token)
+  }
+}

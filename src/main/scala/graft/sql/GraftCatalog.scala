@@ -1,0 +1,98 @@
+package graft.sql
+
+import graft.core.{CommitLog, GraftTable, TableConfig}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Warehouse-directory catalog — the Hive-Metastore analog for this
+  * engine (SURVEY.md §1.3): `warehouse/<table>/` is a graft table
+  * root; listing/lookup read only table properties and the commit
+  * log, never data files.
+  */
+final class GraftCatalog(val spark: SparkSession, val warehouseDir: String) {
+
+  Files.createDirectories(Paths.get(warehouseDir))
+
+  private def rootOf(name: String): String =
+    Paths.get(warehouseDir, name).toString
+
+  /** D1: CREATE TABLE. */
+  def createTable(config: TableConfig): GraftTable = {
+    require(!GraftTable.exists(rootOf(config.name)),
+      s"table ${config.name} already exists")
+    GraftTable.create(spark, rootOf(config.name), config)
+  }
+
+  /** D1 CTAS: CREATE TABLE AS SELECT — DDL + first insert commit. */
+  def createTableAs(config: TableConfig, df: DataFrame): GraftTable = {
+    val t = createTable(config)
+    t.insert(df)
+    t
+  }
+
+  def table(name: String): GraftTable =
+    GraftTable.load(spark, rootOf(name))
+
+  def tableExists(name: String): Boolean = GraftTable.exists(rootOf(name))
+
+  def dropTable(name: String): Unit = {
+    val root = Paths.get(rootOf(name))
+    require(Files.exists(root), s"no such table $name")
+    Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  /** D9: SHOW TABLES. */
+  def listTables(): Seq[String] =
+    Files.list(Paths.get(warehouseDir)).iterator().asScala
+      .filter(p => GraftTable.exists(p.toString))
+      .map(_.getFileName.toString).toSeq.sorted
+
+  /** D9: SHOW PARTITIONS (from the commit log, no data listing). */
+  def showPartitions(name: String): Seq[String] = table(name).partitions()
+
+  /** Hive-sync analog: register `t` (+ `_ro`/`_rt`) views for every
+    * table (reference README.md:341-344). */
+  def syncViews(): Unit = listTables().foreach(n => table(n).registerViews())
+}
+
+/** Metadata/observability export (S15 — the LakeView-extractor analog,
+  * reference lakeview/hudi.yaml:35-43: dashboards read ONLY `.hoodie`
+  * metadata). Everything here is a DataFrame over the commit log.
+  */
+object Observability {
+  import org.apache.spark.sql.functions._
+
+  /** Commit history: instant, action, operation, files/rows/bytes
+    * added and removed. */
+  def commits(t: GraftTable): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    t.log.commits().map { c =>
+      (c.instant, c.action, c.operation, c.added.size, c.removed.size,
+        c.added.map(_.rows).sum, c.added.map(_.bytes).sum)
+    }.toDF("instant", "action", "operation", "files_added",
+      "files_removed", "rows_added", "bytes_added")
+  }
+
+  /** Live file inventory: partition, bucket, delta?, rows, bytes,
+    * key range. */
+  def files(t: GraftTable): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    t.log.liveFiles().map { f =>
+      (f.path, f.partition, f.bucket, f.delta, f.rows, f.bytes,
+        f.minKey, f.maxKey)
+    }.toDF("path", "partition", "bucket", "is_delta", "rows", "bytes",
+      "min_key", "max_key")
+  }
+
+  /** Per-partition rollup (partition listing + sizes — the dashboard
+    * table-stats view). */
+  def partitionStats(t: GraftTable): DataFrame =
+    files(t).groupBy("partition")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta_files"),
+        sum("rows").as("rows"), sum("bytes").as("bytes"))
+      .orderBy("partition")
+}

@@ -1,0 +1,144 @@
+package graft.sql
+
+import graft.core.TableConfig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.StructType
+
+/** SQL entry point covering the demo transcripts' statement surface
+  * (SURVEY.md §2.6: CREATE TABLE ± CTAS, INSERT [OVERWRITE], UPDATE,
+  * DELETE, SHOW TABLES/PARTITIONS) routed onto the graft catalog;
+  * every other statement falls through to `spark.sql` over the
+  * registered snapshot views — the same split the reference makes
+  * between Hudi's SQL extensions and vanilla Catalyst
+  * (hudi-spark-minio-trino/README.md:352-358).
+  *
+  * The DML grammar is intentionally the reference-demo subset, parsed
+  * with anchored regexes; arbitrary SELECTs get the full Spark parser.
+  * (A DSv2 TableCatalog with row-level-operation support is the
+  * documented stretch path — SURVEY.md §1.3.)
+  */
+final class GraftSql(catalog: GraftCatalog) {
+
+  private val spark = catalog.spark
+
+  private val CreateRe =
+    """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*(?:\((.*?)\))?\s*USING\s+GRAFT\s*(?:OPTIONS\s*\((.*?)\))?\s*(?:AS\s+(SELECT .*))?\s*""".r
+  private val InsertRe =
+    """(?is)\s*INSERT\s+INTO\s+(\w+)\s+(SELECT .*|VALUES\s*.*)\s*""".r
+  private val InsertOverwriteRe =
+    """(?is)\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(\w+)\s+(SELECT .*|VALUES\s*.*)\s*""".r
+  private val UpdateRe =
+    """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*)\s*""".r
+  private val DeleteRe =
+    """(?is)\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)\s*""".r
+  private val ShowTablesRe = """(?is)\s*SHOW\s+TABLES\s*""".r
+  private val ShowPartsRe = """(?is)\s*SHOW\s+PARTITIONS\s+(\w+)\s*""".r
+
+  def sql(text: String): DataFrame = text match {
+    case CreateRe(name, colsOpt, optsOpt, ctasOpt) =>
+      val opts = parseOptions(Option(optsOpt).getOrElse(""))
+      val cfg = TableConfig(
+        name = name,
+        keyField = opts.getOrElse("primarykey", opts.getOrElse("key", "id")),
+        orderingField = opts.getOrElse("precombine", opts.getOrElse("ordering", "ts")),
+        partitionField = opts.get("partition"),
+        tableType = opts.getOrElse("type", TableConfig.Cow).toLowerCase,
+        numBuckets = opts.get("buckets").map(_.toInt).getOrElse(8))
+      (Option(ctasOpt), Option(colsOpt)) match {
+        case (Some(select), _) =>
+          catalog.createTableAs(cfg, spark.sql(select))
+        case (None, Some(cols)) =>
+          val t = catalog.createTable(cfg)
+          // declared schema recorded via a zero-row commit so readers
+          // see columns before first data arrives
+          val schema = StructType.fromDDL(cols)
+          t.insert(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+        case (None, None) =>
+          catalog.createTable(cfg)
+      }
+      emptyResult()
+
+    case InsertOverwriteRe(name, body) =>
+      val t = catalog.table(name)
+      t.insertOverwrite(aligned(t, body))
+      emptyResult()
+
+    case InsertRe(name, body) =>
+      val t = catalog.table(name)
+      t.insert(aligned(t, body))
+      emptyResult()
+
+    case UpdateRe(name, sets, cond) =>
+      val assignments = splitTopLevel(sets, ',').map { a =>
+        val Array(k, v) = a.split("=", 2)
+        k.trim -> expr(v.trim)
+      }.toMap
+      catalog.table(name).updateWhere(expr(cond), assignments)
+      emptyResult()
+
+    case DeleteRe(name, cond) =>
+      catalog.table(name).deleteWhere(expr(cond))
+      emptyResult()
+
+    case ShowTablesRe() =>
+      val s = spark
+      import s.implicits._
+      catalog.listTables().toDF("tableName")
+
+    case ShowPartsRe(name) =>
+      val s = spark
+      import s.implicits._
+      catalog.showPartitions(name).toDF("partition")
+
+    case other =>
+      catalog.syncViews()
+      spark.sql(other)
+  }
+
+  /** INSERT body → DataFrame; VALUES rows bind positionally to the
+    * table's data columns (metadata columns excluded), like the
+    * reference's Hudi-SQL INSERT (notebook/demo.ipynb:188, 325). */
+  private def aligned(t: graft.core.GraftTable, body: String): DataFrame = {
+    if (body.trim.toUpperCase.startsWith("VALUES")) {
+      val df = spark.sql(s"SELECT * FROM (${body.trim})")
+      val dataCols = t.schema.fields.map(_.name)
+        .filterNot(Set(graft.core.TableConfig.CommitTimeCol,
+          t.config.softDeleteField).contains)
+      if (dataCols.length == df.columns.length)
+        df.toDF(dataCols.toIndexedSeq: _*)
+      else df
+    } else { catalog.syncViews(); spark.sql(body) }
+  }
+
+  private def parseOptions(s: String): Map[String, String] =
+    splitTopLevel(s, ',').flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) =>
+          Some(k.trim.toLowerCase.replaceAll("['\"]", "") ->
+            v.trim.replaceAll("['\"]", ""))
+        case _ => None
+      }
+    }.toMap
+
+  /** Split on `sep` ignoring occurrences inside quotes/parens. */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    s.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case '(' if !inQuote => depth += 1; cur += '('
+      case ')' if !inQuote => depth -= 1; cur += ')'
+      case c if c == sep && depth == 0 && !inQuote =>
+        out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.filter(_.trim.nonEmpty)
+  }
+
+  private def emptyResult(): DataFrame = spark.emptyDataFrame
+}

@@ -1,0 +1,149 @@
+package graft.ingest
+
+import graft.Session
+import graft.core.{GraftTable, TableConfig}
+import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Ingestion-service semantics: incremental dir sources with durable
+  * checkpoints, chained-table incremental source, Debezium envelope
+  * application, and the Structured Streaming foreachBatch path —
+  * mirrors the reference Streamer flow (README.md:217-243) and the
+  * mysql-debezium CDC demos.
+  */
+class IngestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-ingest-").toString
+
+  private val tickSchema = StructType(Seq(
+    StructField("key", StringType), StructField("symbol", StringType),
+    StructField("ts", StringType), StructField("date", StringType),
+    StructField("volume", LongType)))
+
+  private def cfg(name: String) = TableConfig(
+    name = name, keyField = "key", orderingField = "ts",
+    partitionField = Some("date"), numBuckets = 2)
+
+  private def writeJson(dir: String, name: String, rows: String*): Unit =
+    Files.write(Paths.get(dir, name),
+      rows.mkString("\n").getBytes("UTF-8"))
+
+  test("JsonDirSource: batch-1 then batch-2, checkpoint prevents re-reads") {
+    val in = tmp(); val work = tmp()
+    writeJson(in, "batch_1.json",
+      """{"key":"GOOG_10","symbol":"GOOG","ts":"2018-08-31 10:29:00","date":"2018/08/31","volume":3391}""",
+      """{"key":"MSFT_10","symbol":"MSFT","ts":"2018-08-31 10:29:00","date":"2018/08/31","volume":6000}""")
+    val t = GraftTable.create(spark, s"$work/t", cfg("st"))
+    val src = new JsonDirSource(spark, in, tickSchema, s"$work/ckpt")
+    assert(Streamer.runUntilCaughtUp(t, src).size == 1)
+    assert(t.read().count() == 2)
+    // caught up: no-op
+    assert(Streamer.runOnce(t, src).isEmpty)
+    // batch 2 updates GOOG
+    writeJson(in, "batch_2.json",
+      """{"key":"GOOG_10","symbol":"GOOG","ts":"2018-08-31 10:59:00","date":"2018/08/31","volume":9021}""")
+    assert(Streamer.runUntilCaughtUp(t, src).size == 1)
+    val goog = t.read().filter($"key" === "GOOG_10")
+      .select("ts", "volume").as[(String, Long)].head()
+    assert(goog == (("2018-08-31 10:59:00", 9021L)))
+    assert(t.read().count() == 2)
+  }
+
+  test("TableIncrementalSource chains tables (hoodie-incr analog)") {
+    val work = tmp()
+    val up = GraftTable.create(spark, s"$work/up", cfg("up"))
+    val down = GraftTable.create(spark, s"$work/down", cfg("down"))
+    up.insert(Seq(("A_1", "A", "t1", "2018/08/31", 1L))
+      .toDF("key", "symbol", "ts", "date", "volume"))
+    val src = new TableIncrementalSource(up, s"$work/ckpt")
+    Streamer.runUntilCaughtUp(down, src)
+    assert(down.read().count() == 1)
+    up.upsert(Seq(("A_1", "A", "t2", "2018/08/31", 2L), ("B_1", "B", "t1", "2018/08/31", 3L))
+      .toDF("key", "symbol", "ts", "date", "volume"))
+    Streamer.runUntilCaughtUp(down, src)
+    assert(down.read().count() == 2)
+    assert(down.read().filter($"key" === "A_1").select("volume").as[Long].head() == 2L)
+    // no new upstream commits → caught up
+    assert(Streamer.runOnce(down, src).isEmpty)
+  }
+
+  test("Debezium envelope apply: create/update/delete + stale-delete drop") {
+    val work = tmp()
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("city", StringType)))
+    val t = GraftTable.create(spark, s"$work/t", TableConfig(
+      name = "customers", keyField = "id", orderingField = "_cdc_ts",
+      numBuckets = 2))
+    def env(op: String, ts: Long, before: String, after: String): String =
+      s"""{"before":$before,"after":$after,"op":"$op","ts_ms":$ts}"""
+
+    val batch1 = Seq(
+      env("c", 100, "null", """{"id":1,"name":"ann","city":"berlin"}"""),
+      env("c", 101, "null", """{"id":2,"name":"bob","city":"paris"}"""),
+      env("u", 102, """{"id":1,"name":"ann","city":"berlin"}""",
+        """{"id":1,"name":"ann","city":"munich"}""")).toDF("json")
+    Debezium.apply(t, Debezium.parse(batch1, "json", rowSchema))
+    assert(t.read().count() == 2)
+    assert(t.read().filter($"id" === 1).select("city").as[String].head() == "munich")
+
+    // delete bob; stale delete for ann (ts older than her row) is dropped
+    val batch2 = Seq(
+      env("d", 103, """{"id":2,"name":"bob","city":"paris"}""", "null"),
+      env("d", 50, """{"id":1,"name":"ann","city":"berlin"}""", "null")).toDF("json")
+    Debezium.apply(t, Debezium.parse(batch2, "json", rowSchema))
+    val left = t.read().select("id").as[Long].collect().toSet
+    assert(left == Set(1L))
+  }
+
+  test("Debezium: same-key create+update+delete in one batch resolves to latest") {
+    val work = tmp()
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    val t = GraftTable.create(spark, s"$work/t", TableConfig(
+      name = "oneshot", keyField = "id", orderingField = "_cdc_ts", numBuckets = 2))
+    val batch = Seq(
+      """{"before":null,"after":{"id":7,"v":1},"op":"c","ts_ms":10}""",
+      """{"before":{"id":7,"v":1},"after":{"id":7,"v":2},"op":"u","ts_ms":11}""",
+      """{"before":{"id":7,"v":2},"after":null,"op":"d","ts_ms":12}""",
+      """{"before":null,"after":{"id":8,"v":9},"op":"c","ts_ms":10}""").toDF("json")
+    Debezium.apply(t, Debezium.parse(batch, "json", rowSchema))
+    assert(t.read().select("id").as[Long].collect().toSet == Set(8L))
+  }
+
+  test("CsvDirSource reads header CSVs incrementally") {
+    val in = tmp(); val work = tmp()
+    Files.write(Paths.get(in, "r1.csv"),
+      "key,symbol,ts,date,volume\nA_1,A,t1,2018/08/31,5".getBytes)
+    val t = GraftTable.create(spark, s"$work/t", cfg("csv"))
+    val src = new CsvDirSource(spark, in, s"$work/ckpt", Some(tickSchema))
+    Streamer.runUntilCaughtUp(t, src)
+    assert(t.read().count() == 1)
+    assert(t.read().select("volume").as[Long].head() == 5L)
+  }
+
+  test("Structured Streaming foreachBatch upsert (S1 streaming path)") {
+    val in = tmp(); val work = tmp()
+    writeJson(in, "b1.json",
+      """{"key":"K1","symbol":"K","ts":"t1","date":"2018/08/31","volume":1}""")
+    val t = GraftTable.create(spark, s"$work/t", cfg("stream"))
+    val stream = spark.readStream.schema(tickSchema).json(in)
+    val q = Streamer.streamInto(t, stream, s"$work/sckpt")
+    try {
+      q.processAllAvailable()
+      assert(t.read().count() == 1)
+      writeJson(in, "b2.json",
+        """{"key":"K1","symbol":"K","ts":"t2","date":"2018/08/31","volume":2}""",
+        """{"key":"K2","symbol":"K","ts":"t1","date":"2018/08/31","volume":3}""")
+      q.processAllAvailable()
+      assert(t.read().count() == 2)
+      assert(t.read().filter($"key" === "K1").select("volume").as[Long].head() == 2L)
+    } finally q.stop()
+  }
+}

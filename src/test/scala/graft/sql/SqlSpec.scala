@@ -1,0 +1,76 @@
+package graft.sql
+
+import graft.Session
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The demo-transcript SQL surface end to end through GraftSql:
+  * DDL/CTAS, INSERT VALUES/SELECT, UPDATE, DELETE, SHOW, and plain
+  * SELECT fall-through over synced views (SURVEY.md §2.6).
+  */
+class SqlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+  lazy val catalog = new GraftCatalog(spark,
+    Files.createTempDirectory("graft-wh-").toString)
+  lazy val gsql = new GraftSql(catalog)
+  import spark.implicits._
+
+  test("CREATE TABLE + INSERT VALUES + SELECT round trip") {
+    gsql.sql("""CREATE TABLE people (id BIGINT, name STRING, city STRING, ts BIGINT)
+      USING GRAFT OPTIONS (primaryKey='id', precombine='ts', partition='city')""")
+    assert(catalog.listTables().contains("people"))
+    gsql.sql("INSERT INTO people VALUES (1, 'ann', 'berlin', 100), (2, 'bob', 'paris', 100)")
+    val rows = gsql.sql("SELECT id, name FROM people ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "ann"), (2L, "bob")))
+  }
+
+  test("UPDATE and DELETE (SparkSqlUpdateNode / SparkSqlDeleteNode analogs)") {
+    gsql.sql("UPDATE people SET name = 'anna' WHERE id = 1")
+    assert(gsql.sql("SELECT name FROM people WHERE id = 1").as[String].head() == "anna")
+    gsql.sql("DELETE FROM people WHERE id = 2")
+    assert(gsql.sql("SELECT count(*) AS c FROM people").as[Long].head() == 1L)
+  }
+
+  test("SHOW TABLES / SHOW PARTITIONS") {
+    val tables = gsql.sql("SHOW TABLES").as[String].collect()
+    assert(tables.contains("people"))
+    val parts = gsql.sql("SHOW PARTITIONS people").as[String].collect()
+    assert(parts.contains("berlin"))
+  }
+
+  test("CTAS from a SELECT over testdata (use_ctas analog)") {
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .createOrReplaceTempView("raw_events")
+    gsql.sql("""CREATE TABLE ev USING GRAFT
+      OPTIONS (primaryKey='user_id', precombine='ts', partition='event_type', type='mor')
+      AS SELECT * FROM raw_events""")
+    val n = gsql.sql("SELECT count(*) AS c FROM ev_rt").as[Long].head()
+    assert(n > 0)
+    // key-uniqueness invariant (A3) holds on the snapshot
+    val dups = gsql.sql(
+      """SELECT event_type, user_id FROM ev
+         GROUP BY event_type, user_id HAVING count(*) > 1""").count()
+    assert(dups == 0)
+  }
+
+  test("INSERT OVERWRITE replaces a partition") {
+    gsql.sql("INSERT INTO people VALUES (3, 'cid', 'tokyo', 100)")
+    gsql.sql("INSERT OVERWRITE people VALUES (9, 'zoe', 'tokyo', 200)")
+    val tokyo = gsql.sql("SELECT id FROM people WHERE city = 'tokyo'")
+      .as[Long].collect().toSet
+    assert(tokyo == Set(9L))
+    // berlin untouched
+    assert(gsql.sql("SELECT count(*) AS c FROM people WHERE city='berlin'").as[Long].head() == 1L)
+  }
+
+  test("observability: commits/files/partition stats from the log only") {
+    val t = catalog.table("people")
+    assert(Observability.commits(t).count() >= 3)
+    assert(Observability.files(t).filter($"rows" > 0).count() > 0)
+    val stats = Observability.partitionStats(t)
+    assert(stats.filter($"partition" === "berlin").count() == 1)
+  }
+}
