@@ -42,7 +42,7 @@ object CommitLog {
   val Dir = ".graft"
   val ArchiveFile = "archive.jsonl"
 
-  private[core] val mapper: ObjectMapper = {
+  private[graft] val mapper: ObjectMapper = {
     val m = new ObjectMapper()
     m.registerModule(DefaultScalaModule)
     m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
@@ -94,6 +94,31 @@ final class CommitLog(tableRoot: String) {
     val now = System.currentTimeMillis() * 1000
     val prev = lastInstant().map(_.toLong).getOrElse(0L)
     f"${math.max(now, prev + 1)}%019d"
+  }
+
+  /** Table-level mutex via exclusive lock-file creation — the
+    * FileSystemBasedLockProvider analog of the reference's multi-writer
+    * configs (multi-writer-1.properties:39 lazy failed-write cleaning +
+    * lock provider). On S3 this becomes a conditional PUT / DynamoDB
+    * lock; the commit protocol around it is unchanged. */
+  def withLock[T](f: => T): T = {
+    init()
+    val lock = dir.resolve("LOCK")
+    var tries = 0
+    while (true) {
+      try {
+        Files.createFile(lock)
+        try return f
+        finally Files.deleteIfExists(lock)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          tries += 1
+          if (tries > 1200) throw new IllegalStateException(
+            s"commit lock timeout on $lock")
+          Thread.sleep(25)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Atomically publish a commit. Returns false if the instant already

@@ -200,6 +200,37 @@ final class GraftTable private (
       case c => f"%%${c.toInt}%02x"
     }
 
+  /** Optimistic concurrency control (T4, SURVEY.md §2.7): writers plan
+    * against a snapshot (`planningInstant`) and validate under the
+    * table lock that no commit has landed since that touches the same
+    * file groups / files / partitions. Append-only commits (insert,
+    * MOR deltas) skip validation — they can never conflict. */
+  private[core] def commitValidated(c: Commit, planningInstant: String,
+      touchedGroups: Set[(String, Int)],
+      replacedParts: Option[Seq[String]] = None): String =
+    log.withLock {
+      val newer = log.commits().filter(_.instant > planningInstant)
+      val ourRemoved = c.removed.toSet
+      newer.foreach { n =>
+        if (n.removed.exists(ourRemoved.contains))
+          throw new ConcurrentWriteException(
+            s"commit ${n.instant} rewrote files this write also rewrites")
+        if (n.added.exists(f => touchedGroups.contains((f.partition, f.bucket))))
+          throw new ConcurrentWriteException(
+            s"commit ${n.instant} wrote into file groups this write rebuilt from a stale snapshot")
+        replacedParts.foreach { parts =>
+          val overlap = parts.contains("*") ||
+            n.replacedPartitions.contains("*") ||
+            n.added.exists(f => parts.contains(f.partition)) ||
+            n.replacedPartitions.exists(parts.contains)
+          if (overlap && (n.added.nonEmpty || n.replacedPartitions.nonEmpty))
+            throw new ConcurrentWriteException(
+              s"commit ${n.instant} touched partitions being replaced")
+        }
+      }
+      commitOrThrow(c)
+    }
+
   /** Service-path write: base files, optional size packing + in-group
     * key sort (clustering). */
   private[core] def writeFilesForService(df: DataFrame, instant: String,
@@ -207,8 +238,6 @@ final class GraftTable private (
       sortInGroup: Boolean = false): Seq[DataFileMeta] =
     writeFiles(df, instant, delta = false,
       maxRecordsPerFile = maxRecordsPerFile, sortByKey = sortInGroup)
-
-  private[core] def commitService(c: Commit): String = commitOrThrow(c)
 
   private def commitOrThrow(c: Commit): String = {
     var attempt = c
@@ -251,6 +280,7 @@ final class GraftTable private (
     * (StatsPruner). MOR: append delta files — zero read amplification.
     */
   def upsert(df: DataFrame): String = {
+    val planning = log.lastInstant().getOrElse("0")
     val instant = log.nextInstant()
     val (batch0, evolved) = prepare(df, instant)
     val batch = latestWins(batch0).persist()
@@ -282,8 +312,9 @@ final class GraftTable private (
         val merged = latestWins(existing.unionByName(batch))
           .filter(!coalesce(col(softDel), lit(false)))
         val added = writeFiles(merged, instant, delta = false)
-        commitOrThrow(Commit(instant, "commit", "upsert", added = added,
-          removed = rewrite.map(_.path), schemaJson = evolved.json))
+        commitValidated(Commit(instant, "commit", "upsert", added = added,
+          removed = rewrite.map(_.path), schemaJson = evolved.json),
+          planning, touched.keySet)
       }
     } finally batch.unpersist()
   }
@@ -308,6 +339,7 @@ final class GraftTable private (
   /** Delete by a DataFrame of victim rows (must carry key + partition +
     * ordering columns — e.g. rows selected from a snapshot read). */
   def deleteRows(victims: DataFrame): String = {
+    val planning = log.lastInstant().getOrElse("0")
     val instant = log.nextInstant()
     if (config.isMor) {
       // tombstone deltas: same schema, soft-delete flag set, ordering
@@ -347,8 +379,9 @@ final class GraftTable private (
           keys.select(idCols.map(col): _*).distinct(),
           idCols, "left_anti")
         val added = writeFiles(kept, instant, delta = false)
-        commitOrThrow(Commit(instant, "commit", "delete", added = added,
-          removed = rewrite.map(_.path), schemaJson = evolved.json))
+        commitValidated(Commit(instant, "commit", "delete", added = added,
+          removed = rewrite.map(_.path), schemaJson = evolved.json),
+          planning, touched.keySet)
       } finally keys.unpersist()
     }
   }
@@ -356,26 +389,30 @@ final class GraftTable private (
   /** Replace the partitions present in `df` (dynamic INSERT OVERWRITE,
     * D6 / SparkInsertOverwriteNode). */
   def insertOverwrite(df: DataFrame): String = {
+    val planning = log.lastInstant().getOrElse("0")
     val instant = log.nextInstant()
     val (batch, evolved) = prepare(df, instant)
     val parts = batch.select(partExpr.as("p")).distinct()
       .collect().map(_.getString(0)).toSet
     val removed = log.liveFiles().filter(f => parts.contains(f.partition))
     val added = writeFiles(latestWins(batch), instant, delta = false)
-    commitOrThrow(Commit(instant, "replace", "insert_overwrite",
+    commitValidated(Commit(instant, "replace", "insert_overwrite",
       added = added, removed = removed.map(_.path),
-      replacedPartitions = parts.toSeq.sorted, schemaJson = evolved.json))
+      replacedPartitions = parts.toSeq.sorted, schemaJson = evolved.json),
+      planning, Set.empty, Some(parts.toSeq.sorted))
   }
 
   /** Replace the whole table (D7 / SparkInsertOverwriteTableNode). */
   def insertOverwriteTable(df: DataFrame): String = {
+    val planning = log.lastInstant().getOrElse("0")
     val instant = log.nextInstant()
     val (batch, evolved) = prepare(df, instant)
     val removed = log.liveFiles()
     val added = writeFiles(latestWins(batch), instant, delta = false)
-    commitOrThrow(Commit(instant, "replace", "insert_overwrite_table",
+    commitValidated(Commit(instant, "replace", "insert_overwrite_table",
       added = added, removed = removed.map(_.path),
-      replacedPartitions = Seq("*"), schemaJson = evolved.json))
+      replacedPartitions = Seq("*"), schemaJson = evolved.json),
+      planning, Set.empty, Some(Seq("*")))
   }
 
   /** Drop whole partitions (D8 / SparkDeletePartitionNode,
@@ -478,6 +515,11 @@ final class GraftTable private (
     }
   }
 }
+
+/** Thrown when OCC validation finds a conflicting concurrent commit;
+  * callers retry the whole operation from a fresh snapshot (the
+  * reference's multi-writer retry story, multi-writer-*.properties). */
+class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 
 object GraftTable {
 

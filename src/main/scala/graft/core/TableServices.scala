@@ -20,6 +20,7 @@ object TableServices {
     * per-group latest-wins window.
     */
   def compact(t: GraftTable): Option[String] = {
+    val planning = t.log.lastInstant().getOrElse("0")
     val live = t.log.liveFiles()
     val withDeltas = live.groupBy(f => (f.partition, f.bucket))
       .filter { case (_, fs) => fs.exists(_.delta) }
@@ -31,8 +32,12 @@ object TableServices {
     val merged = mergeLatest(t, t.readFiles(victims, sch))
       .filter(!coalesce(col(t.config.softDeleteField), lit(false)))
     val added = t.writeFilesForService(merged, instant)
-    Some(t.commitService(Commit(instant, "compact", "compact",
-      added = added, removed = victims.map(_.path), schemaJson = sch.json)))
+    // concurrent delta appends to these groups are fine (they stay
+    // live and win merges); only double-compaction conflicts, which
+    // the removed-files overlap check catches.
+    Some(t.commitValidated(Commit(instant, "compact", "compact",
+      added = added, removed = victims.map(_.path), schemaJson = sch.json),
+      planning, Set.empty))
   }
 
   /** Clustering (T2): rewrite each file group sorted by key and packed
@@ -42,6 +47,7 @@ object TableServices {
     * group mapping stays valid. */
   def cluster(t: GraftTable, partitions: Option[Seq[String]] = None,
       targetFileBytes: Long = 1L << 30): Option[String] = {
+    val planning = t.log.lastInstant().getOrElse("0")
     val live = t.log.liveFiles()
       .filter(f => partitions.forall(_.contains(f.partition)))
     if (live.isEmpty) return None
@@ -54,8 +60,12 @@ object TableServices {
     val maxRecords = math.max(1L, targetFileBytes * rows / bytes)
     val added = t.writeFilesForService(merged, instant,
       maxRecordsPerFile = Some(maxRecords), sortInGroup = true)
-    Some(t.commitService(Commit(instant, "cluster", "cluster",
-      added = added, removed = live.map(_.path), schemaJson = sch.json)))
+    // clustering rebuilds groups from a snapshot → any concurrent
+    // write into them invalidates the rewrite
+    val groups = live.map(f => (f.partition, f.bucket)).toSet
+    Some(t.commitValidated(Commit(instant, "cluster", "cluster",
+      added = added, removed = live.map(_.path), schemaJson = sch.json),
+      planning, groups))
   }
 
   /** Cleaning (T3): physically delete files that are no longer live and

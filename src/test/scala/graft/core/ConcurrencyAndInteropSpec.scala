@@ -1,0 +1,114 @@
+package graft.core
+
+import graft.Session
+import graft.interop.XTableSync
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** T4 multi-writer OCC + T6 xTable metadata emission. */
+class ConcurrencyAndInteropSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-cc-").toString
+
+  private def cfg(name: String) = TableConfig(
+    name = name, keyField = "key", orderingField = "ts",
+    partitionField = Some("date"), numBuckets = 2)
+
+  private def rows(kv: (String, String, Long)*) =
+    kv.map { case (k, ts, v) => (k, "S", ts, "2018/08/31", v) }
+      .toDF("key", "symbol", "ts", "date", "volume")
+
+  test("OCC: stale-snapshot rewrite of the same file group is rejected") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, cfg("occ"))
+    t.insert(rows(("A", "t1", 1L)))
+    val planning = t.log.lastInstant().get
+    // another writer lands an upsert into A's group after `planning`
+    t.upsert(rows(("A", "t2", 2L)))
+    // a writer that planned at `planning` and rebuilt A's group must fail
+    val groups = t.log.liveFiles().map(f => (f.partition, f.bucket)).toSet
+    val c = Commit(t.log.nextInstant(), "commit", "upsert",
+      removed = Nil, schemaJson = t.schema.json)
+    intercept[ConcurrentWriteException] {
+      t.commitValidated(c, planning, groups)
+    }
+    // and a non-overlapping writer commits fine
+    assert(t.commitValidated(
+      Commit(t.log.nextInstant(), "commit", "upsert", schemaJson = t.schema.json),
+      planning, Set(("2099/01/01", 0))).nonEmpty)
+  }
+
+  test("OCC: concurrent removal of the same files is rejected; lock serializes") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, cfg("occ2"))
+    t.insert(rows(("A", "t1", 1L), ("B", "t1", 1L)))
+    val planning = t.log.lastInstant().get
+    val victims = t.log.liveFiles().map(_.path)
+    t.upsert(rows(("A", "t2", 2L))) // rewrites A's group (removes its file)
+    val conflict = Commit(t.log.nextInstant(), "replace", "cluster",
+      removed = victims, schemaJson = t.schema.json)
+    intercept[ConcurrentWriteException] {
+      t.commitValidated(conflict, planning, Set.empty)
+    }
+    // sequential writers through the public API never conflict
+    t.upsert(rows(("B", "t2", 3L)))
+    assert(t.read().count() == 2)
+  }
+
+  test("xTable Delta sync: protocol+metaData then add/remove per commit, incremental") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, cfg("xt"))
+    t.insert(rows(("A", "t1", 1L)))
+    val v1 = XTableSync.syncDelta(t)
+    assert(v1 == Seq(0L))
+    val log0 = Files.readAllLines(
+      Paths.get(root, "_delta_log", f"${0L}%020d.json")).asScala.mkString("\n")
+    assert(log0.contains("\"protocol\""))
+    assert(log0.contains("\"metaData\""))
+    assert(log0.contains("\"add\""))
+    assert(log0.contains("\"schemaString\""))
+    // second commit → one more delta version with add+remove
+    t.upsert(rows(("A", "t2", 2L)))
+    val v2 = XTableSync.syncDelta(t)
+    assert(v2 == Seq(1L))
+    val log1 = Files.readAllLines(
+      Paths.get(root, "_delta_log", f"${1L}%020d.json")).asScala.mkString("\n")
+    assert(log1.contains("\"add\"") && log1.contains("\"remove\""))
+    // caught up → no-op
+    assert(XTableSync.syncDelta(t).isEmpty)
+    // every referenced file exists on disk
+    val added = "\"path\":\"([^\"]+)\"".r.findAllMatchIn(log0 + log1)
+      .map(_.group(1)).toSeq
+    added.foreach(p => assert(Files.exists(Paths.get(root, p)), p))
+  }
+
+  test("xTable Iceberg sync: v2 metadata + manifest, incremental versions") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, cfg("xti"))
+    t.insert(rows(("A", "t1", 1L)))
+    assert(XTableSync.syncIceberg(t) == Some(0L))
+    val meta = new String(Files.readAllBytes(
+      Paths.get(root, "metadata", "v0.metadata.json")), "UTF-8")
+    assert(meta.contains("\"format-version\":2"))
+    assert(meta.contains("\"current-snapshot-id\""))
+    assert(meta.contains("\"partition-specs\""))
+    assert(XTableSync.syncIceberg(t).isEmpty) // caught up
+    t.insert(rows(("B", "t1", 2L)))
+    assert(XTableSync.syncIceberg(t) == Some(1L))
+  }
+
+  test("cleaning never deletes files still referenced by the live snapshot") {
+    val t = GraftTable.create(spark, tmp(), cfg("clean2"))
+    (1 to 4).foreach(i => t.upsert(rows(("A", s"t$i", i.toLong))))
+    val liveBefore = t.log.liveFiles().map(_.path).toSet
+    val deleted = TableServices.clean(t, retainCommits = 2).toSet
+    assert(deleted.intersect(liveBefore).isEmpty)
+    assert(t.read().select("volume").as[Long].head() == 4L)
+  }
+}
