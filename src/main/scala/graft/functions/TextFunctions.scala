@@ -34,27 +34,13 @@ object TextFunctions {
 
   // ---- MinHash --------------------------------------------------------
 
-  /** Deterministic affine hash family: h_j(x) = a_j * x + b_j over the
-    * 2^64 ring (odd multipliers → bijective). Public technique: Broder,
-    * "On the resemblance and containment of documents" (1997). */
-  private def hashFamily(numHashes: Int): (Seq[Long], Seq[Long]) = {
-    val rnd = new java.util.Random(42)
-    val as = Seq.fill(numHashes)(rnd.nextLong() | 1L) // odd
-    val bs = Seq.fill(numHashes)(rnd.nextLong())
-    (as, bs)
-  }
-
   /** MinHash signature (array<long> of length `numHashes`) over a
-    * column of shingle hashes. Pure expression composition:
-    * signature[j] = min over shingles of (a_j*h + b_j). */
-  def minhashSignature(shingleHashes: Column, numHashes: Int): Column = {
-    val (as, bs) = hashFamily(numHashes)
-    val aArr = array(as.map(lit): _*)
-    val bArr = array(bs.map(lit): _*)
-    transform(sequence(lit(0), lit(numHashes - 1)), j =>
-      aggregate(shingleHashes, lit(Long.MaxValue),
-        (acc, h) => least(acc, h * element_at(aArr, j + 1) + element_at(bArr, j + 1))))
-  }
+    * column of shingle hashes: signature[j] = min over shingles of
+    * (a_j·h + b_j) (Broder '97). Backed by the native
+    * [[MinHashSignature]] expression — the equivalent HOF composition
+    * runs on the interpreted lambda path and measured ~400× slower. */
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
+    GraftExpressions.minhash_signature(shingleHashes, numHashes)
 
   /** LSH band keys from a minhash signature: `numBands` values, each a
     * hash of `rowsPerBand` consecutive signature entries (banded LSH,
@@ -72,16 +58,11 @@ object TextFunctions {
 
   /** 64-bit SimHash over token hashes (Charikar, "Similarity estimation
     * techniques from rounding algorithms", 2002): per bit, sum ±1 votes
-    * across token hashes, set the bit when the vote is positive. Built
-    * from nested higher-order functions — codegen'd, no shuffle. */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(split(text, " "), w => xxhash64(w))
-    (0 until 64).map { i =>
-      val vote = aggregate(hashes, lit(0L),
-        (v, h) => v + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
-  }
+    * across token hashes, set the bit when the vote is positive.
+    * Token hashing stays a built-in (one xxhash64 per token); the
+    * 64-bit vote loop is the native [[SimHash64]] expression. */
+  def simhash64(text: Column): Column =
+    GraftExpressions.simhash64(transform(split(text, " "), w => xxhash64(w)))
 
   /** Split a 64-bit simhash into 4 16-bit band values for candidate
     * bucketing (pigeonhole: hamming ≤ 3 ⇒ at least one identical band). */

@@ -146,17 +146,101 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
-/** Column-side entry points + SQL registration for the custom
-  * expressions. Spark 4's public Column API no longer exposes raw
-  * Expressions, so Column access goes through the function registry
-  * ([[register]] once per session, then `call_function`/SQL). */
-object GraftExpressions {
-  import org.apache.spark.sql.functions.call_function
+/** MinHash signature as a native expression: the HOF composition
+  * (`transform(sequence, j -> aggregate(...))`) is semantically right
+  * but runs on the interpreted lambda path — measured 190 s for 5 000
+  * docs × 128 hashes at sf0.1 versus <1 s for this tight primitive
+  * loop. This is preference order (b) from the build rules: built-ins
+  * first, custom Expression when the built-in path can't perform.
+  * Family: h_j(x) = a_j·x + b_j over the 2^64 ring (Broder '97).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
 
-  def lang_id(c: Column): Column = call_function("lang_id", c)
+  private lazy val (as, bs) = HashFamilies.affine(numHashes)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData].toLongArray()
+    val out = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      val a = as(j)
+      val b = bs(j)
+      var m = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val v = a * hs(i) + b
+        if (v < m) m = v
+        i += 1
+      }
+      out(j) = m
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over an array of feature hashes — native loop for
+  * the same interpreted-HOF reason as [[MinHashSignature]]
+  * (Charikar 2002 bit-vote construction). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData].toLongArray()
+    var result = 0L
+    var i = 0
+    while (i < 64) {
+      var vote = 0
+      var k = 0
+      while (k < hs.length) {
+        if (((hs(k) >>> i) & 1L) == 1L) vote += 1 else vote -= 1
+        k += 1
+      }
+      if (vote > 0) result |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(result)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Deterministic affine hash families shared by the Column API and the
+  * native expressions. */
+object HashFamilies {
+  def affine(numHashes: Int): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(42)
+    val as = Array.fill(numHashes)(rnd.nextLong() | 1L) // odd → bijective
+    val bs = Array.fill(numHashes)(rnd.nextLong())
+    (as, bs)
+  }
+}
+
+/** Column-side entry points + SQL registration for the custom
+  * expressions (Column wrapping via the classic ExpressionUtils
+  * bridge; [[register]] additionally exposes them to SQL text). */
+object GraftExpressions {
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+  def lang_id(c: Column): Column = column(LangIdExpression(expression(c)))
 
   def winnow_fingerprint(c: Column): Column =
-    call_function("winnow_fingerprint", c)
+    column(WinnowFingerprint(expression(c), 3, 4))
+
+  def minhash_signature(hashes: Column, numHashes: Int): Column =
+    column(MinHashSignature(expression(hashes), numHashes))
+
+  def simhash64(featureHashes: Column): Column =
+    column(SimHash64(expression(featureHashes)))
 
   /** Register as SQL functions (`SELECT lang_id(text) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

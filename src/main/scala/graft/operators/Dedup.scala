@@ -45,13 +45,9 @@ object Dedup {
     jaccardOf(g, sizes, threshold)
   }
 
-  private def jaccardOf(g: DataFrame, sizes: DataFrame, threshold: Double,
-      candidates: Option[DataFrame] = None): DataFrame = {
-    val a = g.as("a")
-    val b = g.as("b")
-    var inter = a.join(b, col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-    candidates.foreach { c => inter = inter.join(c, Seq("doc_a", "doc_b"), "left_semi") }
+  /** Exact Jaccard from an intersection-count relation. */
+  private def jaccardFrom(inter: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame =
     inter
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
@@ -60,6 +56,29 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+
+  /** All-pairs shared-shingle intersection (quadratic on hot shingles —
+    * the exact/verifier path). */
+  private def jaccardOf(g: DataFrame, sizes: DataFrame, threshold: Double): DataFrame = {
+    val a = g.as("a")
+    val b = g.as("b")
+    val inter = a.join(b, col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+    jaccardFrom(inter, sizes, threshold)
+  }
+
+  /** Candidate-driven exact verification: fan each candidate pair out
+    * over doc_a's shingles and probe doc_b's shingle set — O(pairs ×
+    * shingles), never quadratic in the corpus. This is what makes the
+    * LSH path hold at 100 TB: the corpus-sized joins are all on
+    * bounded-fanout band keys; exact Jaccard touches candidates only. */
+  private def jaccardOfCandidates(g: DataFrame, sizes: DataFrame,
+      candidates: DataFrame, threshold: Double): DataFrame = {
+    val inter = candidates
+      .join(g.toDF("doc_a", "gram"), "doc_a")
+      .join(g.toDF("doc_b", "gram"), Seq("doc_b", "gram"))
+      .select("doc_a", "doc_b")
+    jaccardFrom(inter, sizes, threshold)
   }
 
   /** MinHash + banded LSH near-dup pairs (Broder '97 / LSH banding):
@@ -86,7 +105,7 @@ object Dedup {
       .distinct()
     val g = shingleRel(docs, idCol, textCol, k)
     val sizes = g.groupBy("id").agg(count(lit(1)).as("n"))
-    jaccardOf(g, sizes, threshold, candidates = Some(candidates))
+    jaccardOfCandidates(g, sizes, candidates, threshold)
   }
 
   /** SimHash near-dup pairs (Charikar 2002 / Manku et al. 2007
