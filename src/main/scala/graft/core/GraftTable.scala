@@ -133,6 +133,11 @@ final class GraftTable private (
         shuffled0.sortWithinPartitions(col("_part"), col("_bucket"), col(config.keyField))
       else shuffled0
     val writer0 = shuffled.write.partitionBy("_part", "_bucket").mode("overwrite")
+      // T7 key-lookup index: parquet bloom filter on the record key —
+      // upsert/point-lookup scans skip row groups without the key
+      // (the reference's hoodie.index.type BLOOM analog,
+      // spark/conf/hudi-defaults.conf:25)
+      .option(s"parquet.bloom.filter.enabled#${config.keyField}", "true")
     val writer = maxRecordsPerFile.fold(writer0)(n => writer0.option("maxRecordsPerFile", n))
     writer.parquet(staging.toString)
 
@@ -264,12 +269,33 @@ final class GraftTable private (
   def bulkInsert(df: DataFrame): String = write(df, "bulk_insert", precombine = false)
 
   private def write(df: DataFrame, op: String, precombine: Boolean): String = {
+    val planning = log.lastInstant().getOrElse("0")
     val instant = log.nextInstant()
     val (batch0, evolved) = prepare(df, instant)
     val batch = if (precombine) latestWins(batch0) else batch0
-    val added = writeFiles(batch, instant, delta = false)
-    commitOrThrow(Commit(instant, "commit", op, added = added,
-      schemaJson = evolved.json))
+    // T5 small-file handling: fold undersized base files of the groups
+    // this insert lands in into the new write (bin packing) instead of
+    // stacking another tiny file per commit
+    val smallVictims: Seq[DataFileMeta] =
+      if (config.smallFileLimitBytes <= 0 || op == "bulk_insert") Nil
+      else {
+        val groups = batch
+          .withColumn("_part", partExpr).withColumn("_bucket", bucketExpr)
+          .select("_part", "_bucket").distinct()
+          .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+        log.liveFiles().filter(f => !f.delta &&
+          f.bytes < config.smallFileLimitBytes &&
+          groups.contains((f.partition, f.bucket)))
+      }
+    val toWrite =
+      if (smallVictims.isEmpty) batch
+      else readFiles(smallVictims, evolved).unionByName(batch)
+    val added = writeFiles(toWrite, instant, delta = false)
+    val c = Commit(instant, "commit", op, added = added,
+      removed = smallVictims.map(_.path), schemaJson = evolved.json)
+    if (smallVictims.isEmpty) commitOrThrow(c)
+    else commitValidated(c, planning,
+      smallVictims.map(f => (f.partition, f.bucket)).toSet)
   }
 
   /** Keyed upsert with latest-wins ordering (the Streamer's default op,

@@ -29,7 +29,11 @@ case class TableConfig(
     tableType: String = TableConfig.Cow,
     numBuckets: Int = 8,
     softDeleteField: String = "_is_deleted",
-    statsColumns: Seq[String] = Nil) {
+    statsColumns: Seq[String] = Nil,
+    /** T5 small-file handling: inserts fold base files smaller than
+      * this into the new write instead of stacking tiny files
+      * (reference hoodie.parquet.small.file.limit). 0 disables. */
+    smallFileLimitBytes: Long = 0L) {
   require(tableType == TableConfig.Cow || tableType == TableConfig.Mor,
     s"tableType must be cow|mor, got $tableType")
   def isMor: Boolean = tableType == TableConfig.Mor

@@ -1,0 +1,41 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Full-dataset validation (A4 — the ValidateDatasetNode analog,
+  * reference complex-dag-mor.yaml:50-53, `validate_full_data: true`):
+  * multiset equality via exceptAll in both directions, the set-op
+  * formulation that distributes (no driver-side collection).
+  */
+object Validation {
+
+  /** Multiset equality of two DataFrames over `cols` (all shared
+    * columns when empty). */
+  def datasetEquals(expected: DataFrame, actual: DataFrame,
+      cols: Seq[String] = Nil): Boolean = {
+    val shared = if (cols.nonEmpty) cols
+      else expected.columns.toSeq.intersect(actual.columns.toSeq)
+    val e = expected.select(shared.map(expected.col): _*)
+    val a = actual.select(shared.map(actual.col): _*)
+    e.exceptAll(a).isEmpty && a.exceptAll(e).isEmpty
+  }
+
+  /** The A3 uniqueness invariant: rows whose key appears more than
+    * once in the snapshot (expected empty after any upsert workload —
+    * deltastreamer-hive-sync-presto.yaml:66-67). */
+  def duplicateKeys(t: GraftTable): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keyCols = (t.config.partitionField.toSeq :+ t.config.keyField).map(col)
+    t.read().groupBy(keyCols: _*).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+  }
+
+  /** Table state vs accumulated expected input: the full DAG-node
+    * check — content equality on data columns plus key uniqueness. */
+  def validateAgainstInput(t: GraftTable, expectedInput: DataFrame): Boolean = {
+    val dataCols = expectedInput.columns.toSeq
+      .intersect(t.read().columns.toSeq)
+    datasetEquals(expectedInput, t.read(), dataCols) &&
+      duplicateKeys(t).isEmpty
+  }
+}

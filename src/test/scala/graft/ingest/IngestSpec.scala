@@ -128,6 +128,17 @@ class IngestSpec extends AnyFunSuite {
     assert(t.read().select("volume").as[Long].head() == 5L)
   }
 
+  test("JDBC sink appends micro-batches to a relational target (S13, Derby)") {
+    val work = tmp()
+    val url = s"jdbc:derby:$work/db;create=true"
+    JdbcSink.write(
+      Seq((1L, "ann"), (2L, "bob")).toDF("id", "name"), url, "customers")
+    JdbcSink.write(Seq((3L, "cid")).toDF("id", "name"), url, "customers")
+    val back = spark.read.jdbc(url, "customers", new java.util.Properties())
+    assert(back.count() == 3)
+    assert(back.select("name").as[String].collect().toSet == Set("ann", "bob", "cid"))
+  }
+
   test("Structured Streaming foreachBatch upsert (S1 streaming path)") {
     val in = tmp(); val work = tmp()
     writeJson(in, "b1.json",
