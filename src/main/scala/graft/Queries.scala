@@ -165,6 +165,113 @@ object Queries {
     """SELECT o_orderkey, count(*) AS cnt FROM orders
       |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
 
+  // ---- §2.5 sorts/limits, set ops; §2.3 semi/anti; §2.8 scalars -----
+
+  /** Top-k: ORDER BY + LIMIT with deterministic tie-break. */
+  def q9TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  private val q9Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin
+
+  /** Semi/anti joins (EXISTS / NOT EXISTS — the delete-application
+    * primitive, D5): customers with and without orders. */
+  def q10SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    val withO = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit(true).as("has_orders"))
+    val without = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit(false).as("has_orders"))
+    withO.unionByName(without).orderBy("c_custkey")
+  }
+
+  private val q10Sql =
+    """SELECT c_custkey, TRUE AS has_orders FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT c_custkey, FALSE AS has_orders FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Set ops (O1/O2: union + exceptAll — the validation primitives). */
+  def q11SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val a = li.filter(col("l_quantity") >= 25).select("l_orderkey").distinct()
+    val b = li.filter(col("l_quantity") >= 45).select("l_orderkey").distinct()
+    a.exceptAll(b).orderBy("l_orderkey")
+  }
+
+  private val q11Sql =
+    """SELECT * FROM
+      |  (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 25
+      |   EXCEPT ALL
+      |   SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 45)
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** §2.8 scalar surface: string/date/conditional functions over
+    * orders (deterministic, engine-portable set — no libm trig). */
+  def q12Scalars(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(
+        col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 1, 1)).as("prio_initial"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_tag"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        when(col("o_totalprice") > 200000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("price_band"),
+        round(col("o_totalprice"), -3).as("price_k"),
+        abs(col("o_custkey") - 100).as("cust_dist"))
+      .orderBy("o_orderkey")
+
+  private val q12Sql =
+    """SELECT o_orderkey,
+      |  upper(substring(o_orderpriority, 1, 1)) AS prio_initial,
+      |  concat_ws('-', o_orderstatus, o_orderpriority) AS status_tag,
+      |  year(o_orderdate) AS o_year,
+      |  month(o_orderdate) AS o_month,
+      |  CASE WHEN o_totalprice > 200000 THEN 'high'
+      |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS price_band,
+      |  round(o_totalprice, -3) AS price_k,
+      |  abs(o_custkey - 100) AS cust_dist
+      |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin
+
+  /** Event-time bucketing (the tumbling-window aggregate shape, §2.9
+    * extension): events per hour per type. ts is epoch-nanos long →
+    * truncate to hour in integer math (engine-portable). */
+  def q13TimeBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("hour_bucket", expr("ts DIV 3600000000000"))
+      .groupBy("hour_bucket", "event_type")
+      .agg(count(lit(1)).as("n"), sum(d2(col("value"))).cast(DoubleType).as("sum_value"))
+      .orderBy("hour_bucket", "event_type")
+
+  private val q13Sql =
+    """SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Distinct aggregation (countDistinct — exact). */
+  def q14Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy("l_returnflag")
+
+  private val q14Sql =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_partkey) AS n_parts
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -176,6 +283,12 @@ object Queries {
     "q6_latest_per_key" -> (q6LatestPerKey _),
     "q7_count" -> (q7Count _),
     "q8_dup_check" -> (q8DupCheck _),
+    "q9_top_k" -> (q9TopK _),
+    "q10_semi_anti" -> (q10SemiAnti _),
+    "q11_set_ops" -> (q11SetOps _),
+    "q12_scalars" -> (q12Scalars _),
+    "q13_time_buckets" -> (q13TimeBuckets _),
+    "q14_distinct" -> (q14Distinct _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -187,5 +300,11 @@ object Queries {
     "q6_latest_per_key" -> q6Sql,
     "q7_count" -> q7Sql,
     "q8_dup_check" -> q8Sql,
+    "q9_top_k" -> q9Sql,
+    "q10_semi_anti" -> q10Sql,
+    "q11_set_ops" -> q11Sql,
+    "q12_scalars" -> q12Sql,
+    "q13_time_buckets" -> q13Sql,
+    "q14_distinct" -> q14Sql,
   )
 }

@@ -46,9 +46,11 @@ object VectorFunctions {
     * `bitsPerTable`-plane signature. Few bits per table keeps per-table
     * collision probability workable at moderate similarity; many tables
     * drive recall up: P[hit] = 1 - (1 - p^b)^L. */
-  def lshTableKeys(a: Column, dim: Int, numTables: Int, bitsPerTable: Int): Column =
-    array((0 until numTables).map { t =>
-      struct(lit(t).as("table"),
-        hyperplaneSignature(a, dim, bitsPerTable, seed = 1000L + t).as("bucket"))
-    }: _*)
+  def lshTableKeys(a: Column, dim: Int, numTables: Int, bitsPerTable: Int): Column = {
+    // all tables' plane dot-products fused into one native pass (the
+    // HOF equivalent paid the interpreted-lambda tax per multiply)
+    val buckets = GraftExpressions
+      .hyperplane_buckets(a, dim, numTables, bitsPerTable)
+    transform(buckets, (b, i) => struct(i.as("table"), b.as("bucket")))
+  }
 }

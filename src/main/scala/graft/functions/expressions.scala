@@ -214,6 +214,60 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** All LSH table buckets for one embedding in a single pass — native
+  * for the same interpreted-HOF reason as [[MinHashSignature]] (the
+  * lambda path paid ~0.6 µs per multiply; this loop does
+  * tables×bits×dim fused multiply-adds per row). Bucket b of table t =
+  * sign-bit signature of `bitsPerTable` Gaussian hyperplanes seeded
+  * `1000+t` (Charikar 2002; OR-construction Indyk–Motwani).
+  */
+case class HyperplaneBuckets(child: Expression, dim: Int,
+    numTables: Int, bitsPerTable: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  // planes[t*bitsPerTable + b][d], identical to the Column-API
+  // hyperplaneSignature(seed = 1000 + t) generation order
+  private lazy val planes: Array[Array[Double]] =
+    (0 until numTables).flatMap { t =>
+      val rnd = new java.util.Random(1000L + t)
+      Seq.fill(bitsPerTable)(Array.fill(dim)(rnd.nextGaussian()))
+    }.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val v = new Array[Double](n)
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        var i = 0; while (i < n) { v(i) = arr.getFloat(i).toDouble; i += 1 }
+      case _ =>
+        var i = 0; while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+    }
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bitsPerTable) {
+        val p = planes(t * bitsPerTable + b)
+        var d = 0.0
+        var i = 0
+        while (i < n) { d += v(i) * p(i); i += 1 }
+        if (d >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
 /** Deterministic affine hash families shared by the Column API and the
   * native expressions. */
 object HashFamilies {
@@ -241,6 +295,10 @@ object GraftExpressions {
 
   def simhash64(featureHashes: Column): Column =
     column(SimHash64(expression(featureHashes)))
+
+  def hyperplane_buckets(vec: Column, dim: Int, numTables: Int,
+      bitsPerTable: Int): Column =
+    column(HyperplaneBuckets(expression(vec), dim, numTables, bitsPerTable))
 
   /** Register as SQL functions (`SELECT lang_id(text) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
