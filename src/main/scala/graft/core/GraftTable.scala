@@ -141,27 +141,40 @@ final class GraftTable private (
     val writer = maxRecordsPerFile.fold(writer0)(n => writer0.option("maxRecordsPerFile", n))
     writer.parquet(staging.toString)
 
-    // group-level stats in one pass (key range + ordering range + rows)
+    // Per-file stats (key range + ordering range + rows) harvested by
+    // reading BACK the staged files — column-pruned to the stats
+    // columns, grouped by input file. Crucially this does NOT re-run
+    // the upstream pipeline (a merge/window write would otherwise be
+    // computed twice) and yields exact per-file bounds.
     val statCols = (Seq(config.keyField, config.orderingField) ++ config.statsColumns).distinct
       .filter(df.columns.contains)
-    val aggs = count(lit(1)).as("__rows") +: statCols.flatMap { c =>
-      Seq(min(col(c)).cast(StringType).as(s"__min_$c"),
-          max(col(c)).cast(StringType).as(s"__max_$c"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
-    }
-    val statRows = keyed.groupBy("_part", "_bucket")
-      .agg(aggs.head, aggs.tail: _*).collect()
-    val statsByGroup = statRows.map { r =>
-      val part = r.getAs[String]("_part")
-      val bucket = r.getAs[Int]("_bucket")
-      val colStats = statCols.map { c =>
-        c -> ColStat(
-          Option(r.getAs[String](s"__min_$c")).getOrElse(""),
-          Option(r.getAs[String](s"__max_$c")).getOrElse(""),
-          r.getAs[Long](s"__nulls_$c"))
-      }.toMap
-      (part, bucket) -> (r.getAs[Long]("__rows"), colStats)
-    }.toMap
+    val statsByFile: Map[String, (Long, Map[String, ColStat])] =
+      if (!Files.exists(staging) ||
+          !Files.list(staging).iterator().asScala.exists(
+            _.getFileName.toString.startsWith("_part="))) Map.empty
+      else {
+        val aggs = count(lit(1)).as("__rows") +: statCols.flatMap { c =>
+          Seq(min(col(c)).cast(StringType).as(s"__min_$c"),
+              max(col(c)).cast(StringType).as(s"__max_$c"),
+              sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+        }
+        spark.read.parquet(staging.toString)
+          .groupBy(input_file_name().as("__file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val colStats = statCols.map { c =>
+              c -> ColStat(
+                Option(r.getAs[String](s"__min_$c")).getOrElse(""),
+                Option(r.getAs[String](s"__max_$c")).getOrElse(""),
+                r.getAs[Long](s"__nulls_$c"))
+            }.toMap
+            // key by _part=<..>/_bucket=<..>/<file> — bare filenames
+            // repeat across partition dirs within one task's write
+            val segs = r.getAs[String]("__file").split("/")
+            segs.takeRight(3).mkString("/") -> (r.getAs[Long]("__rows"), colStats)
+          }.toMap
+      }
 
     // move staged files into the stable layout
     val metas = scala.collection.mutable.ArrayBuffer[DataFileMeta]()
@@ -179,13 +192,15 @@ final class GraftTable private (
                 val suffix = if (delta) ".delta.parquet" else ".parquet"
                 val rel = s"data/${escapeDir(part)}/b$bucket/$instant-$i$suffix"
                 val dst = Paths.get(root, rel)
+                val srcKey = src.toString.split("/").takeRight(3).mkString("/")
+                val (rows, colStats) = statsByFile.getOrElse(
+                  srcKey, (0L, Map.empty[String, ColStat]))
                 Files.createDirectories(dst.getParent)
                 Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-                val (rows, colStats) = statsByGroup.getOrElse((part, bucket), (0L, Map.empty[String, ColStat]))
                 val keyStat = colStats.get(config.keyField)
                 metas += DataFileMeta(
                   path = rel, partition = part, bucket = bucket, delta = delta,
-                  rows = if (parts.size == 1) rows else rows / parts.size,
+                  rows = rows,
                   bytes = Files.size(dst),
                   minKey = keyStat.map(_.min).getOrElse(""),
                   maxKey = keyStat.map(_.max).getOrElse(""),

@@ -91,21 +91,29 @@ object Dedup {
       k: Int = 5, numHashes: Int = 128, numBands: Int = 32,
       threshold: Double = 0.7): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val sigs = docs.select(col(idCol).as("id"),
+    // one shingle-hash pass feeds signatures, set sizes, AND the
+    // verify relation (grams keyed by 64-bit hash — collision odds
+    // ~|grams|²/2⁶⁵, immaterial); cached so the text is shingled once
+    val withHashes = docs.select(col(idCol).as("id"),
         shingleHashes(col(textCol), k).as("hashes"))
-      .withColumn("sig", minhashSignature(col("hashes"), numHashes))
-      .withColumn("band", explode(lshBands(col("sig"), numBands, rowsPerBand)))
-      .select(col("id"), col("band.band").as("band"), col("band.sig").as("bsig"))
-    val a = sigs.as("a")
-    val b = sigs.as("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
-    val g = shingleRel(docs, idCol, textCol, k)
-    val sizes = g.groupBy("id").agg(count(lit(1)).as("n"))
-    jaccardOfCandidates(g, sizes, candidates, threshold)
+      .persist()
+    try {
+      val sigs = withHashes
+        .withColumn("sig", minhashSignature(col("hashes"), numHashes))
+        .withColumn("band", explode(lshBands(col("sig"), numBands, rowsPerBand)))
+        .select(col("id"), col("band.band").as("band"), col("band.sig").as("bsig"))
+      val a = sigs.as("a")
+      val b = sigs.as("b")
+      val candidates = a.join(b,
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+        .distinct()
+      val g = withHashes.select(col("id"), explode(col("hashes")).as("gram"))
+      val sizes = withHashes.select(col("id"), size(col("hashes")).as("n"))
+      jaccardOfCandidates(g, sizes, candidates, threshold)
+        .localCheckpoint() // materialize before unpersisting the cache
+    } finally withHashes.unpersist()
   }
 
   /** SimHash near-dup pairs (Charikar 2002 / Manku et al. 2007

@@ -2,6 +2,7 @@ package graft.tools
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.operators.Dedup
 import org.apache.spark.sql.functions._
 
 /** Scratch profiling main (not part of the driver contract). */
@@ -14,21 +15,24 @@ object Profile {
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"[profile] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+      println(f"[profile] $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
     }
-    time("shingle_hashes") {
-      docs.select(col("doc_id"), shingleHashes(col("text"), 5).as("h"))
-        .selectExpr("sum(size(h))").collect()(0).getLong(0)
+    time("p3 full minhashLsh") {
+      Dedup.minhashLsh(docs, "doc_id", "text", k = 5).count()
     }
-    time("minhash_sig_128") {
+    time("p3 signatures+bands only") {
       docs.select(col("doc_id"),
-          minhashSignature(shingleHashes(col("text"), 5), 128).as("sig"))
-        .selectExpr("sum(size(sig))").collect()(0).getLong(0)
+          lshBands(minhashSignature(shingleHashes(col("text"), 5), 128), 32, 4).as("b"))
+        .selectExpr("sum(size(b))").collect()(0).getLong(0)
     }
-    time("minhash_sig_via_col") {
-      docs.select(col("doc_id"), shingleHashes(col("text"), 5).as("h"))
-        .select(col("doc_id"), minhashSignature(col("h"), 128).as("sig"))
-        .selectExpr("sum(size(sig))").collect()(0).getLong(0)
+    time("p3 shingleRel+sizes") {
+      docs.select(col("doc_id"), explode(wordShingles(col("text"), 5)).as("gram"))
+        .groupBy("doc_id").agg(count(lit(1))).count()
+    }
+    // lakehouse l1 pipeline breakdown
+    val ev = Tables.load(spark, dir, "events").cache(); ev.count()
+    time("l1 full build+read") {
+      graft.LakehouseQueries.qCowUpsertSnapshot(spark, dir).count()
     }
     spark.stop()
   }
