@@ -20,12 +20,17 @@ import scala.jdk.CollectionConverters._
   */
 object Streamer {
 
-  /** One micro-batch: returns the commit instant if rows were ingested. */
-  def runOnce(table: GraftTable, source: Source): Option[String] = {
+  /** One micro-batch: returns the commit instant if rows were
+    * ingested. `transform` is the Streamer transformer hook (the
+    * SqlQueryBasedTransformer analog — the reference's source→target
+    * derived-column evolution, e.g. haversine_distance,
+    * test-suite/target.avsc vs source.avsc). */
+  def runOnce(table: GraftTable, source: Source,
+      transform: DataFrame => DataFrame = identity): Option[String] = {
     val (df, ckpt) = source.next()
     df match {
       case Some(batch) =>
-        val instant = table.upsert(batch)
+        val instant = table.upsert(transform(batch))
         source.commitCheckpoint(ckpt)
         Some(instant)
       case None => None
@@ -35,12 +40,13 @@ object Streamer {
   /** Drain the source: loop runOnce until it reports no new data
     * (the `--continuous` mode loop, bounded for tests). */
   def runUntilCaughtUp(table: GraftTable, source: Source,
-      maxBatches: Int = 1000): Seq[String] = {
+      maxBatches: Int = 1000,
+      transform: DataFrame => DataFrame = identity): Seq[String] = {
     var out = List.empty[String]
     var i = 0
     var more = true
     while (more && i < maxBatches) {
-      runOnce(table, source) match {
+      runOnce(table, source, transform) match {
         case Some(c) => out ::= c
         case None => more = false
       }

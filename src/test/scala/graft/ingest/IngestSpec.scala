@@ -128,6 +128,26 @@ class IngestSpec extends AnyFunSuite {
     assert(t.read().select("volume").as[Long].head() == 5L)
   }
 
+  test("transformer hook: derived haversine column during ingestion (target.avsc analog)") {
+    import graft.functions.GeoFunctions
+    val in = tmp(); val work = tmp()
+    val tripSchema = StructType(Seq(
+      StructField("_row_key", StringType), StructField("timestamp", LongType),
+      StructField("begin_lat", DoubleType), StructField("begin_lon", DoubleType),
+      StructField("end_lat", DoubleType), StructField("end_lon", DoubleType)))
+    writeJson(in, "trips.json",
+      """{"_row_key":"r1","timestamp":1,"begin_lat":52.52,"begin_lon":13.405,"end_lat":48.8566,"end_lon":2.3522}""")
+    val t = GraftTable.create(spark, s"$work/t", TableConfig(
+      name = "trips", keyField = "_row_key", orderingField = "timestamp",
+      numBuckets = 2))
+    val src = new JsonDirSource(spark, in, tripSchema, s"$work/ckpt")
+    Streamer.runUntilCaughtUp(t, src, transform = df =>
+      df.withColumn("haversine_distance", GeoFunctions.haversineDistance(
+        col("begin_lat"), col("begin_lon"), col("end_lat"), col("end_lon"))))
+    val d = t.read().select("haversine_distance").as[Double].head()
+    assert(math.abs(d - 878000) < 10000, s"berlin-paris ~878km, got $d") // known distance
+  }
+
   test("JDBC sink appends micro-batches to a relational target (S13, Derby)") {
     val work = tmp()
     val url = s"jdbc:derby:$work/db;create=true"
