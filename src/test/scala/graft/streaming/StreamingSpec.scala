@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.Session
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Structured Streaming semantics driven through real streaming
+  * queries (file source → memory sink, processAllAvailable). */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-stream-").toString
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType), StructField("user_id", LongType),
+    StructField("value", DoubleType)))
+
+  private def writeJson(dir: String, name: String, rows: String*): Unit =
+    Files.write(Paths.get(dir, name), rows.mkString("\n").getBytes("UTF-8"))
+
+  test("windowed aggregation with watermark over a file stream") {
+    val in = tmp()
+    writeJson(in, "b1.json",
+      """{"ts":"2024-01-01 10:00:30","user_id":1,"value":1.0}""",
+      """{"ts":"2024-01-01 10:01:10","user_id":1,"value":2.0}""",
+      """{"ts":"2024-01-01 10:04:45","user_id":2,"value":3.0}""")
+    val stream = spark.readStream.schema(schema).json(in)
+    val agg = StreamOps.windowedAgg(stream, "ts", "user_id", "5 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """select window_start, user_id, n from win_out
+           order by window_start, user_id""")
+        .as[(java.sql.Timestamp, Long, Long)].collect()
+      assert(rows.length == 2)
+      assert(rows(0)._2 == 1L && rows(0)._3 == 2L) // two events in 10:00 window
+      assert(rows(1)._2 == 2L && rows(1)._3 == 1L)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops replayed rows under the watermark") {
+    val in = tmp()
+    writeJson(in, "b1.json",
+      """{"ts":"2024-01-01 10:00:00","user_id":1,"value":1.0}""",
+      """{"ts":"2024-01-01 10:00:00","user_id":1,"value":1.0}""",
+      """{"ts":"2024-01-01 10:00:05","user_id":1,"value":2.0}""")
+    val stream = spark.readStream.schema(schema).json(in)
+    val dedup = StreamOps.streamingDedup(stream, "ts", Seq("user_id"))
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select * from dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization emits running session state") {
+    val in = tmp()
+    writeJson(in, "b1.json",
+      """{"ts":"2024-01-01 10:00:00","user_id":7,"value":1.5}""",
+      """{"ts":"2024-01-01 10:00:10","user_id":7,"value":2.5}""",
+      """{"ts":"2024-01-01 10:00:20","user_id":8,"value":10.0}""")
+    val stream = spark.readStream.schema(schema).json(in)
+      .select($"user_id", $"value").as[(Long, Double)]
+    val sessions = StreamOps.sessionize(stream, closeAtValue = 10.0)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select userId, nEvents, totalValue, closed from sess_out order by userId")
+        .as[(Long, Long, Double, Boolean)].collect()
+      assert(rows.contains((7L, 2L, 4.0, false)))   // open session
+      assert(rows.contains((8L, 1L, 10.0, true)))   // closed at budget
+    } finally q.stop()
+  }
+}
