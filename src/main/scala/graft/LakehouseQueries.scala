@@ -154,6 +154,33 @@ object LakehouseQueries {
       |         OR (event_type = 'view' AND value > 100.0))
       |WHERE rn = 1 ORDER BY event_type, user_id""".stripMargin
 
+  // ---- T7/§4 stats-based file skipping ------------------------------
+
+  /** Data skipping on commit-log column stats: two bulk-insert commits
+    * split at value=100 give files whose [min,max] value ranges are
+    * disjoint; `readWhereBetween` lists only files that can contain
+    * the range (the Delta-stats skipping analog, SURVEY.md §4) and the
+    * residual filter applies on top. Output = raw events with
+    * value ≥ 100. */
+  def qStatsSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val t = GraftTable.create(spark, freshRoot("ev_skip"), TableConfig(
+      name = "ev_skip", keyField = "user_id", orderingField = "ts",
+      partitionField = Some("event_type"), numBuckets = 4,
+      statsColumns = Seq("value")))
+    t.bulkInsert(ev.filter(col("value") < 100.0))
+    t.bulkInsert(ev.filter(col("value") >= 100.0))
+    t.readWhereBetween("value", lo = Some("100.0"), hi = None)
+      .filter(col("value") >= 100.0)
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select("event_type", "user_id", "event_id", "ts_us", "value")
+      .orderBy("event_id")
+  }
+
+  private val statsSkipSql =
+    """SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us, value
+      |FROM events WHERE value >= 100.0 ORDER BY event_id""".stripMargin
+
   // ---- A3 key-uniqueness invariant over the lakehouse table ---------
 
   /** The test-suite's duplicate-detection gate run against our own
@@ -184,6 +211,7 @@ object LakehouseQueries {
     "l6_delete_predicate" -> (qDelete _),
     "l7_overwrite_drop_partition" -> (qOverwriteAndDropPartition _),
     "l8_unique_invariant" -> (qUniqueInvariant _),
+    "l9_stats_skipping" -> (qStatsSkipping _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -195,5 +223,6 @@ object LakehouseQueries {
     "l6_delete_predicate" -> deleteSql,
     "l7_overwrite_drop_partition" -> overwriteSql,
     "l8_unique_invariant" -> uniqueSql,
+    "l9_stats_skipping" -> statsSkipSql,
   )
 }
