@@ -135,6 +135,47 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Duplicate *clusters* from near-dup pairs: connected components by
+    * iterative min-label propagation (each node adopts the smallest id
+    * reachable; converges in O(diameter) rounds — the standard
+    * large-graph CC formulation, cf. Kiveris et al. "Connected
+    * Components in MapReduce", SoCC'14). Returns (doc_id, cluster_id)
+    * for every doc that appears in at least one pair; cluster_id =
+    * smallest doc id in the component. */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct()
+      .persist()
+    try {
+      var labels = edges.groupBy(col("a").as("doc_id"))
+        .agg(min(col("b")).as("minb"))
+        .select(col("doc_id"),
+          least(col("doc_id"), col("minb")).as("cluster_id"))
+        .persist()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIterations) {
+        // each node adopts min(own label, neighbours' labels)
+        val viaNeighbors = edges
+          .join(labels.withColumnRenamed("doc_id", "b"), Seq("b"))
+          .groupBy(col("a").as("doc_id"))
+          .agg(min(col("cluster_id")).as("n_label"))
+        val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id")))
+              .as("cluster_id"))
+          .persist()
+        changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+          .filter(col("cluster_id") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      labels.localCheckpoint()
+    } finally edges.unpersist()
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold. Exact all-pairs via
     * a block-nested join — kept for oracle verification and small dims;
     * [[Similarity.lshCandidatePairs]] is the bucketed scale path. */

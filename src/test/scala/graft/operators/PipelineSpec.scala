@@ -118,6 +118,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.count() == 3) // 105 bytes / 50 → indexes 0,1,2
   }
 
+  test("connected components cluster transitive near-dup pairs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)      // chain 1-2-3
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(Set(20L, 21L, 22L, 23L).forall(cc(_) == 20L))      // longer chain
+  }
+
+  test("minhash_union sketch estimates dataset-level jaccard") {
+    import graft.functions.MinHashUnionAgg._
+    import graft.functions.TextFunctions.shingleHashes
+    // two overlapping halves of the corpus: estimate J(A,B) from the
+    // two dataset signatures and sanity-check against the exact value
+    val withH = docs.select($"doc_id", shingleHashes($"text", 5).as("h"))
+    val a = withH.filter($"doc_id" % 3 =!= 0)
+    val b = withH.filter($"doc_id" % 2 === 0)
+    def sig(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(minhash_union($"h").as("s")).as[Seq[Long]].head()
+    val est = estimatedJaccard(sig(a), sig(b))
+    val ga = a.select(explode($"h").as("g")).distinct()
+    val gb = b.select(explode($"h").as("g")).distinct()
+    val inter = ga.intersect(gb).count().toDouble
+    val union = ga.union(gb).distinct().count().toDouble
+    val exact = inter / union
+    assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+    // associativity: signature of the union == merge of signatures
+    val sigUnion = sig(a.union(b).dropDuplicates("doc_id"))
+    val merged = sig(a).zip(sig(b)).map { case (x, y) => math.min(x, y) }
+    assert(sigUnion == merged.toSeq)
+  }
+
   test("quality metrics are sane on the documents fixture") {
     val m = graft.PipelineQueries.tQuality(spark, dir)
     val row = m.filter($"doc_id" === 0).head()
