@@ -96,6 +96,36 @@ object PipelineQueries {
       |       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))) >= 0.45
       |ORDER BY 1, 2""".stripMargin
 
+  /** Duplicate clusters: minhash-LSH pairs → connected components.
+    * Oracle = transitive closure (recursive CTE) over the exact
+    * jaccard pairs at the same threshold. */
+  def dClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashLsh(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", k = 5, threshold = 0.7))
+      .orderBy("doc_id")
+
+  private val dClustersSql =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |        generate_series(1, greatest(1, len(ws) - 4)),
+      |        i -> array_to_string(ws[i:i+4], ' ')))) AS gram
+      |      FROM w),
+      |n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |jp AS (SELECT doc_a, doc_b FROM p
+      |       JOIN n na ON p.doc_a = na.doc_id
+      |       JOIN n nb ON p.doc_b = nb.doc_id
+      |       WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.7),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+      |      UNION SELECT doc_b, doc_a FROM jp),
+      |reach(a, b) AS (SELECT a, b FROM e
+      |      UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+      |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |FROM reach GROUP BY a ORDER BY 1""".stripMargin
+
   // ---- similarity search ---------------------------------------------
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
@@ -222,6 +252,7 @@ object PipelineQueries {
     "p10_fingerprint" -> (tFingerprint _),
     "p11_token_count" -> (tTokenCount _),
     "p12_multimodal_binary" -> (mBinary _),
+    "p13_dedup_clusters" -> (dClusters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -233,6 +264,7 @@ object PipelineQueries {
     "p8_text_quality" -> tQualitySql,
     "p11_token_count" -> tTokenSql,
     "p12_multimodal_binary" -> mBinarySql,
+    "p13_dedup_clusters" -> dClustersSql,
     // p4, p7, p9, p10: not SQL-expressible → rows-only driver check +
     // ScalaTest recall/accuracy assertions.
   )

@@ -272,6 +272,20 @@ object Queries {
       |  count(DISTINCT l_partkey) AS n_parts
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Rollup subtotal aggregation (extension beyond the reference's
+    * surface; grouping-set nulls ordered NULLS FIRST on both sides). */
+  def q15Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), sum(d2(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val q15Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -289,6 +303,7 @@ object Queries {
     "q12_scalars" -> (q12Scalars _),
     "q13_time_buckets" -> (q13TimeBuckets _),
     "q14_distinct" -> (q14Distinct _),
+    "q15_rollup" -> (q15Rollup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -306,5 +321,6 @@ object Queries {
     "q12_scalars" -> q12Sql,
     "q13_time_buckets" -> q13Sql,
     "q14_distinct" -> q14Sql,
+    "q15_rollup" -> q15Sql,
   )
 }
