@@ -1,0 +1,130 @@
+package graft.sql
+
+import graft.core.{GraftTable, TableConfig}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.nio.file.{Files, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** DataSource-v2 TableCatalog over a graft warehouse — the stretch
+  * path from SURVEY.md §1.3: catalog-qualified SQL
+  * (`SELECT ... FROM gcat.default.t`), DDL through Spark's own
+  * CREATE/DROP handling, and commit-instant time travel via
+  * `VERSION AS OF '<instant>'` / `TIMESTAMP AS OF` — the reference's
+  * Hudi-catalog role (README.md:354-358).
+  *
+  * Read path: the catalog resolves a snapshot's live base files from
+  * the commit log and hands Spark its own parquet DSv2 table
+  * ([[ParquetTable]]) over exactly those files — full pushdown,
+  * pruning and vectorization for free, file selection ours. COW
+  * snapshot and MOR read-optimized semantics; the MOR realtime merge
+  * needs the latest-wins window and stays on
+  * `GraftTable.readRealtime`/registered views.
+  *
+  * Wire-up:
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.gcat", "graft.sql.GraftTableCatalog")
+  *   spark.conf.set("spark.sql.catalog.gcat.warehouse", "/path/wh")
+  * }}}
+  */
+class GraftTableCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      sys.props("java.io.tmpdir") + "/graft-warehouse")
+    Files.createDirectories(Paths.get(warehouse))
+  }
+
+  override def name(): String = catalogName
+
+  private def rootOf(ident: Identifier): String =
+    Paths.get(warehouse, ident.name).toString
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Files.list(Paths.get(warehouse)).iterator().asScala
+      .filter(p => GraftTable.exists(p.toString))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+
+  override def tableExists(ident: Identifier): Boolean =
+    GraftTable.exists(rootOf(ident))
+
+  private def snapshotTable(ident: Identifier, asOf: Option[String]): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = GraftTable.load(spark, rootOf(ident))
+    val files = t.log.liveFiles(asOf).filterNot(_.delta)
+      .map(f => s"${t.root}/${f.path}")
+    val schema = asOf match {
+      case Some(i) => t.log.latestSchemaJson(Some(i))
+        .map(org.apache.spark.sql.types.DataType.fromJson(_).asInstanceOf[StructType])
+        .getOrElse(t.schema)
+      case None => t.schema
+    }
+    ParquetTable(ident.name, spark, CaseInsensitiveStringMap.empty(),
+      files, Some(schema), classOf[ParquetFileFormat])
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    snapshotTable(ident, None)
+
+  /** `VERSION AS OF '<commit instant>'`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    snapshotTable(ident, Some(version))
+
+  /** `TIMESTAMP AS OF ...` — micros since epoch; instants are
+    * micros-scaled, so the cutoff maps directly. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    snapshotTable(ident, Some(f"$timestamp%019d"))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala
+    val partitionField = partitions.collectFirst {
+      case t if t.name == "identity" && t.references.nonEmpty =>
+        t.references.head.fieldNames.head
+    }
+    val cfg = TableConfig(
+      name = ident.name,
+      keyField = props.getOrElse("primaryKey", props.getOrElse("key", "id")),
+      orderingField = props.getOrElse("precombine", props.getOrElse("ordering", "ts")),
+      partitionField = partitionField,
+      tableType = props.getOrElse("type", TableConfig.Cow).toLowerCase,
+      numBuckets = props.get("buckets").map(_.toInt).getOrElse(8))
+    val t = GraftTable.create(spark, rootOf(ident), cfg)
+    // record the declared schema via an empty commit so reads resolve
+    t.insert(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE: schema evolves additively through writes")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val root = Paths.get(rootOf(ident))
+    Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    Files.move(Paths.get(rootOf(oldIdent)), Paths.get(rootOf(newIdent)))
+  }
+}

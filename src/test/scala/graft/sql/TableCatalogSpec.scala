@@ -1,0 +1,65 @@
+package graft.sql
+
+import graft.Session
+import graft.core.{GraftTable, TableConfig}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** DSv2 catalog: catalog-qualified SQL, pushdown through Spark's
+  * parquet DSv2 over commit-log-selected files, commit-instant time
+  * travel, DDL. */
+class TableCatalogSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+  import spark.implicits._
+
+  private lazy val wh = Files.createTempDirectory("graft-dsv2-").toString
+  private def wire(): Unit = {
+    spark.conf.set("spark.sql.catalog.gcat", "graft.sql.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+  }
+
+  private def ticks(rows: (String, String, Long)*) =
+    rows.map { case (k, ts, v) => (k, "S", ts, "2018/08/31", v) }
+      .toDF("key", "symbol", "ts", "date", "volume")
+
+  test("catalog-qualified SELECT with time travel over commit instants") {
+    wire()
+    val t = GraftTable.create(spark, s"$wh/ticks", TableConfig(
+      name = "ticks", keyField = "key", orderingField = "ts",
+      partitionField = Some("date"), numBuckets = 2))
+    val c1 = t.insert(ticks(("A", "t1", 1L), ("B", "t1", 2L)))
+    t.upsert(ticks(("A", "t2", 9L)))
+
+    val now = spark.sql("SELECT key, volume FROM gcat.ticks ORDER BY key")
+      .as[(String, Long)].collect().toSeq
+    assert(now == Seq(("A", 9L), ("B", 2L)))
+
+    val asOf = spark.sql(
+      s"SELECT key, volume FROM gcat.ticks VERSION AS OF '$c1' ORDER BY key")
+      .as[(String, Long)].collect().toSeq
+    assert(asOf == Seq(("A", 1L), ("B", 2L)))
+
+    // filters reach the DSv2 parquet scan
+    val plan = spark.sql("SELECT key FROM gcat.ticks WHERE symbol = 'S'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("symbol"))
+  }
+
+  test("DDL through the catalog: CREATE/SHOW/DROP") {
+    wire()
+    spark.sql(
+      """CREATE TABLE gcat.ddl_t (id BIGINT, ts BIGINT, v STRING)
+        |TBLPROPERTIES ('primaryKey'='id', 'precombine'='ts')""".stripMargin)
+    assert(GraftTable.exists(s"$wh/ddl_t"))
+    // write through the engine API, read through the catalog
+    GraftTable.load(spark, s"$wh/ddl_t")
+      .insert(Seq((1L, 10L, "x")).toDF("id", "ts", "v"))
+    assert(spark.sql("SELECT v FROM gcat.ddl_t").as[String].head() == "x")
+    val listed = spark.sql("SHOW TABLES IN gcat").collect().map(_.getString(1))
+    assert(listed.contains("ddl_t"))
+    spark.sql("DROP TABLE gcat.ddl_t")
+    assert(!GraftTable.exists(s"$wh/ddl_t"))
+  }
+}
