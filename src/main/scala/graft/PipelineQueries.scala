@@ -160,6 +160,15 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF ANN (inverted-file coarse quantizer over the label column) —
+    * approximate; recall-vs-exact in ScalaTest. */
+  def sIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 10),
+        "vec_id", "embedding", listCol = "label", k = 5, nProbe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   // ---- text analysis -------------------------------------------------
 
   def tQuality(spark: SparkSession, dir: String): DataFrame = {
@@ -253,6 +262,7 @@ object PipelineQueries {
     "p11_token_count" -> (tTokenCount _),
     "p12_multimodal_binary" -> (mBinary _),
     "p13_dedup_clusters" -> (dClusters _),
+    "p14_ann_ivf_topk" -> (sIvfTopK _),
   )
 
   val oracles: Map[String, String] = Map(

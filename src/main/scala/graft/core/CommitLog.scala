@@ -42,6 +42,9 @@ object CommitLog {
   val Dir = ".graft"
   val ArchiveFile = "archive.jsonl"
 
+  /** Process-wide instant high-water mark (see nextInstant). */
+  private val lastIssued = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] val mapper: ObjectMapper = {
     val m = new ObjectMapper()
     m.registerModule(DefaultScalaModule)
@@ -89,11 +92,18 @@ final class CommitLog(tableRoot: String) {
 
   def lastInstant(): Option[String] = commits().lastOption.map(_.instant)
 
-  /** Monotonically increasing, zero-padded numeric instant. */
+  /** Monotonically increasing, zero-padded numeric instant. A
+    * process-wide issued-instant high-water mark guarantees two
+    * in-process writers never plan the same instant (same-instant
+    * plans shared staging/data paths — a real lost-update bug caught
+    * by the concurrent-writer test). Cross-process collisions fall
+    * back to the tryCommit rename race + UUID-suffixed data files. */
   def nextInstant(): String = {
-    val now = System.currentTimeMillis() * 1000
     val prev = lastInstant().map(_.toLong).getOrElse(0L)
-    f"${math.max(now, prev + 1)}%019d"
+    val candidate = math.max(System.currentTimeMillis() * 1000, prev + 1)
+    val issued = CommitLog.lastIssued.updateAndGet(
+      last => math.max(candidate, last + 1))
+    f"$issued%019d"
   }
 
   /** Table-level mutex via exclusive lock-file creation — the

@@ -126,7 +126,10 @@ final class GraftTable private (
     val keyed = df
       .withColumn("_part", partExpr)
       .withColumn("_bucket", bucketExpr)
-    val staging = Paths.get(root, s".staging-$instant")
+    // staging is unique per ATTEMPT, not just per instant — two
+    // writers planning the same instant must never share it
+    val writeToken = java.util.UUID.randomUUID().toString.take(8)
+    val staging = Paths.get(root, s".staging-$instant-$writeToken")
     val shuffled0 = keyed.repartition(col("_part"), col("_bucket"))
     val shuffled =
       if (sortByKey)
@@ -190,7 +193,7 @@ final class GraftTable private (
                 .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
               parts.zipWithIndex.foreach { case (src, i) =>
                 val suffix = if (delta) ".delta.parquet" else ".parquet"
-                val rel = s"data/${escapeDir(part)}/b$bucket/$instant-$i$suffix"
+                val rel = s"data/${escapeDir(part)}/b$bucket/$instant-$i-$writeToken$suffix"
                 val dst = Paths.get(root, rel)
                 val srcKey = src.toString.split("/").takeRight(3).mkString("/")
                 val (rows, colStats) = statsByFile.getOrElse(

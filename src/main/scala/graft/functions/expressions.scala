@@ -268,6 +268,45 @@ case class HyperplaneBuckets(child: Expression, dim: Int,
     copy(child = newChild)
 }
 
+/** nProbe nearest centroids (by cosine) for a vector against a fixed
+  * centroid table — the IVF coarse-quantizer assignment step, native
+  * for the usual interpreted-HOF reason. Returns array<int> of
+  * centroid indexes, most-similar first. */
+case class NearestCentroids(child: Expression,
+    centroids: Array[Array[Double]], nProbe: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  private lazy val centroidNorms: Array[Double] =
+    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        var i = 0; while (i < n) { v(i) = arr.getFloat(i).toDouble; i += 1 }
+      case _ =>
+        var i = 0; while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+    }
+    val sims = centroids.indices.map { c =>
+      val cv = centroids(c)
+      var d = 0.0
+      var i = 0
+      val m = math.min(n, cv.length)
+      while (i < m) { d += v(i) * cv(i); i += 1 }
+      (d / centroidNorms(c), c) // query norm constant per row — rank-safe
+    }
+    val top = sims.sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2)
+    new GenericArrayData(top.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 /** Deterministic affine hash families shared by the Column API and the
   * native expressions. */
 object HashFamilies {
@@ -299,6 +338,10 @@ object GraftExpressions {
   def hyperplane_buckets(vec: Column, dim: Int, numTables: Int,
       bitsPerTable: Int): Column =
     column(HyperplaneBuckets(expression(vec), dim, numTables, bitsPerTable))
+
+  def nearest_centroids(vec: Column, centroids: Array[Array[Double]],
+      nProbe: Int): Column =
+    column(NearestCentroids(expression(vec), centroids, nProbe))
 
   /** Register as SQL functions (`SELECT lang_id(text) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -64,6 +64,50 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** IVF ANN (inverted-file index, the Faiss-style coarse-quantizer
+    * path): k-means-like centroids partition the corpus into inverted
+    * lists; a query probes its `nProbe` nearest lists and ranks those
+    * candidates by exact cosine. Centroids here are per-dimension
+    * means over a partitioning column (`listCol`, e.g. a cluster
+    * label) — a trained quantizer drop-in. Corpus is hashed to lists
+    * once; at 100 TB the lists are the partition layout, so a query
+    * touches nProbe/nLists of the data. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, listCol: String, k: Int,
+      nProbe: Int = 3): DataFrame = {
+    import graft.functions.GraftExpressions.nearest_centroids
+    // centroids: per-list elementwise mean (one small shuffle of
+    // (list, pos) pairs; collected — nLists × dim doubles)
+    val centroidRows = corpus
+      .select(col(listCol).cast("int").as("list"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("list", "pos").agg(avg(col("x").cast("double")).as("m"))
+      .groupBy("list").agg(sort_array(collect_list(struct(col("pos"), col("m"))))
+        .as("vals"))
+      .select(col("list"), col("vals.m").as("centroid"))
+      .collect()
+    val centroids = centroidRows.map(r =>
+      r.getAs[Int]("list") -> r.getAs[Seq[Double]]("centroid").toArray).toMap
+    // centroid indexes (positions in `table`) serve as list ids on
+    // both the corpus and query sides
+    val table = centroids.keys.toSeq.sorted.map(centroids).toArray
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+      .withColumn("list",
+        element_at(nearest_centroids(col("cvec"), table, 1), 1))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("list",
+        explode(nearest_centroids(col("qvec"), table, nProbe)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Bucketed near-dup candidate pairs over a whole corpus (the scale
     * path feeding Dedup.embeddingCosinePairs-style verification):
     * pairs sharing an LSH bucket, exact cosine attached. */

@@ -61,6 +61,46 @@ class ConcurrencyAndInteropSpec extends AnyFunSuite {
     assert(t.read().count() == 2)
   }
 
+  test("OCC: genuinely concurrent writers all land with retry-on-conflict") {
+    val root = tmp()
+    GraftTable.create(spark, root, cfg("occ3"))
+    // 3 writers × 2 upserts each, distinct key spaces, shared buckets;
+    // ConcurrentWriteException → replan from a fresh snapshot (the
+    // reference's multi-writer retry contract)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 3).map { w =>
+      new Thread(() => {
+        try {
+          val t = GraftTable.load(spark, root)
+          (0 until 2).foreach { i =>
+            var done = false
+            var tries = 0
+            while (!done) {
+              try {
+                t.upsert(rows((s"k$w", s"t$i", (w * 10 + i).toLong)))
+                done = true
+              } catch {
+                case _: ConcurrentWriteException =>
+                  tries += 1
+                  if (tries > 50) throw new IllegalStateException(
+                    s"writer $w batch $i starved after $tries conflicts")
+              }
+            }
+          }
+        } catch {
+          case e: Throwable => failures.add(e)
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(180000))
+    assert(failures.isEmpty, s"writer failures: ${failures.toArray.mkString("; ")}")
+    val t = GraftTable.load(spark, root)
+    val state = t.read().select("key", "volume").as[(String, Long)].collect().toMap
+    assert(state == Map("k0" -> 1L, "k1" -> 11L, "k2" -> 21L))
+    assert(t.read().groupBy("key").count().filter($"count" > 1).count() == 0)
+  }
+
   test("xTable Delta sync: protocol+metaData then add/remove per commit, incremental") {
     val root = tmp()
     val t = GraftTable.create(spark, root, cfg("xt"))

@@ -118,6 +118,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.count() == 3) // 105 bytes / 50 → indexes 0,1,2
   }
 
+  test("IVF ANN recall vs brute force (label-informed centroids)") {
+    val queries = embs.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(embs, queries, "vec_id", "embedding",
+      listCol = "label", k = 5, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
   test("connected components cluster transitive near-dup pairs") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
       .toDF("doc_a", "doc_b")
