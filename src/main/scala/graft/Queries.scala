@@ -286,6 +286,26 @@ object Queries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** Scalar-subquery shape: customers with more orders than the
+    * average per-customer order count. Integer counts; the one double
+    * (avg = sum/count) is a single division, exact in both engines. */
+  def q16ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    val perCust = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    val avgCnt = perCust.agg(avg(col("cnt")).as("avg_cnt"))
+    cust.join(perCust, cust("c_custkey") === perCust("o_custkey"))
+      .crossJoin(broadcast(avgCnt))
+      .filter(col("cnt") > col("avg_cnt"))
+      .select("c_custkey", "cnt")
+      .orderBy("c_custkey")
+  }
+
+  private val q16Sql =
+    """WITH pc AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1)
+      |SELECT c_custkey, cnt FROM customer JOIN pc ON c_custkey = o_custkey
+      |WHERE cnt > (SELECT avg(cnt) FROM pc) ORDER BY c_custkey""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -304,6 +324,7 @@ object Queries {
     "q13_time_buckets" -> (q13TimeBuckets _),
     "q14_distinct" -> (q14Distinct _),
     "q15_rollup" -> (q15Rollup _),
+    "q16_scalar_subquery" -> (q16ScalarSubquery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -322,5 +343,6 @@ object Queries {
     "q13_time_buckets" -> q13Sql,
     "q14_distinct" -> q14Sql,
     "q15_rollup" -> q15Sql,
+    "q16_scalar_subquery" -> q16Sql,
   )
 }
