@@ -2,7 +2,7 @@ package graft.core
 
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 /** Per-file metadata recorded in the commit log. min/max are stored as
@@ -45,6 +45,16 @@ object CommitLog {
   /** Process-wide instant high-water mark (see nextInstant). */
   private val lastIssued = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Commit files parsed since process start — test instrumentation for
+    * the O(1)-re-reads-per-op property (a commit file is immutable once
+    * published, so parse counts directly measure redundant IO). */
+  val filesParsed = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Lock considered stale (crashed owner) after this many millis;
+    * overridable for tests. */
+  private[core] def lockStaleMs: Long =
+    sys.props.get("graft.lock.staleMs").map(_.toLong).getOrElse(10 * 60 * 1000L)
+
   private[graft] val mapper: ObjectMapper = {
     val m = new ObjectMapper()
     m.registerModule(DefaultScalaModule)
@@ -53,24 +63,74 @@ object CommitLog {
   }
 }
 
+/** An immutable view of the timeline at a point in time. Write
+  * operations load ONE snapshot up front and do all planning against it
+  * (lastInstant, liveFiles, schema) — a single directory scan per
+  * operation instead of one per planning question. */
+final class TimelineSnapshot private[core] (val commits: Seq[Commit]) {
+
+  def lastInstant: Option[String] = commits.lastOption.map(_.instant)
+
+  /** Live files as of `asOf` (inclusive; None = snapshot head): fold the
+    * timeline, applying adds and removes in instant order. */
+  def liveFiles(asOf: Option[String] = None): Seq[DataFileMeta] = {
+    val upTo = asOf.fold(commits)(a => commits.filter(_.instant <= a))
+    val files = scala.collection.mutable.LinkedHashMap[String, DataFileMeta]()
+    upTo.foreach { c =>
+      c.removed.foreach(files.remove)
+      c.added.foreach(f => files(f.path) = f)
+    }
+    files.values.toSeq
+  }
+
+  def latestSchemaJson(asOf: Option[String] = None): Option[String] =
+    asOf.fold(commits)(a => commits.filter(_.instant <= a))
+      .reverseIterator.map(_.schemaJson).find(_.nonEmpty)
+}
+
 /** The table timeline: an append-only directory of JSON commit files.
   *
-  * Commit protocol (single filesystem): serialize to `.tmp-*`, then
-  * atomic-rename to `<instant>.json`. A commit is visible iff the rename
-  * completed — the "commit file signals success" semantics of the
-  * reference (README.md:252). On S3 the rename becomes a
-  * conditional PUT (if-none-match); flagged in docs, not needed locally.
+  * Commit protocol (single filesystem): serialize fully to `.tmp-*`,
+  * then PUBLISH VIA HARD LINK — `Files.createLink(target, tmp)` fails
+  * atomically with EEXIST if the instant was already committed (POSIX
+  * link(2) never replaces), so two processes planning the same instant
+  * cannot both "succeed" the way a rename (which silently replaces on
+  * POSIX) would allow. A commit is visible iff the link exists, and
+  * only ever with complete contents. On S3 this becomes a conditional
+  * PUT (if-none-match); flagged in docs, not needed locally.
   *
-  * Scale note: the log is the ONLY thing the driver ever lists — file
-  * listings for scans come from commit contents, never from walking the
-  * data tree (100 TB rule: no O(files) object-store LIST per query).
+  * Scale notes:
+  *  - the log is the ONLY thing the driver ever lists — file listings
+  *    for scans come from commit contents, never from walking the data
+  *    tree (100 TB rule: no O(files) object-store LIST per query).
+  *  - published commit files are immutable, so parsed commits are
+  *    cached per path: a `commits()` call re-lists the directory (one
+  *    readdir) but only parses instants it has not seen — O(new), not
+  *    O(all), at 100k commits.
   */
 final class CommitLog(tableRoot: String) {
   import CommitLog._
 
   private val dir: Path = Paths.get(tableRoot, Dir)
 
+  // parse caches — safe because commit files and archive lines are
+  // immutable once written (archiveBefore only moves, never edits)
+  private val parsed = new java.util.concurrent.ConcurrentHashMap[String, Commit]()
+  @volatile private var archiveCache: (Long, Seq[Commit]) = (-1L, Nil)
+
   def init(): Unit = Files.createDirectories(dir)
+
+  private def parseFile(p: Path): Commit = {
+    val name = p.getFileName.toString
+    val hit = parsed.get(name)
+    if (hit != null) hit
+    else {
+      CommitLog.filesParsed.incrementAndGet()
+      val c = mapper.readValue(Files.readAllBytes(p), classOf[Commit])
+      parsed.put(name, c)
+      c
+    }
+  }
 
   /** All commits, instant-ascending, archived ones included. */
   def commits(): Seq[Commit] = {
@@ -78,16 +138,28 @@ final class CommitLog(tableRoot: String) {
       if (!Files.exists(dir)) Nil
       else Files.list(dir).iterator().asScala
         .filter(p => p.getFileName.toString.matches("\\d+\\.json"))
-        .map(p => mapper.readValue(Files.readAllBytes(p), classOf[Commit]))
+        .map(parseFile)
         .toSeq
     (archived() ++ live).sortBy(_.instant)
   }
 
+  /** One directory scan, all planning questions answered off the result. */
+  def snapshot(): TimelineSnapshot = new TimelineSnapshot(commits())
+
   def archived(): Seq[Commit] = {
     val af = dir.resolve(ArchiveFile)
     if (!Files.exists(af)) Nil
-    else Files.readAllLines(af).asScala.toSeq.filter(_.nonEmpty)
-      .map(mapper.readValue(_, classOf[Commit]))
+    else {
+      val size = Files.size(af)
+      val (cachedSize, cached) = archiveCache
+      if (cachedSize == size) cached
+      else {
+        val cs = Files.readAllLines(af).asScala.toSeq.filter(_.nonEmpty)
+          .map(mapper.readValue(_, classOf[Commit]))
+        archiveCache = (size, cs)
+        cs
+      }
+    }
   }
 
   def lastInstant(): Option[String] = commits().lastOption.map(_.instant)
@@ -96,35 +168,55 @@ final class CommitLog(tableRoot: String) {
     * process-wide issued-instant high-water mark guarantees two
     * in-process writers never plan the same instant (same-instant
     * plans shared staging/data paths — a real lost-update bug caught
-    * by the concurrent-writer test). Cross-process collisions fall
-    * back to the tryCommit rename race + UUID-suffixed data files. */
-  def nextInstant(): String = {
-    val prev = lastInstant().map(_.toLong).getOrElse(0L)
+    * by the concurrent-writer test). Cross-process collisions are
+    * rejected atomically by the createLink publish in tryCommit. */
+  def nextInstant(): String = nextInstantAfter(lastInstant())
+
+  /** Like nextInstant but reuses an already-loaded snapshot head, so
+    * planning a write costs one timeline scan total. */
+  def nextInstantAfter(last: Option[String]): String = {
+    val prev = last.map(_.toLong).getOrElse(0L)
     val candidate = math.max(System.currentTimeMillis() * 1000, prev + 1)
     val issued = CommitLog.lastIssued.updateAndGet(
-      last => math.max(candidate, last + 1))
+      l => math.max(candidate, l + 1))
     f"$issued%019d"
   }
 
   /** Table-level mutex via exclusive lock-file creation — the
     * FileSystemBasedLockProvider analog of the reference's multi-writer
     * configs (multi-writer-1.properties:39 lazy failed-write cleaning +
-    * lock provider). On S3 this becomes a conditional PUT / DynamoDB
-    * lock; the commit protocol around it is unchanged. */
+    * lock provider). The lock file records owner + acquire time; a lock
+    * older than `graft.lock.staleMs` is presumed orphaned by a crashed
+    * writer and taken over (the reference's lock providers expire stale
+    * locks the same way). On S3 this becomes a conditional PUT /
+    * DynamoDB lock; the commit protocol around it is unchanged. */
   def withLock[T](f: => T): T = {
     init()
     val lock = dir.resolve("LOCK")
     var tries = 0
     while (true) {
       try {
-        Files.createFile(lock)
+        Files.write(lock,
+          s"""{"owner":"${java.lang.ProcessHandle.current().pid()}/${Thread.currentThread().getId}","acquiredMs":${System.currentTimeMillis()}}"""
+            .getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
         try return f
         finally Files.deleteIfExists(lock)
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
+          // stale-lock takeover: if the holder recorded an acquire time
+          // older than the staleness threshold, remove and retry. The
+          // delete+create race between two waiters is safe — CREATE_NEW
+          // admits exactly one.
+          try {
+            val ageMs = System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis
+            if (ageMs > lockStaleMs) Files.deleteIfExists(lock)
+          } catch { case _: java.io.IOException => () } // vanished = freed
           tries += 1
           if (tries > 1200) throw new IllegalStateException(
-            s"commit lock timeout on $lock")
+            s"commit lock timeout on $lock — if no writer is alive, delete " +
+            s"this file to recover (stale locks auto-expire after ${lockStaleMs / 1000}s)")
           Thread.sleep(25)
       }
     }
@@ -132,20 +224,23 @@ final class CommitLog(tableRoot: String) {
   }
 
   /** Atomically publish a commit. Returns false if the instant already
-    * exists (concurrent writer won the rename) — caller retries with a
-    * fresh instant. */
+    * exists (a concurrent writer published it first) — caller retries
+    * with a fresh instant. Publish = hard-link creation, which fails
+    * with EEXIST rather than replacing, making the duplicate-instant
+    * race loss-free across processes. */
   def tryCommit(c: Commit): Boolean = {
     init()
     val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, mapper.writeValueAsBytes(c))
     val target = dir.resolve(s"${c.instant}.json")
-    if (Files.exists(target)) { Files.delete(tmp); return false }
     try {
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      Files.createLink(target, tmp)
+      parsed.put(target.getFileName.toString, c)
       true
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp); false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      Files.deleteIfExists(tmp)
     }
   }
 
@@ -161,24 +256,19 @@ final class CommitLog(tableRoot: String) {
     val lines = toArchive.map(p => new String(Files.readAllBytes(p), "UTF-8").replaceAll("\n", " "))
     Files.write(af, (lines.mkString("", "\n", "\n")).getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    toArchive.foreach(Files.delete)
+    toArchive.foreach { p =>
+      Files.delete(p)
+      parsed.remove(p.getFileName.toString)
+    }
     toArchive.size
   }
 
   /** Live files as of `asOf` (inclusive; None = latest): fold the
     * timeline, applying adds and removes in instant order. */
-  def liveFiles(asOf: Option[String] = None): Seq[DataFileMeta] = {
-    val upTo = commits().filter(c => asOf.forall(c.instant <= _))
-    val files = scala.collection.mutable.LinkedHashMap[String, DataFileMeta]()
-    upTo.foreach { c =>
-      c.removed.foreach(files.remove)
-      c.added.foreach(f => files(f.path) = f)
-    }
-    files.values.toSeq
-  }
+  def liveFiles(asOf: Option[String] = None): Seq[DataFileMeta] =
+    snapshot().liveFiles(asOf)
 
   /** Latest table schema as recorded by the newest commit carrying one. */
   def latestSchemaJson(asOf: Option[String] = None): Option[String] =
-    commits().filter(c => asOf.forall(c.instant <= _))
-      .reverseIterator.map(_.schemaJson).find(_.nonEmpty)
+    snapshot().latestSchemaJson(asOf)
 }

@@ -37,10 +37,13 @@ final class GraftTable private (
   // ------------------------------------------------------------------
 
   /** Latest committed schema (includes metadata columns). */
-  def schema: StructType = log.latestSchemaJson() match {
-    case Some(j) => DataType.fromJson(j).asInstanceOf[StructType]
-    case None => new StructType()
-  }
+  def schema: StructType = schemaOf(log.snapshot())
+
+  private def schemaOf(snap: TimelineSnapshot): StructType =
+    snap.latestSchemaJson() match {
+      case Some(j) => DataType.fromJson(j).asInstanceOf[StructType]
+      case None => new StructType()
+    }
 
   private def mergeSchemas(base: StructType, incoming: StructType): StructType = {
     val names = base.fieldNames.toSet
@@ -62,7 +65,8 @@ final class GraftTable private (
 
   /** Batch preparation shared by all write ops: attach `_commit_time`,
     * ensure the soft-delete flag exists, compute the evolved schema. */
-  private def prepare(df: DataFrame, instant: String): (DataFrame, StructType) = {
+  private def prepare(df: DataFrame, instant: String,
+      snap: TimelineSnapshot): (DataFrame, StructType) = {
     // incoming batches are ALWAYS stamped with the writing instant —
     // even when the rows were sourced from a snapshot read (UPDATE =
     // read-modify-write) they are new versions and must win the
@@ -72,7 +76,7 @@ final class GraftTable private (
     var batch = df.withColumn(CommitTimeCol, lit(instant))
     if (!batch.columns.contains(softDel))
       batch = batch.withColumn(softDel, lit(false))
-    val evolved = mergeSchemas(schema, batch.schema)
+    val evolved = mergeSchemas(schemaOf(snap), batch.schema)
     (align(batch, evolved), evolved)
   }
 
@@ -102,8 +106,16 @@ final class GraftTable private (
     case None => lit("all")
   }
 
-  private def bucketExpr: Column =
-    pmod(xxhash64(col(config.keyField)), lit(config.numBuckets)).cast(IntegerType)
+  /** Null record keys are rejected at plan time (Hudi's "record key
+    * cannot be null" contract) — without the guard the staged write
+    * lands under __HIVE_DEFAULT_PARTITION__ and the move loop dies with
+    * an opaque NumberFormatException after data was already staged. */
+  private def bucketExpr: Column = {
+    val keyOrFail = when(col(config.keyField).isNotNull, col(config.keyField))
+      .otherwise(raise_error(lit(
+        s"graft: record key '${config.keyField}' cannot be null")))
+    pmod(xxhash64(keyOrFail), lit(config.numBuckets)).cast(IntegerType)
+  }
 
   private def unescapePath(s: String): String = {
     val sb = new StringBuilder
@@ -226,14 +238,20 @@ final class GraftTable private (
   /** Optimistic concurrency control (T4, SURVEY.md §2.7): writers plan
     * against a snapshot (`planningInstant`) and validate under the
     * table lock that no commit has landed since that touches the same
-    * file groups / files / partitions. Append-only commits (insert,
-    * MOR deltas) skip validation — they can never conflict. */
+    * file groups / files / partitions. EVERY commit validates — even
+    * append-only ones (insert, MOR deltas), which can never conflict
+    * with each other but DO conflict with a replace commit (overwrite /
+    * drop-partition) that landed after their planning snapshot: without
+    * the symmetric check, an insert planned before a drop could publish
+    * after it and silently survive a commit claiming the partition is
+    * gone. */
   private[core] def commitValidated(c: Commit, planningInstant: String,
       touchedGroups: Set[(String, Int)],
       replacedParts: Option[Seq[String]] = None): String =
     log.withLock {
       val newer = log.commits().filter(_.instant > planningInstant)
       val ourRemoved = c.removed.toSet
+      val ourAddedParts = c.added.map(_.partition).toSet
       newer.foreach { n =>
         if (n.removed.exists(ourRemoved.contains))
           throw new ConcurrentWriteException(
@@ -241,6 +259,11 @@ final class GraftTable private (
         if (n.added.exists(f => touchedGroups.contains((f.partition, f.bucket))))
           throw new ConcurrentWriteException(
             s"commit ${n.instant} wrote into file groups this write rebuilt from a stale snapshot")
+        if (n.replacedPartitions.nonEmpty && ourAddedParts.nonEmpty &&
+            (n.replacedPartitions.contains("*") ||
+             ourAddedParts.exists(n.replacedPartitions.contains)))
+          throw new ConcurrentWriteException(
+            s"commit ${n.instant} replaced partitions this write adds into")
         replacedParts.foreach { parts =>
           val overlap = parts.contains("*") ||
             n.replacedPartitions.contains("*") ||
@@ -287,9 +310,10 @@ final class GraftTable private (
   def bulkInsert(df: DataFrame): String = write(df, "bulk_insert", precombine = false)
 
   private def write(df: DataFrame, op: String, precombine: Boolean): String = {
-    val planning = log.lastInstant().getOrElse("0")
-    val instant = log.nextInstant()
-    val (batch0, evolved) = prepare(df, instant)
+    val snap = log.snapshot()
+    val planning = snap.lastInstant.getOrElse("0")
+    val instant = log.nextInstantAfter(snap.lastInstant)
+    val (batch0, evolved) = prepare(df, instant, snap)
     val batch = if (precombine) latestWins(batch0) else batch0
     // T5 small-file handling: fold undersized base files of the groups
     // this insert lands in into the new write (bin packing) instead of
@@ -301,7 +325,7 @@ final class GraftTable private (
           .withColumn("_part", partExpr).withColumn("_bucket", bucketExpr)
           .select("_part", "_bucket").distinct()
           .collect().map(r => (r.getString(0), r.getInt(1))).toSet
-        log.liveFiles().filter(f => !f.delta &&
+        snap.liveFiles().filter(f => !f.delta &&
           f.bytes < config.smallFileLimitBytes &&
           groups.contains((f.partition, f.bucket)))
       }
@@ -311,8 +335,7 @@ final class GraftTable private (
     val added = writeFiles(toWrite, instant, delta = false)
     val c = Commit(instant, "commit", op, added = added,
       removed = smallVictims.map(_.path), schemaJson = evolved.json)
-    if (smallVictims.isEmpty) commitOrThrow(c)
-    else commitValidated(c, planning,
+    commitValidated(c, planning,
       smallVictims.map(f => (f.partition, f.bucket)).toSet)
   }
 
@@ -324,15 +347,16 @@ final class GraftTable private (
     * (StatsPruner). MOR: append delta files — zero read amplification.
     */
   def upsert(df: DataFrame): String = {
-    val planning = log.lastInstant().getOrElse("0")
-    val instant = log.nextInstant()
-    val (batch0, evolved) = prepare(df, instant)
+    val snap = log.snapshot()
+    val planning = snap.lastInstant.getOrElse("0")
+    val instant = log.nextInstantAfter(snap.lastInstant)
+    val (batch0, evolved) = prepare(df, instant, snap)
     val batch = latestWins(batch0).persist()
     try {
       if (config.isMor) {
         val added = writeFiles(batch, instant, delta = true)
-        commitOrThrow(Commit(instant, "commit", "upsert", added = added,
-          schemaJson = evolved.json))
+        commitValidated(Commit(instant, "commit", "upsert", added = added,
+          schemaJson = evolved.json), planning, Set.empty)
       } else {
         val touched = batch
           .withColumn("_part", partExpr).withColumn("_bucket", bucketExpr)
@@ -344,7 +368,7 @@ final class GraftTable private (
           .toMap
         val keyType = evolved.fields.find(_.name == config.keyField)
           .map(_.dataType).getOrElse(StringType)
-        val (rewrite, untouched) = log.liveFiles().partition { f =>
+        val (rewrite, untouched) = snap.liveFiles().partition { f =>
           touched.get((f.partition, f.bucket)) match {
             case Some((mn, mx)) =>
               StatsPruner.rangesOverlap(keyType, f.minKey, f.maxKey, mn, mx)
@@ -383,20 +407,21 @@ final class GraftTable private (
   /** Delete by a DataFrame of victim rows (must carry key + partition +
     * ordering columns — e.g. rows selected from a snapshot read). */
   def deleteRows(victims: DataFrame): String = {
-    val planning = log.lastInstant().getOrElse("0")
-    val instant = log.nextInstant()
+    val snap = log.snapshot()
+    val planning = snap.lastInstant.getOrElse("0")
+    val instant = log.nextInstantAfter(snap.lastInstant)
     if (config.isMor) {
       // tombstone deltas: same schema, soft-delete flag set, ordering
       // preserved so the tombstone wins the merge at equal ordering via
       // commit time.
       val (batch0, evolved) = prepare(
         victims.withColumn(softDel, lit(true))
-          .withColumn(CommitTimeCol, lit(instant)), instant)
+          .withColumn(CommitTimeCol, lit(instant)), instant, snap)
       val added = writeFiles(latestWins(batch0), instant, delta = true)
-      commitOrThrow(Commit(instant, "commit", "delete", added = added,
-        schemaJson = evolved.json))
+      commitValidated(Commit(instant, "commit", "delete", added = added,
+        schemaJson = evolved.json), planning, Set.empty)
     } else {
-      val evolved = schema
+      val evolved = schemaOf(snap)
       val keyType = evolved.fields.find(_.name == config.keyField)
         .map(_.dataType).getOrElse(StringType)
       val idCols = config.partitionField.toSeq :+ config.keyField
@@ -411,7 +436,7 @@ final class GraftTable private (
           .collect()
           .map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getString(3)))
           .toMap
-        val (rewrite, _) = log.liveFiles().partition { f =>
+        val (rewrite, _) = snap.liveFiles().partition { f =>
           touched.get((f.partition, f.bucket)) match {
             case Some((mn, mx)) =>
               StatsPruner.rangesOverlap(keyType, f.minKey, f.maxKey, mn, mx)
@@ -433,12 +458,13 @@ final class GraftTable private (
   /** Replace the partitions present in `df` (dynamic INSERT OVERWRITE,
     * D6 / SparkInsertOverwriteNode). */
   def insertOverwrite(df: DataFrame): String = {
-    val planning = log.lastInstant().getOrElse("0")
-    val instant = log.nextInstant()
-    val (batch, evolved) = prepare(df, instant)
+    val snap = log.snapshot()
+    val planning = snap.lastInstant.getOrElse("0")
+    val instant = log.nextInstantAfter(snap.lastInstant)
+    val (batch, evolved) = prepare(df, instant, snap)
     val parts = batch.select(partExpr.as("p")).distinct()
       .collect().map(_.getString(0)).toSet
-    val removed = log.liveFiles().filter(f => parts.contains(f.partition))
+    val removed = snap.liveFiles().filter(f => parts.contains(f.partition))
     val added = writeFiles(latestWins(batch), instant, delta = false)
     commitValidated(Commit(instant, "replace", "insert_overwrite",
       added = added, removed = removed.map(_.path),
@@ -448,10 +474,11 @@ final class GraftTable private (
 
   /** Replace the whole table (D7 / SparkInsertOverwriteTableNode). */
   def insertOverwriteTable(df: DataFrame): String = {
-    val planning = log.lastInstant().getOrElse("0")
-    val instant = log.nextInstant()
-    val (batch, evolved) = prepare(df, instant)
-    val removed = log.liveFiles()
+    val snap = log.snapshot()
+    val planning = snap.lastInstant.getOrElse("0")
+    val instant = log.nextInstantAfter(snap.lastInstant)
+    val (batch, evolved) = prepare(df, instant, snap)
+    val removed = snap.liveFiles()
     val added = writeFiles(latestWins(batch), instant, delta = false)
     commitValidated(Commit(instant, "replace", "insert_overwrite_table",
       added = added, removed = removed.map(_.path),
@@ -460,13 +487,19 @@ final class GraftTable private (
   }
 
   /** Drop whole partitions (D8 / SparkDeletePartitionNode,
-    * `partitions_to_delete`, spark-non-core-operations.yaml:175-179). */
+    * `partitions_to_delete`, spark-non-core-operations.yaml:175-179).
+    * A replace commit like the overwrites: validated under OCC so a
+    * concurrent write into the dropped partition conflicts instead of
+    * silently surviving a commit that claims the partition is gone. */
   def deletePartitions(values: Seq[String]): String = {
-    val instant = log.nextInstant()
-    val removed = log.liveFiles().filter(f => values.contains(f.partition))
-    commitOrThrow(Commit(instant, "replace", "delete_partition",
+    val snap = log.snapshot()
+    val planning = snap.lastInstant.getOrElse("0")
+    val instant = log.nextInstantAfter(snap.lastInstant)
+    val removed = snap.liveFiles().filter(f => values.contains(f.partition))
+    commitValidated(Commit(instant, "replace", "delete_partition",
       removed = removed.map(_.path), replacedPartitions = values,
-      schemaJson = schema.json))
+      schemaJson = schemaOf(snap).json),
+      planning, Set.empty, Some(values))
   }
 
   // ------------------------------------------------------------------
@@ -484,48 +517,72 @@ final class GraftTable private (
   }
 
   /** Snapshot view: COW = live base files; MOR = realtime merge. */
-  def read(asOf: Option[String] = None): DataFrame =
-    if (config.isMor) readRealtime(asOf)
+  def read(asOf: Option[String] = None): DataFrame = {
+    val snap = log.snapshot()
+    if (config.isMor) realtimeOf(snap, asOf)
     else {
-      val s = schemaAt(asOf)
-      readFiles(log.liveFiles(asOf).filterNot(_.delta), s)
+      val s = schemaAt(snap, asOf)
+      readFiles(snap.liveFiles(asOf).filterNot(_.delta), s)
         .filter(!coalesce(col(softDel), lit(false)))
     }
+  }
 
-  private def schemaAt(asOf: Option[String]): StructType =
-    log.latestSchemaJson(asOf)
-      .map(DataType.fromJson(_).asInstanceOf[StructType]).getOrElse(schema)
+  private def schemaAt(snap: TimelineSnapshot, asOf: Option[String]): StructType =
+    snap.latestSchemaJson(asOf)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .getOrElse(schemaOf(snap))
 
   /** Read-optimized view (`_ro`): base files only — fast, possibly
     * stale for MOR (README.md:728-730 divergence semantics). */
-  def readOptimized(asOf: Option[String] = None): DataFrame =
-    readFiles(log.liveFiles(asOf).filterNot(_.delta), schemaAt(asOf))
+  def readOptimized(asOf: Option[String] = None): DataFrame = {
+    val snap = log.snapshot()
+    readFiles(snap.liveFiles(asOf).filterNot(_.delta), schemaAt(snap, asOf))
+  }
+
+  /** Group-scoped latest-wins merge: only file groups that actually
+    * carry delta files go through the Window; base-only groups are
+    * unioned pass-through. At a 1%-dirty table this caps the shuffle at
+    * O(dirty keys) instead of O(all keys) — the reference's "file-ids
+    * without updates are filtered out without scanning" semantics
+    * (hudi-spark-minio-trino/README.md:728-730, 966-979). */
+  private def mergeGroupScoped(live: Seq[DataFileMeta], sch: StructType): DataFrame = {
+    val deltaGroups = live.filter(_.delta).map(f => (f.partition, f.bucket)).toSet
+    if (deltaGroups.isEmpty) return readFiles(live, sch) // fully compacted: no Window at all
+    val (mergeFiles, passthrough) =
+      live.partition(f => deltaGroups.contains((f.partition, f.bucket)))
+    val merged = latestWins(readFiles(mergeFiles, sch))
+    if (passthrough.isEmpty) merged
+    else merged.unionByName(readFiles(passthrough, sch))
+  }
 
   /** Realtime view (`_rt`): merge base + delta with latest-wins, drop
     * tombstones (README.md:730). */
-  def readRealtime(asOf: Option[String] = None): DataFrame = {
-    val live = log.liveFiles(asOf)
-    val merged = latestWins(readFiles(live, schemaAt(asOf)))
-    merged.filter(!coalesce(col(softDel), lit(false)))
-  }
+  def readRealtime(asOf: Option[String] = None): DataFrame =
+    realtimeOf(log.snapshot(), asOf)
+
+  private def realtimeOf(snap: TimelineSnapshot, asOf: Option[String]): DataFrame =
+    mergeGroupScoped(snap.liveFiles(asOf), schemaAt(snap, asOf))
+      .filter(!coalesce(col(softDel), lit(false)))
 
   /** Incremental read: the latest state of rows written in commits in
     * `(fromExclusive, fromExclusive + maxCommits]` (README.md:966-984).
     * File skipping: only file groups touched by in-range row commits are
-    * scanned; table-service commits don't widen the range. */
+    * scanned — and of those, only delta-bearing groups pay the merge
+    * window; table-service commits don't widen the range. */
   def readIncremental(fromExclusive: String, maxCommits: Int = Int.MaxValue): DataFrame = {
-    val rowCommits = log.commits()
+    val snap = log.snapshot()
+    val rowCommits = snap.commits
       .filter(c => c.instant > fromExclusive)
       .filter(c => c.action == "commit" || c.action == "replace")
       .take(maxCommits)
     if (rowCommits.isEmpty)
-      return readFiles(Nil, schema).limit(0)
+      return readFiles(Nil, schemaOf(snap)).limit(0)
     val end = rowCommits.last.instant
     val touched = rowCommits.flatMap(_.added).map(f => (f.partition, f.bucket)).toSet
-    val live = log.liveFiles(Some(end))
+    val live = snap.liveFiles(Some(end))
       .filter(f => touched.contains((f.partition, f.bucket)))
-    val s = schemaAt(Some(end))
-    latestWins(readFiles(live, s))
+    val s = schemaAt(snap, Some(end))
+    mergeGroupScoped(live, s)
       .filter(col(TableConfig.CommitTimeCol) > fromExclusive &&
               col(TableConfig.CommitTimeCol) <= end)
       .filter(!coalesce(col(softDel), lit(false)))
@@ -534,15 +591,31 @@ final class GraftTable private (
   /** Scan with driver-side file skipping on a stats column: only files
     * whose [min,max] may contain a value in [lo,hi] are listed (the
     * Delta-stats data-skipping analog, SURVEY.md §4). Filters must still
-    * be applied by the caller — this narrows IO, not semantics. */
+    * be applied by the caller — this narrows IO, not semantics.
+    *
+    * MOR pruning is GROUP-granular, not file-granular: dropping a single
+    * delta file before the latest-wins merge would resurrect the older
+    * in-range version of any key whose newest version moved out of
+    * [lo,hi] (or was tombstoned). A group is scanned in full if any of
+    * its live files may contain the range; a group is skipped only when
+    * no file of the group can — in which case no key in the group has a
+    * CURRENT version in range either, so skipping is semantics-free. */
   def readWhereBetween(column: String, lo: Option[String], hi: Option[String]): DataFrame = {
-    val s = schema
+    val snap = log.snapshot()
+    val s = schemaAt(snap, None)
     val dt = s.fields.find(_.name == column).map(_.dataType).getOrElse(StringType)
-    val files = log.liveFiles().filter(f =>
-      StatsPruner.mayContain(dt, f.stats.get(column), lo, hi))
-    val df = readFiles(files, s)
-    if (config.isMor) latestWins(df).filter(!coalesce(col(softDel), lit(false)))
-    else df.filter(!coalesce(col(softDel), lit(false)))
+    val live = snap.liveFiles()
+    if (config.isMor) {
+      val survivingGroups = live
+        .filter(f => StatsPruner.mayContain(dt, f.stats.get(column), lo, hi))
+        .map(f => (f.partition, f.bucket)).toSet
+      val files = live.filter(f => survivingGroups.contains((f.partition, f.bucket)))
+      mergeGroupScoped(files, s).filter(!coalesce(col(softDel), lit(false)))
+    } else {
+      val files = live.filter(f =>
+        StatsPruner.mayContain(dt, f.stats.get(column), lo, hi))
+      readFiles(files, s).filter(!coalesce(col(softDel), lit(false)))
+    }
   }
 
   /** Partition listing (SHOW PARTITIONS analog, README.md:372-374). */

@@ -1,0 +1,173 @@
+package graft.core
+
+import graft.Session
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Round-2 core fixes: group-scoped MOR merge, MOR-safe stats pruning,
+  * OCC on delete_partition, null-key rejection, loss-free commit
+  * publish, timeline parse caching, stale-lock takeover. */
+class Round2CoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-r2-").toString
+
+  private def rows(rs: (String, String, Long)*): DataFrame =
+    rs.toDF("key", "ts", "volume")
+
+  private def cfg(name: String, tpe: String, buckets: Int = 4) = TableConfig(
+    name = name, keyField = "key", orderingField = "ts",
+    partitionField = None, tableType = tpe, numBuckets = buckets,
+    statsColumns = Seq("volume"))
+
+  // ---- MOR stats pruning must not resurrect superseded rows ---------
+
+  test("MOR readWhereBetween: update moving value out of range is not resurrected") {
+    val t = GraftTable.create(spark, tmp(), cfg("prune_upd", TableConfig.Mor))
+    t.insert(rows(("K1", "t1", 150L), ("K2", "t1", 150L)))
+    t.upsert(rows(("K1", "t2", 50L))) // K1's newest version leaves [100, ∞)
+    val got = t.readWhereBetween("volume", lo = Some("100"), hi = None)
+      .filter($"volume" >= 100)
+      .select("key").as[String].collect().toSet
+    assert(got == Set("K2")) // file-granular pruning would return K1@150 too
+    // and the merge itself serves the current version, not the old one
+    val k1 = t.readWhereBetween("volume", lo = Some("100"), hi = None)
+      .filter($"key" === "K1").select("volume").as[Long].collect().toSeq
+    assert(k1 == Seq(50L) || k1.isEmpty)
+  }
+
+  test("MOR readWhereBetween: tombstoned key is not resurrected") {
+    val t = GraftTable.create(spark, tmp(), cfg("prune_del", TableConfig.Mor))
+    t.insert(rows(("K1", "t1", 150L), ("K2", "t1", 150L)))
+    t.deleteRows(rows(("K1", "t2", 150L)))
+    val got = t.readWhereBetween("volume", lo = Some("100"), hi = None)
+      .filter($"volume" >= 100)
+      .select("key").as[String].collect().toSet
+    assert(got == Set("K2"))
+  }
+
+  // ---- group-scoped realtime merge ----------------------------------
+
+  test("MOR realtime merge windows only delta-bearing groups (plan + content)") {
+    val t = GraftTable.create(spark, tmp(), cfg("gs", TableConfig.Mor, buckets = 8))
+    val base = (1 to 16).map(i => (s"K$i", "t1", i.toLong))
+    t.insert(rows(base: _*))
+    t.upsert(rows(("K1", "t2", 100L))) // exactly one group dirtied
+    val rt = t.readRealtime()
+    // content: latest state everywhere
+    val got = rt.select("key", "volume").as[(String, Long)].collect().toMap
+    assert(got.size == 16 && got("K1") == 100L && got("K2") == 2L)
+    // plan: a Union of (windowed merge over the dirty group) and a
+    // pass-through scan of the clean groups — the windowed branch must
+    // read strictly fewer files than the table holds
+    val plan = rt.queryExecution.optimizedPlan
+    assert(plan.toString.contains("Union"))
+    val scanned = plan.collect {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        l.relation.asInstanceOf[HadoopFsRelation].location.inputFiles.length
+    }.sorted
+    val total = t.log.liveFiles().size
+    assert(scanned.size == 2 && scanned.sum == total && scanned.head < total)
+    // window appears exactly once, over the merge branch
+    assert(plan.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.size == 1)
+  }
+
+  test("all-base MOR realtime read has no Window at all") {
+    val t = GraftTable.create(spark, tmp(), cfg("gs0", TableConfig.Mor))
+    t.insert(rows(("K1", "t1", 1L), ("K2", "t1", 2L)))
+    TableServices.compact(t) // no deltas to begin with; stays base-only
+    val plan = t.readRealtime().queryExecution.optimizedPlan
+    assert(plan.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty)
+    assert(t.readRealtime().count() == 2)
+  }
+
+  // ---- null record key rejected up front ----------------------------
+
+  test("null record key fails fast with a clear message") {
+    val t = GraftTable.create(spark, tmp(), cfg("nullkey", TableConfig.Cow))
+    val bad = Seq((null.asInstanceOf[String], "t1", 1L)).toDF("key", "ts", "volume")
+    val ex = intercept[Throwable] { t.insert(bad) }
+    def messages(e: Throwable): String =
+      if (e == null) "" else e.getMessage + " " + messages(e.getCause)
+    assert(messages(ex).contains("cannot be null"))
+  }
+
+  // ---- delete_partition races a concurrent writer -------------------
+
+  test("delete_partition is OCC-validated: no rows written before the drop survive it") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, TableConfig(
+      name = "dp", keyField = "key", orderingField = "ts",
+      partitionField = Some("p"), numBuckets = 2))
+    t.insert(Seq(("K0", "t0", "P1")).toDF("key", "ts", "p"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writer = new Thread(() => {
+      var i = 0
+      while (!stop.get()) {
+        try t.insert(Seq((s"W$i", "t1", "P1")).toDF("key", "ts", "p"))
+        catch { case _: ConcurrentWriteException => () }
+        i += 1
+      }
+    })
+    writer.start()
+    Thread.sleep(150)
+    val dropInstant =
+      try {
+        var got: String = null
+        var tries = 0
+        while (got == null) {
+          try got = t.deletePartitions(Seq("P1"))
+          catch { case _: ConcurrentWriteException =>
+            tries += 1; assert(tries < 200); Thread.sleep(10) }
+        }
+        got
+      } finally { stop.set(true); writer.join() }
+    // every surviving P1 row must postdate the drop commit
+    val survivors = t.read().filter($"p" === "P1")
+      .select(TableConfig.CommitTimeCol).as[String].collect()
+    assert(survivors.forall(_ > dropInstant))
+  }
+
+  // ---- commit publish + parse cache + stale lock --------------------
+
+  test("tryCommit refuses an already-published instant (link, not rename)") {
+    val log = new CommitLog(tmp())
+    val c = Commit("0000000000000000001", "commit", "insert")
+    assert(log.tryCommit(c))
+    assert(!log.tryCommit(c.copy(operation = "late")))
+    assert(log.commits().map(_.operation) == Seq("insert"))
+  }
+
+  test("timeline parse cache: commits parsed O(new), not O(all), per op") {
+    val t = GraftTable.create(spark, tmp(), cfg("cache", TableConfig.Cow))
+    t.insert(rows(("K0", "t0", 0L)))
+    val before = CommitLog.filesParsed.get()
+    val k = 15
+    (1 to k).foreach(i => t.insert(rows((s"K$i", "t1", i.toLong))))
+    val parsed = CommitLog.filesParsed.get() - before
+    // quadratic re-parsing would exceed k*(k-1)/2 = 105 here
+    assert(parsed <= 6L * k, s"parsed $parsed commit files for $k inserts")
+  }
+
+  test("stale LOCK is taken over instead of wedging all writers") {
+    val root = tmp()
+    val log = new CommitLog(root)
+    log.init()
+    val lock = java.nio.file.Paths.get(root, CommitLog.Dir, "LOCK")
+    Files.write(lock, """{"owner":"dead","acquiredMs":0}""".getBytes)
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000))
+    sys.props("graft.lock.staleMs") = "1000"
+    try {
+      val got = log.withLock { 42 }
+      assert(got == 42)
+      assert(!Files.exists(lock))
+    } finally sys.props.remove("graft.lock.staleMs")
+  }
+}
