@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{GraftExpressions, TextFunctions}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, IvfIndex, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -73,9 +73,21 @@ object PipelineQueries {
         "doc_id", "text", maxHamming = 8)
       .orderBy("doc_a", "doc_b")
 
+  /** Exact all-pairs embedding dedup — the VERIFIER baseline (O(N²),
+    * never the scale path); [[dEmbeddingLsh]] is the gated scalable
+    * equivalent. Both share one oracle: the LSH path must reproduce
+    * the exact answer. */
   def dEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(Tables.load(spark, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.45)
+      .orderBy("id_a", "id_b")
+
+  /** Scalable embedding dedup: LSH-bucketed candidates + exact-cosine
+    * verify (auto-sized tables for per-pair miss ≤ 1e-8 at the
+    * threshold) — no all-pairs join anywhere in the plan. */
+  def dEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshCandidatePairs(Tables.load(spark, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, threshold = 0.45)
       .orderBy("id_a", "id_b")
 
   private val dEmbeddingSql =
@@ -152,7 +164,12 @@ object PipelineQueries {
       |SELECT query_id, neighbor_id, rank, cosine FROM r
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** LSH ANN — approximate; covered by recall-vs-exact ScalaTest. */
+  /** LSH ANN at full-recall parameters (auto-sized: per-neighbor miss
+    * ≤ 1e-8 down to cosine 0.2, below the weakest true top-5 neighbor
+    * in this data) — output must equal exact brute force, which is the
+    * oracle. Same gate pattern as p3: the approximation has to reach
+    * the exact answer. Partial-recall configs are exercised in
+    * ScalaTest. */
   def sLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.load(spark, dir, "embeddings")
     Similarity.lshTopK(embs, embs.filter(col("vec_id") < 10),
@@ -160,14 +177,26 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF ANN (inverted-file coarse quantizer over the label column) —
-    * approximate; recall-vs-exact in ScalaTest. */
+  /** IVF ANN via the PERSISTED index ([[graft.operators.IvfIndex]]):
+    * built once per corpus (k-means table service, assignments
+    * partitioned by list), queried with partition pruning. Gated at
+    * full probe (nProbe = nLists), where the index machinery must
+    * reproduce exact brute force bit-for-bit — the oracle. Partial
+    * probe (the scale path: nProbe/nLists of the corpus scanned) is
+    * covered by recall + partition-pruning ScalaTests. */
   def sIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.load(spark, dir, "embeddings")
-    Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 10),
-        "vec_id", "embedding", listCol = "label", k = 5, nProbe = 4)
+    val nLists = 16
+    val path = ivfCachePath(dir)
+    IvfIndex.buildIfStale(embs, "vec_id", "embedding", nLists, path)
+    IvfIndex.topK(spark, path, embs.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = nLists)
       .orderBy("query_id", "rank")
   }
+
+  private def ivfCachePath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-ivf-${
+      java.lang.Integer.toHexString(dir.hashCode)}"
 
   // ---- text analysis -------------------------------------------------
 
@@ -193,14 +222,50 @@ object PipelineQueries {
        |       AS DOUBLE) / length(text) AS punct_ratio
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Language ID (custom Catalyst expression, trigram profiles) — not
-    * SQL-expressible; accuracy asserted in ScalaTest on multilingual
-    * fixtures. */
+  /** Language ID over the corpus (custom Catalyst expression, trigram
+    * profiles) — available as an operator; the GATE runs the classifier
+    * on [[langFixture]], a planted-label fixture whose expected outputs
+    * the DuckDB oracle states as literals (the per-row exact-match gate
+    * VERDICT r1 asked for; the synthetic `documents.lang` labels are
+    * word-salad and not classifier-reachable by design). */
   def tLangId(spark: SparkSession, dir: String): DataFrame = {
     GraftExpressions.register(spark)
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), GraftExpressions.lang_id(col("text")).as("lang_pred"))
       .orderBy("doc_id")
+  }
+
+  /** (id, text, expected-lang) — real function-word sentences per
+    * language, plus script-detection and und floors. */
+  private[graft] val langFixture: Seq[(Int, String, String)] = Seq(
+    (0, "the cat is on the mat and it is happy that the day is warm", "en"),
+    (1, "it is the end of the day and the children are in the house", "en"),
+    (2, "der hund und die katze sind mit dem kind in dem garten", "de"),
+    (3, "das kind und die frau sind in dem haus mit einem hund", "de"),
+    (4, "le chien et le chat sont dans le jardin avec les enfants", "fr"),
+    (5, "les parents et les enfants sont dans la maison avec le chien", "fr"),
+    (6, "el perro y el gato están en el jardín con los niños de la casa", "es"),
+    (7, "los niños y los padres están en la casa con el perro del barrio", "es"),
+    (8, "il cane e il gatto sono nel giardino con i bambini della casa", "it"),
+    (9, "o cachorro e o gato estão no jardim com as crianças da casa", "pt"),
+    (10, "今天天气很好我们一起去公园散步吧", "zh"),
+    (11, "今日はいい天気ですから公園へさんぽに行きましょう", "ja"),
+    (12, "오늘은 날씨가 좋아서 공원에 산책하러 갑니다", "ko"),
+    (13, "xyzzy qwfp 12345", "und"))
+
+  def tLangIdFixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    GraftExpressions.register(spark)
+    langFixture.map { case (id, text, _) => (id, text) }
+      .toDF("sample_id", "text")
+      .select(col("sample_id"), GraftExpressions.lang_id(col("text")).as("lang_pred"))
+      .orderBy("sample_id")
+  }
+
+  private val tLangIdSql = {
+    val rows = langFixture
+      .map { case (id, _, lang) => s"($id, '$lang')" }.mkString(", ")
+    s"SELECT * FROM (VALUES $rows) AS t(sample_id, lang_pred) ORDER BY sample_id"
   }
 
   /** Winnowing fingerprints (custom expression) — rows-only check. */
@@ -257,12 +322,13 @@ object PipelineQueries {
     "p6_ann_brute_topk" -> (sBruteTopK _),
     "p7_ann_lsh_topk" -> (sLshTopK _),
     "p8_text_quality" -> (tQuality _),
-    "p9_lang_id" -> (tLangId _),
+    "p9_lang_id" -> (tLangIdFixture _),
     "p10_fingerprint" -> (tFingerprint _),
     "p11_token_count" -> (tTokenCount _),
     "p12_multimodal_binary" -> (mBinary _),
     "p13_dedup_clusters" -> (dClusters _),
     "p14_ann_ivf_topk" -> (sIvfTopK _),
+    "p15_dedup_embedding_lsh" -> (dEmbeddingLsh _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -271,11 +337,18 @@ object PipelineQueries {
     "p3_dedup_minhash_lsh" -> jaccardOracle(0.7),
     "p5_dedup_embedding" -> dEmbeddingSql,
     "p6_ann_brute_topk" -> sBruteSql,
+    // p7: approximation gated at full-recall params → must equal exact
+    "p7_ann_lsh_topk" -> sBruteSql,
     "p8_text_quality" -> tQualitySql,
+    "p9_lang_id" -> tLangIdSql,
     "p11_token_count" -> tTokenSql,
     "p12_multimodal_binary" -> mBinarySql,
     "p13_dedup_clusters" -> dClustersSql,
-    // p4, p7, p9, p10: not SQL-expressible → rows-only driver check +
-    // ScalaTest recall/accuracy assertions.
+    // p14: persisted-index IVF at full probe → must equal exact
+    "p14_ann_ivf_topk" -> sBruteSql,
+    // p15: LSH candidates + exact verify → must equal the all-pairs SQL
+    "p15_dedup_embedding_lsh" -> dEmbeddingSql,
+    // p4 (simhash), p10 (winnowing): banded 64-bit fingerprints are not
+    // SQL-expressible → rows-only driver check + ScalaTest recall.
   )
 }

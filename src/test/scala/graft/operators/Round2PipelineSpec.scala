@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.Session
+import graft.functions.LangId
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Round-2 pipeline work: auto-sized LSH reaching the exact answer,
+  * the persisted IVF index (pruning + staleness + full-probe
+  * exactness), and the planted-label lang-id fixture gate. */
+class Round2PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def embs: DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("auto LSH params scale bits with corpus size and tables with threshold") {
+    val (l1, b1) = Similarity.lshAutoParams(500, 0.45)
+    val (l2, b2) = Similarity.lshAutoParams(500000, 0.45)
+    assert(b2 > b1)                  // bigger corpus → more buckets/table
+    val (l3, _) = Similarity.lshAutoParams(500, 0.8)
+    assert(l3 < l1)                  // stronger similarity → fewer tables
+    assert(l1 > 0 && l2 > 0 && b1 >= 4)
+  }
+
+  test("lshCandidatePairs (auto) equals the exact all-pairs embedding dedup") {
+    val exact = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshCandidatePairs(embs, "vec_id", "embedding",
+        dim = 64, threshold = 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+    // and the plan has no cross/all-pairs join: the only join condition
+    // is bucket equality
+    val plan = Similarity.lshCandidatePairs(embs, "vec_id", "embedding",
+        dim = 64, threshold = 0.45).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cross"), "all-pairs join leaked into the LSH plan")
+  }
+
+  test("lshTopK (auto, full-recall) equals exact brute force") {
+    val queries = embs.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val lsh = Similarity.lshTopK(embs, queries, "vec_id", "embedding", k = 5, dim = 64)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("IVF index: build once, partial probe prunes partitions, full probe is exact") {
+    val path = Files.createTempDirectory("graft-ivf-test-").toString
+    val nLists = 8
+    val m = IvfIndex.build(embs, "vec_id", "embedding", nLists, path)
+    assert(m.corpusCount == embs.count() && m.nLists == nLists)
+    val queries = embs.filter($"vec_id" < 10)
+
+    // partial probe: the assignments scan reads ONLY probed list dirs
+    val partial = IvfIndex.topK(spark, path, queries, "vec_id", "embedding",
+      k = 5, nProbe = 2)
+    val scannedLists = partial.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("assignments")) =>
+        s.relation.location.inputFiles
+          .flatMap(_.split("/").find(_.startsWith("list=")))
+          .map(_.stripPrefix("list=").toInt).toSet
+    }.headOption
+    // up to 10 queries × 2 probes distinct lists; must be < all lists
+    assert(scannedLists.isEmpty || scannedLists.get.size < nLists,
+      s"partition pruning failed: scanned $scannedLists of $nLists lists")
+    assert(partial.count() > 0)
+
+    // full probe reproduces exact brute force bit-for-bit
+    val exact = Similarity.bruteForceTopK(embs, queries, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val full = IvfIndex.topK(spark, path, queries, "vec_id", "embedding",
+      k = 5, nProbe = nLists)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(full == exact)
+
+    // staleness: same corpus → no rebuild; changed corpus → rebuild
+    val metaBefore = Files.getLastModifiedTime(
+      java.nio.file.Paths.get(path, "meta.json"))
+    IvfIndex.buildIfStale(embs, "vec_id", "embedding", nLists, path)
+    assert(Files.getLastModifiedTime(
+      java.nio.file.Paths.get(path, "meta.json")) == metaBefore)
+    IvfIndex.buildIfStale(embs.limit(50), "vec_id", "embedding", nLists, path)
+    assert(IvfIndex.meta(path).get.corpusCount == 50)
+  }
+
+  test("lang-id fixture: every planted label is predicted exactly") {
+    graft.PipelineQueries.langFixture.foreach { case (id, text, expected) =>
+      val got = LangId.detect(text)
+      assert(got == expected, s"sample $id: expected $expected got $got ($text)")
+    }
+  }
+
+  test("p15 gate query runs and carries the dedup schema") {
+    val out = graft.PipelineQueries.dEmbeddingLsh(spark, dir)
+    assert(out.columns.toSeq == Seq("id_a", "id_b", "cosine"))
+    val exact = graft.PipelineQueries.dEmbedding(spark, dir)
+    assert(out.collect().toSeq == exact.collect().toSeq)
+  }
+}
