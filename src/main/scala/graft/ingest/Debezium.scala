@@ -33,6 +33,82 @@ object Debezium {
       .select(col("e.before").as("before"), col("e.after").as("after"),
         col("e.op").as("op"), col("e.ts_ms").as("ts_ms"))
 
+  // ---- Avro envelopes (reference: register-mysql-avro.json:4-22 — the
+  // CDC demos are Avro-first; JSON alone cannot ingest them) ----------
+
+  /** Avro schema for the envelope: the row record referenced twice as a
+    * nullable union, primitives mapped per field. The analog of the
+    * connector's value.converter schema. */
+  def avroEnvelopeSchema(row: StructType, recordName: String = "Row"): org.apache.avro.Schema = {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    def avroField(dt: org.apache.spark.sql.types.DataType): Schema = dt match {
+      case StringType => Schema.create(Schema.Type.STRING)
+      case LongType => Schema.create(Schema.Type.LONG)
+      case IntegerType => Schema.create(Schema.Type.INT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case other => throw new IllegalArgumentException(
+        s"unsupported CDC avro field type $other")
+    }
+    val rowSchema = row.fields.foldLeft(SchemaBuilder.record(recordName).fields()) {
+      (b, f) => b.name(f.name).`type`(Schema.createUnion(
+        Schema.create(Schema.Type.NULL), avroField(f.dataType))).withDefault(null)
+    }.endRecord()
+    val env = Schema.createRecord("DebeziumEnvelope", null, "graft.cdc", false)
+    env.setFields(java.util.Arrays.asList(
+      new Schema.Field("before",
+        Schema.createUnion(Schema.create(Schema.Type.NULL), rowSchema), null,
+        Schema.Field.NULL_DEFAULT_VALUE),
+      new Schema.Field("after",
+        Schema.createUnion(Schema.create(Schema.Type.NULL), rowSchema), null,
+        Schema.Field.NULL_DEFAULT_VALUE),
+      new Schema.Field("op", Schema.create(Schema.Type.STRING), null),
+      new Schema.Field("ts_ms", Schema.create(Schema.Type.LONG), null)))
+    env
+  }
+
+  /** Parse Avro-encoded envelopes from a binary column. The writer
+    * schema comes from a local `.avsc` JSON string — the
+    * FilebasedSchemaProvider analog of the reference's Schema-Registry
+    * setup (a registry client would supply the same JSON per schema
+    * id). `confluentFramed` strips the registry wire prefix (magic
+    * byte 0 + 4-byte schema id) the Avro converters prepend.
+    *
+    * Decode happens once, at the source boundary, in a mapPartitions
+    * over the binary column (one DatumReader per partition); rows then
+    * re-enter the typed plan via the same from_json path as the JSON
+    * source, so everything downstream of the boundary stays
+    * codegen'd. */
+  def parseAvro(raw: DataFrame, binCol: String, avroSchemaJson: String,
+      row: StructType, confluentFramed: Boolean = false): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val jsons = raw.select(col(binCol)).as[Array[Byte]].mapPartitions { it =>
+      val schema = new org.apache.avro.Schema.Parser().parse(avroSchemaJson)
+      val reader = new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord](schema)
+      it.map { bytes =>
+        val (buf, off, len) =
+          if (confluentFramed && bytes.length > 5 && bytes(0) == 0)
+            (bytes, 5, bytes.length - 5)
+          else (bytes, 0, bytes.length)
+        val dec = org.apache.avro.io.DecoderFactory.get()
+          .binaryDecoder(buf, off, len, null)
+        reader.read(null, dec).toString // GenericRecord.toString is JSON
+      }
+    }.toDF("json")
+    parse(jsons, "json", row)
+  }
+
+  /** Schema-from-file variant (`.avsc` on local/shared storage). */
+  def parseAvroFile(raw: DataFrame, binCol: String, avscPath: String,
+      row: StructType, confluentFramed: Boolean = false): DataFrame =
+    parseAvro(raw, binCol,
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(avscPath)), "UTF-8"),
+      row, confluentFramed)
+
   /** Apply parsed change events to a graft table.
     *
     * Semantics: for each key, the batch's latest event (by ts_ms)
@@ -76,10 +152,17 @@ object Debezium {
     var commits = List.empty[String]
     if (!upserts.isEmpty) commits ::= table.upsert(upserts)
     if (!deletes.isEmpty) {
-      // drop deletes that are older than the current table row
+      // drop deletes that are older than the current table row. The
+      // probe read is PRUNED to the deletes' key range via the same
+      // commit-log stats the upsert planner uses — a CDC batch pays
+      // O(touched file groups), not a full-table scan.
       val idCols = cfg.partitionField.toSeq :+ cfg.keyField
-      val cur = table.read().select(
-        (idCols.map(col) :+ col(cfg.orderingField).as("__cur_ord")): _*)
+      val range = deletes.agg(
+        min(col(cfg.keyField)).cast(StringType).as("mn"),
+        max(col(cfg.keyField)).cast(StringType).as("mx")).first()
+      val cur = table.readWhereBetween(cfg.keyField,
+          Option(range.getString(0)), Option(range.getString(1)))
+        .select((idCols.map(col) :+ col(cfg.orderingField).as("__cur_ord")): _*)
       val valid = deletes.join(cur, idCols)
         .filter(col("__cur_ord") <= col(cfg.orderingField))
         .drop("__cur_ord")

@@ -52,8 +52,35 @@ final class GraftCatalog(val spark: SparkSession, val warehouseDir: String) {
   def showPartitions(name: String): Seq[String] = table(name).partitions()
 
   /** Hive-sync analog: register `t` (+ `_ro`/`_rt`) views for every
-    * table (reference README.md:341-344). */
-  def syncViews(): Unit = listTables().foreach(n => table(n).registerViews())
+    * table (reference README.md:341-344).
+    *
+    * Per-session INCREMENTAL consumption, reachable from plain SQL the
+    * way the reference selects it (`SET hoodie.<t>.consume.mode=
+    * INCREMENTAL` + start timestamp, README.md:966-976):
+    * {{{
+    *   SET graft.<t>.consume.mode=INCREMENTAL
+    *   SET graft.<t>.consume.start.instant=<commit instant, exclusive>
+    *   SET graft.<t>.consume.max.commits=<n>          -- optional
+    * }}}
+    * makes the bare view of `<t>` resolve to the incremental read until
+    * the mode conf is unset. */
+  def syncViews(): Unit = listTables().foreach { n =>
+    val t = table(n)
+    val mode = spark.conf.getOption(s"graft.$n.consume.mode")
+      .map(_.trim.toUpperCase)
+    if (mode.contains("INCREMENTAL")) {
+      val from = spark.conf.getOption(s"graft.$n.consume.start.instant")
+        .getOrElse("0").trim
+      val maxCommits = spark.conf.getOption(s"graft.$n.consume.max.commits")
+        .map(_.trim.toInt).getOrElse(Int.MaxValue)
+      t.readIncremental(fromExclusive = from, maxCommits = maxCommits)
+        .createOrReplaceTempView(n)
+      if (t.config.isMor) {
+        t.readOptimized().createOrReplaceTempView(s"${n}_ro")
+        t.readRealtime().createOrReplaceTempView(s"${n}_rt")
+      }
+    } else t.registerViews()
+  }
 }
 
 /** Metadata/observability export (S15 — the LakeView-extractor analog,

@@ -62,10 +62,34 @@ class GraftTableCatalog extends TableCatalog {
   override def tableExists(ident: Identifier): Boolean =
     GraftTable.exists(rootOf(ident))
 
+  /** Bare table name = snapshot semantics (the reference contract,
+    * README.md:341-344). A MOR table whose delta files are live cannot
+    * be served as plain parquet without the latest-wins merge, so the
+    * bare name REFUSES with a pointer at the honest options rather
+    * than silently returning read-optimized (= stale) rows; once
+    * compaction has folded all deltas, base files ARE the snapshot and
+    * the bare name serves again. The explicit `<name>_ro` suffix
+    * always serves base files — stale-by-contract, like Hive-sync's
+    * `_ro` table. */
   private def snapshotTable(ident: Identifier, asOf: Option[String]): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val t = GraftTable.load(spark, rootOf(ident))
-    val files = t.log.liveFiles(asOf).filterNot(_.delta)
+    val (name, roRequested) =
+      if (ident.name.endsWith("_ro") && !tableExists(ident))
+        (ident.name.stripSuffix("_ro"), true)
+      else (ident.name, false)
+    val root = Paths.get(warehouse, name).toString
+    if (!GraftTable.exists(root)) throw new NoSuchTableException(ident)
+    val t = GraftTable.load(spark, root)
+    val live = t.log.liveFiles(asOf)
+    if (!roRequested && t.config.isMor && live.exists(_.delta))
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "UNSUPPORTED_FEATURE.TABLE_OPERATION",
+        messageParameters = Map(
+          "tableName" -> s"$catalogName.${ident.name}",
+          "operation" -> ("snapshot read of a merge-on-read table with live delta " +
+            s"files through the DSv2 catalog (query ${ident.name}_ro for the " +
+            "read-optimized view, use GraftTable.readRealtime / the registered " +
+            s"${ident.name}_rt view for the merged snapshot, or compact first)")))
+    val files = live.filterNot(_.delta)
       .map(f => s"${t.root}/${f.path}")
     val schema = asOf match {
       case Some(i) => t.log.latestSchemaJson(Some(i))

@@ -47,6 +47,28 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("symbol"))
   }
 
+  test("MOR through the catalog: bare name refuses while deltas are live, _ro serves, compaction restores") {
+    wire()
+    val t = GraftTable.create(spark, s"$wh/mticks", TableConfig(
+      name = "mticks", keyField = "key", orderingField = "ts",
+      partitionField = Some("date"), tableType = TableConfig.Mor, numBuckets = 2))
+    t.insert(ticks(("A", "t1", 1L), ("B", "t1", 2L)))
+    t.upsert(ticks(("A", "t2", 9L))) // delta file → bare name must refuse
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT key, volume FROM gcat.mticks ORDER BY key").collect()
+    }
+    assert(ex.getMessage.contains("mticks_ro"), s"unhelpful error: ${ex.getMessage}")
+    // explicit _ro suffix: read-optimized, stale-by-contract
+    val ro = spark.sql("SELECT key, volume FROM gcat.mticks_ro ORDER BY key")
+      .as[(String, Long)].collect().toSeq
+    assert(ro == Seq(("A", 1L), ("B", 2L)))
+    // after compaction the base files ARE the snapshot → bare name serves
+    graft.core.TableServices.compact(t)
+    val now = spark.sql("SELECT key, volume FROM gcat.mticks ORDER BY key")
+      .as[(String, Long)].collect().toSeq
+    assert(now == Seq(("A", 9L), ("B", 2L)))
+  }
+
   test("DDL through the catalog: CREATE/SHOW/DROP") {
     wire()
     spark.sql(
