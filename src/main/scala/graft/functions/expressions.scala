@@ -307,6 +307,85 @@ case class NearestCentroids(child: Expression,
     copy(child = newChild)
 }
 
+/** Deterministic stand-in codec for multimodal binary columns: parses
+  * a tiny fake header (`[format:1][width:2][height:2]` big-endian) the
+  * test fixture writer emits. A real deployment replaces exactly this
+  * object with a JNI/JavaCV binding; the expressions wrapping it don't
+  * change. */
+object FakeCodec {
+  def imageMeta(bytes: Array[Byte]): (String, Int, Int, Boolean) = {
+    if (bytes == null || bytes.length < 5) ("unknown", 0, 0, true)
+    else {
+      val fmt = bytes(0) match {
+        case 1 => "png"; case 2 => "jpeg"; case 3 => "webp"; case _ => "unknown"
+      }
+      val w = ((bytes(1) & 0xff) << 8) | (bytes(2) & 0xff)
+      val h = ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
+      (fmt, w, h, fmt == "unknown")
+    }
+  }
+
+  /** Stub "resize": deterministic byte fold standing in for pixel
+    * work, so tests can assert the batch plumbing end-to-end. */
+  def thumbnailChecksum(bytes: Array[Byte], maxSide: Int): Long = {
+    var h = maxSide.toLong
+    var i = 0
+    while (i < bytes.length) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
+    h
+  }
+}
+
+/** Image-metadata decode over a `binary` column as a NATIVE expression
+  * (round 1 used a df.rdd Row round-trip, which dropped whole-stage
+  * codegen and columnar batches for every downstream operator; as an
+  * expression the decode composes with pushdown, pruning and
+  * partitioning like any built-in). Null/short input yields a corrupt
+  * marker, never a null struct — the pipeline contract for dirty
+  * multimodal data. */
+case class ImageMetaExpression(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ImageMetaExpression.schema
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val bytes = if (v == null) null else v.asInstanceOf[Array[Byte]]
+    val (fmt, w, h, corrupt) = FakeCodec.imageMeta(bytes)
+    val n = if (bytes == null) 0L else bytes.length.toLong
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(fmt), w, h, n, corrupt))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageMetaExpression =
+    copy(child = newChild)
+}
+
+object ImageMetaExpression {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType),
+    StructField("corrupt", BooleanType)))
+}
+
+/** Stubbed resize/feature pass → checksum long, same native-expression
+  * rationale as [[ImageMetaExpression]]. */
+case class ThumbnailChecksumExpression(child: Expression, maxSide: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val bytes = if (v == null) Array.empty[Byte] else v.asInstanceOf[Array[Byte]]
+    FakeCodec.thumbnailChecksum(bytes, maxSide)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ThumbnailChecksumExpression =
+    copy(child = newChild)
+}
+
 /** Deterministic affine hash families shared by the Column API and the
   * native expressions. */
 object HashFamilies {
@@ -342,6 +421,12 @@ object GraftExpressions {
   def nearest_centroids(vec: Column, centroids: Array[Array[Double]],
       nProbe: Int): Column =
     column(NearestCentroids(expression(vec), centroids, nProbe))
+
+  def image_meta(bin: Column): Column =
+    column(ImageMetaExpression(expression(bin)))
+
+  def thumbnail_checksum(bin: Column, maxSide: Int): Column =
+    column(ThumbnailChecksumExpression(expression(bin), maxSide))
 
   /** Register as SQL functions (`SELECT lang_id(text) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -97,6 +97,20 @@ class Round2PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal decode is in-plan (no RDD boundary) over a parquet scan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("img"))
+    val out = Multimodal.withImageMeta(
+      Multimodal.withThumbnailChecksum(docs, "img", 64), "img")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"),
+      "multimodal decode fell out of the plan into an RDD boundary")
+    assert(plan.contains("Scan parquet") || plan.contains("FileScan"))
+    // and the decode actually runs
+    assert(out.filter(col("image_meta.corrupt")).count() >= 0)
+    assert(out.select("thumb_checksum").distinct().count() > 1)
+  }
+
   test("p15 gate query runs and carries the dedup schema") {
     val out = graft.PipelineQueries.dEmbeddingLsh(spark, dir)
     assert(out.columns.toSeq == Seq("id_a", "id_b", "cosine"))
