@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{GraftExpressions, TextFunctions}
-import graft.operators.{Dedup, IvfIndex, Similarity}
+import graft.operators.{Curation, Dedup, IvfIndex, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -296,6 +296,63 @@ object PipelineQueries {
       |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- dataset curation (sampling / stratification / normalization) --
+
+  /** Deterministic md5-threshold sample (no RNG: membership is a pure
+    * function of the key — reproducible, resumable, oracle-checkable). */
+  def cSample(spark: SparkSession, dir: String): DataFrame =
+    Curation.deterministicSample(
+        Tables.load(spark, dir, "documents"), "doc_id", fraction = 0.25)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  private val cSampleSql =
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE md5(doc_id::VARCHAR) < '${Curation.hexThreshold(0.25)}'
+       |ORDER BY doc_id""".stripMargin
+
+  /** Stratified top-20 per language by md5 order of the key. */
+  def cStratified(spark: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedTopN(Tables.load(spark, dir, "documents"),
+        classCol = "lang", keyCol = "doc_id", n = 20)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+
+  private val cStratifiedSql =
+    """SELECT lang, doc_id FROM (
+      |  SELECT lang, doc_id, row_number() OVER (
+      |    PARTITION BY lang ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn
+      |  FROM documents)
+      |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin
+
+  /** Canonical normalization + content fingerprint (the pre-dedup
+    * cleanup pass). */
+  def cNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        Curation.normalizeText(col("text")).as("norm_text"))
+      .withColumn("norm_hash", md5(col("norm_text")))
+      .orderBy("doc_id")
+
+  private val cNormalizeSql =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |       ' +', ' ', 'g')) AS norm_text,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |       ' +', ' ', 'g'))) AS norm_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Length histogram by language — curation dataset statistics. */
+  def cLengthHist(spark: SparkSession, dir: String): DataFrame =
+    Curation.lengthHistogram(Tables.load(spark, dir, "documents"),
+        "text", "lang", bucketWidth = 20)
+      .orderBy("token_bucket", "class")
+
+  private val cLengthHistSql =
+    """SELECT (len(string_split(text, ' ')) // 20) * 20 AS token_bucket,
+      |       lang AS class, count(*) AS n_docs
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- multimodal plumbing -------------------------------------------
 
   /** Binary-column plumbing over text-as-bytes: byte length through the
@@ -329,6 +386,10 @@ object PipelineQueries {
     "p13_dedup_clusters" -> (dClusters _),
     "p14_ann_ivf_topk" -> (sIvfTopK _),
     "p15_dedup_embedding_lsh" -> (dEmbeddingLsh _),
+    "p16_curation_sample" -> (cSample _),
+    "p17_curation_stratified" -> (cStratified _),
+    "p18_curation_normalize" -> (cNormalize _),
+    "p19_curation_length_hist" -> (cLengthHist _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -348,6 +409,10 @@ object PipelineQueries {
     "p14_ann_ivf_topk" -> sBruteSql,
     // p15: LSH candidates + exact verify → must equal the all-pairs SQL
     "p15_dedup_embedding_lsh" -> dEmbeddingSql,
+    "p16_curation_sample" -> cSampleSql,
+    "p17_curation_stratified" -> cStratifiedSql,
+    "p18_curation_normalize" -> cNormalizeSql,
+    "p19_curation_length_hist" -> cLengthHistSql,
     // p4 (simhash), p10 (winnowing): banded 64-bit fingerprints are not
     // SQL-expressible → rows-only driver check + ScalaTest recall.
   )

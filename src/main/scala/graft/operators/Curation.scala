@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for the training-data pipeline: the
+  * selection / normalization / statistics passes that run between
+  * dedup and training-set export.
+  *
+  * Everything here is ENGINE-PORTABLE-DETERMINISTIC: sampling and
+  * stratification decide membership by comparing md5 hex strings
+  * (bit-identical across engines, uniform by construction), never by
+  * `rand()` — so a curation run is reproducible, resumable, and
+  * verifiable against the DuckDB oracle. At 100 TB that property is
+  * what makes a sample auditable: membership is a pure function of the
+  * key, so re-runs, retries, and incremental extensions agree without
+  * coordination or stored state.
+  */
+object Curation {
+
+  /** Hex md5 threshold for a uniform `fraction`: the first 12 nibbles
+    * carry the fraction (48 bits — granularity 3.6e-15), the rest pad
+    * to the full 32-char digest width for lexicographic compare. */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
+    val nibbles = math.min((fraction * math.pow(16, 12)).toLong, (1L << 48) - 1)
+    f"$nibbles%012x" + "0" * 20
+  }
+
+  /** Deterministic uniform sample: keep a row iff
+    * `md5(key) < threshold(fraction)`. One codegen'd filter, no
+    * shuffle, no RNG state; membership survives re-runs and composes
+    * with incremental ingestion (a row's fate never changes). */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(md5(col(keyCol).cast("string")) < lit(hexThreshold(fraction)))
+
+  /** Stratified top-N per class: N rows per `classCol` value, chosen
+    * by md5 order of the key (uniform within the class, deterministic
+    * across engines and runs). The WindowGroupLimit rewrite keeps the
+    * shuffle at O(N × classes), not O(rows). */
+  def stratifiedTopN(df: DataFrame, classCol: String, keyCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** Canonical text normalization for dedup/fingerprint pipelines:
+    * lowercase → non-alphanumerics to spaces → collapse runs → trim.
+    * Pure built-ins, fully codegen'd. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Dataset statistics: document counts by (token-length bucket,
+    * class) — the curation dashboard's length histogram. Integer
+    * bucket math, one partial-aggregated shuffle. */
+  def lengthHistogram(df: DataFrame, textCol: String, classCol: String,
+      bucketWidth: Int): DataFrame =
+    df.select(
+        (floor(size(split(col(textCol), " ")) / bucketWidth) * bucketWidth)
+          .cast("long").as("token_bucket"),
+        col(classCol).as("class"))
+      .groupBy("token_bucket", "class")
+      .agg(count(lit(1)).as("n_docs"))
+}

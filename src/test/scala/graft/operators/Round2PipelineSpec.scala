@@ -111,6 +111,39 @@ class Round2PipelineSpec extends AnyFunSuite {
     assert(out.select("thumb_checksum").distinct().count() > 1)
   }
 
+  test("curation: deterministic sample is key-stable and near the target fraction") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val s1 = Curation.deterministicSample(docs, "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Curation.deterministicSample(docs, "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)                       // pure function of the key
+    val frac = s1.size.toDouble / docs.count()
+    assert(frac > 0.1 && frac < 0.4, s"fraction $frac")
+    // a larger fraction strictly contains a smaller one (monotone)
+    val s3 = Curation.deterministicSample(docs, "doc_id", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.subsetOf(s3))
+  }
+
+  test("curation: stratified top-N yields exactly N per class (where available)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = Curation.stratifiedTopN(docs, "lang", "doc_id", 5)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val avail = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    avail.foreach { case (lang, n) =>
+      assert(counts(lang) == math.min(5L, n))
+    }
+    // WindowGroupLimit prunes before the shuffle (O(N×classes) plan)
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
+  test("curation: normalizeText canonicalizes punctuation/case/whitespace") {
+    val got = Seq("Hello,  WORLD!! 42").toDF("t")
+      .select(Curation.normalizeText(col("t"))).as[String].head()
+    assert(got == "hello world 42")
+  }
+
   test("p15 gate query runs and carries the dedup schema") {
     val out = graft.PipelineQueries.dEmbeddingLsh(spark, dir)
     assert(out.columns.toSeq == Seq("id_a", "id_b", "cosine"))
