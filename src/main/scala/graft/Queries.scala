@@ -306,6 +306,67 @@ object Queries {
       |SELECT c_custkey, cnt FROM customer JOIN pc ON c_custkey = o_custkey
       |WHERE cnt > (SELECT avg(cnt) FROM pc) ORDER BY c_custkey""".stripMargin
 
+  /** As-of join ([[graft.operators.Joins.asofJoin]]): each click event
+    * picks up the user's latest view event at-or-before it — the
+    * point-in-time lookup shape. Time axis is µs on BOTH sides (DuckDB
+    * truncates the parquet ns timestamps to µs on read, so comparing
+    * at ns would tie-break differently); views pre-deduped per
+    * (user, µs) with max(value), the caller-owned tie policy. Oracle:
+    * DuckDB's native ASOF LEFT JOIN — an independent implementation of
+    * the same semantics. */
+  def q17AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "event_id", "ts_us")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts_us").agg(max(col("value")).as("view_value"))
+    graft.operators.Joins
+      .asofJoin(clicks, views, Seq("user_id"), "ts_us", Seq("view_value"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("ts_us_asof").as("view_ts_us"), col("view_value_asof").as("view_value"))
+      .orderBy("event_id")
+  }
+
+  private val q17Sql =
+    """WITH clicks AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+      |  WHERE event_type = 'click'),
+      |views AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, max(value) AS view_value
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT c.user_id, c.event_id, c.ts_us,
+      |       v.ts_us AS view_ts_us, v.view_value AS view_value
+      |FROM clicks c ASOF LEFT JOIN views v
+      |  ON c.user_id = v.user_id AND v.ts_us <= c.ts_us
+      |ORDER BY c.event_id""".stripMargin
+
+  /** Binned range join ([[graft.operators.Joins.rangeJoinBinned]]):
+    * events against irregular value bands as an equi-join on covering
+    * bins + exact residual — never a nested-loop plan. Aggregates are
+    * count/min/max (selection, not arithmetic → engine-exact). */
+  def q18RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val bands = Seq(
+      (0.0, 35.0), (35.0, 90.0), (90.0, 180.0), (180.0, 420.0),
+      (420.0, 1000.0), (1000.0, 1000000.0)).toDF("lo", "hi")
+    graft.operators.Joins.rangeJoinBinned(ev, "value", bands, "lo", "hi",
+        binWidth = 50.0)
+      .groupBy("lo", "hi")
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      .orderBy("lo")
+  }
+
+  private val q18Sql =
+    """WITH bands(lo, hi) AS (VALUES
+      |  (0.0, 35.0), (35.0, 90.0), (90.0, 180.0), (180.0, 420.0),
+      |  (420.0, 1000.0), (1000.0, 1000000.0))
+      |SELECT lo, hi, count(*) AS n, min(value) AS min_v, max(value) AS max_v
+      |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+      |GROUP BY 1, 2 ORDER BY lo""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -325,6 +386,8 @@ object Queries {
     "q14_distinct" -> (q14Distinct _),
     "q15_rollup" -> (q15Rollup _),
     "q16_scalar_subquery" -> (q16ScalarSubquery _),
+    "q17_asof_join" -> (q17AsofJoin _),
+    "q18_range_join" -> (q18RangeJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -344,5 +407,7 @@ object Queries {
     "q14_distinct" -> q14Sql,
     "q15_rollup" -> q15Sql,
     "q16_scalar_subquery" -> q16Sql,
+    "q17_asof_join" -> q17Sql,
+    "q18_range_join" -> q18Sql,
   )
 }

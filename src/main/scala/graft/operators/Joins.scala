@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators Spark lacks as built-ins, composed from existing
+  * relational ops so Catalyst keeps optimizing them (the preferred
+  * extension tier — no custom physical nodes needed).
+  */
+object Joins {
+
+  /** As-of join (point-in-time lookup): for every left row, attach the
+    * latest right row with the same keys and `right.timeCol <=
+    * left.timeCol` — the classic ticks⋈quotes / events⋈dimension-
+    * history shape.
+    *
+    * Implementation is the scale-safe union-window formulation, NOT a
+    * non-equi join: tag both sides, union, and run a running
+    * `last(..., ignoreNulls)` per key ordered by (time, side) so each
+    * left row sees exactly the newest right row at-or-before it. One
+    * hash shuffle on the keys, O(rows) state, no cross product — a
+    * non-equi join would plan as BroadcastNestedLoop and die at scale.
+    * Right rows must be unique per (keys, timeCol); pre-aggregate if
+    * not (the caller owns the tie-break policy).
+    *
+    * Output: every left column, plus each right value column as
+    * `<name>_asof` and the matched right time as `<timeCol>_asof`
+    * (nulls when no right row precedes the left row).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      timeCol: String, rightValueCols: Seq[String]): DataFrame = {
+    val asofCols = rightValueCols.map(c => s"${c}_asof") :+ s"${timeCol}_asof"
+    val asofTypes = rightValueCols.map(right.schema(_).dataType) :+
+      right.schema(timeCol).dataType
+    val leftCols = left.columns.toSeq
+    // right rows sort BEFORE left rows at equal time (<= semantics)
+    val l = left
+      .withColumn("__side", lit(1))
+      .select(leftCols.map(col) ++
+        asofCols.zip(asofTypes).map { case (c, t) => lit(null).cast(t).as(c) } :+
+        col("__side"): _*)
+    val r = right
+      .select(keys.map(col) ++
+        (rightValueCols.zip(asofCols).map { case (c, a) => col(c).as(a) }
+          :+ col(timeCol).as(s"${timeCol}_asof")
+          :+ col(timeCol)): _*)
+      .withColumn("__side", lit(0))
+    val rAligned = r.select(
+      leftCols.map(c => if (keys.contains(c) || c == timeCol) col(c)
+                        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+      asofCols.map(col) :+ col("__side"): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = asofCols.foldLeft(l.unionByName(rAligned)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Range join via bin bucketing: left rows matched to every range
+    * `[loCol, hiCol)` that contains `leftValCol`. Ranges explode into
+    * the fixed-width bins they cover; the join is then a plain
+    * equi-join on the bin plus an exact residual filter — a
+    * HashJoin/SortMergeJoin at any scale where the naive inequality
+    * join would plan as BroadcastNestedLoop (O(|L|·|R|)). Bin width
+    * trades range-side duplication against per-bin fanout; pick it
+    * near the median range width. */
+  def rangeJoinBinned(left: DataFrame, leftValCol: String,
+      ranges: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    val binned = ranges.withColumn("__bin",
+      explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    val l = left.withColumn("__bin",
+      floor(col(leftValCol) / binWidth).cast("long"))
+    l.join(binned, Seq("__bin"))
+      .filter(col(leftValCol) >= col(loCol) && col(leftValCol) < col(hiCol))
+      .drop("__bin")
+  }
+}

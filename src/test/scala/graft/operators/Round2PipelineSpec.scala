@@ -144,6 +144,35 @@ class Round2PipelineSpec extends AnyFunSuite {
     assert(got == "hello world 42")
   }
 
+  test("asofJoin attaches the latest right row at-or-before each left row") {
+    val clicks = Seq((1L, 100L, 10L), (1L, 101L, 25L), (2L, 102L, 5L))
+      .toDF("user", "id", "t")
+    val quotes = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 30L, 3.0))
+      .toDF("user", "t", "px")
+    val rows = Joins.asofJoin(clicks, quotes, Seq("user"), "t", Seq("px"))
+      .select("id", "px_asof", "t_asof")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(rows == Set(
+      (100L, Some(1.0), Some(10L)),   // t=10 matches quote at exactly 10 (<=)
+      (101L, Some(2.0), Some(20L)),   // t=25 → quote at 20
+      (102L, None, None)))            // user 2 has no quotes
+  }
+
+  test("rangeJoinBinned plans as an equi-join on bins, not a nested loop") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val bands = Seq((0.0, 100.0), (100.0, 1000.0)).toDF("lo", "hi")
+    val joined = Joins.rangeJoinBinned(ev, "value", bands, "lo", "hi", 50.0)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "range join fell back to a nested loop")
+    // matches the naive inequality-join result
+    val naive = ev.join(bands,
+      col("value") >= col("lo") && col("value") < col("hi")).count()
+    assert(joined.count() == naive)
+  }
+
   test("p15 gate query runs and carries the dedup schema") {
     val out = graft.PipelineQueries.dEmbeddingLsh(spark, dir)
     assert(out.columns.toSeq == Seq("id_a", "id_b", "cosine"))
