@@ -185,9 +185,16 @@ final class GraftTable private (
                 r.getAs[Long](s"__nulls_$c"))
             }.toMap
             // key by _part=<..>/_bucket=<..>/<file> — bare filenames
-            // repeat across partition dirs within one task's write
+            // repeat across partition dirs within one task's write.
+            // input_file_name() is URI-encoded, so a partition dir that
+            // itself contains Spark's %XX escapes (e.g. a date value
+            // "2018/08/31" staged as _part=2018%2F08%2F31) comes back
+            // double-encoded (%252F); decode ONCE to match the on-disk
+            // name, else the join misses and the file records zero
+            // rows / no stats (killing pruning for such tables).
             val segs = r.getAs[String]("__file").split("/")
-            segs.takeRight(3).mkString("/") -> (r.getAs[Long]("__rows"), colStats)
+            segs.takeRight(3).map(uriDecode).mkString("/") ->
+              (r.getAs[Long]("__rows"), colStats)
           }.toMap
       }
 
@@ -228,6 +235,11 @@ final class GraftTable private (
     }
     metas.toSeq
   }
+
+  /** Percent-decode one URI path segment ('+' preserved — it is legal
+    * in file names and URLDecoder would eat it). */
+  private def uriDecode(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
 
   private def escapeDir(s: String): String =
     s.flatMap {

@@ -100,11 +100,59 @@ object XTableSync {
     written
   }
 
-  /** Translate the current table state into Iceberg-style metadata:
-    * `metadata/v<N>.metadata.json` + one JSON manifest per snapshot.
-    * One Iceberg snapshot per sync (table-state granularity, like
-    * xTable's snapshot sync). */
+  /** Avro schema JSON for an Iceberg v2 `manifest_entry` (the required
+    * field subset of the public spec, each field carrying its spec
+    * `field-id`). The partition record holds the table's identity
+    * partition column (field-id 1000), or no fields when
+    * unpartitioned. */
+  private def manifestEntrySchemaJson(partitionField: Option[String]): String = {
+    val partFields = partitionField.map(p =>
+      s"""{"name":"${p}","type":["null","string"],"default":null,"field-id":1000}""")
+      .toSeq.mkString(",")
+    s"""{"type":"record","name":"manifest_entry","fields":[
+       |{"name":"status","type":"int","field-id":0},
+       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+       |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+       |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+       |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+       |{"name":"content","type":"int","field-id":134},
+       |{"name":"file_path","type":"string","field-id":100},
+       |{"name":"file_format","type":"string","field-id":101},
+       |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
+       |{"name":"record_count","type":"long","field-id":103},
+       |{"name":"file_size_in_bytes","type":"long","field-id":104}
+       |]}}]}""".stripMargin.replaceAll("\n", "")
+  }
+
+  /** Avro schema JSON for the Iceberg `manifest_file` (manifest list)
+    * record, required v2 fields with spec field-ids. */
+  private val manifestListSchemaJson: String =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin.replaceAll("\n", "")
+
+  /** Translate the current table state into Iceberg v2 metadata:
+    * `metadata/v<N>.metadata.json` → avro manifest LIST → avro
+    * MANIFEST of data-file entries — the real two-layer avro layout
+    * (round 1 wrote JSON stand-ins), written with avro-core under the
+    * spec's record shapes and field-ids. One Iceberg snapshot per sync
+    * (table-state granularity, like xTable's snapshot sync). */
   def syncIceberg(t: GraftTable): Option[Long] = {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
     val metaDir = Paths.get(t.root, "metadata")
     Files.createDirectories(metaDir)
     val (from, lastVer) = readCursor(t, "iceberg")
@@ -113,17 +161,59 @@ object XTableSync {
     val ver = lastVer + 1
     val snapshotId = latest.toLong
     val live = t.log.liveFiles()
-    val manifest = live.map { f =>
-      Map("data_file" -> Map(
-        "file_path" -> s"${t.root}/${f.path}",
-        "file_format" -> "PARQUET",
-        "partition" -> t.config.partitionField.map(p => Map(p -> f.partition)).getOrElse(Map.empty),
-        "record_count" -> f.rows,
-        "file_size_in_bytes" -> f.bytes))
-    }
-    val manifestPath = metaDir.resolve(s"manifest-$snapshotId.json")
-    Files.write(manifestPath,
-      manifest.map(mapper.writeValueAsString).mkString("\n").getBytes("UTF-8"))
+
+    // layer 2: the manifest — one entry per live data file
+    val entrySchema = new Schema.Parser().parse(
+      manifestEntrySchemaJson(t.config.partitionField))
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema = dataFileSchema.getField("partition").schema()
+    val manifestPath = metaDir.resolve(s"manifest-$snapshotId-m0.avro")
+    val mw = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySchema))
+    mw.setMeta("format-version", "2")
+    mw.setMeta("content", "data")
+    mw.create(entrySchema, manifestPath.toFile)
+    try live.foreach { f =>
+      val part = new GenericData.Record(partSchema)
+      t.config.partitionField.foreach(p => part.put(p, f.partition))
+      val df = new GenericData.Record(dataFileSchema)
+      df.put("content", 0)
+      df.put("file_path", s"${t.root}/${f.path}")
+      df.put("file_format", "PARQUET")
+      df.put("partition", part)
+      df.put("record_count", f.rows)
+      df.put("file_size_in_bytes", f.bytes)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED (snapshot-granularity sync)
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", ver)
+      e.put("file_sequence_number", ver)
+      e.put("data_file", df)
+      mw.append(e)
+    } finally mw.close()
+
+    // layer 1: the manifest list pointing at the manifest
+    val listSchema = new Schema.Parser().parse(manifestListSchemaJson)
+    val listPath = metaDir.resolve(s"snap-$snapshotId.avro")
+    val lw = new DataFileWriter(new GenericDatumWriter[GenericRecord](listSchema))
+    lw.setMeta("format-version", "2")
+    lw.create(listSchema, listPath.toFile)
+    try {
+      val m = new GenericData.Record(listSchema)
+      m.put("manifest_path", manifestPath.toString)
+      m.put("manifest_length", Files.size(manifestPath))
+      m.put("partition_spec_id", 0)
+      m.put("content", 0)
+      m.put("sequence_number", ver)
+      m.put("min_sequence_number", ver)
+      m.put("added_snapshot_id", snapshotId)
+      m.put("added_files_count", live.size)
+      m.put("existing_files_count", 0)
+      m.put("deleted_files_count", 0)
+      m.put("added_rows_count", live.map(_.rows).sum)
+      m.put("existing_rows_count", 0L)
+      m.put("deleted_rows_count", 0L)
+      lw.append(m)
+    } finally lw.close()
     val fields = t.schema.fields.zipWithIndex.map { case (f, i) =>
       Map("id" -> (i + 1), "name" -> f.name, "required" -> false,
         "type" -> icebergType(f.dataType))
@@ -148,8 +238,9 @@ object XTableSync {
       "current-snapshot-id" -> snapshotId,
       "snapshots" -> Seq(Map(
         "snapshot-id" -> snapshotId,
+        "sequence-number" -> ver,
         "timestamp-ms" -> snapshotId,
-        "manifest-list" -> manifestPath.toString,
+        "manifest-list" -> listPath.toString,
         "summary" -> Map("operation" -> "append",
           "total-records" -> live.map(_.rows).sum.toString,
           "total-data-files" -> live.size.toString))))

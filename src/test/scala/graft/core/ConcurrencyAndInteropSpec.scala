@@ -143,6 +143,44 @@ class ConcurrencyAndInteropSpec extends AnyFunSuite {
     assert(XTableSync.syncIceberg(t) == Some(1L))
   }
 
+  test("Iceberg avro manifests round-trip through avro-core with spec field-ids") {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val root = tmp()
+    val t = GraftTable.create(spark, root, cfg("xtav"))
+    t.insert(rows(("A", "t1", 1L), ("B", "t1", 2L)))
+    XTableSync.syncIceberg(t)
+    val metaDir = Paths.get(root, "metadata")
+    val snap = Files.list(metaDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("snap-")).get
+    // manifest list → manifest path
+    val lr = new DataFileReader(snap.toFile,
+      new GenericDatumReader[GenericRecord]())
+    val listEntry = lr.next()
+    val manifestPath = listEntry.get("manifest_path").toString
+    assert(listEntry.getSchema.getField("manifest_path")
+      .getObjectProp("field-id") == 500)
+    lr.close()
+    // manifest → data files, every referenced file exists
+    val mr = new DataFileReader(Paths.get(manifestPath).toFile,
+      new GenericDatumReader[GenericRecord]())
+    val entries = Iterator.continually(mr).takeWhile(_.hasNext).map(_.next()).toList
+    mr.close()
+    assert(entries.nonEmpty)
+    entries.foreach { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      assert(df.get("file_format").toString == "PARQUET")
+      assert(Files.exists(Paths.get(df.get("file_path").toString)))
+      assert(df.get("record_count").asInstanceOf[Long] > 0L)
+      assert(df.getSchema.getField("file_path").getObjectProp("field-id") == 100)
+      // partition record carries the identity partition value
+      val part = df.get("partition").asInstanceOf[GenericRecord]
+      assert(part.get("date").toString == "2018/08/31")
+    }
+    assert(entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("record_count").asInstanceOf[Long]).sum == 2L)
+  }
+
   test("cleaning never deletes files still referenced by the live snapshot") {
     val t = GraftTable.create(spark, tmp(), cfg("clean2"))
     (1 to 4).foreach(i => t.upsert(rows(("A", s"t$i", i.toLong))))

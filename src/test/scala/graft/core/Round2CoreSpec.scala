@@ -136,6 +136,21 @@ class Round2CoreSpec extends AnyFunSuite {
 
   // ---- commit publish + parse cache + stale lock --------------------
 
+  test("per-file stats are recorded for partitions with escaped characters") {
+    // "2018/08/31" stages as _part=2018%2F08%2F31; input_file_name()
+    // double-encodes the % — regression test for the decode in the
+    // stats-harvest join key
+    val t = GraftTable.create(spark, tmp(), TableConfig(
+      name = "esc", keyField = "key", orderingField = "ts",
+      partitionField = Some("date"), numBuckets = 2))
+    t.insert(Seq(("A", "t1", "2018/08/31", 1L), ("B", "t1", "2018/08/31", 2L))
+      .toDF("key", "ts", "date", "volume"))
+    val files = t.log.liveFiles()
+    assert(files.nonEmpty)
+    assert(files.map(_.rows).sum == 2L, s"lost row stats: $files")
+    assert(files.forall(f => f.minKey.nonEmpty && f.maxKey.nonEmpty))
+  }
+
   test("tryCommit refuses an already-published instant (link, not rename)") {
     val log = new CommitLog(tmp())
     val c = Commit("0000000000000000001", "commit", "insert")
