@@ -437,7 +437,10 @@ final class GraftTable private (
       val keyType = evolved.fields.find(_.name == config.keyField)
         .map(_.dataType).getOrElse(StringType)
       val idCols = config.partitionField.toSeq :+ config.keyField
-      val keys = victims
+      // align victim types to the table schema BEFORE hashing: a key
+      // arriving as int where the table stores long would xxhash64 to
+      // a different bucket and the delete would silently miss
+      val keys = align(victims, evolved)
         .withColumn("_part", partExpr).withColumn("_bucket", bucketExpr)
         .select((Seq("_part", "_bucket") ++ idCols).map(col): _*)
         .persist()

@@ -34,8 +34,14 @@ final class GraftSql(catalog: GraftCatalog) {
     """(?is)\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)\s*""".r
   private val ShowTablesRe = """(?is)\s*SHOW\s+TABLES\s*""".r
   private val ShowPartsRe = """(?is)\s*SHOW\s+PARTITIONS\s+(\w+)\s*""".r
+  private val MergeRe =
+    """(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+\w+)?\s+USING\s+(.+?)\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*""".r
 
   def sql(text: String): DataFrame = text match {
+    case MergeRe(name, source, cond, clauses) =>
+      merge(name, source, cond, clauses)
+      emptyResult()
+
     case CreateRe(name, colsOpt, optsOpt, ctasOpt) =>
       val opts = parseOptions(Option(optsOpt).getOrElse(""))
       val cfg = TableConfig(
@@ -95,6 +101,55 @@ final class GraftSql(catalog: GraftCatalog) {
     case other =>
       catalog.syncViews()
       spark.sql(other)
+  }
+
+  /** MERGE INTO — the Hudi-SQL upsert statement, in the forms the
+    * reference demos exercise (Hudi itself constrains MERGE's ON to
+    * the record key, and the keyed-upsert mapping below is exactly its
+    * execution strategy):
+    * {{{
+    *   MERGE INTO t USING src ON t.key = s.key
+    *     WHEN MATCHED THEN UPDATE SET *
+    *     WHEN NOT MATCHED THEN INSERT *          -- = keyed upsert(src)
+    *   MERGE INTO t USING src ON t.key = s.key
+    *     WHEN MATCHED THEN DELETE                -- = delete src's keys
+    * }}}
+    * `src` is a registered view/table name or a parenthesized SELECT
+    * (optionally aliased). The ON condition must reference the record
+    * key; arbitrary SET expressions are routed to UPDATE instead. */
+  private def merge(name: String, source: String, cond: String,
+      clauses: String): Unit = {
+    val t = catalog.table(name)
+    require(cond.toLowerCase.contains(t.config.keyField.toLowerCase),
+      s"MERGE ON must join on the record key '${t.config.keyField}' " +
+      "(Hudi record-key merge contract)")
+    catalog.syncViews()
+    val srcTrim = source.trim
+    val srcSql =
+      if (srcTrim.startsWith("(")) {
+        // strip trailing alias after the closing paren, if any
+        val close = {
+          var depth = 0; var idx = -1
+          srcTrim.zipWithIndex.foreach { case (ch, i) =>
+            if (ch == '(') depth += 1
+            else if (ch == ')') { depth -= 1; if (depth == 0 && idx < 0) idx = i }
+          }
+          idx
+        }
+        srcTrim.substring(1, close)
+      } else s"SELECT * FROM $srcTrim"
+    val src = spark.sql(srcSql)
+    val c = clauses.toLowerCase.replaceAll("\\s+", " ")
+    val updateAll = c.contains("when matched then update set *")
+    val insertAll = c.contains("when not matched then insert *")
+    val deleteMatched = c.contains("when matched then delete")
+    if (deleteMatched && !updateAll) {
+      t.deleteRows(src); ()
+    } else if (updateAll || insertAll) {
+      t.upsert(src); ()
+    } else throw new IllegalArgumentException(
+      "unsupported MERGE form: use UPDATE SET * / INSERT * / DELETE " +
+      "(explicit SET expressions: use UPDATE ... WHERE)")
   }
 
   /** INSERT body → DataFrame; VALUES rows bind positionally to the

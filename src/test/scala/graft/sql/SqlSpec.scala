@@ -56,6 +56,34 @@ class SqlSpec extends AnyFunSuite {
     assert(dups == 0)
   }
 
+  test("MERGE INTO: upsert and delete forms (Hudi-SQL merge statement)") {
+    gsql.sql("""CREATE TABLE mrg (id BIGINT, name STRING, ts BIGINT)
+      USING GRAFT OPTIONS (primaryKey='id', precombine='ts')""")
+    gsql.sql("INSERT INTO mrg VALUES (1, 'ann', 100), (2, 'bob', 100)")
+    // update an existing key + insert a new one, from an inline SELECT
+    gsql.sql("""MERGE INTO mrg USING (
+        SELECT 1 AS id, 'anna' AS name, 200 AS ts
+        UNION ALL SELECT 3, 'cyd', 200) AS s
+      ON mrg.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val rows = gsql.sql("SELECT id, name FROM mrg ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "anna"), (2L, "bob"), (3L, "cyd")))
+    // delete form: matched keys are removed
+    gsql.sql("""MERGE INTO mrg USING (SELECT 2 AS id, 'x' AS name, 300 AS ts) AS s
+      ON mrg.id = s.id
+      WHEN MATCHED THEN DELETE""")
+    assert(gsql.sql("SELECT id FROM mrg ORDER BY id").as[Long].collect().toSeq
+      == Seq(1L, 3L))
+    // the record-key merge contract is enforced
+    val ex = intercept[IllegalArgumentException] {
+      gsql.sql("""MERGE INTO mrg USING (SELECT 1 AS id, 'y' AS name, 1 AS ts) AS s
+        ON mrg.name = s.name WHEN MATCHED THEN UPDATE SET *""")
+    }
+    assert(ex.getMessage.contains("record key"))
+  }
+
   test("INSERT OVERWRITE replaces a partition") {
     gsql.sql("INSERT INTO people VALUES (3, 'cid', 'tokyo', 100)")
     gsql.sql("INSERT OVERWRITE people VALUES (9, 'zoe', 'tokyo', 200)")
