@@ -104,6 +104,33 @@ object TableServices {
     else t.log.archiveBefore(commits(commits.size - retainCommits).instant)
   }
 
+  /** Vector-index table service: build (or refresh) the persisted IVF
+    * ANN index over an embedding column of the table's CURRENT
+    * snapshot. The index lives under `<root>/index/ivf-<col>/` and is
+    * stamped with the snapshot's last commit instant — `query` reads
+    * it without touching the corpus, and a stale index (table advanced
+    * past the stamp) rebuilds on the next service run, exactly like
+    * compaction/clustering maintenance. */
+  def buildVectorIndex(t: GraftTable, idCol: String, vecCol: String,
+      nLists: Int = 16): String = {
+    val path = vectorIndexPath(t, vecCol)
+    val stamp = t.log.lastInstant().getOrElse("0")
+    val stampFile = java.nio.file.Paths.get(path, "instant.stamp")
+    val current =
+      if (Files.exists(stampFile)) new String(Files.readAllBytes(stampFile), "UTF-8")
+      else ""
+    if (current != stamp) {
+      graft.operators.IvfIndex.build(
+        t.read().select(idCol, vecCol), idCol, vecCol, nLists, path)
+      Files.createDirectories(java.nio.file.Paths.get(path))
+      Files.write(stampFile, stamp.getBytes("UTF-8"))
+    }
+    path
+  }
+
+  def vectorIndexPath(t: GraftTable, vecCol: String): String =
+    Paths.get(t.root, "index", s"ivf-$vecCol").toString
+
   private def mergeLatest(t: GraftTable, df: org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val partCols = t.config.partitionField.toSeq :+ t.config.keyField

@@ -67,6 +67,21 @@ object Streamer {
         if (!batch.isEmpty) { table.upsert(batch); () }
       }
       .start()
+
+  /** Streaming CDC apply: a stream of parsed Debezium envelopes
+    * (before/after/op/ts_ms — from [[KafkaStream.decodeDebeziumValue]],
+    * [[Debezium.parseAvro]], or a file stream under
+    * [[Debezium.envelopeSchema]]) applied per micro-batch with the full
+    * upsert/stale-tombstone semantics of [[Debezium.apply]]. This is
+    * the Kafka → Debezium → table path as one running query. */
+  def streamCdcInto(table: GraftTable, envelopes: DataFrame,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    envelopes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) { Debezium.apply(table, batch); () }
+      }
+      .start()
 }
 
 /** A checkpointable micro-batch source. `next()` returns the new batch

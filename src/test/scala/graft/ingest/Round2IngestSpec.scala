@@ -147,6 +147,53 @@ class Round2IngestSpec extends AnyFunSuite {
     assert(snap == Seq(1L, 2L, 3L))
   }
 
+  test("streaming CDC apply: envelope file stream drives upserts and deletes") {
+    val envDir = Files.createTempDirectory("graft-cdc-stream-").toString
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt-").toString
+    val t = GraftTable.create(spark, tmp(), cfg("cdc_stream"))
+    Files.writeString(java.nio.file.Paths.get(envDir, "batch1.json"),
+      """{"before":null,"after":{"id":1,"name":"ada","ts":10},"op":"c","ts_ms":100}
+        |{"before":null,"after":{"id":2,"name":"bob","ts":10},"op":"c","ts_ms":100}
+        |""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(envDir, "batch2.json"),
+      """{"before":null,"after":{"id":1,"name":"ada2","ts":20},"op":"u","ts_ms":200}
+        |{"before":{"id":2,"name":"bob","ts":10},"after":null,"op":"d","ts_ms":300}
+        |""".stripMargin)
+    val envelopes = spark.readStream
+      .schema(Debezium.envelopeSchema(rowSchema))
+      .json(envDir)
+    val q = Streamer.streamCdcInto(t, envelopes, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val got = t.read().select("id", "name").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "ada2")))
+  }
+
+  test("vector-index table service: build once per snapshot, query off the index") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val t = GraftTable.create(spark, tmp(), TableConfig(
+      name = "vecs", keyField = "vec_id", orderingField = "vec_id", numBuckets = 2))
+    t.bulkInsert(embs.select("vec_id", "embedding"))
+    val path = graft.core.TableServices.buildVectorIndex(t, "vec_id", "embedding", nLists = 8)
+    val stamp = java.nio.file.Paths.get(path, "instant.stamp")
+    val m1 = Files.getLastModifiedTime(stamp)
+    // same snapshot → service is a no-op
+    graft.core.TableServices.buildVectorIndex(t, "vec_id", "embedding", nLists = 8)
+    assert(Files.getLastModifiedTime(stamp) == m1)
+    // full-probe query off the index == brute force over the table
+    val queries = t.read().filter($"vec_id" < 5).select("vec_id", "embedding")
+    val exact = graft.operators.Similarity.bruteForceTopK(
+      t.read().select("vec_id", "embedding"), queries, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val viaIndex = graft.operators.IvfIndex.topK(spark, path, queries,
+      "vec_id", "embedding", k = 3, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(viaIndex == exact)
+    // table advances → stale → rebuild on next service run
+    t.upsert(embs.limit(1).select("vec_id", "embedding"))
+    graft.core.TableServices.buildVectorIndex(t, "vec_id", "embedding", nLists = 8)
+    assert(Files.getLastModifiedTime(stamp) != m1)
+  }
+
   test("CDC tombstone validation reads a pruned key range, not the whole table") {
     val t = GraftTable.create(spark, tmp(), TableConfig(
       name = "cdc_prune", keyField = "id", orderingField = "ts", numBuckets = 4))
