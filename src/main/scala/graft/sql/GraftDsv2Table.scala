@@ -1,0 +1,93 @@
+package graft.sql
+
+import graft.core.GraftTable
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.util
+
+/** DSv2 table handed out by [[GraftTableCatalog]]: READS delegate to
+  * Spark's own parquet DSv2 table over commit-log-selected files (full
+  * pushdown/pruning, file selection ours), while DML lands on the
+  * engine's transactional write paths:
+  *
+  *  - `INSERT INTO gcat.t SELECT ...` → [[GraftTable.insert]] and
+  *    `INSERT OVERWRITE` → [[GraftTable.insertOverwriteTable]], via the
+  *    V1Write/InsertableRelation bridge (the same bridge Spark's JDBC
+  *    source uses) — every write is a real commit on the timeline, OCC
+  *    included.
+  *  - `DELETE FROM gcat.t WHERE ...` → [[GraftTable.deleteWhere]] when
+  *    the predicate translates to V1 filters (SupportsDelete); Spark
+  *    rejects untranslatable conditions at analysis instead of
+  *    guessing.
+  *
+  * ACCEPT_ANY_SCHEMA defers schema checks to the engine's additive
+  * schema evolution (prepare/align): inserts may omit metadata columns
+  * and introduce new ones, like every other write path. */
+final class GraftDsv2Table(graft: GraftTable, delegate: Table)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  override def name(): String = delegate.name()
+  override def schema(): StructType = delegate.schema()
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = new util.HashSet[TableCapability](delegate.capabilities())
+    caps.add(TableCapability.V1_BATCH_WRITE)
+    caps.add(TableCapability.TRUNCATE)
+    caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ow: Boolean): Unit = {
+              if (overwrite || ow) graft.insertOverwriteTable(data)
+              else graft.insert(data)
+              ()
+            }
+          }
+      }
+    }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.flatMap(toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    graft.deleteWhere(cond)
+    ()
+  }
+
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === v)
+    case EqualNullSafe(a, v) => Some(col(a) <=> v)
+    case GreaterThan(a, v) => Some(col(a) > v)
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case LessThan(a, v) => Some(col(a) < v)
+    case LessThanOrEqual(a, v) => Some(col(a) <= v)
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+}

@@ -97,8 +97,11 @@ class GraftTableCatalog extends TableCatalog {
         .getOrElse(t.schema)
       case None => t.schema
     }
-    ParquetTable(ident.name, spark, CaseInsensitiveStringMap.empty(),
+    val parquet = ParquetTable(ident.name, spark, CaseInsensitiveStringMap.empty(),
       files, Some(schema), classOf[ParquetFileFormat])
+    // reads delegate to Spark's parquet DSv2; INSERT/DELETE land on the
+    // engine's transactional write paths (see GraftDsv2Table)
+    new GraftDsv2Table(t, parquet)
   }
 
   override def loadTable(ident: Identifier): Table =

@@ -69,6 +69,30 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(now == Seq(("A", 9L), ("B", 2L)))
   }
 
+  test("DML through the catalog: INSERT / INSERT OVERWRITE / DELETE as real commits") {
+    wire()
+    val t = GraftTable.create(spark, s"$wh/dml", TableConfig(
+      name = "dml", keyField = "key", orderingField = "ts",
+      partitionField = Some("date"), numBuckets = 2))
+    t.insert(ticks(("A", "t1", 1L)))
+    val commits0 = t.log.commits().size
+
+    spark.sql("""INSERT INTO gcat.dml
+      SELECT 'B' AS key, 'S' AS symbol, 't1' AS ts, '2018/08/31' AS date, 2L AS volume""")
+    assert(spark.sql("SELECT key FROM gcat.dml ORDER BY key")
+      .as[String].collect().toSeq == Seq("A", "B"))
+    assert(t.log.commits().size == commits0 + 1) // a real timeline commit
+
+    spark.sql("DELETE FROM gcat.dml WHERE key = 'A'")
+    assert(spark.sql("SELECT key FROM gcat.dml").as[String].collect().toSeq == Seq("B"))
+
+    spark.sql("""INSERT OVERWRITE gcat.dml
+      SELECT 'Z' AS key, 'S' AS symbol, 't9' AS ts, '2019/01/01' AS date, 9L AS volume""")
+    assert(spark.sql("SELECT key FROM gcat.dml").as[String].collect().toSeq == Seq("Z"))
+    // the engine API sees the same state: one table, one timeline
+    assert(t.read().select("key").as[String].collect().toSeq == Seq("Z"))
+  }
+
   test("DDL through the catalog: CREATE/SHOW/DROP") {
     wire()
     spark.sql(
