@@ -31,32 +31,34 @@ object Joins {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       timeCol: String, rightValueCols: Seq[String]): DataFrame = {
     val asofCols = rightValueCols.map(c => s"${c}_asof") :+ s"${timeCol}_asof"
-    val asofTypes = rightValueCols.map(right.schema(_).dataType) :+
-      right.schema(timeCol).dataType
     val leftCols = left.columns.toSeq
+    // the right row travels as ONE struct so the running last() always
+    // carries every column from the SAME matched row — per-column
+    // last(ignoreNulls) would stitch together different right rows
+    // whenever a right value is null
+    val packed = struct(
+      rightValueCols.map(col) :+ col(timeCol).as("__t"): _*)
+    val r = right.select(keys.map(col) :+ col(timeCol) :+
+      packed.as("__asof"): _*)
+    val structType = r.schema("__asof").dataType
     // right rows sort BEFORE left rows at equal time (<= semantics)
     val l = left
-      .withColumn("__side", lit(1))
-      .select(leftCols.map(col) ++
-        asofCols.zip(asofTypes).map { case (c, t) => lit(null).cast(t).as(c) } :+
-        col("__side"): _*)
-    val r = right
-      .select(keys.map(col) ++
-        (rightValueCols.zip(asofCols).map { case (c, a) => col(c).as(a) }
-          :+ col(timeCol).as(s"${timeCol}_asof")
-          :+ col(timeCol)): _*)
-      .withColumn("__side", lit(0))
+      .select(leftCols.map(col) :+
+        lit(null).cast(structType).as("__asof") :+ lit(1).as("__side"): _*)
     val rAligned = r.select(
       leftCols.map(c => if (keys.contains(c) || c == timeCol) col(c)
-                        else lit(null).cast(left.schema(c).dataType).as(c)) ++
-      asofCols.map(col) :+ col("__side"): _*)
+                        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+      col("__asof") :+ lit(0).as("__side"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = asofCols.foldLeft(l.unionByName(rAligned)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__side")
+    val carried = l.unionByName(rAligned)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+    val unpacked = rightValueCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"${c}_asof", col(s"__asof.$c"))
+    }.withColumn(s"${timeCol}_asof", col("__asof.__t"))
+    unpacked.filter(col("__side") === 1).drop("__side", "__asof")
+      .select(leftCols.map(col) ++ asofCols.map(col): _*)
   }
 
   /** Range join via bin bucketing: left rows matched to every range

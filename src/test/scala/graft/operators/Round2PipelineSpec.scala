@@ -160,6 +160,16 @@ class Round2PipelineSpec extends AnyFunSuite {
       (102L, None, None)))            // user 2 has no quotes
   }
 
+  test("asofJoin carries the whole matched row: a null value is not backfilled from an older row") {
+    val clicks = Seq((1L, 200L, 50L)).toDF("user", "id", "t")
+    val quotes = Seq((1L, 10L, Some(1.0)), (1L, 40L, None))
+      .toDF("user", "t", "px")
+    val row = Joins.asofJoin(clicks, quotes, Seq("user"), "t", Seq("px"))
+      .select("t_asof", "px_asof").head()
+    assert(row.getLong(0) == 40L)      // latest quote at-or-before t=50
+    assert(row.isNullAt(1))            // ...whose px IS null — keep it null
+  }
+
   test("rangeJoinBinned plans as an equi-join on bins, not a nested loop") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val bands = Seq((0.0, 100.0), (100.0, 1000.0)).toDF("lo", "hi")
