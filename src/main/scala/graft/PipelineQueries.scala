@@ -194,9 +194,16 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
-  private def ivfCachePath(dir: String): String =
+  /** Cache path keyed by the embeddings file's identity AND content
+    * signature (size + mtime): regenerating the fixture with the same
+    * row count must not serve a stale index. */
+  private def ivfCachePath(dir: String): String = {
+    val f = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val sig = s"$dir:${java.nio.file.Files.size(f)}:${
+      java.nio.file.Files.getLastModifiedTime(f).toMillis}"
     s"${System.getProperty("java.io.tmpdir")}/graft-ivf-${
-      java.lang.Integer.toHexString(dir.hashCode)}"
+      java.lang.Integer.toHexString(sig.hashCode)}"
+  }
 
   // ---- text analysis -------------------------------------------------
 

@@ -193,26 +193,27 @@ final class CommitLog(tableRoot: String) {
   def withLock[T](f: => T): T = {
     init()
     val lock = dir.resolve("LOCK")
+    val token = java.util.UUID.randomUUID().toString
     var tries = 0
     while (true) {
       try {
         Files.write(lock,
-          s"""{"owner":"${java.lang.ProcessHandle.current().pid()}/${Thread.currentThread().getId}","acquiredMs":${System.currentTimeMillis()}}"""
+          s"""{"owner":"${java.lang.ProcessHandle.current().pid()}/${Thread.currentThread().getId}","token":"$token","acquiredMs":${System.currentTimeMillis()}}"""
             .getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE_NEW)
         try return f
-        finally Files.deleteIfExists(lock)
+        finally {
+          // FENCED release: delete only the lock we wrote. A holder
+          // paused past the staleness threshold may have been taken
+          // over — deleting blindly would free someone else's lock.
+          try {
+            if (new String(Files.readAllBytes(lock), "UTF-8").contains(token))
+              Files.delete(lock)
+          } catch { case _: java.io.IOException => () }
+        }
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          // stale-lock takeover: if the holder recorded an acquire time
-          // older than the staleness threshold, remove and retry. The
-          // delete+create race between two waiters is safe — CREATE_NEW
-          // admits exactly one.
-          try {
-            val ageMs = System.currentTimeMillis() -
-              Files.getLastModifiedTime(lock).toMillis
-            if (ageMs > lockStaleMs) Files.deleteIfExists(lock)
-          } catch { case _: java.io.IOException => () } // vanished = freed
+          reapIfStale(lock)
           tries += 1
           if (tries > 1200) throw new IllegalStateException(
             s"commit lock timeout on $lock — if no writer is alive, delete " +
@@ -222,6 +223,27 @@ final class CommitLog(tableRoot: String) {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Stale-lock takeover with an ATOMIC claim: the candidate is
+    * RENAMED to a unique reap name first — rename succeeds for exactly
+    * one reaper, so two waiters can never both "delete the stale lock"
+    * with one of them actually deleting a fresh lock acquired in
+    * between (the naive check-then-delete TOCTOU). If the rename won a
+    * lock that turns out fresh (re-acquired inside the race window),
+    * it is moved straight back. */
+  private def reapIfStale(lock: Path): Unit =
+    try {
+      if (System.currentTimeMillis() -
+          Files.getLastModifiedTime(lock).toMillis > lockStaleMs) {
+        val reaped = lock.resolveSibling(
+          s".lock-reaped-${java.util.UUID.randomUUID()}")
+        Files.move(lock, reaped)
+        val age = System.currentTimeMillis() -
+          Files.getLastModifiedTime(reaped).toMillis
+        if (age > lockStaleMs) Files.delete(reaped)
+        else Files.move(reaped, lock) // stole a fresh lock — restore it
+      }
+    } catch { case _: java.io.IOException => () } // lost the race = freed
 
   /** Atomically publish a commit. Returns false if the instant already
     * exists (a concurrent writer published it first) — caller retries

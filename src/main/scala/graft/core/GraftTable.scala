@@ -554,20 +554,34 @@ final class GraftTable private (
     readFiles(snap.liveFiles(asOf).filterNot(_.delta), schemaAt(snap, asOf))
   }
 
-  /** Group-scoped latest-wins merge: only file groups that actually
-    * carry delta files go through the Window; base-only groups are
-    * unioned pass-through. At a 1%-dirty table this caps the shuffle at
-    * O(dirty keys) instead of O(all keys) — the reference's "file-ids
-    * without updates are filtered out without scanning" semantics
-    * (hudi-spark-minio-trino/README.md:728-730, 966-979). */
+  /** Delta-keyed latest-wins merge: only KEYS that actually carry
+    * delta rows go through the Window — base rows of other keys pass
+    * through untouched (including legitimate `insert` duplicates,
+    * which Hudi's realtime view also leaves as-is; a key's visibility
+    * never depends on whether an unrelated key in its file group was
+    * updated). File groups without any delta file skip even the key
+    * probe. At a 1%-dirty table the Window input is O(dirty keys'
+    * rows): the delta-key set is small, the semi/anti probes broadcast
+    * under AQE, and base files of clean groups are never rescanned —
+    * the reference's "file-ids without updates are filtered out
+    * without scanning" semantics (hudi-spark-minio-trino/
+    * README.md:728-730, 966-979), sharpened to key granularity. */
   private def mergeGroupScoped(live: Seq[DataFileMeta], sch: StructType): DataFrame = {
-    val deltaGroups = live.filter(_.delta).map(f => (f.partition, f.bucket)).toSet
-    if (deltaGroups.isEmpty) return readFiles(live, sch) // fully compacted: no Window at all
-    val (mergeFiles, passthrough) =
+    val deltaFiles = live.filter(_.delta)
+    if (deltaFiles.isEmpty) return readFiles(live, sch) // fully compacted: no Window at all
+    val deltaGroups = deltaFiles.map(f => (f.partition, f.bucket)).toSet
+    val (groupFiles, passGroups) =
       live.partition(f => deltaGroups.contains((f.partition, f.bucket)))
-    val merged = latestWins(readFiles(mergeFiles, sch))
-    if (passthrough.isEmpty) merged
-    else merged.unionByName(readFiles(passthrough, sch))
+    val idCols = config.partitionField.toSeq :+ config.keyField
+    val baseOfGroups = readFiles(groupFiles.filterNot(_.delta), sch)
+    val deltas = readFiles(deltaFiles, sch)
+    val deltaKeys = deltas.select(idCols.map(col): _*).distinct()
+    val merged = latestWins(
+      baseOfGroups.join(deltaKeys, idCols, "left_semi").unionByName(deltas))
+    val passKeys = baseOfGroups.join(deltaKeys, idCols, "left_anti")
+    val withPass = merged.unionByName(passKeys)
+    if (passGroups.isEmpty) withPass
+    else withPass.unionByName(readFiles(passGroups, sch))
   }
 
   /** Realtime view (`_rt`): merge base + delta with latest-wins, drop

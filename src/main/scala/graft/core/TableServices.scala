@@ -114,14 +114,18 @@ object TableServices {
   def buildVectorIndex(t: GraftTable, idCol: String, vecCol: String,
       nLists: Int = 16): String = {
     val path = vectorIndexPath(t, vecCol)
-    val stamp = t.log.lastInstant().getOrElse("0")
+    // stamp carries the full index identity: snapshot instant AND the
+    // build parameters — changing nLists or idCol must rebuild
+    val stamp = s"${t.log.lastInstant().getOrElse("0")}:$idCol:$nLists"
     val stampFile = java.nio.file.Paths.get(path, "instant.stamp")
     val current =
       if (Files.exists(stampFile)) new String(Files.readAllBytes(stampFile), "UTF-8")
       else ""
     if (current != stamp) {
-      graft.operators.IvfIndex.build(
-        t.read().select(idCol, vecCol), idCol, vecCol, nLists, path)
+      val corpus = t.read().select(idCol, vecCol)
+      require(!corpus.isEmpty,
+        s"cannot build a vector index over empty table ${t.config.name}")
+      graft.operators.IvfIndex.build(corpus, idCol, vecCol, nLists, path)
       Files.createDirectories(java.nio.file.Paths.get(path))
       Files.write(stampFile, stamp.getBytes("UTF-8"))
     }

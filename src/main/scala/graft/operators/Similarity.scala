@@ -67,8 +67,10 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, dim: Int,
       numTables: Int = 0, bitsPerTable: Int = 0,
       targetCosine: Double = 0.2): DataFrame = {
+    require((numTables > 0) == (bitsPerTable > 0),
+      "pass BOTH numTables and bitsPerTable, or neither (auto-sized)")
     val (nt, bt) =
-      if (numTables > 0 && bitsPerTable > 0) (numTables, bitsPerTable)
+      if (numTables > 0) (numTables, bitsPerTable)
       else lshAutoParams(corpus.count(), targetCosine)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
       .withColumn("tk", explode(lshTableKeys(col("cvec"), dim, nt, bt)))
@@ -139,8 +141,10 @@ object Similarity {
   def lshCandidatePairs(embs: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, numTables: Int = 0,
       bitsPerTable: Int = 0): DataFrame = {
+    require((numTables > 0) == (bitsPerTable > 0),
+      "pass BOTH numTables and bitsPerTable, or neither (auto-sized)")
     val (nt, bt) =
-      if (numTables > 0 && bitsPerTable > 0) (numTables, bitsPerTable)
+      if (numTables > 0) (numTables, bitsPerTable)
       else lshAutoParams(embs.count(), threshold)
     val sig = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("tk", explode(lshTableKeys(col("v"), dim, nt, bt)))

@@ -1,6 +1,6 @@
 package graft.sql
 
-import graft.core.GraftTable
+import graft.core.{GraftTable, TableConfig}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.read.ScanBuilder
@@ -54,13 +54,32 @@ final class GraftDsv2Table(graft: GraftTable, delegate: Table)
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ow: Boolean): Unit = {
-              if (overwrite || ow) graft.insertOverwriteTable(data)
-              else graft.insert(data)
+              val aligned = bindPositional(data)
+              // Hudi semantics for INSERT OVERWRITE: DYNAMIC partition
+              // replace (only partitions present in the data), same as
+              // the GraftSql route — not vanilla Spark's whole-table
+              // static overwrite
+              if (overwrite || ow) graft.insertOverwrite(aligned)
+              else graft.insert(aligned)
               ()
             }
           }
       }
     }
+
+  /** ACCEPT_ANY_SCHEMA skips Spark's by-position INSERT resolution, so
+    * a positional `INSERT INTO t VALUES (...)` arrives with synthetic
+    * col1..colN names; bind them to the table's data columns (metadata
+    * columns excluded) when the arity matches, like GraftSql does. */
+  private def bindPositional(data: DataFrame): DataFrame = {
+    if (!data.columns.forall(_.matches("col\\d+"))) return data
+    val dataCols = graft.schema.fields.map(_.name)
+      .filterNot(Set(TableConfig.CommitTimeCol,
+        graft.config.softDeleteField).contains)
+    if (dataCols.length == data.columns.length)
+      data.toDF(dataCols.toIndexedSeq: _*)
+    else data
+  }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(toColumn(_).isDefined)

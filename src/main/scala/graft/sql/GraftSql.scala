@@ -35,11 +35,11 @@ final class GraftSql(catalog: GraftCatalog) {
   private val ShowTablesRe = """(?is)\s*SHOW\s+TABLES\s*""".r
   private val ShowPartsRe = """(?is)\s*SHOW\s+PARTITIONS\s+(\w+)\s*""".r
   private val MergeRe =
-    """(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+\w+)?\s+USING\s+(.+?)\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*""".r
+    """(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+\w+)?\s+USING\s+(.+?)\s+(WHEN\s+(?:NOT\s+)?MATCHED\s+.+?)\s*""".r
 
   def sql(text: String): DataFrame = text match {
-    case MergeRe(name, source, cond, clauses) =>
-      merge(name, source, cond, clauses)
+    case MergeRe(name, sourceAndOn, clauses) =>
+      merge(name, sourceAndOn, clauses)
       emptyResult()
 
     case CreateRe(name, colsOpt, optsOpt, ctasOpt) =>
@@ -105,51 +105,99 @@ final class GraftSql(catalog: GraftCatalog) {
 
   /** MERGE INTO — the Hudi-SQL upsert statement, in the forms the
     * reference demos exercise (Hudi itself constrains MERGE's ON to
-    * the record key, and the keyed-upsert mapping below is exactly its
-    * execution strategy):
+    * the record key):
     * {{{
-    *   MERGE INTO t USING src ON t.key = s.key
-    *     WHEN MATCHED THEN UPDATE SET *
-    *     WHEN NOT MATCHED THEN INSERT *          -- = keyed upsert(src)
-    *   MERGE INTO t USING src ON t.key = s.key
-    *     WHEN MATCHED THEN DELETE                -- = delete src's keys
+    *   WHEN MATCHED THEN UPDATE SET *
+    *   [WHEN NOT MATCHED THEN INSERT *]     -- keyed upsert (both) or
+    *                                        -- matched-only update
+    *   WHEN NOT MATCHED THEN INSERT *       -- alone: insert ONLY new
+    *                                        -- keys, existing untouched
+    *   WHEN MATCHED THEN DELETE             -- delete matched keys
+    *     [WHEN NOT MATCHED THEN INSERT *]   -- ... and insert new ones
     * }}}
     * `src` is a registered view/table name or a parenthesized SELECT
-    * (optionally aliased). The ON condition must reference the record
-    * key; arbitrary SET expressions are routed to UPDATE instead. */
-  private def merge(name: String, source: String, cond: String,
-      clauses: String): Unit = {
+    * (optionally aliased; inner JOIN ... ON is fine — the statement's
+    * ON is found at paren depth 0). The source must expose the record
+    * key under its table column name. */
+  private def merge(name: String, sourceAndOn: String, clauses: String): Unit = {
     val t = catalog.table(name)
-    require(cond.toLowerCase.contains(t.config.keyField.toLowerCase),
-      s"MERGE ON must join on the record key '${t.config.keyField}' " +
+    val key = t.config.keyField
+    // split "src [AS alias] ON cond" at the first TOP-LEVEL ON — a
+    // JOIN ... ON inside a parenthesized source must not split here
+    val onIdx = topLevelWordIndex(sourceAndOn, "on")
+    require(onIdx >= 0, "MERGE requires an ON condition")
+    val source = sourceAndOn.substring(0, onIdx).trim
+    val cond = sourceAndOn.substring(onIdx + 2)
+    require(cond.toLowerCase.contains(key.toLowerCase),
+      s"MERGE ON must join on the record key '$key' " +
       "(Hudi record-key merge contract)")
     catalog.syncViews()
     val srcTrim = source.trim
     val srcSql =
       if (srcTrim.startsWith("(")) {
-        // strip trailing alias after the closing paren, if any
-        val close = {
-          var depth = 0; var idx = -1
-          srcTrim.zipWithIndex.foreach { case (ch, i) =>
-            if (ch == '(') depth += 1
-            else if (ch == ')') { depth -= 1; if (depth == 0 && idx < 0) idx = i }
-          }
-          idx
+        var depth = 0; var close = -1
+        srcTrim.zipWithIndex.foreach { case (ch, i) =>
+          if (ch == '(') depth += 1
+          else if (ch == ')') { depth -= 1; if (depth == 0 && close < 0) close = i }
         }
+        require(close > 0, s"unbalanced parentheses in MERGE source: $srcTrim")
         srcTrim.substring(1, close)
       } else s"SELECT * FROM $srcTrim"
     val src = spark.sql(srcSql)
+    require(src.columns.contains(key),
+      s"MERGE source must expose the record key column '$key'")
     val c = clauses.toLowerCase.replaceAll("\\s+", " ")
     val updateAll = c.contains("when matched then update set *")
     val insertAll = c.contains("when not matched then insert *")
     val deleteMatched = c.contains("when matched then delete")
-    if (deleteMatched && !updateAll) {
-      t.deleteRows(src); ()
-    } else if (updateAll || insertAll) {
-      t.upsert(src); ()
-    } else throw new IllegalArgumentException(
-      "unsupported MERGE form: use UPDATE SET * / INSERT * / DELETE " +
-      "(explicit SET expressions: use UPDATE ... WHERE)")
+    // pinned PRE-merge snapshot: matched/unmatched is decided against
+    // the table state before any clause runs (a def would re-list the
+    // table between the DELETE and INSERT clauses and resurrect
+    // just-deleted keys as "not matched")
+    val existingKeys = t.read().select(expr(key)).distinct()
+    (updateAll, insertAll, deleteMatched) match {
+      case (true, true, false) => t.upsert(src) // classic upsert merge
+      case (true, false, false) => // matched-only update
+        t.upsert(src.join(existingKeys, Seq(key), "left_semi"))
+      case (false, true, false) => // insert-only: existing keys untouched
+        val fresh = src.join(existingKeys, Seq(key), "left_anti")
+        if (!fresh.isEmpty) { t.upsert(fresh); () }
+      case (false, false, true) => // delete matched keys
+        val victims = src.join(existingKeys, Seq(key), "left_semi")
+        if (!victims.isEmpty) { t.deleteRows(victims); () }
+      case (false, true, true) => // delete matched, insert the rest
+        val victims = src.join(existingKeys, Seq(key), "left_semi")
+        if (!victims.isEmpty) { t.deleteRows(victims); () }
+        val fresh = src.join(existingKeys, Seq(key), "left_anti")
+        if (!fresh.isEmpty) { t.upsert(fresh); () }
+      case _ => throw new IllegalArgumentException(
+        "unsupported MERGE form: use UPDATE SET * / INSERT * / DELETE " +
+        "(explicit SET expressions: use UPDATE ... WHERE)")
+    }
+    ()
+  }
+
+  /** Index of the first occurrence of `word` (token-bounded, case-
+    * insensitive) at paren/quote depth 0, or -1. */
+  private def topLevelWordIndex(s: String, word: String): Int = {
+    val lower = s.toLowerCase
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case '(' if !inQuote => depth += 1
+        case ')' if !inQuote => depth -= 1
+        case _ =>
+      }
+      if (!inQuote && depth == 0 && lower.startsWith(word, i) &&
+          (i == 0 || !lower.charAt(i - 1).isLetterOrDigit) &&
+          (i + word.length >= s.length || !lower.charAt(i + word.length).isLetterOrDigit))
+        return i
+      i += 1
+    }
+    -1
   }
 
   /** INSERT body → DataFrame; VALUES rows bind positionally to the

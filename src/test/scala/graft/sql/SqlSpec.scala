@@ -84,6 +84,34 @@ class SqlSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("record key"))
   }
 
+  test("MERGE INTO: insert-only leaves matched rows untouched; source may contain JOIN ... ON") {
+    gsql.sql("""CREATE TABLE mrg2 (id BIGINT, name STRING, ts BIGINT)
+      USING GRAFT OPTIONS (primaryKey='id', precombine='ts')""")
+    gsql.sql("INSERT INTO mrg2 VALUES (1, 'ann', 100)")
+    // insert-only: id=1 exists and must NOT be updated; id=2 is new.
+    // The source is a parenthesized SELECT with an inner JOIN ... ON —
+    // the statement's ON must be found at paren depth 0.
+    gsql.sql("""MERGE INTO mrg2 USING (
+        SELECT a.id, a.name, a.ts FROM
+          (SELECT 1 AS id, 'HIJACK' AS name, 999 AS ts
+           UNION ALL SELECT 2, 'new', 999) a
+          JOIN (SELECT 1 AS id UNION ALL SELECT 2) b ON a.id = b.id) AS s
+      ON mrg2.id = s.id
+      WHEN NOT MATCHED THEN INSERT *""")
+    val rows = gsql.sql("SELECT id, name FROM mrg2 ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "ann"), (2L, "new"))) // 1 untouched, 2 inserted
+    // delete + insert combination
+    gsql.sql("""MERGE INTO mrg2 USING (
+        SELECT 1 AS id, 'x' AS name, 1000 AS ts
+        UNION ALL SELECT 3, 'cyd', 1000) AS s
+      ON mrg2.id = s.id
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(gsql.sql("SELECT id, name FROM mrg2 ORDER BY id")
+      .as[(Long, String)].collect().toSeq == Seq((2L, "new"), (3L, "cyd")))
+  }
+
   test("INSERT OVERWRITE replaces a partition") {
     gsql.sql("INSERT INTO people VALUES (3, 'cid', 'tokyo', 100)")
     gsql.sql("INSERT OVERWRITE people VALUES (9, 'zoe', 'tokyo', 200)")

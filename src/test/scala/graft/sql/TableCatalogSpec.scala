@@ -86,11 +86,19 @@ class TableCatalogSpec extends AnyFunSuite {
     spark.sql("DELETE FROM gcat.dml WHERE key = 'A'")
     assert(spark.sql("SELECT key FROM gcat.dml").as[String].collect().toSeq == Seq("B"))
 
+    // positional VALUES binds to the table's data columns
+    spark.sql("INSERT INTO gcat.dml VALUES ('C', 'S', 't2', '2018/08/31', 3)")
+    assert(spark.sql("SELECT key FROM gcat.dml ORDER BY key")
+      .as[String].collect().toSeq == Seq("B", "C"))
+
+    // INSERT OVERWRITE is DYNAMIC (Hudi semantics): only partitions in
+    // the data are replaced — 2018/08/31 survives
     spark.sql("""INSERT OVERWRITE gcat.dml
       SELECT 'Z' AS key, 'S' AS symbol, 't9' AS ts, '2019/01/01' AS date, 9L AS volume""")
-    assert(spark.sql("SELECT key FROM gcat.dml").as[String].collect().toSeq == Seq("Z"))
+    assert(spark.sql("SELECT key FROM gcat.dml ORDER BY key")
+      .as[String].collect().toSeq == Seq("B", "C", "Z"))
     // the engine API sees the same state: one table, one timeline
-    assert(t.read().select("key").as[String].collect().toSeq == Seq("Z"))
+    assert(t.read().select("key").as[String].collect().toSeq.sorted == Seq("B", "C", "Z"))
   }
 
   test("DDL through the catalog: CREATE/SHOW/DROP") {
