@@ -104,6 +104,43 @@ object TableServices {
     else t.log.archiveBefore(commits(commits.size - retainCommits).instant)
   }
 
+  /** Restore (Hudi savepoint/restore, `rollback` generalized): make
+    * the table's live state equal to its snapshot at `toInstant`,
+    * expressed as ONE new replace commit — history is never rewritten,
+    * so time travel across the restore keeps working and incremental
+    * consumers see the restore as a change like any other. Fails
+    * cleanly if cleaning already deleted a file the target snapshot
+    * needs. The `*` replace scope conflicts with any concurrent write
+    * under OCC — restoring mid-write is a real conflict, not a race. */
+  def restore(t: GraftTable, toInstant: String): String = {
+    val snap = t.log.snapshot()
+    val planning = snap.lastInstant.getOrElse("0")
+    val instant = t.log.nextInstantAfter(snap.lastInstant)
+    val target = snap.liveFiles(Some(toInstant)).map(f => f.path -> f).toMap
+    val current = snap.liveFiles().map(f => f.path -> f).toMap
+    val removed = current.keys.filterNot(target.contains).toSeq.sorted
+    val added = target.collect {
+      case (p, f) if !current.contains(p) => f
+    }.toSeq.sortBy(_.path)
+    added.foreach { f =>
+      require(Files.exists(Paths.get(t.root, f.path)),
+        s"cannot restore to $toInstant: ${f.path} was already cleaned")
+    }
+    t.commitValidated(Commit(instant, "replace", "restore",
+      added = added, removed = removed, replacedPartitions = Seq("*"),
+      schemaJson = snap.latestSchemaJson(Some(toInstant)).getOrElse("")),
+      planning, Set.empty, Some(Seq("*")))
+  }
+
+  /** Rollback the newest row commit (restore to the state just before
+    * it). No-op (None) when fewer than two row commits exist. */
+  def rollbackLastCommit(t: GraftTable): Option[String] = {
+    val rowCommits = t.log.commits()
+      .filter(c => c.action == "commit" || c.action == "replace")
+    if (rowCommits.size < 2) None
+    else Some(restore(t, rowCommits(rowCommits.size - 2).instant))
+  }
+
   /** Vector-index table service: build (or refresh) the persisted IVF
     * ANN index over an embedding column of the table's CURRENT
     * snapshot. The index lives under `<root>/index/ivf-<col>/` and is

@@ -166,6 +166,28 @@ class Round2CoreSpec extends AnyFunSuite {
     assert(files.forall(f => f.minKey.nonEmpty && f.maxKey.nonEmpty))
   }
 
+  test("restore rolls the table back as a new commit; history and time travel survive") {
+    val t = GraftTable.create(spark, tmp(), cfg("restore", TableConfig.Cow))
+    val c1 = t.insert(rows(("K1", "t1", 1L), ("K2", "t1", 2L)))
+    t.upsert(rows(("K1", "t2", 99L)))
+    t.insert(rows(("K3", "t3", 3L)))
+    assert(t.read().count() == 3)
+    val rc = TableServices.restore(t, c1)
+    // live state == the c1 snapshot
+    val got = t.read().select("key", "volume").as[(String, Long)].collect().toMap
+    assert(got == Map("K1" -> 1L, "K2" -> 2L))
+    // history intact: time travel to the pre-restore head still works
+    assert(t.read(Some(rc)).count() == 2)
+    // incremental consumers see the restore as a change
+    assert(t.log.commits().exists(_.operation == "restore"))
+    // writes continue normally after a restore
+    t.upsert(rows(("K1", "t4", 7L)))
+    assert(t.read().filter($"key" === "K1").select("volume").as[Long].head() == 7L)
+    // rollback of the newest commit returns to the restore state
+    TableServices.rollbackLastCommit(t)
+    assert(t.read().filter($"key" === "K1").select("volume").as[Long].head() == 1L)
+  }
+
   test("tryCommit refuses an already-published instant (link, not rename)") {
     val log = new CommitLog(tmp())
     val c = Commit("0000000000000000001", "commit", "insert")
