@@ -224,24 +224,51 @@ final class CommitLog(tableRoot: String) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Acquire-time millis stamped inside the lock's content at
+    * CREATE_NEW; mtime fallback only for unparsable content. Content
+    * beats mtime for staleness: a REACQUIRED lock always carries a
+    * fresh stamp, so a live holder's lock is never judged stale by a
+    * filesystem-timestamp artifact. */
+  private def lockAcquiredMs(p: Path): Long = {
+    val content = new String(Files.readAllBytes(p), "UTF-8")
+    "\"acquiredMs\":(\\d+)".r.findFirstMatchIn(content)
+      .map(_.group(1).toLong)
+      .getOrElse(Files.getLastModifiedTime(p).toMillis)
+  }
+
   /** Stale-lock takeover with an ATOMIC claim: the candidate is
     * RENAMED to a unique reap name first — rename succeeds for exactly
     * one reaper, so two waiters can never both "delete the stale lock"
     * with one of them actually deleting a fresh lock acquired in
-    * between (the naive check-then-delete TOCTOU). If the rename won a
-    * lock that turns out fresh (re-acquired inside the race window),
-    * it is moved straight back. */
+    * between (the naive check-then-delete TOCTOU). Staleness is read
+    * from the lock's CONTENT (acquiredMs), so the restore path below is
+    * reachable only when a stale holder releases AND a new writer
+    * acquires inside the read→rename window. If the rename nonetheless
+    * claimed a fresh lock, it is moved straight back — and if THAT
+    * restore collides with yet another CREATE_NEW, the mutual-exclusion
+    * protocol is violated (displaced holder + new waiter would both
+    * proceed); that is fatal for this waiter, never swallowed. */
   private def reapIfStale(lock: Path): Unit =
     try {
-      if (System.currentTimeMillis() -
-          Files.getLastModifiedTime(lock).toMillis > lockStaleMs) {
+      if (System.currentTimeMillis() - lockAcquiredMs(lock) > lockStaleMs) {
         val reaped = lock.resolveSibling(
           s".lock-reaped-${java.util.UUID.randomUUID()}")
         Files.move(lock, reaped)
-        val age = System.currentTimeMillis() -
-          Files.getLastModifiedTime(reaped).toMillis
+        val age = System.currentTimeMillis() - lockAcquiredMs(reaped)
         if (age > lockStaleMs) Files.delete(reaped)
-        else Files.move(reaped, lock) // stole a fresh lock — restore it
+        else {
+          try Files.move(reaped, lock) // stole a fresh lock — restore it
+          catch {
+            case e: java.nio.file.FileAlreadyExistsException =>
+              Files.deleteIfExists(reaped)
+              throw new IllegalStateException(
+                s"lock takeover raced a fresh acquire on $lock: a live " +
+                "holder was displaced and the slot retaken. Aborting this " +
+                "waiter; the displaced holder's commit is still fenced by " +
+                "OCC validation + EEXIST publish, but mutual exclusion " +
+                "cannot be guaranteed for this acquire attempt", e)
+          }
+        }
       }
     } catch { case _: java.io.IOException => () } // lost the race = freed
 

@@ -606,6 +606,18 @@ final class GraftTable private (
       .take(maxCommits)
     if (rowCommits.isEmpty)
       return readFiles(Nil, schemaOf(snap)).limit(0)
+    // A restore re-adds files whose rows keep their ORIGINAL
+    // _commit_time — rows this range-read would filter out, silently
+    // hiding that data was reverted. Incremental consumption cannot
+    // cross a restore (Hudi's stance): the cursor must reset to a full
+    // snapshot resync, then resume from the restore instant.
+    rowCommits.find(_.operation == "restore").foreach { r =>
+      throw new IllegalStateException(
+        s"incremental range ($fromExclusive, …] crosses restore commit " +
+        s"${r.instant}: restored rows carry their original commit time and " +
+        "are invisible to an incremental cursor. Reset the cursor — take a " +
+        s"full snapshot, then resume incrementally from ${r.instant}")
+    }
     val end = rowCommits.last.instant
     val touched = rowCommits.flatMap(_.added).map(f => (f.partition, f.bucket)).toSet
     val live = snap.liveFiles(Some(end))

@@ -107,8 +107,12 @@ object TableServices {
   /** Restore (Hudi savepoint/restore, `rollback` generalized): make
     * the table's live state equal to its snapshot at `toInstant`,
     * expressed as ONE new replace commit — history is never rewritten,
-    * so time travel across the restore keeps working and incremental
-    * consumers see the restore as a change like any other. Fails
+    * so time travel across the restore keeps working. Incremental
+    * consumers CANNOT silently cross a restore: re-added files keep
+    * rows stamped with their original `_commit_time`, so
+    * `readIncremental` refuses a range containing a restore commit and
+    * demands a cursor reset (full resync, then resume) — Hudi's
+    * stance. Fails
     * cleanly if cleaning already deleted a file the target snapshot
     * needs. The `*` replace scope conflicts with any concurrent write
     * under OCC — restoring mid-write is a real conflict, not a race. */

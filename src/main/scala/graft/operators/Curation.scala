@@ -21,19 +21,28 @@ object Curation {
 
   /** Hex md5 threshold for a uniform `fraction`: the first 12 nibbles
     * carry the fraction (48 bits — granularity 3.6e-15), the rest pad
-    * to the full 32-char digest width for lexicographic compare. */
+    * to the full 32-char digest width for lexicographic compare.
+    * `fraction >= 1.0` returns "g" — lexicographically above every hex
+    * digest — so a full-sample request keeps EVERY row (a clamped
+    * all-f threshold would deterministically drop digests at or above
+    * it). */
   def hexThreshold(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
-    val nibbles = math.min((fraction * math.pow(16, 12)).toLong, (1L << 48) - 1)
-    f"$nibbles%012x" + "0" * 20
+    if (fraction >= 1.0) "g"
+    else {
+      val nibbles = math.min((fraction * math.pow(16, 12)).toLong, (1L << 48) - 1)
+      f"$nibbles%012x" + "0" * 20
+    }
   }
 
   /** Deterministic uniform sample: keep a row iff
     * `md5(key) < threshold(fraction)`. One codegen'd filter, no
     * shuffle, no RNG state; membership survives re-runs and composes
-    * with incremental ingestion (a row's fate never changes). */
+    * with incremental ingestion (a row's fate never changes).
+    * A full sample (`fraction >= 1.0`) is the identity — no filter. */
   def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
-    df.filter(md5(col(keyCol).cast("string")) < lit(hexThreshold(fraction)))
+    if (fraction >= 1.0) { require(fraction <= 1.0, s"fraction $fraction"); df }
+    else df.filter(md5(col(keyCol).cast("string")) < lit(hexThreshold(fraction)))
 
   /** Stratified top-N per class: N rows per `classCol` value, chosen
     * by md5 order of the key (uniform within the class, deterministic

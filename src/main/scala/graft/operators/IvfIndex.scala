@@ -32,7 +32,8 @@ import java.nio.file.{Files, Paths}
   */
 object IvfIndex {
 
-  case class Meta(nLists: Int, dim: Int, corpusCount: Long)
+  case class Meta(nLists: Int, dim: Int, corpusCount: Long,
+      idCol: String = "", vecCol: String = "")
 
   private val mapper = graft.core.CommitLog.mapper
 
@@ -72,7 +73,7 @@ object IvfIndex {
       corpus
         .withColumn("list", element_at(nearest_centroids(col("vec"), table, 1), 1))
         .write.mode("overwrite").partitionBy("list").parquet(s"$path/assignments")
-      val meta = Meta(nLists, dim, count)
+      val meta = Meta(nLists, dim, count, idCol, vecCol)
       Files.createDirectories(Paths.get(path))
       Files.write(Paths.get(path, "meta.json"), mapper.writeValueAsBytes(meta))
       meta
@@ -87,11 +88,17 @@ object IvfIndex {
 
   /** Rebuild rule: the index is stale when the corpus row count moved
     * (the cheap high-signal check; callers with a table handle can use
-    * the commit instant instead). */
+    * the commit instant instead) — or when the index was built over a
+    * DIFFERENT id/vector column: the persisted Meta records the full
+    * column identity, so calling with other columns can never serve a
+    * wrong index. In-place updates at identical count remain invisible
+    * to this heuristic; `TableServices.buildVectorIndex` closes that
+    * with its commit-instant stamp. */
   def buildIfStale(embs: DataFrame, idCol: String, vecCol: String,
       nLists: Int, path: String): Meta =
     meta(path) match {
-      case Some(m) if m.corpusCount == embs.count() && m.nLists == nLists => m
+      case Some(m) if m.corpusCount == embs.count() && m.nLists == nLists &&
+          m.idCol == idCol && m.vecCol == vecCol => m
       case _ => build(embs, idCol, vecCol, nLists, path)
     }
 

@@ -128,8 +128,19 @@ final class GraftSql(catalog: GraftCatalog) {
     require(onIdx >= 0, "MERGE requires an ON condition")
     val source = sourceAndOn.substring(0, onIdx).trim
     val cond = sourceAndOn.substring(onIdx + 2)
-    require(cond.toLowerCase.contains(key.toLowerCase),
-      s"MERGE ON must join on the record key '$key' " +
+    // The ON clause must be EXACTLY one equality on the record key
+    // (optionally qualified on either side) — a substring check would
+    // accept compound conditions ('ON s.id = t.id AND s.region =
+    // t.region') or columns merely containing the key name
+    // ('other_id'), then silently merge with different semantics than
+    // written. Parse and reject anything else.
+    val keyRef = ("(?i)([A-Za-z_][A-Za-z0-9_]*\\.)?" +
+      java.util.regex.Pattern.quote(key)).r
+    val sides = cond.split("=", -1).map(_.trim)
+    require(sides.length == 2 &&
+        sides.forall(s => keyRef.pattern.matcher(s).matches()),
+      s"MERGE ON must be a single equality on the record key '$key' " +
+      s"(optionally qualified), got: ${cond.trim} " +
       "(Hudi record-key merge contract)")
     catalog.syncViews()
     val srcTrim = source.trim

@@ -178,8 +178,14 @@ class Round2CoreSpec extends AnyFunSuite {
     assert(got == Map("K1" -> 1L, "K2" -> 2L))
     // history intact: time travel to the pre-restore head still works
     assert(t.read(Some(rc)).count() == 2)
-    // incremental consumers see the restore as a change
     assert(t.log.commits().exists(_.operation == "restore"))
+    // incremental consumption cannot silently cross the restore:
+    // restored rows keep their original _commit_time, so a cursor from
+    // before the restore must reset, not see zero rows
+    val ex = intercept[IllegalStateException](t.readIncremental(c1).count())
+    assert(ex.getMessage.contains("restore"))
+    // a cursor starting at the restore instant resumes normally
+    assert(t.readIncremental(rc).count() == 0)
     // writes continue normally after a restore
     t.upsert(rows(("K1", "t4", 7L)))
     assert(t.read().filter($"key" === "K1").select("volume").as[Long].head() == 7L)
@@ -220,6 +226,34 @@ class Round2CoreSpec extends AnyFunSuite {
       val got = log.withLock { 42 }
       assert(got == 42)
       assert(!Files.exists(lock))
+    } finally sys.props.remove("graft.lock.staleMs")
+  }
+
+  test("a content-fresh lock is never moved aside, even when mtime looks stale") {
+    // the reacquired-lock TOCTOU: staleness must come from the lock's
+    // recorded acquiredMs, not filesystem mtime — a fresh holder whose
+    // file carries an old mtime (clock skew, copied file) must not be
+    // displaced by a waiting reaper
+    val root = tmp()
+    val log = new CommitLog(root)
+    log.init()
+    val lock = java.nio.file.Paths.get(root, CommitLog.Dir, "LOCK")
+    Files.write(lock,
+      s"""{"owner":"alive","token":"tok-x","acquiredMs":${System.currentTimeMillis()}}""".getBytes)
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000))
+    sys.props("graft.lock.staleMs") = "1000"
+    try {
+      @volatile var ran = false
+      val waiter = new Thread(() => { log.withLock { ran = true }; () })
+      waiter.start()
+      Thread.sleep(400) // several reap cycles while the holder is "live"
+      assert(Files.exists(lock), "fresh lock was reaped by mtime")
+      assert(new String(Files.readAllBytes(lock), "UTF-8").contains("alive"))
+      assert(!ran)
+      Files.delete(lock) // the live holder releases
+      waiter.join(15000)
+      assert(ran && !waiter.isAlive)
     } finally sys.props.remove("graft.lock.staleMs")
   }
 }

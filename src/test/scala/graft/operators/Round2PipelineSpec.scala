@@ -88,6 +88,11 @@ class Round2PipelineSpec extends AnyFunSuite {
       java.nio.file.Paths.get(path, "meta.json")) == metaBefore)
     IvfIndex.buildIfStale(embs.limit(50), "vec_id", "embedding", nLists, path)
     assert(IvfIndex.meta(path).get.corpusCount == 50)
+    // column identity is part of the staleness key: same count under a
+    // different id column must rebuild, not serve the old index
+    val renamed = embs.limit(50).withColumnRenamed("vec_id", "vid")
+    IvfIndex.buildIfStale(renamed, "vid", "embedding", nLists, path)
+    assert(IvfIndex.meta(path).get.idCol == "vid")
   }
 
   test("lang-id fixture: every planted label is predicted exactly") {
@@ -124,6 +129,13 @@ class Round2PipelineSpec extends AnyFunSuite {
     val s3 = Curation.deterministicSample(docs, "doc_id", 0.5)
       .select("doc_id").as[Long].collect().toSet
     assert(s1.subsetOf(s3))
+  }
+
+  test("curation: a full-fraction sample keeps every row") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(Curation.deterministicSample(docs, "doc_id", 1.0).count() == docs.count())
+    assert(Curation.hexThreshold(1.0) > "f" * 32) // above every md5 digest
+    intercept[IllegalArgumentException](Curation.hexThreshold(1.2))
   }
 
   test("curation: stratified top-N yields exactly N per class (where available)") {

@@ -82,6 +82,18 @@ class SqlSpec extends AnyFunSuite {
         ON mrg.name = s.name WHEN MATCHED THEN UPDATE SET *""")
     }
     assert(ex.getMessage.contains("record key"))
+    // ...and not by substring: a compound condition or a column merely
+    // CONTAINING the key name must be rejected, not silently narrowed
+    val ex2 = intercept[IllegalArgumentException] {
+      gsql.sql("""MERGE INTO mrg USING (SELECT 1 AS id, 'y' AS name, 1 AS ts) AS s
+        ON mrg.id = s.id AND mrg.name = s.name WHEN MATCHED THEN UPDATE SET *""")
+    }
+    assert(ex2.getMessage.contains("record key"))
+    val ex3 = intercept[IllegalArgumentException] {
+      gsql.sql("""MERGE INTO mrg USING (SELECT 1 AS id, 1 AS other_id, 'y' AS name, 1 AS ts) AS s
+        ON mrg.id = s.other_id WHEN MATCHED THEN UPDATE SET *""")
+    }
+    assert(ex3.getMessage.contains("record key"))
   }
 
   test("MERGE INTO: insert-only leaves matched rows untouched; source may contain JOIN ... ON") {
