@@ -181,6 +181,75 @@ object LakehouseQueries {
     """SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us, value
       |FROM events WHERE value >= 100.0 ORDER BY event_id""".stripMargin
 
+  // ---- schema evolution through the write path ----------------------
+
+  /** Batch₁ arrives WITHOUT `value`; batch₂ arrives with `value` plus a
+    * brand-new derived column. The snapshot reads batch₁-winning rows
+    * with nulls in both evolved columns — old parquet files read
+    * through the evolved schema, new columns appended additively. */
+  def qSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val t = GraftTable.create(spark, freshRoot("ev_evo"),
+      cfg("ev_evo", TableConfig.Cow))
+    t.insert(ev.filter(col("event_id") % 2 === 0).drop("value"))
+    t.upsert(ev.filter(col("event_id") % 2 === 1)
+      .withColumn("vx2", col("value") * 2))
+    t.read()
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select("event_type", "user_id", "event_id", "ts_us", "value", "vx2")
+      .orderBy("event_type", "user_id")
+  }
+
+  private val schemaEvoSql =
+    """SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us,
+      |       CASE WHEN event_id % 2 = 1 THEN value END AS value,
+      |       CASE WHEN event_id % 2 = 1 THEN value * 2 END AS vx2
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY event_type, user_id ORDER BY ts DESC, (event_id % 2) DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY event_type, user_id""".stripMargin
+
+  // ---- CDC-format incremental read ----------------------------------
+
+  /** Net row-level changes after the initial insert: batch₂'s winning
+    * updates (`u`), its brand-new keys (`i`), and the click partition
+    * deleted afterwards (`d`, before-image). An update that loses the
+    * latest-wins merge is NOT a change. */
+  def qCdc(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val t = GraftTable.create(spark, freshRoot("ev_cdc"),
+      cfg("ev_cdc", TableConfig.Cow))
+    val c1 = t.insert(ev.filter(col("event_id") % 2 === 0))
+    t.upsert(ev.filter(col("event_id") % 2 === 1))
+    t.deleteWhere(col("event_type") === "click")
+    t.readCdc(fromExclusive = c1)
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select("_change_type", "event_type", "user_id", "event_id", "ts_us", "value")
+      .orderBy("event_type", "user_id")
+  }
+
+  private val cdcSql =
+    """WITH s1 AS (
+      |  SELECT * FROM (SELECT *, row_number() OVER (
+      |      PARTITION BY event_type, user_id ORDER BY ts DESC) AS rn
+      |    FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+      |s2 AS (
+      |  SELECT * FROM (SELECT *, row_number() OVER (
+      |      PARTITION BY event_type, user_id ORDER BY ts DESC, (event_id % 2) DESC) AS rn
+      |    FROM events) WHERE rn = 1 AND event_type <> 'click')
+      |SELECT CASE WHEN s1.user_id IS NULL THEN 'i'
+      |            WHEN s2.user_id IS NULL THEN 'd'
+      |            ELSE 'u' END AS _change_type,
+      |       coalesce(s1.event_type, s2.event_type) AS event_type,
+      |       coalesce(s1.user_id, s2.user_id) AS user_id,
+      |       CASE WHEN s2.user_id IS NULL THEN s1.event_id ELSE s2.event_id END AS event_id,
+      |       CASE WHEN s2.user_id IS NULL THEN epoch_us(s1.ts) ELSE epoch_us(s2.ts) END AS ts_us,
+      |       CASE WHEN s2.user_id IS NULL THEN s1.value ELSE s2.value END AS value
+      |FROM s1 FULL JOIN s2
+      |  ON s1.event_type = s2.event_type AND s1.user_id = s2.user_id
+      |WHERE s1.user_id IS NULL OR s2.user_id IS NULL OR s1.event_id <> s2.event_id
+      |ORDER BY event_type, user_id""".stripMargin
+
   // ---- A3 key-uniqueness invariant over the lakehouse table ---------
 
   /** The test-suite's duplicate-detection gate run against our own
@@ -212,6 +281,8 @@ object LakehouseQueries {
     "l7_overwrite_drop_partition" -> (qOverwriteAndDropPartition _),
     "l8_unique_invariant" -> (qUniqueInvariant _),
     "l9_stats_skipping" -> (qStatsSkipping _),
+    "l10_schema_evolution" -> (qSchemaEvolution _),
+    "l11_cdc" -> (qCdc _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -224,5 +295,7 @@ object LakehouseQueries {
     "l7_overwrite_drop_partition" -> overwriteSql,
     "l8_unique_invariant" -> uniqueSql,
     "l9_stats_skipping" -> statsSkipSql,
+    "l10_schema_evolution" -> schemaEvoSql,
+    "l11_cdc" -> cdcSql,
   )
 }

@@ -45,9 +45,28 @@ final class GraftTable private (
       case None => new StructType()
     }
 
+  /** Additive-union schema evolution with NUMERIC WIDENING (Hudi's
+    * type-promotion rules: int→long, float→double, int→double, …): a
+    * column arriving wider than its stored type widens the table
+    * schema instead of being narrowed to it — narrowing silently
+    * truncates values (a long key cast to int would even re-bucket).
+    * Old parquet files are read through the widened schema (Spark's
+    * parquet readers up-cast primitives since SPARK-40876). Types with
+    * no tightest common type keep the base type, preserving the
+    * cast-to-base behavior for genuinely incompatible arrivals. */
   private def mergeSchemas(base: StructType, incoming: StructType): StructType = {
+    val inc = incoming.fields.map(f => f.name -> f).toMap
+    val widened = base.fields.map { f =>
+      inc.get(f.name) match {
+        case Some(g) if g.dataType != f.dataType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCoercion
+            .findTightestCommonType(f.dataType, g.dataType)
+            .map(w => f.copy(dataType = w)).getOrElse(f)
+        case _ => f
+      }
+    }
     val names = base.fieldNames.toSet
-    StructType(base.fields ++ incoming.fields.filterNot(f => names.contains(f.name)))
+    StructType(widened ++ incoming.fields.filterNot(f => names.contains(f.name)))
   }
 
   /** Conform a batch to `target`: add missing columns as nulls, keep
@@ -627,6 +646,77 @@ final class GraftTable private (
       .filter(col(TableConfig.CommitTimeCol) > fromExclusive &&
               col(TableConfig.CommitTimeCol) <= end)
       .filter(!coalesce(col(softDel), lit(false)))
+  }
+
+  /** CDC-format incremental read (the Hudi incremental query with
+    * `hoodie.datasource.query.incremental.format=cdc`): row-level
+    * NET changes between the snapshot at `fromExclusive` and the
+    * snapshot `maxCommits` row-commits later, as
+    * `_change_type` ∈ i|u|d plus the row image — the AFTER image for
+    * i/u, the BEFORE image for d (a delete's after image is nothing).
+    * A key updated then deleted inside the range nets to one `d`.
+    *
+    * Scale: only file groups TOUCHED by in-range commits (files added,
+    * files removed, partitions replaced) are read and compared —
+    * untouched groups cannot produce changes, so the diff is O(dirty),
+    * not O(table). Unchanged rows inside touched groups are dropped by
+    * the `_commit_time` equality check: a COW rewrite carries
+    * untouched rows through with their original commit time, so equal
+    * commit times mean an identical winning version. */
+  def readCdc(fromExclusive: String, maxCommits: Int = Int.MaxValue): DataFrame = {
+    val snap = log.snapshot()
+    val rowCommits = snap.commits
+      .filter(c => c.instant > fromExclusive)
+      .filter(c => c.action == "commit" || c.action == "replace")
+      .take(maxCommits)
+    val endSchema = schemaAt(snap,
+      rowCommits.lastOption.map(_.instant).orElse(Some(fromExclusive)))
+    val empty = readFiles(Nil, endSchema).limit(0)
+      .withColumn("_change_type", lit(""))
+    if (rowCommits.isEmpty) return empty
+    rowCommits.find(_.operation == "restore").foreach { r =>
+      throw new IllegalStateException(
+        s"CDC range ($fromExclusive, …] crosses restore commit ${r.instant}: " +
+        "restored rows carry their original commit time and cannot be " +
+        s"classified as changes. Resync from a snapshot, then resume from ${r.instant}")
+    }
+    val end = rowCommits.last.instant
+    val oldLive = snap.liveFiles(Some(fromExclusive))
+    val newLive = snap.liveFiles(Some(end))
+    // touched groups: files added or removed in range, plus every group
+    // of a replaced partition ("*" = whole table)
+    val byPath = (oldLive ++ newLive).map(f => f.path -> f).toMap
+    val replaced = rowCommits.flatMap(_.replacedPartitions).toSet
+    val touched = rowCommits.flatMap(c =>
+        c.added.map(f => (f.partition, f.bucket)) ++
+        c.removed.flatMap(p => byPath.get(p).map(f => (f.partition, f.bucket)))
+      ).toSet ++
+      (oldLive ++ newLive)
+        .filter(f => replaced.contains("*") || replaced.contains(f.partition))
+        .map(f => (f.partition, f.bucket))
+    if (touched.isEmpty) return empty
+    val idCols = config.partitionField.toSeq :+ config.keyField
+    def stateOf(files: Seq[DataFileMeta], asOf: String): DataFrame =
+      align(
+        mergeGroupScoped(files.filter(f => touched.contains((f.partition, f.bucket))),
+            schemaAt(snap, Some(asOf)))
+          .filter(!coalesce(col(softDel), lit(false))),
+        endSchema)
+    val o = stateOf(oldLive, fromExclusive).withColumn("__o", lit(true)).as("o")
+    val n = stateOf(newLive, end).withColumn("__n", lit(true)).as("n")
+    val joined = o.join(n, idCols, "full_outer")
+    val op = when(col("__o").isNull, lit("i"))
+      .when(col("__n").isNull, lit("d"))
+      .otherwise(lit("u"))
+    // image: AFTER for i/u, BEFORE for d; join-key columns are coalesced
+    val imageCols = endSchema.fields.filterNot(f => idCols.contains(f.name)).map { f =>
+      when(op === "d", col(s"o.${f.name}")).otherwise(col(s"n.${f.name}")).as(f.name)
+    }
+    joined
+      // unchanged winner (same commit time on both sides) = no change
+      .filter(col("__o").isNull || col("__n").isNull ||
+        col(s"o.$CommitTimeCol") =!= col(s"n.$CommitTimeCol"))
+      .select(op.as("_change_type") +: idCols.map(col) ++: imageCols.toIndexedSeq: _*)
   }
 
   /** Scan with driver-side file skipping on a stats column: only files

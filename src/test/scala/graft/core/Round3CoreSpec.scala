@@ -1,0 +1,103 @@
+package graft.core
+
+import graft.Session
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Round-3 core work: numeric type widening through schema evolution,
+  * and the CDC-format incremental read (net i/u/d changes with
+  * after/before images, group-scoped diff). */
+class Round3CoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-r3-").toString
+
+  private def cfg(name: String, tpe: String = TableConfig.Cow) = TableConfig(
+    name = name, keyField = "key", orderingField = "ts",
+    partitionField = None, tableType = tpe, numBuckets = 4)
+
+  // ---- schema evolution: numeric widening ---------------------------
+
+  test("type widening: int column widens to long, old files still read") {
+    val t = GraftTable.create(spark, tmp(), cfg("widen"))
+    t.insert(Seq(("K1", 1L, 7)).toDF("key", "ts", "v")
+      .withColumn("v", col("v").cast(IntegerType)))
+    assert(t.schema.fields.find(_.name == "v").get.dataType == IntegerType)
+    // batch 2 arrives with v as LONG holding a value > Int.MaxValue:
+    // narrowing to the stored int would corrupt it
+    val big = 4000000000L
+    t.upsert(Seq(("K2", 2L, big)).toDF("key", "ts", "v"))
+    assert(t.schema.fields.find(_.name == "v").get.dataType == LongType)
+    val got = t.read().select("key", "v").as[(String, Long)].collect().toMap
+    assert(got == Map("K1" -> 7L, "K2" -> big))
+  }
+
+  test("type widening: incompatible arrival keeps the base type (cast-to-base)") {
+    val t = GraftTable.create(spark, tmp(), cfg("nowiden"))
+    t.insert(Seq(("K1", 1L, "txt")).toDF("key", "ts", "s"))
+    t.upsert(Seq(("K2", 2L, 42L)).toDF("key", "ts", "s"))
+    assert(t.schema.fields.find(_.name == "s").get.dataType.typeName == "string")
+    val got = t.read().select("key", "s").as[(String, String)].collect().toMap
+    assert(got == Map("K1" -> "txt", "K2" -> "42"))
+  }
+
+  // ---- CDC-format incremental read ----------------------------------
+
+  private def rows(rs: (String, Long, Long)*): DataFrame =
+    rs.toDF("key", "ts", "volume")
+
+  test("readCdc classifies net insert/update/delete with correct images") {
+    val t = GraftTable.create(spark, tmp(), cfg("cdc"))
+    val c1 = t.insert(rows(("K1", 10L, 100L), ("K2", 10L, 200L), ("K4", 10L, 400L)))
+    t.upsert(rows(("K2", 20L, 222L), ("K3", 20L, 333L))) // update + insert
+    t.deleteWhere($"key" === "K1")
+    val cdc = t.readCdc(fromExclusive = c1)
+      .select("_change_type", "key", "ts", "volume")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(cdc == Set(
+      ("d", "K1", 10L, 100L),   // before-image of the deleted row
+      ("u", "K2", 20L, 222L),   // after-image of the update
+      ("i", "K3", 20L, 333L)))  // K4 untouched → absent
+  }
+
+  test("readCdc: an update that loses the latest-wins merge is not a change") {
+    val t = GraftTable.create(spark, tmp(), cfg("cdc_lose"))
+    val c1 = t.insert(rows(("K1", 50L, 100L)))
+    t.upsert(rows(("K1", 10L, 999L))) // older ordering → loses
+    assert(t.readCdc(fromExclusive = c1).count() == 0)
+  }
+
+  test("readCdc: update-then-delete nets to a single d; empty range is empty") {
+    val t = GraftTable.create(spark, tmp(), cfg("cdc_net"))
+    val c1 = t.insert(rows(("K1", 10L, 100L)))
+    t.upsert(rows(("K1", 20L, 200L)))
+    t.deleteWhere($"key" === "K1")
+    val cdc = t.readCdc(fromExclusive = c1)
+      .select("_change_type", "key", "volume")
+      .as[(String, String, Long)].collect().toSeq
+    assert(cdc == Seq(("d", "K1", 100L))) // before-image = pre-range state
+    assert(t.readCdc(fromExclusive = t.log.lastInstant().get).count() == 0)
+  }
+
+  test("readCdc works over MOR delta files and refuses a restore in range") {
+    val t = GraftTable.create(spark, tmp(), cfg("cdc_mor", TableConfig.Mor))
+    val c1 = t.insert(rows(("K1", 10L, 100L), ("K2", 10L, 200L)))
+    t.upsert(rows(("K1", 20L, 111L)))
+    val cdc = t.readCdc(fromExclusive = c1)
+      .select("_change_type", "key", "volume")
+      .as[(String, String, Long)].collect().toSet
+    assert(cdc == Set(("u", "K1", 111L)))
+    val cow = GraftTable.create(spark, tmp(), cfg("cdc_rst"))
+    val d1 = cow.insert(rows(("K1", 10L, 100L)))
+    cow.upsert(rows(("K1", 20L, 200L)))
+    TableServices.restore(cow, d1)
+    val ex = intercept[IllegalStateException](cow.readCdc(d1).count())
+    assert(ex.getMessage.contains("restore"))
+  }
+}
