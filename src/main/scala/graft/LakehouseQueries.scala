@@ -250,6 +250,19 @@ object LakehouseQueries {
       |WHERE s1.user_id IS NULL OR s2.user_id IS NULL OR s1.event_id <> s2.event_id
       |ORDER BY event_type, user_id""".stripMargin
 
+  // ---- T2+ z-order clustering: rewrite preserves content ------------
+
+  /** Z-order the table on (value, ts) after the usual build; the
+    * snapshot must be bit-identical to the un-clustered l1 result —
+    * clustering is layout, never semantics. (Round3CoreSpec asserts
+    * the layout property itself: per-file stats tighten on BOTH
+    * z columns.) */
+  def qZOrder(spark: SparkSession, dir: String): DataFrame = {
+    val t = build(spark, dir, "ev_zorder", TableConfig.Cow)
+    TableServices.clusterZOrder(t, Seq("value", "ts"))
+    out(t.read())
+  }
+
   // ---- A3 key-uniqueness invariant over the lakehouse table ---------
 
   /** The test-suite's duplicate-detection gate run against our own
@@ -283,6 +296,7 @@ object LakehouseQueries {
     "l9_stats_skipping" -> (qStatsSkipping _),
     "l10_schema_evolution" -> (qSchemaEvolution _),
     "l11_cdc" -> (qCdc _),
+    "l12_zorder" -> (qZOrder _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -297,5 +311,6 @@ object LakehouseQueries {
     "l9_stats_skipping" -> statsSkipSql,
     "l10_schema_evolution" -> schemaEvoSql,
     "l11_cdc" -> cdcSql,
+    "l12_zorder" -> cowUpsertSql,
   )
 }

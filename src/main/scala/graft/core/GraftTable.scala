@@ -151,9 +151,18 @@ final class GraftTable private (
     * Stages with partitionBy(_part,_bucket) (one shuffle, one file per
     * file group per ~maxRecordsPerFile window), then renames into place
     * and harvests per-group stats in a single extra aggregate. */
+  /** `rangeBy = Some((n, cols))` — clustering path — shuffles with
+    * RANGE partitioning on (_part, _bucket, cols) into ~n write tasks:
+    * each task (→ each output file) covers a contiguous slice of the
+    * cluster-column space, so per-file min/max stats are tight by
+    * CONSTRUCTION. A within-partition sort alone cannot guarantee
+    * that: the V1 write inserts its own partition-column sort (over
+    * `empty2null(_part)`, which never semantically matches a
+    * user-space ordering), and EliminateSorts then drops the inner
+    * sort — file boundaries, not row order, must carry the layout. */
   private def writeFiles(df: DataFrame, instant: String, delta: Boolean,
       maxRecordsPerFile: Option[Long] = None,
-      sortByKey: Boolean = false): Seq[DataFileMeta] = {
+      rangeBy: Option[(Int, Seq[Column])] = None): Seq[DataFileMeta] = {
     val keyed = df
       .withColumn("_part", partExpr)
       .withColumn("_bucket", bucketExpr)
@@ -161,11 +170,12 @@ final class GraftTable private (
     // writers planning the same instant must never share it
     val writeToken = java.util.UUID.randomUUID().toString.take(8)
     val staging = Paths.get(root, s".staging-$instant-$writeToken")
-    val shuffled0 = keyed.repartition(col("_part"), col("_bucket"))
-    val shuffled =
-      if (sortByKey)
-        shuffled0.sortWithinPartitions(col("_part"), col("_bucket"), col(config.keyField))
-      else shuffled0
+    val shuffled = rangeBy match {
+      case Some((n, cols)) =>
+        keyed.repartitionByRange(math.max(1, n),
+          (Seq(col("_part"), col("_bucket")) ++ cols).map(_.asc): _*)
+      case None => keyed.repartition(col("_part"), col("_bucket"))
+    }
     val writer0 = shuffled.write.partitionBy("_part", "_bucket").mode("overwrite")
       // T7 key-lookup index: parquet bloom filter on the record key —
       // upsert/point-lookup scans skip row groups without the key
@@ -308,13 +318,14 @@ final class GraftTable private (
       commitOrThrow(c)
     }
 
-  /** Service-path write: base files, optional size packing + in-group
-    * key sort (clustering). */
+  /** Service-path write: base files, optional size packing, optional
+    * range-clustered layout (key for plain clustering, a z-value for
+    * multi-column clustering). */
   private[core] def writeFilesForService(df: DataFrame, instant: String,
       maxRecordsPerFile: Option[Long] = None,
-      sortInGroup: Boolean = false): Seq[DataFileMeta] =
+      rangeBy: Option[(Int, Seq[Column])] = None): Seq[DataFileMeta] =
     writeFiles(df, instant, delta = false,
-      maxRecordsPerFile = maxRecordsPerFile, sortByKey = sortInGroup)
+      maxRecordsPerFile = maxRecordsPerFile, rangeBy = rangeBy)
 
   private def commitOrThrow(c: Commit): String = {
     var attempt = c

@@ -85,6 +85,44 @@ class Round3CoreSpec extends AnyFunSuite {
     assert(t.readCdc(fromExclusive = t.log.lastInstant().get).count() == 0)
   }
 
+  // ---- z-order clustering -------------------------------------------
+
+  test("z-order clustering preserves content and tightens stats on both columns") {
+    val t = GraftTable.create(spark, tmp(), TableConfig(
+      name = "zord", keyField = "key", orderingField = "ts",
+      partitionField = None, numBuckets = 1, statsColumns = Seq("a", "b")))
+    // a, b: independent pseudo-random values — in insertion order every
+    // file spans nearly the full range of both, so no stats pruning
+    val n = 4096
+    t.bulkInsert(spark.range(n).selectExpr(
+      "cast(id as string) AS key", "id AS ts",
+      "pmod(id * 2654435761, 4096) AS a",
+      "pmod(id * 40503, 4096) AS b"))
+    val before = t.read().orderBy("key").collect()
+    val total = t.log.liveFiles().map(_.bytes).sum
+    TableServices.clusterZOrder(t, Seq("a", "b"), targetFileBytes = total / 8)
+    assert(t.read().orderBy("key").collect().sameElements(before))
+    val files = t.log.liveFiles()
+    assert(files.size >= 4, s"expected a multi-file rewrite, got ${files.size}")
+    def mayContain(c: String, lo: Long, hi: Long) = files.count { f =>
+      StatsPruner.mayContain(org.apache.spark.sql.types.LongType,
+        f.stats.get(c), Some(lo.toString), Some(hi.toString))
+    }
+    // a narrow range on EITHER column skips files; the corner rectangle
+    // (both columns narrow) skips most — the multi-column property a
+    // single-column sort cannot give
+    assert(mayContain("a", 0, 255) < files.size)
+    assert(mayContain("b", 0, 255) < files.size)
+    val corner = files.count { f =>
+      StatsPruner.mayContain(org.apache.spark.sql.types.LongType,
+        f.stats.get("a"), Some("0"), Some("255")) &&
+      StatsPruner.mayContain(org.apache.spark.sql.types.LongType,
+        f.stats.get("b"), Some("0"), Some("255"))
+    }
+    assert(corner <= files.size / 2,
+      s"corner query still scans $corner of ${files.size} files")
+  }
+
   test("readCdc works over MOR delta files and refuses a restore in range") {
     val t = GraftTable.create(spark, tmp(), cfg("cdc_mor", TableConfig.Mor))
     val c1 = t.insert(rows(("K1", 10L, 100L), ("K2", 10L, 200L)))
