@@ -66,12 +66,66 @@ object PipelineQueries {
         threshold = 0.7)
       .orderBy("doc_a", "doc_b")
 
-  /** SimHash near-dup pairs — not SQL-expressible (banded 64-bit
-    * fingerprints); covered by ScalaTest recall assertions instead. */
-  def dSimhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.load(spark, dir, "documents"),
-        "doc_id", "text", maxHamming = 8)
+  /** SimHash dedup gate: 60-bit simhash over word 5-shingles with md5
+    * as the feature hash (bit-identical in both engines), 4×15-bit
+    * banded candidate generation, output = pairs at hamming ≤ 3.
+    * Banding is pigeonhole-COMPLETE for hamming ≤ 3 — a pair differing
+    * in ≤ 3 bits has ≥ 1 of 4 bands untouched — so the banded plan
+    * equals the all-pairs answer BY CONSTRUCTION (recall 1.0 is a
+    * theorem, not a data property; measured high-Jaccard pairs reach
+    * hamming 11, so a Jaccard-equivalence gate would be dishonest).
+    * The DuckDB oracle recomputes the identical fingerprints from md5
+    * nibbles and does the all-pairs comparison. The native 64-bit
+    * [[graft.operators.Dedup.simhashPairs]] expression remains the
+    * fast path, ScalaTest-covered. */
+  def dSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 5).as("grams"))
+      .withColumn("hs", expr(
+        "transform(grams, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) AS bigint))"))
+      .withColumn("n", size(col("hs")))
+      .withColumn("fp", (0 until 60).map(b =>
+          when(lit(2) * expr(
+              s"aggregate(hs, 0L, (acc, h) -> acc + (shiftright(h, $b) & 1))") >= col("n"),
+            lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _))
+      .select(col("doc_id"), col("fp"))
+    val banded = sigs.withColumn("band", explode(expr(
+        "transform(sequence(0, 3), i -> named_struct('band', i, 'sig', shiftright(fp, i * 15) & 32767))")))
+      .select(col("doc_id"), col("band.band").as("band"), col("band.sig").as("bsig"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.toDF("doc_a", "fa"), "doc_a")
+      .join(sigs.toDF("doc_b", "fb"), "doc_b")
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
+  }
+
+  private val dSimhashSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, list_distinct(list_transform(
+      |        generate_series(1, greatest(1, len(ws) - 4)),
+      |        i -> array_to_string(ws[i:i+4], ' '))) AS grams FROM w),
+      |h AS (SELECT doc_id,
+      |        list_transform(grams, gr -> (list_sum(list_transform(
+      |          generate_series(1, 15),
+      |          j -> (strpos('0123456789abcdef', substr(md5(gr), j, 1)) - 1)::BIGINT
+      |               << (4 * (15 - j)))))::BIGINT) AS hs,
+      |        len(grams) AS n FROM g),
+      |f AS (SELECT doc_id, (list_sum(list_transform(generate_series(0, 59), b ->
+      |        CASE WHEN 2 * (list_sum(list_transform(hs, x -> (x >> b) & 1)))::BIGINT >= n
+      |             THEN (1::BIGINT << b) ELSE 0::BIGINT END)))::BIGINT AS fp FROM h)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+      |FROM f a JOIN f b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+      |ORDER BY 1, 2""".stripMargin
 
   /** Exact all-pairs embedding dedup — the VERIFIER baseline (O(N²),
     * never the scale path); [[dEmbeddingLsh]] is the gated scalable
@@ -275,16 +329,34 @@ object PipelineQueries {
     s"SELECT * FROM (VALUES $rows) AS t(sample_id, lang_pred) ORDER BY sample_id"
   }
 
-  /** Winnowing fingerprints (custom expression) — rows-only check. */
-  def tFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    GraftExpressions.register(spark)
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03: window-min
+    * selection over k-gram hashes), gated with md5 as the gram hash so
+    * BOTH engines compute the identical selection: char 8-grams,
+    * window 4, min-hash per window, distinct per doc. The native
+    * [[graft.functions.GraftExpressions.winnow_fingerprint]]
+    * expression (rolling hash, one pass) is the fast path and keeps
+    * its ScalaTest selection/overlap coverage — this gate proves the
+    * winnowing ALGORITHM row-exactly against DuckDB. */
+  def tFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
-      .select(col("doc_id"),
-        GraftExpressions.winnow_fingerprint(col("text")).as("fp"))
-      .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
-        element_at(col("fp"), 1).as("min_fingerprint"))
-      .orderBy("doc_id")
-  }
+      .withColumn("p", greatest(lit(1), length(col("text")) - 7))
+      .withColumn("hs", expr(
+        "transform(sequence(1, p), i -> md5(substring(text, i, 8)))"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, greatest(1, p - 3)),
+          |  j -> array_min(slice(hs, j, least(j + 3, p) - j + 1))))""".stripMargin))
+        .as("fp"))
+      .orderBy("doc_id", "fp")
+
+  private val tFingerprintSql =
+    """WITH d AS (SELECT doc_id, text, greatest(1, length(text) - 7) AS p
+      |           FROM documents),
+      |h AS (SELECT doc_id, p, list_transform(generate_series(1, p),
+      |        i -> md5(substr(text, i, 8))) AS hs FROM d),
+      |f AS (SELECT doc_id, list_distinct(list_transform(
+      |        generate_series(1, greatest(1, p - 3)),
+      |        j -> list_min(hs[j:least(j + 3, p)]))) AS fps FROM h)
+      |SELECT doc_id, unnest(fps) AS fp FROM f ORDER BY doc_id, fp""".stripMargin
 
   /** Token count with a BPE-ish regex segmentation (words, digits,
     * punctuation runs — the standard pre-tokenizer shape). Expressible
@@ -403,12 +475,16 @@ object PipelineQueries {
     "p1_dedup_exact" -> dExactSql,
     "p2_dedup_ngram_jaccard" -> jaccardOracle(0.5),
     "p3_dedup_minhash_lsh" -> jaccardOracle(0.7),
+    // p4: banded candidates are pigeonhole-complete at hamming ≤ 3 →
+    // must equal the oracle's all-pairs comparison exactly
+    "p4_dedup_simhash" -> dSimhashSql,
     "p5_dedup_embedding" -> dEmbeddingSql,
     "p6_ann_brute_topk" -> sBruteSql,
     // p7: approximation gated at full-recall params → must equal exact
     "p7_ann_lsh_topk" -> sBruteSql,
     "p8_text_quality" -> tQualitySql,
     "p9_lang_id" -> tLangIdSql,
+    "p10_fingerprint" -> tFingerprintSql,
     "p11_token_count" -> tTokenSql,
     "p12_multimodal_binary" -> mBinarySql,
     "p13_dedup_clusters" -> dClustersSql,
@@ -420,7 +496,5 @@ object PipelineQueries {
     "p17_curation_stratified" -> cStratifiedSql,
     "p18_curation_normalize" -> cNormalizeSql,
     "p19_curation_length_hist" -> cLengthHistSql,
-    // p4 (simhash), p10 (winnowing): banded 64-bit fingerprints are not
-    // SQL-expressible → rows-only driver check + ScalaTest recall.
   )
 }
