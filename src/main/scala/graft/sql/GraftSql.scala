@@ -36,11 +36,15 @@ final class GraftSql(catalog: GraftCatalog) {
   private val ShowPartsRe = """(?is)\s*SHOW\s+PARTITIONS\s+(\w+)\s*""".r
   private val MergeRe =
     """(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+\w+)?\s+USING\s+(.+?)\s+(WHEN\s+(?:NOT\s+)?MATCHED\s+.+?)\s*""".r
+  private val CallRe = """(?is)\s*CALL\s+(\w+)\s*\((.*)\)\s*""".r
 
   def sql(text: String): DataFrame = text match {
     case MergeRe(name, sourceAndOn, clauses) =>
       merge(name, sourceAndOn, clauses)
       emptyResult()
+
+    case CallRe(proc, argStr) =>
+      callProcedure(proc.toLowerCase, argStr)
 
     case CreateRe(name, colsOpt, optsOpt, ctasOpt) =>
       val opts = parseOptions(Option(optsOpt).getOrElse(""))
@@ -102,6 +106,71 @@ final class GraftSql(catalog: GraftCatalog) {
       catalog.syncViews()
       spark.sql(other)
   }
+
+  /** CALL procedures — the Hudi Spark-SQL procedure surface
+    * (`CALL run_compaction(table => '|t|')` etc., the statement form
+    * the reference's spark-sql sessions use for table services). Args
+    * are named (`k => 'v'`) or positional; every procedure returns its
+    * result as rows, like Hudi's procedures do. */
+  private def callProcedure(proc: String, argStr: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val parts = splitTopLevel(argStr, ',').map(_.trim).filter(_.nonEmpty)
+    val NamedRe = """(?s)(\w+)\s*=>\s*(.*)""".r
+    val args: Map[String, String] = parts.zipWithIndex.map {
+      case (NamedRe(k, v), _) => k.toLowerCase -> unquote(v.trim)
+      case (v, i) => i.toString -> unquote(v.trim)
+    }.toMap
+    def arg(name: String, pos: Int = 0): Option[String] =
+      args.get(name).orElse(args.get(pos.toString))
+    def table = catalog.table(arg("table").getOrElse(
+      throw new IllegalArgumentException(s"CALL $proc: missing table argument")))
+    proc match {
+      case "run_compaction" =>
+        graft.core.TableServices.compact(table).toSeq.toDF("instant")
+      case "run_clustering" =>
+        val t = table
+        val target = arg("target_file_bytes", 2).map(_.toLong).getOrElse(1L << 30)
+        val instant = arg("columns", 1).map(_.split(",").map(_.trim).toSeq) match {
+          case Some(cols) if cols.size >= 2 =>
+            graft.core.TableServices.clusterZOrder(t, cols, targetFileBytes = target)
+          case _ =>
+            graft.core.TableServices.cluster(t, targetFileBytes = target)
+        }
+        instant.toSeq.toDF("instant")
+      case "run_clean" =>
+        graft.core.TableServices.clean(table,
+          retainCommits = arg("retain_commits", 1).map(_.toInt).getOrElse(10))
+          .toDF("deleted_path")
+      case "run_archival" =>
+        Seq(graft.core.TableServices.archive(table,
+          retainCommits = arg("retain_commits", 1).map(_.toInt).getOrElse(20)))
+          .toDF("archived_commits")
+      case "rollback_to_instant" =>
+        val instant = arg("instant", 1).getOrElse(
+          throw new IllegalArgumentException("CALL rollback_to_instant: missing instant"))
+        Seq(graft.core.TableServices.restore(table, instant)).toDF("instant")
+      case "rollback_last_commit" =>
+        graft.core.TableServices.rollbackLastCommit(table).toSeq.toDF("instant")
+      case "build_vector_index" =>
+        val path = graft.core.TableServices.buildVectorIndex(table,
+          idCol = arg("id_col", 1).getOrElse("id"),
+          vecCol = arg("vec_col", 2).getOrElse("embedding"),
+          nLists = arg("n_lists", 3).map(_.toInt).getOrElse(16))
+        Seq(path).toDF("index_path")
+      case "show_commits" => Observability.commits(table)
+      case "show_fsview_all_files" | "show_files" => Observability.files(table)
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure '$other' — supported: run_compaction, " +
+        "run_clustering, run_clean, run_archival, rollback_to_instant, " +
+        "rollback_last_commit, build_vector_index, show_commits, show_files")
+    }
+  }
+
+  private def unquote(s: String): String =
+    if (s.length >= 2 && (s.head == '\'' || s.head == '"') && s.last == s.head)
+      s.substring(1, s.length - 1)
+    else s
 
   /** MERGE INTO — the Hudi-SQL upsert statement, in the forms the
     * reference demos exercise (Hudi itself constrains MERGE's ON to

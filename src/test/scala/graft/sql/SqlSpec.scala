@@ -124,6 +124,28 @@ class SqlSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSeq == Seq((2L, "new"), (3L, "cyd")))
   }
 
+  test("CALL procedures: compaction, z-order clustering, rollback, observability") {
+    gsql.sql("""CREATE TABLE svc (id BIGINT, name STRING, ts BIGINT)
+      USING GRAFT OPTIONS (primaryKey='id', precombine='ts', type='mor')""")
+    gsql.sql("INSERT INTO svc VALUES (1, 'a', 100), (2, 'b', 100)")
+    gsql.sql("""MERGE INTO svc USING (SELECT 1 AS id, 'a2' AS name, 200 AS ts) AS s
+      ON svc.id = s.id WHEN MATCHED THEN UPDATE SET *""")
+    // the MOR upsert appended a delta — CALL run_compaction folds it
+    val inst = gsql.sql("CALL run_compaction(table => 'svc')")
+    assert(inst.columns.sameElements(Array("instant")) && inst.count() == 1)
+    assert(gsql.sql("CALL show_commits('svc')")
+      .filter($"action" === "compact").count() == 1)
+    // ≥2 columns → z-order layout; content is unchanged
+    assert(gsql.sql("CALL run_clustering(table => 'svc', columns => 'ts,id')").count() == 1)
+    assert(gsql.sql("SELECT id, name FROM svc ORDER BY id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a2"), (2L, "b")))
+    // rollback the newest ROW commit (the merge) — service commits skipped
+    assert(gsql.sql("CALL rollback_last_commit(table => 'svc')").count() == 1)
+    assert(gsql.sql("SELECT id, name FROM svc ORDER BY id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    intercept[IllegalArgumentException](gsql.sql("CALL bogus('svc')"))
+  }
+
   test("INSERT OVERWRITE replaces a partition") {
     gsql.sql("INSERT INTO people VALUES (3, 'cid', 'tokyo', 100)")
     gsql.sql("INSERT OVERWRITE people VALUES (9, 'zoe', 'tokyo', 200)")
