@@ -263,6 +263,32 @@ object LakehouseQueries {
     out(t.read())
   }
 
+  // ---- metadata-only bootstrap + progressive conversion -------------
+
+  /** Adopt the raw events parquet metadata-only (no rewrite), then
+    * upsert doubled values for every 100th event — the overlapping
+    * bootstrap files fold into hash-routed groups and the upserts win
+    * the merge (bootstrap rows carry null commit time, ties go to the
+    * new write). */
+  def qBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, freshRoot("ev_boot"), TableConfig(
+      name = "ev_boot", keyField = "event_id", orderingField = "ts",
+      partitionField = None, numBuckets = 4))
+    t.bootstrapFrom(s"$dir/events.parquet")
+    val ev = events(spark, dir)
+    t.upsert(ev.filter(col("event_id") % 100 === 0)
+      .withColumn("value", col("value") * 2))
+    t.read()
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select("event_type", "user_id", "event_id", "ts_us", "value")
+      .orderBy("event_id")
+  }
+
+  private val bootstrapSql =
+    """SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us,
+      |       CASE WHEN event_id % 100 = 0 THEN value * 2 ELSE value END AS value
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ---- A3 key-uniqueness invariant over the lakehouse table ---------
 
   /** The test-suite's duplicate-detection gate run against our own
@@ -297,6 +323,7 @@ object LakehouseQueries {
     "l10_schema_evolution" -> (qSchemaEvolution _),
     "l11_cdc" -> (qCdc _),
     "l12_zorder" -> (qZOrder _),
+    "l13_bootstrap" -> (qBootstrap _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -312,5 +339,6 @@ object LakehouseQueries {
     "l10_schema_evolution" -> schemaEvoSql,
     "l11_cdc" -> cdcSql,
     "l12_zorder" -> cowUpsertSql,
+    "l13_bootstrap" -> bootstrapSql,
   )
 }

@@ -410,13 +410,8 @@ final class GraftTable private (
           .toMap
         val keyType = evolved.fields.find(_.name == config.keyField)
           .map(_.dataType).getOrElse(StringType)
-        val (rewrite, untouched) = snap.liveFiles().partition { f =>
-          touched.get((f.partition, f.bucket)) match {
-            case Some((mn, mx)) =>
-              StatsPruner.rangesOverlap(keyType, f.minKey, f.maxKey, mn, mx)
-            case None => false
-          }
-        }
+        val (rewrite, untouched) = snap.liveFiles().partition(
+          overlapsIncoming(_, touched, keyType))
         val _ = untouched // files outside the batch's key ranges stay as-is
         val existing = readFiles(rewrite, evolved)
         val merged = latestWins(existing.unionByName(batch))
@@ -481,13 +476,8 @@ final class GraftTable private (
           .collect()
           .map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getString(3)))
           .toMap
-        val (rewrite, _) = snap.liveFiles().partition { f =>
-          touched.get((f.partition, f.bucket)) match {
-            case Some((mn, mx)) =>
-              StatsPruner.rangesOverlap(keyType, f.minKey, f.maxKey, mn, mx)
-            case None => false
-          }
-        }
+        val (rewrite, _) = snap.liveFiles().partition(
+          overlapsIncoming(_, touched, keyType))
         val existing = readFiles(rewrite, evolved)
         val kept = existing.join(
           keys.select(idCols.map(col): _*).distinct(),
@@ -498,6 +488,123 @@ final class GraftTable private (
           planning, touched.keySet)
       } finally keys.unpersist()
     }
+  }
+
+  /** Does live file `f` hold keys the incoming batch may touch?
+    * Hash-routed files (bucket ≥ 0) match on their own group's range;
+    * UNBUCKETED bootstrap files (bucket = [[GraftTable.BootstrapBucket]])
+    * hold arbitrary keys, so they match on the PARTITION-wide incoming
+    * range — any overlap folds them into hash-routed groups
+    * (progressive bootstrap conversion). */
+  private def overlapsIncoming(f: DataFileMeta,
+      touched: Map[(String, Int), (String, String)],
+      keyType: DataType): Boolean =
+    if (f.bucket >= 0)
+      touched.get((f.partition, f.bucket)).exists { case (mn, mx) =>
+        StatsPruner.rangesOverlap(keyType, f.minKey, f.maxKey, mn, mx) }
+    else {
+      val inPart = touched.toSeq.collect {
+        case ((p, _), r) if p == f.partition => r }
+      inPart.nonEmpty && {
+        val mn = inPart.map(_._1).reduce((a, b) =>
+          if (StatsPruner.compare(keyType, a, b) <= 0) a else b)
+        val mx = inPart.map(_._2).reduce((a, b) =>
+          if (StatsPruner.compare(keyType, a, b) >= 0) a else b)
+        StatsPruner.rangesOverlap(keyType, f.minKey, f.maxKey, mn, mx)
+      }
+    }
+
+  /** METADATA-ONLY BOOTSTRAP (Hudi bootstrap, METADATA_ONLY mode):
+    * adopt existing parquet files into the table WITHOUT rewriting
+    * data. Files are hard-linked (copy fallback across devices) into
+    * the layout under the sentinel bucket
+    * [[GraftTable.BootstrapBucket]] — "unbucketed", keys not yet
+    * hash-routed — and ONE column-pruned metadata scan harvests
+    * per-file key/stats ranges; no row is rewritten. Readers see the
+    * rows immediately. The first upsert/delete whose keys may overlap
+    * an unbucketed file FOLDS it into hash-routed groups (progressive
+    * conversion — Hudi's upsert-on-bootstrapped-file behavior);
+    * clustering converts the whole table at once. COW only; adopted
+    * rows carry no `_commit_time` (the files are untouched), so
+    * incremental/CDC cursors must start at the bootstrap instant, and
+    * latest-wins ties resolve in favor of post-bootstrap writes
+    * (nulls_last). Keys are NOT deduplicated at adoption — bootstrap
+    * is bulk adoption, like `bulk_insert`. For a partitioned table,
+    * every source file must carry the partition COLUMN and hold
+    * exactly one partition value (derived from its own min/max stats);
+    * files spanning partitions need a real `bulkInsert` instead. */
+  def bootstrapFrom(source: String): String = {
+    require(!config.isMor, "bootstrapFrom supports COW tables")
+    val snap = log.snapshot()
+    val planning = snap.lastInstant.getOrElse("0")
+    val instant = log.nextInstantAfter(snap.lastInstant)
+    val src = Paths.get(source)
+    val files: Seq[Path] =
+      if (Files.isRegularFile(src)) Seq(src)
+      else Files.walk(src).iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith(".")).toSeq.sortBy(_.toString)
+    require(files.nonEmpty, s"no parquet files under $source")
+    // one column-pruned scan harvests per-file stats (metadata build,
+    // not a rewrite); parquet part-file basenames are unique
+    val sdf = spark.read.parquet(files.map(_.toString): _*)
+    config.partitionField.foreach(p => require(sdf.columns.contains(p),
+      s"bootstrap source must carry partition column '$p'"))
+    val statCols =
+      (Seq(config.keyField, config.orderingField) ++ config.partitionField ++
+        config.statsColumns).distinct.filter(sdf.columns.contains)
+    val aggs = count(lit(1)).as("__rows") +: statCols.flatMap { c =>
+      Seq(min(col(c)).cast(StringType).as(s"__min_$c"),
+          max(col(c)).cast(StringType).as(s"__max_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+    }
+    val statsByName = sdf
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val colStats = statCols.map { c =>
+          c -> ColStat(
+            Option(r.getAs[String](s"__min_$c")).getOrElse(""),
+            Option(r.getAs[String](s"__max_$c")).getOrElse(""),
+            r.getAs[Long](s"__nulls_$c"))
+        }.toMap
+        uriDecode(r.getAs[String]("__file").split("/").last) ->
+          (r.getAs[Long]("__rows"), colStats)
+      }.toMap
+    val metas = files.zipWithIndex.map { case (p, i) =>
+      val (rows, colStats) = statsByName.getOrElse(
+        p.getFileName.toString, (0L, Map.empty[String, ColStat]))
+      val part = config.partitionField match {
+        case None => "all"
+        case Some(pf) =>
+          val st = colStats.getOrElse(pf, ColStat("", "", rows))
+          require(st.nullCount == 0 && st.min == st.max,
+            s"bootstrap file $p spans partition values [${st.min}, ${st.max}] " +
+            s"of '$pf' — metadata-only adoption needs one value per file " +
+            "(use bulkInsert to split)")
+          st.min
+      }
+      val rel = s"data/${escapeDir(part)}/b${GraftTable.BootstrapBucket}/$instant-$i-boot.parquet"
+      val dst = Paths.get(root, rel)
+      Files.createDirectories(dst.getParent)
+      try Files.createLink(dst, p)
+      catch { case _: java.io.IOException => Files.copy(p, dst); () }
+      val keyStat = colStats.get(config.keyField)
+      DataFileMeta(path = rel, partition = part,
+        bucket = GraftTable.BootstrapBucket, delta = false,
+        rows = rows, bytes = Files.size(dst),
+        minKey = keyStat.map(_.min).getOrElse(""),
+        maxKey = keyStat.map(_.max).getOrElse(""),
+        stats = colStats)
+    }
+    val schemaJson = StructType(sdf.schema.fields ++ Seq(
+      StructField(CommitTimeCol, StringType, nullable = true),
+      StructField(softDel, BooleanType, nullable = true))
+        .filterNot(f => sdf.schema.fieldNames.contains(f.name))).json
+    commitValidated(Commit(instant, "commit", "bootstrap",
+      added = metas, schemaJson = schemaJson), planning, Set.empty)
   }
 
   /** Replace the partitions present in `df` (dynamic INSERT OVERWRITE,
@@ -781,6 +888,11 @@ final class GraftTable private (
 class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 
 object GraftTable {
+
+  /** Sentinel bucket id for metadata-only-bootstrapped files: their
+    * keys are not hash-routed yet. Never produced by `bucketExpr`
+    * (which emits [0, numBuckets)); see [[GraftTable.bootstrapFrom]]. */
+  val BootstrapBucket: Int = -1
 
   /** Create a new table directory with its properties file. */
   def create(spark: SparkSession, root: String, config: TableConfig): GraftTable = {

@@ -123,6 +123,52 @@ class Round3CoreSpec extends AnyFunSuite {
       s"corner query still scans $corner of ${files.size} files")
   }
 
+  // ---- metadata-only bootstrap --------------------------------------
+
+  test("bootstrap adopts parquet files without rewrite; upsert folds them in") {
+    val srcDir = Files.createTempDirectory("graft-boot-src-").toString + "/d"
+    rows(("K1", 10L, 100L), ("K2", 10L, 200L), ("K3", 10L, 300L))
+      .coalesce(1).write.parquet(srcDir)
+    val t = GraftTable.create(spark, tmp(), cfg("boot"))
+    t.bootstrapFrom(srcDir)
+    // adopted metadata-only: live files sit in the unbucketed group
+    assert(t.log.liveFiles().nonEmpty)
+    assert(t.log.liveFiles().forall(_.bucket == GraftTable.BootstrapBucket))
+    assert(t.read().select("key", "volume").as[(String, Long)].collect().toMap
+      == Map("K1" -> 100L, "K2" -> 200L, "K3" -> 300L))
+    // first overlapping upsert folds the bootstrap file into hashed groups
+    t.upsert(rows(("K2", 20L, 222L), ("K4", 20L, 400L)))
+    val got = t.read().select("key", "volume").as[(String, Long)].collect().toMap
+    assert(got == Map("K1" -> 100L, "K2" -> 222L, "K3" -> 300L, "K4" -> 400L))
+    assert(t.log.liveFiles().forall(_.bucket >= 0), "bootstrap file not converted")
+  }
+
+  test("bootstrap of a partitioned table derives partitions from file stats; delete works") {
+    val srcDir = Files.createTempDirectory("graft-boot-part-").toString + "/d"
+    // one file per partition value, partition COLUMN kept in the data
+    Seq(("K1", "A", 10L, 1L), ("K2", "A", 10L, 2L)).toDF("key", "p", "ts", "volume")
+      .coalesce(1).write.parquet(srcDir + "/a")
+    Seq(("K3", "B", 10L, 3L)).toDF("key", "p", "ts", "volume")
+      .coalesce(1).write.parquet(srcDir + "/b")
+    val t = GraftTable.create(spark, tmp(), TableConfig(
+      name = "bootp", keyField = "key", orderingField = "ts",
+      partitionField = Some("p"), numBuckets = 2))
+    t.bootstrapFrom(srcDir)
+    assert(t.partitions().toSet == Set("A", "B"))
+    assert(t.read().count() == 3)
+    t.deletePartitions(Seq("B"))
+    assert(t.read().select("key").as[String].collect().toSet == Set("K1", "K2"))
+    // a file spanning two partition values is refused
+    val mixed = Files.createTempDirectory("graft-boot-mixed-").toString + "/d"
+    Seq(("K1", "A", 1L, 1L), ("K2", "B", 1L, 2L)).toDF("key", "p", "ts", "volume")
+      .coalesce(1).write.parquet(mixed)
+    val t2 = GraftTable.create(spark, tmp(), TableConfig(
+      name = "bootm", keyField = "key", orderingField = "ts",
+      partitionField = Some("p"), numBuckets = 2))
+    val ex = intercept[IllegalArgumentException](t2.bootstrapFrom(mixed))
+    assert(ex.getMessage.contains("spans partition values"))
+  }
+
   test("readCdc works over MOR delta files and refuses a restore in range") {
     val t = GraftTable.create(spark, tmp(), cfg("cdc_mor", TableConfig.Mor))
     val c1 = t.insert(rows(("K1", 10L, 100L), ("K2", 10L, 200L)))
