@@ -1,6 +1,6 @@
 package graft.sql
 
-import graft.core.{GraftTable, TableConfig}
+import graft.core.{DataFileMeta, GraftTable, TableConfig}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.read.ScanBuilder
@@ -29,7 +29,8 @@ import java.util
   * ACCEPT_ANY_SCHEMA defers schema checks to the engine's additive
   * schema evolution (prepare/align): inserts may omit metadata columns
   * and introduce new ones, like every other write path. */
-final class GraftDsv2Table(graft: GraftTable, delegate: Table)
+final class GraftDsv2Table(graft: GraftTable, delegate: Table,
+    scanFiles: Seq[DataFileMeta], scanSchema: StructType)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = delegate.name()
@@ -43,8 +44,13 @@ final class GraftDsv2Table(graft: GraftTable, delegate: Table)
     caps
   }
 
+  /** Reads go through the file-skipping builder: pushed filters prune
+    * the live-file set via commit-log stats before Spark's parquet
+    * scan is built (SQL-reachable data skipping); `delegate` remains
+    * the full-set parquet table for schema/capability resolution. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+    new GraftFileSkippingScanBuilder(graft.spark, name(), graft.root,
+      scanFiles, scanSchema, graft.config.partitionField, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

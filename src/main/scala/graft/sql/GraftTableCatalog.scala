@@ -99,9 +99,10 @@ class GraftTableCatalog extends TableCatalog {
     }
     val parquet = ParquetTable(ident.name, spark, CaseInsensitiveStringMap.empty(),
       files, Some(schema), classOf[ParquetFileFormat])
-    // reads delegate to Spark's parquet DSv2; INSERT/DELETE land on the
-    // engine's transactional write paths (see GraftDsv2Table)
-    new GraftDsv2Table(t, parquet)
+    // reads go through the stats-driven file-skipping scan builder;
+    // INSERT/DELETE land on the engine's transactional write paths
+    // (see GraftDsv2Table / GraftFileSkippingScanBuilder)
+    new GraftDsv2Table(t, parquet, live.filterNot(_.delta), schema)
   }
 
   override def loadTable(ident: Identifier): Table =

@@ -101,6 +101,44 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(t.read().select("key").as[String].collect().toSeq.sorted == Seq("B", "C", "Z"))
   }
 
+  test("SQL WHERE prunes files via commit-log stats (data skipping through DSv2)") {
+    wire()
+    val t = GraftTable.create(spark, s"$wh/skip", TableConfig(
+      name = "skip", keyField = "k", orderingField = "ts",
+      partitionField = Some("p"), numBuckets = 1, statsColumns = Seq("v")))
+    // two partitions × two disjoint value batches → 4 files with
+    // disjoint (partition, v-range) stats
+    def batch(p: String, lo: Long) = (lo until lo + 10)
+      .map(i => (i, p, 1L, i)).toDF("k", "p", "ts", "v")
+    t.bulkInsert(batch("A", 0L));   t.bulkInsert(batch("A", 1000L))
+    t.bulkInsert(batch("B", 0L));   t.bulkInsert(batch("B", 1000L))
+    assert(t.log.liveFiles().size == 4)
+
+    def scannedFiles(sql: String): Int = {
+      val df = spark.sql(sql)
+      val n = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+            .fileIndex.inputFiles.length
+      }.sum
+      df.collect() // results must still be exact
+      n
+    }
+    // stats column range → only the matching v-range files (both partitions)
+    assert(scannedFiles("SELECT k FROM gcat.skip WHERE v >= 1000") == 2)
+    // partition equality → only partition A's files
+    assert(scannedFiles("SELECT k FROM gcat.skip WHERE p = 'A'") == 2)
+    // conjunction → a single file
+    assert(scannedFiles("SELECT k FROM gcat.skip WHERE p = 'A' AND v < 100") == 1)
+    // key-range predicates prune via the always-present key stats
+    assert(scannedFiles("SELECT k FROM gcat.skip WHERE k >= 1000") == 2)
+    // un-prunable predicates keep everything and stay correct
+    assert(spark.sql("SELECT count(*) FROM gcat.skip WHERE v % 2 = 0")
+      .as[Long].head() == 20L)
+    assert(spark.sql("SELECT count(*) FROM gcat.skip WHERE p = 'A' AND v < 100")
+      .as[Long].head() == 10L)
+  }
+
   test("DDL through the catalog: CREATE/SHOW/DROP") {
     wire()
     spark.sql(
