@@ -432,6 +432,52 @@ object PipelineQueries {
       |       lang AS class, count(*) AS n_docs
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** PII redaction gate: the synthetic corpus carries no PII, so both
+    * engines PLANT the same deterministic email + IPv4 per document
+    * (pure function of doc_id), redact, and must agree row-exactly —
+    * the patterns are RE2-compatible so Java regex and DuckDB's RE2
+    * behave identically. */
+  def cPii(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), Curation.redactPii(concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0.0."),
+          pmod(col("doc_id"), lit(256)).cast("string")))
+        .as("clean"))
+      .orderBy("doc_id")
+
+  private val cPiiSql =
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      text || ' contact user' || doc_id::VARCHAR
+      |        || '@example.com from 10.0.0.' || (doc_id % 256)::VARCHAR,
+      |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g') AS clean
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Benchmark-contamination gate: eval corpus = docs 0-49, report
+    * every other document sharing ≥ 1 distinct 5-shingle with it
+    * (the decontamination pass run before training-set export). */
+  def cContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Curation.contaminationCheck(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+  }
+
+  private val cContaminationSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |        generate_series(1, greatest(1, len(ws) - 4)),
+      |        i -> array_to_string(ws[i:i+4], ' ')))) AS gram FROM w),
+      |e AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50)
+      |SELECT g.doc_id, count(*) AS n_hits
+      |FROM g JOIN e USING (gram)
+      |WHERE g.doc_id >= 50
+      |GROUP BY 1 HAVING count(*) >= 1 ORDER BY 1""".stripMargin
+
   // ---- multimodal plumbing -------------------------------------------
 
   /** Binary-column plumbing over text-as-bytes: byte length through the
@@ -469,6 +515,8 @@ object PipelineQueries {
     "p17_curation_stratified" -> (cStratified _),
     "p18_curation_normalize" -> (cNormalize _),
     "p19_curation_length_hist" -> (cLengthHist _),
+    "p20_curation_pii" -> (cPii _),
+    "p21_contamination" -> (cContamination _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -496,5 +544,7 @@ object PipelineQueries {
     "p17_curation_stratified" -> cStratifiedSql,
     "p18_curation_normalize" -> cNormalizeSql,
     "p19_curation_length_hist" -> cLengthHistSql,
+    "p20_curation_pii" -> cPiiSql,
+    "p21_contamination" -> cContaminationSql,
   )
 }

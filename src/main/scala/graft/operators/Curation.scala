@@ -62,6 +62,35 @@ object Curation {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** PII redaction: emails then IPv4 literals replaced with typed
+    * placeholders — the standard pre-training scrub pass. Pure
+    * `regexp_replace` (codegen'd, one projection, no shuffle); the
+    * patterns are RE2-compatible so the DuckDB oracle computes the
+    * identical result. Extend by chaining more patterns. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c,
+        "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+      "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b", "<IP>")
+
+  /** Benchmark-contamination check (decontamination pass): documents
+    * sharing ≥ `minHits` distinct k-shingles with the evaluation
+    * corpus, with the overlap count. The join key is the shingle —
+    * bounded fanout on the (small) eval side, never corpus×corpus; at
+    * 100 TB the eval shingle set broadcasts. */
+  def contaminationCheck(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, k: Int = 5, minHits: Long = 1): DataFrame = {
+    import graft.functions.TextFunctions.wordShingles
+    def grams(df: DataFrame) = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), k)).as("gram"))
+    val evalGrams = grams(evalDocs).select("gram").distinct()
+    grams(docs)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   /** Dataset statistics: document counts by (token-length bucket,
     * class) — the curation dashboard's length histogram. Integer
     * bucket math, one partial-aggregated shuffle. */
