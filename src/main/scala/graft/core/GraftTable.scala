@@ -363,13 +363,18 @@ final class GraftTable private (
     val smallVictims: Seq[DataFileMeta] =
       if (config.smallFileLimitBytes <= 0 || op == "bulk_insert") Nil
       else {
-        val groups = batch
-          .withColumn("_part", partExpr).withColumn("_bucket", bucketExpr)
-          .select("_part", "_bucket").distinct()
-          .collect().map(r => (r.getString(0), r.getInt(1))).toSet
-        snap.liveFiles().filter(f => !f.delta &&
-          f.bytes < config.smallFileLimitBytes &&
-          groups.contains((f.partition, f.bucket)))
+        // metadata first: only when undersized base files EXIST does the
+        // batch pay the group-projection job to see which ones it hits
+        val candidates = snap.liveFiles().filter(f => !f.delta &&
+          f.bytes < config.smallFileLimitBytes)
+        if (candidates.isEmpty) Nil
+        else {
+          val groups = batch
+            .withColumn("_part", partExpr).withColumn("_bucket", bucketExpr)
+            .select("_part", "_bucket").distinct()
+            .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+          candidates.filter(f => groups.contains((f.partition, f.bucket)))
+        }
       }
     val toWrite =
       if (smallVictims.isEmpty) batch
