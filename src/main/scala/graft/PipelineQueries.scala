@@ -478,6 +478,24 @@ object PipelineQueries {
       |WHERE g.doc_id >= 50
       |GROUP BY 1 HAVING count(*) >= 1 ORDER BY 1""".stripMargin
 
+  /** Sequence-packing gate: the distributed prefix sum must equal the
+    * oracle's single global window cumsum exactly — same offsets, same
+    * window assignments, independent of Spark's range partitioning. */
+  def cPackSequences(spark: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", targetTokens = 2048)
+      .orderBy("doc_id")
+
+  private val cPackSql =
+    """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+      |  coalesce(sum(len(string_split(text, ' '))) OVER (
+      |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0)::BIGINT AS offset,
+      |  (coalesce(sum(len(string_split(text, ' '))) OVER (
+      |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0) // 2048)::BIGINT AS window_id
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- multimodal plumbing -------------------------------------------
 
   /** Binary-column plumbing over text-as-bytes: byte length through the
@@ -517,6 +535,7 @@ object PipelineQueries {
     "p19_curation_length_hist" -> (cLengthHist _),
     "p20_curation_pii" -> (cPii _),
     "p21_contamination" -> (cContamination _),
+    "p22_sequence_packing" -> (cPackSequences _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -546,5 +565,6 @@ object PipelineQueries {
     "p19_curation_length_hist" -> cLengthHistSql,
     "p20_curation_pii" -> cPiiSql,
     "p21_contamination" -> cContaminationSql,
+    "p22_sequence_packing" -> cPackSql,
   )
 }

@@ -91,6 +91,48 @@ object Curation {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Sequence packing for pretraining batches: assign each document a
+    * byte-exact position in the concatenated token stream (ordered by
+    * `idCol`) and the `targetTokens`-sized window it starts in —
+    * offset-chunked packing, deterministic and engine-portable.
+    *
+    * The global running offset is a DISTRIBUTED PREFIX SUM, not one
+    * big window: range-partition by id, cumsum within each partition,
+    * add the driver-collected per-partition prefix (O(partitions)
+    * rows). A plain `Window.orderBy(id)` would drag the corpus through
+    * a single partition — the classic 100 TB bottleneck. The result is
+    * partition-invariant: offsets depend only on the id order. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      targetTokens: Int): DataFrame = {
+    require(targetTokens > 0, s"targetTokens $targetTokens")
+    val tokens = size(split(col(textCol), " ")).cast("long")
+    val parts = docs.select(col(idCol), tokens.as("n_tokens"))
+      .repartitionByRange(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    try {
+      val prefixes: Map[Int, Long] = {
+        val totals = parts.groupBy("__pid").agg(sum("n_tokens").as("t"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+          .sliding(2).collect { case Array((_, acc), (pid, _)) => pid -> acc }
+          .toMap
+      }
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val prefixDf = broadcast(prefixes.toSeq.toDF("__pid", "__prefix"))
+      val w = Window.partitionBy("__pid").orderBy(col(idCol))
+      parts
+        .join(prefixDf, Seq("__pid"), "left")
+        .withColumn("offset",
+          coalesce(col("__prefix"), lit(0L)) +
+            sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("window_id", floor(col("offset") / targetTokens))
+        .select(col(idCol), col("n_tokens"), col("offset"), col("window_id"))
+        .localCheckpoint()
+    } finally { parts.unpersist(); () }
+  }
+
   /** Dataset statistics: document counts by (token-length bucket,
     * class) — the curation dashboard's length histogram. Integer
     * bucket math, one partial-aggregated shuffle. */

@@ -195,6 +195,25 @@ class Round2PipelineSpec extends AnyFunSuite {
     assert(joined.count() == naive)
   }
 
+  test("packSequences: offsets are a gapless token prefix sum, invariant to partitioning") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val packed = Curation.packSequences(docs, "doc_id", "text", targetTokens = 512)
+      .orderBy("doc_id").collect()
+    // offsets are the exclusive prefix sum of token counts in id order
+    var expect = 0L
+    packed.foreach { r =>
+      assert(r.getAs[Long]("offset") == expect,
+        s"doc ${r.get(0)}: offset ${r.getAs[Long]("offset")} != $expect")
+      assert(r.getAs[Long]("window_id") == expect / 512)
+      expect += r.getAs[Long]("n_tokens")
+    }
+    // a different partitioning yields identical offsets
+    val repartitioned = Curation.packSequences(docs.repartition(7), "doc_id", "text", 512)
+      .orderBy("doc_id").collect()
+    assert(repartitioned.map(_.getAs[Long]("offset")).toSeq ==
+      packed.map(_.getAs[Long]("offset")).toSeq)
+  }
+
   test("p15 gate query runs and carries the dedup schema") {
     val out = graft.PipelineQueries.dEmbeddingLsh(spark, dir)
     assert(out.columns.toSeq == Seq("id_a", "id_b", "cosine"))
