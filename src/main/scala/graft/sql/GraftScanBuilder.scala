@@ -2,9 +2,11 @@ package graft.sql
 
 import graft.core.{DataFileMeta, StatsPruner}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Or => COr, _}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -35,10 +37,11 @@ final class GraftFileSkippingScanBuilder(
     partitionField: Option[String],
     options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownCatalystFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var filters: Seq[Expression] = Nil
   private var required: Option[StructType] = None
+  private var countPushed = false
 
   override def pushFilters(f: Seq[Expression]): Seq[Expression] = {
     filters = f
@@ -51,7 +54,37 @@ final class GraftFileSkippingScanBuilder(
 
   override def pruneColumns(s: StructType): Unit = { required = Some(s) }
 
+  /** Unfiltered, ungrouped COUNT(*) answers from commit-log metadata —
+    * no file is opened (the Hudi/Delta metadata-count optimization; at
+    * 100 TB the difference between an instant answer and a full scan).
+    * Guarded: any pushed filter, grouping, other aggregate, or a file
+    * with an unharvested row count (recorded 0) falls back to the real
+    * scan — pushdown must never be able to change a result. */
+  private def canPushCount(agg: Aggregation): Boolean =
+    filters.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar] &&
+      files.forall(_.rows > 0)
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canPushCount(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    countPushed = canPushCount(agg)
+    countPushed
+  }
+
   override def build(): Scan = {
+    if (countPushed) {
+      val total = files.map(_.rows).sum
+      return new LocalScan {
+        override def rows(): Array[InternalRow] = Array(InternalRow(total))
+        override def readSchema(): StructType =
+          StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+        override def description(): String =
+          s"GraftMetadataCount($tableName, rows=$total, files=${files.size})"
+      }
+    }
     val surviving = files.filter(f => filters.forall(mayMatch(f, _)))
     val pt = ParquetTable(tableName, spark, options,
       surviving.map(f => s"$root/${f.path}"), Some(schema),

@@ -139,6 +139,28 @@ class TableCatalogSpec extends AnyFunSuite {
       .as[Long].head() == 10L)
   }
 
+  test("unfiltered COUNT(*) answers from commit-log metadata, no scan") {
+    wire()
+    val t = GraftTable.create(spark, s"$wh/cnt", TableConfig(
+      name = "cnt", keyField = "key", orderingField = "ts",
+      partitionField = Some("date"), numBuckets = 2))
+    t.insert(ticks(("A", "t1", 1L), ("B", "t1", 2L), ("C", "t1", 3L)))
+    val df = spark.sql("SELECT count(*) FROM gcat.cnt")
+    assert(df.as[Long].head() == 3L)
+    // the physical plan carries no file scan — the count came from
+    // the timeline's per-file row stats
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchScan") || plan.contains("GraftMetadataCount"),
+      s"metadata count not pushed:\n$plan")
+    assert(plan.contains("LocalTableScan") || plan.contains("GraftMetadataCount"))
+    // a filtered count falls back to a real scan and stays correct
+    assert(spark.sql("SELECT count(*) FROM gcat.cnt WHERE volume > 1")
+      .as[Long].head() == 2L)
+    // DML keeps the metadata count honest
+    spark.sql("DELETE FROM gcat.cnt WHERE key = 'A'")
+    assert(spark.sql("SELECT count(*) FROM gcat.cnt").as[Long].head() == 2L)
+  }
+
   test("DDL through the catalog: CREATE/SHOW/DROP") {
     wire()
     spark.sql(
