@@ -139,9 +139,32 @@ class GraftTableCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE: schema evolves additively through writes")
+  /** `ALTER TABLE ... ADD COLUMN(S)` — recorded as a zero-row commit
+    * carrying the widened schema (the same additive evolution a write
+    * with new columns performs); existing rows read the new columns as
+    * null. Everything else (renames, drops, type changes) stays
+    * unsupported: types widen automatically through writes, and
+    * destructive changes would break the immutable timeline. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!GraftTable.exists(root)) throw new NoSuchTableException(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.size != changes.size) throw new UnsupportedOperationException(
+      "ALTER TABLE: only ADD COLUMN is supported — numeric types widen " +
+      "automatically through writes; renames/drops would break history")
+    val t = GraftTable.load(spark, root)
+    val fields = adds.map { a =>
+      if (a.fieldNames().length != 1) throw new UnsupportedOperationException(
+        "ALTER TABLE ADD COLUMN: nested fields are not supported")
+      org.apache.spark.sql.types.StructField(
+        a.fieldNames()(0), a.dataType(), nullable = true)
+    }
+    t.insert(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(t.schema.fields ++
+        fields.filterNot(f => t.schema.fieldNames.contains(f.name)))))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false

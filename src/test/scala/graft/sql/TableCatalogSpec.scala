@@ -161,6 +161,24 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gcat.cnt").as[Long].head() == 2L)
   }
 
+  test("ALTER TABLE ADD COLUMN records evolved schema; old rows read null") {
+    wire()
+    spark.sql(
+      """CREATE TABLE gcat.alt_t (id BIGINT, ts BIGINT, v STRING)
+        |TBLPROPERTIES ('primaryKey'='id', 'precombine'='ts')""".stripMargin)
+    val t = GraftTable.load(spark, s"$wh/alt_t")
+    t.insert(Seq((1L, 10L, "x")).toDF("id", "ts", "v"))
+    spark.sql("ALTER TABLE gcat.alt_t ADD COLUMN score DOUBLE")
+    val row = spark.sql("SELECT v, score FROM gcat.alt_t").head()
+    assert(row.getString(0) == "x" && row.isNullAt(1))
+    t.upsert(Seq((2L, 20L, "y", 0.5)).toDF("id", "ts", "v", "score"))
+    assert(spark.sql("SELECT score FROM gcat.alt_t WHERE id = 2")
+      .as[Double].head() == 0.5)
+    // destructive changes stay refused
+    intercept[UnsupportedOperationException](
+      spark.sql("ALTER TABLE gcat.alt_t DROP COLUMN v"))
+  }
+
   test("DDL through the catalog: CREATE/SHOW/DROP") {
     wire()
     spark.sql(
