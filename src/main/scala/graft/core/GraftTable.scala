@@ -551,8 +551,20 @@ final class GraftTable private (
           p.getFileName.toString.endsWith(".parquet") &&
           !p.getFileName.toString.startsWith(".")).toSeq.sortBy(_.toString)
     require(files.nonEmpty, s"no parquet files under $source")
+    // Stats below are keyed by basename (input_file_name gives a URI
+    // whose directories may be encoded differently than `files`).
+    // Writer-produced part-files have UUID basenames, but a hand-built
+    // tree (a/data.parquet + b/data.parquet) can collide — the losers
+    // would silently adopt rows=0 and empty key ranges, corrupting the
+    // pruning metadata. Refuse instead.
+    locally {
+      val dups = files.groupBy(_.getFileName.toString).filter(_._2.size > 1)
+      require(dups.isEmpty,
+        s"bootstrap source has colliding parquet basenames ${dups.keys.mkString(", ")} — " +
+        "per-file stats are keyed by basename; rename the files uniquely (or bulkInsert)")
+    }
     // one column-pruned scan harvests per-file stats (metadata build,
-    // not a rewrite); parquet part-file basenames are unique
+    // not a rewrite)
     val sdf = spark.read.parquet(files.map(_.toString): _*)
     config.partitionField.foreach(p => require(sdf.columns.contains(p),
       s"bootstrap source must carry partition column '$p'"))
@@ -760,6 +772,17 @@ final class GraftTable private (
         "are invisible to an incremental cursor. Reset the cursor — take a " +
         s"full snapshot, then resume incrementally from ${r.instant}")
     }
+    // Same silent-miss class: bootstrap-adopted rows carry null
+    // _commit_time, so the range filter below would drop every one of
+    // them. A cursor that predates the bootstrap cannot see the adopted
+    // data — enforce the resync instead of documenting it.
+    rowCommits.find(_.operation == "bootstrap").foreach { b =>
+      throw new IllegalStateException(
+        s"incremental range ($fromExclusive, …] crosses bootstrap commit " +
+        s"${b.instant}: adopted rows carry no commit time and are invisible " +
+        "to an incremental cursor. Resync from a snapshot, then resume " +
+        s"incrementally from ${b.instant}")
+    }
     val end = rowCommits.last.instant
     val touched = rowCommits.flatMap(_.added).map(f => (f.partition, f.bucket)).toSet
     val live = snap.liveFiles(Some(end))
@@ -803,6 +826,16 @@ final class GraftTable private (
         "restored rows carry their original commit time and cannot be " +
         s"classified as changes. Resync from a snapshot, then resume from ${r.instant}")
     }
+    // Bootstrap adoptions add rows with null _commit_time mid-range;
+    // they'd all classify as inserts relative to any pre-bootstrap
+    // cursor, but the cursor never saw the pre-adoption table — the
+    // only sound answer is a resync (mirrors the restore guard).
+    rowCommits.find(_.operation == "bootstrap").foreach { b =>
+      throw new IllegalStateException(
+        s"CDC range ($fromExclusive, …] crosses bootstrap commit ${b.instant}: " +
+        "adopted rows carry no commit time and cannot be classified as " +
+        s"changes. Resync from a snapshot, then resume from ${b.instant}")
+    }
     val end = rowCommits.last.instant
     val oldLive = snap.liveFiles(Some(fromExclusive))
     val newLive = snap.liveFiles(Some(end))
@@ -836,9 +869,12 @@ final class GraftTable private (
       when(op === "d", col(s"o.${f.name}")).otherwise(col(s"n.${f.name}")).as(f.name)
     }
     joined
-      // unchanged winner (same commit time on both sides) = no change
+      // unchanged winner (same commit time on both sides) = no change.
+      // Null-SAFE inequality: bootstrap-adopted rows carry null
+      // _commit_time, and `null =!= x` is NULL (dropped) — which would
+      // silently swallow an in-range update of an adopted row.
       .filter(col("__o").isNull || col("__n").isNull ||
-        col(s"o.$CommitTimeCol") =!= col(s"n.$CommitTimeCol"))
+        !(col(s"o.$CommitTimeCol") <=> col(s"n.$CommitTimeCol")))
       .select(op.as("_change_type") +: idCols.map(col) ++: imageCols.toIndexedSeq: _*)
   }
 

@@ -44,9 +44,15 @@ object TableServices {
     * toward `targetFileBytes` (the reference's sort-and-size strategy,
     * test-clustering.properties:34-37). Bucket routing is part of the
     * table contract, so sorting happens *within* groups — upsert key →
-    * group mapping stays valid. */
+    * group mapping stays valid.
+    *
+    * `sortCols` overrides the layout column: a single-column
+    * `run_clustering(columns => 'v')` range-lays files on `v` (tight
+    * per-file min/max on `v` → stats pruning for `v` predicates),
+    * instead of silently falling back to the key. */
   def cluster(t: GraftTable, partitions: Option[Seq[String]] = None,
-      targetFileBytes: Long = 1L << 30): Option[String] = {
+      targetFileBytes: Long = 1L << 30,
+      sortCols: Seq[String] = Nil): Option[String] = {
     val planning = t.log.lastInstant().getOrElse("0")
     val live = t.log.liveFiles()
       .filter(f => partitions.forall(_.contains(f.partition)))
@@ -57,10 +63,14 @@ object TableServices {
       .filter(!coalesce(col(t.config.softDeleteField), lit(false)))
     val bytes = live.map(_.bytes).sum.max(1)
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    // range layout on (group, key): each write task — hence each file —
-    // owns a contiguous key slice, giving tight minKey/maxKey per file
+    // range layout on (group, sort column): each write task — hence
+    // each file — owns a contiguous slice, giving tight per-file
+    // min/max stats on the layout column (key tie-break keeps the
+    // layout deterministic when `sortCols` has duplicates)
+    val layout = if (sortCols.isEmpty) Seq(col(t.config.keyField))
+                 else sortCols.map(col) :+ col(t.config.keyField)
     val added = t.writeFilesForService(merged, instant,
-      rangeBy = Some((nFiles, Seq(col(t.config.keyField)))))
+      rangeBy = Some((nFiles, layout)))
     // clustering rebuilds groups from a snapshot → any concurrent
     // write into them invalidates the rewrite
     val groups = live.map(f => (f.partition, f.bucket)).toSet

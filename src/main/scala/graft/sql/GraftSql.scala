@@ -134,7 +134,12 @@ final class GraftSql(catalog: GraftCatalog) {
         val instant = arg("columns", 1).map(_.split(",").map(_.trim).toSeq) match {
           case Some(cols) if cols.size >= 2 =>
             graft.core.TableServices.clusterZOrder(t, cols, targetFileBytes = target)
-          case _ =>
+          case Some(cols) =>
+            // single column: range-cluster on it (NOT the silent
+            // key-ordered fallback — the caller asked for this layout)
+            graft.core.TableServices.cluster(t, targetFileBytes = target,
+              sortCols = cols)
+          case None =>
             graft.core.TableServices.cluster(t, targetFileBytes = target)
         }
         instant.toSeq.toDF("instant")
