@@ -66,46 +66,26 @@ object PipelineQueries {
         threshold = 0.7)
       .orderBy("doc_a", "doc_b")
 
-  /** SimHash dedup gate: 60-bit simhash over word 5-shingles with md5
-    * as the feature hash (bit-identical in both engines), 4×15-bit
-    * banded candidate generation, output = pairs at hamming ≤ 3.
-    * Banding is pigeonhole-COMPLETE for hamming ≤ 3 — a pair differing
-    * in ≤ 3 bits has ≥ 1 of 4 bands untouched — so the banded plan
-    * equals the all-pairs answer BY CONSTRUCTION (recall 1.0 is a
-    * theorem, not a data property; measured high-Jaccard pairs reach
-    * hamming 11, so a Jaccard-equivalence gate would be dishonest).
-    * The DuckDB oracle recomputes the identical fingerprints from md5
-    * nibbles and does the all-pairs comparison. The native 64-bit
-    * [[graft.operators.Dedup.simhashPairs]] expression remains the
-    * fast path, ScalaTest-covered. */
-  def dSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 5).as("grams"))
-      .withColumn("hs", expr(
-        "transform(grams, g -> cast(conv(substring(md5(g), 1, 15), 16, 10) AS bigint))"))
-      .withColumn("n", size(col("hs")))
-      .withColumn("fp", (0 until 60).map(b =>
-          when(lit(2) * expr(
-              s"aggregate(hs, 0L, (acc, h) -> acc + (shiftright(h, $b) & 1))") >= col("n"),
-            lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _))
-      .select(col("doc_id"), col("fp"))
-    val banded = sigs.withColumn("band", explode(expr(
-        "transform(sequence(0, 3), i -> named_struct('band', i, 'sig', shiftright(fp, i * 15) & 32767))")))
-      .select(col("doc_id"), col("band.band").as("band"), col("band.sig").as("bsig"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sigs.toDF("doc_a", "fa"), "doc_a")
-      .join(sigs.toDF("doc_b", "fb"), "doc_b")
-      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
-      .filter(col("hamming") <= 3)
-      .select("doc_a", "doc_b", "hamming")
+  /** SimHash dedup gate: runs the PRODUCTION operator
+    * [[graft.operators.Dedup.simhashPairs]] with the oracle-parity
+    * fingerprint injected — 60-bit simhash over word 5-shingles with
+    * md5 as the feature hash ([[TextFunctions.simhashMd5_60]],
+    * bit-identical in both engines), 4×15-bit banded candidates,
+    * output = pairs at hamming ≤ 3. Banding is pigeonhole-COMPLETE
+    * for hamming ≤ 3 — a pair differing in ≤ 3 bits has ≥ 1 of 4
+    * bands untouched — so the banded plan equals the all-pairs answer
+    * BY CONSTRUCTION (recall 1.0 is a theorem, not a data property;
+    * measured high-Jaccard pairs reach hamming 11, so a
+    * Jaccard-equivalence gate would be dishonest). The DuckDB oracle
+    * recomputes the identical fingerprints from md5 nibbles and does
+    * the all-pairs comparison. Production keeps the native 64-bit
+    * xxhash64 fingerprint as the default. */
+  def dSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", maxHamming = 3,
+        fingerprint = TextFunctions.simhashMd5_60,
+        numBands = 4, bandBits = 15)
       .orderBy("doc_a", "doc_b")
-  }
 
   private val dSimhashSql =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

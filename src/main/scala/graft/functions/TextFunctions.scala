@@ -64,13 +64,33 @@ object TextFunctions {
   def simhash64(text: Column): Column =
     GraftExpressions.simhash64(transform(split(text, " "), w => xxhash64(w)))
 
-  /** Split a 64-bit simhash into 4 16-bit band values for candidate
-    * bucketing (pigeonhole: hamming ≤ 3 ⇒ at least one identical band). */
-  def simhashBands(sim: Column): Column =
-    array((0 until 4).map { b =>
+  /** Split a simhash into `numBands` `bandBits`-bit band values for
+    * candidate bucketing (pigeonhole: hamming ≤ numBands-1 ⇒ at least
+    * one identical band). Default 4×16 covers the 64-bit fingerprint;
+    * the md5-parity 60-bit fingerprint bands as 4×15. */
+  def simhashBands(sim: Column, numBands: Int = 4, bandBits: Int = 16): Column =
+    array((0 until numBands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(sim, b * 16).bitwiseAND(0xffffL).as("sig"))
+        shiftright(sim, b * bandBits).bitwiseAND((1L << bandBits) - 1).as("sig"))
     }: _*)
+
+  /** Oracle-parity simhash: 60-bit fingerprint over word 5-shingles
+    * with md5 as the feature hash (15 hex chars → 60-bit feature),
+    * per-bit majority with ties set (`2·ones ≥ n`). Bit-identical in
+    * Spark and DuckDB — the p4 gate injects THIS into
+    * [[graft.operators.Dedup.simhashPairs]] so the green row certifies
+    * the production operator; [[simhash64]] (native xxhash64 votes)
+    * stays the fast default. Codegen'd built-ins only. */
+  def simhashMd5_60(text: Column): Column = {
+    val hs = transform(wordShingles(text, 5),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    val n = size(hs)
+    (0 until 60).map { b =>
+      val ones = aggregate(hs, lit(0L),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(1L))
+      when(lit(2) * ones >= n, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
 
   // ---- quality metrics ------------------------------------------------
 

@@ -117,20 +117,33 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs (Charikar 2002 / Manku et al. 2007
-    * pigeonhole banding): 64-bit fingerprints, candidates share one of
-    * four 16-bit bands, emit pairs with hamming distance ≤ maxHamming.
-    * Output: (doc_a, doc_b, hamming). */
+    * pigeonhole banding): per-doc fingerprints via `fingerprint`
+    * (default: the fast native-vote 64-bit xxhash64 simhash),
+    * candidates share one of `numBands` `bandBits`-bit bands, emit
+    * pairs with hamming distance ≤ maxHamming. Banding is
+    * pigeonhole-COMPLETE when maxHamming < numBands (≤ numBands-1 bit
+    * flips leave ≥ 1 band untouched) — equal to the all-pairs answer
+    * by construction. Output: (doc_a, doc_b, hamming).
+    *
+    * The p4 oracle gate runs THIS operator with
+    * [[graft.functions.TextFunctions.simhashMd5_60]] injected
+    * (60-bit md5-feature fingerprint, 4×15 bands) so DuckDB can
+    * recompute identical fingerprints; production keeps the
+    * xxhash64 default. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
-    val banded = sigs.withColumn("band", explode(simhashBands(col("sim"))))
+      maxHamming: Int = 3,
+      fingerprint: Column => Column = simhash64,
+      numBands: Int = 4, bandBits: Int = 16): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), fingerprint(col(textCol)).as("sim"))
+    val banded = sigs.withColumn("band",
+        explode(simhashBands(col("sim"), numBands, bandBits)))
       .select(col("id"), col("sim"), col("band.band").as("band"), col("band.sig").as("bsig"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

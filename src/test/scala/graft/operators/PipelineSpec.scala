@@ -53,6 +53,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"simhash recall $recall over ${exact.size} pairs")
   }
 
+  test("p4 gate path: production simhashPairs with md5 parity fingerprint == all-pairs") {
+    import graft.functions.TextFunctions
+    val gated = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,
+      fingerprint = TextFunctions.simhashMd5_60, numBands = 4, bandBits = 15)
+    // the operator's banded candidate join is in the executed plan
+    // ("bsig" is simhashPairs's internal band-signature alias)
+    assert(gated.queryExecution.analyzed.toString.contains("bsig"),
+      "gate plan does not flow through Dedup.simhashPairs")
+    val sigs = docs.select($"doc_id", TextFunctions.simhashMd5_60($"text").as("fp"))
+    val allPairs = sigs.as("a").join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        bit_count($"a.fp".bitwiseXOR($"b.fp")).cast("long").as("hamming"))
+      .filter($"hamming" <= 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val got = gated.as[(Long, Long, Long)].collect().toSet
+    assert(got == allPairs, "pigeonhole banding must equal the all-pairs answer")
+  }
+
   test("minhash LSH equals exact jaccard pairs at its threshold") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, threshold = 0.7)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
