@@ -121,7 +121,9 @@ object PipelineQueries {
     * threshold) — no all-pairs join anywhere in the plan. */
   def dEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshCandidatePairs(Tables.load(spark, dir, "embeddings"),
-        "vec_id", "embedding", dim = 64, threshold = 0.45)
+        "vec_id", "embedding", dim = 64, threshold = 0.45,
+        // footer-metadata count: auto-sizing without a count job
+        corpusCount = Tables.footerRowCount(spark, dir, "embeddings"))
       .orderBy("id_a", "id_b")
 
   private val dEmbeddingSql =
@@ -207,7 +209,9 @@ object PipelineQueries {
   def sLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.load(spark, dir, "embeddings")
     Similarity.lshTopK(embs, embs.filter(col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, dim = 64)
+        "vec_id", "embedding", k = 5, dim = 64,
+        // footer-metadata count: auto-sizing without a count job
+        corpusCount = Tables.footerRowCount(spark, dir, "embeddings"))
       .orderBy("query_id", "rank")
   }
 

@@ -18,4 +18,25 @@ object Tables {
   /** Register all tables as temp views for spark.sql use. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Row count from parquet FOOTERS — a driver-side metadata read, no
+    * Spark job. Feeds scale-dependent sizing (LSH table counts), never
+    * query answers. Footer row counts are exact for the file set. */
+  def footerRowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(s"$sfDir/$name.parquet")
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile &&
+          s.getPath.getName.endsWith(".parquet")).map(_.getPath)
+      else Array(p)
+    files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 }

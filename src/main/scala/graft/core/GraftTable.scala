@@ -912,6 +912,14 @@ final class GraftTable private (
   def partitions(): Seq[String] =
     log.liveFiles().map(_.partition).distinct.sorted
 
+  /** Live row count from commit-log file stats — zero IO, no job.
+    * Exact for a COW snapshot with no pending soft deletes; an UPPER
+    * bound when soft-deleted rows or MOR delta versions are pending.
+    * Right fidelity for scale-dependent sizing (LSH auto-params, bin
+    * packing) — never for query answers (the DSv2 metadata COUNT(*)
+    * path has its own exactness guard). */
+  def metadataRowCount: Long = log.liveFiles().map(_.rows).sum
+
   /** Register `name` (+ `_ro`/`_rt` for MOR) temp views, mirroring the
     * reference's Hive-sync naming (README.md:341-344). */
   def registerViews(): Unit = {

@@ -26,9 +26,11 @@ import java.nio.file.{Files, Paths}
   * own partition layout instead of a custom file format.
   *
   * Centroids come from Lloyd's k-means (deterministic init: the
-  * `nLists` lowest-id vectors), a few rounds of
-  * assign → per-dimension mean. Each round is one narrow shuffle of
-  * (list, pos, x) triples; at build time only.
+  * `nLists` lowest-id vectors) trained on a bounded deterministic
+  * sample (~256 vectors per centroid — the usual IVF training
+  * budget), a few rounds of assign → per-dimension mean. Each round
+  * shuffles (list, pos, x) triples of the SAMPLE only; the full
+  * corpus is touched once, by the final assignment pass.
   */
 object IvfIndex {
 
@@ -45,13 +47,29 @@ object IvfIndex {
     try {
       val count = corpus.count()
       val dim = corpus.select(size(col("vec"))).first().getInt(0)
+      // Train the quantizer on a BOUNDED deterministic sample (~256
+      // vectors per centroid, the standard training budget — Lloyd's
+      // means converge on a sample); only the final assignment below
+      // touches the full corpus, in one pass. Without this, each
+      // iteration pays a corpus-wide posexplode shuffle — a build-time
+      // scale-killer at 100 TB.
+      val targetTrain = 256L * nLists
+      val train =
+        if (count <= targetTrain) corpus
+        else Curation.deterministicSample(corpus, "id",
+          targetTrain.toDouble / count).persist()
       // deterministic seed centroids: the nLists lowest-id vectors
-      var table: Array[Array[Double]] = corpus.orderBy("id").limit(nLists)
+      // (from the full corpus if a pathological sample is too small)
+      var table: Array[Array[Double]] = train.orderBy("id").limit(nLists)
         .select(col("vec").cast("array<double>")).collect()
         .map(_.getSeq[Double](0).toArray)
+      if (table.length < nLists)
+        table = corpus.orderBy("id").limit(nLists)
+          .select(col("vec").cast("array<double>")).collect()
+          .map(_.getSeq[Double](0).toArray)
       var iter = 0
       while (iter < iterations) {
-        val means = corpus
+        val means = train
           .withColumn("list", element_at(nearest_centroids(col("vec"), table, 1), 1))
           .select(col("list"), posexplode(col("vec")).as(Seq("pos", "x")))
           .groupBy("list", "pos").agg(avg(col("x").cast("double")).as("m"))
@@ -66,6 +84,7 @@ object IvfIndex {
         table = table.indices.map(i => means.getOrElse(i, table(i))).toArray
         iter += 1
       }
+      if (train ne corpus) { train.unpersist(); () }
       val cdf = spark.createDataFrame(
         table.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
         .toDF("list", "centroid")

@@ -66,12 +66,17 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int,
       numTables: Int = 0, bitsPerTable: Int = 0,
-      targetCosine: Double = 0.2): DataFrame = {
+      targetCosine: Double = 0.2, corpusCount: Long = -1L): DataFrame = {
     require((numTables > 0) == (bitsPerTable > 0),
       "pass BOTH numTables and bitsPerTable, or neither (auto-sized)")
+    // auto-sizing needs only the corpus SCALE (it feeds a log): pass
+    // `corpusCount` from metadata — commit-log stats for graft tables
+    // (GraftTable.metadataRowCount), parquet footers for raw files
+    // (Tables.footerRowCount) — and no count job runs here
     val (nt, bt) =
       if (numTables > 0) (numTables, bitsPerTable)
-      else lshAutoParams(corpus.count(), targetCosine)
+      else lshAutoParams(
+        if (corpusCount >= 0L) corpusCount else corpus.count(), targetCosine)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
       .withColumn("tk", explode(lshTableKeys(col("cvec"), dim, nt, bt)))
       .select(col("neighbor_id"), col("cvec"),
@@ -140,12 +145,13 @@ object Similarity {
     * pairs sharing an LSH bucket, exact cosine attached. */
   def lshCandidatePairs(embs: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, numTables: Int = 0,
-      bitsPerTable: Int = 0): DataFrame = {
+      bitsPerTable: Int = 0, corpusCount: Long = -1L): DataFrame = {
     require((numTables > 0) == (bitsPerTable > 0),
       "pass BOTH numTables and bitsPerTable, or neither (auto-sized)")
     val (nt, bt) =
       if (numTables > 0) (numTables, bitsPerTable)
-      else lshAutoParams(embs.count(), threshold)
+      else lshAutoParams(
+        if (corpusCount >= 0L) corpusCount else embs.count(), threshold)
     val sig = embs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("tk", explode(lshTableKeys(col("v"), dim, nt, bt)))
       .select(col("id"), col("v"),

@@ -236,10 +236,16 @@ final class GraftSql(catalog: GraftCatalog) {
     val insertAll = c.contains("when not matched then insert *")
     val deleteMatched = c.contains("when matched then delete")
     // pinned PRE-merge snapshot: matched/unmatched is decided against
-    // the table state before any clause runs (a def would re-list the
-    // table between the DELETE and INSERT clauses and resurrect
-    // just-deleted keys as "not matched")
-    val existingKeys = t.read().select(expr(key)).distinct()
+    // the table state before any clause runs (single lazy instance —
+    // the file list pins at first use, before the DELETE clause; a def
+    // would re-list between clauses and resurrect just-deleted keys as
+    // "not matched"). Lazy also keeps the classic-upsert form from
+    // paying the probe's source-range aggregate. The probe itself is
+    // PRUNED to the source's key range through commit-log stats (the
+    // same pattern as the Debezium CDC apply): a narrow-key MERGE
+    // reads only file groups that may hold source keys, not the whole
+    // table's key column.
+    lazy val existingKeys = GraftSql.mergeKeyProbe(t, src)
     (updateAll, insertAll, deleteMatched) match {
       case (true, true, false) => t.upsert(src) // classic upsert merge
       case (true, false, false) => // matched-only update
@@ -329,4 +335,30 @@ final class GraftSql(catalog: GraftCatalog) {
   }
 
   private def emptyResult(): DataFrame = spark.emptyDataFrame
+}
+
+object GraftSql {
+  import org.apache.spark.sql.functions.{col, min, max}
+  import org.apache.spark.sql.types.StringType
+
+  /** Distinct existing record keys that can collide with `src`, read
+    * through [[graft.core.GraftTable.readWhereBetween]] bounded by the
+    * source's key min/max — stats-pruned to the file groups that may
+    * hold source keys. readWhereBetween may return extra keys outside
+    * the bounds (pruning narrows IO, not semantics); that is harmless
+    * here because every probe consumer joins back on source keys,
+    * which all lie inside the bounds. Package-visible so tests can
+    * file-count the probe scan. */
+  private[sql] def mergeKeyProbe(t: graft.core.GraftTable,
+      src: DataFrame): DataFrame = {
+    val key = t.config.keyField
+    val range = src.agg(
+      min(col(key)).cast(StringType).as("mn"),
+      max(col(key)).cast(StringType).as("mx")).first()
+    if (range.isNullAt(0)) // empty source: nothing can match
+      t.read().select(col(key)).distinct().limit(0)
+    else t.readWhereBetween(key,
+        Option(range.getString(0)), Option(range.getString(1)))
+      .select(col(key)).distinct()
+  }
 }

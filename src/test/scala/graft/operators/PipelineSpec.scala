@@ -147,6 +147,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("IVF build trains on a bounded sample; full probe still equals exact") {
+    // 2000 vectors, nLists=4 → training budget 1024 < corpus: the
+    // sampled-quantizer path runs; assignment still covers every row
+    val n = 2000
+    val vecs = spark.range(n).select($"id".as("vec_id"),
+      array((0 until 8).map(d =>
+        (hash($"id" * (d + 1)).cast("double") / Int.MaxValue)): _*).as("embedding"))
+      .persist()
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-samp-").toString
+    val meta = IvfIndex.build(vecs, "vec_id", "embedding", nLists = 4, path = path)
+    assert(meta.corpusCount == n)
+    // every corpus row is assigned exactly once
+    assert(spark.read.parquet(s"$path/assignments").count() == n)
+    // full probe (nProbe = nLists) ranks every corpus vector → exact
+    val queries = vecs.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = IvfIndex.topK(spark, path, queries, "vec_id", "embedding",
+        k = 3, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf == exact, "full-probe IVF must equal brute force")
+    vecs.unpersist(); ()
+  }
+
   test("connected components cluster transitive near-dup pairs") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
       .toDF("doc_a", "doc_b")

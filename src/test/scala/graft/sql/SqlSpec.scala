@@ -124,6 +124,28 @@ class SqlSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSeq == Seq((2L, "new"), (3L, "cyd")))
   }
 
+  test("MERGE key probe is stats-pruned to the source's key range") {
+    gsql.sql("""CREATE TABLE mrgprobe (id BIGINT, name STRING, ts BIGINT)
+      USING GRAFT OPTIONS (primaryKey='id', precombine='ts', buckets='1')""")
+    val t = catalog.table("mrgprobe")
+    t.insert((1L to 4000L).map(i => (i, s"n$i", 1L)).toDF("id", "name", "ts"))
+    // range-cluster so files carry disjoint key slices
+    val bytes = t.log.liveFiles().map(_.bytes).sum
+    graft.core.TableServices.cluster(t, targetFileBytes = bytes / 4)
+    val live = t.log.liveFiles().size
+    assert(live >= 3, s"need several files, got $live")
+    val narrow = (2L to 5L).map(i => (i, s"m$i", 2L)).toDF("id", "name", "ts")
+    val probe = GraftSql.mergeKeyProbe(t, narrow)
+    assert(probe.inputFiles.length < live,
+      s"narrow-key probe read ${probe.inputFiles.length} of $live files")
+    // and the pruned probe keeps MERGE semantics: matched-only update
+    narrow.createOrReplaceTempView("mrg_src")
+    gsql.sql("""MERGE INTO mrgprobe USING (SELECT * FROM mrg_src) AS s
+      ON mrgprobe.id = s.id WHEN MATCHED THEN UPDATE SET *""")
+    assert(gsql.sql("SELECT name FROM mrgprobe WHERE id = 3").as[String].head() == "m3")
+    assert(gsql.sql("SELECT count(*) AS c FROM mrgprobe").as[Long].head() == 4000L)
+  }
+
   test("CALL procedures: compaction, z-order clustering, rollback, observability") {
     gsql.sql("""CREATE TABLE svc (id BIGINT, name STRING, ts BIGINT)
       USING GRAFT OPTIONS (primaryKey='id', precombine='ts', type='mor')""")
