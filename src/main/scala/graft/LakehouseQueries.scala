@@ -289,6 +289,34 @@ object LakehouseQueries {
       |       CASE WHEN event_id % 100 = 0 THEN value * 2 ELSE value END AS value
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---- S8 through the DSv2 catalog: bare-name merged MOR snapshot ---
+
+  /** The MOR table read through a catalog-qualified bare name while
+    * delta files are live — served by the file-group merge scan
+    * (GraftMorScan: one InputPartition per file group, local
+    * latest-wins, no shuffle) and must equal the COW snapshot, like
+    * l3's API-level realtime view. */
+  private val catalogSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def qMorCatalogSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val wh = freshRoot("ev_mor_cat_wh")
+    // Spark caches catalog instances by name after first resolution —
+    // a fresh name per invocation keeps the fresh warehouse visible
+    val cat = s"gcat_l14_${catalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val ev = events(spark, dir)
+    val t = GraftTable.create(spark, s"$wh/ev_mor_cat",
+      cfg("ev_mor_cat", TableConfig.Mor))
+    t.insert(ev.filter(col("event_id") % 2 === 0))
+    t.upsert(ev.filter(col("event_id") % 2 === 1)) // live delta files
+    require(t.log.liveFiles().exists(_.delta), "gate needs live deltas")
+    spark.sql(
+      s"""SELECT event_type, user_id, event_id, ts DIV 1000 AS ts_us, value
+         |FROM $cat.ev_mor_cat
+         |ORDER BY event_type, user_id""".stripMargin)
+  }
+
   // ---- A3 key-uniqueness invariant over the lakehouse table ---------
 
   /** The test-suite's duplicate-detection gate run against our own
@@ -324,6 +352,7 @@ object LakehouseQueries {
     "l11_cdc" -> (qCdc _),
     "l12_zorder" -> (qZOrder _),
     "l13_bootstrap" -> (qBootstrap _),
+    "l14_mor_catalog_snapshot" -> (qMorCatalogSnapshot _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -340,5 +369,6 @@ object LakehouseQueries {
     "l11_cdc" -> cdcSql,
     "l12_zorder" -> cowUpsertSql,
     "l13_bootstrap" -> bootstrapSql,
+    "l14_mor_catalog_snapshot" -> cowUpsertSql,
   )
 }

@@ -29,9 +29,9 @@ import java.util
   * ACCEPT_ANY_SCHEMA defers schema checks to the engine's additive
   * schema evolution (prepare/align): inserts may omit metadata columns
   * and introduce new ones, like every other write path. */
-final class GraftDsv2Table(graft: GraftTable, delegate: Table,
+final class GraftDsv2Table(val graft: GraftTable, delegate: Table,
     scanFiles: Seq[DataFileMeta], scanSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with GraftDmlSupport {
 
   override def name(): String = delegate.name()
   override def schema(): StructType = delegate.schema()
@@ -51,6 +51,41 @@ final class GraftDsv2Table(graft: GraftTable, delegate: Table,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftFileSkippingScanBuilder(graft.spark, name(), graft.root,
       scanFiles, scanSchema, graft.config.partitionField, options)
+}
+
+/** Realtime DSv2 table for a MOR snapshot with live delta files: reads
+  * go through [[GraftMorScanBuilder]] (per-file-group base+delta merge
+  * in the reader — the bare-name merged snapshot of the reference
+  * contract, README.md:341-366); DML shares the transactional paths of
+  * the COW table. */
+final class GraftMorDsv2Table(val graft: GraftTable, ident: String,
+    live: Seq[DataFileMeta], scanSchema: StructType)
+    extends Table with SupportsRead with GraftDmlSupport {
+
+  override def name(): String = ident
+  override def schema(): StructType = scanSchema
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = new util.HashSet[TableCapability]()
+    caps.add(TableCapability.BATCH_READ)
+    caps.add(TableCapability.V1_BATCH_WRITE)
+    caps.add(TableCapability.TRUNCATE)
+    caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftMorScanBuilder(graft.spark, ident, graft.root, live,
+      scanSchema, graft.config.keyField, graft.config.orderingField,
+      graft.config.softDeleteField, options)
+}
+
+/** Write/delete half of the DSv2 tables: INSERT / INSERT OVERWRITE
+  * through the V1Write bridge onto the engine's transactional commits,
+  * DELETE WHERE through [[GraftTable.deleteWhere]]. */
+sealed trait GraftDmlSupport extends SupportsWrite with SupportsDelete {
+
+  def graft: GraftTable
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

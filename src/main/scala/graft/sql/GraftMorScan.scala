@@ -1,0 +1,221 @@
+package graft.sql
+
+import graft.core.{DataFileMeta, TableConfig}
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import java.util.OptionalLong
+import scala.jdk.CollectionConverters._
+
+/** DSv2 realtime scan for MOR tables: the merged snapshot served from
+  * a bare catalog name (the reference contract — a MOR table queried
+  * by name returns base+delta merged, hudi-spark-minio-trino/
+  * README.md:341-366) WITHOUT a shuffle.
+  *
+  * Key insight: graft writes route every record key to exactly one
+  * file group (partition, bucket), so the latest-wins merge never
+  * crosses group boundaries. Each [[InputPartition]] IS one file
+  * group; its [[PartitionReader]] merges the group's base and delta
+  * rows locally — delta rows (bounded: deltas compact away) are
+  * buffered in a key→winner map, base rows stream through it. At
+  * 100 TB this plan is one parquet pass with zero exchanges, vs the
+  * DataFrame realtime view's window shuffle.
+  *
+  * Merge semantics replicate `GraftTable.latestWins` +
+  * `mergeGroupScoped` exactly: winner per key by (ordering DESC NULLS
+  * LAST, _commit_time DESC NULLS LAST); only delta-carrying keys are
+  * merged (base rows of other keys pass through untouched, preserving
+  * legitimate insert duplicates); soft-deleted winners and
+  * pass-through rows are dropped.
+  *
+  * Column pruning is supported (the scan reads requested ∪ merge
+  * columns); filters are deliberately NOT pushed below the merge — a
+  * stale base row passing a filter must still lose to its delta
+  * version that fails it, so Spark applies all predicates above the
+  * scan. File-level skipping for MOR stays at the API layer
+  * (`readWhereBetween`), where delta-aware pruning is group-scoped.
+  */
+final class GraftMorScanBuilder(
+    spark: SparkSession,
+    tableName: String,
+    root: String,
+    live: Seq[DataFileMeta],
+    tableSchema: StructType,
+    keyField: String,
+    orderingField: String,
+    softDeleteField: String,
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+
+  override def pruneColumns(s: StructType): Unit = { required = s }
+
+  override def build(): Scan = new GraftMorScan(spark, tableName, root,
+    live, tableSchema, keyField, orderingField, softDeleteField, required)
+}
+
+final class GraftMorScan(
+    spark: SparkSession,
+    tableName: String,
+    root: String,
+    live: Seq[DataFileMeta],
+    tableSchema: StructType,
+    keyField: String,
+    orderingField: String,
+    softDeleteField: String,
+    required: StructType)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val groups = live.groupBy(f => (f.partition, f.bucket)).size
+    s"GraftMorRealtimeScan($tableName, groups=$groups, " +
+      s"deltaFiles=${live.count(_.delta)})"
+  }
+
+  /** Size from commit-log metadata so Catalyst can broadcast a small
+    * merged MOR side without sampling. Row count is left unset: delta
+    * rows shadow base rows, so the live-file sum is only a bound. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(live.map(_.bytes).sum)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    live.groupBy(f => (f.partition, f.bucket)).values.map { fs =>
+      GraftMorInputPartition(
+        fs.filterNot(_.delta).map(f => FileSlice(s"$root/${f.path}", f.bytes)).toArray,
+        fs.filter(_.delta).map(f => FileSlice(s"$root/${f.path}", f.bytes)).toArray)
+    }.toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // superset actually read: requested ∪ merge columns, table order
+    val need = required.fieldNames.toSet ++
+      Set(keyField, orderingField, TableConfig.CommitTimeCol, softDeleteField)
+    val superset = StructType(tableSchema.fields.filter(f => need.contains(f.name)))
+    require(Seq(keyField, orderingField, TableConfig.CommitTimeCol, softDeleteField)
+      .forall(superset.fieldNames.contains),
+      s"MOR scan needs key/ordering/metadata columns in the table schema, " +
+      s"got ${superset.fieldNames.mkString(",")}")
+    // Spark's own parquet reader closure (schema evolution, nanos
+    // handling, vectorization all inherited); it broadcasts the hadoop
+    // conf internally, so the closure ships to executors as-is.
+    // RETURNING_BATCH=false keeps the iterator row-shaped.
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark,
+      dataSchema = tableSchema,
+      partitionSchema = new StructType(),
+      requiredSchema = superset,
+      filters = Nil,
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    GraftMorReaderFactory(readFunc, superset,
+      required.fieldNames.map(superset.fieldIndex),
+      superset.fieldIndex(keyField), superset.fieldIndex(orderingField),
+      superset.fieldIndex(TableConfig.CommitTimeCol),
+      superset.fieldIndex(softDeleteField))
+  }
+}
+
+final case class FileSlice(path: String, bytes: Long)
+
+final case class GraftMorInputPartition(
+    base: Array[FileSlice], delta: Array[FileSlice]) extends InputPartition
+
+final case class GraftMorReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    superset: StructType,
+    outputOrdinals: Array[Int],
+    keyOrd: Int, ordOrd: Int, ctOrd: Int, delOrd: Int)
+  extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftMorPartitionReader(p.asInstanceOf[GraftMorInputPartition], this)
+}
+
+/** Per-file-group merge: buffer delta winners (copied rows — parquet
+  * readers reuse row objects), stream base rows through the map. Delta
+  * volume per group is bounded by compaction, so the map is small;
+  * base rows never buffer. */
+final class GraftMorPartitionReader(
+    part: GraftMorInputPartition, f: GraftMorReaderFactory)
+  extends PartitionReader[InternalRow] {
+
+  private val keyType = f.superset(f.keyOrd).dataType
+  private val ordType = f.superset(f.ordOrd).dataType
+  private val ordCmp = TypeUtils.getInterpretedOrdering(ordType)
+  private val project = UnsafeProjection.create(
+    f.outputOrdinals.toIndexedSeq.map(i =>
+      BoundReference(i, f.superset(i).dataType, f.superset(i).nullable)))
+
+  private def fileRows(s: FileSlice): Iterator[InternalRow] =
+    f.readFunc(PartitionedFile(InternalRow.empty,
+        SparkPath.fromPathString(s.path), 0L, s.bytes,
+        Array.empty, 0L, s.bytes))
+      .asInstanceOf[Iterator[Object]]
+      .flatMap {
+        case b: ColumnarBatch => b.rowIterator().asScala
+        case r: InternalRow => Iterator.single(r)
+      }
+
+  private def isDeleted(r: InternalRow): Boolean =
+    !r.isNullAt(f.delOrd) && r.getBoolean(f.delOrd)
+
+  /** latestWins order: ordering DESC NULLS LAST, then commit-time DESC
+    * NULLS LAST — i.e. `a` beats `b` iff (ord, ct) is strictly larger
+    * under null-smallest lexicographic comparison. Ties keep the
+    * incumbent (deterministic under the engine's unique
+    * (key, ordering, commit) invariant, same as the window). */
+  private def beats(a: InternalRow, b: InternalRow): Boolean = {
+    val (oa, ob) = (a.get(f.ordOrd, ordType), b.get(f.ordOrd, ordType))
+    val c =
+      if (oa == null && ob == null) 0
+      else if (oa == null) -1
+      else if (ob == null) 1
+      else ordCmp.compare(oa, ob)
+    if (c != 0) return c > 0
+    val (ca, cb) = (if (a.isNullAt(f.ctOrd)) null else a.getUTF8String(f.ctOrd),
+                    if (b.isNullAt(f.ctOrd)) null else b.getUTF8String(f.ctOrd))
+    if (ca == null) false
+    else if (cb == null) true
+    else ca.compareTo(cb) > 0
+  }
+
+  // delta winners: key value → copied winning row
+  private val winners = new java.util.HashMap[Any, InternalRow]()
+
+  private def offer(r: InternalRow): Unit = {
+    val copied = r.copy()
+    val k = copied.get(f.keyOrd, keyType)
+    val cur = winners.get(k)
+    if (cur == null || beats(copied, cur)) { winners.put(k, copied); () }
+  }
+
+  part.delta.foreach(s => fileRows(s).foreach(offer))
+
+  private val rows: Iterator[InternalRow] =
+    part.base.iterator.flatMap(fileRows).flatMap { r =>
+      val k = r.get(f.keyOrd, keyType)
+      if (winners.containsKey(k)) { offer(r); Iterator.empty }
+      else if (isDeleted(r)) Iterator.empty
+      else Iterator.single(r)
+    } ++ winners.values().iterator().asScala.filterNot(isDeleted)
+
+  private var cur: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { cur = project(rows.next()); true } else false
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}

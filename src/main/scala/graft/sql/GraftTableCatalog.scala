@@ -63,40 +63,36 @@ class GraftTableCatalog extends TableCatalog {
     GraftTable.exists(rootOf(ident))
 
   /** Bare table name = snapshot semantics (the reference contract,
-    * README.md:341-344). A MOR table whose delta files are live cannot
-    * be served as plain parquet without the latest-wins merge, so the
-    * bare name REFUSES with a pointer at the honest options rather
-    * than silently returning read-optimized (= stale) rows; once
+    * README.md:341-344): a MOR table with live delta files serves the
+    * MERGED snapshot through [[GraftMorScanBuilder]] (per-file-group
+    * base+delta merge in the partition reader — no shuffle); once
     * compaction has folded all deltas, base files ARE the snapshot and
-    * the bare name serves again. The explicit `<name>_ro` suffix
-    * always serves base files — stale-by-contract, like Hive-sync's
-    * `_ro` table. */
+    * the plain parquet scan (full pushdown + file skipping) serves.
+    * Hive-sync-style suffixes work like the registered views:
+    * `<name>_ro` always serves base files (stale-by-contract),
+    * `<name>_rt` always serves the merged view. */
   private def snapshotTable(ident: Identifier, asOf: Option[String]): Table = {
-    val (name, roRequested) =
-      if (ident.name.endsWith("_ro") && !tableExists(ident))
-        (ident.name.stripSuffix("_ro"), true)
-      else (ident.name, false)
+    val (name, suffix) = ident.name match {
+      case n if n.endsWith("_ro") && !tableExists(ident) => (n.stripSuffix("_ro"), "ro")
+      case n if n.endsWith("_rt") && !tableExists(ident) => (n.stripSuffix("_rt"), "rt")
+      case n => (n, "")
+    }
     val root = Paths.get(warehouse, name).toString
     if (!GraftTable.exists(root)) throw new NoSuchTableException(ident)
     val t = GraftTable.load(spark, root)
     val live = t.log.liveFiles(asOf)
-    if (!roRequested && t.config.isMor && live.exists(_.delta))
-      throw new org.apache.spark.sql.AnalysisException(
-        errorClass = "UNSUPPORTED_FEATURE.TABLE_OPERATION",
-        messageParameters = Map(
-          "tableName" -> s"$catalogName.${ident.name}",
-          "operation" -> ("snapshot read of a merge-on-read table with live delta " +
-            s"files through the DSv2 catalog (query ${ident.name}_ro for the " +
-            "read-optimized view, use GraftTable.readRealtime / the registered " +
-            s"${ident.name}_rt view for the merged snapshot, or compact first)")))
-    val files = live.filterNot(_.delta)
-      .map(f => s"${t.root}/${f.path}")
     val schema = asOf match {
       case Some(i) => t.log.latestSchemaJson(Some(i))
         .map(org.apache.spark.sql.types.DataType.fromJson(_).asInstanceOf[StructType])
         .getOrElse(t.schema)
       case None => t.schema
     }
+    val mergeNeeded = suffix != "ro" && t.config.isMor &&
+      (live.exists(_.delta) || suffix == "rt")
+    if (mergeNeeded)
+      return new GraftMorDsv2Table(t, ident.name, live, schema)
+    val files = live.filterNot(_.delta)
+      .map(f => s"${t.root}/${f.path}")
     val parquet = ParquetTable(ident.name, spark, CaseInsensitiveStringMap.empty(),
       files, Some(schema), classOf[ParquetFileFormat])
     // reads go through the stats-driven file-skipping scan builder;

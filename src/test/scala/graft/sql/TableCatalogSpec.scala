@@ -47,26 +47,62 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("symbol"))
   }
 
-  test("MOR through the catalog: bare name refuses while deltas are live, _ro serves, compaction restores") {
+  test("MOR through the catalog: bare name serves the merged snapshot, _ro stays stale") {
     wire()
     val t = GraftTable.create(spark, s"$wh/mticks", TableConfig(
       name = "mticks", keyField = "key", orderingField = "ts",
       partitionField = Some("date"), tableType = TableConfig.Mor, numBuckets = 2))
     t.insert(ticks(("A", "t1", 1L), ("B", "t1", 2L)))
-    t.upsert(ticks(("A", "t2", 9L))) // delta file → bare name must refuse
-    val ex = intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql("SELECT key, volume FROM gcat.mticks ORDER BY key").collect()
-    }
-    assert(ex.getMessage.contains("mticks_ro"), s"unhelpful error: ${ex.getMessage}")
+    t.upsert(ticks(("A", "t2", 9L), ("C", "t2", 7L))) // live delta files
+    // bare name = merged snapshot (base+delta, latest-wins), the
+    // reference contract — served by the file-group MOR scan
+    val now = spark.sql("SELECT key, volume FROM gcat.mticks ORDER BY key")
+      .as[(String, Long)].collect().toSeq
+    assert(now == Seq(("A", 9L), ("B", 2L), ("C", 7L)))
+    // the plan runs the group-merge scan, not a window exchange
+    val plan = spark.sql("SELECT key, volume FROM gcat.mticks")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GraftMorRealtimeScan"), s"wrong scan:\n$plan")
+    assert(!plan.contains("Exchange"), s"merge must not shuffle:\n$plan")
+    // catalog read == the API realtime view, row for row
+    val api = t.readRealtime().select("key", "volume")
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(now == api)
     // explicit _ro suffix: read-optimized, stale-by-contract
     val ro = spark.sql("SELECT key, volume FROM gcat.mticks_ro ORDER BY key")
       .as[(String, Long)].collect().toSeq
     assert(ro == Seq(("A", 1L), ("B", 2L)))
-    // after compaction the base files ARE the snapshot → bare name serves
-    graft.core.TableServices.compact(t)
-    val now = spark.sql("SELECT key, volume FROM gcat.mticks ORDER BY key")
+    // explicit _rt suffix: always the merged view
+    val rt = spark.sql("SELECT key, volume FROM gcat.mticks_rt ORDER BY key")
       .as[(String, Long)].collect().toSeq
-    assert(now == Seq(("A", 9L), ("B", 2L)))
+    assert(rt == now)
+    // column pruning reaches the scan; count over merge stays exact
+    assert(spark.sql("SELECT count(*) FROM gcat.mticks").as[Long].head() == 3L)
+    // a delete through the merged view: tombstone wins, row disappears
+    t.deleteRows(ticks(("B", "t3", 2L)))
+    assert(spark.sql("SELECT key FROM gcat.mticks ORDER BY key")
+      .as[String].collect().toSeq == Seq("A", "C"))
+    // after compaction the base files ARE the snapshot → parquet scan
+    graft.core.TableServices.compact(t)
+    val compacted = spark.sql("SELECT key, volume FROM gcat.mticks ORDER BY key")
+      .as[(String, Long)].collect().toSeq
+    assert(compacted == Seq(("A", 9L), ("C", 7L)))
+    val planC = spark.sql("SELECT key FROM gcat.mticks")
+      .queryExecution.executedPlan.toString
+    assert(!planC.contains("GraftMorRealtimeScan"), s"compacted should scan parquet:\n$planC")
+  }
+
+  test("MOR time travel through the catalog merges the as-of file set") {
+    wire()
+    val t = GraftTable.create(spark, s"$wh/mtt", TableConfig(
+      name = "mtt", keyField = "key", orderingField = "ts",
+      partitionField = Some("date"), tableType = TableConfig.Mor, numBuckets = 2))
+    t.insert(ticks(("A", "t1", 1L)))
+    val c2 = t.upsert(ticks(("A", "t2", 5L)))
+    t.upsert(ticks(("A", "t3", 9L)))
+    assert(spark.sql("SELECT volume FROM gcat.mtt").as[Long].head() == 9L)
+    assert(spark.sql(s"SELECT volume FROM gcat.mtt VERSION AS OF '$c2'")
+      .as[Long].head() == 5L)
   }
 
   test("DML through the catalog: INSERT / INSERT OVERWRITE / DELETE as real commits") {
