@@ -109,6 +109,51 @@ object Debezium {
         java.nio.file.Paths.get(avscPath)), "UTF-8"),
       row, confluentFramed)
 
+  // ---- Protobuf envelopes (reference: register-mysql-protobuf.json:
+  // 19-22 — the ProtobufConverter variant of the same connector) ------
+
+  /** Parse protobuf-encoded envelopes from a binary column under the
+    * [[ProtobufEnvelope]] field-number contract (envelope
+    * before=1/after=2/op=3/ts_ms=4, row fields 1..n in schema order).
+    * Same boundary shape as [[parseAvro]]: bytes decode once per
+    * partition to envelope JSON, rows re-enter the typed plan through
+    * `from_json`, everything downstream stays codegen'd.
+    * `confluentFramed` strips the registry wire prefix (magic byte +
+    * schema id + message-indexes path). Absent submessages are null;
+    * an absent scalar decodes as null (the test encoders write every
+    * present column explicitly, the analog of Debezium's full row
+    * images). */
+  def parseProtobuf(raw: DataFrame, binCol: String, row: StructType,
+      confluentFramed: Boolean = false): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val names = row.fieldNames
+    val jsons = raw.select(col(binCol)).as[Array[Byte]].mapPartitions { it =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      it.map { bytes =>
+        val (off, len) =
+          if (confluentFramed) ProtobufEnvelope.stripConfluentFrame(bytes)
+          else (0, bytes.length)
+        val d = ProtobufEnvelope.decode(bytes, off, len, row)
+        def img(vals: Array[Any]): java.util.LinkedHashMap[String, Any] =
+          if (vals == null) null
+          else {
+            val m = new java.util.LinkedHashMap[String, Any]()
+            var i = 0
+            while (i < names.length) { m.put(names(i), vals(i)); i += 1 }
+            m
+          }
+        val env = new java.util.LinkedHashMap[String, Any]()
+        env.put("before", img(d.before))
+        env.put("after", img(d.after))
+        env.put("op", d.op)
+        env.put("ts_ms", d.tsMs)
+        mapper.writeValueAsString(env)
+      }
+    }.toDF("json")
+    parse(jsons, "json", row)
+  }
+
   /** Apply parsed change events to a graft table.
     *
     * Semantics: for each key, the batch's latest event (by ts_ms)
