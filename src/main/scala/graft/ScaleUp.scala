@@ -10,7 +10,13 @@ import org.apache.spark.sql.functions._
   * Fact tables replicate with key shifting so cardinalities and group
   * sizes scale while per-key structure is preserved:
   *  - events / lineitem / orders: ids shift by replica × stride —
-  *    10× rows, 10× keys, same rows-per-key.
+  *    10× rows, 10× keys, same rows-per-key. For events BOTH
+  *    event_id and user_id shift: user_id is the lakehouse record
+  *    key (LakehouseQueries keyField), so leaving it fixed would
+  *    grow rows-per-key 10× and collapse the post-upsert table —
+  *    a different asymptote than the one being measured. user_id
+  *    never joins a dimension (it is only a window/group key), so
+  *    the shift changes no query shape.
   *  - documents: doc_id shifts AND every word is tagged with the
   *    replica id, so each replica is NEW content (disjoint shingle
   *    space). Replicas are not near-duplicates of each other — the
@@ -49,6 +55,7 @@ object ScaleUp {
 
     replicate("events") { (df, k) =>
       df.withColumn("event_id", col("event_id") + lit(k * Stride))
+        .withColumn("user_id", col("user_id") + lit(k * Stride))
     }
     replicate("lineitem") { (df, k) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(k * Stride))

@@ -120,9 +120,14 @@ object Debezium {
     * `from_json`, everything downstream stays codegen'd.
     * `confluentFramed` strips the registry wire prefix (magic byte +
     * schema id + message-indexes path). Absent submessages are null;
-    * an absent scalar decodes as null (the test encoders write every
-    * present column explicitly, the analog of Debezium's full row
-    * images). */
+    * an absent SCALAR decodes as its proto3 zero value (0 / 0.0 /
+    * false / "") — canonical serializers (protoc, Confluent's
+    * ProtobufConverter for non-optional fields) elide zero-valued
+    * scalars from the wire, so treating absence as null would silently
+    * corrupt legitimate zeros. Consequence: this contract cannot
+    * distinguish SQL NULL from zero in a scalar column; sources that
+    * need nullable scalars must use explicit-presence (`optional`)
+    * fields, which always serialize when set. */
   def parseProtobuf(raw: DataFrame, binCol: String, row: StructType,
       confluentFramed: Boolean = false): DataFrame = {
     val spark = raw.sparkSession

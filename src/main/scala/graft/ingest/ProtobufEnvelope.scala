@@ -94,18 +94,47 @@ object ProtobufEnvelope {
     out
   }
 
+  /** Read a length-delimited payload length, rejecting negative or
+    * buffer-overrunning values — a corrupt varint must fail loudly, not
+    * move the cursor backward (infinite loop) or past the buffer. */
+  private def readLen(c: Cursor): Int = {
+    val len = readVarint(c).toInt
+    require(len >= 0 && c.pos + len <= c.end,
+      s"malformed protobuf length $len at ${c.pos} (end ${c.end})")
+    len
+  }
+
   private def skipField(c: Cursor, wireType: Int): Unit = wireType match {
     case 0 => readVarint(c); ()
-    case 1 => c.pos += 8
-    case 2 => val len = readVarint(c).toInt; c.pos += len
-    case 5 => c.pos += 4
+    case 1 => require(c.pos + 8 <= c.end, "truncated fixed64"); c.pos += 8
+    case 2 => val len = readLen(c); c.pos += len
+    case 5 => require(c.pos + 4 <= c.end, "truncated fixed32"); c.pos += 4
     case other => throw new IllegalArgumentException(
       s"unsupported protobuf wire type $other")
   }
 
-  /** Decode one row message into field-position → value (1-based). */
+  /** proto3 zero value for a scalar field — canonical serializers
+    * (protoc, Confluent's ProtobufConverter for non-optional fields)
+    * elide zero-valued scalars from the wire, so an absent field means
+    * ZERO, not null. Decoding absent as null would silently corrupt
+    * legitimate id=0 / value=0.0 / flag=false / '' data. */
+  private def zeroValue(dt: DataType): Any = dt match {
+    case StringType => ""
+    case LongType => 0L
+    case IntegerType => 0
+    case BooleanType => false
+    case DoubleType => 0.0d
+    case FloatType => 0.0f
+    case other => throw new IllegalArgumentException(
+      s"unsupported CDC protobuf field type $other")
+  }
+
+  /** Decode one row message into field-position → value (1-based).
+    * Fields absent from the wire get their proto3 zero value. */
   private def decodeRow(c: Cursor, row: StructType): Array[Any] = {
     val out = new Array[Any](row.fields.length)
+    var i = 0
+    while (i < out.length) { out(i) = zeroValue(row.fields(i).dataType); i += 1 }
     while (c.hasMore) {
       val key = readVarint(c)
       val field = (key >>> 3).toInt
@@ -113,7 +142,7 @@ object ProtobufEnvelope {
       if (field >= 1 && field <= row.fields.length) {
         out(field - 1) = row.fields(field - 1).dataType match {
           case StringType =>
-            val len = readVarint(c).toInt
+            val len = readLen(c)
             val s = new String(c.buf, c.pos, len, "UTF-8")
             c.pos += len
             s
@@ -150,13 +179,13 @@ object ProtobufEnvelope {
       val wire = (key & 7).toInt
       field match {
         case 1 | 2 =>
-          val len = readVarint(c).toInt
+          val len = readLen(c)
           val sub = new Cursor(c.buf, c.pos, c.pos + len)
           c.pos += len
           if (field == 1) before = decodeRow(sub, row)
           else after = decodeRow(sub, row)
         case 3 =>
-          val len = readVarint(c).toInt
+          val len = readLen(c)
           op = new String(c.buf, c.pos, len, "UTF-8")
           c.pos += len
         case 4 => tsMs = readVarint(c)

@@ -123,7 +123,11 @@ object Dedup {
     * pairs with hamming distance ≤ maxHamming. Banding is
     * pigeonhole-COMPLETE when maxHamming < numBands (≤ numBands-1 bit
     * flips leave ≥ 1 band untouched) — equal to the all-pairs answer
-    * by construction. Output: (doc_a, doc_b, hamming).
+    * by construction; that precondition is enforced unless the caller
+    * opts into recall mode with `requireComplete = false` (candidates
+    * must then share a full band by chance, so recall < 1 — useful for
+    * wide-radius sweeps where completeness would need too many bands).
+    * Output: (doc_a, doc_b, hamming).
     *
     * The p4 oracle gate runs THIS operator with
     * [[graft.functions.TextFunctions.simhashMd5_60]] injected
@@ -133,7 +137,18 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3,
       fingerprint: Column => Column = simhash64,
-      numBands: Int = 4, bandBits: Int = 16): DataFrame = {
+      numBands: Int = 4, bandBits: Int = 16,
+      requireComplete: Boolean = true): DataFrame = {
+    // pigeonhole completeness requires ≤ numBands-1 flipped bits to
+    // leave one band untouched; violating callers would silently lose
+    // the recall guarantee the docstring promises, so fail loudly
+    // unless they explicitly opted into recall mode
+    require(!requireComplete || maxHamming < numBands,
+      s"simhash banding is only complete for maxHamming < numBands " +
+        s"(got maxHamming=$maxHamming, numBands=$numBands); pass " +
+        s"requireComplete=false to accept partial recall")
+    require(numBands > 0 && bandBits > 0 && numBands * bandBits <= 64,
+      s"bands must tile a ≤64-bit fingerprint (numBands=$numBands × bandBits=$bandBits)")
     val sigs = docs.select(col(idCol).as("id"), fingerprint(col(textCol)).as("sim"))
     val banded = sigs.withColumn("band",
         explode(simhashBands(col("sim"), numBands, bandBits)))
@@ -160,6 +175,11 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
       .persist()
+    // convergence is tallied by an accumulator folded into the label
+    // materialization itself — one job per iteration, not a separate
+    // old-vs-new join + count() (which re-scanned the full label set)
+    val changedAcc = pairs.sparkSession.sparkContext
+      .longAccumulator("graft.cc.changed")
     try {
       var labels = edges.groupBy(col("a").as("doc_id"))
         .agg(min(col("b")).as("minb"))
@@ -169,23 +189,30 @@ object Dedup {
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIterations) {
-        // each node adopts min(own label, neighbours' labels)
+        // each node adopts min(own label, neighbours' labels); the
+        // _changed flag rides along so the foreach below can count
+        // updates while it populates the cache
         val viaNeighbors = edges
-          .join(labels.withColumnRenamed("doc_id", "b"), Seq("b"))
+          .join(labels.select(col("doc_id").as("b"), col("cluster_id")), Seq("b"))
           .groupBy(col("a").as("doc_id"))
           .agg(min(col("cluster_id")).as("n_label"))
         val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id")))
-              .as("cluster_id"))
+              .as("cluster_id"),
+            (col("n_label").isNotNull && col("n_label") < col("cluster_id"))
+              .as("_changed"))
           .persist()
-        changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-          .filter(col("cluster_id") =!= col("old")).count()
+        val before = changedAcc.value
+        next.foreach(r => if (r.getAs[Boolean]("_changed")) changedAcc.add(1L))
+        changed = changedAcc.value - before
         labels.unpersist()
         labels = next
         iter += 1
       }
-      labels.localCheckpoint()
+      val out = labels.select("doc_id", "cluster_id").localCheckpoint()
+      labels.unpersist() // localCheckpoint is eager; the cache is done
+      out
     } finally edges.unpersist()
   }
 

@@ -123,6 +123,52 @@ class Round4IngestSpec extends AnyFunSuite {
     assert(got == ((3L, 0.75, 0.5f, true)))
   }
 
+  test("elided zero-valued scalars decode as proto3 zeros, not null") {
+    // canonical serializers (protoc, Confluent's ProtobufConverter for
+    // non-optional fields) omit zero-valued scalars from the wire: an
+    // after-row carrying only `name` means id=0, ts=0 — not null
+    val onlyName = lenDelim(2, lenDelim(2, "zed".getBytes("UTF-8"))) ++
+      lenDelim(3, "c".getBytes) ++ key(4, 0) ++ varint(10L)
+    val d = ProtobufEnvelope.decode(onlyName, 0, onlyName.length, rowSchema)
+    assert(d.after.toSeq == Seq(0L, "zed", 0L))
+
+    // an entirely-empty row message is the all-zeros row
+    val emptyRow = lenDelim(2, Array.empty[Byte]) ++
+      lenDelim(3, "c".getBytes) ++ key(4, 0) ++ varint(10L)
+    val d2 = ProtobufEnvelope.decode(emptyRow, 0, emptyRow.length, rowSchema)
+    assert(d2.after.toSeq == Seq(0L, "", 0L))
+
+    // double/float/bool zeros too
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType),
+      StructField("ratio", FloatType), StructField("ok", BooleanType)))
+    val env = lenDelim(2, Array.empty[Byte]) ++ lenDelim(3, "c".getBytes) ++
+      key(4, 0) ++ varint(10L)
+    val d3 = ProtobufEnvelope.decode(env, 0, env.length, schema)
+    assert(d3.after.toSeq == Seq(0L, 0.0d, 0.0f, false))
+  }
+
+  test("malformed length varints fail loudly instead of corrupting the cursor") {
+    // length pointing past the buffer
+    val overrun = key(3, 2) ++ varint(1000L) ++ "c".getBytes
+    val e1 = intercept[IllegalArgumentException] {
+      ProtobufEnvelope.decode(overrun, 0, overrun.length, rowSchema)
+    }
+    assert(e1.getMessage.contains("malformed protobuf length"))
+
+    // varint that decodes to a negative Int (cursor would move backward)
+    val negative = key(3, 2) ++ varint(0xFFFFFFFFL) ++ "c".getBytes
+    intercept[IllegalArgumentException] {
+      ProtobufEnvelope.decode(negative, 0, negative.length, rowSchema)
+    }
+
+    // truncated fixed64 in a skipped unknown field
+    val truncated = key(9, 1) ++ Array[Byte](1, 2, 3)
+    intercept[IllegalArgumentException] {
+      ProtobufEnvelope.decode(truncated, 0, truncated.length, rowSchema)
+    }
+  }
+
   test("protoSchemaText renders the registered contract shape") {
     val txt = ProtobufEnvelope.protoSchemaText(rowSchema)
     assert(txt.contains("int64 id = 1;") && txt.contains("string name = 2;"))

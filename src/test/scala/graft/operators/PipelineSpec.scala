@@ -47,7 +47,8 @@ class PipelineSpec extends AnyFunSuite {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 5, threshold = 0.8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
-    val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8,
+      requireComplete = false)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val recall = exact.count(sim.contains).toDouble / exact.size
     assert(recall >= 0.9, s"simhash recall $recall over ${exact.size} pairs")
@@ -179,6 +180,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L)      // chain 1-2-3
     assert(cc(10L) == 10L && cc(11L) == 10L)
     assert(Set(20L, 21L, 22L, 23L).forall(cc(_) == 20L))      // longer chain
+  }
+
+  test("connected components run one job per iteration (no separate convergence count)") {
+    // chain 1-2-3-4 converges in 3 label-propagation rounds; the
+    // accumulator-folded convergence check means the loop costs exactly
+    // one foreach job per round (+1 for the final localCheckpoint) —
+    // the old old-vs-new join + count() shape paid two full label scans
+    // raw job counts are noisy (AQE stages, broadcast builds), so count
+    // Dataset ACTIONS: the loop must be exactly one `foreach` per
+    // propagation round and ZERO `count` actions — the old shape paid an
+    // old-vs-new join + count() per round on top of the materialization
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val qel = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.add(funcName); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(qel)
+    val cc = try {
+      val out = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+      // listener delivery is async; wait for the final collect to land
+      val deadline = System.currentTimeMillis() + 10000
+      while (!actions.contains("collect") && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      out
+    } finally spark.listenerManager.unregister(qel)
+    assert(Set(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    val byName = actions.toArray(Array.empty[String]).groupBy(identity)
+    assert(!byName.contains("count"),
+      s"convergence must not run count() jobs, saw actions: ${byName.keySet}")
+    // chain 1-2-3-4 converges in 3 rounds → exactly 3 foreach actions
+    // (Dataset.foreach surfaces to the listener as foreachPartition)
+    assert(byName.getOrElse("foreachPartition", Array.empty).length == 3,
+      s"expected 3 foreach rounds, saw: ${byName.view.mapValues(_.length).toMap}")
+  }
+
+  test("simhash banding rejects parameters that break pigeonhole completeness") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 4, numBands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(df, "doc_id", "text", numBands = 5, bandBits = 16) // 80 > 64 bits
+    }
   }
 
   test("minhash_union sketch estimates dataset-level jaccard") {
