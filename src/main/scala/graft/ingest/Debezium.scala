@@ -109,6 +109,38 @@ object Debezium {
         java.nio.file.Paths.get(avscPath)), "UTF-8"),
       row, confluentFramed)
 
+  /** Registry-resolved Avro variant: each record's Confluent frame
+    * carries the WRITER's schema id (register-mysql-avro.json:9-13
+    * points the converters at the registry), which the [[SchemaProvider]]
+    * resolves to the `.avsc` that record was written with — so one
+    * stream can interleave schema versions (the registry's whole point:
+    * the topic outlives any single schema). Decoded records re-enter
+    * the plan through `from_json` against the caller's TARGET `row`
+    * schema, projecting by field name: columns absent from an old
+    * writer schema read as null, exactly Avro reader-schema semantics.
+    * Readers are cached per (partition, schema id). */
+  def parseAvroRegistry(raw: DataFrame, binCol: String,
+      provider: SchemaProvider, row: StructType): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val jsons = raw.select(col(binCol)).as[Array[Byte]].mapPartitions { it =>
+      val readers = scala.collection.mutable.Map.empty[Int,
+        org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]]
+      it.map { bytes =>
+        val id = SchemaProvider.confluentSchemaId(bytes)
+        val reader = readers.getOrElseUpdate(id,
+          new org.apache.avro.generic.GenericDatumReader[
+              org.apache.avro.generic.GenericRecord](
+            new org.apache.avro.Schema.Parser().parse(provider.schemaById(id))))
+        val dec = org.apache.avro.io.DecoderFactory.get()
+          .binaryDecoder(bytes, 5, bytes.length - 5, null)
+        reader.read(null, dec).toString
+      }
+    }.toDF("json")
+    parse(jsons, "json", row)
+  }
+
   // ---- Protobuf envelopes (reference: register-mysql-protobuf.json:
   // 19-22 — the ProtobufConverter variant of the same connector) ------
 
@@ -140,6 +172,48 @@ object Debezium {
           if (confluentFramed) ProtobufEnvelope.stripConfluentFrame(bytes)
           else (0, bytes.length)
         val d = ProtobufEnvelope.decode(bytes, off, len, row)
+        def img(vals: Array[Any]): java.util.LinkedHashMap[String, Any] =
+          if (vals == null) null
+          else {
+            val m = new java.util.LinkedHashMap[String, Any]()
+            var i = 0
+            while (i < names.length) { m.put(names(i), vals(i)); i += 1 }
+            m
+          }
+        val env = new java.util.LinkedHashMap[String, Any]()
+        env.put("before", img(d.before))
+        env.put("after", img(d.after))
+        env.put("op", d.op)
+        env.put("ts_ms", d.tsMs)
+        mapper.writeValueAsString(env)
+      }
+    }.toDF("json")
+    parse(jsons, "json", row)
+  }
+
+  /** Registry-resolved protobuf variant: the Confluent frame's schema
+    * id (register-mysql-protobuf.json:19-22) resolves through the
+    * [[SchemaProvider]] to the WRITER's proto3 text, whose scalar
+    * field declarations give the wire decoder its positional contract
+    * ([[ProtoSchemaText.rowSchema]]) — so interleaved schema versions
+    * decode each record with the schema it was written under. Decoded
+    * rows project by name into the caller's TARGET `row` schema via
+    * `from_json` (fields an old writer lacks read as null). Writer
+    * schemas are cached per (partition, schema id). */
+  def parseProtobufRegistry(raw: DataFrame, binCol: String,
+      provider: SchemaProvider, row: StructType): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val jsons = raw.select(col(binCol)).as[Array[Byte]].mapPartitions { it =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val writers = scala.collection.mutable.Map.empty[Int, StructType]
+      it.map { bytes =>
+        val id = SchemaProvider.confluentSchemaId(bytes)
+        val writerRow = writers.getOrElseUpdate(id,
+          ProtoSchemaText.rowSchema(provider.schemaById(id)))
+        val (off, len) = ProtobufEnvelope.stripConfluentFrame(bytes)
+        val d = ProtobufEnvelope.decode(bytes, off, len, writerRow)
+        val names = writerRow.fieldNames
         def img(vals: Array[Any]): java.util.LinkedHashMap[String, Any] =
           if (vals == null) null
           else {
