@@ -27,7 +27,12 @@ import scala.jdk.CollectionConverters._
   * rows locally — delta rows (bounded: deltas compact away) are
   * buffered in a key→winner map, base rows stream through it. At
   * 100 TB this plan is one parquet pass with zero exchanges, vs the
-  * DataFrame realtime view's window shuffle.
+  * DataFrame realtime view's window shuffle. The on-heap map is
+  * guarded: plan time caps per-group delta bytes
+  * (`spark.graft.mor.maxDeltaBytesPerGroup`, default 2 GiB) and the
+  * reader caps buffered distinct keys
+  * (`spark.graft.mor.maxDeltaRowsPerGroup`, default 20M), each failing
+  * with a "compact first" error instead of an executor OOM.
   *
   * Merge semantics replicate `GraftTable.latestWins` +
   * `mergeGroupScoped` exactly: winner per key by (ordering DESC NULLS
@@ -93,11 +98,31 @@ final class GraftMorScan(
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
 
+  // Delta-volume guards: the per-group winners map buffers delta rows
+  // on an executor heap, which is only safe because compaction bounds
+  // delta volume. A neglected table (compaction never run) must fail
+  // with an actionable error at plan time, not OOM an executor mid-scan.
+  private def confLong(key: String, dflt: Long): Long =
+    spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+  private val maxDeltaBytes =
+    confLong("spark.graft.mor.maxDeltaBytesPerGroup", 2L << 30)
+  private val maxDeltaRows =
+    confLong("spark.graft.mor.maxDeltaRowsPerGroup", 20L * 1000 * 1000)
+
   override def planInputPartitions(): Array[InputPartition] =
-    live.groupBy(f => (f.partition, f.bucket)).values.map { fs =>
+    live.groupBy(f => (f.partition, f.bucket)).map { case ((p, b), fs) =>
+      val deltaBytes = fs.filter(_.delta).map(_.bytes).sum
+      if (deltaBytes > maxDeltaBytes)
+        throw new IllegalStateException(
+          s"MOR realtime scan of table $tableName group (partition=$p, " +
+          s"bucket=$b) would buffer $deltaBytes delta bytes, over " +
+          s"spark.graft.mor.maxDeltaBytesPerGroup=$maxDeltaBytes: compact " +
+          s"table $tableName first (TableServices.compact / CALL " +
+          "run_compaction), or raise the cap")
       GraftMorInputPartition(
         fs.filterNot(_.delta).map(f => FileSlice(s"$root/${f.path}", f.bytes)).toArray,
-        fs.filter(_.delta).map(f => FileSlice(s"$root/${f.path}", f.bytes)).toArray)
+        fs.filter(_.delta).map(f => FileSlice(s"$root/${f.path}", f.bytes)).toArray,
+        s"(partition=$p, bucket=$b)")
     }.toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -125,20 +150,22 @@ final class GraftMorScan(
       required.fieldNames.map(superset.fieldIndex),
       superset.fieldIndex(keyField), superset.fieldIndex(orderingField),
       superset.fieldIndex(TableConfig.CommitTimeCol),
-      superset.fieldIndex(softDeleteField))
+      superset.fieldIndex(softDeleteField), tableName, maxDeltaRows)
   }
 }
 
 final case class FileSlice(path: String, bytes: Long)
 
 final case class GraftMorInputPartition(
-    base: Array[FileSlice], delta: Array[FileSlice]) extends InputPartition
+    base: Array[FileSlice], delta: Array[FileSlice],
+    group: String) extends InputPartition
 
 final case class GraftMorReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
     superset: StructType,
     outputOrdinals: Array[Int],
-    keyOrd: Int, ordOrd: Int, ctOrd: Int, delOrd: Int)
+    keyOrd: Int, ordOrd: Int, ctOrd: Int, delOrd: Int,
+    tableName: String, maxDeltaRows: Long)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -203,7 +230,21 @@ final class GraftMorPartitionReader(
     if (cur == null || beats(copied, cur)) { winners.put(k, copied); () }
   }
 
-  part.delta.foreach(s => fileRows(s).foreach(offer))
+  // Second layer of the plan-time bytes guard: distinct delta KEYS are
+  // what the map holds, so pathological compression ratios are caught
+  // here even when the compressed-bytes cap passed.
+  part.delta.foreach { s =>
+    fileRows(s).foreach { r =>
+      offer(r)
+      if (winners.size() > f.maxDeltaRows)
+        throw new IllegalStateException(
+          s"MOR realtime scan of table ${f.tableName} group ${part.group} " +
+          s"buffered over spark.graft.mor.maxDeltaRowsPerGroup=" +
+          s"${f.maxDeltaRows} distinct delta keys: compact table " +
+          s"${f.tableName} first (TableServices.compact / CALL " +
+          "run_compaction), or raise the cap")
+    }
+  }
 
   private val rows: Iterator[InternalRow] =
     part.base.iterator.flatMap(fileRows).flatMap { r =>

@@ -92,6 +92,58 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(!planC.contains("GraftMorRealtimeScan"), s"compacted should scan parquet:\n$planC")
   }
 
+  test("MOR delta-volume guard: over-cap groups fail with a compact-first error") {
+    wire()
+    val t = GraftTable.create(spark, s"$wh/mguard", TableConfig(
+      name = "mguard", keyField = "key", orderingField = "ts",
+      partitionField = Some("date"), tableType = TableConfig.Mor,
+      numBuckets = 1)) // one file group → all delta keys land together
+    t.insert(ticks(("A", "t1", 1L), ("B", "t1", 2L)))
+    t.upsert(ticks(("A", "t2", 9L), ("B", "t2", 8L), ("C", "t2", 7L)))
+
+    def msgChain(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+
+    // plan-time guard: compressed delta bytes over the cap never start
+    spark.conf.set("spark.graft.mor.maxDeltaBytesPerGroup", "1")
+    val eBytes = intercept[Throwable] {
+      spark.sql("SELECT key FROM gcat.mguard").collect()
+    }
+    assert(msgChain(eBytes).contains("compact table mguard"), msgChain(eBytes))
+    assert(msgChain(eBytes).contains("maxDeltaBytesPerGroup"), msgChain(eBytes))
+    spark.conf.unset("spark.graft.mor.maxDeltaBytesPerGroup")
+
+    // reader guard: buffered distinct delta keys over the cap abort the
+    // task instead of growing the heap (3 delta keys > cap 2)
+    spark.conf.set("spark.graft.mor.maxDeltaRowsPerGroup", "2")
+    val eRows = intercept[Throwable] {
+      spark.sql("SELECT key FROM gcat.mguard").collect()
+    }
+    assert(msgChain(eRows).contains("compact table mguard"), msgChain(eRows))
+    assert(msgChain(eRows).contains("maxDeltaRowsPerGroup"), msgChain(eRows))
+    spark.conf.unset("spark.graft.mor.maxDeltaRowsPerGroup")
+
+    // default caps: same query, still-correct merged result
+    assert(spark.sql("SELECT key, volume FROM gcat.mguard ORDER BY key")
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("A", 9L), ("B", 8L), ("C", 7L)))
+
+    // the prescribed remedy works: compaction clears the delta volume,
+    // so the scan passes even under the tiny caps
+    graft.core.TableServices.compact(t)
+    spark.conf.set("spark.graft.mor.maxDeltaBytesPerGroup", "1")
+    spark.conf.set("spark.graft.mor.maxDeltaRowsPerGroup", "1")
+    try assert(
+      spark.sql("SELECT key, volume FROM gcat.mguard ORDER BY key")
+        .as[(String, Long)].collect().toSeq ==
+        Seq(("A", 9L), ("B", 8L), ("C", 7L)))
+    finally {
+      spark.conf.unset("spark.graft.mor.maxDeltaBytesPerGroup")
+      spark.conf.unset("spark.graft.mor.maxDeltaRowsPerGroup")
+    }
+  }
+
   test("MOR time travel through the catalog merges the as-of file set") {
     wire()
     val t = GraftTable.create(spark, s"$wh/mtt", TableConfig(
