@@ -226,7 +226,9 @@ object PipelineQueries {
     val embs = Tables.load(spark, dir, "embeddings")
     val nLists = 16
     val path = ivfCachePath(dir)
-    IvfIndex.buildIfStale(embs, "vec_id", "embedding", nLists, path)
+    IvfIndex.buildIfStale(embs, "vec_id", "embedding", nLists, path,
+      // footer-metadata count: a warm staleness check runs zero jobs
+      corpusCount = Tables.footerRowCount(spark, dir, "embeddings"))
     IvfIndex.topK(spark, path, embs.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nProbe = nLists)
       .orderBy("query_id", "rank")

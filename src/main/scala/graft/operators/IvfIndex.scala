@@ -112,14 +112,23 @@ object IvfIndex {
     * column identity, so calling with other columns can never serve a
     * wrong index. In-place updates at identical count remain invisible
     * to this heuristic; `TableServices.buildVectorIndex` closes that
-    * with its commit-instant stamp. */
+    * with its commit-instant stamp.
+    *
+    * Pass `corpusCount` from metadata when you have it — commit-log
+    * stats for graft tables (`GraftTable.metadataRowCount`), parquet
+    * footers for raw files (`Tables.footerRowCount`) — so a warm
+    * staleness check costs zero Spark jobs; the `embs.count()`
+    * fallback pays a corpus scan per check (same contract as
+    * `Similarity.lshTopK`). */
   def buildIfStale(embs: DataFrame, idCol: String, vecCol: String,
-      nLists: Int, path: String): Meta =
+      nLists: Int, path: String, corpusCount: Long = -1L): Meta = {
+    lazy val liveCount = if (corpusCount >= 0L) corpusCount else embs.count()
     meta(path) match {
-      case Some(m) if m.corpusCount == embs.count() && m.nLists == nLists &&
-          m.idCol == idCol && m.vecCol == vecCol => m
+      case Some(m) if m.nLists == nLists && m.idCol == idCol &&
+          m.vecCol == vecCol && m.corpusCount == liveCount => m
       case _ => build(embs, idCol, vecCol, nLists, path)
     }
+  }
 
   /** Top-k via the persisted index: centroids load once (nLists × dim
     * doubles), each query probes its `nProbe` nearest lists, and the

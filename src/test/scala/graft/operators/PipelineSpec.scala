@@ -172,6 +172,51 @@ class PipelineSpec extends AnyFunSuite {
     vecs.unpersist(); ()
   }
 
+  test("IVF warm staleness check with a metadata count runs zero Spark jobs") {
+    val vecs = spark.range(100).select($"id".as("vec_id"),
+      array((0 until 8).map(d =>
+        (hash($"id" * (d + 1)).cast("double") / Int.MaxValue)): _*).as("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-warm-").toString
+    val built = IvfIndex.build(vecs, "vec_id", "embedding", nLists = 4, path = path)
+
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val qel = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { actions.add(funcName); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(qel)
+    try {
+      // warm check with the caller-supplied metadata count: must be
+      // pure driver-side meta.json IO — the raw-DataFrame path paid an
+      // embs.count() corpus scan here before round 6
+      val m = IvfIndex.buildIfStale(vecs, "vec_id", "embedding",
+        nLists = 4, path = path, corpusCount = 100L)
+      assert(m == built)
+      // flush the async listener bus with a marker action, then assert
+      // the warm check itself contributed nothing
+      spark.range(1).count()
+      val deadline = System.currentTimeMillis() + 10000
+      while (!actions.contains("count") && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val seen = actions.toArray(Array.empty[String]).toSeq
+      assert(seen == Seq("count"),
+        s"warm staleness check must run zero jobs, saw: $seen")
+    } finally spark.listenerManager.unregister(qel)
+
+    // the fallback (no metadata count) still detects drift: a changed
+    // corpus count rebuilds
+    val grown = spark.range(150).select($"id".as("vec_id"),
+      array((0 until 8).map(d =>
+        (hash($"id" * (d + 1)).cast("double") / Int.MaxValue)): _*).as("embedding"))
+    val m2 = IvfIndex.buildIfStale(grown, "vec_id", "embedding",
+      nLists = 4, path = path)
+    assert(m2.corpusCount == 150L)
+  }
+
   test("connected components cluster transitive near-dup pairs") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
       .toDF("doc_a", "doc_b")
