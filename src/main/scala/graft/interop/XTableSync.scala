@@ -15,9 +15,11 @@ import scala.jdk.CollectionConverters._
   * actions; schemaString is the Spark StructType JSON Delta uses;
   * per-file stats carried like the reference's
   * _delta_log/00000000000000000000.json:3). Iceberg emission writes
-  * the v2 `metadata/vN.metadata.json` shape with a JSON manifest
-  * standing in for the avro manifest list (structural parity;
-  * full avro manifests are the documented stretch).
+  * the v2 `metadata/vN.metadata.json` shape plus REAL Avro manifests —
+  * the two-layer manifest-list → manifest-file structure of the
+  * Iceberg spec, written with avro-core and round-trip-verified by
+  * test (no Iceberg runtime jar exists in this environment, so
+  * external-engine readback is asserted structurally, not mounted).
   *
   * Sync is INCREMENTAL: a cursor under `.graft/` records the last
   * translated instant; each sync translates only newer commits

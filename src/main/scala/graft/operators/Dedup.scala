@@ -177,7 +177,12 @@ object Dedup {
       .persist()
     // convergence is tallied by an accumulator folded into the label
     // materialization itself — one job per iteration, not a separate
-    // old-vs-new join + count() (which re-scanned the full label set)
+    // old-vs-new join + count() (which re-scanned the full label set).
+    // Accumulators in actions are not exactly-once under task retries,
+    // so the tally may OVER-count; that is deliberately tolerated — the
+    // value is only compared to zero, so the worst case is one extra
+    // (already-converged) iteration, never a wrong result. Do not
+    // "fix" this into an exact count something downstream depends on.
     val changedAcc = pairs.sparkSession.sparkContext
       .longAccumulator("graft.cc.changed")
     try {
