@@ -252,6 +252,98 @@ object XTableSync {
     Some(ver)
   }
 
+  // ------------------------------------------------------------------
+  // External-reader readback: reconstruct the table purely from the
+  // emitted metadata — what Trino/Delta/Iceberg readers would do when
+  // mounting the synced table (xtable.md:54-59 register_table, demo
+  // notebook cells 6-18). No graft commit log is consulted: these are
+  // independent consumers of the public formats, used by tests to
+  // prove the emitted metadata alone reproduces the snapshot.
+  // ------------------------------------------------------------------
+
+  /** Table state a generic Delta reader reconstructs by replaying the
+    * `_delta_log`: last metaData wins, add/remove tracked per path. */
+  final case class DeltaState(schemaJson: String,
+      partitionColumns: Seq[String], liveFiles: Seq[String])
+
+  def replayDelta(root: String): DeltaState = {
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log under $root")
+    val versions = Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+      .toSeq.sortBy(_.getFileName.toString)
+    require(versions.nonEmpty, s"empty _delta_log under $root")
+    var schemaJson = ""
+    var partCols = Seq.empty[String]
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    versions.foreach { v =>
+      Files.readAllLines(v).asScala.filter(_.nonEmpty).foreach { line =>
+        val a = mapper.readTree(line)
+        if (a.has("metaData")) {
+          schemaJson = a.get("metaData").get("schemaString").asText()
+          partCols = a.get("metaData").get("partitionColumns")
+            .elements().asScala.map(_.asText()).toSeq
+        }
+        if (a.has("add")) { live += a.get("add").get("path").asText(); () }
+        if (a.has("remove")) { live -= a.get("remove").get("path").asText(); () }
+      }
+    }
+    require(schemaJson.nonEmpty, "log replay found no metaData action")
+    DeltaState(schemaJson, partCols, live.toSeq)
+  }
+
+  /** Read the synced table as a Delta reader would: replayed live file
+    * set under the log's schemaString. Meaningful for COW tables and
+    * compacted MOR states (like xTable's read-optimized sync target) —
+    * MOR tombstone deltas are data to a format that encodes deletes as
+    * file removes. */
+  def readDelta(spark: org.apache.spark.sql.SparkSession,
+      root: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val st = replayDelta(root)
+    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    if (st.liveFiles.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(st.liveFiles.map(p => s"$root/$p"): _*)
+  }
+
+  /** Read the synced table as an Iceberg reader would: latest
+    * `vN.metadata.json` → current snapshot's manifest list → manifests
+    * → data files (absolute paths per the spec). */
+  def readIceberg(spark: org.apache.spark.sql.SparkSession,
+      root: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val metaDir = Paths.get(root, "metadata")
+    val latest = Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .flatMap { n =>
+        val m = "^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(n)
+        m.map(_.group(1).toLong -> n)
+      }.maxBy(_._1)._2
+    val meta = mapper.readTree(Files.readAllBytes(metaDir.resolve(latest)))
+    val snapId = meta.get("current-snapshot-id").asLong()
+    val snap = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == snapId)
+      .getOrElse(throw new IllegalStateException(
+        s"current-snapshot-id $snapId not in snapshots"))
+    def avroRecords(path: String): List[GenericRecord] = {
+      val r = new DataFileReader(Paths.get(path).toFile,
+        new GenericDatumReader[GenericRecord]())
+      try Iterator.continually(r).takeWhile(_.hasNext).map(_.next()).toList
+      finally r.close()
+    }
+    val dataFiles = for {
+      m <- avroRecords(snap.get("manifest-list").asText())
+      e <- avroRecords(m.get("manifest_path").toString)
+      if e.get("status").asInstanceOf[Int] != 2 // 2 = DELETED
+    } yield e.get("data_file").asInstanceOf[GenericRecord]
+      .get("file_path").toString
+    spark.read.parquet(dataFiles: _*)
+  }
+
   private def icebergType(dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
     dt match {

@@ -143,6 +143,59 @@ class ConcurrencyAndInteropSpec extends AnyFunSuite {
     assert(XTableSync.syncIceberg(t) == Some(1L))
   }
 
+  test("external-reader readback: Delta log replay reproduces every synced snapshot") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, cfg("xtrb"))
+    def viaDelta = XTableSync.readDelta(spark, root)
+      .select("key", "date", "volume").as[(String, String, Long)].collect().toSet
+    def viaApi = t.read()
+      .select("key", "date", "volume").as[(String, String, Long)].collect().toSet
+
+    // insert → sync → a pure log consumer sees the snapshot
+    t.insert(rows(("A", "t1", 1L), ("B", "t1", 2L)))
+    XTableSync.syncDelta(t)
+    assert(viaDelta == viaApi && viaDelta.map(_._1) == Set("A", "B"))
+
+    // upsert (file-group rewrite → add+remove) → incremental sync
+    t.upsert(rows(("A", "t2", 9L)))
+    XTableSync.syncDelta(t)
+    assert(viaDelta == viaApi)
+    assert(viaDelta.find(_._1 == "A").get._3 == 9L)
+
+    // hard delete (COW rewrite) → the removed rows vanish for the
+    // external reader too — no tombstones leak as data
+    t.deleteWhere(col("key") === "B")
+    XTableSync.syncDelta(t)
+    assert(viaDelta == viaApi && viaDelta.map(_._1) == Set("A"))
+
+    // replayed metadata matches the engine's: schema + partition cols
+    val st = XTableSync.replayDelta(root)
+    assert(st.partitionColumns == Seq("date"))
+    assert(org.apache.spark.sql.types.DataType.fromJson(st.schemaJson) == t.schema)
+    // row-level parity, not just key sets: no duplicate or ghost rows
+    assert(XTableSync.readDelta(spark, root).count() == t.read().count())
+  }
+
+  test("external-reader readback: Iceberg metadata chain reproduces the snapshot") {
+    val root = tmp()
+    val t = GraftTable.create(spark, root, cfg("xtrbi"))
+    t.insert(rows(("A", "t1", 1L), ("B", "t1", 2L)))
+    XTableSync.syncIceberg(t)
+    def viaIceberg = XTableSync.readIceberg(spark, root)
+      .select("key", "date", "volume").as[(String, String, Long)].collect().toSet
+    def viaApi = t.read()
+      .select("key", "date", "volume").as[(String, String, Long)].collect().toSet
+    assert(viaIceberg == viaApi)
+
+    // advance the table; the NEW metadata version supersedes — the
+    // reader follows current-snapshot-id, never a stale snapshot
+    t.upsert(rows(("B", "t2", 7L), ("C", "t2", 3L)))
+    XTableSync.syncIceberg(t)
+    assert(viaIceberg == viaApi)
+    assert(viaIceberg.map(_._1) == Set("A", "B", "C"))
+    assert(viaIceberg.find(_._1 == "B").get._3 == 7L)
+  }
+
   test("Iceberg avro manifests round-trip through avro-core with spec field-ids") {
     import org.apache.avro.file.DataFileReader
     import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
