@@ -45,13 +45,18 @@ object TextFunctions {
   /** LSH band keys from a minhash signature: `numBands` values, each a
     * hash of `rowsPerBand` consecutive signature entries (banded LSH,
     * same public scheme as Spark MLlib's MinHashLSH). Bands are
-    * unrolled at plan-build time — every slice offset is a literal, so
-    * the whole thing codegens flat. */
+    * unrolled at plan-build time — every element offset is a literal,
+    * and the band key hashes the signature LONGS directly (numeric
+    * xxhash64, no string casts), so the whole thing codegens flat with
+    * zero per-row allocation. Key equality still ⟺ slice equality
+    * (hash collisions only ADD candidates, which the exact verify
+    * filters), so results are identical to hashing any other faithful
+    * encoding of the slice. */
   def lshBands(signature: Column, numBands: Int, rowsPerBand: Int): Column =
     array((0 until numBands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64(concat_ws("_",
-          slice(signature, b * rowsPerBand + 1, rowsPerBand))).as("sig"))
+        xxhash64((0 until rowsPerBand).map(r =>
+          element_at(signature, b * rowsPerBand + r + 1)): _*).as("sig"))
     }: _*)
 
   // ---- SimHash --------------------------------------------------------

@@ -67,19 +67,28 @@ object Dedup {
     jaccardFrom(inter, sizes, threshold)
   }
 
-  /** Candidate-driven exact verification: fan each candidate pair out
-    * over doc_a's shingles and probe doc_b's shingle set — O(pairs ×
-    * shingles), never quadratic in the corpus. This is what makes the
+  /** Candidate-driven exact verification: join each candidate pair to
+    * the two docs' (distinct) shingle-hash ARRAYS and compute
+    * |∩| with a codegen'd array intersection — O(pairs × shingles)
+    * compute, and the only shuffled relation is the candidate set
+    * itself (small ⇒ broadcast under AQE; the per-doc array relation
+    * streams through both joins unshuffled). This is what makes the
     * LSH path hold at 100 TB: the corpus-sized joins are all on
-    * bounded-fanout band keys; exact Jaccard touches candidates only. */
-  private def jaccardOfCandidates(g: DataFrame, sizes: DataFrame,
-      candidates: DataFrame, threshold: Double): DataFrame = {
-    val inter = candidates
-      .join(g.toDF("doc_a", "gram"), "doc_a")
-      .join(g.toDF("doc_b", "gram"), Seq("doc_b", "gram"))
-      .select("doc_a", "doc_b")
-    jaccardFrom(inter, sizes, threshold)
-  }
+    * bounded-fanout band keys; exact Jaccard touches candidates only.
+    * (The previous shape exploded every doc to one row per gram —
+    * corpus × avg-shingles rows — and shuffled that relation twice;
+    * at the 100× bench scale that was ~100M rows of pure join traffic
+    * for a candidate set five orders of magnitude smaller.) */
+  private def jaccardOfCandidates(withHashes: DataFrame,
+      candidates: DataFrame, threshold: Double): DataFrame =
+    candidates
+      .join(withHashes.toDF("doc_a", "ha"), "doc_a")
+      .join(withHashes.toDF("doc_b", "hb"), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("ha")) + size(col("hb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
 
   /** MinHash + banded LSH near-dup pairs (Broder '97 / LSH banding):
     * signature of `numHashes` minhashes → `numBands` band keys →
@@ -109,9 +118,7 @@ object Dedup {
           col("a.id") < col("b.id"))
         .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
         .distinct()
-      val g = withHashes.select(col("id"), explode(col("hashes")).as("gram"))
-      val sizes = withHashes.select(col("id"), size(col("hashes")).as("n"))
-      jaccardOfCandidates(g, sizes, candidates, threshold)
+      jaccardOfCandidates(withHashes.select("id", "hashes"), candidates, threshold)
         .localCheckpoint() // materialize before unpersisting the cache
     } finally withHashes.unpersist()
   }

@@ -20,6 +20,32 @@ object Profile {
     time("p3 full minhashLsh") {
       Dedup.minhashLsh(docs, "doc_id", "text", k = 5).count()
     }
+    // stage-by-stage replica of minhashLsh's internals (public fns)
+    locally {
+      val withHashes = docs.select(col("doc_id").as("id"),
+        shingleHashes(col("text"), 5).as("hashes")).persist()
+      time("p3a shingle+hash cache") { withHashes.count() }
+      val sigs = withHashes
+        .withColumn("sig", minhashSignature(col("hashes"), 128))
+        .withColumn("band", explode(lshBands(col("sig"), 32, 4)))
+        .select(col("id"), col("band.band").as("band"), col("band.sig").as("bsig"))
+      val candidates = sigs.as("a").join(sigs.as("b"),
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+        .distinct().persist()
+      time("p3b band self-join cands") { candidates.count() }
+      val verified = candidates
+        .join(withHashes.toDF("doc_a", "ha"), "doc_a")
+        .join(withHashes.toDF("doc_b", "hb"), "doc_b")
+        .withColumn("inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("ha")) + size(col("hb")) - col("inter")))
+        .filter(col("jaccard") >= 0.7)
+      time("p3c verify joins") { verified.count() }
+      println(verified.queryExecution.executedPlan.toString.take(4000))
+      withHashes.unpersist(); candidates.unpersist()
+    }
     time("p3 signatures+bands only") {
       docs.select(col("doc_id"),
           lshBands(minhashSignature(shingleHashes(col("text"), 5), 128), 32, 4).as("b"))
