@@ -49,6 +49,12 @@ object Bench {
     val qs = SparkEntry.queries
     val results = headline.filter(qs.contains).map { name =>
       val runs = (1 to nRuns).map { _ =>
+        // isolate runs: drop any cache a previous query/run left behind
+        // and give the context cleaner a chance to drain its backlog —
+        // leftover heap state was measured adding 2-6× tail latency to
+        // later queries at the 100× scale point
+        spark.catalog.clearCache()
+        System.gc()
         val t0 = System.nanoTime()
         val n = try qs(name)(spark, sfDir).count()
         catch { case e: Throwable =>
