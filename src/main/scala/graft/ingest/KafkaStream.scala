@@ -59,6 +59,21 @@ object KafkaStream {
     Debezium.parseAvro(kafkaRows, "value", avroSchemaJson, row,
       confluentFramed = true)
 
+  /** Registry-resolved Debezium-Avro decode: each record's writer
+    * schema comes from the [[SchemaProvider]] via the Confluent
+    * frame's schema id (register-mysql-avro.json:9-13 — the deployed
+    * shape: converters point at a registry, topics interleave schema
+    * versions). `row` is the target read schema. */
+  def decodeDebeziumAvroRegistryValue(kafkaRows: DataFrame,
+      provider: SchemaProvider, row: StructType): DataFrame =
+    Debezium.parseAvroRegistry(kafkaRows, "value", provider, row)
+
+  /** Registry-resolved Debezium-protobuf decode
+    * (register-mysql-protobuf.json:19-22 analog). */
+  def decodeDebeziumProtobufRegistryValue(kafkaRows: DataFrame,
+      provider: SchemaProvider, row: StructType): DataFrame =
+    Debezium.parseProtobufRegistry(kafkaRows, "value", provider, row)
+
   /** Ready-to-run typed streams. */
   def jsonStream(spark: SparkSession, bootstrapServers: String,
       topic: String, schema: StructType): DataFrame =

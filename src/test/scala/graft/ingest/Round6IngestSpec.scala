@@ -168,6 +168,35 @@ class Round6IngestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("5"))
   }
 
+  test("kafka-shaped registry decode drives CDC apply across schema versions") {
+    import graft.core.{GraftTable, TableConfig}
+    val dir = Files.createTempDirectory("graft-reg-kafka-").toString
+    val v1Avsc = Debezium.avroEnvelopeSchema(rowV1).toString
+    val v2Avsc = Debezium.avroEnvelopeSchema(rowV2).toString
+    Files.writeString(java.nio.file.Paths.get(dir, "1.avsc"), v1Avsc)
+    Files.writeString(java.nio.file.Paths.get(dir, "2.avsc"), v2Avsc)
+
+    // kafka's (key, value) shape: a v1 insert, then a v2 update adding
+    // the new column — the registry resolves each record's writer
+    val kafkaShaped = Seq(
+      ("k1".getBytes, avroEnvelope(v1Avsc, 1,
+        Map("id" -> 1L, "name" -> "ada", "ts" -> 10L), "c", 100L)),
+      ("k1".getBytes, avroEnvelope(v2Avsc, 2,
+        Map("id" -> 1L, "name" -> "ada2", "ts" -> 20L,
+            "email" -> "ada@x.io"), "u", 200L)))
+      .toDF("key", "value")
+    val changes = KafkaStream.decodeDebeziumAvroRegistryValue(
+      kafkaShaped, new FileSchemaProvider(dir), rowV2)
+
+    val t = GraftTable.create(spark, Files.createTempDirectory("graft-reg-t-").toString,
+      TableConfig(name = "cdc_reg", keyField = "id", orderingField = "ts",
+        numBuckets = 2))
+    Debezium.apply(t, changes)
+    val got = t.read().select("id", "name", "email")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(got == Set((1L, "ada2", Some("ada@x.io"))))
+  }
+
   test("proto schema text parses back to the row StructType, ordered by field number") {
     val parsed = ProtoSchemaText.rowSchema(
       ProtobufEnvelope.protoSchemaText(rowV2))
