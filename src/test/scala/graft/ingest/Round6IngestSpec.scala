@@ -197,6 +197,27 @@ class Round6IngestSpec extends AnyFunSuite {
     assert(got == Set((1L, "ada2", Some("ada@x.io"))))
   }
 
+  test("property: protoSchemaText ∘ rowSchema is identity over random scalar schemas") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genSchema: Gen[StructType] = for {
+      n <- Gen.choose(1, 12)
+      types <- Gen.listOfN(n, Gen.oneOf[DataType](
+        StringType, LongType, IntegerType, DoubleType, FloatType, BooleanType))
+    } yield StructType(types.zipWithIndex.map { case (t, i) =>
+      StructField(s"f$i", t)
+    })
+    (1L to 50L).foreach { seed =>
+      val schema = genSchema.apply(Gen.Parameters.default, Seed(seed)).get
+      val parsed = ProtoSchemaText.rowSchema(
+        ProtobufEnvelope.protoSchemaText(schema))
+      // protoSchemaText declares all fields non-null scalars; parsing
+      // recovers names, types, and field order exactly
+      assert(parsed.fields.map(f => (f.name, f.dataType)).toSeq ==
+        schema.fields.map(f => (f.name, f.dataType)).toSeq, s"seed=$seed")
+    }
+  }
+
   test("proto schema text parses back to the row StructType, ordered by field number") {
     val parsed = ProtoSchemaText.rowSchema(
       ProtobufEnvelope.protoSchemaText(rowV2))
