@@ -3,13 +3,19 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over `array<float>` embedding columns, as pure
-  * higher-order-function expressions (codegen'd; no UDF, no shuffle).
+/** Dense-vector math over `array<float>` embedding columns — no UDF,
+  * no shuffle. The pairwise cosine is the native [[CosineSim]]
+  * expression; `dot`/`norm` remain higher-order-function trees for
+  * callers that need the pieces (note: HOFs are CodegenFallback, i.e.
+  * interpreted per row — keep them OFF per-pair hot paths).
   *
   * Arithmetic contract (shared with the DuckDB oracle): every element
   * is widened float→double *before* multiplying, and sums are
   * sequential left folds — so both engines produce bit-identical
   * doubles and threshold/ordering decisions can never diverge.
+  * [[CosineSim]] implements exactly this contract (asserted
+  * bit-for-bit against the HOF tree in PipelineSpec, and against
+  * DuckDB by the p5/p6/p7/p14/p15 oracle gates).
   */
 object VectorFunctions {
 
@@ -22,8 +28,15 @@ object VectorFunctions {
   /** ‖a‖₂ in double. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** cos(a,b) = a·b / (‖a‖‖b‖). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** cos(a,b) = a·b / (‖a‖‖b‖) — native expression, not the
+    * interpreted HOF tree. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftExpressions.cosine_sim(a, b)
+
+  /** The HOF formulation of cosine, kept as the reference
+    * implementation [[CosineSim]] is tested against. */
+  def cosineHof(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Sign-bit LSH signature for angular similarity: `numPlanes` random
     * hyperplanes (deterministic per `seed`), bit i = sign(a·rᵢ). Public

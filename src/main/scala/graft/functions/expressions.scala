@@ -400,8 +400,66 @@ object HashFamilies {
 /** Column-side entry points + SQL registration for the custom
   * expressions (Column wrapping via the classic ExpressionUtils
   * bridge; [[register]] additionally exposes them to SQL text). */
+/** Pairwise cosine similarity over two embedding arrays as a native
+  * expression. Bit-identical arithmetic contract with the HOF
+  * formulation it replaces (and the DuckDB oracle): every element
+  * widens float→double BEFORE multiplying, each of the three dot
+  * products is an independent sequential left fold, and the result is
+  * `ab / (sqrt(aa) * sqrt(bb))` — so threshold and ordering decisions
+  * can never diverge from the oracle.
+  *
+  * Native for the usual reason, but this one was load-bearing: the
+  * `aggregate(zip_with(…))` tree is CodegenFallback — interpreted
+  * per ROW — and it ran as the CONDITION of the all-pairs verifier's
+  * BroadcastNestedLoopJoin (p5), i.e. interpreted HOF eval × O(N²)
+  * pairs. Null semantics match the HOF tree: null array, null
+  * element, or mismatched lengths (zip_with null-pads) → null. */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"cosine_sim needs array<float|double>, got $other")
+  }
+  @transient private lazy val leftFloat = elemIsFloat(left)
+  @transient private lazy val rightFloat = elemIsFloat(right)
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var sab = 0.0
+    var saa = 0.0
+    var sbb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      sab += x * y
+      saa += x * x
+      sbb += y * y
+      i += 1
+    }
+    sab / (math.sqrt(saa) * math.sqrt(sbb))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
 
   def lang_id(c: Column): Column = column(LangIdExpression(expression(c)))
 

@@ -230,11 +230,19 @@ object Dedup {
 
   /** Embedding near-dup pairs: cosine ≥ threshold. Exact all-pairs via
     * a block-nested join — kept for oracle verification and small dims;
-    * [[Similarity.lshCandidatePairs]] is the bucketed scale path. */
+    * [[Similarity.lshCandidatePairs]] is the bucketed scale path.
+    * The streamed side is repartitioned to the session default so the
+    * O(N²) condition evaluation uses every core (a small parquet
+    * corpus arrives in 1-3 partitions, which serialized the join), and
+    * the cosine is the native [[graft.functions.CosineSim]] — as a
+    * BroadcastNestedLoopJoin condition it evaluates O(N²) times, where
+    * the interpreted HOF tree was measured 50×+ slower. */
   def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions
+    val shufflePartitions = embs.sparkSession.sessionState.conf.numShufflePartitions
     val a = embs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .repartition(shufflePartitions)
     val b = embs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine", VectorFunctions.cosine(col("va"), col("vb")))

@@ -172,6 +172,31 @@ class PipelineSpec extends AnyFunSuite {
     vecs.unpersist(); ()
   }
 
+  test("native cosine_sim is bit-identical to the HOF fold formulation") {
+    import graft.functions.VectorFunctions
+    // random float vectors, incl. a zero vector (NaN both ways) and
+    // mismatched lengths / nulls (null both ways)
+    val vecs = spark.range(500).select($"id",
+      array((0 until 64).map(d =>
+        (hash($"id" * (d + 3)).cast("float") / Int.MaxValue)): _*).as("v"))
+    val pairs = vecs.toDF("ia", "va").crossJoin(
+        vecs.toDF("ib", "vb").limit(20))
+      .withColumn("native", VectorFunctions.cosine($"va", $"vb"))
+      .withColumn("hof", VectorFunctions.cosineHof($"va", $"vb"))
+    // bit-level comparison: NaN == NaN under <=> after double bits
+    val diff = pairs.filter(
+      !(expr("cast(native as double)") <=> expr("cast(hof as double)")))
+    assert(diff.count() == 0, "native cosine diverged from the HOF fold")
+
+    // null / length-mismatch semantics match the zip_with null-pad rule
+    val odd = Seq(
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)), // mismatched lengths
+      (Seq(1.0f, 2.0f), null)                   // null side
+    ).toDF("a", "b")
+      .withColumn("native", VectorFunctions.cosine($"a", $"b"))
+    assert(odd.filter($"native".isNotNull).count() == 0)
+  }
+
   test("IVF warm staleness check with a metadata count runs zero Spark jobs") {
     val vecs = spark.range(100).select($"id".as("vec_id"),
       array((0 until 8).map(d =>
