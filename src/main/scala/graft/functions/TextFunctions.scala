@@ -27,9 +27,17 @@ object TextFunctions {
       i => concat_ws(" ", slice(ws, i, lit(k)))))
   }
 
-  /** 64-bit hashes of the distinct shingles (xxhash64 inside the
-    * lambda — stays in whole-stage codegen). */
+  /** 64-bit hashes of the distinct shingles — the fused native
+    * [[ShingleHashes]] expression (the HOF tree it replaces is
+    * interpreted per row; see the expression's doc). Values are
+    * identical to `transform(wordShingles(text, k), xxhash64)`,
+    * asserted by a parity test over the documents fixture. */
   def shingleHashes(text: Column, k: Int): Column =
+    GraftExpressions.shingle_hashes(text, k)
+
+  /** The HOF formulation, kept as the reference implementation the
+    * native expression is parity-tested against. */
+  def shingleHashesHof(text: Column, k: Int): Column =
     transform(wordShingles(text, k), g => xxhash64(g))
 
   // ---- MinHash --------------------------------------------------------

@@ -400,6 +400,58 @@ object HashFamilies {
 /** Column-side entry points + SQL registration for the custom
   * expressions (Column wrapping via the classic ExpressionUtils
   * bridge; [[register]] additionally exposes them to SQL text). */
+/** Distinct word-k-shingle hashes as ONE native expression — the
+  * fused equivalent of
+  * `transform(array_distinct(transform(sequence(...), i ->
+  * concat_ws(' ', slice(split(text, ' '), i, k)))), g -> xxhash64(g))`.
+  * That tree is interpreted per row (transform/slice are
+  * CodegenFallback) and is the per-document floor of every shingle
+  * pipeline (minhash dedup's signature pass, the n-gram verifier).
+  * This expression produces IDENTICAL values by calling the same
+  * primitives the built-ins use: `UTF8String.split(" ", -1)` (what
+  * StringSplit evaluates), `UTF8String.concatWs` (what ConcatWs
+  * evaluates), first-occurrence string dedupe (array_distinct), and
+  * `XXH64.hashUnsafeBytes(..., seed=42)` (what xxhash64 evaluates).
+  * Short docs (< k tokens) yield their whole token list as one
+  * shingle, like the `greatest(1, n-k+1)` bound. */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  @transient private lazy val space = UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].split(space, -1)
+    val n = toks.length
+    val m = math.max(1, n - k + 1)
+    val seen = new java.util.HashSet[UTF8String](m * 2)
+    val out = new Array[Long](m)
+    var written = 0
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + k, n)
+      val gram =
+        if (end - i == n) UTF8String.concatWs(space, toks: _*)
+        else UTF8String.concatWs(space,
+          java.util.Arrays.copyOfRange(toks, i, end).toIndexedSeq: _*)
+      if (seen.add(gram)) {
+        out(written) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(gram.getBaseObject, gram.getBaseOffset,
+            gram.numBytes, 42L)
+        written += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(
+      if (written == m) out else java.util.Arrays.copyOf(out, written))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 /** Pairwise cosine similarity over two embedding arrays as a native
   * expression. Bit-identical arithmetic contract with the HOF
   * formulation it replaces (and the DuckDB oracle): every element
@@ -460,6 +512,9 @@ object GraftExpressions {
 
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+
+  def shingle_hashes(text: Column, k: Int): Column =
+    column(ShingleHashes(expression(text), k))
 
   def lang_id(c: Column): Column = column(LangIdExpression(expression(c)))
 

@@ -172,6 +172,24 @@ class PipelineSpec extends AnyFunSuite {
     vecs.unpersist(); ()
   }
 
+  test("native shingle_hashes equals the HOF formulation, values and order") {
+    import graft.functions.TextFunctions
+    // the real fixture plus adversarial edges: empty text, short docs
+    // (< k tokens), repeated shingles, multiple/leading/trailing spaces
+    // (split(' ', -1) keeps empty tokens — the native path must too)
+    val edges = Seq("", "one", "a b c", "x x x x x x x x",
+      "a  b c", " lead", "trail ", "a b c d e a b c d e a b c d e")
+      .toDF("text")
+    for ((df, col) <- Seq((docs, "text"), (edges, "text")); k <- Seq(1, 5)) {
+      val cmp = df.select(
+        TextFunctions.shingleHashes(expr(col), k).as("native"),
+        TextFunctions.shingleHashesHof(expr(col), k).as("hof"))
+      val bad = cmp.filter(!($"native" <=> $"hof"))
+      assert(bad.count() == 0,
+        s"k=$k: native shingle hashes diverged from the HOF tree")
+    }
+  }
+
   test("native cosine_sim is bit-identical to the HOF fold formulation") {
     import graft.functions.VectorFunctions
     // random float vectors, incl. a zero vector (NaN both ways) and
