@@ -317,6 +317,36 @@ object LakehouseQueries {
          |ORDER BY event_type, user_id""".stripMargin)
   }
 
+  // ---- S4+ columnar interchange: ORC round-trip ----------------------
+
+  /** ORC source/sink round trip (Spark-native ORC, a second columnar
+    * interchange format beside parquet): write lineitem as ORC, read it
+    * back, aggregate. The oracle aggregates the ORIGINAL parquet — the
+    * gate passes only if doubles, strings AND timestamps survive the
+    * format conversion bit-exactly. Timestamps compare at second
+    * granularity via strftime (parquet ns → µs truncation is engine-
+    * shared; min/max are computed at full precision first). */
+  def qOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dec = DecimalType(18, 2)
+    val tmp = freshRoot("orc_rt")
+    Tables.load(spark, dir, "lineitem").write.mode("overwrite").orc(tmp)
+    spark.read.orc(tmp)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(dec)).cast(DoubleType).as("sum_qty"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("min_ship"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss").as("max_ship"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val orcRoundtripSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
+      |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- A3 key-uniqueness invariant over the lakehouse table ---------
 
   /** The test-suite's duplicate-detection gate run against our own
@@ -353,6 +383,7 @@ object LakehouseQueries {
     "l12_zorder" -> (qZOrder _),
     "l13_bootstrap" -> (qBootstrap _),
     "l14_mor_catalog_snapshot" -> (qMorCatalogSnapshot _),
+    "l15_orc_roundtrip" -> (qOrcRoundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -370,5 +401,6 @@ object LakehouseQueries {
     "l12_zorder" -> cowUpsertSql,
     "l13_bootstrap" -> bootstrapSql,
     "l14_mor_catalog_snapshot" -> cowUpsertSql,
+    "l15_orc_roundtrip" -> orcRoundtripSql,
   )
 }

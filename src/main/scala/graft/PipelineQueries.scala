@@ -153,7 +153,9 @@ object PipelineQueries {
         "doc_id", "text", k = 5, threshold = 0.7))
       .orderBy("doc_id")
 
-  private val dClustersSql =
+  /** Shared transitive-closure CTE chain: exact-Jaccard pairs at 0.7 →
+    * symmetric edges → recursive reachability (p13 + p23 oracles). */
+  private val closureCtes =
     """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |        generate_series(1, greatest(1, len(ws) - 4)),
@@ -170,9 +172,36 @@ object PipelineQueries {
       |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
       |      UNION SELECT doc_b, doc_a FROM jp),
       |reach(a, b) AS (SELECT a, b FROM e
-      |      UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
-      |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |      UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)""".stripMargin
+
+  private val dClustersSql = closureCtes + "\n" +
+    """SELECT a AS doc_id, least(a, min(b)) AS cluster_id
       |FROM reach GROUP BY a ORDER BY 1""".stripMargin
+
+  /** Keep-best canonical selection ([[Dedup.keepBest]]): cluster the
+    * verified minhash-LSH pairs, keep the longest doc per cluster
+    * (ties → smallest id); singletons keep themselves. Oracle =
+    * transitive closure over exact-Jaccard pairs + the same argmax. */
+  def dKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.keepBest(docs, "doc_id", "text",
+        Dedup.minhashLsh(docs, "doc_id", "text", k = 5, threshold = 0.7))
+      .orderBy("cluster_id")
+  }
+
+  private val dKeepBestSql = closureCtes + ",\n" +
+    """cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |       FROM reach GROUP BY a),
+      |m AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+      |             len(string_split(d.text, ' '))::BIGINT AS n_tokens
+      |      FROM documents d LEFT JOIN cl USING (doc_id)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+      |        ORDER BY n_tokens DESC, doc_id ASC) AS rn FROM m)
+      |SELECT cluster_id,
+      |       max(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+      |       max(CASE WHEN rn = 1 THEN n_tokens END) AS keep_tokens,
+      |       count(*) AS n_members
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---- similarity search ---------------------------------------------
 
@@ -522,6 +551,7 @@ object PipelineQueries {
     "p20_curation_pii" -> (cPii _),
     "p21_contamination" -> (cContamination _),
     "p22_sequence_packing" -> (cPackSequences _),
+    "p23_dedup_keep_best" -> (dKeepBest _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -552,5 +582,7 @@ object PipelineQueries {
     "p20_curation_pii" -> cPiiSql,
     "p21_contamination" -> cContaminationSql,
     "p22_sequence_packing" -> cPackSql,
+    // p23: LSH-clustered keep-best must equal the exact-closure argmax
+    "p23_dedup_keep_best" -> dKeepBestSql,
   )
 }

@@ -367,6 +367,40 @@ object Queries {
       |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
       |GROUP BY 1, 2 ORDER BY lo""".stripMargin
 
+  /** Analytic window surface (§2.5 beyond latest-per-key): per-customer
+    * order history with lag/lead navigation, dense ranking by price,
+    * and a running total. One hash exchange on o_custkey feeds BOTH
+    * window sorts (same partitioning, two orderings). The running sum
+    * goes through decimal over a UNIQUE ordering (o_orderkey breaks
+    * ties), so every prefix is engine-exact. */
+  def q19WindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val wTime = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wPrice = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(wTime))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(wTime))
+      .withColumn("price_rank", rank().over(wPrice).cast(LongType))
+      .withColumn("run_total",
+        sum(d2(col("o_totalprice"))).over(wTime).cast(DoubleType))
+      .select("o_custkey", "o_orderkey", "o_totalprice",
+        "prev_price", "next_price", "price_rank", "run_total")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val q19Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  lag(o_totalprice) OVER w_time AS prev_price,
+      |  lead(o_totalprice) OVER w_time AS next_price,
+      |  rank() OVER (PARTITION BY o_custkey
+      |               ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_rank,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_time AS DOUBLE) AS run_total
+      |FROM orders
+      |WINDOW w_time AS (PARTITION BY o_custkey
+      |                  ORDER BY o_orderdate ASC, o_orderkey ASC)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -388,6 +422,7 @@ object Queries {
     "q16_scalar_subquery" -> (q16ScalarSubquery _),
     "q17_asof_join" -> (q17AsofJoin _),
     "q18_range_join" -> (q18RangeJoin _),
+    "q19_window_analytics" -> (q19WindowAnalytics _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -409,5 +444,6 @@ object Queries {
     "q16_scalar_subquery" -> q16Sql,
     "q17_asof_join" -> q17Sql,
     "q18_range_join" -> q18Sql,
+    "q19_window_analytics" -> q19Sql,
   )
 }

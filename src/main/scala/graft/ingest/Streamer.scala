@@ -149,6 +149,16 @@ class CsvDirSource(spark: SparkSession, dir: String,
   }
 }
 
+/** ORC directory source (S4+; same incremental path-selector contract
+  * as CSV/JSON — ORC is the second columnar interchange format the
+  * Spark-native reader handles with zero extra dependencies). */
+class OrcDirSource(spark: SparkSession, dir: String,
+    checkpointFile: String, schema: Option[StructType] = None)
+    extends DirSource(spark, dir, checkpointFile) {
+  override protected def readFiles(paths: Seq[String]): DataFrame =
+    schema.fold(spark.read)(s => spark.read.schema(s)).orc(paths: _*)
+}
+
 /** Chained-table incremental source (S3; reference
   * hoodie-incr.properties:25-27): reads another graft table's changes
   * since the checkpointed commit instant. */

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline (north-star
@@ -226,6 +227,35 @@ object Dedup {
       labels.unpersist() // localCheckpoint is eager; the cache is done
       out
     } finally edges.unpersist()
+  }
+
+  /** Canonical selection (dedup keep-best): given near-dup `pairs`
+    * (e.g. from [[minhashLsh]]), cluster them with
+    * [[connectedComponents]] and keep ONE representative per cluster —
+    * the doc with the most whitespace tokens, ties to the smallest id
+    * (the "keep the longest version" policy of training-data dedup;
+    * docs in no pair are their own singleton cluster). Output: one row
+    * per cluster `(cluster_id, keep_id, keep_tokens, n_members)`.
+    *
+    * Scale shape: the cluster labels relation is O(docs that appear in
+    * a near-dup pair) — tiny next to the corpus, so the left join
+    * broadcasts under AQE; the corpus then shuffles ONCE on cluster_id,
+    * and the row_number window and the final aggregate share that one
+    * exchange (singleton clusters are size-1 groups — no skew). */
+  def keepBest(docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame): DataFrame = {
+    val clusters = connectedComponents(pairs)
+    val scored = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val labeled = scored.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    labeled.withColumn("__rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(max(when(col("__rn") === 1, col("doc_id"))).as("keep_id"),
+        max(when(col("__rn") === 1, col("n_tokens"))).as("keep_tokens"),
+        count(lit(1)).as("n_members"))
   }
 
   /** Embedding near-dup pairs: cosine ≥ threshold. Exact all-pairs via

@@ -1,0 +1,136 @@
+package graft
+
+import graft.ingest.OrcDirSource
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Round-6 surface additions: analytic windows (q19), keep-best
+  * canonical dedup (p23), ORC interchange (l15 + OrcDirSource). */
+class Round6SurfaceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // ---- q19 analytic windows ------------------------------------------
+
+  test("q19: lag/lead/rank/running-sum agree with a hand-computed fixture") {
+    val orders = Seq(
+      // custkey, orderkey, totalprice, orderdate
+      (1L, 10L, 100.0, "2020-01-01"),
+      (1L, 11L, 300.0, "2020-02-01"),
+      (1L, 12L, 200.0, "2020-03-01"),
+      (2L, 20L, 50.0, "2020-01-15"))
+      .toDF("o_custkey", "o_orderkey", "o_totalprice", "d")
+      .withColumn("o_orderdate", col("d").cast("timestamp"))
+      .withColumn("o_orderpriority", lit("1")) // schema parity filler
+    val dir = tmp("graft-q19-")
+    orders.write.parquet(s"$dir/orders.parquet")
+    val out = Queries.q19WindowAnalytics(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)), Option(r.get(4)), r.getLong(5), r.getDouble(6)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 100.0, None, Some(300.0), 3L, 100.0),
+      (1L, 11L, 300.0, Some(100.0), Some(200.0), 1L, 400.0),
+      (1L, 12L, 200.0, Some(300.0), None, 2L, 600.0),
+      (2L, 20L, 50.0, None, None, 1L, 50.0)))
+  }
+
+  test("q19: one exchange feeds both window sorts") {
+    val plan = Queries.q19WindowAnalytics(spark, sf)
+      .queryExecution.executedPlan.toString
+    // hash exchange on o_custkey appears once (both windows reuse it);
+    // the only other exchange is the final presentation orderBy's range
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
+  }
+
+  // ---- p23 keep-best canonical dedup ---------------------------------
+
+  test("keepBest keeps the longest doc per cluster, singletons intact") {
+    // docs 1-2-3 form one near-dup cluster (shared shingles), 9 is alone
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"$base one"),
+      (2L, s"$base one two three"), // longest → keeper
+      (3L, s"$base one two"),
+      (9L, "completely different words nothing shared here at all today ok"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", k = 5,
+      threshold = 0.5)
+    val out = Dedup.keepBest(docs, "doc_id", "text", pairs)
+      .orderBy("cluster_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 13L, 3L), // cluster 1: keep doc 2 (13 tokens), 3 members
+      (9L, 9L, 10L, 1L))) // singleton keeps itself
+  }
+
+  test("keepBest ties go to the smallest doc id") {
+    val base = "one two three four five six seven eight nine ten"
+    val docs = Seq((5L, s"$base x"), (7L, s"$base x")) // identical length
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", k = 5,
+      threshold = 0.5)
+    val out = Dedup.keepBest(docs, "doc_id", "text", pairs).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 5L)
+  }
+
+  // ---- l15 ORC interchange -------------------------------------------
+
+  test("ORC round trip preserves lineitem aggregates exactly") {
+    val viaParquet = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"),
+        sum("l_quantity").as("s"))
+      .orderBy("l_returnflag").collect().toSeq
+    val dir = tmp("graft-orc-")
+    Tables.load(spark, sf, "lineitem").write.mode("overwrite").orc(dir)
+    val viaOrc = spark.read.orc(dir)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"),
+        sum("l_quantity").as("s"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(viaOrc == viaParquet)
+  }
+
+  /** Write one .orc file into `dst` (staging keeps _SUCCESS markers and
+    * CRCs out of the watched directory — arrivals are bare data files,
+    * the way a connector drops them). */
+  private def dropOrcFile(rows: Seq[(Long, String)], dst: String): Unit = {
+    val staging = tmp("graft-orcstage-")
+    rows.toDF("id", "v").coalesce(1).write.mode("overwrite").orc(staging)
+    import scala.jdk.CollectionConverters._
+    Files.list(java.nio.file.Paths.get(staging)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".orc")).foreach { p =>
+        Files.copy(p, java.nio.file.Paths.get(dst).resolve(p.getFileName))
+      }
+  }
+
+  test("OrcDirSource streams micro-batches incrementally with checkpoint") {
+    val srcDir = tmp("graft-orcsrc-")
+    val ckpt = s"${tmp("graft-orcsrc-ck-")}/checkpoint"
+    val src = new OrcDirSource(spark, srcDir, ckpt)
+
+    // empty dir → no batch
+    assert(src.next()._1.isEmpty)
+
+    dropOrcFile(Seq((1L, "a"), (2L, "b")), srcDir)
+    val (b1, tok1) = src.next()
+    assert(b1.get.count() == 2)
+    src.commitCheckpoint(tok1)
+
+    // no new files → no batch
+    assert(src.next()._1.isEmpty)
+
+    dropOrcFile(Seq((3L, "c")), srcDir)
+    val (b2, _) = src.next()
+    assert(b2.get.select("id").as[Long].collect().toSet == Set(3L))
+  }
+}
