@@ -401,6 +401,45 @@ object Queries {
       |                  ORDER BY o_orderdate ASC, o_orderkey ASC)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** CUBE grouping sets (all four (flag, status) subtotal combinations
+    * — the full-subtotal companion to q15's ROLLUP; one aggregation
+    * pass, Catalyst expands the grouping sets before the shuffle). */
+  def q20Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(d2(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  private val q20Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** PIVOT: order counts per priority pivoted by status. The pivot
+    * values are declared (F/O/P) so no extra distinct-values job runs
+    * — the whole thing is one conditional aggregation. Empty cells are
+    * coalesced to 0 to match SQL's count-over-empty-set. */
+  def q21Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  private val q21Sql =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -423,6 +462,8 @@ object Queries {
     "q17_asof_join" -> (q17AsofJoin _),
     "q18_range_join" -> (q18RangeJoin _),
     "q19_window_analytics" -> (q19WindowAnalytics _),
+    "q20_cube" -> (q20Cube _),
+    "q21_pivot" -> (q21Pivot _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -445,5 +486,7 @@ object Queries {
     "q17_asof_join" -> q17Sql,
     "q18_range_join" -> q18Sql,
     "q19_window_analytics" -> q19Sql,
+    "q20_cube" -> q20Sql,
+    "q21_pivot" -> q21Sql,
   )
 }

@@ -47,6 +47,34 @@ object StreamOps {
     stream.withWatermark(tsCol, lateness)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Watermarked stream-stream inner join (the attribution shape:
+    * right events join left events with the same key arriving within
+    * `within` AFTER the left event). Both sides carry watermarks so
+    * Spark bounds the join state: a left row is dropped from state
+    * once the right watermark passes leftTs + within — state is
+    * O(events in the interval), not O(stream). Right columns must not
+    * collide with left columns apart from `key` (the caller renames).
+    * `leftTs`/`rightTs` must be TimestampType event-time columns. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, within: String = "10 minutes",
+      lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+      .withColumnRenamed(key, s"__r_$key")
+    l.join(r,
+      col(key) === col(s"__r_$key") &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+      .drop(s"__r_$key")
+  }
+
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension (broadcast — the dim is planned once, no streaming
+    * state). The left-join keeps unmatched stream rows (nulls in dim
+    * columns), the usual lookup-table contract. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Custom keyed state via flatMapGroupsWithState: accumulate a
     * per-user session (count + value sum) and close it once the
     * session's value budget is exceeded — the KeyValueGroupedDataset

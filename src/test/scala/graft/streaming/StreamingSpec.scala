@@ -61,6 +61,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join attributes clicks to impressions within the interval") {
+    val impDir = tmp()
+    val clkDir = tmp()
+    writeJson(impDir, "imps.json",
+      """{"imp_ts":"2024-01-01 10:00:00","ad_id":1,"campaign":"c1"}""",
+      """{"imp_ts":"2024-01-01 10:00:00","ad_id":2,"campaign":"c2"}""")
+    writeJson(clkDir, "clicks.json",
+      """{"click_ts":"2024-01-01 10:05:00","ad_id":1}""", // within 10 min → joins
+      """{"click_ts":"2024-01-01 11:00:00","ad_id":2}""") // 1h later → dropped
+    val impSchema = StructType(Seq(StructField("imp_ts", TimestampType),
+      StructField("ad_id", LongType), StructField("campaign", StringType)))
+    val clkSchema = StructType(Seq(StructField("click_ts", TimestampType),
+      StructField("ad_id", LongType)))
+    val imps = spark.readStream.schema(impSchema).json(impDir)
+    val clicks = spark.readStream.schema(clkSchema).json(clkDir)
+    val joined = StreamOps.streamStreamJoin(imps, clicks, "ad_id",
+      "imp_ts", "click_ts", within = "10 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("select ad_id, campaign from attr_out")
+        .as[(Long, String)].collect()
+      assert(rows.toSeq == Seq((1L, "c1"))) // only the in-window click
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment broadcasts the dimension, keeps misses") {
+    val in = tmp()
+    writeJson(in, "b1.json",
+      """{"ts":"2024-01-01 10:00:00","user_id":1,"value":1.0}""",
+      """{"ts":"2024-01-01 10:00:05","user_id":99,"value":2.0}""")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val stream = spark.readStream.schema(schema).json(in)
+    val q = StreamOps.enrich(stream, dim, "user_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("select user_id, tier from enrich_out order by user_id")
+        .as[(Long, Option[String])].collect()
+      assert(rows.toSeq == Seq((1L, Some("gold")), (99L, None)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits running session state") {
     val in = tmp()
     writeJson(in, "b1.json",
