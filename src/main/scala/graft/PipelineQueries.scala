@@ -298,6 +298,27 @@ object PipelineQueries {
        |       AS DOUBLE) / length(text) AS punct_ratio
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Repetition quality signals ([[TextFunctions.repetitionMetrics]],
+    * Gopher-style): top-word fraction + duplicate-bigram fraction,
+    * pure per-row expressions (no explode, no shuffle). */
+  def tRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val metrics = TextFunctions.repetitionMetrics(col("text"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id") +: metrics.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  private val tRepetitionSql =
+    """SELECT doc_id,
+      |  list_max(list_transform(list_distinct(ws),
+      |    w -> len(list_filter(ws, x -> x = w))))::DOUBLE / len(ws) AS top_word_ratio,
+      |  1.0 - len(list_distinct(bg))::DOUBLE / len(bg) AS dup_bigram_ratio
+      |FROM (SELECT doc_id, ws,
+      |        list_transform(generate_series(1, greatest(1, len(ws) - 1)),
+      |          i -> array_to_string(ws[i:i+1], ' ')) AS bg
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   /** Language ID over the corpus (custom Catalyst expression, trigram
     * profiles) — available as an operator; the GATE runs the classifier
     * on [[langFixture]], a planted-label fixture whose expected outputs
@@ -552,6 +573,7 @@ object PipelineQueries {
     "p21_contamination" -> (cContamination _),
     "p22_sequence_packing" -> (cPackSequences _),
     "p23_dedup_keep_best" -> (dKeepBest _),
+    "p24_repetition" -> (tRepetition _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -584,5 +606,6 @@ object PipelineQueries {
     "p22_sequence_packing" -> cPackSql,
     // p23: LSH-clustered keep-best must equal the exact-closure argmax
     "p23_dedup_keep_best" -> dKeepBestSql,
+    "p24_repetition" -> tRepetitionSql,
   )
 }

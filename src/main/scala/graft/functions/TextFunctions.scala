@@ -130,4 +130,25 @@ object TextFunctions {
       "stopword_ratio" -> (nStop.cast("double") / nTokens),
       "punct_ratio" -> ((nChars - alphaSpace).cast("double") / nChars))
   }
+
+  /** Repetition signals (the Gopher-style quality filters, Rae et al.
+    * 2021 §A1.1): fraction of the doc taken by its most frequent word,
+    * and fraction of duplicate word bigrams. Pure per-row HOF
+    * expressions — no explode, no shuffle; at 100 TB these run inside
+    * the scan like [[qualityMetrics]]. The mode count is
+    * O(distinct × tokens) per row — bounded by document length, not
+    * corpus size. */
+  def repetitionMetrics(text: Column): Seq[(String, Column)] = {
+    val ws = tokens(text)
+    val nTokens = size(ws)
+    val topFreq = array_max(transform(array_distinct(ws),
+      w => size(filter(ws, x => x === w))))
+    val bigrams = transform(
+      sequence(lit(1), greatest(lit(1), nTokens - 1)),
+      i => array_join(slice(ws, i, lit(2)), " "))
+    Seq(
+      "top_word_ratio" -> (topFreq.cast("double") / nTokens),
+      "dup_bigram_ratio" ->
+        (lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams)))
+  }
 }

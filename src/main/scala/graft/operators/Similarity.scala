@@ -156,12 +156,21 @@ object Similarity {
       .withColumn("tk", explode(lshTableKeys(col("v"), dim, nt, bt)))
       .select(col("id"), col("v"),
         col("tk.table").as("table"), col("tk.bucket").as("bucket"))
-    val a = sig.as("a")
-    val b = sig.as("b")
-    a.join(b, col("a.table") === col("b.table") &&
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+    // Candidates via bucket GROUPS (one shuffle + hash agg), not a
+    // two-sided self-join — same restructure as Dedup.minhashLsh,
+    // identical pair set (sorted expansion ⇒ id_a < id_b). Memory per
+    // group is bounded by design: lshAutoParams sizes buckets to ~64
+    // vectors, so a group buffers ~64 × dim floats.
+    sig.groupBy("table", "bucket")
+      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(xs, (x, i) ->
+          |  transform(slice(xs, i + 2, size(xs) - i - 1),
+          |    y -> struct(x.id AS id_a, y.id AS id_b,
+          |                x.v AS va, y.v AS vb))))""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.va").as("va"), col("p.vb").as("vb"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)

@@ -29,12 +29,16 @@ object Profile {
         .withColumn("sig", minhashSignature(col("hashes"), 128))
         .withColumn("band", explode(lshBands(col("sig"), 32, 4)))
         .select(col("id"), col("band.band").as("band"), col("band.sig").as("bsig"))
-      val candidates = sigs.as("a").join(sigs.as("b"),
-          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.id") < col("b.id"))
-        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      val candidates = sigs
+        .groupBy("band", "bsig").agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids) - i - 1),
+            |    y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
         .distinct().persist()
-      time("p3b band self-join cands") { candidates.count() }
+      time("p3b band bucket cands") { candidates.count() }
       val verified = candidates
         .join(withHashes.toDF("doc_a", "ha"), "doc_a")
         .join(withHashes.toDF("doc_b", "hb"), "doc_b")
