@@ -29,13 +29,15 @@ object Bench {
     "q1_pricing_summary", "q2_group_max_having", "q3_proj_filter",
     "q4_range_filter", "q5_join_agg", "q6_latest_per_key",
     "q7_count", "q8_dup_check",
+    "q19_window_analytics", // round 6: analytic-window family
     // lakehouse write/read pipeline (§2.1, §2.6, §2.9)
     "l1_cow_upsert_snapshot", "l5_incremental",
     "l14_mor_catalog_snapshot",
     // training-data pipeline (north star)
     "p1_dedup_exact", "p3_dedup_minhash_lsh", "p6_ann_brute_topk",
     "p7_ann_lsh_topk", "p14_ann_ivf_topk",
-    "p8_text_quality", "p11_token_count")
+    "p8_text_quality", "p11_token_count",
+    "p23_dedup_keep_best") // round 6: full cluster+canonicalize pipeline
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
