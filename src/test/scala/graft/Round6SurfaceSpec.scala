@@ -84,6 +84,64 @@ class Round6SurfaceSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getLong(1) == 5L)
   }
 
+  test("keepBest invariants on the real corpus: partition + representativeness") {
+    val docs = Tables.load(spark, sf, "documents")
+    val out = graft.PipelineQueries.dKeepBest(spark, sf).cache()
+    // clusters partition the corpus: member counts sum to corpus size
+    assert(out.agg(sum("n_members")).head.getLong(0) == docs.count())
+    // every keeper's token count is the max over its cluster — join the
+    // keepers back to the scored+labeled docs and look for violations
+    val pairs = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text",
+      k = 5, threshold = 0.7)
+    val clusters = graft.operators.Dedup.connectedComponents(pairs)
+    val labeled = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val violations = labeled.join(out, Seq("cluster_id"))
+      .filter(col("n_tokens") > col("keep_tokens"))
+      .count()
+    assert(violations == 0L)
+    out.unpersist()
+  }
+
+  test("repetition metrics: bounds and exact values on a fixture") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "a a a a"),         // top word = 4/4, bigrams: [a a]×3 → dup 2/3
+      (2L, "a b c d"),         // top 1/4, all bigrams distinct → dup 0
+      (3L, "x"))               // single word: top 1/1, bigram list = [x]
+      .toDF("doc_id", "text")
+    val m = TextFunctions.repetitionMetrics(col("text"))
+    val out = docs.select(col("doc_id") +: m.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out(0) == ((1L, 1.0, 1.0 - 1.0 / 3.0)))
+    assert(out(1) == ((2L, 0.25, 0.0)))
+    assert(out(2) == ((3L, 1.0, 0.0)))
+    // bounds on the real corpus: both ratios in [0, 1]
+    val bad = Tables.load(spark, sf, "documents")
+      .select(m.map { case (n, c) => c.as(n) }: _*)
+      .filter(col("top_word_ratio") < 0 || col("top_word_ratio") > 1 ||
+        col("dup_bigram_ratio") < 0 || col("dup_bigram_ratio") > 1)
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("pivot matches conditional aggregation on a fixture") {
+    val orders = Seq(
+      ("1-URGENT", "F"), ("1-URGENT", "F"), ("1-URGENT", "O"),
+      ("2-HIGH", "P"))
+      .toDF("o_orderpriority", "o_orderstatus")
+    val dir = tmp("graft-q21-")
+    orders.write.parquet(s"$dir/orders.parquet")
+    val out = Queries.q21Pivot(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("1-URGENT", 2L, 1L, 0L),
+      ("2-HIGH", 0L, 0L, 1L)))
+  }
+
   // ---- l15 ORC interchange -------------------------------------------
 
   test("ORC round trip preserves lineitem aggregates exactly") {
