@@ -685,14 +685,22 @@ final class GraftTable private (
     }
   }
 
+  /** Soft-delete filter, applied only when the schema carries the
+    * column — a never-written table has an EMPTY schema, and filtering
+    * it on `_is_deleted` threw an unresolved-column error on the very
+    * first read of a fresh table. */
+  private def dropDeleted(df: DataFrame): DataFrame =
+    if (df.columns.contains(softDel))
+      df.filter(!coalesce(col(softDel), lit(false)))
+    else df
+
   /** Snapshot view: COW = live base files; MOR = realtime merge. */
   def read(asOf: Option[String] = None): DataFrame = {
     val snap = log.snapshot()
     if (config.isMor) realtimeOf(snap, asOf)
     else {
       val s = schemaAt(snap, asOf)
-      readFiles(snap.liveFiles(asOf).filterNot(_.delta), s)
-        .filter(!coalesce(col(softDel), lit(false)))
+      dropDeleted(readFiles(snap.liveFiles(asOf).filterNot(_.delta), s))
     }
   }
 
@@ -744,8 +752,7 @@ final class GraftTable private (
     realtimeOf(log.snapshot(), asOf)
 
   private def realtimeOf(snap: TimelineSnapshot, asOf: Option[String]): DataFrame =
-    mergeGroupScoped(snap.liveFiles(asOf), schemaAt(snap, asOf))
-      .filter(!coalesce(col(softDel), lit(false)))
+    dropDeleted(mergeGroupScoped(snap.liveFiles(asOf), schemaAt(snap, asOf)))
 
   /** Incremental read: the latest state of rows written in commits in
     * `(fromExclusive, fromExclusive + maxCommits]` (README.md:966-984).

@@ -80,7 +80,7 @@ object Dedup {
     * corpus × avg-shingles rows — and shuffled that relation twice;
     * at the 100× bench scale that was ~100M rows of pure join traffic
     * for a candidate set five orders of magnitude smaller.) */
-  private def jaccardOfCandidates(withHashes: DataFrame,
+  private[operators] def jaccardOfCandidates(withHashes: DataFrame,
       candidates: DataFrame, threshold: Double): DataFrame =
     candidates
       .join(withHashes.toDF("doc_a", "ha"), "doc_a")

@@ -142,6 +142,47 @@ class Round6SurfaceSpec extends AnyFunSuite {
       ("2-HIGH", 0L, 0L, 1L)))
   }
 
+  // ---- incremental dedup ----------------------------------------------
+
+  test("incremental dedup over three batches equals the batch operator") {
+    import graft.operators.{Dedup, IncrementalDedup}
+    val docs = Tables.load(spark, sf, "documents")
+    val inc = new IncrementalDedup(spark, tmp("graft-incdedup-"))
+    val incPairs = (0 to 2).map { i =>
+        inc.dedupBatch(docs.filter(col("doc_id") % 3 === i),
+          "doc_id", "text", batchNo = i + 1L)
+      }.reduce(_ unionByName _).cache()
+    val batchPairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      k = 5, threshold = 0.7).cache()
+    // exact set equality, jaccard values included (identical arithmetic
+    // on identical hash arrays → identical doubles)
+    assert(incPairs.count() == batchPairs.count())
+    assert(incPairs.exceptAll(batchPairs).count() == 0)
+    assert(batchPairs.exceptAll(incPairs).count() == 0)
+    // the stores accumulated the whole corpus
+    assert(inc.hashStore.read().count() == docs.count())
+    incPairs.unpersist(); batchPairs.unpersist()
+  }
+
+  test("incremental dedup catches cross-batch and in-batch pairs") {
+    import graft.operators.IncrementalDedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val inc = new IncrementalDedup(spark, tmp("graft-incdedup2-"))
+    // batch 1: two near-dups of each other
+    val b1 = Seq((1L, s"$base one"), (2L, s"$base one two"))
+      .toDF("doc_id", "text")
+    // batch 2: one near-dup of batch 1, one unrelated doc
+    val b2 = Seq((3L, s"$base one three"),
+      (9L, "totally different content with no shared shingles here at all"))
+      .toDF("doc_id", "text")
+    val p1 = inc.dedupBatch(b1, "doc_id", "text", 1L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(p1 == Set((1L, 2L))) // in-batch pair
+    val p2 = inc.dedupBatch(b2, "doc_id", "text", 2L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(p2 == Set((1L, 3L), (2L, 3L))) // cross-batch pairs only
+  }
+
   // ---- l15 ORC interchange -------------------------------------------
 
   test("ORC round trip preserves lineitem aggregates exactly") {
