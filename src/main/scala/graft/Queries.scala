@@ -440,6 +440,44 @@ object Queries {
       |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Batch sessionization (the gap-based session assignment behind
+    * funnel/retention analytics; the batch twin of
+    * [[graft.streaming.StreamOps.sessionize]]): a session breaks when
+    * a user is idle > 30 min. lag + running sum over ONE window
+    * partitioning (user_id) — a single hash exchange; the session
+    * aggregate reuses it. Time axis in µs integers (exact in both
+    * engines; ties broken by event_id). */
+  def q22Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables.load(spark, dir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val q22Sql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |s AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+      |                     THEN 1 ELSE 0 END AS brk
+      |      FROM (SELECT *, lag(ts_us) OVER w AS prev FROM e
+      |            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))),
+      |t AS (SELECT *, (sum(brk) OVER (PARTITION BY user_id
+      |        ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+      |      FROM s)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       min(ts_us) AS start_us, max(ts_us) AS end_us
+      |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -464,6 +502,7 @@ object Queries {
     "q19_window_analytics" -> (q19WindowAnalytics _),
     "q20_cube" -> (q20Cube _),
     "q21_pivot" -> (q21Pivot _),
+    "q22_sessionize" -> (q22Sessionize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -488,5 +527,6 @@ object Queries {
     "q19_window_analytics" -> q19Sql,
     "q20_cube" -> q20Sql,
     "q21_pivot" -> q21Sql,
+    "q22_sessionize" -> q22Sql,
   )
 }
