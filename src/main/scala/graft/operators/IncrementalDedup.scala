@@ -36,16 +36,31 @@ class IncrementalDedup(spark: SparkSession, root: String,
   private val rowsPerBand = numHashes / numBands
 
   /** (id, hashes, _b) keyed by id — the per-doc shingle-hash arrays the
-    * verification stage reads. */
+    * verification stage reads. Few buckets: the store is append-mostly
+    * and read whole, so files-per-commit is the cost that matters
+    * (at real scale, size numBuckets for ~1 GB groups as usual). */
   val hashStore: GraftTable = GraftTable.create(spark, s"$root/hashes",
     TableConfig(name = "dedup_hashes", keyField = "id",
-      orderingField = "_b", numBuckets = 8))
+      orderingField = "_b", numBuckets = 2))
 
   /** (bkey, band, bsig, id, _b) keyed by id:band, partitioned by band —
-    * the LSH index the cross-corpus candidate join scans. */
+    * the LSH index the cross-corpus candidate join scans. The band
+    * partitioning already spreads writes `numBands` ways; extra buckets
+    * per band only multiply files-per-commit (numBands × buckets ×
+    * commits tiny files measurably dominated the per-batch cost). */
   val bandIndex: GraftTable = GraftTable.create(spark, s"$root/bands",
     TableConfig(name = "dedup_bands", keyField = "bkey",
-      orderingField = "_b", partitionField = Some("band"), numBuckets = 8))
+      orderingField = "_b", partitionField = Some("band"), numBuckets = 1))
+
+  /** Fold the stores' accumulated per-commit files via the clustering
+    * service (sorted, size-packed rewrite per file group — the COW
+    * small-file answer) — run periodically like any table maintenance;
+    * per-batch dedup cost then stays O(batch + collisions) with a
+    * bounded file count. */
+  def compactStores(): Unit = {
+    graft.core.TableServices.cluster(hashStore)
+    graft.core.TableServices.cluster(bandIndex)
+  }
 
   /** Dedup one arriving batch against everything ingested before it,
     * then fold the batch into the index. Returns verified near-dup

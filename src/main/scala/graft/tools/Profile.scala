@@ -59,6 +59,25 @@ object Profile {
       docs.select(col("doc_id"), explode(wordShingles(col("text"), 5)).as("gram"))
         .groupBy("doc_id").agg(count(lit(1))).count()
     }
+    // incremental dedup: marginal cost of one more batch (1/5 of the
+    // corpus) vs recomputing the whole corpus from scratch
+    locally {
+      import graft.operators.IncrementalDedup
+      val inc = new IncrementalDedup(spark,
+        java.nio.file.Files.createTempDirectory("graft-incd-").toString)
+      (0 until 4).foreach { i =>
+        inc.dedupBatch(docs.filter(col("doc_id") % 5 === i),
+          "doc_id", "text", i + 1L).count()
+      }
+      inc.compactStores() // periodic maintenance between batches
+      time("incD 5th batch (1/5 corpus)") {
+        inc.dedupBatch(docs.filter(col("doc_id") % 5 === 4),
+          "doc_id", "text", 5L).count()
+      }
+      time("incD full recompute") {
+        Dedup.minhashLsh(docs, "doc_id", "text", k = 5).count()
+      }
+    }
     // lakehouse l1 pipeline breakdown
     val ev = Tables.load(spark, dir, "events").cache(); ev.count()
     time("l1 full build+read") {

@@ -149,8 +149,12 @@ class Round6SurfaceSpec extends AnyFunSuite {
     val docs = Tables.load(spark, sf, "documents")
     val inc = new IncrementalDedup(spark, tmp("graft-incdedup-"))
     val incPairs = (0 to 2).map { i =>
-        inc.dedupBatch(docs.filter(col("doc_id") % 3 === i),
+        val p = inc.dedupBatch(docs.filter(col("doc_id") % 3 === i),
           "doc_id", "text", batchNo = i + 1L)
+        // periodic store maintenance between batches must never change
+        // results (clustering is layout, not semantics)
+        if (i == 1) inc.compactStores()
+        p
       }.reduce(_ unionByName _).cache()
     val batchPairs = Dedup.minhashLsh(docs, "doc_id", "text",
       k = 5, threshold = 0.7).cache()
