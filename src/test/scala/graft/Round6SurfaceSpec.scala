@@ -142,6 +142,28 @@ class Round6SurfaceSpec extends AnyFunSuite {
       ("2-HIGH", 0L, 0L, 1L)))
   }
 
+  // ---- approximate aggregates (the 100 TB cardinality staples) --------
+
+  test("approx_count_distinct lands within its error bound of exact") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val (approx, exact) = ev.agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("a"),
+        countDistinct(col("user_id")).as("e"))
+      .as[(Long, Long)].head()
+    // rsd 0.02 → allow 3 sigma
+    assert(math.abs(approx - exact).toDouble / exact <= 0.06,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("approx percentile brackets the exact median") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val apx = ev.agg(percentile_approx(col("value"), lit(0.5), lit(1000)))
+      .head().getDouble(0)
+    // exact p45/p55 must bracket an approximation this accurate
+    val Array(lo, hi) = ev.stat.approxQuantile("value", Array(0.45, 0.55), 0.0)
+    assert(apx >= lo && apx <= hi, s"median approx $apx outside [$lo, $hi]")
+  }
+
   // ---- incremental dedup ----------------------------------------------
 
   test("incremental dedup over three batches equals the batch operator") {
