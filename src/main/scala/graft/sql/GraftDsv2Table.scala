@@ -3,6 +3,7 @@ package graft.sql
 import graft.core.{DataFileMeta, GraftTable, TableConfig}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.{Column => Column2}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
@@ -34,7 +35,11 @@ final class GraftDsv2Table(val graft: GraftTable, delegate: Table,
     extends Table with SupportsRead with GraftDmlSupport {
 
   override def name(): String = delegate.name()
-  override def schema(): StructType = delegate.schema()
+  // Table.schema() is deprecated since 3.4 — derive from columns()
+  override def columns(): Array[Column2] = delegate.columns()
+  override def schema(): StructType =
+    StructType(delegate.columns().map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
 
   override def capabilities(): util.Set[TableCapability] = {
     val caps = new util.HashSet[TableCapability](delegate.capabilities())
