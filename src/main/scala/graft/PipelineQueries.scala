@@ -319,6 +319,23 @@ object PipelineQueries {
       |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary builder (the tokenizer-training precursor): global
+    * word frequencies, top-V with a deterministic tie-break. Partial
+    * aggregation combines map-side, ONE shuffle on the word, and the
+    * top-V is TakeOrderedAndProject (per-partition heaps + driver
+    * merge of V rows) — never a global sort. */
+  def tVocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(1000)
+
+  private val tVocabSql =
+    """SELECT word, count(*) AS freq
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY 1 ORDER BY freq DESC, word ASC LIMIT 1000""".stripMargin
+
   /** Language ID over the corpus (custom Catalyst expression, trigram
     * profiles) — available as an operator; the GATE runs the classifier
     * on [[langFixture]], a planted-label fixture whose expected outputs
@@ -574,6 +591,7 @@ object PipelineQueries {
     "p22_sequence_packing" -> (cPackSequences _),
     "p23_dedup_keep_best" -> (dKeepBest _),
     "p24_repetition" -> (tRepetition _),
+    "p25_vocab" -> (tVocab _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -607,5 +625,6 @@ object PipelineQueries {
     // p23: LSH-clustered keep-best must equal the exact-closure argmax
     "p23_dedup_keep_best" -> dKeepBestSql,
     "p24_repetition" -> tRepetitionSql,
+    "p25_vocab" -> tVocabSql,
   )
 }
