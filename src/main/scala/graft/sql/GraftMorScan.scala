@@ -156,9 +156,16 @@ final class GraftMorScan(
 
 final case class FileSlice(path: String, bytes: Long)
 
+/** One file group; `ctLo`/`ctHi` (lo exclusive, hi inclusive) carry an
+  * optional commit-range visibility filter, applied AFTER the merge —
+  * the incremental/streaming read shape: a stale base row must still
+  * lose to its delta version before the range test decides visibility.
+  * None = snapshot scan (no filter). */
 final case class GraftMorInputPartition(
     base: Array[FileSlice], delta: Array[FileSlice],
-    group: String) extends InputPartition
+    group: String,
+    ctLo: Option[String] = None, ctHi: Option[String] = None)
+  extends InputPartition
 
 final case class GraftMorReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
@@ -246,13 +253,26 @@ final class GraftMorPartitionReader(
     }
   }
 
+  /** Post-merge commit-range visibility (lo < ct ≤ hi); rows with null
+    * commit time (bootstrap-adopted) are invisible to a range read —
+    * the plan layer guards cursors against crossing a bootstrap. */
+  private def inRange(r: InternalRow): Boolean = part.ctLo match {
+    case None => true
+    case Some(lo) =>
+      !r.isNullAt(f.ctOrd) && {
+        val ct = r.getUTF8String(f.ctOrd).toString
+        ct > lo && part.ctHi.forall(ct <= _)
+      }
+  }
+
   private val rows: Iterator[InternalRow] =
-    part.base.iterator.flatMap(fileRows).flatMap { r =>
+    (part.base.iterator.flatMap(fileRows).flatMap { r =>
       val k = r.get(f.keyOrd, keyType)
       if (winners.containsKey(k)) { offer(r); Iterator.empty }
       else if (isDeleted(r)) Iterator.empty
       else Iterator.single(r)
-    } ++ winners.values().iterator().asScala.filterNot(isDeleted)
+    } ++ winners.values().iterator().asScala.filterNot(isDeleted))
+      .filter(inRange)
 
   private var cur: InternalRow = _
   override def next(): Boolean =

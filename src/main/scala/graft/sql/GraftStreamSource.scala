@@ -1,0 +1,148 @@
+package graft.sql
+
+import graft.core.{GraftTable, TableConfig}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.FileFormat
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.util
+
+/** Graft table as a Structured Streaming SOURCE: `spark.readStream
+  * .format(classOf[GraftStreamTableProvider].getName).option("path",
+  * root).load()` emits each commit's row changes as micro-batches —
+  * the `readStream` twin of [[graft.core.GraftTable.readIncremental]]
+  * (Hudi's streaming incremental-read analog; the driver-loop
+  * [[graft.ingest.TableIncrementalSource]] stays as the batch-chaining
+  * path).
+  *
+  * Offsets ARE commit instants (sortable strings, checkpointed by
+  * Spark) — recovery replays exactly the uncommitted commit range, and
+  * exactly-once follows from commit-instant determinism. Each batch
+  * plans one [[InputPartition]] per TOUCHED file group (live files as
+  * of the range end), and the reader is the [[GraftMorPartitionReader]]
+  * merge with the commit-range filter applied after the merge — the
+  * same "stale base row loses to its delta before visibility is
+  * decided" shape as the batch incremental read, with zero exchanges.
+  *
+  * Restore/bootstrap commits inside a planned range throw (a streaming
+  * cursor cannot see restored/adopted rows — same contract as
+  * readIncremental's guards).
+  */
+class GraftStreamTableProvider extends TableProvider {
+
+  private def root(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "graft stream source requires .option(\"path\", <table root>)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTable.load(SparkSession.active, root(options)).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftStreamTable(properties.get("path"), schema)
+}
+
+final class GraftStreamTable(root: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft_stream($root)"
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = new util.HashSet[TableCapability]()
+    caps.add(TableCapability.MICRO_BATCH_READ)
+    caps
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = tableSchema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new GraftMicroBatchStream(SparkSession.active, root, tableSchema)
+    }
+}
+
+/** Streaming offset = commit instant (zero-padded sortable string). */
+final case class GraftOffset(instant: String) extends Offset {
+  override def json: String = instant
+}
+
+final class GraftMicroBatchStream(spark: SparkSession, root: String,
+    tableSchema: StructType) extends MicroBatchStream {
+
+  // reload per call: the commit log is the source of truth and other
+  // writers append to it while the stream runs
+  private def table: GraftTable = GraftTable.load(spark, root)
+
+  override def initialOffset(): Offset = GraftOffset("0")
+  override def deserializeOffset(json: String): Offset = GraftOffset(json)
+  override def latestOffset(): Offset =
+    GraftOffset(table.log.lastInstant().getOrElse("0"))
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftOffset].instant
+    val to = end.asInstanceOf[GraftOffset].instant
+    if (to <= from) return Array.empty
+    val t = table
+    val snap = t.log.snapshot()
+    val rowCommits = snap.commits
+      .filter(c => c.instant > from && c.instant <= to)
+      .filter(c => c.action == "commit" || c.action == "replace")
+    // same cursor-safety contract as readIncremental: a stream cannot
+    // silently skip restored/adopted rows
+    rowCommits.find(c => c.operation == "restore" || c.operation == "bootstrap")
+      .foreach { c =>
+        throw new IllegalStateException(
+          s"graft stream range ($from, $to] crosses ${c.operation} commit " +
+          s"${c.instant}: its rows are invisible to an incremental cursor. " +
+          "Restart the stream from a fresh checkpoint (snapshot resync), " +
+          s"then resume from ${c.instant}")
+      }
+    val touched = rowCommits.flatMap(_.added)
+      .map(f => (f.partition, f.bucket)).toSet
+    snap.liveFiles(Some(to))
+      .filter(f => touched.contains((f.partition, f.bucket)))
+      .groupBy(f => (f.partition, f.bucket))
+      .map { case ((p, b), fs) =>
+        GraftMorInputPartition(
+          fs.filterNot(_.delta).map(f => FileSlice(s"$root/${f.path}", f.bytes)).toArray,
+          fs.filter(_.delta).map(f => FileSlice(s"$root/${f.path}", f.bytes)).toArray,
+          s"(partition=$p, bucket=$b)",
+          ctLo = Some(from), ctHi = Some(to))
+      }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val cfg = table.config
+    val need = tableSchema.fieldNames.toSet ++
+      Set(cfg.keyField, cfg.orderingField, TableConfig.CommitTimeCol,
+        cfg.softDeleteField)
+    val superset = StructType(tableSchema.fields.filter(f => need.contains(f.name)))
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark,
+      dataSchema = tableSchema,
+      partitionSchema = new StructType(),
+      requiredSchema = superset,
+      filters = Nil,
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    GraftMorReaderFactory(readFunc, superset,
+      tableSchema.fieldNames.map(superset.fieldIndex),
+      superset.fieldIndex(cfg.keyField),
+      superset.fieldIndex(cfg.orderingField),
+      superset.fieldIndex(TableConfig.CommitTimeCol),
+      superset.fieldIndex(cfg.softDeleteField),
+      s"graft_stream($root)", maxDeltaRows = 20L * 1000 * 1000)
+    // the commit-range visibility filter rides in each InputPartition
+    // (set by planInputPartitions) — the factory stays batch-agnostic
+  }
+}

@@ -106,6 +106,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("graft table as streaming source: commits become micro-batches") {
+    import graft.core.{GraftTable, TableConfig}
+    val root = tmp()
+    val t = GraftTable.create(spark, s"$root/t", TableConfig(
+      name = "ssrc", keyField = "k", orderingField = "ts", numBuckets = 2))
+    t.insert(Seq(("a", 1L, 10.0), ("b", 1L, 20.0)).toDF("k", "ts", "v"))
+    val stream = spark.readStream
+      .format(classOf[graft.sql.GraftStreamTableProvider].getName)
+      .option("path", s"$root/t").load()
+    val q = stream.select("k", "ts", "v").writeStream.outputMode("append")
+      .format("memory").queryName("gsrc_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("select k from gsrc_out").as[String].collect().toSet
+        == Set("a", "b"))
+      // a second commit arrives while the stream runs → its changes
+      // (and ONLY its changes) land as the next micro-batch
+      t.upsert(Seq(("a", 2L, 11.0), ("c", 1L, 30.0)).toDF("k", "ts", "v"))
+      q.processAllAvailable()
+      val rows = spark.sql("select k, ts, v from gsrc_out order by k, ts")
+        .as[(String, Long, Double)].collect()
+      assert(rows.toSeq == Seq(
+        ("a", 1L, 10.0), ("a", 2L, 11.0), ("b", 1L, 20.0), ("c", 1L, 30.0)))
+    } finally q.stop()
+  }
+
+  test("graft streaming source merges MOR deltas before the range filter") {
+    import graft.core.{GraftTable, TableConfig}
+    val root = tmp()
+    val t = GraftTable.create(spark, s"$root/t", TableConfig(
+      name = "ssrcm", keyField = "k", orderingField = "ts",
+      tableType = TableConfig.Mor, numBuckets = 2))
+    t.insert(Seq(("a", 1L, 10.0), ("b", 1L, 20.0)).toDF("k", "ts", "v"))
+    t.upsert(Seq(("a", 2L, 11.0)).toDF("k", "ts", "v")) // delta file
+    require(t.log.liveFiles().exists(_.delta))
+    // fresh stream: one batch spans both commits — the reader merges
+    // base+delta locally, then applies visibility; 'a' must surface
+    // ONCE with its winning version
+    val stream = spark.readStream
+      .format(classOf[graft.sql.GraftStreamTableProvider].getName)
+      .option("path", s"$root/t").load()
+    val q = stream.select("k", "ts", "v").writeStream.outputMode("append")
+      .format("memory").queryName("gsrcm_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("select k, ts, v from gsrcm_out order by k")
+        .as[(String, Long, Double)].collect()
+      assert(rows.toSeq == Seq(("a", 2L, 11.0), ("b", 1L, 20.0)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits running session state") {
     val in = tmp()
     writeJson(in, "b1.json",
