@@ -347,6 +347,50 @@ object LakehouseQueries {
       |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- §2.9+ graft table as a streaming SOURCE -----------------------
+
+  /** `readStream.format("graft-stream")` over a live table: the stream
+    * starts after commit 1 (micro-batch 1 = batch₁'s snapshot), then an
+    * upsert lands WHILE it runs (micro-batch 2 = that commit's changes
+    * and nothing else — the incremental-read semantics, l5, through the
+    * streaming offset API). The accumulated memory sink therefore holds
+    * batch₁'s winners plus the merge-winning rows of batch₂ — keys
+    * updated in batch₂ appear twice, once per surfaced version. */
+  def qStreamSource(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val t = GraftTable.create(spark, freshRoot("ev_stream"),
+      cfg("ev_stream", TableConfig.Cow))
+    t.insert(ev.filter(col("event_id") % 2 === 0))
+    val sink = s"l16_sink_${catalogSeq.incrementAndGet()}"
+    val q = spark.readStream.format("graft-stream").option("path", t.root)
+      .load()
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .start()
+    try {
+      q.processAllAvailable()
+      t.upsert(ev.filter(col("event_id") % 2 === 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink)
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select(outCols.map(col): _*)
+      .orderBy("event_type", "user_id", "event_id")
+  }
+
+  private val streamSourceSql =
+    """WITH b1 AS (
+      |  SELECT * FROM (SELECT *, row_number() OVER (
+      |      PARTITION BY event_type, user_id ORDER BY ts DESC) AS rn
+      |    FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+      |b2 AS (
+      |  SELECT * FROM (SELECT *, row_number() OVER (
+      |      PARTITION BY event_type, user_id ORDER BY ts DESC, (event_id % 2) DESC) AS rn
+      |    FROM events) WHERE rn = 1 AND event_id % 2 = 1)
+      |SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us, value FROM b1
+      |UNION ALL
+      |SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us, value FROM b2
+      |ORDER BY event_type, user_id, event_id""".stripMargin
+
   // ---- A3 key-uniqueness invariant over the lakehouse table ---------
 
   /** The test-suite's duplicate-detection gate run against our own
@@ -384,6 +428,7 @@ object LakehouseQueries {
     "l13_bootstrap" -> (qBootstrap _),
     "l14_mor_catalog_snapshot" -> (qMorCatalogSnapshot _),
     "l15_orc_roundtrip" -> (qOrcRoundtrip _),
+    "l16_stream_source" -> (qStreamSource _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -402,5 +447,6 @@ object LakehouseQueries {
     "l13_bootstrap" -> bootstrapSql,
     "l14_mor_catalog_snapshot" -> cowUpsertSql,
     "l15_orc_roundtrip" -> orcRoundtripSql,
+    "l16_stream_source" -> streamSourceSql,
   )
 }

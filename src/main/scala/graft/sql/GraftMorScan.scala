@@ -256,23 +256,23 @@ final class GraftMorPartitionReader(
   /** Post-merge commit-range visibility (lo < ct ≤ hi); rows with null
     * commit time (bootstrap-adopted) are invisible to a range read —
     * the plan layer guards cursors against crossing a bootstrap. */
-  private def inRange(r: InternalRow): Boolean = part.ctLo match {
-    case None => true
-    case Some(lo) =>
-      !r.isNullAt(f.ctOrd) && {
-        val ct = r.getUTF8String(f.ctOrd).toString
-        ct > lo && part.ctHi.forall(ct <= _)
-      }
-  }
+  private def inRange(lo: String)(r: InternalRow): Boolean =
+    !r.isNullAt(f.ctOrd) && {
+      val ct = r.getUTF8String(f.ctOrd).toString
+      ct > lo && part.ctHi.forall(ct <= _)
+    }
 
-  private val rows: Iterator[InternalRow] =
-    (part.base.iterator.flatMap(fileRows).flatMap { r =>
+  private val merged: Iterator[InternalRow] =
+    part.base.iterator.flatMap(fileRows).flatMap { r =>
       val k = r.get(f.keyOrd, keyType)
       if (winners.containsKey(k)) { offer(r); Iterator.empty }
       else if (isDeleted(r)) Iterator.empty
       else Iterator.single(r)
-    } ++ winners.values().iterator().asScala.filterNot(isDeleted))
-      .filter(inRange)
+    } ++ winners.values().iterator().asScala.filterNot(isDeleted)
+
+  // snapshot scans (ctLo empty — the l14 hot path) skip the range test
+  private val rows: Iterator[InternalRow] =
+    part.ctLo.fold(merged)(lo => merged.filter(inRange(lo)))
 
   private var cur: InternalRow = _
   override def next(): Boolean =

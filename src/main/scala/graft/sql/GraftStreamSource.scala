@@ -33,7 +33,10 @@ import java.util
   * cursor cannot see restored/adopted rows — same contract as
   * readIncremental's guards).
   */
-class GraftStreamTableProvider extends TableProvider {
+class GraftStreamTableProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-stream"
 
   private def root(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")

@@ -112,8 +112,8 @@ class StreamingSpec extends AnyFunSuite {
     val t = GraftTable.create(spark, s"$root/t", TableConfig(
       name = "ssrc", keyField = "k", orderingField = "ts", numBuckets = 2))
     t.insert(Seq(("a", 1L, 10.0), ("b", 1L, 20.0)).toDF("k", "ts", "v"))
-    val stream = spark.readStream
-      .format(classOf[graft.sql.GraftStreamTableProvider].getName)
+    // short name resolves via META-INF/services DataSourceRegister
+    val stream = spark.readStream.format("graft-stream")
       .option("path", s"$root/t").load()
     val q = stream.select("k", "ts", "v").writeStream.outputMode("append")
       .format("memory").queryName("gsrc_out").start()
@@ -154,6 +154,37 @@ class StreamingSpec extends AnyFunSuite {
       val rows = spark.sql("select k, ts, v from gsrcm_out order by k")
         .as[(String, Long, Double)].collect()
       assert(rows.toSeq == Seq(("a", 2L, 11.0), ("b", 1L, 20.0)))
+    } finally q.stop()
+  }
+
+  test("table-to-table incremental ETL: stream source + foreachBatch upsert") {
+    import graft.core.{GraftTable, TableConfig}
+    val root = tmp()
+    def c(n: String) = TableConfig(
+      name = n, keyField = "k", orderingField = "ts", numBuckets = 2)
+    val src = GraftTable.create(spark, s"$root/src", c("etl_src"))
+    val dst = GraftTable.create(spark, s"$root/dst", c("etl_dst"))
+    src.insert(Seq(("a", 1L, 10.0), ("b", 1L, 20.0)).toDF("k", "ts", "v"))
+    // replication pipeline: each micro-batch (= each source commit's
+    // changes) upserts into the target — the target converges to the
+    // source snapshot without ever rescanning it
+    val q = spark.readStream.format("graft-stream")
+      .option("path", s"$root/src").load()
+      .select("k", "ts", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        dst.upsert(df); ()
+      }
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      q.processAllAvailable()
+      src.upsert(Seq(("a", 2L, 11.0), ("c", 1L, 30.0)).toDF("k", "ts", "v"))
+      q.processAllAvailable()
+      val got = dst.read().select("k", "ts", "v")
+        .as[(String, Long, Double)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq(("a", 2L, 11.0), ("b", 1L, 20.0), ("c", 1L, 30.0)))
+      assert(got.toSeq == src.read().select("k", "ts", "v")
+        .as[(String, Long, Double)].collect().sortBy(_._1).toSeq)
     } finally q.stop()
   }
 
