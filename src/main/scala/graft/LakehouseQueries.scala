@@ -31,7 +31,7 @@ object LakehouseQueries {
     partitionField = Some("event_type"), tableType = tpe, numBuckets = 4)
 
   private def freshRoot(name: String): String =
-    Files.createTempDirectory(s"graft-$name-").toString
+    graft.util.TempDirs.create(s"graft-$name-").toString
 
   /** insert(batch₁) then upsert(batch₂). */
   private def build(spark: SparkSession, dir: String, name: String,

@@ -12,7 +12,13 @@ import org.apache.spark.sql.SparkSession
   *    on a real cluster this is set per-job from input stats.
   */
 object Session {
-  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+  // Reap graft-* temp dirs left by crashed prior JVMs (normal exits
+  // clean their own via TempDirs' shutdown hook). Once per JVM, at
+  // first session build — every harness path goes through here.
+  private lazy val swept: Int = graft.util.TempDirs.sweepStale()
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder = {
+    swept: Unit
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -25,6 +31,7 @@ object Session {
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+  }
 
   /** Local session for tests / ad-hoc mains. */
   def local(cores: Int = 4): SparkSession = {

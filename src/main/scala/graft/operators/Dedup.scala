@@ -17,6 +17,46 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Expand each LSH bucket's sorted element array into ordered pairs —
+    * the shared candidate-expansion of [[minhashLsh]], [[simhashPairs]],
+    * [[Similarity.lshCandidatePairs]] and
+    * [[IncrementalDedup.dedupBatch]].
+    *
+    * Two memory disciplines, both for the pathological bucket (a large
+    * near-dup/template mass sharing one band signature — NOT removed by
+    * running [[exact]] first, since the docs need not be byte-identical):
+    *  - the expansion is CHUNKED: one posexplode row per anchor element,
+    *    each emitting only its O(n) tail slice — the largest single
+    *    array value is the bucket itself, never the O(n²) flattened
+    *    pair array of the naive `flatten(transform(...))` shape (which
+    *    hits executor OOM / the 2 GB array limit first);
+    *  - bucket size is capped (`spark.graft.lsh.maxBucketSize`, default
+    *    100 000 — already 5×10⁹ candidate pairs): over-cap buckets fail
+    *    with an actionable error instead of an opaque OOM, mirroring
+    *    the MOR scan's "compact first" guards.
+    *
+    * `buckets` must carry a sorted array column `xs` (so pair order is
+    * a < b by construction); `pairExpr` is a SQL struct over `__x` (the
+    * anchor) and `y` (the tail element), e.g.
+    * `struct(__x AS doc_a, y AS doc_b)`. */
+  private[operators] def bucketPairs(buckets: DataFrame, xsCol: String,
+      pairExpr: String): DataFrame = {
+    val cap = buckets.sparkSession.conf
+      .getOption("spark.graft.lsh.maxBucketSize").map(_.toInt).getOrElse(100000)
+    buckets
+      .withColumn("__xs",
+        when(size(col(xsCol)) <= cap, col(xsCol)).otherwise(raise_error(concat(
+          lit("LSH bucket holds "), size(col(xsCol)).cast("string"),
+          lit(s" elements, over spark.graft.lsh.maxBucketSize=$cap (~"),
+          (size(col(xsCol)).cast("long") * size(col(xsCol)) / 2L).cast("string"),
+          lit(" candidate pairs): run Dedup.exact first to collapse " +
+            "identical masses, use more bands/bits, or raise the cap")))))
+      .select(posexplode(col("__xs")).as(Seq("__i", "__x")), col("__xs"))
+      .select(explode(expr(
+        s"transform(slice(__xs, __i + 2, size(__xs) - __i - 1), y -> $pairExpr)"
+      )).as("p"))
+  }
+
   /** Exact dedup: group by content hash, keep the smallest id as the
     * canonical representative. One shuffle on a 128-bit key; at 100 TB
     * the md5 aggregation is the textbook first pass before any fuzzy
@@ -121,13 +161,11 @@ object Dedup {
       // a band signature ≈ near-dup group size; run [[exact]] first so
       // byte-identical masses never reach a bucket (the standard LSH
       // pipeline order, stated above).
-      val candidates = sigs
-        .groupBy("band", "bsig").agg(sort_array(collect_list(col("id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ids, (x, i) ->
-            |  transform(slice(ids, i + 2, size(ids) - i - 1),
-            |    y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      val candidates = bucketPairs(
+        sigs.groupBy("band", "bsig")
+          .agg(sort_array(collect_list(col("id"))).as("ids"))
+          .filter(size(col("ids")) > 1),
+        "ids", "struct(__x AS doc_a, y AS doc_b)")
         .select(col("p.doc_a"), col("p.doc_b"))
         .distinct()
       jaccardOfCandidates(withHashes.select("id", "hashes"), candidates, threshold)
@@ -175,14 +213,12 @@ object Dedup {
     // band buckets + sorted pair expansion, not a self-join — same
     // restructure as [[minhashLsh]]: one shuffle of the band relation
     // instead of two plus a sort-merge. Identical pair set.
-    banded.groupBy("band", "bsig")
-      .agg(sort_array(collect_list(struct(col("id"), col("sim")))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(explode(expr(
-        """flatten(transform(xs, (x, i) ->
-          |  transform(slice(xs, i + 2, size(xs) - i - 1),
-          |    y -> struct(x.id AS doc_a, y.id AS doc_b,
-          |                x.sim AS sim_a, y.sim AS sim_b))))""".stripMargin)).as("p"))
+    bucketPairs(
+      banded.groupBy("band", "bsig")
+        .agg(sort_array(collect_list(struct(col("id"), col("sim")))).as("xs"))
+        .filter(size(col("xs")) > 1),
+      "xs", """struct(__x.id AS doc_a, y.id AS doc_b,
+              |       __x.sim AS sim_a, y.sim AS sim_b)""".stripMargin)
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         bit_count(col("p.sim_a").bitwiseXOR(col("p.sim_b"))).cast("long").as("hamming"))
       .distinct()

@@ -92,14 +92,13 @@ class IncrementalDedup(spark: SparkSession, root: String,
           .filter(col("old_id") =!= col("new_id"))
           .select(least(col("old_id"), col("new_id")).as("doc_a"),
             greatest(col("old_id"), col("new_id")).as("doc_b"))
-        // batch-internal: the same bucket expansion as Dedup.minhashLsh
-        val internal = sigs
-          .groupBy("band", "bsig").agg(sort_array(collect_list(col("id"))).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(expr(
-            """flatten(transform(ids, (x, i) ->
-              |  transform(slice(ids, i + 2, size(ids) - i - 1),
-              |    y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+        // batch-internal: the same guarded bucket expansion as
+        // Dedup.minhashLsh (chunked, size-capped)
+        val internal = Dedup.bucketPairs(
+          sigs.groupBy("band", "bsig")
+            .agg(sort_array(collect_list(col("id"))).as("ids"))
+            .filter(size(col("ids")) > 1),
+          "ids", "struct(__x AS doc_a, y AS doc_b)")
           .select(col("p.doc_a"), col("p.doc_b"))
         val candidates =
           (if (hasHistory) cross.union(internal) else internal).distinct()

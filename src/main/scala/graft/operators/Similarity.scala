@@ -161,14 +161,12 @@ object Similarity {
     // identical pair set (sorted expansion ⇒ id_a < id_b). Memory per
     // group is bounded by design: lshAutoParams sizes buckets to ~64
     // vectors, so a group buffers ~64 × dim floats.
-    sig.groupBy("table", "bucket")
-      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(explode(expr(
-        """flatten(transform(xs, (x, i) ->
-          |  transform(slice(xs, i + 2, size(xs) - i - 1),
-          |    y -> struct(x.id AS id_a, y.id AS id_b,
-          |                x.v AS va, y.v AS vb))))""".stripMargin)).as("p"))
+    Dedup.bucketPairs(
+      sig.groupBy("table", "bucket")
+        .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("xs"))
+        .filter(size(col("xs")) > 1),
+      "xs", """struct(__x.id AS id_a, y.id AS id_b,
+              |       __x.v AS va, y.v AS vb)""".stripMargin)
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.va").as("va"), col("p.vb").as("vb"))
       .dropDuplicates("id_a", "id_b")

@@ -38,8 +38,15 @@ final class GraftDsv2Table(val graft: GraftTable, delegate: Table,
   // Table.schema() is deprecated since 3.4 — derive from columns()
   override def columns(): Array[Column2] = delegate.columns()
   override def schema(): StructType =
-    StructType(delegate.columns().map(c =>
-      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+    StructType(delegate.columns().map { c =>
+      // carry field metadata (comments etc.) for consumers still on
+      // schema() — name/type/nullable alone silently drops them
+      val f = org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable,
+        Option(c.metadataInJSON())
+          .map(org.apache.spark.sql.types.Metadata.fromJson)
+          .getOrElse(org.apache.spark.sql.types.Metadata.empty))
+      Option(c.comment()).map(f.withComment).getOrElse(f)
+    })
 
   override def capabilities(): util.Set[TableCapability] = {
     val caps = new util.HashSet[TableCapability](delegate.capabilities())

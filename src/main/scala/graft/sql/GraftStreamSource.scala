@@ -49,7 +49,9 @@ class GraftStreamTableProvider extends TableProvider
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new GraftStreamTable(properties.get("path"), schema)
+    // same case-insensitive lookup + null require as inferSchema — a
+    // misconfigured reader gets the actionable message, not an NPE
+    new GraftStreamTable(root(new CaseInsensitiveStringMap(properties)), schema)
 }
 
 final class GraftStreamTable(root: String, tableSchema: StructType)
@@ -84,6 +86,16 @@ final class GraftMicroBatchStream(spark: SparkSession, root: String,
   // writers append to it while the stream runs
   private def table: GraftTable = GraftTable.load(spark, root)
 
+  // Same delta-volume guards (and the same confs) as the batch
+  // GraftMorScan: a neglected table the batch scan rejects with
+  // "compact first" must not stream into an executor-heap OOM either.
+  private def confLong(key: String, dflt: Long): Long =
+    spark.conf.getOption(key).map(_.toLong).getOrElse(dflt)
+  private def maxDeltaBytes: Long =
+    confLong("spark.graft.mor.maxDeltaBytesPerGroup", 2L << 30)
+  private def maxDeltaRows: Long =
+    confLong("spark.graft.mor.maxDeltaRowsPerGroup", 20L * 1000 * 1000)
+
   override def initialOffset(): Offset = GraftOffset("0")
   override def deserializeOffset(json: String): Offset = GraftOffset(json)
   override def latestOffset(): Offset =
@@ -116,6 +128,14 @@ final class GraftMicroBatchStream(spark: SparkSession, root: String,
       .filter(f => touched.contains((f.partition, f.bucket)))
       .groupBy(f => (f.partition, f.bucket))
       .map { case ((p, b), fs) =>
+        val deltaBytes = fs.filter(_.delta).map(_.bytes).sum
+        if (deltaBytes > maxDeltaBytes)
+          throw new IllegalStateException(
+            s"graft stream read of $root group (partition=$p, bucket=$b) " +
+            s"would buffer $deltaBytes delta bytes, over " +
+            s"spark.graft.mor.maxDeltaBytesPerGroup=$maxDeltaBytes: compact " +
+            "the table first (TableServices.compact / CALL run_compaction), " +
+            "or raise the cap")
         GraftMorInputPartition(
           fs.filterNot(_.delta).map(f => FileSlice(s"$root/${f.path}", f.bytes)).toArray,
           fs.filter(_.delta).map(f => FileSlice(s"$root/${f.path}", f.bytes)).toArray,
@@ -144,7 +164,7 @@ final class GraftMicroBatchStream(spark: SparkSession, root: String,
       superset.fieldIndex(cfg.orderingField),
       superset.fieldIndex(TableConfig.CommitTimeCol),
       superset.fieldIndex(cfg.softDeleteField),
-      s"graft_stream($root)", maxDeltaRows = 20L * 1000 * 1000)
+      s"graft_stream($root)", maxDeltaRows = maxDeltaRows)
     // the commit-range visibility filter rides in each InputPartition
     // (set by planInputPartitions) — the factory stays batch-agnostic
   }

@@ -64,7 +64,7 @@ object Profile {
     locally {
       import graft.operators.IncrementalDedup
       val inc = new IncrementalDedup(spark,
-        java.nio.file.Files.createTempDirectory("graft-incd-").toString)
+        graft.util.TempDirs.create("graft-incd-").toString)
       (0 until 4).foreach { i =>
         inc.dedupBatch(docs.filter(col("doc_id") % 5 === i),
           "doc_id", "text", i + 1L).count()

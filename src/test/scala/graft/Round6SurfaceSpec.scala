@@ -17,7 +17,7 @@ class Round6SurfaceSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    graft.util.TempDirs.create(prefix).toString
 
   // ---- q19 analytic windows ------------------------------------------
 

@@ -14,7 +14,7 @@ class ConcurrencyAndInteropSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Session.local(4)
   import spark.implicits._
 
-  private def tmp(): String = Files.createTempDirectory("graft-cc-").toString
+  private def tmp(): String = graft.util.TempDirs.create("graft-cc-").toString
 
   private def cfg(name: String) = TableConfig(
     name = name, keyField = "key", orderingField = "ts",

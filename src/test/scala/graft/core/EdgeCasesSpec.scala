@@ -15,7 +15,7 @@ class EdgeCasesSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Session.local(4)
   import spark.implicits._
 
-  private def tmp(): String = Files.createTempDirectory("graft-edge-").toString
+  private def tmp(): String = graft.util.TempDirs.create("graft-edge-").toString
 
   test("unpartitioned table: full CRUD + incremental") {
     val t = GraftTable.create(spark, tmp(), TableConfig(

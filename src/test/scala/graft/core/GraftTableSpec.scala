@@ -17,7 +17,7 @@ class GraftTableSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-test-").toString
+    graft.util.TempDirs.create("graft-test-").toString
 
   private def ticks(rows: (String, String, String, String, Long)*): DataFrame =
     rows.toDF("key", "symbol", "ts", "date", "volume")

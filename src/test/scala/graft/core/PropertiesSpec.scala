@@ -21,7 +21,7 @@ class PropertiesSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Session.local(4)
   import spark.implicits._
 
-  private def tmp(): String = Files.createTempDirectory("graft-prop-").toString
+  private def tmp(): String = graft.util.TempDirs.create("graft-prop-").toString
 
   private def cfg(name: String, tpe: String = TableConfig.Cow) = TableConfig(
     name = name, keyField = "key", orderingField = "ts",

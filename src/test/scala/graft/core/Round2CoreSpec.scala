@@ -16,7 +16,7 @@ class Round2CoreSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-r2-").toString
+    graft.util.TempDirs.create("graft-r2-").toString
 
   private def rows(rs: (String, String, Long)*): DataFrame =
     rs.toDF("key", "ts", "volume")

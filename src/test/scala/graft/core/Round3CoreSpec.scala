@@ -16,7 +16,7 @@ class Round3CoreSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-r3-").toString
+    graft.util.TempDirs.create("graft-r3-").toString
 
   private def cfg(name: String, tpe: String = TableConfig.Cow) = TableConfig(
     name = name, keyField = "key", orderingField = "ts",
@@ -126,7 +126,7 @@ class Round3CoreSpec extends AnyFunSuite {
   // ---- metadata-only bootstrap --------------------------------------
 
   test("bootstrap adopts parquet files without rewrite; upsert folds them in") {
-    val srcDir = Files.createTempDirectory("graft-boot-src-").toString + "/d"
+    val srcDir = graft.util.TempDirs.create("graft-boot-src-").toString + "/d"
     rows(("K1", 10L, 100L), ("K2", 10L, 200L), ("K3", 10L, 300L))
       .coalesce(1).write.parquet(srcDir)
     val t = GraftTable.create(spark, tmp(), cfg("boot"))
@@ -144,7 +144,7 @@ class Round3CoreSpec extends AnyFunSuite {
   }
 
   test("bootstrap of a partitioned table derives partitions from file stats; delete works") {
-    val srcDir = Files.createTempDirectory("graft-boot-part-").toString + "/d"
+    val srcDir = graft.util.TempDirs.create("graft-boot-part-").toString + "/d"
     // one file per partition value, partition COLUMN kept in the data
     Seq(("K1", "A", 10L, 1L), ("K2", "A", 10L, 2L)).toDF("key", "p", "ts", "volume")
       .coalesce(1).write.parquet(srcDir + "/a")
@@ -159,7 +159,7 @@ class Round3CoreSpec extends AnyFunSuite {
     t.deletePartitions(Seq("B"))
     assert(t.read().select("key").as[String].collect().toSet == Set("K1", "K2"))
     // a file spanning two partition values is refused
-    val mixed = Files.createTempDirectory("graft-boot-mixed-").toString + "/d"
+    val mixed = graft.util.TempDirs.create("graft-boot-mixed-").toString + "/d"
     Seq(("K1", "A", 1L, 1L), ("K2", "B", 1L, 2L)).toDF("key", "p", "ts", "volume")
       .coalesce(1).write.parquet(mixed)
     val t2 = GraftTable.create(spark, tmp(), TableConfig(

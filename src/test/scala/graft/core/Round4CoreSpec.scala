@@ -15,7 +15,7 @@ class Round4CoreSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def tmp(): String =
-    Files.createTempDirectory("graft-r4-").toString
+    graft.util.TempDirs.create("graft-r4-").toString
 
   private def cfg(name: String) = TableConfig(
     name = name, keyField = "key", orderingField = "ts",
@@ -25,7 +25,7 @@ class Round4CoreSpec extends AnyFunSuite {
     rs.toDF("key", "ts", "volume")
 
   test("readCdc sees an update of a bootstrap-adopted row (null-safe compare)") {
-    val srcDir = Files.createTempDirectory("graft-r4-boot-").toString + "/d"
+    val srcDir = graft.util.TempDirs.create("graft-r4-boot-").toString + "/d"
     rows(("K1", 10L, 100L), ("K2", 10L, 200L), ("K3", 10L, 300L))
       .coalesce(1).write.parquet(srcDir)
     val t = GraftTable.create(spark, tmp(), cfg("cdcboot"))
@@ -41,7 +41,7 @@ class Round4CoreSpec extends AnyFunSuite {
   }
 
   test("incremental and CDC cursors refuse a range crossing a bootstrap") {
-    val srcDir = Files.createTempDirectory("graft-r4-boot2-").toString + "/d"
+    val srcDir = graft.util.TempDirs.create("graft-r4-boot2-").toString + "/d"
     rows(("K1", 10L, 100L)).coalesce(1).write.parquet(srcDir)
     val t = GraftTable.create(spark, tmp(), cfg("bootguard"))
     val c1 = t.insert(rows(("K0", 5L, 50L)))
@@ -55,7 +55,7 @@ class Round4CoreSpec extends AnyFunSuite {
   }
 
   test("bootstrapFrom refuses colliding parquet basenames") {
-    val base = Files.createTempDirectory("graft-r4-coll-").toString
+    val base = graft.util.TempDirs.create("graft-r4-coll-").toString
     rows(("K1", 10L, 100L)).coalesce(1).write.parquet(base + "/a")
     rows(("K2", 10L, 200L)).coalesce(1).write.parquet(base + "/b")
     // hand-rename both part files to the same basename in different dirs

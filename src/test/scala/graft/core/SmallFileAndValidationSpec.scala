@@ -11,7 +11,7 @@ class SmallFileAndValidationSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Session.local(4)
   import spark.implicits._
 
-  private def tmp(): String = Files.createTempDirectory("graft-sf-").toString
+  private def tmp(): String = graft.util.TempDirs.create("graft-sf-").toString
 
   private def rows(kv: (String, Long)*) =
     kv.map { case (k, v) => (k, "S", s"t$v", "2018/08/31", v) }

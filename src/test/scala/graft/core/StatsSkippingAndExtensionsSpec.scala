@@ -15,7 +15,7 @@ class StatsSkippingAndExtensionsSpec extends AnyFunSuite {
 
   test("readWhereBetween lists only files whose stats range can match") {
     val t = GraftTable.create(spark,
-      Files.createTempDirectory("graft-skip-").toString,
+      graft.util.TempDirs.create("graft-skip-").toString,
       TableConfig(name = "skip", keyField = "id", orderingField = "v",
         numBuckets = 2, statsColumns = Seq("v")))
     t.bulkInsert((1L to 100L).map(i => (i, i)).toDF("id", "v"))        // v 1..100

@@ -20,7 +20,7 @@ class StockTicksGoldenSpec extends AnyFunSuite {
   private val dataDir = "/root/reference/hudi-spark-minio-trino/demo/data"
   private def available = Files.exists(Paths.get(s"$dataDir/batch_1.json"))
 
-  private def tmp(): String = Files.createTempDirectory("graft-golden-").toString
+  private def tmp(): String = graft.util.TempDirs.create("graft-golden-").toString
 
   private def cfg(name: String, tpe: String) = TableConfig(
     name = name, keyField = "key", orderingField = "ts",

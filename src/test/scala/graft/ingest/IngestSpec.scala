@@ -19,7 +19,7 @@ class IngestSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Session.local(4)
   import spark.implicits._
 
-  private def tmp(): String = Files.createTempDirectory("graft-ingest-").toString
+  private def tmp(): String = graft.util.TempDirs.create("graft-ingest-").toString
 
   private val tickSchema = StructType(Seq(
     StructField("key", StringType), StructField("symbol", StringType),

@@ -16,7 +16,7 @@ class Round2IngestSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Session.local(4)
   import spark.implicits._
 
-  private def tmp(): String = Files.createTempDirectory("graft-r2i-").toString
+  private def tmp(): String = graft.util.TempDirs.create("graft-r2i-").toString
 
   private val rowSchema = StructType(Seq(
     StructField("id", LongType), StructField("name", StringType),
@@ -148,8 +148,8 @@ class Round2IngestSpec extends AnyFunSuite {
   }
 
   test("streaming CDC apply: envelope file stream drives upserts and deletes") {
-    val envDir = Files.createTempDirectory("graft-cdc-stream-").toString
-    val ckpt = Files.createTempDirectory("graft-cdc-ckpt-").toString
+    val envDir = graft.util.TempDirs.create("graft-cdc-stream-").toString
+    val ckpt = graft.util.TempDirs.create("graft-cdc-ckpt-").toString
     val t = GraftTable.create(spark, tmp(), cfg("cdc_stream"))
     Files.writeString(java.nio.file.Paths.get(envDir, "batch1.json"),
       """{"before":null,"after":{"id":1,"name":"ada","ts":10},"op":"c","ts_ms":100}

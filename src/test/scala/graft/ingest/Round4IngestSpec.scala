@@ -16,7 +16,7 @@ class Round4IngestSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Session.local(4)
   import spark.implicits._
 
-  private def tmp(): String = Files.createTempDirectory("graft-r4i-").toString
+  private def tmp(): String = graft.util.TempDirs.create("graft-r4i-").toString
 
   private val rowSchema = StructType(Seq(
     StructField("id", LongType), StructField("name", StringType),

@@ -138,7 +138,7 @@ class Round6IngestSpec extends AnyFunSuite {
       key(4, 0) ++ varint(tsMs)
 
   test("file registry: two schema ids resolve to two protobuf row schemas in one stream") {
-    val dir = Files.createTempDirectory("graft-reg-").toString
+    val dir = graft.util.TempDirs.create("graft-reg-").toString
     Files.writeString(java.nio.file.Paths.get(dir, "1.proto"),
       ProtobufEnvelope.protoSchemaText(rowV1))
     Files.writeString(java.nio.file.Paths.get(dir, "2.proto"),
@@ -161,7 +161,7 @@ class Round6IngestSpec extends AnyFunSuite {
   }
 
   test("file registry: missing schema id fails loudly") {
-    val dir = Files.createTempDirectory("graft-reg-miss-").toString
+    val dir = graft.util.TempDirs.create("graft-reg-miss-").toString
     val e = intercept[IllegalArgumentException] {
       new FileSchemaProvider(dir).schemaById(5)
     }
@@ -170,7 +170,7 @@ class Round6IngestSpec extends AnyFunSuite {
 
   test("kafka-shaped registry decode drives CDC apply across schema versions") {
     import graft.core.{GraftTable, TableConfig}
-    val dir = Files.createTempDirectory("graft-reg-kafka-").toString
+    val dir = graft.util.TempDirs.create("graft-reg-kafka-").toString
     val v1Avsc = Debezium.avroEnvelopeSchema(rowV1).toString
     val v2Avsc = Debezium.avroEnvelopeSchema(rowV2).toString
     Files.writeString(java.nio.file.Paths.get(dir, "1.avsc"), v1Avsc)
@@ -188,7 +188,7 @@ class Round6IngestSpec extends AnyFunSuite {
     val changes = KafkaStream.decodeDebeziumAvroRegistryValue(
       kafkaShaped, new FileSchemaProvider(dir), rowV2)
 
-    val t = GraftTable.create(spark, Files.createTempDirectory("graft-reg-t-").toString,
+    val t = GraftTable.create(spark, graft.util.TempDirs.create("graft-reg-t-").toString,
       TableConfig(name = "cdc_reg", keyField = "id", orderingField = "ts",
         numBuckets = 2))
     Debezium.apply(t, changes)

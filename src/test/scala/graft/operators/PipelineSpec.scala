@@ -156,7 +156,7 @@ class PipelineSpec extends AnyFunSuite {
       array((0 until 8).map(d =>
         (hash($"id" * (d + 1)).cast("double") / Int.MaxValue)): _*).as("embedding"))
       .persist()
-    val path = java.nio.file.Files.createTempDirectory("graft-ivf-samp-").toString
+    val path = graft.util.TempDirs.create("graft-ivf-samp-").toString
     val meta = IvfIndex.build(vecs, "vec_id", "embedding", nLists = 4, path = path)
     assert(meta.corpusCount == n)
     // every corpus row is assigned exactly once
@@ -219,7 +219,7 @@ class PipelineSpec extends AnyFunSuite {
     val vecs = spark.range(100).select($"id".as("vec_id"),
       array((0 until 8).map(d =>
         (hash($"id" * (d + 1)).cast("double") / Int.MaxValue)): _*).as("embedding"))
-    val path = java.nio.file.Files.createTempDirectory("graft-ivf-warm-").toString
+    val path = graft.util.TempDirs.create("graft-ivf-warm-").toString
     val built = IvfIndex.build(vecs, "vec_id", "embedding", nLists = 4, path = path)
 
     val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()

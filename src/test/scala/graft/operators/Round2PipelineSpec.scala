@@ -51,7 +51,7 @@ class Round2PipelineSpec extends AnyFunSuite {
   }
 
   test("IVF index: build once, partial probe prunes partitions, full probe is exact") {
-    val path = Files.createTempDirectory("graft-ivf-test-").toString
+    val path = graft.util.TempDirs.create("graft-ivf-test-").toString
     val nLists = 8
     val m = IvfIndex.build(embs, "vec_id", "embedding", nLists, path)
     assert(m.corpusCount == embs.count() && m.nLists == nLists)

@@ -13,7 +13,7 @@ class SqlSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = Session.local(4)
   lazy val catalog = new GraftCatalog(spark,
-    Files.createTempDirectory("graft-wh-").toString)
+    graft.util.TempDirs.create("graft-wh-").toString)
   lazy val gsql = new GraftSql(catalog)
   import spark.implicits._
 

@@ -14,7 +14,7 @@ class TableCatalogSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Session.local(4)
   import spark.implicits._
 
-  private lazy val wh = Files.createTempDirectory("graft-dsv2-").toString
+  private lazy val wh = graft.util.TempDirs.create("graft-dsv2-").toString
   private def wire(): Unit = {
     spark.conf.set("spark.sql.catalog.gcat", "graft.sql.GraftTableCatalog")
     spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)

@@ -14,7 +14,7 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Session.local(4)
   import spark.implicits._
 
-  private def tmp(): String = Files.createTempDirectory("graft-stream-").toString
+  private def tmp(): String = graft.util.TempDirs.create("graft-stream-").toString
 
   private val schema = StructType(Seq(
     StructField("ts", TimestampType), StructField("user_id", LongType),
