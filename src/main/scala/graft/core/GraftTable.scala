@@ -915,6 +915,43 @@ final class GraftTable private (
     }
   }
 
+  /** Point-set twin of [[readWhereBetween]]: only files whose [min,max]
+    * stats may contain AT LEAST ONE of `values` are listed (binary
+    * search per file — the bloom/point-lookup analog of range skipping,
+    * effective once [[TableServices.cluster]] has range-laid the column
+    * so each file owns a narrow slice). `byPartition`, when given, maps
+    * partition value → that partition's candidate values; partitions
+    * absent from the map are skipped whole (the caller enumerated the
+    * partitions it cares about). `values` sizes the DRIVER's pruning
+    * work — callers pass bounded sets (e.g. a batch's keys), never a
+    * corpus. Filters must still be applied by the caller — this narrows
+    * IO, not semantics. MOR pruning is group-granular like
+    * [[readWhereBetween]], and for the same reason. */
+  def readWhereIn(column: String, values: Seq[String],
+      byPartition: Option[Map[String, Seq[String]]] = None): DataFrame = {
+    val snap = log.snapshot()
+    val s = schemaAt(snap, None)
+    val dt = s.fields.find(_.name == column).map(_.dataType).getOrElse(StringType)
+    val sortAll = values.toArray.sortWith(StatsPruner.compare(dt, _, _) < 0)
+    val sortedByPart = byPartition.map(_.map { case (p, vs) =>
+      p -> vs.toArray.sortWith(StatsPruner.compare(dt, _, _) < 0) })
+    def mayMatch(f: DataFileMeta): Boolean = sortedByPart match {
+      case Some(m) => m.get(f.partition)
+        .exists(StatsPruner.mayContainAny(dt, f.stats.get(column), _))
+      case None => StatsPruner.mayContainAny(dt, f.stats.get(column), sortAll)
+    }
+    val live = snap.liveFiles()
+    if (config.isMor) {
+      val survivingGroups = live.filter(mayMatch)
+        .map(f => (f.partition, f.bucket)).toSet
+      val files = live.filter(f => survivingGroups.contains((f.partition, f.bucket)))
+      mergeGroupScoped(files, s).filter(!coalesce(col(softDel), lit(false)))
+    } else {
+      readFiles(live.filter(mayMatch), s)
+        .filter(!coalesce(col(softDel), lit(false)))
+    }
+  }
+
   /** Partition listing (SHOW PARTITIONS analog, README.md:372-374). */
   def partitions(): Seq[String] =
     log.liveFiles().map(_.partition).distinct.sorted

@@ -37,4 +37,26 @@ object StatsPruner {
       lo.forall(l => s.max == null || s.max.isEmpty || compare(dt, s.max, l) >= 0) &&
       hi.forall(h => s.min == null || s.min.isEmpty || compare(dt, s.min, h) <= 0)
   }
+
+  /** Can a file with [min,max] contain ANY of `sortedValues` (pre-sorted
+    * under `dt`'s ordering)? Binary-search for the smallest value ≥ min,
+    * then check it against max — O(log n) per file, the point-set
+    * analog of [[mayContain]]. Unknown bounds → conservatively true. */
+  def mayContainAny(dt: DataType, stat: Option[ColStat],
+      sortedValues: Array[String]): Boolean = stat match {
+    case None => true
+    case Some(s) =>
+      if (s.min == null || s.min.isEmpty || s.max == null || s.max.isEmpty) true
+      else if (sortedValues.isEmpty) false
+      else {
+        var lo = 0
+        var hi = sortedValues.length
+        while (lo < hi) { // smallest index with value >= min
+          val mid = (lo + hi) >>> 1
+          if (compare(dt, sortedValues(mid), s.min) < 0) lo = mid + 1
+          else hi = mid
+        }
+        lo < sortedValues.length && compare(dt, sortedValues(lo), s.max) <= 0
+      }
+  }
 }

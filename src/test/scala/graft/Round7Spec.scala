@@ -95,6 +95,87 @@ class Round7Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental dedup equals batch with clustering + pruned scans") {
+    import graft.operators.{Dedup, IncrementalDedup}
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val inc = new IncrementalDedup(spark, tmp("graft-r7-incd-"))
+    val outs = (0 until 3).map { i =>
+      val out = inc.dedupBatch(docs.filter(col("doc_id") % 3 === i),
+        "doc_id", "text", i + 1L)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      // tiny target forces a multi-file bsig layout per band — the
+      // shape the stats prune needs; correctness must be unaffected
+      inc.compactStores(targetFileBytes = 64 * 1024)
+      out
+    }
+    val batch = Dedup.minhashLsh(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(outs.reduce(_ ++ _) == batch)
+
+    // the band-index scan must actually SKIP files: a single-bsig probe
+    // against the clustered index touches fewer files than a full read
+    val total = inc.bandIndex.read().inputFiles.length
+    val oneSig = inc.bandIndex.readWhereIn("bsig", Nil,
+      Some(Map("0" -> Seq("0")))).inputFiles.length
+    assert(total > 2, s"expected a multi-file index, got $total files")
+    assert(oneSig < total,
+      s"bsig point probe read $oneSig of $total files — no skipping")
+    // same for the id-clustered hash store
+    val hTotal = inc.hashStore.read().inputFiles.length
+    val hOne = inc.hashStore.readWhereIn("id", Seq("1")).inputFiles.length
+    assert(hTotal > 1 && hOne < hTotal,
+      s"id point probe read $hOne of $hTotal hash-store files — no skipping")
+  }
+
+  test("incremental dedup publish is idempotent and crash-recoverable") {
+    import graft.functions.TextFunctions._
+    import graft.operators.{Dedup, IncrementalDedup}
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val b = (i: Int) => docs.filter(col("doc_id") % 3 === i)
+    val inc = new IncrementalDedup(spark, tmp("graft-r7-incd2-"))
+    val out1 = inc.dedupBatch(b(0), "doc_id", "text", 1L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val out2 = inc.dedupBatch(b(1), "doc_id", "text", 2L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // full re-run of the LATEST batch (recovery): same pairs, and the
+    // stores must NOT double-insert
+    val hRows = inc.hashStore.read().count()
+    val bRows = inc.bandIndex.read().count()
+    val out2Again = inc.dedupBatch(b(1), "doc_id", "text", 2L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out2Again == out2)
+    assert(inc.hashStore.read().count() == hRows)
+    assert(inc.bandIndex.read().count() == bRows)
+    // an out-of-order batch number is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      inc.dedupBatch(b(0), "doc_id", "text", 1L)
+    }
+    assert(e.getMessage.contains("monotone"))
+    // crash between the two commits: bands of batch 3 land, hashes do
+    // not (replicated via the store's own wire format), then the batch
+    // re-runs — it must repair (hashes inserted, bands not doubled) and
+    // the union must still equal the batch operator
+    val sigs3 = b(2).select(col("doc_id").as("id"),
+        shingleHashes(col("text"), 5).as("hashes"))
+      .withColumn("sig", minhashSignature(col("hashes"), 128))
+      .withColumn("band", explode(lshBands(col("sig"), 32, 4)))
+      .select(col("id"), col("band.band").as("band"), col("band.sig").as("bsig"))
+      .withColumn("bkey", concat_ws(":", col("id"), col("band")))
+      .withColumn("_b", lit(3L))
+    inc.bandIndex.bulkInsert(sigs3)
+    val bandRowsAfterCrash = inc.bandIndex.read().count()
+    val out3 = inc.dedupBatch(b(2), "doc_id", "text", 3L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(inc.bandIndex.read().count() == bandRowsAfterCrash) // no re-insert
+    assert(inc.hashStore.read().select("id").distinct().count()
+      == docs.count()) // repaired: every doc's hashes present exactly once
+    val batch = Dedup.minhashLsh(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert((out1 ++ out2 ++ out3) == batch)
+  }
+
   test("stream provider without a path fails with the actionable require") {
     val e = intercept[Exception] {
       spark.readStream.format("graft-stream").load()
