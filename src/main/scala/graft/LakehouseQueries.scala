@@ -391,6 +391,38 @@ object LakehouseQueries {
       |SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us, value FROM b2
       |ORDER BY event_type, user_id, event_id""".stripMargin
 
+  // ---- §2.9+ graft table as a streaming SINK ------------------------
+
+  /** Table-to-table streaming ETL entirely inside the engine:
+    * `readStream.format("graft-stream")` over a live source table,
+    * `writeStream.format("graft-stream")` into a second graft table —
+    * the DSv2 STREAMING_WRITE path with per-epoch exactly-once upsert
+    * commits ([[graft.sql.GraftStreamingWrite]]), no foreachBatch.
+    * Batch₁ is inserted before the stream starts (epoch 1), batch₂
+    * lands while it runs (epoch 2 = that commit's changes only); each
+    * epoch upserts into the sink, so the sink's final snapshot is the
+    * latest-wins merge over ALL events — the l1 oracle shape. */
+  def qStreamSink(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val src = GraftTable.create(spark, freshRoot("ev_ssrc"),
+      cfg("ev_ssrc", TableConfig.Cow))
+    val dst = GraftTable.create(spark, freshRoot("ev_sdst"),
+      cfg("ev_sdst", TableConfig.Cow))
+    src.insert(ev.filter(col("event_id") % 2 === 0))
+    val q = spark.readStream.format("graft-stream").option("path", src.root)
+      .load()
+      .writeStream.outputMode("append").format("graft-stream")
+      .option("path", dst.root)
+      .option("checkpointLocation", freshRoot("ev_sck"))
+      .start()
+    try {
+      q.processAllAvailable()
+      src.upsert(ev.filter(col("event_id") % 2 === 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    out(dst.read())
+  }
+
   // ---- A3 key-uniqueness invariant over the lakehouse table ---------
 
   /** The test-suite's duplicate-detection gate run against our own
@@ -429,6 +461,7 @@ object LakehouseQueries {
     "l14_mor_catalog_snapshot" -> (qMorCatalogSnapshot _),
     "l15_orc_roundtrip" -> (qOrcRoundtrip _),
     "l16_stream_source" -> (qStreamSource _),
+    "l17_stream_sink" -> (qStreamSink _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -448,5 +481,6 @@ object LakehouseQueries {
     "l14_mor_catalog_snapshot" -> cowUpsertSql,
     "l15_orc_roundtrip" -> orcRoundtripSql,
     "l16_stream_source" -> streamSourceSql,
+    "l17_stream_sink" -> cowUpsertSql,
   )
 }

@@ -393,7 +393,7 @@ final class GraftTable private (
     * skipping files whose key range can't intersect the batch
     * (StatsPruner). MOR: append delta files — zero read amplification.
     */
-  def upsert(df: DataFrame): String = {
+  def upsert(df: DataFrame, extra: Map[String, String] = Map.empty): String = {
     val snap = log.snapshot()
     val planning = snap.lastInstant.getOrElse("0")
     val instant = log.nextInstantAfter(snap.lastInstant)
@@ -403,7 +403,7 @@ final class GraftTable private (
       if (config.isMor) {
         val added = writeFiles(batch, instant, delta = true)
         commitValidated(Commit(instant, "commit", "upsert", added = added,
-          schemaJson = evolved.json), planning, Set.empty)
+          schemaJson = evolved.json, extra = extra), planning, Set.empty)
       } else {
         val touched = batch
           .withColumn("_part", partExpr).withColumn("_bucket", bucketExpr)
@@ -423,8 +423,8 @@ final class GraftTable private (
           .filter(!coalesce(col(softDel), lit(false)))
         val added = writeFiles(merged, instant, delta = false)
         commitValidated(Commit(instant, "commit", "upsert", added = added,
-          removed = rewrite.map(_.path), schemaJson = evolved.json),
-          planning, touched.keySet)
+          removed = rewrite.map(_.path), schemaJson = evolved.json,
+          extra = extra), planning, touched.keySet)
       }
     } finally batch.unpersist()
   }

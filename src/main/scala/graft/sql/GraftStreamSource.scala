@@ -2,10 +2,12 @@ package graft.sql
 
 import graft.core.{GraftTable, TableConfig}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.streaming.StreamingWrite
 import org.apache.spark.sql.execution.datasources.FileFormat
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
@@ -55,7 +57,7 @@ class GraftStreamTableProvider extends TableProvider
 }
 
 final class GraftStreamTable(root: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft_stream($root)"
   override def schema(): StructType = tableSchema
@@ -63,6 +65,10 @@ final class GraftStreamTable(root: String, tableSchema: StructType)
   override def capabilities(): util.Set[TableCapability] = {
     val caps = new util.HashSet[TableCapability]()
     caps.add(TableCapability.MICRO_BATCH_READ)
+    caps.add(TableCapability.STREAMING_WRITE)
+    // upsert may evolve the schema / omit metadata columns, same as
+    // every other engine write path — defer checks to prepare/align
+    caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
 
@@ -71,6 +77,16 @@ final class GraftStreamTable(root: String, tableSchema: StructType)
       override def readSchema(): StructType = tableSchema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new GraftMicroBatchStream(SparkSession.active, root, tableSchema)
+    }
+
+  /** `writeStream.format("graft-stream")` — per-epoch exactly-once
+    * upsert commits (see [[GraftStreamingWrite]]). */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite =
+          new GraftStreamingWrite(root, info.queryId(), info.schema())
+      }
     }
 }
 

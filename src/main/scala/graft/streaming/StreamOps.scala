@@ -20,6 +20,19 @@ case class SessionUpdate(userId: Long, nEvents: Long, totalValue: Double,
   * reachable classes). */
 case class SessionState(nEvents: Long, totalValue: Double)
 
+/** Input row for [[StreamOps.sessionizeByGap]]. */
+case class SessionEvent(userId: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Closed gap-session emitted by [[StreamOps.sessionizeByGap]]. Time
+  * axis in µs to match the batch twin [[graft.Queries.q22Sessionize]]
+  * exactly. */
+case class GapSession(userId: Long, nEvents: Long, startUs: Long,
+    endUs: Long, totalValue: Double)
+
+/** Open-session state for [[StreamOps.sessionizeByGap]]. */
+case class GapSessionState(nEvents: Long, startUs: Long, endUs: Long,
+    totalValue: Double)
+
 object StreamOps {
 
   /** Tumbling/sliding event-time counts: `groupBy(window(ts, ...))`
@@ -78,12 +91,79 @@ object StreamOps {
   /** Custom keyed state via flatMapGroupsWithState: accumulate a
     * per-user session (count + value sum) and close it once the
     * session's value budget is exceeded — the KeyValueGroupedDataset
-    * custom-state path the north star names. NoTimeout keeps the
-    * operator deterministic under synchronous test drains; a
-    * production gap-timeout variant swaps in EventTimeTimeout with a
-    * watermark (timeouts then fire as event time advances, not
-    * wall-clock — processing-time timeouts make `processAllAvailable`
-    * semantics racy by construction). */
+    * custom-state path the north star names. NoTimeout keeps this
+    * demo-shaped operator deterministic under synchronous test drains;
+    * [[sessionizeByGap]] is the production gap-timeout variant
+    * (EventTimeTimeout under a watermark — timeouts fire as event time
+    * advances, not wall-clock, so idle sessions really close and state
+    * stays bounded). */
+  /** Production gap-based sessionization under EVENT-TIME timeout —
+    * the streaming twin of the batch [[graft.Queries.q22Sessionize]]:
+    * a session closes when its user is idle longer than `gapMs` in
+    * EVENT time. Unlike [[sessionize]]'s value budget, idle sessions
+    * here really close: each update arms
+    * `state.setTimeoutTimestamp(end + gap)`, and the timeout fires as
+    * the WATERMARK passes it (event-time, not wall-clock — semantics
+    * stay deterministic under synchronous drains, and state is bounded
+    * by the watermark the way the 100 TB design needs: one small
+    * struct per ACTIVE user, evicted on close).
+    *
+    * Within a micro-batch a key's rows are sorted by event time
+    * (micro-batch ≪ memory; cross-batch order is the watermark's job —
+    * rows later than `lateness` behind the max seen event time are
+    * dropped before the function runs, the standard contract). The
+    * strict `> gap` break test matches the batch twin exactly, so on a
+    * drained stream (watermark pushed past every session's close) the
+    * emitted (user, n, start, end) multiset equals the batch answer —
+    * spec-asserted against q22 on the real events table. */
+  def sessionizeByGap(events: Dataset[SessionEvent],
+      gapMs: Long = 30L * 60 * 1000, lateness: String = "0 seconds")
+      : Dataset[GapSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000
+    def tsUs(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos % 1000000) / 1000
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[GapSessionState, GapSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[GapSessionState]) =>
+          if (state.hasTimedOut) {
+            // no data for this key and the watermark passed end + gap:
+            // the session is over in event time — emit and evict
+            val s = state.get
+            state.remove()
+            Iterator(GapSession(userId, s.nEvents, s.startUs, s.endUs,
+              s.totalValue))
+          } else {
+            var closed = List.empty[GapSession]
+            var cur = state.getOption
+            rows.toSeq.sortBy(e => tsUs(e.ts)).foreach { e =>
+              val us = tsUs(e.ts)
+              cur match {
+                case Some(s) if us - s.endUs > gapUs =>
+                  closed ::= GapSession(userId, s.nEvents, s.startUs,
+                    s.endUs, s.totalValue)
+                  cur = Some(GapSessionState(1L, us, us, e.value))
+                case Some(s) =>
+                  cur = Some(GapSessionState(s.nEvents + 1, s.startUs,
+                    math.max(s.endUs, us), s.totalValue + e.value))
+                case None =>
+                  cur = Some(GapSessionState(1L, us, us, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // re-arm: close when the watermark passes end + gap (must
+              // stay ahead of the current watermark or Spark rejects it)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1, s.endUs / 1000 + gapMs))
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
   def sessionize(events: Dataset[(Long, Double)], closeAtValue: Double = 100.0)
       : Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Structured Streaming semantics driven through real streaming
   * queries (file source → memory sink, processAllAvailable). */
@@ -185,6 +186,142 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.toSeq == Seq(("a", 2L, 11.0), ("b", 1L, 20.0), ("c", 1L, 30.0)))
       assert(got.toSeq == src.read().select("k", "ts", "v")
         .as[(String, Long, Double)].collect().sortBy(_._1).toSeq)
+    } finally q.stop()
+  }
+
+  test("graft table as streaming sink: DSv2 STREAMING_WRITE round trip") {
+    import graft.core.{GraftTable, TableConfig}
+    import graft.sql.GraftStreamingWrite
+    val root = tmp()
+    def c(n: String) = TableConfig(
+      name = n, keyField = "k", orderingField = "ts", numBuckets = 2)
+    val src = GraftTable.create(spark, s"$root/src", c("sink_src"))
+    val dst = GraftTable.create(spark, s"$root/dst", c("sink_dst"))
+    src.insert(Seq(("a", 1L, 10.0), ("b", 1L, 20.0)).toDF("k", "ts", "v"))
+    // the SAME replication pipeline as the foreachBatch test, but the
+    // sink side is the engine's own DSv2 streaming write — per-epoch
+    // atomic upsert commits stamped (queryId, epoch) on the timeline
+    val q = spark.readStream.format("graft-stream")
+      .option("path", s"$root/src").load()
+      .select("k", "ts", "v")
+      .writeStream.outputMode("append").format("graft-stream")
+      .option("path", s"$root/dst")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      q.processAllAvailable()
+      src.upsert(Seq(("a", 2L, 11.0), ("c", 1L, 30.0)).toDF("k", "ts", "v"))
+      q.processAllAvailable()
+      val got = dst.read().select("k", "ts", "v")
+        .as[(String, Long, Double)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq(("a", 2L, 11.0), ("b", 1L, 20.0), ("c", 1L, 30.0)))
+      // every sink commit is epoch-stamped, epochs strictly increase
+      val epochs = dst.log.commits()
+        .flatMap(_.extra.get(GraftStreamingWrite.EpochKey)).map(_.toLong)
+      assert(epochs.nonEmpty && epochs == epochs.sorted.distinct)
+      // staging is cleaned after each epoch commit
+      val staging = Paths.get(s"$root/dst", GraftStreamingWrite.StagingDir)
+      assert(!Files.exists(staging) ||
+        Files.list(staging).iterator().asScala.forall(qd =>
+          !Files.list(qd).iterator().asScala.hasNext))
+    } finally q.stop()
+  }
+
+  test("streaming sink epoch re-commit is idempotent (exactly-once timeline)") {
+    import graft.core.{GraftTable, TableConfig}
+    import graft.sql.{GraftStagedFiles, GraftStreamingWrite}
+    val root = tmp()
+    val dst = GraftTable.create(spark, s"$root/t", TableConfig(
+      name = "idem", keyField = "k", orderingField = "ts", numBuckets = 1))
+    val rows = Seq(("a", 1L, 10.0), ("b", 1L, 20.0)).toDF("k", "ts", "v")
+    // stage a batch the way executors would, then drive commit() twice
+    // with the same epoch — the retry-after-crash window
+    val staged = s"$root/staged"
+    rows.coalesce(1).write.parquet(staged)
+    val files = Files.list(Paths.get(staged)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    val w = new GraftStreamingWrite(s"$root/t", "q-idem", rows.schema)
+    val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      Array(GraftStagedFiles(files))
+    w.commit(0L, msgs)
+    val commitsAfterFirst = dst.log.commits().size
+    w.commit(0L, msgs) // replayed epoch: must be a no-op
+    assert(dst.log.commits().size == commitsAfterFirst)
+    assert(dst.read().count() == 2)
+    // a LATER epoch from the same query still lands
+    w.commit(1L, Array(GraftStagedFiles(files)))
+    assert(dst.log.commits().size == commitsAfterFirst + 1)
+    assert(dst.read().count() == 2) // same keys — upsert, not append
+  }
+
+  test("gap sessionization closes idle sessions on event-time advance") {
+    val in = tmp()
+    // user 7: two events 10s apart (one session), then 40 min idle
+    writeJson(in, "b1.json",
+      """{"ts":"2024-01-01 10:00:00","user_id":7,"value":1.0}""",
+      """{"ts":"2024-01-01 10:00:10","user_id":7,"value":2.0}""")
+    val stream = spark.readStream.schema(schema).json(in)
+      .select($"user_id".as("userId"), $"ts", $"value").as[SessionEvent]
+    val q = StreamOps.sessionizeByGap(stream).writeStream
+      .outputMode("append").format("memory").queryName("gap_out").start()
+    try {
+      q.processAllAvailable()
+      // nothing closed yet: no event time has passed 10:00:10 + 30min
+      assert(spark.table("gap_out").isEmpty)
+      // another user's event advances the watermark past the gap —
+      // user 7 has NO new data, so the close comes from the event-time
+      // TIMEOUT, not from a row for that key
+      writeJson(in, "b2.json",
+        """{"ts":"2024-01-01 11:30:00","user_id":9,"value":5.0}""")
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select userId, nEvents, totalValue from gap_out")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows == Set((7L, 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("drained gap sessions equal the batch q22 answer on real events") {
+    import graft.{Queries, Tables}
+    val sf = "/root/testdata/sf0.001"
+    // µs ride as LONGS through the JSON files: Spark's default JSON
+    // timestamp format truncates to millis, which would break the
+    // exact-µs equivalence with the batch twin
+    val ev = Tables.load(spark, sf, "events")
+      .select($"user_id", expr("ts DIV 1000").as("ts_us"), $"value")
+    // split by GLOBAL event time so batch 2 is never late vs batch 1
+    val cut = ev.agg(expr("percentile_approx(ts_us, 0.5)")).head().getLong(0)
+    val in = tmp()
+    def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val rows = df.toJSON.collect()
+      writeJson(in, name, rows.toIndexedSeq: _*)
+    }
+    dump(ev.filter($"ts_us" <= cut), "b1.json")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("user_id", LongType),
+        StructField("ts_us", LongType), StructField("value", DoubleType))))
+      .json(in)
+      .select($"user_id".as("userId"),
+        expr("timestamp_micros(ts_us)").as("ts"), $"value").as[SessionEvent]
+    val q = StreamOps.sessionizeByGap(stream).writeStream
+      .outputMode("append").format("memory").queryName("gap22_out").start()
+    try {
+      q.processAllAvailable()
+      dump(ev.filter($"ts_us" > cut), "b2.json")
+      q.processAllAvailable()
+      // sentinel far past every session's close drains the state
+      writeJson(in, "b3.json",
+        """{"ts_us":1893456000000000,"user_id":-1,"value":0.0}""")
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "select userId, nEvents, startUs, endUs from gap22_out where userId >= 0")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val batch = Queries.q22Sessionize(spark, sf)
+        .select($"user_id", $"n_events", $"start_us", $"end_us")
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
     } finally q.stop()
   }
 
