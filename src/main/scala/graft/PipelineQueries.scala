@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{GraftExpressions, TextFunctions}
-import graft.operators.{Curation, Dedup, IvfIndex, Similarity}
+import graft.operators.{Bpe, Curation, Dedup, IvfIndex, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -336,6 +336,54 @@ object PipelineQueries {
       |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       |GROUP BY 1 ORDER BY freq DESC, word ASC LIMIT 1000""".stripMargin
 
+  /** BPE pair-merge statistics ([[graft.operators.Bpe.mergeStats]]):
+    * the first `bpeMerges` tokenizer merges over the corpus — exact
+    * merge SEQUENCE, deterministic tie-break, gated against an
+    * unrolled DuckDB reimplementation of the same greedy loop. */
+  private val bpeMerges = 8
+
+  def tBpe(spark: SparkSession, dir: String): DataFrame =
+    Bpe.mergeStats(Tables.load(spark, dir, "documents"), "text", bpeMerges)
+      .orderBy("merge_rank")
+
+  /** The oracle unrolls the merge loop as chained CTEs (one
+    * pair-count + argmax + replace trio per round) — same segmentation
+    * encoding (double-space separators), same `> count, then (l, r)`
+    * tie order, same greedy left-to-right `replace` application. */
+  private def tBpeSql: String = {
+    def pairAndTop(i: Int) =
+      s"""p$i AS (
+         |  SELECT z[1] AS l, z[2] AS r, sum(freq)::BIGINT AS cnt
+         |  FROM (SELECT unnest(list_zip(a, a[2:])) AS z, freq
+         |        FROM (SELECT string_split(trim(s), '  ') AS a, freq FROM w${i - 1}))
+         |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+    def applyMerge(i: Int) =
+      s"""w$i AS (
+         |  SELECT replace(s, ' ' || m$i.l || '  ' || m$i.r || ' ',
+         |                    ' ' || m$i.l || m$i.r || ' ') AS s, freq
+         |  FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
+    val rounds = (1 to bpeMerges).map { i =>
+      if (i < bpeMerges) pairAndTop(i) + ",\n" + applyMerge(i)
+      else pairAndTop(i)
+    }
+    val finalSelect = (1 to bpeMerges).map { i =>
+      if (i == 1)
+        s"SELECT 1 AS merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m1"
+      else s"SELECT $i, l, r, cnt FROM m$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT w, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |        FROM documents)
+       |  GROUP BY 1),
+       |w0 AS (SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s, freq
+       |       FROM words),
+       |${rounds.mkString(",\n")}
+       |$finalSelect
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   /** Language ID over the corpus (custom Catalyst expression, trigram
     * profiles) — available as an operator; the GATE runs the classifier
     * on [[langFixture]], a planted-label fixture whose expected outputs
@@ -592,6 +640,7 @@ object PipelineQueries {
     "p23_dedup_keep_best" -> (dKeepBest _),
     "p24_repetition" -> (tRepetition _),
     "p25_vocab" -> (tVocab _),
+    "p26_bpe_merges" -> (tBpe _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -626,5 +675,7 @@ object PipelineQueries {
     "p23_dedup_keep_best" -> dKeepBestSql,
     "p24_repetition" -> tRepetitionSql,
     "p25_vocab" -> tVocabSql,
+    // p26: exact merge sequence vs the unrolled DuckDB greedy loop
+    "p26_bpe_merges" -> tBpeSql,
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BPE pair-merge statistics (tokenizer training, Sennrich '16): the
+  * iterative most-frequent-adjacent-pair loop behind byte-pair
+  * encoding, in the batched shuffle-per-round shape.
+  *
+  * Scale design (the reason this survives 100 TB): the CORPUS is
+  * touched exactly once — one word-histogram shuffle with map-side
+  * combine. Every merge round after that runs on the DISTINCT-WORD
+  * relation (bounded by vocabulary, orders of magnitude smaller than
+  * the corpus and independent of corpus growth): one pair-count
+  * shuffle + a 1-row argmax collect per round, then a narrow
+  * per-word merge application. Nothing corpus-sized is ever collected
+  * or reshuffled, and round cost is O(vocab), not O(corpus).
+  *
+  * Mechanics: a word's segmentation is a DOUBLE-space-joined symbol
+  * string with double-space sentinels (`"  h  i  "`). Applying merge
+  * (l, r) is then `replace(s, ' l  r ', ' lr ')` — each match consumes
+  * one space from each neighboring separator, so CONSECUTIVE pairs
+  * still match (separators never collapse) while substring false
+  * positives can't (symbol boundaries require the full separator).
+  * Left-to-right non-overlapping `replace` is exactly greedy BPE merge
+  * order. Symbols are `[a-z]+` (the tokenizer keeps lowercase words),
+  * so merge literals never need escaping.
+  *
+  * Ties break deterministically: highest count, then (left, right)
+  * lexicographic — the DuckDB oracle (p26) states the same order.
+  */
+object Bpe {
+
+  /** The first `numMerges` BPE merges over `textCol`, as
+    * (merge_rank, left_sym, right_sym, pair_count). Stops early if the
+    * corpus runs out of pairs. */
+  def mergeStats(docs: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    // the one corpus-sized pass: word histogram, map-side combined
+    val words = docs
+      .select(explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // initial segmentation: chars, double-space joined + sentinels
+    var seg = words.select(
+      concat(lit("  "), expr("regexp_replace(w, '(.)', '$1  ')")).as("s"),
+      col("freq")).persist()
+    var prev: Option[DataFrame] = None
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    try {
+      var round = 1
+      var dry = false
+      while (round <= numMerges && !dry) {
+        // pair counts over the vocab relation — the round's ONE shuffle;
+        // argmax is TakeOrdered (per-partition heads + 1-row driver merge)
+        val top = seg
+          .select(expr("split(trim(s), '  ')").as("a"), col("freq"))
+          .select(explode(expr(
+            """zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),
+              |  (l, r) -> struct(l, r))""".stripMargin)).as("p"),
+            col("freq"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        // this round's aggregate materialized seg — the previous
+        // round's cache is now dead weight
+        prev.foreach(_.unpersist())
+        prev = Some(seg)
+        top.headOption match {
+          case None => dry = true
+          case Some(row) =>
+            val (l, r, cnt) =
+              (row.getString(0), row.getString(1), row.getLong(2))
+            merges += ((round, l, r, cnt))
+            seg = seg.withColumn("s",
+              expr(s"replace(s, ' $l  $r ', ' $l$r ')")).persist()
+            round += 1
+        }
+      }
+    } finally {
+      prev.foreach(_.unpersist())
+      seg.unpersist()
+      ()
+    }
+    val schema = StructType(Seq(
+      StructField("merge_rank", IntegerType, nullable = false),
+      StructField("left_sym", StringType, nullable = false),
+      StructField("right_sym", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merges.result().map { case (i, l, r, c) => Row(i, l, r, c) }, 1),
+      schema)
+  }
+}
