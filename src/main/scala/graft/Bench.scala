@@ -33,11 +33,13 @@ object Bench {
     // lakehouse write/read pipeline (§2.1, §2.6, §2.9)
     "l1_cow_upsert_snapshot", "l5_incremental",
     "l14_mor_catalog_snapshot",
+    "l17_stream_sink", // round 8: streaming source→sink ETL round trip
     // training-data pipeline (north star)
     "p1_dedup_exact", "p3_dedup_minhash_lsh", "p6_ann_brute_topk",
     "p7_ann_lsh_topk", "p14_ann_ivf_topk",
     "p8_text_quality", "p11_token_count",
-    "p23_dedup_keep_best") // round 6: full cluster+canonicalize pipeline
+    "p23_dedup_keep_best", // round 6: full cluster+canonicalize pipeline
+    "p26_bpe_merges") // round 8: BPE merge loop (corpus-once + vocab rounds)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

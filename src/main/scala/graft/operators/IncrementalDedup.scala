@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
   *    partitioned by band and (after [[compactStores]]) range-clustered
   *    by `bsig` with per-file min/max stats, so the scan lists only
   *    files whose bsig slice intersects the batch's signatures —
-  *    IO O(colliding files), not O(corpus) — and the corpus side
-  *    streams map-side, no shuffle of it anywhere;
+  *    IO O(colliding files) in the trickle-batch regime (batch sigs
+  *    per band < files per band; sigs are uniform hashes, so a bigger
+  *    batch's probe set covers every file range and the prune is
+  *    bypassed via `spark.graft.incdedup.maxPruneBandSigs` rather than
+  *    paid for nothing) — and the corpus side streams map-side, no
+  *    shuffle of it anywhere;
   *  - batch-internal candidates use the same guarded bucket expansion
   *    as the batch operator;
   *  - exact verification reads ONLY the candidate docs' hash arrays:
@@ -55,15 +59,21 @@ class IncrementalDedup(spark: SparkSession, root: String,
     TableConfig(name = "dedup_hashes", keyField = "id",
       orderingField = "_b", numBuckets = 2))
 
-  /** (bkey, band, bsig, id, _b) keyed by id:band, partitioned by band —
-    * the LSH index the cross-corpus candidate join scans. `bsig` is a
-    * stats column: every file carries its bsig [min,max], which is what
+  /** (id, band, bsig, _b) keyed by id, partitioned by band — the LSH
+    * index the cross-corpus candidate join scans. `bsig` is a stats
+    * column: every file carries its bsig [min,max], which is what
     * makes the per-batch scan prunable once clustering has range-laid
-    * each band partition by bsig. Extra buckets per band would only
-    * multiply files-per-commit (numBands × buckets × commits of tiny
-    * files measurably dominated the per-batch cost). */
+    * each band partition by bsig. The key is `id`, NOT a synthetic
+    * id:band concat — the index is append-only (bulk inserts, no
+    * precombine), so per-row key uniqueness buys nothing, and a
+    * unique-per-row concat STRING was the single widest column in the
+    * store (unique values defeat dictionary encoding — measurably the
+    * bulk of index bytes at the 100× scale point, paid again by every
+    * candidate scan). Extra buckets per band would only multiply
+    * files-per-commit (numBands × buckets × commits of tiny files
+    * measurably dominated the per-batch cost). */
   val bandIndex: GraftTable = GraftTable.create(spark, s"$root/bands",
-    TableConfig(name = "dedup_bands", keyField = "bkey",
+    TableConfig(name = "dedup_bands", keyField = "id",
       orderingField = "_b", partitionField = Some("band"), numBuckets = 1,
       statsColumns = Seq("bsig")))
 
@@ -98,6 +108,17 @@ class IncrementalDedup(spark: SparkSession, root: String,
     * store skips its insert if it already holds the batch). */
   def dedupBatch(batch: DataFrame, idCol: String, textCol: String,
       batchNo: Long): DataFrame = {
+    // step timing for tools.ProfileIncDedup (off unless conf'd on)
+    val debugTiming = spark.conf
+      .getOption("spark.graft.incdedup.debugTiming").contains("true")
+    def step[A](name: String)(f: => A): A =
+      if (!debugTiming) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[incdedup]   $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+        r
+      }
     val bandsDone = lastPublished(bandIndex).exists(_ >= batchNo)
     val hashesDone = lastPublished(hashStore).exists(_ >= batchNo)
     require(lastPublished(hashStore).forall(_ <= batchNo) &&
@@ -115,20 +136,40 @@ class IncrementalDedup(spark: SparkSession, root: String,
         .select(col("id"), col("band.band").as("band"), col("band.sig").as("bsig"))
         .persist()
       try {
+        // File pruning pays off in the POINT-LOOKUP regime: bsig values
+        // are uniform hashes, so a file's [min, max] range can only be
+        // missed when the batch probes FEWER sigs per band than the
+        // band has files (small trickle batches against a big clustered
+        // index — the steady-state ingest shape). A mega-batch's probe
+        // set covers every file range, so collecting + sorting it would
+        // be pure driver overhead — above the cap we skip straight to
+        // the full scan, which is what the broadcast join streams
+        // map-side anyway.
+        val maxPruneSigs = spark.conf
+          .getOption("spark.graft.incdedup.maxPruneBandSigs")
+          .map(_.toInt).getOrElse(250 * 1000)
         // Driver-side (band → batch bsigs) map drives the file pruning.
-        // O(batch × numBands) driver memory — the same envelope as the
-        // broadcast of `sigs` below, so it adds no new scaling limit.
-        val batchBands: Map[String, Seq[String]] = sigs
-          .select("band", "bsig").distinct().collect()
-          .groupBy(_.get(0).toString)
-          .map { case (b, rows) => b -> rows.map(_.get(1).toString).toSeq }
+        // O(batch × numBands) driver memory — bounded by the cap: ONE
+        // limit(cap+1) collect both sizes the set and fetches it (a
+        // cap+1-sized result means "too big", discard)
+        val batchBands: Option[Map[String, Seq[String]]] = {
+          val collected = step("collect batch bands")(sigs
+            .select("band", "bsig").distinct()
+            .limit(maxPruneSigs + 1).collect())
+          if (collected.length > maxPruneSigs) None
+          else Some(collected
+            .groupBy(_.get(0).toString)
+            .map { case (b, rows) => b -> rows.map(_.get(1).toString).toSeq })
+        }
         // cross-corpus: historical index streams against the broadcast
         // batch bands — pair order is normalized with least/greatest
         // (arrival order ≠ id order). First batch: no history yet, so
         // candidates are batch-internal only (keeps id-type agnostic —
         // no hardcoded empty frame).
         val hasHistory = bandIndex.log.lastInstant().nonEmpty
-        def cross = bandIndex.readWhereIn("bsig", Nil, Some(batchBands))
+        def cross = batchBands
+          .map(m => bandIndex.readWhereIn("bsig", Nil, Some(m)))
+          .getOrElse(bandIndex.read())
           .select(col("band"), col("bsig"), col("id").as("old_id"))
           .join(broadcast(
             sigs.select(col("band"), col("bsig"), col("id").as("new_id"))),
@@ -144,9 +185,9 @@ class IncrementalDedup(spark: SparkSession, root: String,
             .filter(size(col("ids")) > 1),
           "ids", "struct(__x AS doc_a, y AS doc_b)")
           .select(col("p.doc_a"), col("p.doc_b"))
-        val candidates =
+        val candidates = step("candidates (index scan + join)")(
           ((if (hasHistory) cross.union(internal) else internal).distinct())
-            .localCheckpoint() // materialized: read twice (ids + verify)
+            .localCheckpoint()) // materialized: read twice (ids + verify)
         // Exact verification touches ONLY candidate docs. Both sides of
         // every pair are candidate ids by construction, so the hash
         // store is read through the id point-set prune — O(collisions)
@@ -173,22 +214,22 @@ class IncrementalDedup(spark: SparkSession, root: String,
             if (hashesDone) stored.select("id", "hashes")
             else newHashes.unionByName(stored.select("id", "hashes"))
           }
-        val verified = Dedup
+        val verified = step("verify (hash fetch + jaccard)")(Dedup
           .jaccardOfCandidates(allHashes, candidates, threshold)
-          .localCheckpoint()
+          .localCheckpoint())
         // fold the batch in AFTER querying (a batch never pairs with
         // itself through the index — internal pairs covered above).
         // Bands FIRST, hashes LAST: the hash store is the commit point,
         // and each insert is skipped if that store already holds the
         // batch (crash between the two commits → re-run repairs).
         if (!bandsDone) {
-          bandIndex.bulkInsert(sigs
-            .withColumn("bkey", concat_ws(":", col("id"), col("band")))
-            .withColumn("_b", lit(batchNo)))
+          step("publish band index")(
+            bandIndex.bulkInsert(sigs.withColumn("_b", lit(batchNo))))
           ()
         }
         if (!hashesDone) {
-          hashStore.bulkInsert(withHashes.withColumn("_b", lit(batchNo)))
+          step("publish hash store")(
+            hashStore.bulkInsert(withHashes.withColumn("_b", lit(batchNo))))
           ()
         }
         verified

@@ -162,7 +162,6 @@ class Round7Spec extends AnyFunSuite {
       .withColumn("sig", minhashSignature(col("hashes"), 128))
       .withColumn("band", explode(lshBands(col("sig"), 32, 4)))
       .select(col("id"), col("band.band").as("band"), col("band.sig").as("bsig"))
-      .withColumn("bkey", concat_ws(":", col("id"), col("band")))
       .withColumn("_b", lit(3L))
     inc.bandIndex.bulkInsert(sigs3)
     val bandRowsAfterCrash = inc.bandIndex.read().count()

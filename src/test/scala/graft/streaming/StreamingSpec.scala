@@ -253,6 +253,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(dst.read().count() == 2) // same keys — upsert, not append
   }
 
+  test("streaming sink survives a query restart from checkpoint") {
+    import graft.core.{GraftTable, TableConfig}
+    val root = tmp()
+    def c(n: String) = TableConfig(
+      name = n, keyField = "k", orderingField = "ts", numBuckets = 2)
+    val src = GraftTable.create(spark, s"$root/src", c("rs_src"))
+    val dst = GraftTable.create(spark, s"$root/dst", c("rs_dst"))
+    def start() = spark.readStream.format("graft-stream")
+      .option("path", s"$root/src").load()
+      .select("k", "ts", "v")
+      .writeStream.outputMode("append").format("graft-stream")
+      .option("path", s"$root/dst")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    src.insert(Seq(("a", 1L, 10.0)).toDF("k", "ts", "v"))
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    val commitsAfterQ1 = dst.log.commits().size
+    // restart from the SAME checkpoint: the replayed source offset must
+    // not re-commit into the sink, and new source commits must flow
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(dst.log.commits().size == commitsAfterQ1) // no replay commit
+      src.upsert(Seq(("a", 2L, 11.0), ("b", 1L, 20.0)).toDF("k", "ts", "v"))
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty)
+    } finally q2.stop()
+    val got = dst.read().select("k", "ts", "v")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 2L, 11.0), ("b", 1L, 20.0)))
+  }
+
   test("gap sessionization closes idle sessions on event-time advance") {
     val in = tmp()
     // user 7: two events 10s apart (one session), then 40 min idle
