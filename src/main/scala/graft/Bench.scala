@@ -79,7 +79,14 @@ object Bench {
       "\"" + k + "\":" + rs.map(f3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = best.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"runs":$runsJson,"sf":"$sfDir"}""")
+    // A -1 benchmark is a crashed query, not a fast one. Stamp the JSON
+    // with the failed list so the headline total is visibly partial
+    // (round-9 lesson: four -1s read as a 2× "speedup"), and exit
+    // non-zero so the harness records the run as failed.
+    val failed = best.collect { case (k, v) if v < 0 => k }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -271,10 +271,17 @@ object LakehouseQueries {
     * the merge (bootstrap rows carry null commit time, ties go to the
     * new write). */
   def qBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    // Bootstrap adopts foreign files verbatim (no rewrite), so the
+    // adopted files must already carry the table schema — in particular
+    // ts as epoch-nanos long, not whichever timestamp encoding this
+    // fixture generation used (TESTDATA drift: NANOS-as-long vs MICROS).
+    // Materialize the normalized view once and adopt that.
+    val srcDir = freshRoot("ev_boot_src")
+    events(spark, dir).repartition(4).write.mode("overwrite").parquet(srcDir)
     val t = GraftTable.create(spark, freshRoot("ev_boot"), TableConfig(
       name = "ev_boot", keyField = "event_id", orderingField = "ts",
       partitionField = None, numBuckets = 4))
-    t.bootstrapFrom(s"$dir/events.parquet")
+    t.bootstrapFrom(srcDir)
     val ev = events(spark, dir)
     t.upsert(ev.filter(col("event_id") % 100 === 0)
       .withColumn("value", col("value") * 2))

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -13,7 +15,21 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** The events fixture has carried `ts` as parquet TIMESTAMP(NANOS)
+    * (surfaced as epoch-nanos LongType via `nanosAsLong`) in some
+    * driver generations and TIMESTAMP(MICROS) in others. All query
+    * code is written against epoch-nanos long — normalize here so both
+    * fixture generations produce the same frame. Session timezone is
+    * pinned to UTC, so the NTZ→instant cast is the identity DuckDB's
+    * `epoch_ns` applies on the oracle side. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType == TimestampType || f.dataType == TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df
+    }
 
   /** Register all tables as temp views for spark.sql use. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -12,11 +12,14 @@ object Verify {
     val spark = Session.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    val failures = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        Some(name -> s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -34,6 +37,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that throws must surface as a visible coverage loss, not a
+    // silently-absent check (round-9 lesson: 18 checks vanished from the
+    // correctness artifact and the file still read fully green). Record
+    // every failure in verify_errors.json and say so loudly on stdout —
+    // the downstream compare treats a registered query with no output
+    // parquet as FAIL, and this file says why.
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (failures.nonEmpty) {
+      println(s"[verify] ${failures.size}/${SparkEntry.queries.size} queries FAILED: " +
+        failures.map(_._1).sorted.mkString(", "))
+    } else {
+      println(s"[verify] all ${SparkEntry.queries.size} queries produced output")
+    }
     spark.stop()
   }
 }
