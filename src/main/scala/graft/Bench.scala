@@ -30,6 +30,7 @@ object Bench {
     "q4_range_filter", "q5_join_agg", "q6_latest_per_key",
     "q7_count", "q8_dup_check",
     "q19_window_analytics", // round 6: analytic-window family
+    "q23_percentiles", "q24_corr_moments", // round 10: order-statistic + moment families
     // lakehouse write/read pipeline (§2.1, §2.6, §2.9)
     "l1_cow_upsert_snapshot", "l5_incremental",
     "l14_mor_catalog_snapshot",

@@ -296,6 +296,25 @@ object LakehouseQueries {
       |       CASE WHEN event_id % 100 = 0 THEN value * 2 ELSE value END AS value
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---- S7 time travel: snapshot as-of an earlier instant ------------
+
+  /** VERSION AS OF the first commit: the upsert wave is invisible and
+    * the snapshot equals batch₁'s latest-wins state (Hudi's
+    * `as.of.instant` read; the catalog twin serves the same view via
+    * `VERSION AS OF '<instant>'`). Timeline filtering is metadata-only
+    * — the scan plans exactly the files live at that instant, no data
+    * read of later commits. */
+  def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val t = GraftTable.create(spark, freshRoot("ev_tt"),
+      cfg("ev_tt", TableConfig.Cow))
+    val c1 = t.insert(ev.filter(col("event_id") % 2 === 0))
+    t.upsert(ev.filter(col("event_id") % 2 === 1))
+    out(t.read(asOf = Some(c1)))
+  }
+
+  private val timeTravelSql = oracleMerge(" WHERE event_id % 2 = 0", tieBreak = false)
+
   // ---- S8 through the DSv2 catalog: bare-name merged MOR snapshot ---
 
   /** The MOR table read through a catalog-qualified bare name while
@@ -469,6 +488,7 @@ object LakehouseQueries {
     "l15_orc_roundtrip" -> (qOrcRoundtrip _),
     "l16_stream_source" -> (qStreamSource _),
     "l17_stream_sink" -> (qStreamSink _),
+    "l18_time_travel" -> (qTimeTravel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -489,5 +509,6 @@ object LakehouseQueries {
     "l15_orc_roundtrip" -> orcRoundtripSql,
     "l16_stream_source" -> streamSourceSql,
     "l17_stream_sink" -> cowUpsertSql,
+    "l18_time_travel" -> timeTravelSql,
   )
 }

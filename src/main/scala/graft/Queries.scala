@@ -478,6 +478,98 @@ object Queries {
       |       min(ts_us) AS start_us, max(ts_us) AS end_us
       |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Exact percentiles (type-7 / linear interpolation — the same
+    * definition DuckDB's `quantile_cont` and NumPy use). Distributed
+    * shape: one hash aggregation; `percentile` accumulates per-group
+    * value buffers, so it is for bounded-cardinality metric columns —
+    * the unbounded-column scale path is `approx_percentile` (KLL-style
+    * sketch, mergeable, fixed memory), whose answer is approximate and
+    * therefore not oracle-gateable. Quantiles chosen (.25/.5/.75) are
+    * exact binary fractions over integral doubles, so the interpolation
+    * arithmetic is exact in both engines. */
+  def q23Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  private val q23Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Sample variance + Pearson correlation from EXACT decimal sums.
+    * The built-ins (`var_samp`/`corr`) use streaming float updates whose
+    * rounding differs per engine and per partition order — not
+    * oracle-comparable bit-for-bit. Computing the five sufficient
+    * statistics (Σx, Σy, Σx², Σy², Σxy) in decimal (exact, order-
+    * independent, map-side combinable — ONE shuffle of 5 numbers per
+    * group) and deriving the moments in identically-written double
+    * arithmetic is deterministic on both engines AND the shape that
+    * scales: sufficient statistics are the distributed-aggregation
+    * answer to second-moment analytics at 100 TB. */
+  def q24CorrMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        sum(d2(col("l_quantity"))).as("sx"),
+        sum(d2(col("l_extendedprice"))).as("sy"),
+        sum(d2(col("l_quantity")) * d2(col("l_quantity"))).as("sxx"),
+        sum(d2(col("l_extendedprice")) * d2(col("l_extendedprice"))).as("syy"),
+        sum(d2(col("l_quantity")) * d2(col("l_extendedprice"))).as("sxy"),
+        count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"),
+        expr("(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0)").as("var_qty"),
+        expr("(CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))").as("corr_qty_price"),
+        col("cnt"))
+      .orderBy("l_returnflag")
+
+  private val q24Sql =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+      |    count(*) AS cnt
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag,
+      |  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0) AS var_qty,
+      |  (CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price,
+      |  cnt
+      |FROM s ORDER BY 1""".stripMargin
+
+  /** Ordered string aggregation (LISTAGG / string_agg — the report-
+    * formatting aggregate every warehouse ships). Deterministic order
+    * comes from sorting INSIDE the aggregate (collect + array_sort),
+    * not from a pre-sorted child — a global pre-sort would be a second
+    * exchange Catalyst can't guarantee survives the hash agg. The
+    * filter keeps group payloads bounded (this is a reporting
+    * aggregate, not a data mover). */
+  def q25StringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .groupBy("o_orderpriority")
+      .agg(
+        array_join(array_sort(collect_list(col("o_orderkey").cast(StringType))), ",").as("keys"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+
+  private val q25Sql =
+    """SELECT o_orderpriority,
+      |  string_agg(CAST(o_orderkey AS VARCHAR), ','
+      |             ORDER BY CAST(o_orderkey AS VARCHAR)) AS keys,
+      |  count(*) AS cnt
+      |FROM orders WHERE o_orderkey % 100 = 0 GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -503,6 +595,9 @@ object Queries {
     "q20_cube" -> (q20Cube _),
     "q21_pivot" -> (q21Pivot _),
     "q22_sessionize" -> (q22Sessionize _),
+    "q23_percentiles" -> (q23Percentiles _),
+    "q24_corr_moments" -> (q24CorrMoments _),
+    "q25_string_agg" -> (q25StringAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -528,5 +623,8 @@ object Queries {
     "q20_cube" -> q20Sql,
     "q21_pivot" -> q21Sql,
     "q22_sessionize" -> q22Sql,
+    "q23_percentiles" -> q23Sql,
+    "q24_corr_moments" -> q24Sql,
+    "q25_string_agg" -> q25Sql,
   )
 }
