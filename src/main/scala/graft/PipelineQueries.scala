@@ -612,6 +612,47 @@ object PipelineQueries {
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- SemDeDup (p27): semantic dedup groups -------------------------
+
+  /** SemDeDup duplicate-group membership at the FULL-RECALL gate
+    * configuration (nClusters = 1: every pair is a within-cluster
+    * candidate — the same "exact at full probe" gate pattern as p14's
+    * IVF entry). The oracle recomputes the groups independently as a
+    * recursive-CTE transitive closure over the exact ≥threshold cosine
+    * pair graph (group id = smallest reachable vec_id — the
+    * connected-components contract). The scale configuration (many
+    * clusters, bounded per-cluster fanout) is gated by
+    * SemanticDedupSpec's exact-equivalence on tight-duplicate corpora,
+    * where the paper's within-cluster restriction loses nothing. */
+  def dSemanticGroups(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    graft.operators.SemanticDedup.verdicts(embs, "vec_id", "embedding",
+        nClusters = 1, threshold = 0.45,
+        indexPath = ivfCachePath(dir) + "-sem",
+        corpusCount = Tables.footerRowCount(spark, dir, "embeddings"))
+      .select(col("vec_id"), col("group_id")).orderBy("vec_id")
+  }
+
+  private val dSemanticSql = {
+    val cos =
+      """list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        |  / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |       i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+        |   * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+        |       i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))""".stripMargin
+    s"""WITH RECURSIVE
+       | p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+       |       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |       WHERE $cos >= 0.45),
+       | e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+       | reach(a, b) AS (SELECT a, b FROM e
+       |                 UNION
+       |                 SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+       |SELECT a AS vec_id, CAST(least(a, min(b)) AS BIGINT) AS group_id
+       |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
+  }
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -641,6 +682,7 @@ object PipelineQueries {
     "p24_repetition" -> (tRepetition _),
     "p25_vocab" -> (tVocab _),
     "p26_bpe_merges" -> (tBpe _),
+    "p27_semantic_dedup" -> (dSemanticGroups _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -677,5 +719,6 @@ object PipelineQueries {
     "p25_vocab" -> tVocabSql,
     // p26: exact merge sequence vs the unrolled DuckDB greedy loop
     "p26_bpe_merges" -> tBpeSql,
+    "p27_semantic_dedup" -> dSemanticSql,
   )
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.functions.VectorFunctions.cosine
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SemDeDup — semantic deduplication of an embedding corpus (Abbas et
+  * al. 2023, arXiv:2303.09540): k-means-cluster the embedding space,
+  * compute exact pairwise cosine only WITHIN each cluster, and keep one
+  * representative per duplicate group.
+  *
+  * This is the embedding-space sibling of the MinHash pipeline: the
+  * clustering plays the role LSH banding plays for text — a
+  * bounded-fanout candidate generator — and exact verification runs on
+  * candidates only. The keep-rule follows the paper: within a duplicate
+  * group, keep the member with the LOWEST cosine to its cluster
+  * centroid (the outlier preserves diversity; ties to lowest id).
+  *
+  * Scale shape (the 100 TB contract):
+  *  - clustering reuses the persisted [[IvfIndex]] (trained on a
+  *    bounded sample; the corpus is touched once for assignment, and a
+  *    warm index is reused across calls via `buildIfStale`);
+  *  - candidate pairs expand per cluster through the same sorted-array
+  *    slice/transform as the LSH dedup — no self-join, no O(N²)
+  *    relation, and the cluster-size guard raises an actionable error
+  *    instead of letting one mega-cluster quadratically explode;
+  *  - duplicate groups come from [[Dedup.connectedComponents]]
+  *    (min-label propagation, O(diameter) rounds over O(near-dup)
+  *    edges);
+  *  - the keep-rule is one window over duplicate-group members only
+  *    (O(near-dup docs), not O(corpus)).
+  *
+  * The within-cluster restriction is the paper's approximation: a
+  * ≥threshold pair split across clusters is NOT found. That recall gap
+  * is intrinsic to SemDeDup (and is why its thresholds sit near 1.0,
+  * where near-identical vectors co-cluster); the spec gates this
+  * operator against exact all-pairs on a corpus whose duplicate groups
+  * are tight enough to co-cluster, which is the regime the method is
+  * published for.
+  */
+object SemanticDedup {
+
+  /** Per-document verdicts for every member of a duplicate group:
+    * `(vec_id, cluster, group_id, centroid_cos, keep)`. Docs in no
+    * ≥threshold pair are absent (implicitly kept). */
+  def verdicts(embs: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, threshold: Double, indexPath: String,
+      corpusCount: Long = -1L): DataFrame = {
+    val spark = embs.sparkSession
+    IvfIndex.buildIfStale(embs, idCol, vecCol, nClusters, indexPath,
+      corpusCount)
+    val assigned = spark.read.parquet(s"$indexPath/assignments")
+      .select(col("id"), col("vec").cast("array<double>").as("vec"),
+        col("list"))
+    // within-cluster candidate pairs: one shuffle on the cluster id,
+    // then the sorted-members pair expansion (bucketPairs' slice/
+    // transform — same cap + error contract as the LSH buckets)
+    val buckets = assigned
+      .groupBy("list")
+      .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("xs"))
+    val pairs = Dedup.bucketPairs(buckets, "xs",
+        "struct(__x.id AS id_a, __x.vec AS va, y.id AS id_b, y.vec AS vb)")
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        cosine(col("p.va"), col("p.vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+    val groups = Dedup.connectedComponents(
+      pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+    // keep-rule inputs: group members only (O(near-dup docs)); the
+    // centroids relation is nLists rows — broadcast by size
+    val centroids = spark.read.parquet(s"$indexPath/centroids.parquet")
+    val members = groups
+      .join(assigned, groups("doc_id") === assigned("id"))
+      .join(broadcast(centroids), Seq("list"))
+      .select(col("doc_id").as("vec_id"), col("list").as("cluster"),
+        col("cluster_id").as("group_id"),
+        cosine(col("vec"), col("centroid")).as("centroid_cos"))
+    val w = Window.partitionBy("group_id")
+      .orderBy(col("centroid_cos").asc, col("vec_id").asc)
+    members
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("vec_id", "cluster", "group_id", "centroid_cos", "keep")
+  }
+
+  /** The ids SemDeDup removes: every duplicate-group member except the
+    * kept representative, with the group it lost to. */
+  def dropList(embs: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, threshold: Double, indexPath: String,
+      corpusCount: Long = -1L): DataFrame =
+    verdicts(embs, idCol, vecCol, nClusters, threshold, indexPath,
+        corpusCount)
+      .filter(!col("keep"))
+      .select(col("vec_id").as("drop_id"), col("group_id"))
+}
