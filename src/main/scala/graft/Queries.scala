@@ -570,6 +570,29 @@ object Queries {
       |  count(*) AS cnt
       |FROM orders WHERE o_orderkey % 100 = 0 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Semi-structured extraction: the events `props` column is a JSON
+    * string; pull a typed field out and aggregate it. `get_json_object`
+    * is a codegen'd path expression — the scan stays one pass, no UDF,
+    * and the JSON parse cost is per-row CPU that scales embarrassingly.
+    * (For repeated multi-field access the production move is one
+    * `from_json` into a struct column — same plan shape; this gate
+    * covers the extraction semantics.) */
+  def q26JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        count(when(col("k") >= 50, 1)).as("n_hi"))
+      .orderBy("event_type")
+
+  private val q26Sql =
+    """WITH e AS (SELECT event_type,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k,
+      |  count(*) FILTER (WHERE k >= 50) AS n_hi
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -598,6 +621,7 @@ object Queries {
     "q23_percentiles" -> (q23Percentiles _),
     "q24_corr_moments" -> (q24CorrMoments _),
     "q25_string_agg" -> (q25StringAgg _),
+    "q26_json_extract" -> (q26JsonExtract _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -626,5 +650,6 @@ object Queries {
     "q23_percentiles" -> q23Sql,
     "q24_corr_moments" -> q24Sql,
     "q25_string_agg" -> q25Sql,
+    "q26_json_extract" -> q26Sql,
   )
 }

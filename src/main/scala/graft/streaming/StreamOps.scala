@@ -60,6 +60,19 @@ object StreamOps {
     stream.withWatermark(tsCol, lateness)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Key-only streaming dedup tolerating TIMESTAMP DRIFT between
+    * replays: a redelivered record whose event time moved (broker
+    * re-stamp, clock skew) still carries the same business key, so
+    * [[streamingDedup]]'s (key, ts) identity would pass the duplicate
+    * through. `dropDuplicatesWithinWatermark` dedups on the key alone
+    * and keeps a key's state only until the watermark passes its first
+    * sighting + delay — bounded state without requiring ts equality
+    * (the Kafka-redelivery shape; Spark 3.5+ operator). */
+  def streamingDedupKeyOnly(stream: DataFrame, tsCol: String,
+      keyCols: Seq[String], lateness: String = "10 minutes"): DataFrame =
+    stream.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Watermarked stream-stream inner join (the attribution shape:
     * right events join left events with the same key arriving within
     * `within` AFTER the left event). Both sides carry watermarks so

@@ -41,6 +41,34 @@ class Round10Spec extends AnyFunSuite {
       micros.map(_ * 1000L).sorted)
   }
 
+  test("approx_count_distinct tracks exact distinct within its rsd bound") {
+    // the HLL++ sketch is the 100 TB path for q7-style distincts:
+    // fixed memory, mergeable across partitions, one pass. Gate its
+    // accuracy contract against the exact answer on real data.
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+    val exact = ev.select(countDistinct(col("user_id"))).first().getLong(0)
+    val rsd = 0.02
+    val approx = ev.select(approx_count_distinct(col("user_id"), rsd))
+      .first().getLong(0)
+    val relErr = math.abs(approx - exact).toDouble / exact
+    assert(relErr <= 3 * rsd, s"HLL rel err $relErr > ${3 * rsd} (exact=$exact approx=$approx)")
+  }
+
+  test("approx_percentile lands within the exact inter-quantile neighborhood") {
+    // the sketch twin of q23's exact percentile: rank error ≤ 1/accuracy.
+    // With accuracy 10000 on 600k rows the rank slack is ±60 rows ≈
+    // ±0.0001 quantile — assert the approx median sits between the
+    // exact 49.9% and 50.1% points (a 10× looser band than the bound).
+    val li = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+    val r = li.select(
+      expr("percentile(l_extendedprice, 0.499)").as("lo"),
+      expr("percentile(l_extendedprice, 0.501)").as("hi"),
+      expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx"))
+      .first()
+    val (lo, hi, ap) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(ap >= lo && ap <= hi, s"approx median $ap outside [$lo, $hi]")
+  }
+
   test("Tables.load surfaces events.ts as epoch-nanos long on the current fixture") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     assert(ev.schema("ts").dataType == LongType)

@@ -62,6 +62,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("key-only streaming dedup collapses replays whose event time drifted") {
+    val in = tmp()
+    // same business key (user_id) redelivered with a re-stamped ts:
+    // (key, ts) dedup would keep both; key-only dedup must keep one.
+    // user 2 is a distinct key and must survive.
+    writeJson(in, "b1.json",
+      """{"ts":"2024-01-01 10:00:00","user_id":1,"value":1.0}""",
+      """{"ts":"2024-01-01 10:00:03","user_id":1,"value":1.0}""",
+      """{"ts":"2024-01-01 10:00:10","user_id":2,"value":2.0}""")
+    val stream = spark.readStream.schema(schema).json(in)
+    val dedup = StreamOps.streamingDedupKeyOnly(stream, "ts", Seq("user_id"))
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_key_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("select user_id from dedup_key_out")
+        .as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("stream-stream join attributes clicks to impressions within the interval") {
     val impDir = tmp()
     val clkDir = tmp()
