@@ -612,6 +612,61 @@ object PipelineQueries {
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BPE ENCODE gate (p28): learn the first `bpeMerges` merges from the
+    * corpus (p26's operator), then APPLY them and count tokens per doc.
+    * The oracle re-learns the same merges with p26's chained CTEs and
+    * re-applies them with the same replace chain — learn + apply both
+    * independently reproduced. Docs with no `[a-z]+` word are absent on
+    * both sides (inner explode). */
+  def tBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val merges = Bpe.mergeStats(docs, "text", bpeMerges)
+      .orderBy("merge_rank")
+      .select("left_sym", "right_sym")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    Bpe.encodeTokenCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
+  private def tBpeEncodeSql: String = {
+    def pairAndTop(i: Int) =
+      s"""p$i AS (
+         |  SELECT z[1] AS l, z[2] AS r, sum(freq)::BIGINT AS cnt
+         |  FROM (SELECT unnest(list_zip(a, a[2:])) AS z, freq
+         |        FROM (SELECT string_split(trim(s), '  ') AS a, freq FROM w${i - 1}))
+         |  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+    def applyMerge(i: Int) =
+      s"""w$i AS (
+         |  SELECT replace(s, ' ' || m$i.l || '  ' || m$i.r || ' ',
+         |                    ' ' || m$i.l || m$i.r || ' ') AS s, freq
+         |  FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
+    def applyToDocs(i: Int) =
+      s"""e$i AS (
+         |  SELECT doc_id, replace(s, ' ' || m$i.l || '  ' || m$i.r || ' ',
+         |                            ' ' || m$i.l || m$i.r || ' ') AS s
+         |  FROM e${i - 1} CROSS JOIN m$i)""".stripMargin
+    val rounds = (1 to bpeMerges).map { i =>
+      if (i < bpeMerges) Seq(pairAndTop(i), applyMerge(i), applyToDocs(i))
+      else Seq(pairAndTop(i), applyToDocs(i))
+    }.flatten
+    s"""WITH words AS (
+       |  SELECT w, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |        FROM documents)
+       |  GROUP BY 1),
+       |w0 AS (SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s, freq
+       |       FROM words),
+       |e0 AS (SELECT doc_id,
+       |         '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s
+       |       FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |             FROM documents)),
+       |${rounds.mkString(",\n")}
+       |SELECT doc_id,
+       |  sum(len(string_split(trim(s), '  ')))::BIGINT AS n_tokens
+       |FROM e$bpeMerges GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---- SemDeDup (p27): semantic dedup groups -------------------------
 
   /** SemDeDup duplicate-group membership at the FULL-RECALL gate
@@ -683,6 +738,7 @@ object PipelineQueries {
     "p25_vocab" -> (tVocab _),
     "p26_bpe_merges" -> (tBpe _),
     "p27_semantic_dedup" -> (dSemanticGroups _),
+    "p28_bpe_encode" -> (tBpeEncode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -720,5 +776,6 @@ object PipelineQueries {
     // p26: exact merge sequence vs the unrolled DuckDB greedy loop
     "p26_bpe_merges" -> tBpeSql,
     "p27_semantic_dedup" -> dSemanticSql,
+    "p28_bpe_encode" -> tBpeEncodeSql,
   )
 }

@@ -95,4 +95,33 @@ object Bpe {
         merges.result().map { case (i, l, r, c) => Row(i, l, r, c) }, 1),
       schema)
   }
+
+  /** ENCODE with a learned merge table: per-doc token counts after
+    * applying `merges` in rank order — the apply half of the tokenizer
+    * (training's [[mergeStats]] is the learn half).
+    *
+    * The merge table is a driver-side literal (vocabulary-sized — KB,
+    * not data-sized), compiled into one codegen'd replace chain applied
+    * per word: the corpus is touched in a single map-only pass, and the
+    * only shuffle is the final per-doc count aggregation. Same
+    * double-space segmentation mechanics as training, so greedy
+    * left-to-right application reproduces the training segmentation
+    * exactly. (With vocabulary-scale merge tables — tens of thousands —
+    * the chain becomes an expression-depth problem; the move then is
+    * encoding the DISTINCT-word relation once and joining back, paying
+    * one bounded-vocab shuffle to amortize the chain over repeated
+    * words.) */
+  def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val segExpr = merges.foldLeft(
+      "concat('  ', regexp_replace(w, '(.)', '$1  '))") {
+      case (acc, (l, r)) => s"replace($acc, ' $l  $r ', ' $l$r ')"
+    }
+    docs
+      .select(col(idCol), explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("w"))
+      .select(col(idCol),
+        expr(s"size(split(trim($segExpr), '  '))").cast("long").as("n"))
+      .groupBy(idCol).agg(sum("n").as("n_tokens"))
+  }
 }
