@@ -19,6 +19,31 @@ object TableServices {
     * one job whose tasks each own a group; no global shuffle beyond the
     * per-group latest-wins window.
     */
+  /** Delta-producing commits since the last compaction — a
+    * METADATA-ONLY commit-log count (no data read, no Spark job), cheap
+    * enough to evaluate after every micro-batch. */
+  def deltaCommitsSinceCompaction(t: GraftTable): Int = {
+    val cs = t.log.commits()
+    val lastCompact = cs.filter(_.action == "compact")
+      .lastOption.map(_.instant)
+    cs.filter(c => lastCompact.forall(c.instant > _))
+      .count(_.added.exists(_.delta))
+  }
+
+  /** Inline compaction trigger (the Hudi `hoodie.compact.inline` +
+    * `hoodie.compact.inline.max.delta.commits` policy the reference's
+    * test suite runs, `test-suite/test-inline-compact.properties:25`,
+    * `README.md:1135`): compact iff at least `maxDeltaCommits`
+    * delta-producing commits landed since the last compaction.
+    * Returns the compaction instant when it fired. The ingest loop
+    * calls this after each batch — the common Hudi deployment shape
+    * where the writer amortizes compaction instead of a separate
+    * async job (T1 stays available for the async path). */
+  def compactInline(t: GraftTable, maxDeltaCommits: Int): Option[String] =
+    if (maxDeltaCommits > 0 &&
+        deltaCommitsSinceCompaction(t) >= maxDeltaCommits) compact(t)
+    else None
+
   def compact(t: GraftTable): Option[String] = {
     val planning = t.log.lastInstant().getOrElse("0")
     val live = t.log.liveFiles()

@@ -26,12 +26,18 @@ object Streamer {
     * derived-column evolution, e.g. haversine_distance,
     * test-suite/target.avsc vs source.avsc). */
   def runOnce(table: GraftTable, source: Source,
-      transform: DataFrame => DataFrame = identity): Option[String] = {
+      transform: DataFrame => DataFrame = identity,
+      inlineCompactEvery: Int = 0): Option[String] = {
     val (df, ckpt) = source.next()
     df match {
       case Some(batch) =>
         val instant = table.upsert(transform(batch))
         source.commitCheckpoint(ckpt)
+        // inline compaction (hoodie.compact.inline analog): a
+        // metadata-only delta-commit count decides; fires at most
+        // every `inlineCompactEvery` delta commits
+        if (inlineCompactEvery > 0)
+          graft.core.TableServices.compactInline(table, inlineCompactEvery)
         Some(instant)
       case None => None
     }
@@ -41,12 +47,13 @@ object Streamer {
     * (the `--continuous` mode loop, bounded for tests). */
   def runUntilCaughtUp(table: GraftTable, source: Source,
       maxBatches: Int = 1000,
-      transform: DataFrame => DataFrame = identity): Seq[String] = {
+      transform: DataFrame => DataFrame = identity,
+      inlineCompactEvery: Int = 0): Seq[String] = {
     var out = List.empty[String]
     var i = 0
     var more = true
     while (more && i < maxBatches) {
-      runOnce(table, source, transform) match {
+      runOnce(table, source, transform, inlineCompactEvery) match {
         case Some(c) => out ::= c
         case None => more = false
       }

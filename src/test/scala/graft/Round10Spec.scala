@@ -41,6 +41,57 @@ class Round10Spec extends AnyFunSuite {
       micros.map(_ * 1000L).sorted)
   }
 
+  test("inline compaction fires exactly at the delta-commit threshold") {
+    import graft.core.{GraftTable, TableConfig, TableServices}
+    val root = graft.util.TempDirs.create("graft-inline-").toString
+    val t = GraftTable.create(spark, root, TableConfig(
+      name = "ic", keyField = "k", orderingField = "ts",
+      tableType = TableConfig.Mor, numBuckets = 2))
+    import spark.implicits._
+    t.insert(Seq(("a", 1L, 1.0), ("b", 1L, 2.0)).toDF("k", "ts", "v"))
+    assert(TableServices.deltaCommitsSinceCompaction(t) == 0) // base files only
+    t.upsert(Seq(("a", 2L, 1.5)).toDF("k", "ts", "v"))
+    assert(TableServices.compactInline(t, maxDeltaCommits = 2).isEmpty,
+      "fired below the threshold")
+    t.upsert(Seq(("b", 2L, 2.5)).toDF("k", "ts", "v"))
+    assert(TableServices.compactInline(t, maxDeltaCommits = 2).nonEmpty,
+      "did not fire at the threshold")
+    assert(TableServices.deltaCommitsSinceCompaction(t) == 0)
+    // post-compaction convergence: read-optimized == realtime
+    val ro = t.readOptimized().select("k", "ts", "v")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val rt = t.readRealtime().select("k", "ts", "v")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(ro == rt && ro == Seq(("a", 2L, 1.5), ("b", 2L, 2.5)))
+    // one fresh delta after the compaction: below threshold again
+    t.upsert(Seq(("a", 3L, 1.7)).toDF("k", "ts", "v"))
+    assert(TableServices.compactInline(t, maxDeltaCommits = 2).isEmpty)
+  }
+
+  test("round-10 aggregate gates shuffle once, with map-side partial aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    for ((name, df) <- Seq(
+        "q23_percentiles" -> Queries.q23Percentiles(spark, dir),
+        "q24_corr_moments" -> Queries.q24CorrMoments(spark, dir),
+        "q26_json_extract" -> Queries.q26JsonExtract(spark, dir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(n == 1, s"$name: expected exactly 1 hash exchange, got $n\n$plan")
+      assert(plan.contains("partial"),
+        s"$name: no map-side partial aggregation before the shuffle\n$plan")
+    }
+  }
+
+  test("q26 scan reads only the two referenced columns") {
+    // the ts-normalization projection must not defeat column pruning:
+    // a JSON-extract aggregate over (event_type, props) should leave
+    // ts (and everything else) out of the parquet ReadSchema.
+    val plan = Queries.q26JsonExtract(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("struct<event_type:string,props:string>"),
+      s"scan not pruned to (event_type, props):\n$plan")
+  }
+
   test("approx_count_distinct tracks exact distinct within its rsd bound") {
     // the HLL++ sketch is the 100 TB path for q7-style distincts:
     // fixed memory, mergeable across partitions, one pass. Gate its
