@@ -45,14 +45,27 @@ object TableServices {
     else None
 
   def compact(t: GraftTable): Option[String] = {
-    val planning = t.log.lastInstant().getOrElse("0")
-    val live = t.log.liveFiles()
-    val withDeltas = live.groupBy(f => (f.partition, f.bucket))
+    val victims = deltaGroupFiles(t.log.liveFiles())
+    if (victims.isEmpty) None
+    else Some(compactFiles(t, victims, Map.empty))
+  }
+
+  /** Every file of every file group that has at least one delta. */
+  private def deltaGroupFiles(live: Seq[DataFileMeta]): Seq[DataFileMeta] =
+    live.groupBy(f => (f.partition, f.bucket))
       .filter { case (_, fs) => fs.exists(_.delta) }
-    if (withDeltas.isEmpty) return None
+      .values.flatten.toSeq
+
+  private val PlanKey = "compaction.plan"
+  private val RequestKey = "compaction.request.instant"
+
+  /** Fold `victims` into fresh base files — the shared execution core
+    * of [[compact]] (immediate) and [[runCompaction]] (planned). */
+  private def compactFiles(t: GraftTable, victims: Seq[DataFileMeta],
+      extra: Map[String, String]): String = {
+    val planning = t.log.lastInstant().getOrElse("0")
     val instant = t.log.nextInstant()
     val sch = t.schema
-    val victims = withDeltas.values.flatten.toSeq
     // merge per group: latest-wins over base∪delta, tombstones dropped
     val merged = mergeLatest(t, t.readFiles(victims, sch))
       .filter(!coalesce(col(t.config.softDeleteField), lit(false)))
@@ -60,9 +73,54 @@ object TableServices {
     // concurrent delta appends to these groups are fine (they stay
     // live and win merges); only double-compaction conflicts, which
     // the removed-files overlap check catches.
-    Some(t.commitValidated(Commit(instant, "compact", "compact",
-      added = added, removed = victims.map(_.path), schemaJson = sch.json),
+    t.commitValidated(Commit(instant, "compact", "compact",
+      added = added, removed = victims.map(_.path), schemaJson = sch.json,
+      extra = extra), planning, Set.empty)
+  }
+
+  /** SCHEDULE a compaction (the Hudi CLI two-step the reference demos:
+    * `compaction schedule` then `compaction run --compactionInstant …`,
+    * README.md:1126-1158): publish a `compact_requested` timeline entry
+    * naming the exact files to fold. The entry adds/removes nothing, so
+    * every reader ignores it (the action whitelists on incremental/CDC
+    * cursors are unaffected); it only parks the plan on the timeline
+    * for an async executor. Returns the request instant, or None when
+    * no file group has deltas. */
+  def scheduleCompaction(t: GraftTable): Option[String] = {
+    val planning = t.log.lastInstant().getOrElse("0")
+    val victims = deltaGroupFiles(t.log.liveFiles())
+    if (victims.isEmpty) return None
+    val instant = t.log.nextInstant()
+    Some(t.commitValidated(Commit(instant, "compact_requested", "compact_schedule",
+      extra = Map(PlanKey -> victims.map(_.path).sorted.mkString("\n"))),
       planning, Set.empty))
+  }
+
+  /** RUN a scheduled compaction: execute exactly the plan parked by
+    * [[scheduleCompaction]]. Deltas that landed AFTER the schedule stay
+    * live and keep winning merges (Hudi's plan-scoped execution), files
+    * the plan named that a later service already replaced are skipped.
+    * Idempotent: re-running an executed plan returns the original
+    * execution instant (the `compaction.request.instant` stamp on the
+    * execution commit is the dedup key). */
+  def runCompaction(t: GraftTable, requestedInstant: String): String = {
+    val commits = t.log.commits()
+    val req = commits.find(c => c.instant == requestedInstant &&
+        c.action == "compact_requested")
+      .getOrElse(throw new IllegalArgumentException(
+        s"no compaction request at instant $requestedInstant — " +
+        "scheduleCompaction first (or check SHOW timeline for the instant)"))
+    commits.find(c => c.action == "compact" &&
+        c.extra.get(RequestKey).contains(requestedInstant)) match {
+      case Some(done) => done.instant
+      case None =>
+        val planned = req.extra(PlanKey).split("\n").filter(_.nonEmpty).toSet
+        val victims = t.log.liveFiles().filter(f => planned.contains(f.path))
+        require(victims.nonEmpty,
+          s"compaction plan $requestedInstant has no live files left " +
+          "(superseded by a later compaction/clustering) — schedule anew")
+        compactFiles(t, victims, Map(RequestKey -> requestedInstant))
+    }
   }
 
   /** Clustering (T2): rewrite each file group sorted by key and packed

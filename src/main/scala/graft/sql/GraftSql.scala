@@ -126,8 +126,18 @@ final class GraftSql(catalog: GraftCatalog) {
     def table = catalog.table(arg("table").getOrElse(
       throw new IllegalArgumentException(s"CALL $proc: missing table argument")))
     proc match {
+      case "schedule_compaction" =>
+        graft.core.TableServices.scheduleCompaction(table)
+          .toSeq.toDF("requested_instant")
       case "run_compaction" =>
-        graft.core.TableServices.compact(table).toSeq.toDF("instant")
+        // with an instant: execute that scheduled plan (Hudi CLI
+        // `compaction run --compactionInstant`); without: immediate
+        arg("instant", 1) match {
+          case Some(i) =>
+            Seq(graft.core.TableServices.runCompaction(table, i)).toDF("instant")
+          case None =>
+            graft.core.TableServices.compact(table).toSeq.toDF("instant")
+        }
       case "run_clustering" =>
         val t = table
         val target = arg("target_file_bytes", 2).map(_.toLong).getOrElse(1L << 30)

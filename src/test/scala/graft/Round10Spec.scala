@@ -68,6 +68,34 @@ class Round10Spec extends AnyFunSuite {
     assert(TableServices.compactInline(t, maxDeltaCommits = 2).isEmpty)
   }
 
+  test("scheduled compaction: plan parks on the timeline, run executes exactly it") {
+    import graft.core.{GraftTable, TableConfig, TableServices}
+    import spark.implicits._
+    val root = graft.util.TempDirs.create("graft-sched-").toString
+    val t = GraftTable.create(spark, root, TableConfig(
+      name = "sc", keyField = "k", orderingField = "ts",
+      tableType = TableConfig.Mor, numBuckets = 2))
+    t.insert(Seq(("a", 1L, 1.0), ("b", 1L, 2.0)).toDF("k", "ts", "v"))
+    t.upsert(Seq(("a", 2L, 1.5)).toDF("k", "ts", "v"))
+    val req = TableServices.scheduleCompaction(t)
+    assert(req.nonEmpty)
+    // the request is timeline-neutral: realtime read unchanged, and a
+    // delta landing AFTER the schedule is outside the plan
+    t.upsert(Seq(("b", 2L, 2.9)).toDF("k", "ts", "v"))
+    val exec = TableServices.runCompaction(t, req.get)
+    // post-schedule delta survives the planned fold and still wins
+    val rt = t.readRealtime().select("k", "ts", "v")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(rt == Seq(("a", 2L, 1.5), ("b", 2L, 2.9)))
+    // idempotent: re-running the same plan returns the same instant
+    assert(TableServices.runCompaction(t, req.get) == exec)
+    // unknown instant is an actionable error
+    val e = intercept[IllegalArgumentException] {
+      TableServices.runCompaction(t, "0000000000")
+    }
+    assert(e.getMessage.contains("no compaction request"))
+  }
+
   test("round-10 aggregate gates shuffle once, with map-side partial aggregation") {
     val dir = "/root/testdata/sf0.001"
     for ((name, df) <- Seq(

@@ -168,6 +168,28 @@ class SqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](gsql.sql("CALL bogus('svc')"))
   }
 
+  test("CALL schedule_compaction parks a plan; run_compaction(instant) executes it") {
+    gsql.sql("""CREATE TABLE svc2 (id BIGINT, name STRING, ts BIGINT)
+      USING GRAFT OPTIONS (primaryKey='id', precombine='ts', type='mor')""")
+    gsql.sql("INSERT INTO svc2 VALUES (1, 'a', 100), (2, 'b', 100)")
+    gsql.sql("""MERGE INTO svc2 USING (SELECT 1 AS id, 'a2' AS name, 200 AS ts) AS s
+      ON svc2.id = s.id WHEN MATCHED THEN UPDATE SET *""")
+    val req = gsql.sql("CALL schedule_compaction(table => 'svc2')")
+      .as[String].collect()
+    assert(req.length == 1)
+    // the request is visible on the timeline but moves no files
+    assert(gsql.sql("CALL show_commits('svc2')")
+      .filter($"action" === "compact_requested").count() == 1)
+    val ran = gsql.sql(
+      s"CALL run_compaction(table => 'svc2', instant => '${req.head}')")
+      .as[String].collect()
+    assert(ran.length == 1)
+    assert(gsql.sql("CALL show_commits('svc2')")
+      .filter($"action" === "compact").count() == 1)
+    assert(gsql.sql("SELECT id, name FROM svc2 ORDER BY id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a2"), (2L, "b")))
+  }
+
   test("INSERT OVERWRITE replaces a partition") {
     gsql.sql("INSERT INTO people VALUES (3, 'cid', 'tokyo', 100)")
     gsql.sql("INSERT OVERWRITE people VALUES (9, 'zoe', 'tokyo', 200)")
