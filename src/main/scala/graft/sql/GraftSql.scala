@@ -2,7 +2,7 @@ package graft.sql
 
 import graft.core.TableConfig
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types.StructType
 
 /** SQL entry point covering the demo transcripts' statement surface
@@ -256,6 +256,41 @@ final class GraftSql(catalog: GraftCatalog) {
     // reads only file groups that may hold source keys, not the whole
     // table's key column.
     lazy val existingKeys = GraftSql.mergeKeyProbe(t, src)
+    // Partial-column UPDATE SET (Hudi-SQL `UPDATE SET col = expr`):
+    // assignments may reference the source row as `s.<col>` and the
+    // current row as `t.<col>` (qualify names the two sides share).
+    // Unassigned target columns carry through unchanged; the ordering
+    // column is untouched, so the rewritten row wins the merge as the
+    // newer commit — the same read-modify-write contract as
+    // updateWhere.
+    val partialSet: Option[String] =
+      """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?!\*)(.+?)(?=\s+WHEN\s|\s*$)""".r
+        .findFirstMatchIn(clauses).map(_.group(1).trim)
+    if (partialSet.isDefined && !updateAll) {
+      require(!deleteMatched,
+        "MERGE with both a partial UPDATE SET and a DELETE clause is unsupported")
+      val assignments = splitTopLevel(partialSet.get, ',').map { a =>
+        val Array(k, v) = a.split("=", 2)
+        k.trim.stripPrefix("t.") -> v.trim
+      }.toMap
+      val tgt = t.read()
+      require(!assignments.contains(key),
+        s"MERGE cannot assign the record key '$key'")
+      assignments.keys.foreach(c2 => require(tgt.columns.contains(c2),
+        s"MERGE SET column '$c2' does not exist in $name"))
+      val joined = tgt.alias("t").join(src.alias("s"),
+        col(s"t.$key") === col(s"s.$key"), "inner")
+      val updated = joined.select(tgt.columns.map { c2 =>
+        assignments.get(c2).map(e => expr(e).as(c2))
+          .getOrElse(col(s"t.$c2").as(c2))
+      }.toIndexedSeq: _*)
+      t.upsert(updated)
+      if (insertAll) {
+        val fresh = src.join(existingKeys, Seq(key), "left_anti")
+        if (!fresh.isEmpty) { t.upsert(fresh); () }
+      }
+      return
+    }
     (updateAll, insertAll, deleteMatched) match {
       case (true, true, false) => t.upsert(src) // classic upsert merge
       case (true, false, false) => // matched-only update
@@ -272,8 +307,8 @@ final class GraftSql(catalog: GraftCatalog) {
         val fresh = src.join(existingKeys, Seq(key), "left_anti")
         if (!fresh.isEmpty) { t.upsert(fresh); () }
       case _ => throw new IllegalArgumentException(
-        "unsupported MERGE form: use UPDATE SET * / INSERT * / DELETE " +
-        "(explicit SET expressions: use UPDATE ... WHERE)")
+        "unsupported MERGE form: use UPDATE SET * / UPDATE SET col = expr " +
+        "/ INSERT * / DELETE")
     }
     ()
   }

@@ -168,6 +168,28 @@ class SqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](gsql.sql("CALL bogus('svc')"))
   }
 
+  test("MERGE partial UPDATE SET: assigned columns change, the rest carry through") {
+    gsql.sql("""CREATE TABLE pm (id BIGINT, name STRING, score BIGINT, ts BIGINT)
+      USING GRAFT OPTIONS (primaryKey='id', precombine='ts')""")
+    gsql.sql("INSERT INTO pm VALUES (1, 'a', 10, 100), (2, 'b', 20, 100)")
+    // bump score from the source, leave name/ts untouched; insert new keys
+    gsql.sql("""MERGE INTO pm USING (
+        SELECT 1 AS id, 'ignored' AS name, 99 AS score, 200 AS ts
+        UNION ALL SELECT 3, 'c', 30, 200) AS s
+      ON pm.id = s.id
+      WHEN MATCHED THEN UPDATE SET score = s.score + 1
+      WHEN NOT MATCHED THEN INSERT *""")
+    val got = gsql.sql("SELECT id, name, score FROM pm ORDER BY id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", 100L), (2L, "b", 20L), (3L, "c", 30L)))
+    // assigning the record key is refused
+    val e = intercept[IllegalArgumentException] {
+      gsql.sql("""MERGE INTO pm USING (SELECT 1 AS id, 0 AS score) AS s
+        ON pm.id = s.id WHEN MATCHED THEN UPDATE SET id = s.score""")
+    }
+    assert(e.getMessage.contains("record key"))
+  }
+
   test("CALL schedule_compaction parks a plan; run_compaction(instant) executes it") {
     gsql.sql("""CREATE TABLE svc2 (id BIGINT, name STRING, ts BIGINT)
       USING GRAFT OPTIONS (primaryKey='id', precombine='ts', type='mor')""")
