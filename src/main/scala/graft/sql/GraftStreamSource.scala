@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, Write, WriteBuilder}
 import org.apache.spark.sql.connector.write.streaming.StreamingWrite
 import org.apache.spark.sql.execution.datasources.FileFormat
@@ -96,7 +96,8 @@ final case class GraftOffset(instant: String) extends Offset {
 }
 
 final class GraftMicroBatchStream(spark: SparkSession, root: String,
-    tableSchema: StructType) extends MicroBatchStream {
+    tableSchema: StructType) extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
 
   // reload per call: the commit log is the source of truth and other
   // writers append to it while the stream runs
@@ -118,6 +119,40 @@ final class GraftMicroBatchStream(spark: SparkSession, root: String,
     GraftOffset(table.log.lastInstant().getOrElse("0"))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  // ---- admission control + Trigger.AvailableNow ---------------------
+  // `spark.graft.stream.maxCommitsPerTrigger` bounds how many table
+  // commits one micro-batch may span (the deltastreamer `max.commits` /
+  // Kafka `maxOffsetsPerTrigger` analog): a stream starting against a
+  // long backlog catches up in bounded batches instead of planning the
+  // whole history as one giant batch. AvailableNow pins the end of the
+  // run to the timeline head observed at start, so the query drains to
+  // a fixed point and terminates even while writers keep committing.
+  @volatile private var availableNowCap: Option[String] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(table.log.lastInstant().getOrElse("0"))
+
+  private def maxCommitsPerTrigger: Option[Int] =
+    spark.conf.getOption("spark.graft.stream.maxCommitsPerTrigger").map(_.toInt)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftOffset].instant
+    val head = table.log.lastInstant().getOrElse("0")
+    val cap = availableNowCap.fold(head)(c => if (c < head) c else head)
+    maxCommitsPerTrigger match {
+      case Some(n) if n > 0 =>
+        val window = table.log.commits()
+          .filter(c => c.instant > from && c.instant <= cap)
+          .filter(c => c.action == "commit" || c.action == "replace")
+          .take(n)
+        GraftOffset(window.lastOption.map(_.instant).getOrElse(from))
+      case _ => GraftOffset(cap)
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
+    GraftOffset(table.log.lastInstant().getOrElse("0"))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GraftOffset].instant

@@ -83,6 +83,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the graft source to a fixed point and stops") {
+    import graft.core.{GraftTable, TableConfig}
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmp()
+    val t = GraftTable.create(spark, s"$root/t", TableConfig(
+      name = "an_src", keyField = "k", orderingField = "ts", numBuckets = 2))
+    t.insert(Seq(("a", 1L, 1.0), ("b", 1L, 2.0)).toDF("k", "ts", "v"))
+    t.upsert(Seq(("c", 1L, 3.0)).toDF("k", "ts", "v"))
+    val q = spark.readStream.format("graft-stream")
+      .option("path", s"$root/t").load()
+      .select("k", "ts", "v")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("an_out").trigger(Trigger.AvailableNow()).start()
+    try {
+      // AvailableNow must terminate on its own once the prepared
+      // timeline head is reached — no stop() needed
+      assert(q.awaitTermination(60000), "AvailableNow query did not terminate")
+      val got = spark.sql("select k from an_out").as[String].collect().sorted.toSeq
+      assert(got == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
+  test("maxCommitsPerTrigger bounds how many commits one micro-batch spans") {
+    import graft.core.{GraftTable, TableConfig}
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmp()
+    val t = GraftTable.create(spark, s"$root/t", TableConfig(
+      name = "mc_src", keyField = "k", orderingField = "ts", numBuckets = 2))
+    // three separate commits, one row each
+    t.insert(Seq(("a", 1L, 1.0)).toDF("k", "ts", "v"))
+    t.upsert(Seq(("b", 1L, 2.0)).toDF("k", "ts", "v"))
+    t.upsert(Seq(("c", 1L, 3.0)).toDF("k", "ts", "v"))
+    spark.conf.set("spark.graft.stream.maxCommitsPerTrigger", "1")
+    val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-stream")
+      .option("path", s"$root/t").load()
+      .select("k", "ts", "v")
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count(); if (n > 0) { sizes.add(n); () }
+      }.start()
+    try {
+      assert(q.awaitTermination(60000), "query did not terminate")
+      // catch-up happened in single-commit steps: three 1-row batches,
+      // never one 3-row batch
+      assert(sizes.asScala.toSeq == Seq(1L, 1L, 1L),
+        s"batch sizes ${sizes.asScala.toSeq}")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.graft.stream.maxCommitsPerTrigger")
+    }
+  }
+
   test("stream-stream join attributes clicks to impressions within the interval") {
     val impDir = tmp()
     val clkDir = tmp()
