@@ -667,6 +667,65 @@ object PipelineQueries {
        |FROM e$bpeMerges GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** End-to-end corpus curation (p29) — the north-star COMPOSITION
+    * gate: quality filter → exact dedup (md5, keep min id) → near-dup
+    * keep-best (minhash-LSH candidates, exact Jaccard ≥ 0.7 verify,
+    * connected components, longest-doc representative) → per-doc token
+    * stats of the surviving corpus. One DuckDB oracle reproduces the
+    * whole chain, so the STAGES are verified composed, not just in
+    * isolation — the shape an actual training-data run executes.
+    *
+    * Plan shape: the filter is a scan predicate; exact dedup is one
+    * hash shuffle; the LSH candidates/verify/CC machinery runs on the
+    * FILTERED survivors only (each stage shrinks the next stage's
+    * input — the pipeline-order rule of training-data curation). */
+  def pCurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val quality = docs.filter(size(split(col("text"), " ")) >= 30)
+    val exactKeep = Dedup.exact(quality, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val uniq = quality.join(exactKeep, Seq("doc_id"), "left_semi")
+    val keep = Dedup.keepBest(uniq, "doc_id", "text",
+        Dedup.minhashLsh(uniq, "doc_id", "text", k = 5, threshold = 0.7))
+      .select(col("keep_id").as("doc_id"))
+    uniq.join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val pCurationSql =
+    """WITH RECURSIVE
+      |q AS (SELECT doc_id, text FROM documents
+      |      WHERE len(string_split(text, ' ')) >= 30),
+      |ek AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+      |s AS (SELECT q.doc_id, q.text FROM q JOIN ek USING (doc_id)),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM s),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |        generate_series(1, greatest(1, len(ws) - 4)),
+      |        i -> array_to_string(ws[i:i+4], ' ')))) AS gram
+      |      FROM w),
+      |n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |jp AS (SELECT doc_a, doc_b FROM p
+      |       JOIN n na ON p.doc_a = na.doc_id
+      |       JOIN n nb ON p.doc_b = nb.doc_id
+      |       WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.7),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+      |      UNION SELECT doc_b, doc_a FROM jp),
+      |reach(a, b) AS (SELECT a, b FROM e
+      |      UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |       FROM reach GROUP BY a),
+      |m AS (SELECT s.doc_id, coalesce(cl.cluster_id, s.doc_id) AS cluster_id,
+      |             len(string_split(s.text, ' '))::BIGINT AS n_tokens
+      |      FROM s LEFT JOIN cl USING (doc_id)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+      |        ORDER BY n_tokens DESC, doc_id ASC) AS rn FROM m)
+      |SELECT doc_id, n_tokens FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   // ---- SemDeDup (p27): semantic dedup groups -------------------------
 
   /** SemDeDup duplicate-group membership at the FULL-RECALL gate
@@ -739,6 +798,7 @@ object PipelineQueries {
     "p26_bpe_merges" -> (tBpe _),
     "p27_semantic_dedup" -> (dSemanticGroups _),
     "p28_bpe_encode" -> (tBpeEncode _),
+    "p29_curation_pipeline" -> (pCurationPipeline _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -777,5 +837,6 @@ object PipelineQueries {
     "p26_bpe_merges" -> tBpeSql,
     "p27_semantic_dedup" -> dSemanticSql,
     "p28_bpe_encode" -> tBpeEncodeSql,
+    "p29_curation_pipeline" -> pCurationSql,
   )
 }
