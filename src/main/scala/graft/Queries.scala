@@ -593,6 +593,56 @@ object Queries {
       |  count(*) FILTER (WHERE k >= 50) AS n_hi
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Distribution rank functions (ntile / percent_rank / cume_dist —
+    * the quantile-bucketing window family q19's lag/rank set doesn't
+    * cover). All four share ONE window partitioning, so the plan is a
+    * single hash exchange + one sort. The filter bounds output size;
+    * integer tie-break (o_orderkey) keeps ranks deterministic. */
+  def q27RankFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .withColumn("bucket", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select("o_orderpriority", "o_orderkey", "bucket", "pct_rank", "cume")
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  private val q27Sql =
+    """SELECT o_orderpriority, o_orderkey,
+      |  ntile(4) OVER w AS bucket,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM orders WHERE o_orderkey % 100 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  /** Calendar functions (date_trunc / extract / datediff): orders per
+    * month with the order's age at a fixed anchor date — the reporting
+    * time-dimension shape. Integer day arithmetic (exact in both
+    * engines); month emitted as a formatted string so the GROUP key is
+    * engine-portable. */
+  def q28Datetime(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .withColumn("month", date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM"))
+      .withColumn("dow", dayofweek(col("o_orderdate")).cast("long"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dow") === 1 || col("dow") === 7, 1L).otherwise(0L)).as("n_weekend"),
+        max(datediff(lit("1999-01-01").cast(DateType), col("o_orderdate").cast(DateType))
+          .cast("long")).as("max_age_days"))
+      .orderBy("month")
+
+  private val q28Sql =
+    """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+      |  count(*) AS n,
+      |  CAST(sum(CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+      |  max(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')) AS max_age_days
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -622,6 +672,8 @@ object Queries {
     "q24_corr_moments" -> (q24CorrMoments _),
     "q25_string_agg" -> (q25StringAgg _),
     "q26_json_extract" -> (q26JsonExtract _),
+    "q27_rank_functions" -> (q27RankFunctions _),
+    "q28_datetime" -> (q28Datetime _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -651,5 +703,7 @@ object Queries {
     "q24_corr_moments" -> q24Sql,
     "q25_string_agg" -> q25Sql,
     "q26_json_extract" -> q26Sql,
+    "q27_rank_functions" -> q27Sql,
+    "q28_datetime" -> q28Sql,
   )
 }

@@ -37,8 +37,30 @@ final class GraftSql(catalog: GraftCatalog) {
   private val MergeRe =
     """(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+\w+)?\s+USING\s+(.+?)\s+(WHEN\s+(?:NOT\s+)?MATCHED\s+.+?)\s*""".r
   private val CallRe = """(?is)\s*CALL\s+(\w+)\s*\((.*)\)\s*""".r
+  private val DropRe =
+    """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val TruncateRe = """(?is)\s*TRUNCATE\s+TABLE\s+(\w+)\s*""".r
 
   def sql(text: String): DataFrame = text match {
+    case DropRe(ifExists, name) =>
+      val known = catalog.listTables().contains(name)
+      if (!known && ifExists == null)
+        throw new IllegalArgumentException(s"no such table $name")
+      if (known) {
+        catalog.dropTable(name)
+        spark.catalog.dropTempView(name)
+        ()
+      }
+      emptyResult()
+
+    case TruncateRe(name) =>
+      // content reset as a normal timeline commit (history preserved,
+      // time travel to pre-truncate instants still works) — the
+      // overwrite-with-empty shape, not a file purge
+      val t = catalog.table(name)
+      t.insertOverwriteTable(t.read().limit(0))
+      emptyResult()
+
     case MergeRe(name, sourceAndOn, clauses) =>
       merge(name, sourceAndOn, clauses)
       emptyResult()

@@ -168,6 +168,22 @@ class SqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](gsql.sql("CALL bogus('svc')"))
   }
 
+  test("DROP TABLE and TRUNCATE TABLE statements") {
+    gsql.sql("""CREATE TABLE dt (id BIGINT, ts BIGINT)
+      USING GRAFT OPTIONS (primaryKey='id', precombine='ts')""")
+    gsql.sql("INSERT INTO dt VALUES (1, 100), (2, 100)")
+    // truncate keeps the table (and its history) but empties the content
+    gsql.sql("TRUNCATE TABLE dt")
+    assert(gsql.sql("SELECT * FROM dt").count() == 0)
+    gsql.sql("INSERT INTO dt VALUES (3, 200)")
+    assert(gsql.sql("SELECT id FROM dt").as[Long].collect().toSeq == Seq(3L))
+    gsql.sql("DROP TABLE dt")
+    assert(!gsql.sql("SHOW TABLES").as[String].collect().contains("dt"))
+    // idempotent form succeeds, bare form errors
+    gsql.sql("DROP TABLE IF EXISTS dt")
+    intercept[IllegalArgumentException](gsql.sql("DROP TABLE dt"))
+  }
+
   test("MERGE partial UPDATE SET: assigned columns change, the rest carry through") {
     gsql.sql("""CREATE TABLE pm (id BIGINT, name STRING, score BIGINT, ts BIGINT)
       USING GRAFT OPTIONS (primaryKey='id', precombine='ts')""")
