@@ -42,7 +42,8 @@ object Bench {
     "p23_dedup_keep_best", // round 6: full cluster+canonicalize pipeline
     "p26_bpe_merges", // round 8: BPE merge loop (corpus-once + vocab rounds)
     "p28_bpe_encode", // round 10: tokenizer apply (learn + one map-only corpus pass)
-    "p29_curation_pipeline") // round 10: composed filter→dedup→keep-best pipeline
+    "p29_curation_pipeline", // round 10: composed filter→dedup→keep-best pipeline
+    "p30_lm_typicality") // round 10: bigram-LM scoring via salted skew joins
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{GraftExpressions, TextFunctions}
-import graft.operators.{Bpe, Curation, Dedup, IvfIndex, Similarity}
+import graft.operators.{Bpe, Curation, Dedup, IvfIndex, Joins, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -767,6 +767,74 @@ object PipelineQueries {
        |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
   }
 
+  // ---- bigram-LM typicality scoring (p30) ----------------------------
+
+  /** Corpus-LM typicality scoring — the statistics core of CCNet-style
+    * n-gram-LM quality filtering: train bigram/unigram counts on the
+    * corpus itself, then score every document by how typical its
+    * bigrams are of that corpus. Per doc:
+    *   `rare_frac`  = fraction of bigrams seen nowhere else (count 1),
+    *   `typicality` = Σ C(bigram) / Σ C(first-word) — the aggregate
+    *                  conditional-probability mass of the doc's bigrams.
+    * The log transform of classic perplexity is deliberately OMITTED:
+    * `ln` is not bit-identical across libm implementations and a sum
+    * of logs is order-dependent, so the gate would be flaky — while
+    * these BIGINT-sum + single-division statistics are exact in both
+    * engines and rank-equivalent uses (threshold filters) survive any
+    * monotone transform applied downstream.
+    *
+    * Scale shape: counting is two hash shuffles with map-side partial
+    * aggregation (O(distinct grams) shuffled, not O(tokens)).
+    * Attaching C(bigram) back to each occurrence is the textbook SKEW
+    * join — bigram frequency is Zipfian, so the hot grams would pile
+    * onto single reducers — and uses [[Joins.saltedEquiJoin]] (count
+    * rows replicated 8×, occurrences spread by hash(doc_id)). The
+    * unigram attach reuses the same operator. Neither count table is
+    * broadcast: at 100 TB the distinct-gram tables are themselves
+    * beyond broadcast size. */
+  def tLmTypicality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("u"))
+    val bg = toks.select(col("doc_id"), explode(expr(
+        """zip_with(t, slice(t, 2, greatest(size(t) - 1, 0)),
+          |  (x, y) -> named_struct('w1', x, 'b', concat(x, ' ', y)))"""
+          .stripMargin)).as("z"))
+      .filter(col("z.b").isNotNull)
+      .select(col("doc_id"), col("z.w1").as("w1"), col("z.b").as("b"))
+    val bc = bg.groupBy("b").agg(count(lit(1)).as("c"))
+    val scored = Joins.saltedEquiJoin(
+      Joins.saltedEquiJoin(bg, bc, "b", salts = 8, saltBy = col("doc_id")),
+      uni, "w1", salts = 8, saltBy = col("doc_id"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("rare"),
+        sum(col("c")).as("hit_sum"), sum(col("u")).as("ctx_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("rare").cast("double") / col("n_bigrams").cast("double"))
+          .as("rare_frac"),
+        (col("hit_sum").cast("double") / col("ctx_sum").cast("double"))
+          .as("typicality"))
+      .orderBy("doc_id")
+  }
+
+  private val tLmTypicalitySql =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |uni AS (SELECT w1, count(*)::BIGINT AS u
+      |        FROM (SELECT unnest(t) AS w1 FROM tok) GROUP BY 1),
+      |bg AS (SELECT doc_id, z[1] AS w1, z[1] || ' ' || z[2] AS b
+      |       FROM (SELECT doc_id, unnest(list_zip(t, t[2:])) AS z FROM tok)
+      |       WHERE z[2] IS NOT NULL),
+      |bc AS (SELECT b, count(*)::BIGINT AS c FROM bg GROUP BY 1),
+      |j AS (SELECT doc_id, c, u FROM bg JOIN bc USING (b) JOIN uni USING (w1))
+      |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS rare_frac,
+      |  CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(sum(u) AS BIGINT) AS DOUBLE) AS typicality
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -799,6 +867,7 @@ object PipelineQueries {
     "p27_semantic_dedup" -> (dSemanticGroups _),
     "p28_bpe_encode" -> (tBpeEncode _),
     "p29_curation_pipeline" -> (pCurationPipeline _),
+    "p30_lm_typicality" -> (tLmTypicality _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -838,5 +907,6 @@ object PipelineQueries {
     "p27_semantic_dedup" -> dSemanticSql,
     "p28_bpe_encode" -> tBpeEncodeSql,
     "p29_curation_pipeline" -> pCurationSql,
+    "p30_lm_typicality" -> tLmTypicalitySql,
   )
 }

@@ -82,4 +82,32 @@ object Joins {
       .filter(col(leftValCol) >= col(loCol) && col(leftValCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Salted inner equi-join for a skewed probe side: `big` may carry
+    * hot values of `key` (power-law keys — a Zipfian bigram, a
+    * celebrity user id) that a plain shuffle join piles onto one
+    * reducer; `small` has few rows per key (a counts/dimension
+    * table too large to broadcast at full scale). The big side gets a
+    * deterministic salt `hash(saltBy) mod salts`; the small side is
+    * replicated once per salt value; the join key becomes
+    * `(key, salt)`, so each hot key fans out over `salts` reducers
+    * and the result set is exactly the unsalted inner join.
+    *
+    * `saltBy` must be a DETERMINISTIC big-side expression that varies
+    * within a hot key (a row id — NOT the join key itself, which
+    * would put every hot row back in one bucket, and NOT `rand()`,
+    * which breaks retry/speculative-task consistency). Shuffle volume
+    * cost: `small` is written `salts`× — pick single-digit `salts`
+    * for dimension-sized `small`. AQE's skew-join split solves the
+    * same problem reactively for sort-merge plans; this operator is
+    * the proactive form that also covers hash joins and keeps working
+    * when one key exceeds a whole executor's share. */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int, saltBy: Column): DataFrame = {
+    require(salts > 0, s"salts must be positive: $salts")
+    val b = big.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
 }
