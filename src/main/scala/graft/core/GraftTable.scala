@@ -162,7 +162,11 @@ final class GraftTable private (
     * sort — file boundaries, not row order, must carry the layout. */
   private def writeFiles(df: DataFrame, instant: String, delta: Boolean,
       maxRecordsPerFile: Option[Long] = None,
-      rangeBy: Option[(Int, Seq[Column])] = None): Seq[DataFileMeta] = {
+      rangeBy: Option[(Int, Seq[Column])] = None,
+      dedupLatest: Boolean = false,
+      dropSoftDeleted: Boolean = false): Seq[DataFileMeta] = {
+    require(!(dedupLatest && rangeBy.isDefined),
+      "in-shuffle dedup requires hash layout, not range clustering")
     val keyed = df
       .withColumn("_part", partExpr)
       .withColumn("_bucket", bucketExpr)
@@ -170,11 +174,33 @@ final class GraftTable private (
     // writers planning the same instant must never share it
     val writeToken = java.util.UUID.randomUUID().toString.take(8)
     val staging = Paths.get(root, s".staging-$instant-$writeToken")
-    val shuffled = rangeBy match {
+    val shuffled0 = rangeBy match {
       case Some((n, cols)) =>
         keyed.repartitionByRange(math.max(1, n),
           (Seq(col("_part"), col("_bucket")) ++ cols).map(_.asc): _*)
       case None => keyed.repartition(col("_part"), col("_bucket"))
+    }
+    // Latest-wins INSIDE the write shuffle: `_bucket` is a function of
+    // the key, so one hashpartitioning(_part,_bucket) co-locates every
+    // version of a key. Sorting the partition by (key, ordering desc,
+    // commit desc) makes each key a run whose FIRST row is the winner;
+    // the lag() window reuses the exchange (its required clustering is
+    // exactly the write layout), so upsert/insert pay ONE shuffle where
+    // a separate latestWins pass + write repartition paid two — and on
+    // the COW merge path the rewritten base rows never travel through a
+    // key-hash exchange at all.
+    val shuffled = if (!dedupLatest) shuffled0 else {
+      val w = Window.partitionBy(col("_part"), col("_bucket"))
+        .orderBy(col(config.keyField).asc,
+          col(config.orderingField).desc_nulls_last,
+          col(CommitTimeCol).desc_nulls_last)
+      val d = shuffled0
+        .withColumn("__prevk", lag(col(config.keyField), 1).over(w))
+        .filter(col("__prevk").isNull ||
+          col("__prevk") =!= col(config.keyField))
+        .drop("__prevk")
+      if (dropSoftDeleted) d.filter(!coalesce(col(softDel), lit(false)))
+      else d
     }
     val writer0 = shuffled.write.partitionBy("_part", "_bucket").mode("overwrite")
       // T7 key-lookup index: parquet bloom filter on the record key —
@@ -185,18 +211,28 @@ final class GraftTable private (
     val writer = maxRecordsPerFile.fold(writer0)(n => writer0.option("maxRecordsPerFile", n))
     writer.parquet(staging.toString)
 
-    // Per-file stats (key range + ordering range + rows) harvested by
-    // reading BACK the staged files — column-pruned to the stats
-    // columns, grouped by input file. Crucially this does NOT re-run
-    // the upstream pipeline (a merge/window write would otherwise be
-    // computed twice) and yields exact per-file bounds.
+    // Per-file stats (key range + ordering range + rows). Primary
+    // path: parquet FOOTER harvest — O(files) metadata reads, no data
+    // pages touched, no second Spark job per commit (FooterStats).
+    // Fallback: read BACK the staged files — column-pruned to the
+    // stats columns, grouped by input file — for stats-column types
+    // whose footer representation isn't cast-string-exact. Neither
+    // path re-runs the upstream pipeline (a merge/window write would
+    // otherwise be computed twice); both yield exact per-file bounds.
     val statCols = (Seq(config.keyField, config.orderingField) ++ config.statsColumns).distinct
       .filter(df.columns.contains)
-    val statsByFile: Map[String, (Long, Map[String, ColStat])] =
-      if (!Files.exists(staging) ||
-          !Files.list(staging).iterator().asScala.exists(
-            _.getFileName.toString.startsWith("_part="))) Map.empty
-      else {
+    val stagedParquet: Seq[java.nio.file.Path] =
+      if (!Files.exists(staging)) Seq.empty
+      else Files.walk(staging).iterator().asScala
+        .filter(p => p.toString.contains("/_part=") &&
+          p.getFileName.toString.endsWith(".parquet")).toSeq
+    def footerHarvest(): Option[Map[String, (Long, Map[String, ColStat])]] =
+      if (!spark.conf.get("spark.graft.write.footerStats", "true").toBoolean)
+        None
+      else FooterStats.harvest(stagedParquet, statCols,
+        StructType(statCols.map(c => df.schema(c))),
+        spark.sessionState.newHadoopConf())
+    def scanHarvest(): Map[String, (Long, Map[String, ColStat])] = {
         val aggs = count(lit(1)).as("__rows") +: statCols.flatMap { c =>
           Seq(min(col(c)).cast(StringType).as(s"__min_$c"),
               max(col(c)).cast(StringType).as(s"__max_$c"),
@@ -226,6 +262,9 @@ final class GraftTable private (
               (r.getAs[Long]("__rows"), colStats)
           }.toMap
       }
+    val statsByFile: Map[String, (Long, Map[String, ColStat])] =
+      if (stagedParquet.isEmpty) Map.empty
+      else footerHarvest().getOrElse(scanHarvest())
 
     // move staged files into the stable layout
     val metas = scala.collection.mutable.ArrayBuffer[DataFileMeta]()
@@ -356,7 +395,6 @@ final class GraftTable private (
     val planning = snap.lastInstant.getOrElse("0")
     val instant = log.nextInstantAfter(snap.lastInstant)
     val (batch0, evolved) = prepare(df, instant, snap)
-    val batch = if (precombine) latestWins(batch0) else batch0
     // T5 small-file handling: fold undersized base files of the groups
     // this insert lands in into the new write (bin packing) instead of
     // stacking another tiny file per commit
@@ -369,17 +407,25 @@ final class GraftTable private (
           f.bytes < config.smallFileLimitBytes)
         if (candidates.isEmpty) Nil
         else {
-          val groups = batch
+          val groups = batch0
             .withColumn("_part", partExpr).withColumn("_bucket", bucketExpr)
             .select("_part", "_bucket").distinct()
             .collect().map(r => (r.getString(0), r.getInt(1))).toSet
           candidates.filter(f => groups.contains((f.partition, f.bucket)))
         }
       }
-    val toWrite =
-      if (smallVictims.isEmpty) batch
-      else readFiles(smallVictims, evolved).unionByName(batch)
-    val added = writeFiles(toWrite, instant, delta = false)
+    // No victims → dedup-within-batch runs inside the write shuffle.
+    // With victims the packed-in EXISTING rows must survive alongside
+    // batch rows that share their key (insert, not upsert, semantics),
+    // so the batch is deduped separately before the union.
+    val (toWrite, dedupInWrite) =
+      if (smallVictims.isEmpty) (batch0, precombine)
+      else {
+        val b = if (precombine) latestWins(batch0) else batch0
+        (readFiles(smallVictims, evolved).unionByName(b), false)
+      }
+    val added = writeFiles(toWrite, instant, delta = false,
+      dedupLatest = dedupInWrite)
     val c = Commit(instant, "commit", op, added = added,
       removed = smallVictims.map(_.path), schemaJson = evolved.json)
     commitValidated(c, planning,
@@ -398,10 +444,11 @@ final class GraftTable private (
     val planning = snap.lastInstant.getOrElse("0")
     val instant = log.nextInstantAfter(snap.lastInstant)
     val (batch0, evolved) = prepare(df, instant, snap)
-    val batch = latestWins(batch0).persist()
+    val batch = batch0.persist()
     try {
       if (config.isMor) {
-        val added = writeFiles(batch, instant, delta = true)
+        val added = writeFiles(batch, instant, delta = true,
+          dedupLatest = true)
         commitValidated(Commit(instant, "commit", "upsert", added = added,
           schemaJson = evolved.json, extra = extra), planning, Set.empty)
       } else {
@@ -419,9 +466,9 @@ final class GraftTable private (
           overlapsIncoming(_, touched, keyType))
         val _ = untouched // files outside the batch's key ranges stay as-is
         val existing = readFiles(rewrite, evolved)
-        val merged = latestWins(existing.unionByName(batch))
-          .filter(!coalesce(col(softDel), lit(false)))
-        val added = writeFiles(merged, instant, delta = false)
+        // latest-wins + tombstone drop happen inside the write shuffle
+        val added = writeFiles(existing.unionByName(batch), instant,
+          delta = false, dedupLatest = true, dropSoftDeleted = true)
         commitValidated(Commit(instant, "commit", "upsert", added = added,
           removed = rewrite.map(_.path), schemaJson = evolved.json,
           extra = extra), planning, touched.keySet)
@@ -459,7 +506,8 @@ final class GraftTable private (
       val (batch0, evolved) = prepare(
         victims.withColumn(softDel, lit(true))
           .withColumn(CommitTimeCol, lit(instant)), instant, snap)
-      val added = writeFiles(latestWins(batch0), instant, delta = true)
+      val added = writeFiles(batch0, instant, delta = true,
+        dedupLatest = true)
       commitValidated(Commit(instant, "commit", "delete", added = added,
         schemaJson = evolved.json), planning, Set.empty)
     } else {
@@ -634,7 +682,8 @@ final class GraftTable private (
     val parts = batch.select(partExpr.as("p")).distinct()
       .collect().map(_.getString(0)).toSet
     val removed = snap.liveFiles().filter(f => parts.contains(f.partition))
-    val added = writeFiles(latestWins(batch), instant, delta = false)
+    val added = writeFiles(batch, instant, delta = false,
+      dedupLatest = true)
     commitValidated(Commit(instant, "replace", "insert_overwrite",
       added = added, removed = removed.map(_.path),
       replacedPartitions = parts.toSeq.sorted, schemaJson = evolved.json),
@@ -648,7 +697,8 @@ final class GraftTable private (
     val instant = log.nextInstantAfter(snap.lastInstant)
     val (batch, evolved) = prepare(df, instant, snap)
     val removed = snap.liveFiles()
-    val added = writeFiles(latestWins(batch), instant, delta = false)
+    val added = writeFiles(batch, instant, delta = false,
+      dedupLatest = true)
     commitValidated(Commit(instant, "replace", "insert_overwrite_table",
       added = added, removed = removed.map(_.path),
       replacedPartitions = Seq("*"), schemaJson = evolved.json),

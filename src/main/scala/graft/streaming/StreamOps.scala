@@ -94,6 +94,28 @@ object StreamOps {
       .drop(s"__r_$key")
   }
 
+  /** Watermarked stream-stream LEFT OUTER interval join (the
+    * did-NOT-convert shape: every left event emits, matched or not).
+    * Same state bound as [[streamStreamJoin]]; the null-padded row for
+    * an unmatched left event is emitted only once the right watermark
+    * passes `leftTs + within` — i.e. once no matching right row can
+    * still arrive. Outer results are therefore delayed by the
+    * interval+lateness, which is the price of a correct "no match"
+    * verdict under out-of-order delivery. */
+  def streamStreamLeftJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, within: String = "10 minutes",
+      lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+      .withColumnRenamed(key, s"__r_$key")
+    l.join(r,
+      col(key) === col(s"__r_$key") &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+      "left_outer")
+      .drop(s"__r_$key")
+  }
+
   /** Stream-static enrichment: join each micro-batch against a static
     * dimension (broadcast — the dim is planned once, no streaming
     * state). The left-join keeps unmatched stream rows (nulls in dim

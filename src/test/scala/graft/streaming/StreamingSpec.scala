@@ -164,6 +164,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: unmatched impressions emit null-padded after the watermark closes the interval") {
+    val impDir = tmp()
+    val clkDir = tmp()
+    writeJson(impDir, "imps.json",
+      """{"imp_ts":"2024-01-01 10:00:00","ad_id":1,"campaign":"c1"}""",
+      """{"imp_ts":"2024-01-01 10:00:00","ad_id":2,"campaign":"c2"}""")
+    writeJson(clkDir, "clicks.json",
+      """{"click_ts":"2024-01-01 10:05:00","ad_id":1}""") // ad 2 never clicks
+    val impSchema = StructType(Seq(StructField("imp_ts", TimestampType),
+      StructField("ad_id", LongType), StructField("campaign", StringType)))
+    val clkSchema = StructType(Seq(StructField("click_ts", TimestampType),
+      StructField("ad_id", LongType)))
+    val imps = spark.readStream.schema(impSchema).json(impDir)
+    val clicks = spark.readStream.schema(clkSchema).json(clkDir)
+    val joined = StreamOps.streamStreamLeftJoin(imps, clicks, "ad_id",
+      "imp_ts", "click_ts", within = "10 minutes", lateness = "1 minute")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("louter_out").start()
+    try {
+      q.processAllAvailable()
+      // the no-match verdict needs the GLOBAL watermark (min of both
+      // sides) past imp_ts + within + lateness — push BOTH streams
+      // forward, twice (outer rows surface in the batch after the
+      // watermark advance)
+      writeJson(impDir, "imps2.json",
+        """{"imp_ts":"2024-01-01 12:00:00","ad_id":998,"campaign":"px"}""")
+      writeJson(clkDir, "clicks2.json",
+        """{"click_ts":"2024-01-01 12:00:00","ad_id":999}""")
+      q.processAllAvailable()
+      writeJson(impDir, "imps3.json",
+        """{"imp_ts":"2024-01-01 12:30:00","ad_id":997,"campaign":"px"}""")
+      writeJson(clkDir, "clicks3.json",
+        """{"click_ts":"2024-01-01 12:30:00","ad_id":996}""")
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select ad_id, campaign, click_ts from louter_out where ad_id in (1, 2)")
+        .as[(Long, String, Option[java.sql.Timestamp])].collect().toSet
+      assert(rows.map(r => (r._1, r._2, r._3.isDefined)) ==
+        Set((1L, "c1", true), (2L, "c2", false)),
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment broadcasts the dimension, keeps misses") {
     val in = tmp()
     writeJson(in, "b1.json",
