@@ -767,6 +767,28 @@ object PipelineQueries {
        |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
   }
 
+  /** Temperature-flattened mixture over `source` (p31): the
+    * multi-source data-mixing step — see
+    * [[Curation.temperatureMixture]] for the α = 0.5 sublinear target
+    * and why it's per-group exact (no cross-source float sum). */
+  def cTemperatureMixture(spark: SparkSession, dir: String): DataFrame =
+    Curation.temperatureMixture(Tables.load(spark, dir, "documents"),
+        classCol = "source", keyCol = "doc_id", scale = 2.0)
+      .select("source", "doc_id")
+      .orderBy("source", "doc_id")
+
+  private val cTemperatureSql =
+    """WITH t AS (
+      |  SELECT source, least(count(*),
+      |    CAST(ceil(2.0 * sqrt(count(*)::DOUBLE)) AS BIGINT)) AS t
+      |  FROM documents GROUP BY 1),
+      |r AS (SELECT source, doc_id, row_number() OVER (
+      |        PARTITION BY source
+      |        ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn
+      |      FROM documents)
+      |SELECT source, doc_id FROM r JOIN t USING (source)
+      |WHERE rn <= t ORDER BY source, doc_id""".stripMargin
+
   // ---- bigram-LM typicality scoring (p30) ----------------------------
 
   /** Corpus-LM typicality scoring — the statistics core of CCNet-style
@@ -868,6 +890,7 @@ object PipelineQueries {
     "p28_bpe_encode" -> (tBpeEncode _),
     "p29_curation_pipeline" -> (pCurationPipeline _),
     "p30_lm_typicality" -> (tLmTypicality _),
+    "p31_mixture_temperature" -> (cTemperatureMixture _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -908,5 +931,6 @@ object PipelineQueries {
     "p28_bpe_encode" -> tBpeEncodeSql,
     "p29_curation_pipeline" -> pCurationSql,
     "p30_lm_typicality" -> tLmTypicalitySql,
+    "p31_mixture_temperature" -> cTemperatureSql,
   )
 }

@@ -643,6 +643,34 @@ object Queries {
       |  max(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')) AS max_age_days
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Arbitrary GROUPING SETS with grouping_id — the general form CUBE
+    * (q20) and ROLLUP (q15) specialize. One expand + one aggregation
+    * exchange for all three granularities; grouping_id disambiguates
+    * subtotal rows from genuine NULL group keys (bit semantics match
+    * DuckDB's grouping()). */
+  def q29GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast(LongType).as("gid"),
+        count(lit(1)).as("cnt"),
+        sum(d2(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+      .select("l_returnflag", "l_linestatus", "gid", "cnt", "sum_qty")
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first, col("gid").asc)
+
+  private val q29Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS cnt,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST,
+      |  gid ASC""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -674,6 +702,7 @@ object Queries {
     "q26_json_extract" -> (q26JsonExtract _),
     "q27_rank_functions" -> (q27RankFunctions _),
     "q28_datetime" -> (q28Datetime _),
+    "q29_grouping_sets" -> (q29GroupingSets _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -705,5 +734,6 @@ object Queries {
     "q26_json_extract" -> q26Sql,
     "q27_rank_functions" -> q27Sql,
     "q28_datetime" -> q28Sql,
+    "q29_grouping_sets" -> q29Sql,
   )
 }

@@ -362,9 +362,12 @@ final class GraftTable private (
     * multi-column clustering). */
   private[core] def writeFilesForService(df: DataFrame, instant: String,
       maxRecordsPerFile: Option[Long] = None,
-      rangeBy: Option[(Int, Seq[Column])] = None): Seq[DataFileMeta] =
+      rangeBy: Option[(Int, Seq[Column])] = None,
+      dedupLatest: Boolean = false,
+      dropSoftDeleted: Boolean = false): Seq[DataFileMeta] =
     writeFiles(df, instant, delta = false,
-      maxRecordsPerFile = maxRecordsPerFile, rangeBy = rangeBy)
+      maxRecordsPerFile = maxRecordsPerFile, rangeBy = rangeBy,
+      dedupLatest = dedupLatest, dropSoftDeleted = dropSoftDeleted)
 
   private def commitOrThrow(c: Commit): String = {
     var attempt = c

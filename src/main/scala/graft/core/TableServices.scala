@@ -66,10 +66,12 @@ object TableServices {
     val planning = t.log.lastInstant().getOrElse("0")
     val instant = t.log.nextInstant()
     val sch = t.schema
-    // merge per group: latest-wins over base∪delta, tombstones dropped
-    val merged = mergeLatest(t, t.readFiles(victims, sch))
-      .filter(!coalesce(col(t.config.softDeleteField), lit(false)))
-    val added = t.writeFilesForService(merged, instant)
+    // merge per group: latest-wins over base∪delta, tombstones dropped —
+    // both inside the write shuffle (one exchange for the whole
+    // compaction; clustering keeps the separate merge pass because its
+    // range layout can't host the key-run dedup)
+    val added = t.writeFilesForService(t.readFiles(victims, sch), instant,
+      dedupLatest = true, dropSoftDeleted = true)
     // concurrent delta appends to these groups are fine (they stay
     // live and win merges); only double-compaction conflicts, which
     // the removed-files overlap check catches.

@@ -56,6 +56,38 @@ object Curation {
       .filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Temperature-flattened mixture sampling (the data-mixing step of
+    * multi-source pre-training corpora): per source/domain `s` with
+    * `n_s` documents, keep `t_s = min(n_s, ceil(scale · sqrt(n_s)))`
+    * documents — sublinear in source size, so dominant sources are
+    * downweighted relative to the tail (the α = 0.5 point of the
+    * `p^α` temperature family). The per-source target is a pure
+    * per-group function (sqrt is IEEE-correctly-rounded, so both
+    * engines compute the identical integer target — deliberately NOT
+    * the Σ-normalized form, whose cross-source double sum is
+    * order-dependent); membership within a source is md5-order of the
+    * key, same as [[stratifiedTopN]].
+    *
+    * Plan: one hash exchange on `classCol` serves the count, the
+    * count-join, and the row_number window (Catalyst reuses the
+    * clustering); WindowGroupLimit cannot apply (the limit is
+    * per-group data, not a literal) but the shuffle stays O(rows of
+    * the class) with no extra exchange. */
+  def temperatureMixture(df: DataFrame, classCol: String, keyCol: String,
+      scale: Double): DataFrame = {
+    val targets = df.groupBy(col(classCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__t", least(col("__n"),
+        ceil(lit(scale) * sqrt(col("__n").cast("double"))).cast("long")))
+      .select(col(classCol), col("__t"))
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.join(targets, Seq(classCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__t"))
+      .drop("__rn", "__t")
+  }
+
   /** Canonical text normalization for dedup/fingerprint pipelines:
     * lowercase → non-alphanumerics to spaces → collapse runs → trim.
     * Pure built-ins, fully codegen'd. */
