@@ -671,6 +671,40 @@ object Queries {
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST,
       |  gid ASC""".stripMargin
 
+  /** RANGE-frame sliding window (value-range frames, not row-count
+    * frames): per priority, the trailing-30-day order volume as of
+    * each order's date. The frame key is an integer day number so
+    * Spark's numeric rangeBetween and DuckDB's RANGE … PRECEDING agree
+    * exactly; only peer-insensitive aggregates (sum/count/max) are
+    * used because RANGE frames include order-key peers. One window
+    * spec → one hash exchange + one sort. */
+  def q30RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val dnum = datediff(col("o_orderdate").cast(DateType),
+      lit("1990-01-01").cast(DateType)).cast("long")
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("dnum"))
+      .rangeBetween(-30, 0)
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 20 === 0)
+      .withColumn("dnum", dnum)
+      .withColumn("trail_sum",
+        sum(d2(col("o_totalprice"))).over(w).cast(DoubleType))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .select("o_orderpriority", "o_orderkey", "dnum", "trail_sum", "trail_n")
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  private val q30Sql =
+    """SELECT o_orderpriority, o_orderkey, dnum,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    AS trail_sum,
+      |  count(*) OVER w AS trail_n
+      |FROM (SELECT *, datediff('day', DATE '1990-01-01',
+      |        CAST(o_orderdate AS DATE)) AS dnum
+      |      FROM orders WHERE o_orderkey % 20 = 0)
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY dnum
+      |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -703,6 +737,7 @@ object Queries {
     "q27_rank_functions" -> (q27RankFunctions _),
     "q28_datetime" -> (q28Datetime _),
     "q29_grouping_sets" -> (q29GroupingSets _),
+    "q30_range_frame" -> (q30RangeFrame _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -735,5 +770,6 @@ object Queries {
     "q27_rank_functions" -> q27Sql,
     "q28_datetime" -> q28Sql,
     "q29_grouping_sets" -> q29Sql,
+    "q30_range_frame" -> q30Sql,
   )
 }
