@@ -449,6 +449,102 @@ object LakehouseQueries {
     out(dst.read())
   }
 
+  // ---- J3+ storage-partitioned join of two MOR snapshots ------------
+
+  /** Two co-bucketed MOR tables (same key type, bucket count and
+    * partition layout) joined through the DSv2 catalog: each side's
+    * realtime scan reports its file-group layout as
+    * `KeyGroupedPartitioning(identity(event_type), bucket(4, user_id))`
+    * (GraftMorScan.outputPartitioning), so Catalyst zips file groups
+    * pairwise — the fact⋈fact join runs with ZERO shuffle exchanges
+    * below the final ORDER BY, while both sides ALSO do their
+    * per-group base+delta merge inside the readers. At 100 TB this is
+    * the difference between moving two tables over the network and
+    * moving nothing. Shuffle-free shape asserted in Round10Spec. */
+  def qSpjJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wh = freshRoot("ev_spj_wh")
+    val cat = s"gcat_l19_${catalogSeq.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftTableCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val ev = events(spark, dir)
+    def mk(name: String, df: DataFrame): Unit = {
+      val t = GraftTable.create(spark, s"$wh/$name", cfg(name, TableConfig.Mor))
+      t.insert(df.filter(col("event_id") % 2 === 0))
+      t.upsert(df.filter(col("event_id") % 2 === 1)) // live delta files
+      require(t.log.liveFiles().exists(_.delta), "gate needs live deltas")
+    }
+    mk("ev_spj_a", ev)
+    mk("ev_spj_b", ev.withColumn("value", col("value") * 2))
+    spark.sql(
+      s"""SELECT a.event_type, a.user_id, a.event_id, a.ts DIV 1000 AS ts_us,
+         |       a.value + b.value AS v3
+         |FROM $cat.ev_spj_a a JOIN $cat.ev_spj_b b
+         |  ON a.event_type = b.event_type AND a.user_id = b.user_id
+         |ORDER BY a.event_type, a.user_id""".stripMargin)
+  }
+
+  private val spjJoinSql =
+    """WITH w AS (
+      |  SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us, value
+      |  FROM (SELECT *, row_number() OVER (
+      |          PARTITION BY event_type, user_id
+      |          ORDER BY ts DESC, (event_id % 2) DESC) AS rn
+      |        FROM events) WHERE rn = 1)
+      |SELECT a.event_type, a.user_id, a.event_id, a.ts_us,
+      |       a.value + 2 * b.value AS v3
+      |FROM w a JOIN w b
+      |  ON a.event_type = b.event_type AND a.user_id = b.user_id
+      |ORDER BY a.event_type, a.user_id""".stripMargin
+
+  // ---- §2.9+ incremental materialized-view maintenance --------------
+
+  /** An aggregate MV (count + exact decimal sum per event_type) over
+    * the events table, maintained INCREMENTALLY: full compute at the
+    * first commit, then each refresh consumes only that range's
+    * pre-image CDC rows (`readCdc(withPreimages = true)`) — +after
+    * −before — and upserts the touched groups into the MV's own graft
+    * table. The base table is never rescanned after the first build;
+    * the upsert wave AND a partition-wide delete flow through as
+    * retractions (the deleted partition's MV row disappears). Oracle =
+    * DuckDB recomputing the aggregate from scratch over the final
+    * state — incremental maintenance must be bit-identical. */
+  def qIncrementalMv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrementalMv
+    val ev = events(spark, dir)
+    val t = GraftTable.create(spark, freshRoot("ev_mv_base"),
+      cfg("ev_mv_base", TableConfig.Cow))
+    val mv = GraftTable.create(spark, freshRoot("ev_mv"), TableConfig(
+      name = "ev_mv", keyField = "event_type", orderingField = "_refreshed",
+      partitionField = None, tableType = TableConfig.Cow, numBuckets = 2))
+    val c1 = t.insert(ev.filter(col("event_id") % 2 === 0))
+    mv.insert(IncrementalMv.fullAggregate(t.read(), "event_type", "value")
+      .withColumn("_refreshed", lit(0L)))
+    // refresh 1: the upsert wave (updates + inserts)
+    t.upsert(ev.filter(col("event_id") % 2 === 1))
+    val c2 = t.log.snapshot().commits.last.instant
+    IncrementalMv.refresh(spark, mv,
+      t.readCdc(c1, withPreimages = true), "event_type", "value")
+    // refresh 2: a partition-wide delete retracts the whole group
+    t.deleteWhere(col("event_type") === "click")
+    IncrementalMv.refresh(spark, mv,
+      t.readCdc(c2, withPreimages = true), "event_type", "value")
+    mv.read()
+      .select(col("event_type"), col("cnt"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val incrementalMvSql =
+    """WITH w AS (
+      |  SELECT * FROM (SELECT *, row_number() OVER (
+      |      PARTITION BY event_type, user_id
+      |      ORDER BY ts DESC, (event_id % 2) DESC) AS rn
+      |    FROM events) WHERE rn = 1)
+      |SELECT event_type, count(*) AS cnt,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM w WHERE event_type <> 'click'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- A3 key-uniqueness invariant over the lakehouse table ---------
 
   /** The test-suite's duplicate-detection gate run against our own
@@ -489,6 +585,8 @@ object LakehouseQueries {
     "l16_stream_source" -> (qStreamSource _),
     "l17_stream_sink" -> (qStreamSink _),
     "l18_time_travel" -> (qTimeTravel _),
+    "l19_spj_join" -> (qSpjJoin _),
+    "l20_incremental_mv" -> (qIncrementalMv _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -510,5 +608,7 @@ object LakehouseQueries {
     "l16_stream_source" -> streamSourceSql,
     "l17_stream_sink" -> cowUpsertSql,
     "l18_time_travel" -> timeTravelSql,
+    "l19_spj_join" -> spjJoinSql,
+    "l20_incremental_mv" -> incrementalMvSql,
   )
 }

@@ -857,6 +857,61 @@ object PipelineQueries {
       |    / CAST(CAST(sum(u) AS BIGINT) AS DOUBLE) AS typicality
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- line-level dedup / boilerplate removal (p32) ------------------
+
+  /** CCNet-style line dedup ([[Dedup.lineDedup]]): segments occurring
+    * in ≥ 78% of documents are boilerplate and removed; each document
+    * is reassembled from its surviving segments in order. The gate
+    * corpus carries no newlines, so the segment delimiter is " "
+    * (token granularity) — the operator and plan are delimiter-
+    * agnostic. The DF threshold comes from a METADATA-only corpus
+    * count (parquet footers), not a scan. */
+  def dLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val minDocs = math.ceil(
+      0.78 * Tables.footerRowCount(spark, dir, "documents")).toLong
+    Dedup.lineDedup(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", delimiter = " ", minDocs = minDocs)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  private val dLineDedupSql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+      |df AS (SELECT line, count(*) AS c
+      |       FROM (SELECT DISTINCT doc_id, unnest(parts) AS line FROM d)
+      |       GROUP BY 1),
+      |bp AS (SELECT coalesce(list(line), []) AS bl FROM df
+      |       WHERE c >= ceil(0.78 * (SELECT count(*) FROM documents))),
+      |clean AS (SELECT doc_id,
+      |            list_filter(parts, x -> NOT list_contains(bl, x)) AS keptl
+      |          FROM d, bp)
+      |SELECT doc_id, array_to_string(keptl, ' ') AS clean_text,
+      |       len(keptl) AS kept_lines
+      |FROM clean WHERE len(keptl) > 0 ORDER BY doc_id""".stripMargin
+
+  // ---- sliding-window chunking (p33) ---------------------------------
+
+  /** Context-window chunking ([[Curation.chunkDocuments]]): 32-token
+    * windows every 24 tokens (8-token overlap) — zero-shuffle,
+    * map-only; the 100 TB plan is one codegen span per parquet split. */
+  def cChunk(spark: SparkSession, dir: String): DataFrame =
+    Curation.chunkDocuments(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", windowTokens = 32, strideTokens = 24)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "chunk_id")
+
+  private val cChunkSql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+      |s AS (SELECT doc_id, parts,
+      |        unnest(range(0, greatest(len(parts), 1), 24)) AS start
+      |      FROM d),
+      |c AS (SELECT doc_id, start // 24 AS chunk_id,
+      |        parts[start+1:start+32] AS chunk
+      |      FROM s)
+      |SELECT doc_id, chunk_id, len(chunk) AS n_tokens,
+      |       array_to_string(chunk, ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -891,6 +946,8 @@ object PipelineQueries {
     "p29_curation_pipeline" -> (pCurationPipeline _),
     "p30_lm_typicality" -> (tLmTypicality _),
     "p31_mixture_temperature" -> (cTemperatureMixture _),
+    "p32_line_dedup" -> (dLineDedup _),
+    "p33_chunking" -> (cChunk _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -932,5 +989,7 @@ object PipelineQueries {
     "p29_curation_pipeline" -> pCurationSql,
     "p30_lm_typicality" -> tLmTypicalitySql,
     "p31_mixture_temperature" -> cTemperatureSql,
+    "p32_line_dedup" -> dLineDedupSql,
+    "p33_chunking" -> cChunkSql,
   )
 }

@@ -28,6 +28,10 @@ object Session {
       // rely on 2^64 ring wraparound, like every hash library does
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // storage-partitioned joins: two co-bucketed graft tables join
+      // by zipping file groups, no exchange on either side (the scan
+      // reports KeyGroupedPartitioning; see GraftBucketFunction)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")

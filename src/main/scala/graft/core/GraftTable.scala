@@ -869,7 +869,15 @@ final class GraftTable private (
     * the `_commit_time` equality check: a COW rewrite carries
     * untouched rows through with their original commit time, so equal
     * commit times mean an identical winning version. */
-  def readCdc(fromExclusive: String, maxCommits: Int = Int.MaxValue): DataFrame = {
+  /** With `withPreimages = true`, updates surface as TWO rows — `ub`
+    * (before image) then `ua` (after image), the Delta CDF
+    * `update_preimage`/`update_postimage` shape — instead of a single
+    * `u` after-image row. Pre-images make downstream consumers
+    * RETRACTABLE: an aggregate maintained from the stream applies
+    * -before +after and needs no second read of the table (see
+    * [[graft.operators.IncrementalMv]]). */
+  def readCdc(fromExclusive: String, maxCommits: Int = Int.MaxValue,
+      withPreimages: Boolean = false): DataFrame = {
     val snap = log.snapshot()
     val rowCommits = snap.commits
       .filter(c => c.instant > fromExclusive)
@@ -921,21 +929,36 @@ final class GraftTable private (
     val o = stateOf(oldLive, fromExclusive).withColumn("__o", lit(true)).as("o")
     val n = stateOf(newLive, end).withColumn("__n", lit(true)).as("n")
     val joined = o.join(n, idCols, "full_outer")
-    val op = when(col("__o").isNull, lit("i"))
-      .when(col("__n").isNull, lit("d"))
-      .otherwise(lit("u"))
-    // image: AFTER for i/u, BEFORE for d; join-key columns are coalesced
-    val imageCols = endSchema.fields.filterNot(f => idCols.contains(f.name)).map { f =>
-      when(op === "d", col(s"o.${f.name}")).otherwise(col(s"n.${f.name}")).as(f.name)
-    }
-    joined
       // unchanged winner (same commit time on both sides) = no change.
       // Null-SAFE inequality: bootstrap-adopted rows carry null
       // _commit_time, and `null =!= x` is NULL (dropped) — which would
       // silently swallow an in-range update of an adopted row.
       .filter(col("__o").isNull || col("__n").isNull ||
         !(col(s"o.$CommitTimeCol") <=> col(s"n.$CommitTimeCol")))
-      .select(op.as("_change_type") +: idCols.map(col) ++: imageCols.toIndexedSeq: _*)
+    val dataFields = endSchema.fields.filterNot(f => idCols.contains(f.name))
+    def imageOf(side: String) =
+      dataFields.map(f => col(s"$side.${f.name}").as(f.name)).toIndexedSeq
+    if (!withPreimages) {
+      val op = when(col("__o").isNull, lit("i"))
+        .when(col("__n").isNull, lit("d"))
+        .otherwise(lit("u"))
+      // image: AFTER for i/u, BEFORE for d; join-key columns coalesced
+      val imageCols = dataFields.map { f =>
+        when(op === "d", col(s"o.${f.name}")).otherwise(col(s"n.${f.name}")).as(f.name)
+      }
+      joined.select(
+        op.as("_change_type") +: idCols.map(col) ++: imageCols.toIndexedSeq: _*)
+    } else {
+      // i → after; d → before; u → ub (before) + ua (after), one
+      // flattened pass: explode each change into its image rows
+      val before = joined.filter(col("__o").isNotNull).select(
+        when(col("__n").isNull, lit("d")).otherwise(lit("ub"))
+          .as("_change_type") +: idCols.map(col) ++: imageOf("o"): _*)
+      val after = joined.filter(col("__n").isNotNull).select(
+        when(col("__o").isNull, lit("i")).otherwise(lit("ua"))
+          .as("_change_type") +: idCols.map(col) ++: imageOf("n"): _*)
+      before.unionByName(after)
+    }
   }
 
   /** Scan with driver-side file skipping on a stats column: only files

@@ -165,6 +165,38 @@ object Curation {
     } finally { parts.unpersist(); () }
   }
 
+  /** Sliding-window chunking for context-length-bounded training:
+    * split each document into `windowTokens`-token chunks every
+    * `strideTokens` tokens (stride < window ⇒ overlapping chunks, the
+    * standard long-document strategy for fixed-context models). Chunk
+    * starts are 0, stride, 2·stride, … < n_tokens; the final chunk may
+    * be short.
+    *
+    * Entirely MAP-SIDE — tokenize, enumerate starts, slice — zero
+    * shuffles, so it scales embarrassingly: at 100 TB each parquet
+    * split chunks independently and the plan stays one
+    * WholeStageCodegen span over the scan.
+    *
+    * Output: (id, chunk_id, n_tokens, chunk_text), chunk_id 0-based. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(windowTokens > 0 && strideTokens > 0 &&
+      strideTokens <= windowTokens,
+      s"need 0 < stride ≤ window, got window=$windowTokens stride=$strideTokens")
+    val toks = split(col(textCol), " ")
+    docs
+      .select(col(idCol).as("id"), toks.as("__toks"))
+      .select(col("id"),
+        posexplode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)),
+          lit(strideTokens))).as(Seq("chunk_id", "__start")),
+        col("__toks"))
+      .select(col("id"), col("chunk_id"),
+        slice(col("__toks"), col("__start") + 1, lit(windowTokens)).as("__chunk"))
+      .select(col("id"), col("chunk_id"),
+        size(col("__chunk")).as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
   /** Dataset statistics: document counts by (token-length bucket,
     * class) — the curation dashboard's length histogram. Integer
     * bucket math, one partial-aggregated shuffle. */

@@ -333,4 +333,45 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Line-level dedup (CCNet-style boilerplate removal, Wenzek '19):
+    * drop every line that appears in ≥ `minDocFraction` of the corpus'
+    * documents — headers, footers, nav bars, cookie banners — and
+    * reassemble each document from its surviving lines in original
+    * order. `delimiter` is the segment boundary ("\n" for real text;
+    * the synthetic gate corpus has no newlines, so p32 exercises the
+    * operator at token granularity with " ").
+    *
+    * Plan shape at 100 TB: explode → one line-hash shuffle with
+    * map-side combine for the document-frequency count (count of
+    * DISTINCT docs per line via a pre-distinct, itself map-side
+    * combined), the boilerplate set broadcast back against the
+    * exploded corpus (it is df-bounded: lines in ≥ f·N docs number at
+    * most totalLines/(f·N)), then one doc_id shuffle to reassemble.
+    * No self-join, nothing corpus-sized crosses the network twice.
+    *
+    * Output: (id, clean_text, kept_lines) — documents whose every line
+    * was boilerplate disappear (nothing left to emit).
+    *
+    * `minDocs` is the absolute DF threshold — callers with a fraction
+    * in mind derive it from a metadata-only count
+    * (Tables.footerRowCount), not a corpus scan. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      delimiter: String, minDocs: Long): DataFrame = {
+    val lines = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delimiter)))
+          .as(Seq("pos", "line")))
+    // document frequency: distinct (line, id) first so multiple
+    // occurrences inside one doc count once
+    val boilerplate = lines.select("line", "id").distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("line")
+    val kept = lines.join(broadcast(boilerplate), Seq("line"), "left_anti")
+    kept.groupBy("id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x("line")), delimiter).as("clean_text"),
+        count(lit(1)).as("kept_lines"))
+  }
 }

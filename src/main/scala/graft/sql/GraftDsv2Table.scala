@@ -77,6 +77,17 @@ final class GraftMorDsv2Table(val graft: GraftTable, ident: String,
   override def name(): String = ident
   override def schema(): StructType = scanSchema
 
+  /** The physical layout, declared: identity(partition) + the engine's
+    * bucket routing on the record key. Two graft tables sharing key
+    * type and bucket count are co-partitioned; the scan reports the
+    * matching KeyGroupedPartitioning so joins between them skip both
+    * exchanges (storage-partitioned join). */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    (graft.config.partitionField.map(Expressions.identity).toSeq :+
+      Expressions.bucket(graft.config.numBuckets, graft.config.keyField)).toArray
+  }
+
   override def capabilities(): util.Set[TableCapability] = {
     val caps = new util.HashSet[TableCapability]()
     caps.add(TableCapability.BATCH_READ)
@@ -89,7 +100,9 @@ final class GraftMorDsv2Table(val graft: GraftTable, ident: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftMorScanBuilder(graft.spark, ident, graft.root, live,
       scanSchema, graft.config.keyField, graft.config.orderingField,
-      graft.config.softDeleteField, options)
+      graft.config.softDeleteField, options,
+      partitionField = graft.config.partitionField,
+      numBuckets = graft.config.numBuckets)
 }
 
 /** Write/delete half of the DSv2 tables: INSERT / INSERT OVERWRITE

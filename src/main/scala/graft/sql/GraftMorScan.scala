@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BooleanType, ByteType, IntegerType, LongType, ShortType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
 import java.util.OptionalLong
@@ -57,7 +57,9 @@ final class GraftMorScanBuilder(
     keyField: String,
     orderingField: String,
     softDeleteField: String,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    partitionField: Option[String] = None,
+    numBuckets: Int = 0)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = tableSchema
@@ -65,7 +67,8 @@ final class GraftMorScanBuilder(
   override def pruneColumns(s: StructType): Unit = { required = s }
 
   override def build(): Scan = new GraftMorScan(spark, tableName, root,
-    live, tableSchema, keyField, orderingField, softDeleteField, required)
+    live, tableSchema, keyField, orderingField, softDeleteField, required,
+    partitionField, numBuckets)
 }
 
 final class GraftMorScan(
@@ -77,8 +80,11 @@ final class GraftMorScan(
     keyField: String,
     orderingField: String,
     softDeleteField: String,
-    required: StructType)
-  extends Scan with Batch with SupportsReportStatistics {
+    required: StructType,
+    partitionField: Option[String] = None,
+    numBuckets: Int = 0)
+  extends Scan with Batch with SupportsReportStatistics
+  with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -109,8 +115,57 @@ final class GraftMorScan(
   private val maxDeltaRows =
     confLong("spark.graft.mor.maxDeltaRowsPerGroup", 20L * 1000 * 1000)
 
+  // ---- storage-partitioned join support ----------------------------
+  // The write path routes every key to exactly one (partition, bucket)
+  // file group; declaring that as KeyGroupedPartitioning lets Catalyst
+  // join two co-bucketed graft tables with ZERO exchanges, zipping file
+  // groups pairwise. Reported only when the pruned output still carries
+  // the clustering columns (Spark resolves the transform references
+  // against the scan output) and the partition value round-trips from
+  // its directory encoding.
+  private def partType = partitionField.map(p => tableSchema(p).dataType)
+
+  private def spjReady: Boolean =
+    numBuckets > 0 &&
+      required.fieldNames.contains(keyField) &&
+      partitionField.forall(required.fieldNames.contains) &&
+      partType.forall {
+        case StringType | IntegerType | LongType | ShortType | ByteType |
+             BooleanType => true
+        case _ => false
+      }
+
+  /** Directory-encoded partition value → Catalyst value (inverse of
+    * `partExpr`'s string cast; "__null__" encodes null). */
+  private def partValue(s: String): Any =
+    if (s == "__null__") null
+    else partType.get match {
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case ShortType => s.toShort
+      case ByteType => s.toByte
+      case BooleanType => s.toBoolean
+      case dt => throw new IllegalStateException(s"unreachable: $dt")
+    }
+
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    if (!spjReady)
+      return new UnknownPartitioning(groups.length)
+    val keys = (partitionField.map(Expressions.identity).toSeq :+
+      Expressions.bucket(numBuckets, keyField)).toArray[
+        org.apache.spark.sql.connector.expressions.Expression]
+    new KeyGroupedPartitioning(keys, groups.length)
+  }
+
+  private lazy val groups: Array[((String, Int), Seq[DataFileMeta])] =
+    live.groupBy(f => (f.partition, f.bucket)).toArray
+
   override def planInputPartitions(): Array[InputPartition] =
-    live.groupBy(f => (f.partition, f.bucket)).map { case ((p, b), fs) =>
+    groups.map { case ((p, b), fs) =>
       val deltaBytes = fs.filter(_.delta).map(_.bytes).sum
       if (deltaBytes > maxDeltaBytes)
         throw new IllegalStateException(
@@ -119,10 +174,15 @@ final class GraftMorScan(
           s"spark.graft.mor.maxDeltaBytesPerGroup=$maxDeltaBytes: compact " +
           s"table $tableName first (TableServices.compact / CALL " +
           "run_compaction), or raise the cap")
+      val key =
+        if (!spjReady) null
+        else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          (partitionField.map(_ => partValue(p)).toSeq :+ (b: Any)).toArray)
       GraftMorInputPartition(
         fs.filterNot(_.delta).map(f => FileSlice(s"$root/${f.path}", f.bytes)).toArray,
         fs.filter(_.delta).map(f => FileSlice(s"$root/${f.path}", f.bytes)).toArray,
-        s"(partition=$p, bucket=$b)")
+        s"(partition=$p, bucket=$b)",
+        partKey = key)
     }.toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -164,8 +224,13 @@ final case class FileSlice(path: String, bytes: Long)
 final case class GraftMorInputPartition(
     base: Array[FileSlice], delta: Array[FileSlice],
     group: String,
-    ctLo: Option[String] = None, ctHi: Option[String] = None)
-  extends InputPartition
+    ctLo: Option[String] = None, ctHi: Option[String] = None,
+    partKey: InternalRow = null)
+  extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  // non-null exactly when the owning scan reported
+  // KeyGroupedPartitioning (spjReady) — the only case Spark reads it
+  override def partitionKey(): InternalRow = partKey
+}
 
 final case class GraftMorReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],

@@ -34,7 +34,7 @@ import scala.jdk.CollectionConverters._
   *   spark.conf.set("spark.sql.catalog.gcat.warehouse", "/path/wh")
   * }}}
   */
-class GraftTableCatalog extends TableCatalog {
+class GraftTableCatalog extends TableCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -174,4 +174,20 @@ class GraftTableCatalog extends TableCatalog {
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     Files.move(Paths.get(rootOf(oldIdent)), Paths.get(rootOf(newIdent)))
   }
+
+  // ---- FunctionCatalog: the bucket transform behind SPJ --------------
+  // Catalyst resolves a scan's reported bucket transform through the
+  // owning table's catalog; serving the routing hash here is what lets
+  // two graft tables join shuffle-free (see GraftBucketFunction).
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, GraftBucketFunction.name()))
+
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name.toLowerCase match {
+      case "bucket" => GraftBucketFunction
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 }
