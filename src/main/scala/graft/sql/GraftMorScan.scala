@@ -84,7 +84,7 @@ final class GraftMorScan(
     partitionField: Option[String] = None,
     numBuckets: Int = 0)
   extends Scan with Batch with SupportsReportStatistics
-  with SupportsReportPartitioning {
+  with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -164,8 +164,76 @@ final class GraftMorScan(
   private lazy val groups: Array[((String, Int), Seq[DataFileMeta])] =
     live.groupBy(f => (f.partition, f.bucket)).toArray
 
+  // ---- runtime filtering (DPP / record-level-index analog) ----------
+  // A join whose build side broadcasts hands this scan its join-key
+  // values at runtime (Spark's V2 runtime filtering). Group-granular
+  // pruning is merge-safe: a key lives in exactly one (partition,
+  // bucket) file group, so a group none of whose partition value /
+  // bucket routing / per-file key ranges can match any probed value
+  // holds no current version of any probed key — dropping it whole
+  // cannot change the merged result. Partition values prune like
+  // classic dynamic partition pruning; KEY values prune via the same
+  // xxhash64 bucket routing the write path uses plus min/max key
+  // stats — the Hudi record-level-index role, at zero index cost.
+
+  private var runtimeKept: Option[Array[((String, Int), Seq[DataFileMeta])]] = None
+
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    if (numBuckets <= 0) return Array.empty
+    // only columns present in the scan OUTPUT: Spark resolves these
+    // against it and fails the query otherwise (pruned-out columns
+    // can't carry a runtime filter anyway)
+    (partitionField.toSeq :+ keyField)
+      .filter(required.fieldNames.contains)
+      .map(Expressions.column).toArray
+  }
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val kept = groups.filter { case ((p, b), fs) =>
+      predicates.forall(pr => groupMayMatch(p, b, fs, pr))
+    }
+    if (kept.length < groups.length) runtimeKept = Some(kept)
+    GraftMorScan.lastRuntimePlanned.put(tableName, kept.length)
+    ()
+  }
+
+  private def keyDt = tableSchema(keyField).dataType
+
+  /** Conservative: unknown predicate shapes keep the group. */
+  private def groupMayMatch(p: String, b: Int, fs: Seq[DataFileMeta],
+      pr: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    if (pr.name() != "IN" && pr.name() != "=") return true
+    val children = pr.children()
+    if (children.isEmpty || !children(0).isInstanceOf[NamedReference]) return true
+    val attr = children(0).asInstanceOf[NamedReference].fieldNames.mkString(".")
+    val lits = children.drop(1)
+    if (!lits.forall(_.isInstanceOf[V2Literal[_]])) return true
+    val values = lits.map(_.asInstanceOf[V2Literal[_]])
+    if (partitionField.contains(attr)) {
+      // partition dirs store cast-to-string values ("__null__" = null)
+      values.exists(v => v.value != null && v.value.toString == p)
+    } else if (attr == keyField) {
+      val bucketHit = values.exists { v =>
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(v.value, v.dataType, 42L)
+        (((h % numBuckets) + numBuckets) % numBuckets).toInt == b
+      }
+      bucketHit && {
+        val sorted = values.map(_.value: Any).filter(_ != null).map(_.toString)
+          .sortWith((a, x) => graft.core.StatsPruner.compare(keyDt, a, x) < 0)
+          .toArray
+        fs.exists(f => graft.core.StatsPruner.mayContainAny(keyDt,
+          Some(graft.core.ColStat(f.minKey, f.maxKey, 0L)), sorted))
+      }
+    } else true
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    groups.map { case ((p, b), fs) =>
+    runtimeKept.getOrElse(groups).map { case ((p, b), fs) =>
       val deltaBytes = fs.filter(_.delta).map(_.bytes).sum
       if (deltaBytes > maxDeltaBytes)
         throw new IllegalStateException(
@@ -212,6 +280,12 @@ final class GraftMorScan(
       superset.fieldIndex(TableConfig.CommitTimeCol),
       superset.fieldIndex(softDeleteField), tableName, maxDeltaRows)
   }
+}
+
+object GraftMorScan {
+  /** Test observability: groups planned after the last runtime filter,
+    * by table name. */
+  val lastRuntimePlanned = new java.util.concurrent.ConcurrentHashMap[String, Int]()
 }
 
 final case class FileSlice(path: String, bytes: Long)

@@ -86,13 +86,21 @@ final class GraftFileSkippingScanBuilder(
       }
     }
     val surviving = files.filter(f => filters.forall(mayMatch(f, _)))
-    val pt = ParquetTable(tableName, spark, options,
-      surviving.map(f => s"$root/${f.path}"), Some(schema),
-      classOf[ParquetFileFormat])
-    val sb = pt.newScanBuilder(options).asInstanceOf[FileScanBuilder]
-    sb.pushFilters(filters)
-    required.foreach(sb.pruneColumns)
-    sb.build()
+    def rebuild(fs: Seq[DataFileMeta]): Scan = {
+      val pt = ParquetTable(tableName, spark, options,
+        fs.map(f => s"$root/${f.path}"), Some(schema),
+        classOf[ParquetFileFormat])
+      val sb = pt.newScanBuilder(options).asInstanceOf[FileScanBuilder]
+      sb.pushFilters(filters)
+      required.foreach(sb.pruneColumns)
+      sb.build()
+    }
+    // attributes a runtime (join-driven) filter can prune files on:
+    // the partition value plus every column carrying commit-log stats
+    val runtimeAttrs =
+      (partitionField.toSeq ++ files.flatMap(_.stats.keys)).distinct
+    new GraftRuntimeFilteringScan(tableName, rebuild, schema,
+      partitionField, runtimeAttrs, surviving)
   }
 
   // ---- conservative stats evaluation --------------------------------
@@ -150,4 +158,101 @@ final class GraftFileSkippingScanBuilder(
     if (partitionField.contains(attr)) true // only equality prunes partitions
     else if (lo.isEmpty && hi.isEmpty) true
     else dtOf(attr).forall(dt => StatsPruner.mayContain(dt, f.stats.get(attr), lo, hi))
+}
+
+/** Literal → the string form commit-log stats store (`cast(col as
+  * string)` of the value). None = representation differs (timestamps,
+  * dates, binary) → never prune on it. */
+private[sql] object StatsLit {
+  def str(v: Any): Option[String] = v match {
+    case null => None
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    case b: Boolean => Some(b.toString)
+    case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
+      Some(n.toString)
+    case d: Decimal => Some(d.toString)
+    case d: java.math.BigDecimal => Some(d.toString)
+    case _ => None
+  }
+}
+
+/** Runtime-filterable wrapper over the commit-log-selected parquet
+  * scan: Spark's V2 runtime filtering (the DSv2 dynamic-partition-
+  * pruning path) executes a selective join's build side first and
+  * hands this scan the observed join-key values; files whose partition
+  * value or per-column [min,max] stats cannot contain ANY probed value
+  * are dropped BEFORE the probe side is read. At 100 TB this is the
+  * fact-scan saver: `fact ⋈ (dim WHERE ...)` reads only the fact files
+  * the surviving dim keys can live in — classic DPP on the partition
+  * column, and stats-range pruning (the record-index analog) on every
+  * stats-bearing column. Pruning is conservative-only: unknown
+  * predicate shapes or unparseable literals keep the file. */
+final class GraftRuntimeFilteringScan(
+    tableName: String,
+    rebuild: Seq[DataFileMeta] => Scan,
+    schema: StructType,
+    partitionField: Option[String],
+    attrs: Seq[String],
+    initial: Seq[DataFileMeta])
+  extends Scan
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  import org.apache.spark.sql.connector.read.{Batch, Statistics, SupportsReportStatistics}
+
+  private var files = initial
+  private var delegate = rebuild(initial)
+
+  /** Files the next toBatch will plan (test observability). */
+  def plannedFiles: Int = files.size
+
+  override def readSchema(): StructType = delegate.readSchema()
+  override def toBatch: Batch = delegate.toBatch
+  override def description(): String =
+    s"GraftRuntimeFilterable($tableName, files=${files.size}/${initial.size}) " +
+      delegate.description()
+
+  override def estimateStatistics(): Statistics = delegate match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
+
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // only columns in the scan OUTPUT — Spark resolves filter
+    // attributes against it and fails the query on a miss
+    val out = readSchema().fieldNames.toSet
+    attrs.filter(out.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+  }
+
+  override def filter(predicates: Array[V2Predicate]): Unit = {
+    val kept = files.filter(f => predicates.forall(fileMayMatch(f, _)))
+    if (kept.size < files.size) { files = kept; delegate = rebuild(kept) }
+    GraftMorScan.lastRuntimePlanned.put(tableName, files.size)
+    ()
+  }
+
+  private def fileMayMatch(f: DataFileMeta, pr: V2Predicate): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    if (pr.name() != "IN" && pr.name() != "=") return true
+    val children = pr.children()
+    if (children.isEmpty || !children(0).isInstanceOf[NamedReference]) return true
+    val attr = children(0).asInstanceOf[NamedReference].fieldNames.mkString(".")
+    val lits = children.drop(1)
+    if (!lits.forall(_.isInstanceOf[V2Literal[_]])) return true
+    val strs = lits.map(l => StatsLit.str(l.asInstanceOf[V2Literal[_]].value))
+    if (strs.exists(_.isEmpty)) return true // unrenderable literal: keep
+    val values = strs.flatten
+    if (partitionField.contains(attr)) values.exists(_ == f.partition)
+    else schema.fields.find(_.name == attr).map(_.dataType) match {
+      case None => true
+      case Some(dt) =>
+        val sorted = values.sortWith(StatsPruner.compare(dt, _, _) < 0).toArray
+        StatsPruner.mayContainAny(dt, f.stats.get(attr), sorted)
+    }
+  }
 }

@@ -206,8 +206,7 @@ class TableCatalogSpec extends AnyFunSuite {
       val df = spark.sql(sql)
       val n = df.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
-            .fileIndex.inputFiles.length
+          b.scan.asInstanceOf[GraftRuntimeFilteringScan].plannedFiles
       }.sum
       df.collect() // results must still be exact
       n
