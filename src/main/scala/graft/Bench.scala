@@ -35,6 +35,8 @@ object Bench {
     "l1_cow_upsert_snapshot", "l5_incremental",
     "l14_mor_catalog_snapshot",
     "l17_stream_sink", // round 8: streaming source→sink ETL round trip
+    "l19_spj_join", // round 11: zero-exchange storage-partitioned join
+    "l20_incremental_mv", // round 11: CDC-retraction MV refresh
     // training-data pipeline (north star)
     "p1_dedup_exact", "p3_dedup_minhash_lsh", "p6_ann_brute_topk",
     "p7_ann_lsh_topk", "p14_ann_ivf_topk",
@@ -43,7 +45,9 @@ object Bench {
     "p26_bpe_merges", // round 8: BPE merge loop (corpus-once + vocab rounds)
     "p28_bpe_encode", // round 10: tokenizer apply (learn + one map-only corpus pass)
     "p29_curation_pipeline", // round 10: composed filter→dedup→keep-best pipeline
-    "p30_lm_typicality") // round 10: bigram-LM scoring via salted skew joins
+    "p30_lm_typicality", // round 10: bigram-LM scoring via salted skew joins
+    "p32_line_dedup", // round 11: cross-doc boilerplate removal
+    "p33_chunking") // round 11: map-only sliding-window chunking
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

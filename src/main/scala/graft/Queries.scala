@@ -705,6 +705,59 @@ object Queries {
       |             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
+  // ---- §2.5+ UNPIVOT / melt (q31) -----------------------------------
+
+  /** Wide→long reshape: four lineitem measure columns melt into
+    * (metric, val) rows via `Dataset.unpivot` (Spark's UNPIVOT — an
+    * Expand node, zero shuffles for the reshape itself), then a
+    * per-metric aggregate. Decimal casts BEFORE the melt so the
+    * summed values are exact on both engines. */
+  def q31Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_quantity").cast(dec).as("quantity"),
+        col("l_extendedprice").cast(dec).as("extendedprice"),
+        col("l_discount").cast(dec).as("discount"),
+        col("l_tax").cast(dec).as("tax"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+        "metric", "val")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("val")).cast(DoubleType).as("total"))
+      .orderBy("metric")
+  }
+
+  private val q31Sql =
+    """SELECT metric, count(*) AS cnt, CAST(sum(val) AS DOUBLE) AS total
+      |FROM (SELECT l_orderkey,
+      |        CAST(l_quantity AS DECIMAL(18,2)) AS quantity,
+      |        CAST(l_extendedprice AS DECIMAL(18,2)) AS extendedprice,
+      |        CAST(l_discount AS DECIMAL(18,2)) AS discount,
+      |        CAST(l_tax AS DECIMAL(18,2)) AS tax
+      |      FROM lineitem)
+      |  UNPIVOT (val FOR metric IN (quantity, extendedprice, discount, tax))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- §2.5+ LATERAL VIEW explode (q32) ------------------------------
+
+  /** The SQL-surface table-generating-function path: `LATERAL VIEW
+    * explode(split(...))` — Spark plans a Generate node inside the
+    * scan's codegen stage; the only exchange is the aggregate's. */
+  def q32LateralExplode(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("q32_docs")
+    spark.sql(
+      """SELECT lang, tok, count(*) AS n
+        |FROM q32_docs LATERAL VIEW explode(split(text, ' ')) t AS tok
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  private val q32Sql =
+    """SELECT lang, tok, count(*) AS n
+      |FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -738,6 +791,8 @@ object Queries {
     "q28_datetime" -> (q28Datetime _),
     "q29_grouping_sets" -> (q29GroupingSets _),
     "q30_range_frame" -> (q30RangeFrame _),
+    "q31_unpivot" -> (q31Unpivot _),
+    "q32_lateral_explode" -> (q32LateralExplode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -771,5 +826,7 @@ object Queries {
     "q28_datetime" -> q28Sql,
     "q29_grouping_sets" -> q29Sql,
     "q30_range_frame" -> q30Sql,
+    "q31_unpivot" -> q31Sql,
+    "q32_lateral_explode" -> q32Sql,
   )
 }
