@@ -54,35 +54,102 @@ final class GraftFileSkippingScanBuilder(
 
   override def pruneColumns(s: StructType): Unit = { required = Some(s) }
 
-  /** Unfiltered, ungrouped COUNT(*) answers from commit-log metadata —
-    * no file is opened (the Hudi/Delta metadata-count optimization; at
-    * 100 TB the difference between an instant answer and a full scan).
-    * Guarded: any pushed filter, grouping, other aggregate, or a file
-    * with an unharvested row count (recorded 0) falls back to the real
-    * scan — pushdown must never be able to change a result. */
-  private def canPushCount(agg: Aggregation): Boolean =
-    filters.isEmpty && agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0).isInstanceOf[CountStar] &&
-      files.forall(_.rows > 0)
+  /** Unfiltered, ungrouped COUNT(*) / MIN / MAX answered from
+    * commit-log metadata — no file is opened (the Hudi/Delta
+    * metadata-table optimization; at 100 TB the difference between an
+    * instant answer and a full scan).
+    *
+    * MIN/MAX are answerable when every file carries an ATTAINED bound
+    * for the column: numeric-integral / boolean / date / decimal stats
+    * (footer string stats may be truncated — valid bounds but not
+    * attained values — so StringType is excluded), or the partition
+    * column itself (each file's partition value is exact, any type).
+    * Guarded conservatively: any pushed filter, grouping, unsupported
+    * aggregate, missing stat, or unharvested row count falls back to
+    * the real scan — pushdown must never be able to change a result. */
+  private def aggAnswers(agg: Aggregation): Option[Seq[(String, DataType, Any)]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Max, Min}
+    if (filters.nonEmpty || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    // attained (never truncated) min/max string → catalyst value
+    def parse(dt: DataType, s: String): Option[Any] = dt match {
+      case ByteType => Some(s.toByte)
+      case ShortType => Some(s.toShort)
+      case IntegerType => Some(s.toInt)
+      case LongType => Some(s.toLong)
+      case BooleanType => Some(s.toBoolean)
+      case DateType => Some(java.time.LocalDate.parse(s).toEpochDay.toInt)
+      case d: DecimalType =>
+        Some(Decimal(BigDecimal(new java.math.BigDecimal(s)), d.precision, d.scale))
+      // only reachable for the partition column (exact value per file);
+      // string STATS are excluded before parse — they may be truncated
+      case StringType =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case _ => None
+    }
+    def bound(c: String, wantMin: Boolean): Option[(DataType, Any)] = {
+      val dt = dtOf(c).getOrElse(return None)
+      val bounds: Seq[String] =
+        if (partitionField.contains(c)) {
+          // each file holds exactly one partition value (exact, any
+          // type); all-null partitions contribute nothing to min/max
+          files.map(_.partition).filter(_ != "__null__")
+        } else dt match {
+          case StringType => return None // stats may be truncated bounds
+          case _ =>
+            val sts = files.map(_.stats.get(c))
+            if (sts.exists(_.isEmpty)) return None
+            val vs = sts.flatten.map(s => if (wantMin) s.min else s.max)
+            if (vs.exists(v => v == null || v.isEmpty)) return None
+            vs
+        }
+      if (bounds.isEmpty) return Some((dt, null)) // empty table: min/max = null
+      val best = bounds.reduce((a, b) =>
+        if ((StatsPruner.compare(dt, a, b) < 0) == wantMin) a else b)
+      parse(dt, best).map(dt -> _)
+    }
+    val answers = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar if files.forall(_.rows > 0) || files.isEmpty =>
+        Some(("count(*)", LongType: DataType, files.map(_.rows).sum: Any))
+      case m: Min => colOf(m.column).flatMap(c =>
+        bound(c, wantMin = true).map { case (dt, v) => (s"min($c)", dt, v) })
+      case m: Max => colOf(m.column).flatMap(c =>
+        bound(c, wantMin = false).map { case (dt, v) => (s"max($c)", dt, v) })
+      case _ => None
+    }
+    if (answers.forall(_.isDefined)) Some(answers.flatten) else None
+  }
+
+  private var pushedAnswers: Option[Seq[(String, DataType, Any)]] = None
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    canPushCount(agg)
+    aggAnswers(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    countPushed = canPushCount(agg)
+    pushedAnswers = aggAnswers(agg)
+    countPushed = pushedAnswers.isDefined
     countPushed
   }
 
   override def build(): Scan = {
-    if (countPushed) {
-      val total = files.map(_.rows).sum
+    pushedAnswers.foreach { answers =>
       return new LocalScan {
-        override def rows(): Array[InternalRow] = Array(InternalRow(total))
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow(answers.map(_._3): _*))
         override def readSchema(): StructType =
-          StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+          StructType(answers.map { case (n, dt, v) =>
+            StructField(n, dt, nullable = v == null)
+          })
         override def description(): String =
-          s"GraftMetadataCount($tableName, rows=$total, files=${files.size})"
+          s"GraftMetadataAgg($tableName, files=${files.size}, " +
+            answers.map(_._1).mkString(", ") + ")"
       }
     }
     val surviving = files.filter(f => filters.forall(mayMatch(f, _)))

@@ -237,15 +237,46 @@ class TableCatalogSpec extends AnyFunSuite {
     // the physical plan carries no file scan — the count came from
     // the timeline's per-file row stats
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("BatchScan") || plan.contains("GraftMetadataCount"),
+    assert(!plan.contains("BatchScan") || plan.contains("GraftMetadataAgg"),
       s"metadata count not pushed:\n$plan")
-    assert(plan.contains("LocalTableScan") || plan.contains("GraftMetadataCount"))
+    assert(plan.contains("LocalTableScan") || plan.contains("GraftMetadataAgg"))
     // a filtered count falls back to a real scan and stays correct
     assert(spark.sql("SELECT count(*) FROM gcat.cnt WHERE volume > 1")
       .as[Long].head() == 2L)
     // DML keeps the metadata count honest
     spark.sql("DELETE FROM gcat.cnt WHERE key = 'A'")
     assert(spark.sql("SELECT count(*) FROM gcat.cnt").as[Long].head() == 2L)
+  }
+
+  test("unfiltered MIN/MAX answer from commit-log stats, no scan") {
+    wire()
+    val t = GraftTable.create(spark, s"$wh/mm", TableConfig(
+      name = "mm", keyField = "k", orderingField = "ts",
+      partitionField = Some("p"), numBuckets = 2, statsColumns = Seq("v")))
+    t.insert((1L to 40L).map(i => (i, s"p${i % 3}", i * 100, i * 2))
+      .toDF("k", "p", "ts", "v"))
+    // key, ordering, stats column AND partition column — one
+    // metadata-only row, plus count in the same aggregate
+    val df = spark.sql(
+      "SELECT min(k), max(k), min(ts), max(v), count(*), min(p), max(p) FROM gcat.mm")
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getString(5), r.getString(6)) ==
+      (1L, 40L, 100L, 80L, 40L, "p0", "p2"))
+    // pushed: the answers arrive via a driver-side LocalTableScan —
+    // no file scan (BatchScan) anywhere in the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"metadata min/max not pushed:\n$plan")
+    // a non-stats STRING column must fall back (footer string stats
+    // may be truncated bounds, not attained values) and stay correct
+    val fb = spark.sql("SELECT max(ts2) FROM (SELECT cast(ts AS STRING) ts2 FROM gcat.mm)")
+    assert(fb.collect().head.getString(0) == "900") // lexicographic max
+    // filtered min/max falls back and stays correct
+    assert(spark.sql("SELECT min(k) FROM gcat.mm WHERE p = 'p1'")
+      .collect().head.getLong(0) == 1L)
+    assert(spark.sql("SELECT max(k) FROM gcat.mm WHERE p = 'p1'")
+      .queryExecution.executedPlan.toString.contains("BatchScan"))
   }
 
   test("ALTER TABLE ADD COLUMN records evolved schema; old rows read null") {
