@@ -61,12 +61,19 @@ object IncrementalMv {
         (coalesce(col("o_sum"), lit(0).cast(dec)) + col("d_sum"))
           .cast(dec).as("sum_value"),
         (unix_micros(current_timestamp()) * lit(1000L)).as("_refreshed"))
-    val changed = merged.count()
+    // one pass answers both "anything to write?" and "any group
+    // retracted to zero?" — the delete is its own commit, so skipping
+    // it when nothing hit zero saves a timeline round trip per refresh
+    val (changed, zeroed) = {
+      val r = merged.agg(count(lit(1)),
+        sum(when(col("cnt") === 0L, 1L).otherwise(0L))).collect().head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     if (changed > 0) {
       mv.upsert(merged)
       // a group retracted to zero has no live rows — drop its MV row so
       // the view equals the defining query's result exactly
-      mv.deleteWhere(col("cnt") === 0L)
+      if (zeroed > 0) mv.deleteWhere(col("cnt") === 0L)
     }
     changed
   }
