@@ -545,6 +545,27 @@ object LakehouseQueries {
       |FROM w WHERE event_type <> 'click'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- T3+ restore to a savepoint -----------------------------------
+
+  /** Hudi savepoint/restore: after the upsert wave, restore the table
+    * to its first-commit snapshot. The restore is ONE new replace
+    * commit (history never rewritten — time travel across it keeps
+    * working), so the live read afterwards equals batch₁'s
+    * latest-wins state; the oracle is the same window dedup l2/l18
+    * use. Incremental consumers refuse to cross the restore
+    * (cursor-reset contract, spec'd in core). */
+  def qRestore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val t = GraftTable.create(spark, freshRoot("ev_restore"),
+      cfg("ev_restore", TableConfig.Cow))
+    val c1 = t.insert(ev.filter(col("event_id") % 2 === 0))
+    t.upsert(ev.filter(col("event_id") % 2 === 1))
+    graft.core.TableServices.restore(t, c1)
+    out(t.read())
+  }
+
+  private val restoreSql = oracleMerge(" WHERE event_id % 2 = 0", tieBreak = false)
+
   // ---- A3 key-uniqueness invariant over the lakehouse table ---------
 
   /** The test-suite's duplicate-detection gate run against our own
@@ -587,6 +608,7 @@ object LakehouseQueries {
     "l18_time_travel" -> (qTimeTravel _),
     "l19_spj_join" -> (qSpjJoin _),
     "l20_incremental_mv" -> (qIncrementalMv _),
+    "l21_restore" -> (qRestore _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -610,5 +632,6 @@ object LakehouseQueries {
     "l18_time_travel" -> timeTravelSql,
     "l19_spj_join" -> spjJoinSql,
     "l20_incremental_mv" -> incrementalMvSql,
+    "l21_restore" -> restoreSql,
   )
 }

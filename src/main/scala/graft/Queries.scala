@@ -758,6 +758,35 @@ object Queries {
       |FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- W1+ forward fill / gap filling (q33) --------------------------
+
+  /** Time-series forward fill: nulls (every 7th event's value, masked
+    * deterministically) carry the key's last non-null observation
+    * forward — `last(..., ignoreNulls)` over a running ROWS frame, the
+    * IGNORE NULLS window family. One (event_type, user_id) exchange +
+    * sort serves the whole fill; values pass through bit-untouched
+    * (no arithmetic), so parity cannot drift. */
+  def q33ForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type", "user_id")
+      .orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .withColumn("masked",
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+      .withColumn("filled", last(col("masked"), ignoreNulls = true).over(w))
+      .select("event_type", "user_id", "event_id", "filled")
+      .orderBy("event_type", "user_id", "event_id")
+  }
+
+  private val q33Sql =
+    """SELECT event_type, user_id, event_id,
+      |  last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+      |             IGNORE NULLS)
+      |    OVER (PARTITION BY event_type, user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM events ORDER BY event_type, user_id, event_id""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -793,6 +822,7 @@ object Queries {
     "q30_range_frame" -> (q30RangeFrame _),
     "q31_unpivot" -> (q31Unpivot _),
     "q32_lateral_explode" -> (q32LateralExplode _),
+    "q33_forward_fill" -> (q33ForwardFill _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -828,5 +858,6 @@ object Queries {
     "q30_range_frame" -> q30Sql,
     "q31_unpivot" -> q31Sql,
     "q32_lateral_explode" -> q32Sql,
+    "q33_forward_fill" -> q33Sql,
   )
 }
