@@ -566,6 +566,42 @@ object LakehouseQueries {
 
   private val restoreSql = oracleMerge(" WHERE event_id % 2 = 0", tieBreak = false)
 
+  // ---- §3.1+ Streamer with a chained SQL transformer ----------------
+
+  /** The reference's custom-transformation surface (onehouse-pov
+    * "ETL/ELT Transformations" — the Streamer `--transformer-class`
+    * family) end to end: a parquet directory source drained through
+    * `Transformers.chain(normalizeTs, sql("… value * 2 …"))` into a
+    * graft table. The SQL transformer is plan-to-plan (`<SRC>` = the
+    * micro-batch), so Catalyst optimizes transformer + source read +
+    * write routing as ONE plan. Oracle = latest-wins over events with
+    * the doubled value. */
+  def qStreamerTransform(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ingest.{ParquetDirSource, Streamer, Transformers}
+    val srcDir = freshRoot("ev_tsrc")
+    val dst = java.nio.file.Paths.get(srcDir, "events.parquet")
+    try java.nio.file.Files.createLink(dst, java.nio.file.Paths.get(dir, "events.parquet"))
+    catch { case _: java.io.IOException =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"), dst); () }
+    val t = GraftTable.create(spark, freshRoot("ev_tx"),
+      cfg("ev_tx", TableConfig.Cow))
+    val source = new ParquetDirSource(spark, srcDir,
+      s"${freshRoot("ev_tckpt")}/ckpt")
+    Streamer.runUntilCaughtUp(t, source, transform = Transformers.chain(
+      Tables.normalizeTs,
+      Transformers.sql(
+        "SELECT event_id, ts, user_id, event_type, value * 2 AS value, props FROM <SRC>")))
+    out(t.read())
+  }
+
+  private val streamerTransformSql =
+    """SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us,
+      |       value * 2 AS value
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY event_type, user_id ORDER BY ts DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY event_type, user_id""".stripMargin
+
   // ---- A3 key-uniqueness invariant over the lakehouse table ---------
 
   /** The test-suite's duplicate-detection gate run against our own
@@ -609,6 +645,7 @@ object LakehouseQueries {
     "l19_spj_join" -> (qSpjJoin _),
     "l20_incremental_mv" -> (qIncrementalMv _),
     "l21_restore" -> (qRestore _),
+    "l22_streamer_transform" -> (qStreamerTransform _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -633,5 +670,6 @@ object LakehouseQueries {
     "l19_spj_join" -> spjJoinSql,
     "l20_incremental_mv" -> incrementalMvSql,
     "l21_restore" -> restoreSql,
+    "l22_streamer_transform" -> streamerTransformSql,
   )
 }

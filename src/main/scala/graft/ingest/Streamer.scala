@@ -166,6 +166,16 @@ class OrcDirSource(spark: SparkSession, dir: String,
     schema.fold(spark.read)(s => spark.read.schema(s)).orc(paths: _*)
 }
 
+/** Parquet directory source (S2 with the native columnar format —
+  * the parquet-dfs-source path): same incremental path-selector
+  * contract as CSV/JSON/ORC. */
+class ParquetDirSource(spark: SparkSession, dir: String,
+    checkpointFile: String, schema: Option[StructType] = None)
+    extends DirSource(spark, dir, checkpointFile) {
+  override protected def readFiles(paths: Seq[String]): DataFrame =
+    schema.fold(spark.read)(s => spark.read.schema(s)).parquet(paths: _*)
+}
+
 /** Chained-table incremental source (S3; reference
   * hoodie-incr.properties:25-27): reads another graft table's changes
   * since the checkpointed commit instant. */

@@ -134,6 +134,38 @@ class Round10bSpec extends AnyFunSuite {
       (3L, 0, 1, "solo")))
   }
 
+  test("Transformers.sql binds <SRC>, leaves no temp view behind") {
+    import spark.implicits._
+    val in = Seq((1L, 2.0), (2L, 3.0)).toDF("k", "v")
+    val before = spark.catalog.listTables().count()
+    val out = graft.ingest.Transformers.sql(
+      "SELECT k, v * 10 AS v FROM <SRC> WHERE k > 1")(in)
+    assert(out.as[(Long, Double)].collect().toSeq == Seq((2L, 30.0)))
+    assert(spark.catalog.listTables().count() == before, "temp view leaked")
+  }
+
+  test("Transformers.flatten unnests structs recursively, in order") {
+    import spark.implicits._
+    val in = Seq((1L, ("x", (2.5, true)), "tail"))
+      .toDF("id", "nest", "plain")
+      .selectExpr("id",
+        "named_struct('a', nest._1, 'deep', named_struct('b', nest._2._1, 'c', nest._2._2)) AS nest",
+        "plain")
+    val out = graft.ingest.Transformers.flatten(in)
+    assert(out.columns.toSeq == Seq("id", "nest_a", "nest_deep_b", "nest_deep_c", "plain"))
+    assert(out.as[(Long, String, Double, Boolean, String)].collect().toSeq ==
+      Seq((1L, "x", 2.5, true, "tail")))
+  }
+
+  test("Transformers.chain composes left to right") {
+    import spark.implicits._
+    val in = Seq((1L, 2.0)).toDF("k", "v")
+    val t = graft.ingest.Transformers.chain(
+      graft.ingest.Transformers.sql("SELECT k, v + 1 AS v FROM <SRC>"),
+      graft.ingest.Transformers.sql("SELECT k, v * 2 AS v FROM <SRC>"))
+    assert(t(in).as[(Long, Double)].collect().toSeq == Seq((1L, 6.0))) // (2+1)*2
+  }
+
   test("chunkDocuments is map-only (no shuffle in the plan)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
