@@ -42,11 +42,15 @@ import scala.jdk.CollectionConverters._
   * pass-through rows are dropped.
   *
   * Column pruning is supported (the scan reads requested ∪ merge
-  * columns); filters are deliberately NOT pushed below the merge — a
-  * stale base row passing a filter must still lose to its delta
-  * version that fails it, so Spark applies all predicates above the
-  * scan. File-level skipping for MOR stays at the API layer
-  * (`readWhereBetween`), where delta-aware pruning is group-scoped.
+  * columns); filters are NOT evaluated below the merge — a stale base
+  * row passing a filter must still lose to its delta version that
+  * fails it, so Spark applies all predicates above the scan. Pushed
+  * filters DO prune at group granularity at plan time (see
+  * `GraftMorScanBuilder.pushFilters`): dropping a whole (partition,
+  * bucket) group is merge-safe, dropping a single file is not. Key
+  * equality additionally prunes by the bucket routing hash, and a
+  * selective join prunes groups at RUNTIME (SupportsRuntimeV2Filtering)
+  * the same way.
   */
 final class GraftMorScanBuilder(
     spark: SparkSession,
@@ -60,15 +64,80 @@ final class GraftMorScanBuilder(
     options: CaseInsensitiveStringMap,
     partitionField: Option[String] = None,
     numBuckets: Int = 0)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
   private var required: StructType = tableSchema
+  private var filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
 
   override def pruneColumns(s: StructType): Unit = { required = s }
 
-  override def build(): Scan = new GraftMorScan(spark, tableName, root,
-    live, tableSchema, keyField, orderingField, softDeleteField, required,
-    partitionField, numBuckets)
+  /** Filters prune at GROUP granularity only, and every filter stays
+    * post-scan. Dropping a single file before the latest-wins merge
+    * would resurrect stale versions (a stale base row passing a filter
+    * must still lose to its delta version that fails it) — but a whole
+    * group can go: the current version of any row is a physical row in
+    * exactly one of the group's files, so if NO file's stats admit the
+    * conjunction, no current row of the group can match. Same rule the
+    * API layer's readWhereBetween applies; this brings it to SQL. */
+  override def pushFilters(
+      f: Seq[org.apache.spark.sql.catalyst.expressions.Expression]):
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    filters = f
+    f // all filters re-applied above the merge
+  }
+
+  override def pushedFilters:
+      Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+
+  /** Buckets a top-level key-equality filter allows (None = filter is
+    * not key-equality-shaped). Key min/max stats barely prune across
+    * buckets — every bucket spans nearly the full key range — but the
+    * ROUTING hash is exact: key k only ever lives in bucket(k). */
+  private def keyBuckets(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Set[Int]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val keyDt = tableSchema(keyField).dataType
+    def bucketOf(v: Any): Int = {
+      val h = XxHash64Function.hash(v, keyDt, 42L)
+      (((h % numBuckets) + numBuckets) % numBuckets).toInt
+    }
+    if (numBuckets <= 0) return None
+    e match {
+      case EqualTo(a: AttributeReference, Literal(v, dt))
+          if a.name == keyField && dt == keyDt && v != null =>
+        Some(Set(bucketOf(v)))
+      case EqualTo(Literal(v, dt), a: AttributeReference)
+          if a.name == keyField && dt == keyDt && v != null =>
+        Some(Set(bucketOf(v)))
+      case In(a: AttributeReference, vs)
+          if a.name == keyField &&
+            vs.forall { case Literal(v, dt) => dt == keyDt && v != null
+                        case _ => false } =>
+        Some(vs.map { case Literal(v, _) => bucketOf(v) }.toSet)
+      case InSet(a: AttributeReference, vs) if a.name == keyField =>
+        if (vs.exists(_ == null)) None else Some(vs.map(bucketOf).toSet)
+      case _ => None
+    }
+  }
+
+  override def build(): Scan = {
+    val allowedBuckets: Option[Set[Int]] =
+      filters.flatMap(keyBuckets).reduceOption(_ intersect _)
+    val surviving =
+      if (filters.isEmpty) live
+      else live.groupBy(f => (f.partition, f.bucket)).filter { case ((_, b), fs) =>
+        allowedBuckets.forall(_.contains(b)) &&
+          fs.exists(f => filters.forall(
+            StatsFilterEval.mayMatch(f, _, tableSchema, partitionField)))
+      }.values.flatten.toSeq
+    GraftMorScan.lastStaticPlanned.put(tableName,
+      surviving.groupBy(f => (f.partition, f.bucket)).size)
+    new GraftMorScan(spark, tableName, root,
+      surviving, tableSchema, keyField, orderingField, softDeleteField,
+      required, partitionField, numBuckets)
+  }
 }
 
 final class GraftMorScan(
@@ -286,6 +355,8 @@ object GraftMorScan {
   /** Test observability: groups planned after the last runtime filter,
     * by table name. */
   val lastRuntimePlanned = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  /** Test observability: groups surviving plan-time filter pruning. */
+  val lastStaticPlanned = new java.util.concurrent.ConcurrentHashMap[String, Int]()
 }
 
 final case class FileSlice(path: String, bytes: Long)

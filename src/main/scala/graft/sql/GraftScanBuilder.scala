@@ -175,9 +175,20 @@ final class GraftFileSkippingScanBuilder(
   private def dtOf(attr: String): Option[DataType] =
     schema.fields.find(_.name == attr).map(_.dataType)
 
+  private def mayMatch(f: DataFileMeta, e: Expression): Boolean =
+    StatsFilterEval.mayMatch(f, e, schema, partitionField)
+}
+
+/** Conservative per-file evaluation of catalyst filters against
+  * commit-log stats (shared by the COW file-skipping builder and the
+  * MOR group-pruning builder). `true` = the file may hold a matching
+  * row — unknown shapes, unrenderable literals, or missing stats keep
+  * the file; only provable non-overlap prunes. */
+private[sql] object StatsFilterEval {
+
   /** Literal rendered the way stats were stored (`cast(col as string)`
     * of the value); None = not comparable → never prune on it. */
-  private def litStr(v: Any): Option[String] = v match {
+  def litStr(v: Any): Option[String] = v match {
     case null => None
     case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
     case b: Boolean => Some(b.toString)
@@ -188,43 +199,52 @@ final class GraftFileSkippingScanBuilder(
     case _ => None // timestamps / dates / binary: stored form differs
   }
 
-  private def mayMatch(f: DataFileMeta, e: Expression): Boolean = e match {
-    case CAnd(l, r) => mayMatch(f, l) && mayMatch(f, r)
-    case COr(l, r) => mayMatch(f, l) || mayMatch(f, r)
-    case EqualTo(a: AttributeReference, Literal(v, _)) => eqMay(f, a.name, v)
-    case EqualTo(Literal(v, _), a: AttributeReference) => eqMay(f, a.name, v)
+  def mayMatch(f: DataFileMeta, e: Expression, schema: StructType,
+      partitionField: Option[String]): Boolean = e match {
+    case CAnd(l, r) => mayMatch(f, l, schema, partitionField) &&
+      mayMatch(f, r, schema, partitionField)
+    case COr(l, r) => mayMatch(f, l, schema, partitionField) ||
+      mayMatch(f, r, schema, partitionField)
+    case EqualTo(a: AttributeReference, Literal(v, _)) =>
+      eqMay(f, a.name, v, schema, partitionField)
+    case EqualTo(Literal(v, _), a: AttributeReference) =>
+      eqMay(f, a.name, v, schema, partitionField)
     case GreaterThan(a: AttributeReference, Literal(v, _)) =>
-      cmpMay(f, a.name, litStr(v), None)
+      cmpMay(f, a.name, litStr(v), None, schema, partitionField)
     case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-      cmpMay(f, a.name, litStr(v), None)
+      cmpMay(f, a.name, litStr(v), None, schema, partitionField)
     case LessThan(a: AttributeReference, Literal(v, _)) =>
-      cmpMay(f, a.name, None, litStr(v))
+      cmpMay(f, a.name, None, litStr(v), schema, partitionField)
     case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
-      cmpMay(f, a.name, None, litStr(v))
+      cmpMay(f, a.name, None, litStr(v), schema, partitionField)
     case GreaterThan(Literal(v, _), a: AttributeReference) =>
-      cmpMay(f, a.name, None, litStr(v))
+      cmpMay(f, a.name, None, litStr(v), schema, partitionField)
     case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
-      cmpMay(f, a.name, None, litStr(v))
+      cmpMay(f, a.name, None, litStr(v), schema, partitionField)
     case LessThan(Literal(v, _), a: AttributeReference) =>
-      cmpMay(f, a.name, litStr(v), None)
+      cmpMay(f, a.name, litStr(v), None, schema, partitionField)
     case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
-      cmpMay(f, a.name, litStr(v), None)
+      cmpMay(f, a.name, litStr(v), None, schema, partitionField)
     case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      vs.isEmpty || vs.exists { case Literal(v, _) => eqMay(f, a.name, v) }
+      vs.isEmpty || vs.exists { case Literal(v, _) =>
+        eqMay(f, a.name, v, schema, partitionField) }
     case InSet(a: AttributeReference, vs) =>
-      vs.isEmpty || vs.exists(v => eqMay(f, a.name, v))
+      vs.isEmpty || vs.exists(v => eqMay(f, a.name, v, schema, partitionField))
     case _ => true // unknown shape: keep the file
   }
 
-  private def eqMay(f: DataFileMeta, attr: String, v: Any): Boolean =
+  private def eqMay(f: DataFileMeta, attr: String, v: Any,
+      schema: StructType, partitionField: Option[String]): Boolean =
     if (partitionField.contains(attr)) litStr(v).forall(_ == f.partition)
-    else { val s = litStr(v); cmpMay(f, attr, s, s) }
+    else { val s = litStr(v); cmpMay(f, attr, s, s, schema, partitionField) }
 
   private def cmpMay(f: DataFileMeta, attr: String,
-      lo: Option[String], hi: Option[String]): Boolean =
+      lo: Option[String], hi: Option[String],
+      schema: StructType, partitionField: Option[String]): Boolean =
     if (partitionField.contains(attr)) true // only equality prunes partitions
     else if (lo.isEmpty && hi.isEmpty) true
-    else dtOf(attr).forall(dt => StatsPruner.mayContain(dt, f.stats.get(attr), lo, hi))
+    else schema.fields.find(_.name == attr).map(_.dataType).forall(dt =>
+      StatsPruner.mayContain(dt, f.stats.get(attr), lo, hi))
 }
 
 /** Literal → the string form commit-log stats store (`cast(col as

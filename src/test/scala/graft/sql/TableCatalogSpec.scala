@@ -248,6 +248,39 @@ class TableCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gcat.cnt").as[Long].head() == 2L)
   }
 
+  test("MOR SQL WHERE prunes whole file groups (partition + bucket routing)") {
+    wire()
+    val t = GraftTable.create(spark, s"$wh/mprune", TableConfig(
+      name = "mprune", keyField = "k", orderingField = "ts",
+      partitionField = Some("p"), tableType = TableConfig.Mor, numBuckets = 4))
+    val rows = (0L until 200L).map(i => (i, s"p${i % 4}", i * 10, i.toDouble))
+      .toDF("k", "p", "ts", "v")
+    t.insert(rows)
+    t.upsert(rows.withColumn("ts", $"ts" + 1)) // live deltas everywhere
+    val total = t.log.liveFiles().groupBy(f => (f.partition, f.bucket)).size
+
+    def planned(sql: String): (Long, Int) = {
+      GraftMorScan.lastStaticPlanned.remove("mprune")
+      val n = spark.sql(sql).count()
+      (n, GraftMorScan.lastStaticPlanned.get("mprune"))
+    }
+    // partition equality → only that partition's groups
+    val (n1, g1) = planned("SELECT k FROM gcat.mprune WHERE p = 'p1'")
+    assert(n1 == 50 && g1 < total && g1 <= total / 4)
+    // key equality → only bucket(7)'s groups survive the routing hash
+    // (≤ one group per partition; per-file k-range stats may trim more
+    // but cannot identify the partition — k=7 could live anywhere)
+    val (n2, g2) = planned("SELECT v FROM gcat.mprune WHERE k = 7")
+    assert(n2 == 1 && g2 <= 4, s"expected ≤4 groups (one bucket), planned $g2")
+    // merge stays exact on the surviving group: the delta version wins
+    val v = spark.sql("SELECT ts FROM gcat.mprune WHERE k = 7")
+      .collect().head.getLong(0)
+    assert(v == 71)
+    // unprunable predicate keeps everything
+    val (n3, g3) = planned("SELECT k FROM gcat.mprune WHERE v % 2 = 0")
+    assert(n3 == 100 && g3 == total)
+  }
+
   test("unfiltered MIN/MAX answer from commit-log stats, no scan") {
     wire()
     val t = GraftTable.create(spark, s"$wh/mm", TableConfig(
