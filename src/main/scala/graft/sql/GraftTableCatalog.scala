@@ -89,7 +89,18 @@ class GraftTableCatalog extends TableCatalog with FunctionCatalog {
     }
     val mergeNeeded = suffix != "ro" && t.config.isMor &&
       (live.exists(_.delta) || suffix == "rt")
-    if (mergeNeeded)
+    // spark.graft.read.groupScan=true: serve EVERY snapshot (COW, or
+    // compacted MOR) through the file-group scan so it reports
+    // KeyGroupedPartitioning — joins between co-bucketed graft tables
+    // run shuffle-free regardless of table type or compaction state.
+    // Opt-in because the group scan trades parquet filter pushdown /
+    // vectorization for the partitioning report; right when the
+    // workload is join-heavy, wrong for selective point scans. The
+    // `_ro` contract (base files, stale-by-design) is unaffected in
+    // what it READS — base-only groups pass through unmerged.
+    val groupScan = suffix != "ro" &&
+      spark.conf.getOption("spark.graft.read.groupScan").exists(_.toBoolean)
+    if (mergeNeeded || groupScan) // both imply suffix != "ro"
       return new GraftMorDsv2Table(t, ident.name, live, schema)
     val files = live.filterNot(_.delta)
       .map(f => s"${t.root}/${f.path}")

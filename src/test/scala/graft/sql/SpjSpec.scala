@@ -75,6 +75,35 @@ class SpjSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(joined.count() == a.count()) // keys unique per (et, user): 1:1 join
   }
 
+  test("groupScan conf: COW tables join shuffle-free too") {
+    val (cat, wh) = freshCat()
+    def mkCow(name: String, mul: Double): Unit = {
+      val t = GraftTable.create(spark, s"$wh/$name",
+        cfg(name).copy(tableType = TableConfig.Cow))
+      t.insert(rows(200, mul)) // insert-only: no deltas ever
+    }
+    mkCow("ca", 1.0); mkCow("cb", 2.0)
+    val sql =
+      s"""SELECT a.event_type, a.user_id, a.value + b.value AS v
+         |FROM $cat.ca a JOIN $cat.cb b
+         |  ON a.event_type = b.event_type AND a.user_id = b.user_id""".stripMargin
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.graft.read.groupScan" -> "true") {
+      assert(shuffles(spark.sql(sql)) == 0,
+        "COW group-scan join must not shuffle")
+    }
+    // conf off: parquet path (exchanges return), same answer
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plain = spark.sql(sql)
+      assert(shuffles(plain) > 0)
+      val grouped = withSQLConf("spark.graft.read.groupScan" -> "true") {
+        spark.sql(sql).collect().toSet
+      }
+      assert(plain.collect().toSet == grouped)
+    }
+  }
+
   test("bucket function matches the write path's routing hash") {
     import spark.implicits._
     val n = 8
