@@ -912,6 +912,45 @@ object PipelineQueries {
       |       array_to_string(chunk, ' ') AS chunk_text
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---- model-based quality filtering (p34) ---------------------------
+
+  /** Classifier-based quality filtering — the model-scored stage of
+    * CCNet/RefinedWeb-style curation, with the learned model stood in
+    * by a FIXED linear scorer over the engine's interpretable quality
+    * features (stopword ratio up-weights prose, punctuation noise and
+    * token-length drift down-weight). The operator shape is what
+    * matters at 100 TB: per-row expressions inside the scan's codegen
+    * stage, zero shuffles — swapping in real learned weights changes
+    * constants, not the plan. Score arithmetic is a fixed
+    * left-associated IEEE chain, bit-identical in both engines, so the
+    * keep/drop decision is oracle-exact (no sigmoid: exp() is not
+    * bit-portable and a monotone transform never changes the cut). */
+  def tQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val m = TextFunctions.qualityMetrics(col("text")).toMap
+    val score = lit(2.0) * m("stopword_ratio") - lit(3.0) * m("punct_ratio") -
+      lit(0.1) * abs(m("avg_token_len") - lit(5.0)) + lit(0.5)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), score.as("score"))
+      .withColumn("keep", col("score") >= 0.55)
+      .orderBy("doc_id")
+  }
+
+  private val tQualityClassifierSql =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |          w -> w IN ($stopList))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS s,
+       |    CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+       |         AS DOUBLE) / length(text) AS p,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS a
+       |  FROM documents)
+       |SELECT doc_id,
+       |  2.0 * s - 3.0 * p - 0.1 * abs(a - 5.0) + 0.5 AS score,
+       |  (2.0 * s - 3.0 * p - 0.1 * abs(a - 5.0) + 0.5) >= 0.55 AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -948,6 +987,7 @@ object PipelineQueries {
     "p31_mixture_temperature" -> (cTemperatureMixture _),
     "p32_line_dedup" -> (dLineDedup _),
     "p33_chunking" -> (cChunk _),
+    "p34_quality_classifier" -> (tQualityClassifier _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -991,5 +1031,6 @@ object PipelineQueries {
     "p31_mixture_temperature" -> cTemperatureSql,
     "p32_line_dedup" -> dLineDedupSql,
     "p33_chunking" -> cChunkSql,
+    "p34_quality_classifier" -> tQualityClassifierSql,
   )
 }
