@@ -602,6 +602,27 @@ object LakehouseQueries {
       |      FROM events)
       |WHERE rn = 1 ORDER BY event_type, user_id""".stripMargin
 
+  // ---- §2.9+ CDC through SQL: CALL table_changes --------------------
+
+  /** l11's row-level CDC scenario surfaced through the SQL procedure
+    * layer — `CALL table_changes(table => …, from_instant => …)`, the
+    * Delta `table_changes` TVF analog. Same net-change semantics and
+    * oracle as the API gate; the statement path is what's under test. */
+  def qCdcSql(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val wh = freshRoot("ev_cdcsql_wh")
+    val catalog = new graft.sql.GraftCatalog(spark, wh)
+    val gsql = new graft.sql.GraftSql(catalog)
+    val t = catalog.createTable(cfg("ev_cdcsql", TableConfig.Cow))
+    val c1 = t.insert(ev.filter(col("event_id") % 2 === 0))
+    t.upsert(ev.filter(col("event_id") % 2 === 1))
+    t.deleteWhere(col("event_type") === "click")
+    gsql.sql(s"CALL table_changes(table => 'ev_cdcsql', from_instant => '$c1')")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select("_change_type", "event_type", "user_id", "event_id", "ts_us", "value")
+      .orderBy("event_type", "user_id")
+  }
+
   // ---- A3 key-uniqueness invariant over the lakehouse table ---------
 
   /** The test-suite's duplicate-detection gate run against our own
@@ -646,6 +667,7 @@ object LakehouseQueries {
     "l20_incremental_mv" -> (qIncrementalMv _),
     "l21_restore" -> (qRestore _),
     "l22_streamer_transform" -> (qStreamerTransform _),
+    "l23_cdc_sql" -> (qCdcSql _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -671,5 +693,6 @@ object LakehouseQueries {
     "l20_incremental_mv" -> incrementalMvSql,
     "l21_restore" -> restoreSql,
     "l22_streamer_transform" -> streamerTransformSql,
+    "l23_cdc_sql" -> cdcSql,
   )
 }

@@ -912,6 +912,46 @@ object PipelineQueries {
       |       array_to_string(chunk, ' ') AS chunk_text
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---- vocabulary coverage / OOV rate (p35) --------------------------
+
+  /** Tokenizer-vocabulary coverage: per-document fraction of token
+    * OCCURRENCES outside the corpus' top-V vocabulary (the OOV-rate
+    * curation metric; docs heavy in out-of-vocabulary tokens inflate
+    * sequence length under a fixed tokenizer). The vocabulary is
+    * p25's top-V relation (one word shuffle + TakeOrderedAndProject);
+    * its V rows are driver-collected like IVF centroids — a
+    * metadata-scale constant, never the corpus — and applied as a
+    * literal array in a map-only pass (zero further shuffles). */
+  def tOovRate(spark: SparkSession, dir: String): DataFrame = {
+    val topV = 20
+    val vocab: Array[String] = Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(topV)
+      .collect().map(_.getString(0))
+    val vocabArr = array(vocab.toIndexedSeq.map(lit): _*)
+    val ws = split(col("text"), " ")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(ws).as("n_tokens"),
+        (size(filter(ws, w => !array_contains(vocabArr, w))).cast("double") /
+          size(ws)).as("oov_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val tOovRateSql =
+    """WITH v AS (
+      |  SELECT list(word) AS vl FROM (
+      |    SELECT word FROM (
+      |      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |    GROUP BY word ORDER BY count(*) DESC, word ASC LIMIT 20)),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |SELECT doc_id, len(ws) AS n_tokens,
+      |  CAST(len(list_filter(ws, w -> NOT list_contains(vl, w))) AS DOUBLE)
+      |    / len(ws) AS oov_frac
+      |FROM d, v ORDER BY doc_id""".stripMargin
+
   // ---- model-based quality filtering (p34) ---------------------------
 
   /** Classifier-based quality filtering — the model-scored stage of
@@ -988,6 +1028,7 @@ object PipelineQueries {
     "p32_line_dedup" -> (dLineDedup _),
     "p33_chunking" -> (cChunk _),
     "p34_quality_classifier" -> (tQualityClassifier _),
+    "p35_oov_rate" -> (tOovRate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1032,5 +1073,6 @@ object PipelineQueries {
     "p32_line_dedup" -> dLineDedupSql,
     "p33_chunking" -> cChunkSql,
     "p34_quality_classifier" -> tQualityClassifierSql,
+    "p35_oov_rate" -> tOovRateSql,
   )
 }

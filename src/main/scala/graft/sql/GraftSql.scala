@@ -183,6 +183,16 @@ final class GraftSql(catalog: GraftCatalog) {
         Seq(graft.core.TableServices.archive(table,
           retainCommits = arg("retain_commits", 1).map(_.toInt).getOrElse(20)))
           .toDF("archived_commits")
+      case "table_changes" =>
+        // the Delta `table_changes` TVF analog through the procedure
+        // surface: row-level CDC between two instants as a result set,
+        // optionally in the retractable pre-image shape (ub/ua pairs)
+        val from = arg("from_instant", 1).getOrElse(
+          throw new IllegalArgumentException(
+            "CALL table_changes: missing from_instant"))
+        table.readCdc(from,
+          maxCommits = arg("max_commits", 2).map(_.toInt).getOrElse(Int.MaxValue),
+          withPreimages = arg("preimages", 3).exists(_.toBoolean))
       case "rollback_to_instant" =>
         val instant = arg("instant", 1).getOrElse(
           throw new IllegalArgumentException("CALL rollback_to_instant: missing instant"))
@@ -200,7 +210,8 @@ final class GraftSql(catalog: GraftCatalog) {
       case other => throw new IllegalArgumentException(
         s"unknown procedure '$other' — supported: run_compaction, " +
         "run_clustering, run_clean, run_archival, rollback_to_instant, " +
-        "rollback_last_commit, build_vector_index, show_commits, show_files")
+        "rollback_last_commit, table_changes, build_vector_index, " +
+        "show_commits, show_files")
     }
   }
 
