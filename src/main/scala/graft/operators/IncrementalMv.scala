@@ -37,11 +37,50 @@ object IncrementalMv {
       .agg(count(lit(1)).as("cnt"),
         sum(col(valueCol).cast(dec)).as("sum_value"))
 
-  /** Apply one CDC batch (pre-image format) to the MV table `mv`:
-    * upserts changed groups, deletes groups whose count reaches zero.
-    * Returns the set-changed row count for observability. */
-  def refresh(spark: SparkSession, mv: GraftTable, cdc: DataFrame,
+  /** Commit-extra key carrying the base-table instant a refresh
+    * covered — rides IN the refresh commit itself, so cursor and data
+    * advance atomically (no separate checkpoint file to desync). */
+  val CursorKey = "graft.mv.sourceInstant"
+
+  /** Last source instant a sync recorded on `mv`'s timeline. */
+  def lastCursor(mv: GraftTable): Option[String] =
+    mv.log.commits().reverse.collectFirst {
+      case c if c.extra.contains(CursorKey) => c.extra(CursorKey)
+    }
+
+  /** Cursor-managed maintenance: bring `mv` up to date with `base`.
+    * First call = full build; later calls consume only the pre-image
+    * CDC of the uncovered commit range. ONE commit per refresh — rows
+    * retracted to zero are written as soft-delete tombstones in the
+    * same upsert, and the cursor rides in the commit's extra map, so a
+    * crash either persisted the whole refresh (cursor included) or
+    * none of it; re-running is always safe. Returns changed groups. */
+  def sync(spark: SparkSession, base: GraftTable, mv: GraftTable,
       groupCol: String, valueCol: String): Long = {
+    val rowCommits = base.log.commits()
+      .filter(c => c.action == "commit" || c.action == "replace")
+    val end = rowCommits.lastOption.map(_.instant).getOrElse(return 0L)
+    lastCursor(mv) match {
+      case None =>
+        val full = fullAggregate(base.read(), groupCol, valueCol)
+          .withColumn("_refreshed", lit(0L))
+        mv.upsert(full, extra = Map(CursorKey -> end))
+        mv.read().count()
+      case Some(cur) if cur >= end => 0L // nothing new
+      case Some(cur) =>
+        refresh(spark, mv, base.readCdc(cur, withPreimages = true),
+          groupCol, valueCol, cursor = Some(end))
+    }
+  }
+
+  /** Apply one CDC batch (pre-image format) to the MV table `mv` as a
+    * SINGLE commit: changed groups upsert, groups retracted to zero
+    * ride along as soft-delete tombstones (the snapshot read hides
+    * them), and `cursor` (if any) lands in the commit's extra map.
+    * Returns the changed-group count for observability. */
+  def refresh(spark: SparkSession, mv: GraftTable, cdc: DataFrame,
+      groupCol: String, valueCol: String,
+      cursor: Option[String] = None): Long = {
     val sign = when(col("_change_type").isin("i", "ua"), lit(1))
       .when(col("_change_type").isin("d", "ub"), lit(-1))
       .otherwise(raise_error(concat(
@@ -61,19 +100,14 @@ object IncrementalMv {
         (coalesce(col("o_sum"), lit(0).cast(dec)) + col("d_sum"))
           .cast(dec).as("sum_value"),
         (unix_micros(current_timestamp()) * lit(1000L)).as("_refreshed"))
-    // one pass answers both "anything to write?" and "any group
-    // retracted to zero?" — the delete is its own commit, so skipping
-    // it when nothing hit zero saves a timeline round trip per refresh
-    val (changed, zeroed) = {
-      val r = merged.agg(count(lit(1)),
-        sum(when(col("cnt") === 0L, 1L).otherwise(0L))).collect().head
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
+    val changed = merged.count()
     if (changed > 0) {
-      mv.upsert(merged)
-      // a group retracted to zero has no live rows — drop its MV row so
-      // the view equals the defining query's result exactly
-      if (zeroed > 0) mv.deleteWhere(col("cnt") === 0L)
+      // zero-count groups become tombstones INSIDE the same upsert —
+      // the refresh is one atomic commit (data + retractions + cursor)
+      val withTombstones = merged.withColumn(
+        mv.config.softDeleteField, col("cnt") === 0L)
+      mv.upsert(withTombstones,
+        extra = cursor.map(CursorKey -> _).toMap)
     }
     changed
   }

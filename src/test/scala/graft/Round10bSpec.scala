@@ -78,6 +78,47 @@ class Round10bSpec extends AnyFunSuite {
     assert(groups == Set("b"))
   }
 
+  test("IncrementalMv.sync: cursor-managed refresh, one commit each, idempotent") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, fresh("mvsb"), cfg("mvsb"))
+    val mv = GraftTable.create(spark, fresh("mvs"), TableConfig(
+      name = "mvs", keyField = "g", orderingField = "_refreshed",
+      partitionField = None, tableType = TableConfig.Cow, numBuckets = 1))
+    def state(): Set[(String, Long, Double)] =
+      mv.read().select(col("g"), col("cnt"), col("sum_value").cast("double"))
+        .as[(String, Long, Double)].collect().toSet
+    def full(): Set[(String, Long, Double)] =
+      graft.operators.IncrementalMv.fullAggregate(t.read(), "g", "v")
+        .select(col("g"), col("cnt"), col("sum_value").cast("double"))
+        .as[(String, Long, Double)].collect().toSet
+
+    t.insert(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "v"))
+    graft.operators.IncrementalMv.sync(spark, t, mv, "g", "v") // full build
+    assert(state() == full())
+    val commitsAfterBuild = mv.log.commits().size
+
+    // wave 2: update + insert + whole-group delete, ONE sync commit
+    t.upsert(Seq((1L, "a", 15.0), (3L, "c", 30.0)).toDF("k", "g", "v"))
+    t.deleteWhere(col("g") === "b")
+    graft.operators.IncrementalMv.sync(spark, t, mv, "g", "v")
+    assert(state() == full())
+    assert(state() == Set(("a", 1L, 15.0), ("c", 1L, 30.0)))
+    assert(mv.log.commits().size == commitsAfterBuild + 1,
+      "a refresh (incl. the zero-group retraction) must be ONE commit")
+
+    // caught up: no-op, no commit, cursor intact
+    assert(graft.operators.IncrementalMv.sync(spark, t, mv, "g", "v") == 0L)
+    assert(mv.log.commits().size == commitsAfterBuild + 1)
+    // the cursor rode inside the refresh commit (atomic with the data)
+    assert(graft.operators.IncrementalMv.lastCursor(mv).nonEmpty)
+
+    // a retracted group can come back
+    t.insert(Seq((9L, "b", 5.0)).toDF("k", "g", "v"))
+    graft.operators.IncrementalMv.sync(spark, t, mv, "g", "v")
+    assert(state() == full())
+    assert(state().exists(_._1 == "b"))
+  }
+
   test("lineDedup removes cross-document boilerplate, keeps order") {
     import spark.implicits._
     val docs = Seq(
