@@ -47,7 +47,9 @@ object Bench {
     "p29_curation_pipeline", // round 10: composed filter→dedup→keep-best pipeline
     "p30_lm_typicality", // round 10: bigram-LM scoring via salted skew joins
     "p32_line_dedup", // round 11: cross-doc boilerplate removal
-    "p33_chunking") // round 11: map-only sliding-window chunking
+    "p33_chunking", // round 11: map-only sliding-window chunking
+    "p34_quality_classifier", // round 11: model-scored filtering
+    "p35_oov_rate") // round 11: vocab-coverage metric
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
