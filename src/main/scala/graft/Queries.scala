@@ -787,6 +787,32 @@ object Queries {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
       |FROM events ORDER BY event_type, user_id, event_id""".stripMargin
 
+  // ---- L1+ LIMIT/OFFSET pagination with explicit null order (q34) ----
+
+  /** Keyset-free pagination: ORDER BY with NULLS LAST (nulls planted
+    * deterministically) + LIMIT/OFFSET through the SQL parser. OFFSET
+    * plans as a GlobalLimit variant over the same TakeOrdered machinery
+    * — still no full sort of the input. The tie-break on event_id keeps
+    * the page deterministic. */
+  def q34LimitOffset(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "events").createOrReplaceTempView("q34_events")
+    spark.sql(
+      """SELECT event_id, masked, user_id
+        |FROM (SELECT event_id, user_id,
+        |        CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS masked
+        |      FROM q34_events)
+        |ORDER BY masked ASC NULLS LAST, event_id ASC
+        |LIMIT 40 OFFSET 25""".stripMargin)
+  }
+
+  private val q34Sql =
+    """SELECT event_id,
+      |       CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS masked,
+      |       user_id
+      |FROM events
+      |ORDER BY masked ASC NULLS LAST, event_id ASC
+      |LIMIT 40 OFFSET 25""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -823,6 +849,7 @@ object Queries {
     "q31_unpivot" -> (q31Unpivot _),
     "q32_lateral_explode" -> (q32LateralExplode _),
     "q33_forward_fill" -> (q33ForwardFill _),
+    "q34_limit_offset" -> (q34LimitOffset _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -859,5 +886,6 @@ object Queries {
     "q31_unpivot" -> q31Sql,
     "q32_lateral_explode" -> q32Sql,
     "q33_forward_fill" -> q33Sql,
+    "q34_limit_offset" -> q34Sql,
   )
 }
