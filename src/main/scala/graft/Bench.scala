@@ -49,7 +49,8 @@ object Bench {
     "p32_line_dedup", // round 11: cross-doc boilerplate removal
     "p33_chunking", // round 11: map-only sliding-window chunking
     "p34_quality_classifier", // round 11: model-scored filtering
-    "p35_oov_rate") // round 11: vocab-coverage metric
+    "p35_oov_rate", // round 11: vocab-coverage metric
+    "p36_tf_cosine") // round 12: weighted all-pairs similarity
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -991,6 +991,97 @@ object PipelineQueries {
        |  (2.0 * s - 3.0 * p - 0.1 * abs(a - 5.0) + 0.5) >= 0.55 AS keep
        |FROM f ORDER BY doc_id""".stripMargin
 
+  // ---- TF-cosine all-pairs similarity (p36) --------------------------
+
+  /** Weighted (term-frequency) cosine near-dup pairs over the 3-shingle
+    * term space — the all-pairs-similarity operator
+    * ([[Dedup.tfCosinePairs]], Bayardo '07): exact integer statistics,
+    * integer-domain threshold decision at cos ≥ 3/5, df-capped term
+    * space making inverted-index candidates complete by construction.
+    * Complements p2/p3 (set-Jaccard) with the weighted similarity the
+    * fuzzy-dedup literature actually ranks by. */
+  def dTfCosine(spark: SparkSession, dir: String): DataFrame =
+    Dedup.tfCosinePairs(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", k = 3, thresholdNum = 3, thresholdDen = 5,
+        maxDf = 64)
+      .orderBy("id_a", "id_b")
+
+  private val dTfCosineSql =
+    """WITH sh AS (SELECT doc_id, s AS term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |        generate_series(1, greatest(1, len(ws) - 2)),
+      |        i -> array_to_string(ws[i:i+2], ' '))) AS s
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+      |  GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM sh GROUP BY 1),
+      |kept AS (SELECT s.doc_id, s.term, s.tf FROM sh s
+      |         JOIN df USING (term) WHERE df.df <= 64),
+      |nrm AS (SELECT doc_id, sum(tf*tf) AS n2 FROM kept GROUP BY 1),
+      |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |           sum(a.tf*b.tf) AS dot
+      |         FROM kept a JOIN kept b
+      |           ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  CAST(d.dot*d.dot AS DOUBLE) / CAST(na.n2*nb.n2 AS DOUBLE) AS cos2
+      |FROM dots d JOIN nrm na ON d.id_a = na.doc_id
+      |            JOIN nrm nb ON d.id_b = nb.doc_id
+      |WHERE 25 * d.dot*d.dot >= 9 * na.n2*nb.n2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- token-budget mixture sampling (p37) ---------------------------
+
+  /** Per-source token-budget admission ([[Curation.tokenBudgetSample]]):
+    * the budgeted data-mixing step — each source contributes documents
+    * in deterministic md5 order until its token budget closes. The
+    * p31 temperature mixture sets per-source DOC counts; this sets
+    * per-source TOKEN mass, which is what training-mix recipes
+    * actually specify. */
+  def cTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    Curation.tokenBudgetSample(docs, "source", "doc_id",
+        col("n_tok"), budget = 600L)
+      .select("source", "doc_id", "n_tok")
+      .orderBy("source", "doc_id")
+  }
+
+  private val cTokenBudgetSql =
+    """WITH t AS (SELECT source, doc_id,
+      |    len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+      |r AS (SELECT *, coalesce(sum(n_tok) OVER (
+      |        PARTITION BY source
+      |        ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      |      FROM t)
+      |SELECT source, doc_id, n_tok FROM r WHERE prev < 600
+      |ORDER BY source, doc_id""".stripMargin
+
+  // ---- per-language quality-percentile filter (p38) ------------------
+
+  /** Per-language quality-percentile cut
+    * ([[Curation.qualityPercentileFilter]]): keep each language's top
+    * 40% by average token length (the q-th-quantile threshold computed
+    * per class, broadcast back, compared in place). The relative cut
+    * is what real curation uses — an absolute score threshold is
+    * mis-calibrated across languages. */
+  def cQualityPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val score = TextFunctions.qualityMetrics(col("text"))
+      .toMap.apply("avg_token_len")
+    Curation.qualityPercentileFilter(
+        Tables.load(spark, dir, "documents").withColumn("score", score),
+        "lang", col("score"), q = 0.6)
+      .select("doc_id", "lang", "score")
+      .orderBy("doc_id")
+  }
+
+  private val cQualityPercentileSql =
+    """WITH s AS (SELECT doc_id, lang,
+      |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS score FROM documents),
+      |t AS (SELECT lang, quantile_cont(score, 0.6) AS thr FROM s GROUP BY 1)
+      |SELECT s.doc_id, s.lang, s.score FROM s JOIN t USING (lang)
+      |WHERE s.score >= t.thr ORDER BY s.doc_id""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1029,6 +1120,9 @@ object PipelineQueries {
     "p33_chunking" -> (cChunk _),
     "p34_quality_classifier" -> (tQualityClassifier _),
     "p35_oov_rate" -> (tOovRate _),
+    "p36_tf_cosine" -> (dTfCosine _),
+    "p37_token_budget" -> (cTokenBudget _),
+    "p38_quality_percentile" -> (cQualityPercentile _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1074,5 +1168,8 @@ object PipelineQueries {
     "p33_chunking" -> cChunkSql,
     "p34_quality_classifier" -> tQualityClassifierSql,
     "p35_oov_rate" -> tOovRateSql,
+    "p36_tf_cosine" -> dTfCosineSql,
+    "p37_token_budget" -> cTokenBudgetSql,
+    "p38_quality_percentile" -> cQualityPercentileSql,
   )
 }

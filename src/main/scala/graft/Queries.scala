@@ -813,6 +813,84 @@ object Queries {
       |ORDER BY masked ASC NULLS LAST, event_id ASC
       |LIMIT 40 OFFSET 25""".stripMargin
 
+  // ---- J+ FULL OUTER join (q35) --------------------------------------
+
+  /** FULL OUTER equi-join of two aggregates of the same fact table —
+    * per-customer 'F'-status vs 'O'-status order totals, where each
+    * side genuinely has customers the other lacks (nulls on BOTH
+    * sides survive to the output; counts coalesce to 0, sums stay
+    * null — the conventional outer-agg shape).
+    *
+    * Plan: one orders scan per side with the status filter pushed
+    * down, partial aggregation, and a shuffle on o_custkey that BOTH
+    * the aggregates and the join reuse (the join key equals the
+    * grouping key, so no extra exchange); full outer is SMJ/SHJ-able,
+    * never broadcast (null-producing side can't stream). The
+    * USING-style join coalesces the key. */
+  def q35FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    def side(status: String, prefix: String) =
+      orders.filter(col("o_orderstatus") === status)
+        .groupBy("o_custkey")
+        .agg(sum(d2(col("o_totalprice"))).as(s"${prefix}_total"),
+          count(lit(1)).as(s"${prefix}_cnt"))
+    side("F", "f").join(side("O", "o"), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        col("f_total").cast(DoubleType).as("f_total"),
+        coalesce(col("f_cnt"), lit(0L)).as("f_cnt"),
+        col("o_total").cast(DoubleType).as("o_total"),
+        coalesce(col("o_cnt"), lit(0L)).as("o_cnt"))
+      .orderBy("o_custkey")
+  }
+
+  private val q35Sql =
+    """WITH f AS (SELECT o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS f_total,
+      |    count(*) AS f_cnt
+      |  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+      |o AS (SELECT o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS o_total,
+      |    count(*) AS o_cnt
+      |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+      |SELECT o_custkey, f_total, coalesce(f_cnt, 0) AS f_cnt,
+      |       o_total, coalesce(o_cnt, 0) AS o_cnt
+      |FROM f FULL JOIN o USING (o_custkey) ORDER BY o_custkey""".stripMargin
+
+  // ---- §2.2+ correlated EXISTS / NOT EXISTS through SQL (q36) --------
+
+  /** Correlated EXISTS + NOT EXISTS subqueries through the SQL parser:
+    * customers with at least one big-ticket order and no 'F'-status
+    * order. Catalyst decorrelates both predicates — EXISTS rewrites to
+    * a LEFT SEMI join, NOT EXISTS to a LEFT ANTI join, each a plain
+    * equi-join on o_custkey with the inner filter pushed below it —
+    * so the plan is q10's semi/anti shape with zero per-row subquery
+    * execution (the 100 TB failure mode of naive correlation). */
+  def q36ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("q36_customer")
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("q36_orders")
+    spark.sql(
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM q36_customer c
+        |WHERE EXISTS (SELECT 1 FROM q36_orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 150000)
+        |  AND NOT EXISTS (SELECT 1 FROM q36_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val q36Sql =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 150000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -850,6 +928,8 @@ object Queries {
     "q32_lateral_explode" -> (q32LateralExplode _),
     "q33_forward_fill" -> (q33ForwardFill _),
     "q34_limit_offset" -> (q34LimitOffset _),
+    "q35_full_outer" -> (q35FullOuter _),
+    "q36_exists_subquery" -> (q36ExistsSubquery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -887,5 +967,7 @@ object Queries {
     "q32_lateral_explode" -> q32Sql,
     "q33_forward_fill" -> q33Sql,
     "q34_limit_offset" -> q34Sql,
+    "q35_full_outer" -> q35Sql,
+    "q36_exists_subquery" -> q36Sql,
   )
 }

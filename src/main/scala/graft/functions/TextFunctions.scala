@@ -27,6 +27,18 @@ object TextFunctions {
       i => concat_ws(" ", slice(ws, i, lit(k)))))
   }
 
+  /** All word k-shingle occurrences WITH multiplicity (no
+    * `array_distinct`) — the term-frequency twin of [[wordShingles]]
+    * for weighted similarity (TF cosine), where how often a shingle
+    * repeats inside a document carries signal. Same short-doc rule:
+    * < k words yield the whole token list as one shingle. */
+  def wordShinglesAll(text: Column, k: Int): Column = {
+    val ws = tokens(text)
+    transform(
+      sequence(lit(1), greatest(lit(1), size(ws) - lit(k - 1))),
+      i => concat_ws(" ", slice(ws, i, lit(k))))
+  }
+
   /** 64-bit hashes of the distinct shingles — the fused native
     * [[ShingleHashes]] expression (the HOF tree it replaces is
     * interpreted per row; see the expression's doc). Values are

@@ -105,6 +105,60 @@ object Curation {
         "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
       "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b", "<IP>")
 
+  /** Token-budget admission per class (the budgeted twin of
+    * [[temperatureMixture]]): within each `classCol` value, walk the
+    * documents in md5(key) order — the same deterministic uniform
+    * order the other samplers use — and admit documents while the
+    * EXCLUSIVE running token total is still under `budget`. The
+    * document that crosses the budget line is the last one in (how
+    * byte budgets conventionally close), so every class lands in
+    * [budget, budget + max_doc_tokens). Membership is a pure function
+    * of the key set, so re-runs and engines agree exactly — no RNG,
+    * no float accumulation (the running sum is integer).
+    *
+    * Plan: ONE hash exchange on `classCol` serves the window sort and
+    * the running sum. The within-class prefix sum has the same
+    * 100 TB shape as [[packSequences]]' global offsets: a single
+    * monster class should go through the distributed prefix-sum
+    * decomposition there; for the many-sources mixing case (classes
+    * ≪ rows, each class executor-sized) the window form is the right
+    * plan. */
+  def tokenBudgetSample(df: DataFrame, classCol: String, keyCol: String,
+      tokensCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget $budget")
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__prev",
+        coalesce(sum(tokensCol.cast("long")).over(w), lit(0L)))
+      .filter(col("__prev") < budget)
+      .drop("__prev")
+  }
+
+  /** Per-class quality gate: keep rows whose `scoreCol` sits at or
+    * above the class's `q`-quantile — "drop the bottom 60% of each
+    * language by quality" as one declarative pass. The threshold is
+    * the EXACT type-7 interpolated percentile (the q23 parity shape:
+    * Spark `percentile` ≡ DuckDB `quantile_cont`), so the cut is
+    * reproducible across engines; the comparison itself is a plain
+    * double ≥ of two identically-derived values.
+    *
+    * Plan: one hash exchange on `classCol` for the percentile
+    * aggregate (exact percentile buffers the class's scores — at
+    * 100 TB swap in `approx_percentile`, whose error contract is
+    * gated in Round10Spec), then the O(classes) threshold relation
+    * broadcasts back onto the unshuffled scan: the corpus itself
+    * crosses the network zero times. */
+  def qualityPercentileFilter(df: DataFrame, classCol: String,
+      scoreCol: Column, q: Double): DataFrame = {
+    require(q > 0 && q < 1, s"quantile $q")
+    val thr = df.groupBy(col(classCol))
+      .agg(percentile(scoreCol, lit(q)).as("__thr"))
+    df.join(broadcast(thr), Seq(classCol))
+      .filter(scoreCol >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Benchmark-contamination check (decontamination pass): documents
     * sharing ≥ `minHits` distinct k-shingles with the evaluation
     * corpus, with the overlap count. The join key is the shingle —

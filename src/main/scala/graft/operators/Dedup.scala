@@ -334,6 +334,90 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Exact TF-cosine near-dup pairs over the k-word-shingle term space
+    * — the weighted all-pairs similarity operator (Bayardo '07 shape):
+    * each document is a sparse term-frequency vector over its
+    * k-shingles, and a pair is emitted when cos(a, b) ≥ num/den.
+    *
+    * The term space is restricted to shingles with document frequency
+    * ≤ `maxDf` (vectorization AND similarity — boilerplate shingles in
+    * more than `maxDf` docs carry no near-dup signal and are exactly
+    * the terms that blow up an inverted index). Under that definition
+    * candidate generation via the inverted index is COMPLETE: any pair
+    * with a nonzero dot product shares a kept term, so no
+    * approximation is involved — the oracle recomputes the same
+    * similarity over all pairs and must match exactly.
+    *
+    * Engine-portable exactness (the p30 discipline): every statistic
+    * is an integer — tf, dot = Σ tf_a·tf_b, |a|² = Σ tf² — summed in
+    * DECIMAL(38,0) (order-independent, overflow-safe far past the
+    * int64 ~50k-shingles-per-doc bound), the threshold decision is the
+    * integer-domain cross-multiplication den²·dot² ≥ num²·|a|²·|b|²
+    * (zero float sensitivity at the boundary), and only the reported
+    * `cos2` = dot²/(|a|²·|b|²) is a single exact-over-exact double
+    * division. sqrt/log never enter the gate.
+    *
+    * Plan shape at 100 TB: shingle explode → one (id, term) shuffle
+    * with map-side combine for tf → ONE term shuffle that computes
+    * document frequency and the inverted list together, with the
+    * df ≤ maxDf cut as a filter on that relation (no separate stop
+    * pass, no anti-join — boilerplate terms die where they are
+    * counted); per-term fanout is then capped at maxDf elements
+    * (≤ maxDf²/2 pairs per term, and [[bucketPairs]]' chunked
+    * expansion + size guard apply); one (id_a, id_b) shuffle sums the
+    * dot; norms re-derive from the kept inverted lists (one id
+    * shuffle of the same relation) and join only the thresholdable
+    * pair relation. The corpus is scanned and shingled exactly once;
+    * nothing corpus-sized is ever self-joined raw. */
+  def tfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, thresholdNum: Int = 3, thresholdDen: Int = 5,
+      maxDf: Int = 64): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen > 0 &&
+      thresholdNum <= thresholdDen, s"threshold $thresholdNum/$thresholdDen")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // The corpus is shingled ONCE: the single term-keyed aggregation
+    // computes the document frequency AND the inverted list together,
+    // so the df cut is a filter on that relation — no separate stop-set
+    // pass, no anti-join, no second corpus scan (the first draft's
+    // stop-set broadcast + per-consumer recompute measured ~2× slower).
+    // Norms then derive from the df-filtered inverted lists themselves.
+    val terms = docs
+      .select(col(idCol).as("id"),
+        explode(wordShinglesAll(col(textCol), k)).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).cast(dec).as("tf"))
+    val buckets = terms.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(struct(col("id"), col("tf")))).as("xs"))
+      .filter(col("df") <= maxDf)
+      .persist()
+    try {
+      val norms = buckets
+        .select(explode(col("xs")).as("e"))
+        .groupBy(col("e.id").as("id"))
+        .agg(sum(col("e.tf") * col("e.tf")).as("n2"))
+      val dots = bucketPairs(buckets.filter(size(col("xs")) >= 2), "xs",
+          "struct(__x.id AS id_a, __x.tf AS tf_a, y.id AS id_b, y.tf AS tf_b)")
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+          (col("p.tf_a") * col("p.tf_b")).as("prod"))
+        .groupBy("id_a", "id_b").agg(sum(col("prod")).as("dot"))
+      val num2 = lit(thresholdNum.toLong * thresholdNum).cast(dec)
+      val den2 = lit(thresholdDen.toLong * thresholdDen).cast(dec)
+      dots
+        .join(norms.select(col("id").as("id_a"), col("n2").as("n2_a")), "id_a")
+        .join(norms.select(col("id").as("id_b"), col("n2").as("n2_b")), "id_b")
+        .filter(den2 * col("dot") * col("dot") >=
+          num2 * col("n2_a") * col("n2_b"))
+        // exact decimal products, ONE rounding each at the double cast,
+        // then a single correctly-rounded division — bit-identical to the
+        // oracle's HUGEINT products (double-first multiplication would
+        // round twice and disagree past 2^53)
+        .select(col("id_a"), col("id_b"),
+          ((col("dot") * col("dot")).cast("double") /
+            (col("n2_a") * col("n2_b")).cast("double")).as("cos2"))
+        .localCheckpoint() // materialize before unpersisting the cache
+    } finally buckets.unpersist()
+  }
+
   /** Line-level dedup (CCNet-style boilerplate removal, Wenzek '19):
     * drop every line that appears in ≥ `minDocFraction` of the corpus'
     * documents — headers, footers, nav bars, cookie banners — and
