@@ -1082,6 +1082,39 @@ object PipelineQueries {
       |SELECT s.doc_id, s.lang, s.score FROM s JOIN t USING (lang)
       |WHERE s.score >= t.thr ORDER BY s.doc_id""".stripMargin
 
+  // ---- multimodal byte-histogram features (p39) ----------------------
+
+  /** Byte-histogram feature extraction over a binary payload column
+    * ([[graft.operators.Multimodal.withByteHistogram]], the native
+    * in-plan twin of the batched codec path): the REAL (non-stubbed)
+    * multimodal feature — an L1-normalized 16-bin byte-value histogram
+    * — exploded to (doc_id, bin, freq) rows. The payload is the
+    * document text cast to binary (ASCII, so DuckDB reproduces the
+    * bytes via code points); float32 division is matched exactly by
+    * DuckDB FLOAT arithmetic, then widened to double (exact) for the
+    * compare. */
+  def mByteHistogram(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.withByteHistogram(
+        Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "payload")
+      .select(col("doc_id"), posexplode(col("features")).as(Seq("bin", "freq")))
+      .filter(col("freq") > 0f)
+      .select(col("doc_id"), col("bin").cast("long").as("bin"),
+        col("freq").cast("double").as("freq"))
+      .orderBy("doc_id", "bin")
+
+  private val mByteHistogramSql =
+    """WITH c AS (SELECT doc_id, length(text) AS n,
+      |    list_transform(generate_series(1, length(text)),
+      |      i -> ord(substr(text, i, 1)) // 16) AS bins
+      |  FROM documents),
+      |h AS (SELECT doc_id, n, b.b AS bin, count(*) AS cnt
+      |      FROM c, unnest(bins) AS b(b) GROUP BY 1, 2, 3)
+      |SELECT doc_id, bin,
+      |  CAST(CAST(cnt AS FLOAT) / CAST(n AS FLOAT) AS DOUBLE) AS freq
+      |FROM h ORDER BY doc_id, bin""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1123,6 +1156,7 @@ object PipelineQueries {
     "p36_tf_cosine" -> (dTfCosine _),
     "p37_token_budget" -> (cTokenBudget _),
     "p38_quality_percentile" -> (cQualityPercentile _),
+    "p39_byte_histogram" -> (mByteHistogram _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1171,5 +1205,6 @@ object PipelineQueries {
     "p36_tf_cosine" -> dTfCosineSql,
     "p37_token_budget" -> cTokenBudgetSql,
     "p38_quality_percentile" -> cQualityPercentileSql,
+    "p39_byte_histogram" -> mByteHistogramSql,
   )
 }

@@ -891,6 +891,81 @@ object Queries {
       |                    AND o.o_orderstatus = 'F')
       |ORDER BY c_custkey""".stripMargin
 
+  // ---- W1+ linear interpolation / gap filling (q37) ------------------
+
+  /** Time-weighted LINEAR interpolation of missing values — the
+    * numeric completion of q33's forward fill: nulls (planted
+    * deterministically) are rebuilt from the straight line between
+    * the nearest non-null neighbors, weighted by event-time distance.
+    * Sequence edges degrade to the one-sided neighbor; coincident
+    * timestamps guard to the previous value (no 0/0).
+    *
+    * Plan: ONE hash exchange + sort on (user_id, ts) serves all four
+    * neighbor windows (prev/next value and timestamp — `last/first
+    * ignoreNulls` over running frames share the window spec pair), so
+    * the interpolation costs one shuffle of the events table
+    * regardless of scale. Arithmetic is a fixed left-associated IEEE
+    * chain on exact integer microsecond deltas — bit-identical in
+    * both engines. */
+  def q37Interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("v",
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+    val back = Window.partitionBy("user_id").orderBy(col("ts_us").asc,
+        col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = Window.partitionBy("user_id").orderBy(col("ts_us").asc,
+        col("event_id").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val pv = last(col("v"), ignoreNulls = true).over(back)
+    val pt = last(when(col("v").isNotNull, col("ts_us")), ignoreNulls = true)
+      .over(back)
+    val nv = first(col("v"), ignoreNulls = true).over(fwd)
+    val nt = first(when(col("v").isNotNull, col("ts_us")), ignoreNulls = true)
+      .over(fwd)
+    ev.withColumn("filled",
+        when(col("v").isNotNull, col("v"))
+          .when(pv.isNull, nv)
+          .when(nv.isNull, pv)
+          .when(nt === pt, pv)
+          .otherwise(pv + (nv - pv) *
+            ((col("ts_us") - pt).cast(DoubleType) /
+              (nt - pt).cast(DoubleType))))
+      .select("event_id", "user_id", "ts_us", "v", "filled")
+      .orderBy("event_id")
+  }
+
+  private val q37Sql =
+    """WITH m AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      |  FROM events),
+      |w AS (
+      |  SELECT *,
+      |    last_value(v IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+      |    first_value(v IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+      |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+      |  FROM m)
+      |SELECT event_id, user_id, ts_us, v,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       WHEN pv IS NULL THEN nv
+      |       WHEN nv IS NULL THEN pv
+      |       WHEN nt = pt THEN pv
+      |       ELSE pv + (nv - pv) *
+      |         (CAST(ts_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)) END
+      |    AS filled
+      |FROM w ORDER BY event_id""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -930,6 +1005,7 @@ object Queries {
     "q34_limit_offset" -> (q34LimitOffset _),
     "q35_full_outer" -> (q35FullOuter _),
     "q36_exists_subquery" -> (q36ExistsSubquery _),
+    "q37_interpolate" -> (q37Interpolate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -969,5 +1045,6 @@ object Queries {
     "q34_limit_offset" -> q34Sql,
     "q35_full_outer" -> q35Sql,
     "q36_exists_subquery" -> q36Sql,
+    "q37_interpolate" -> q37Sql,
   )
 }

@@ -333,6 +333,38 @@ object FakeCodec {
     while (i < bytes.length) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
     h
   }
+
+  /** Feature extraction that is REAL, not stubbed: an L1-normalized
+    * `bins`-bin byte-value histogram of the payload — the deterministic
+    * stand-in for a learned image/audio embedding with the same shape
+    * contract (binary in, fixed-width float vector out). Good enough to
+    * drive the embedding-dedup/ANN operators over binary columns;
+    * a deployment swaps in model inference without changing the type.
+    * Null/empty payloads embed to the zero vector (kept, not dropped —
+    * the corrupt-row contract matches [[imageMeta]]). */
+  def embed(bytes: Array[Byte], bins: Int = 16): Array[Float] = {
+    val counts = new Array[Int](bins)
+    if (bytes != null) {
+      var i = 0
+      while (i < bytes.length) {
+        counts((bytes(i) & 0xff) * bins / 256) += 1
+        i += 1
+      }
+    }
+    val n = if (bytes == null || bytes.isEmpty) 1 else bytes.length
+    val out = new Array[Float](bins)
+    var j = 0
+    while (j < bins) { out(j) = counts(j).toFloat / n; j += 1 }
+    out
+  }
+
+  /** Batch form of [[embed]] — the signature a GPU/model codec has
+    * (setup amortized per batch, one call per `batchSize` rows). The
+    * fake computes per-row, but the CONTRACT (input order preserved,
+    * one output per input) is what [[graft.operators.Multimodal
+    * .mapBinaryBatches]] tests end-to-end. */
+  def embedBatch(batch: Seq[Array[Byte]], bins: Int = 16): Seq[Array[Float]] =
+    batch.map(embed(_, bins))
 }
 
 /** Image-metadata decode over a `binary` column as a NATIVE expression
@@ -383,6 +415,29 @@ case class ThumbnailChecksumExpression(child: Expression, maxSide: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ThumbnailChecksumExpression =
+    copy(child = newChild)
+}
+
+/** [[FakeCodec.embed]] as a native expression — the in-plan scalar
+  * twin of the batched [[graft.operators.Multimodal.mapBinaryBatches]]
+  * path: same feature values, but evaluated row-at-a-time inside the
+  * scan's stage (no typed-Dataset boundary), so it composes with
+  * pushdown/pruning. Use THIS when the codec is cheap CPU work; use
+  * the batched path when per-call setup (model weights, GPU transfer)
+  * must amortize. Equivalence of the two paths is spec-asserted. */
+case class ByteHistogramExpression(child: Expression, bins: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    val bytes = if (v == null) null else v.asInstanceOf[Array[Byte]]
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      FakeCodec.embed(bytes, bins))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteHistogramExpression =
     copy(child = newChild)
 }
 
@@ -540,6 +595,9 @@ object GraftExpressions {
 
   def thumbnail_checksum(bin: Column, maxSide: Int): Column =
     column(ThumbnailChecksumExpression(expression(bin), maxSide))
+
+  def byte_histogram(bin: Column, bins: Int = 16): Column =
+    column(ByteHistogramExpression(expression(bin), bins))
 
   /** Register as SQL functions (`SELECT lang_id(text) ...`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -51,4 +51,59 @@ object Multimodal {
     df.withColumn("frame_index",
       explode(sequence(lit(0),
         greatest(lit(0), (octet_length(col(binCol)) / everyNBytes).cast("int")))))
+
+  /** BATCHED codec execution over a binary column — the Scala analog
+    * of a `mapInPandas` inference stage: rows stream through each
+    * partition in fixed-size batches, the codec is called ONCE per
+    * batch (where a real deployment amortizes model setup / GPU
+    * transfer), and outputs rejoin their ids positionally. Contract
+    * enforced per call: one output per input, input order preserved;
+    * an arity-violating codec fails the batch with an actionable
+    * error instead of silently mis-assigning features.
+    *
+    * Plan shape: `mapPartitions` over the scan — NO shuffle, no
+    * driver involvement, arbitrary partition counts; the typed
+    * boundary costs the codegen fence exactly once around the codec
+    * call (which is the dominant cost by assumption — otherwise use
+    * the in-plan expression twin [[withByteHistogram]], spec-asserted
+    * equal). Output: (idCol: long, features: array<float>). */
+  def mapBinaryBatches(df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int,
+      codec: Seq[Array[Byte]] => Seq[Array[Float]] =
+        graft.functions.FakeCodec.embedBatch(_)): DataFrame = {
+    require(batchSize > 0, s"batchSize $batchSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val outs = codec(batch.map(_._2))
+          require(outs.length == batch.length,
+            s"codec returned ${outs.length} outputs for ${batch.length} " +
+              "inputs — batched codecs must emit exactly one output per " +
+              "input, in order")
+          batch.map(_._1).zip(outs)
+        }
+      }
+      .toDF(idCol, "features")
+  }
+
+  /** The in-plan scalar twin of [[mapBinaryBatches]] with the default
+    * codec: L1-normalized byte-value histogram as a native expression
+    * (no typed boundary — stays in the scan's codegen stage). */
+  def withByteHistogram(df: DataFrame, binCol: String, bins: Int = 16,
+      outCol: String = "features"): DataFrame =
+    df.withColumn(outCol, GraftExpressions.byte_histogram(col(binCol), bins))
+
+  /** Binary near-dup pairs: byte-histogram features → exact cosine
+    * pairs ([[Dedup.embeddingCosinePairs]]) — the multimodal column
+    * riding the SAME dedup stack as text embeddings. Payloads differing
+    * by small byte edits land near cosine 1; unrelated payloads
+    * scatter. At scale swap the all-pairs verifier for
+    * [[Similarity.lshCandidatePairs]] exactly as p5 → p15 does. */
+  def binaryNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+      threshold: Double): DataFrame =
+    Dedup.embeddingCosinePairs(
+      withByteHistogram(df, binCol), idCol, "features", threshold)
 }

@@ -5,9 +5,17 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** JVM-shared batch-size probe for the mapBinaryBatches spec (a
+  * closure-captured queue would be serialized per task and the
+  * driver's copy would stay empty). */
+object Round12BatchProbe {
+  val seen = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+}
+
 /** Round-12 additions: TF-cosine all-pairs similarity, token-budget
   * mixture sampling, per-class quality-percentile filtering, FULL
-  * OUTER / correlated-EXISTS query gates. */
+  * OUTER / correlated-EXISTS query gates, batched multimodal codec
+  * pipeline. */
 class Round12Spec extends AnyFunSuite {
 
   lazy val spark: SparkSession = Session.local(4)
@@ -111,6 +119,81 @@ class Round12Spec extends AnyFunSuite {
       .queryExecution.executedPlan.toString()
     assert(plan.contains("LeftSemi"), plan)
     assert(plan.contains("LeftAnti"), plan)
+  }
+
+  // ---- Multimodal batched codec pipeline -----------------------------
+
+  test("mapBinaryBatches: batch shapes, order, partial last batch") {
+    import spark.implicits._
+    // the probe lives in a top-level object: the serialized closure
+    // re-resolves the module statically, so executor threads (same JVM
+    // in local mode) record into the SAME queue the assertion reads
+    Round12BatchProbe.seen.clear()
+    val codec: Seq[Array[Byte]] => Seq[Array[Float]] = { batch =>
+      Round12BatchProbe.seen.add(batch.length)
+      graft.functions.FakeCodec.embedBatch(batch)
+    }
+    val df = (1L to 10L).map(i => (i, Array.fill(8)(i.toByte)))
+      .toDF("id", "payload").repartition(1)
+    val out = operators.Multimodal
+      .mapBinaryBatches(df, "id", "payload", batchSize = 4, codec = codec)
+      .collect()
+    assert(out.length == 10)
+    // 10 rows in one partition at batch 4 -> batches of 4, 4, 2
+    assert(Round12BatchProbe.seen.toArray.toSeq
+      .map(_.asInstanceOf[Int]).sorted == Seq(2, 4, 4))
+    // ids preserved and each feature row matches the per-row codec
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val want = graft.functions.FakeCodec.embed(Array.fill(8)(id.toByte))
+      assert(r.getSeq[Float](1) == want.toSeq, s"id $id")
+    }
+  }
+
+  test("mapBinaryBatches: arity-violating codec fails actionably") {
+    import spark.implicits._
+    val bad: Seq[Array[Byte]] => Seq[Array[Float]] = b =>
+      graft.functions.FakeCodec.embedBatch(b).drop(1)
+    val df = Seq((1L, Array[Byte](1, 2)), (2L, Array[Byte](3))).toDF("id", "b")
+    val e = intercept[Exception] {
+      operators.Multimodal.mapBinaryBatches(df, "id", "b", 8, bad).collect()
+    }
+    assert(e.getMessage.contains("one output per input") ||
+      Option(e.getCause).exists(_.getMessage.contains("one output per input")))
+  }
+
+  test("batched codec path == in-plan expression path (same features)") {
+    import spark.implicits._
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("b"))
+    val batched = operators.Multimodal
+      .mapBinaryBatches(df, "id", "b", batchSize = 32)
+      .as[(Long, Seq[Float])].collect().toMap
+    val inline = operators.Multimodal.withByteHistogram(df, "b")
+      .select(col("id"), col("features"))
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(batched.keySet == inline.keySet)
+    batched.foreach { case (id, f) => assert(f == inline(id), s"id $id") }
+  }
+
+  test("binaryNearDupPairs: byte-edited payload pairs, unrelated don't") {
+    import spark.implicits._
+    val base = Array.tabulate(256)(i => (i % 97).toByte)
+    val edited = base.clone(); edited(5) = 77.toByte // tiny edit
+    val other = Array.tabulate(256)(i => (255 - i % 13).toByte)
+    val df = Seq((1L, base), (2L, edited), (3L, other)).toDF("id", "b")
+    val got = operators.Multimodal.binaryNearDupPairs(df, "id", "b", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("byte histogram: null/empty payload embeds to the zero vector") {
+    import spark.implicits._
+    val df = Seq((1L, null.asInstanceOf[Array[Byte]]),
+      (2L, Array.empty[Byte])).toDF("id", "b")
+    val rows = operators.Multimodal.withByteHistogram(df, "b")
+      .select("features").as[Seq[Float]].collect()
+    rows.foreach(f => assert(f.length == 16 && f.forall(_ == 0f)))
   }
 
   test("q35: full outer join emits null-padded rows on both sides") {
