@@ -623,6 +623,53 @@ object LakehouseQueries {
       .orderBy("event_type", "user_id")
   }
 
+  // ---- D10+ MERGE full-sync: WHEN NOT MATCHED BY SOURCE (l24) -------
+
+  /** The Delta-SQL full-table-sync MERGE: UPDATE SET * for matched
+    * keys composed with WHEN NOT MATCHED BY SOURCE THEN DELETE for
+    * target keys the source no longer carries — one statement
+    * reconciles the table to the source relation. Exercises all three
+    * engine paths in one commit sequence: the stats-pruned key probe,
+    * the upsert write, and the complement-key delete.
+    *
+    * Source = the latest-wins state of users with `user_id % 3 <> 0`,
+    * value bumped by +1000 (the marker proving the UPDATE branch ran,
+    * exact in IEEE for 2-decimal doubles); ties at equal ts resolve to
+    * the source row because its commit is newer — the same tiebreak
+    * batch₂ wins in l1. Users with `user_id % 3 = 0` vanish via the
+    * BY SOURCE delete. */
+  def qMergeFullSync(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val wh = freshRoot("ev_mrgsync_wh")
+    val catalog = new graft.sql.GraftCatalog(spark, wh)
+    val gsql = new graft.sql.GraftSql(catalog)
+    val t = catalog.createTable(cfg("ev_mrgsync", TableConfig.Cow))
+    t.insert(ev.filter(col("event_id") % 2 === 0))
+    t.upsert(ev.filter(col("event_id") % 2 === 1))
+    ev.createOrReplaceTempView("l24_events_src")
+    gsql.sql(
+      """MERGE INTO ev_mrgsync USING (
+        |  SELECT event_id, ts, user_id, event_type, value + 1000.0 AS value, props
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY event_type, user_id
+        |          ORDER BY ts DESC, (event_id % 2) DESC) AS rn
+        |        FROM l24_events_src WHERE user_id % 3 <> 0)
+        |  WHERE rn = 1) AS s
+        |ON s.user_id = ev_mrgsync.user_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    out(t.read())
+  }
+
+  private val mergeFullSyncSql =
+    """SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us,
+      |       value + 1000.0 AS value
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY event_type, user_id
+      |        ORDER BY ts DESC, (event_id % 2) DESC) AS rn
+      |      FROM events WHERE user_id % 3 <> 0)
+      |WHERE rn = 1 ORDER BY event_type, user_id""".stripMargin
+
   // ---- A3 key-uniqueness invariant over the lakehouse table ---------
 
   /** The test-suite's duplicate-detection gate run against our own
@@ -668,6 +715,7 @@ object LakehouseQueries {
     "l21_restore" -> (qRestore _),
     "l22_streamer_transform" -> (qStreamerTransform _),
     "l23_cdc_sql" -> (qCdcSql _),
+    "l24_merge_full_sync" -> (qMergeFullSync _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -694,5 +742,6 @@ object LakehouseQueries {
     "l21_restore" -> restoreSql,
     "l22_streamer_transform" -> streamerTransformSql,
     "l23_cdc_sql" -> cdcSql,
+    "l24_merge_full_sync" -> mergeFullSyncSql,
   )
 }

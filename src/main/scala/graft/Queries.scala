@@ -966,6 +966,94 @@ object Queries {
       |    AS filled
       |FROM w ORDER BY event_id""".stripMargin
 
+  // ---- §2.5+ calendar densification / recursive-CTE semantics (q38) --
+
+  /** Calendar gap-fill: one row per calendar day across the orders date
+    * span — including days with no orders — with the daily count and a
+    * running cumulative total. The classic WITH RECURSIVE date-series
+    * query (the oracle states it exactly that way).
+    *
+    * Spark-first plan: the day series is NOT built by iteration — the
+    * span comes from a 1-row min/max aggregate and `sequence()` +
+    * `explode` generates the calendar map-side from that single row, so
+    * series construction costs zero corpus passes beyond the count
+    * aggregate. The only data-sized exchange is the per-day count
+    * (map-side combined); the running sum windows over the CALENDAR
+    * relation (O(days), metadata-scale — a few thousand rows no matter
+    * how many orders), so the unpartitioned window is not a skew risk.
+    * Recursive SQL itself (Spark 4's UnionLoop) is exercised in
+    * Round13Spec; this gate pins the semantics via DuckDB's
+    * WITH RECURSIVE. */
+  def q38CalendarFill(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderdate").cast(DateType).as("d"))
+    val counts = o.groupBy("d").agg(count(lit(1)).as("n"))
+    val days = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("d"))
+    days.join(counts, Seq("d"), "left_outer")
+      .na.fill(0L, Seq("n"))
+      .withColumn("cum_n", sum(col("n")).over(
+        Window.orderBy(col("d")).rowsBetween(Window.unboundedPreceding, 0)))
+      // portable string day keys (the q28 convention — DATE surfaces as
+      // pandas Timestamp on one side and datetime.date on the other)
+      .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
+        col("n"), col("cum_n"))
+      .orderBy("d")
+  }
+
+  private val q38Sql =
+    """WITH RECURSIVE b AS (
+      |  SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+      |         max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+      |days(d) AS (
+      |  SELECT lo FROM b
+      |  UNION ALL
+      |  SELECT d + 1 FROM days, b WHERE d < hi),
+      |c AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+      |      FROM orders GROUP BY 1)
+      |SELECT strftime(days.d, '%Y-%m-%d') AS d, coalesce(c.n, 0)::BIGINT AS n,
+      |  CAST(sum(coalesce(c.n, 0)) OVER (ORDER BY days.d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_n
+      |FROM days LEFT JOIN c ON days.d = c.d
+      |ORDER BY d""".stripMargin
+
+  // ---- W1+ running distinct count (q39) ------------------------------
+
+  /** Running DISTINCT count over a window: after each event, how many
+    * distinct event types has this user produced so far? SQL's
+    * `count(DISTINCT x) OVER (...)` — which Spark's window functions
+    * don't accept directly; the engine expresses it as
+    * `size(collect_set(x))` over the same running frame, which is
+    * exactly distinct-count-so-far.
+    *
+    * Plan/scale: ONE hash exchange + sort on (user_id, ts) — the same
+    * single-shuffle shape as every other w-family gate. The per-row
+    * state is the SET of distinct types seen, bounded by the event-type
+    * domain (single digits here; for high-cardinality columns the
+    * HLL-sketch path in Round10Spec is the measured alternative), so
+    * window state never grows with row count. */
+  def q39WindowedDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.load(spark, dir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("n_types",
+        size(collect_set(col("event_type")).over(w)).cast("long"))
+      .select("event_id", "user_id", "ts_us", "n_types")
+      .orderBy("event_id")
+  }
+
+  private val q39Sql =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |  CAST(count(DISTINCT event_type) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_types
+      |FROM events ORDER BY event_id""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1006,6 +1094,8 @@ object Queries {
     "q35_full_outer" -> (q35FullOuter _),
     "q36_exists_subquery" -> (q36ExistsSubquery _),
     "q37_interpolate" -> (q37Interpolate _),
+    "q38_calendar_fill" -> (q38CalendarFill _),
+    "q39_windowed_distinct" -> (q39WindowedDistinct _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1046,5 +1136,7 @@ object Queries {
     "q35_full_outer" -> q35Sql,
     "q36_exists_subquery" -> q36Sql,
     "q37_interpolate" -> q37Sql,
+    "q38_calendar_fill" -> q38Sql,
+    "q39_windowed_distinct" -> q39Sql,
   )
 }

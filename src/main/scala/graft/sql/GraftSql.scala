@@ -231,6 +231,12 @@ final class GraftSql(catalog: GraftCatalog) {
     *                                        -- keys, existing untouched
     *   WHEN MATCHED THEN DELETE             -- delete matched keys
     *     [WHEN NOT MATCHED THEN INSERT *]   -- ... and insert new ones
+    *   WHEN NOT MATCHED BY SOURCE THEN DELETE
+    *                                        -- full-sync: drop target
+    *                                        -- keys absent from source
+    *                                        -- (Delta-SQL BY SOURCE
+    *                                        -- clause); composes with
+    *                                        -- the forms above
     * }}}
     * `src` is a registered view/table name or a parenthesized SELECT
     * (optionally aliased; inner JOIN ... ON is fine — the statement's
@@ -278,6 +284,19 @@ final class GraftSql(catalog: GraftCatalog) {
     val updateAll = c.contains("when matched then update set *")
     val insertAll = c.contains("when not matched then insert *")
     val deleteMatched = c.contains("when matched then delete")
+    val deleteBySource = c.contains("when not matched by source then delete")
+    // Full-sync deletion: target keys ABSENT from the source. The key
+    // set is the complement of the source's, so the stats-pruned probe
+    // cannot narrow it — this is inherently a key-column scan of the
+    // target (column-pruned to the key; the anti-join's source side is
+    // the small relation and broadcasts under AQE). Runs LAST: the
+    // other clauses only touch source keys, which are disjoint from
+    // the victims, so clause order cannot change the outcome.
+    def applyDeleteBySource(): Unit = if (deleteBySource) {
+      val victims = t.read().join(
+        src.select(col(key)).distinct(), Seq(key), "left_anti")
+      if (!victims.isEmpty) { t.deleteRows(victims); () }
+    }
     // pinned PRE-merge snapshot: matched/unmatched is decided against
     // the table state before any clause runs (single lazy instance —
     // the file list pins at first use, before the DELETE clause; a def
@@ -322,6 +341,14 @@ final class GraftSql(catalog: GraftCatalog) {
         val fresh = src.join(existingKeys, Seq(key), "left_anti")
         if (!fresh.isEmpty) { t.upsert(fresh); () }
       }
+      applyDeleteBySource()
+      return
+    }
+    if (!updateAll && !insertAll && !deleteMatched) {
+      require(deleteBySource, "unsupported MERGE form: use UPDATE SET * " +
+        "/ UPDATE SET col = expr / INSERT * / DELETE " +
+        "/ NOT MATCHED BY SOURCE DELETE")
+      applyDeleteBySource()
       return
     }
     (updateAll, insertAll, deleteMatched) match {
@@ -343,6 +370,7 @@ final class GraftSql(catalog: GraftCatalog) {
         "unsupported MERGE form: use UPDATE SET * / UPDATE SET col = expr " +
         "/ INSERT * / DELETE")
     }
+    applyDeleteBySource()
     ()
   }
 
