@@ -1115,6 +1115,104 @@ object PipelineQueries {
       |  CAST(CAST(cnt AS FLOAT) / CAST(n AS FLOAT) AS DOUBLE) AS freq
       |FROM h ORDER BY doc_id, bin""".stripMargin
 
+  // ---- shingle-containment near-dup pairs (p40) ----------------------
+
+  /** Asymmetric containment dedup ([[Dedup.containmentPairs]]): pairs
+    * where the smaller document's kept-shingle set is ≥ 4/5 inside the
+    * other's — catches excerpts/quotes that symmetric Jaccard (p2/p3)
+    * dilutes. Exact integer statistics over the df ≤ 64 term space;
+    * integer-domain threshold. */
+  def dContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", k = 3, thresholdNum = 4, thresholdDen = 5,
+        maxDf = 64)
+      .orderBy("id_a", "id_b")
+
+  private val dContainmentSql =
+    """WITH sh AS (SELECT DISTINCT doc_id, s AS term FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |        generate_series(1, greatest(1, len(ws) - 2)),
+      |        i -> array_to_string(ws[i:i+2], ' '))) AS s
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+      |df AS (SELECT term, count(*) AS df FROM sh GROUP BY 1),
+      |kept AS (SELECT s.doc_id, s.term FROM sh s
+      |         JOIN df USING (term) WHERE df.df <= 64),
+      |n AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+      |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |      FROM kept a JOIN kept b
+      |        ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  CAST(inter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)
+      |    AS containment
+      |FROM i JOIN n na ON i.id_a = na.doc_id
+      |       JOIN n nb ON i.id_b = nb.doc_id
+      |WHERE 5 * inter >= 4 * least(na.n, nb.n)
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- int8 embedding quantization (p41) -----------------------------
+
+  /** Per-vector symmetric int8 quantization
+    * ([[Similarity.quantizeInt8]]), exploded to (vec_id, dim, q) rows
+    * with the per-vector scale and max reconstruction error. The
+    * 4×-compression step before indexing at the 100 TB vector scale;
+    * map-only, all-double IEEE arithmetic both engines evaluate
+    * identically. */
+  def eQuantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables.load(spark, dir, "embeddings"),
+        "embedding")
+      .select(col("vec_id"), posexplode(col("qvec")).as(Seq("dim", "q")),
+        col("scale"), col("max_err"))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("q").cast("long").as("q"), col("scale"), col("max_err"))
+      .orderBy("vec_id", "dim")
+
+  private val eQuantizeInt8Sql =
+    """WITH v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+      |  FROM embeddings),
+      |s AS (SELECT vec_id, xd,
+      |    list_max(list_transform(xd, x -> abs(x))) AS m FROM v),
+      |sc AS (SELECT vec_id, xd,
+      |    CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS scale FROM s),
+      |e AS (SELECT vec_id, scale, u.i - 1 AS dim, xd[u.i] AS x,
+      |    CAST(round(xd[u.i] * scale) AS INTEGER) AS q
+      |  FROM sc, unnest(generate_series(1, len(xd))) AS u(i))
+      |SELECT vec_id, CAST(dim AS BIGINT) AS dim, CAST(q AS BIGINT) AS q,
+      |  scale,
+      |  max(CASE WHEN scale = 0 THEN 0.0 ELSE abs(q / scale - x) END)
+      |    OVER (PARTITION BY vec_id) AS max_err
+      |FROM e ORDER BY vec_id, dim""".stripMargin
+
+  // ---- hashing-trick n-gram classifier (p42) -------------------------
+
+  /** fastText-style hashed n-gram linear classifier
+    * ([[Curation.hashedNgramClassifier]]): unigram + bigram features
+    * hashed into 4096 buckets (no vocabulary pass), exact BIGINT
+    * weight sum, mean-pooled score, integer-domain keep decision. */
+  def cHashedClassifier(spark: SparkSession, dir: String): DataFrame =
+    Curation.hashedNgramClassifier(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", dim = 4096)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  private val cHashedClassifierSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |terms AS (
+      |  SELECT doc_id, unnest(ws) AS term FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, greatest(1, len(ws) - 1)),
+      |      i -> array_to_string(ws[i:i+1], ' '))) AS term FROM toks),
+      |w AS (SELECT doc_id,
+      |    ((('0x' || substr(md5(term), 1, 8))::BIGINT % 4096)
+      |      * 2654435761 + 12345) % 1997 - 998 AS w
+      |  FROM terms)
+      |SELECT doc_id, count(*)::BIGINT AS n_terms,
+      |  CAST(sum(w) AS DOUBLE) / (1997.0 * count(*)) AS score,
+      |  sum(w) >= 0 AS keep
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1157,6 +1255,9 @@ object PipelineQueries {
     "p37_token_budget" -> (cTokenBudget _),
     "p38_quality_percentile" -> (cQualityPercentile _),
     "p39_byte_histogram" -> (mByteHistogram _),
+    "p40_containment" -> (dContainment _),
+    "p41_quantize_int8" -> (eQuantizeInt8 _),
+    "p42_hashed_classifier" -> (cHashedClassifier _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1206,5 +1307,8 @@ object PipelineQueries {
     "p37_token_budget" -> cTokenBudgetSql,
     "p38_quality_percentile" -> cQualityPercentileSql,
     "p39_byte_histogram" -> mByteHistogramSql,
+    "p40_containment" -> dContainmentSql,
+    "p41_quantize_int8" -> eQuantizeInt8Sql,
+    "p42_hashed_classifier" -> cHashedClassifierSql,
   )
 }

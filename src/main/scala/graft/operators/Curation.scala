@@ -251,6 +251,52 @@ object Curation {
         array_join(col("__chunk"), " ").as("chunk_text"))
   }
 
+  /** Hashing-trick n-gram linear classifier — the fastText shape
+    * (Joulin '16): features are word unigrams + 2-shingles WITH
+    * multiplicity, each hashed into `dim` buckets (hashing trick, no
+    * vocabulary pass over the corpus), scored by a linear model and
+    * mean-pooled. The p34 scorer reads pre-computed quality features;
+    * this is the *text-native* classifier a curation pipeline trains
+    * on labeled spam/quality data — weights here are a deterministic
+    * function of the bucket index so the gate is self-contained (a
+    * trained table swaps in as a broadcast join/UDF without changing
+    * the plan).
+    *
+    * Engine-portable exactness (the p30 discipline): the feature hash
+    * is the first 8 hex chars of md5 (identical in any engine) mod
+    * `dim`; the per-bucket weight is integer arithmetic
+    * ((idx·2654435761 + 12345) mod 1997 − 998); the document score
+    * accumulates as an exact BIGINT sum (order-independent — a double
+    * sum would depend on shuffle order), and only the final
+    * mean-pooling is one double division:
+    * score = Σw / (1997 · n_terms). keep = (Σw ≥ 0), decided in
+    * integer domain.
+    *
+    * Plan at 100 TB: explode terms → one (id) shuffle with map-side
+    * combine for the BIGINT sum. Nothing else moves; the weight
+    * "lookup" is in-plan arithmetic (a real weight table broadcasts). */
+  def hashedNgramClassifier(docs: DataFrame, idCol: String,
+      textCol: String, dim: Int = 4096): DataFrame = {
+    require(dim > 0, s"dim=$dim")
+    val toks = split(col(textCol), " ")
+    val bigrams = transform(
+      sequence(lit(1), greatest(lit(1), size(toks) - lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val terms = docs.select(col(idCol).as("id"),
+      explode(concat(toks, bigrams)).as("term"))
+    val idx = conv(substring(md5(col("term")), 1, 8), 16, 10)
+      .cast("long") % dim
+    val w = (idx * 2654435761L + 12345L) % 1997L - 998L
+    terms
+      .select(col("id"), w.as("w"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("w")).as("wsum"))
+      .select(col("id"), col("n_terms"),
+        (col("wsum").cast("double") /
+          (lit(1997.0) * col("n_terms").cast("double"))).as("score"),
+        (col("wsum") >= 0L).as("keep"))
+  }
+
   /** Dataset statistics: document counts by (token-length bucket,
     * class) — the curation dashboard's length histogram. Integer
     * bucket math, one partial-aggregated shuffle. */

@@ -418,6 +418,62 @@ object Dedup {
     } finally buckets.unpersist()
   }
 
+  /** Exact shingle-CONTAINMENT near-dup pairs — the asymmetric
+    * complement of Jaccard (Broder '97 distinguishes resemblance from
+    * containment): a pair is emitted when the smaller document's kept
+    * shingle set is ≥ num/den contained in the other's,
+    * C(a,b) = |S'(a) ∩ S'(b)| / min(|S'(a)|, |S'(b)|) — the signal
+    * that catches a quote or excerpt embedded in a larger page, which
+    * symmetric Jaccard dilutes below any usable threshold.
+    *
+    * Term space: distinct k-shingles with document frequency ≤ `maxDf`
+    * (the p36/tfCosinePairs discipline — the cut is part of the
+    * operator's semantics, applied identically by the oracle, and it
+    * is what makes inverted-index candidate generation COMPLETE: any
+    * pair with a nonzero intersection shares a kept shingle).
+    *
+    * Exactness: intersection and set sizes are integers; the
+    * threshold is the integer cross-multiplication den·|∩| ≥
+    * num·min(|a|,|b|); the reported containment is one exact-int
+    * double division. No float enters the decision.
+    *
+    * Plan shape at 100 TB: shingle-explode → ONE term-keyed shuffle
+    * building df + inverted list together (df cut filters in place),
+    * chunked [[bucketPairs]] expansion capped at maxDf elements per
+    * term, one (id_a, id_b) shuffle counting the intersection, sizes
+    * re-derived from the kept lists. The corpus is shingled once;
+    * nothing corpus-sized is self-joined raw. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, thresholdNum: Int = 4, thresholdDen: Int = 5,
+      maxDf: Int = 64): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen > 0 &&
+      thresholdNum <= thresholdDen, s"threshold $thresholdNum/$thresholdDen")
+    val buckets = docs
+      .select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), k)).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sort_array(collect_list(col("id"))).as("xs"))
+      .filter(col("df") <= maxDf)
+      .persist()
+    try {
+      val sizes = buckets.select(explode(col("xs")).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n"))
+      val inters = bucketPairs(buckets.filter(size(col("xs")) >= 2), "xs",
+          "struct(__x AS id_a, y AS id_b)")
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      inters
+        .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+        .filter(col("inter") * thresholdDen >=
+          least(col("n_a"), col("n_b")) * thresholdNum)
+        .select(col("id_a"), col("id_b"),
+          (col("inter").cast("double") /
+            least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+        .localCheckpoint()
+    } finally buckets.unpersist()
+  }
+
   /** Line-level dedup (CCNet-style boilerplate removal, Wenzek '19):
     * drop every line that appears in ≥ `minDocFraction` of the corpus'
     * documents — headers, footers, nav bars, cookie banners — and

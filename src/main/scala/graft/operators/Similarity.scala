@@ -174,4 +174,36 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Symmetric per-vector int8 scalar quantization — the storage/IO
+    * step every billion-vector ANN deployment takes before indexing
+    * (4× smaller than float32, SIMD-friendly integer dot products):
+    * scale = 127 / max|x|, q_i = round(x_i · scale). Zero vectors
+    * quantize to zeros (scale guard). Adds three columns: `qvec`
+    * (array<int>), `scale` (double; 0 for the zero vector), and
+    * `max_err` (double) — the max absolute reconstruction error
+    * max_i |q_i/scale − x_i|, the quality metric a deployment
+    * monitors to pick int8 vs float16.
+    *
+    * Map-only: per-row higher-order functions, zero shuffles, one
+    * codegen span — the plan cost at 100 TB is exactly the scan.
+    * Arithmetic is all-double (float inputs widen exactly), so every
+    * value is one IEEE expression both engines evaluate identically:
+    * round(x·scale) ties resolve away from zero in Spark (HALF_UP)
+    * and DuckDB alike, and a tie can only arise when x·scale hits a
+    * representable .5 exactly — the same double in both. */
+  def quantizeInt8(embs: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val xd = transform(v, x => x.cast("double"))
+    val m = array_max(transform(v, x => abs(x.cast("double"))))
+    val scale = when(m > 0d, lit(127.0) / m).otherwise(lit(0d))
+    embs
+      .withColumn("scale", scale)
+      .withColumn("qvec",
+        transform(xd, x => round(x * col("scale")).cast("int")))
+      .withColumn("max_err",
+        when(col("scale") === 0d, lit(0d)).otherwise(
+          array_max(zip_with(col("qvec"), xd,
+            (q, x) => abs(q.cast("double") / col("scale") - x)))))
+  }
 }
