@@ -1213,6 +1213,28 @@ object PipelineQueries {
       |  sum(w) >= 0 AS keep
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- deterministic split assignment (p43) --------------------------
+
+  /** Train/val/test split assignment ([[Curation.assignSplits]]): a
+    * pure function of the document key — growth-stable (new docs never
+    * move old ones between splits, so eval sets stay fixed across
+    * corpus versions), coordination-free, map-only. 80/10/10. */
+  def cAssignSplits(spark: SparkSession, dir: String): DataFrame =
+    Curation.assignSplits(Tables.load(spark, dir, "documents"),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+
+  private val cAssignSplitsSql = {
+    val t80 = Curation.hexThreshold(0.8)
+    val t90 = Curation.hexThreshold(0.8 + 0.1)
+    s"""SELECT doc_id,
+       |  CASE WHEN md5(doc_id::VARCHAR) < '$t80' THEN 'train'
+       |       WHEN md5(doc_id::VARCHAR) < '$t90' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1258,6 +1280,7 @@ object PipelineQueries {
     "p40_containment" -> (dContainment _),
     "p41_quantize_int8" -> (eQuantizeInt8 _),
     "p42_hashed_classifier" -> (cHashedClassifier _),
+    "p43_split_assignment" -> (cAssignSplits _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1310,5 +1333,6 @@ object PipelineQueries {
     "p40_containment" -> dContainmentSql,
     "p41_quantize_int8" -> eQuantizeInt8Sql,
     "p42_hashed_classifier" -> cHashedClassifierSql,
+    "p43_split_assignment" -> cAssignSplitsSql,
   )
 }

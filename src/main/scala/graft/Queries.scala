@@ -1054,6 +1054,36 @@ object Queries {
       |    AS n_types
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---- A1+ share-of-total / ratio_to_report (q40) --------------------
+
+  /** Per-row share of its group's total — SQL's RATIO_TO_REPORT. NOT
+    * a window: a partition-by-status window would funnel the whole
+    * fact table through as many tasks as there are statuses (three).
+    * The scalable plan is a map-side-combined aggregate to O(groups)
+    * totals, broadcast back, share computed in place — one corpus
+    * exchange for the agg, zero for the join. Exact decimal sums;
+    * share is one double division of two correctly-rounded casts. */
+  def q40ShareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        d2(col("o_totalprice")).as("p"))
+    val totals = o.groupBy("o_orderstatus").agg(sum(col("p")).as("total"))
+    o.join(broadcast(totals), "o_orderstatus")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("p").cast(DoubleType).as("price"),
+        (col("p").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("share"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q40Sql =
+    """WITH o AS (SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+      |t AS (SELECT o_orderstatus, sum(p) AS total FROM o GROUP BY 1)
+      |SELECT o_orderkey, o_orderstatus, CAST(p AS DOUBLE) AS price,
+      |  CAST(p AS DOUBLE) / CAST(total AS DOUBLE) AS share
+      |FROM o JOIN t USING (o_orderstatus) ORDER BY o_orderkey""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1096,6 +1126,7 @@ object Queries {
     "q37_interpolate" -> (q37Interpolate _),
     "q38_calendar_fill" -> (q38CalendarFill _),
     "q39_windowed_distinct" -> (q39WindowedDistinct _),
+    "q40_share_of_total" -> (q40ShareOfTotal _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1138,5 +1169,6 @@ object Queries {
     "q37_interpolate" -> q37Sql,
     "q38_calendar_fill" -> q38Sql,
     "q39_windowed_distinct" -> q39Sql,
+    "q40_share_of_total" -> q40Sql,
   )
 }

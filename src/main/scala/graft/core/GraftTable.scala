@@ -32,6 +32,25 @@ final class GraftTable private (
   val log = new CommitLog(root)
   private val softDel = config.softDeleteField
 
+  /** Persist a table-property change (index DDL, stats columns) and
+    * return an instance bound to the new config. Admin path:
+    * last-writer-wins on table.json, not OCC-fenced — index DDL is
+    * rare, idempotent, and never changes data routing (the require
+    * pins everything layout-affecting). */
+  def alterConfig(f: TableConfig => TableConfig): GraftTable = {
+    val next = f(config)
+    require(next.name == config.name && next.keyField == config.keyField &&
+      next.tableType == config.tableType &&
+      next.numBuckets == config.numBuckets &&
+      next.partitionField == config.partitionField &&
+      next.orderingField == config.orderingField,
+      "alterConfig may change only index/stats/small-file properties")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, CommitLog.Dir, "table.json"),
+      CommitLog.mapper.writeValueAsBytes(next))
+    new GraftTable(spark, root, next)
+  }
+
   // ------------------------------------------------------------------
   // schema
   // ------------------------------------------------------------------
@@ -202,12 +221,14 @@ final class GraftTable private (
       if (dropSoftDeleted) d.filter(!coalesce(col(softDel), lit(false)))
       else d
     }
-    val writer0 = shuffled.write.partitionBy("_part", "_bucket").mode("overwrite")
+    val writer0 = (config.keyField +: config.bloomColumns).distinct
       // T7 key-lookup index: parquet bloom filter on the record key —
       // upsert/point-lookup scans skip row groups without the key
       // (the reference's hoodie.index.type BLOOM analog,
-      // spark/conf/hudi-defaults.conf:25)
-      .option(s"parquet.bloom.filter.enabled#${config.keyField}", "true")
+      // spark/conf/hudi-defaults.conf:25) — plus every column the user
+      // put a CREATE INDEX ... USING bloom on
+      .foldLeft(shuffled.write.partitionBy("_part", "_bucket").mode("overwrite")) {
+        (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true") }
     val writer = maxRecordsPerFile.fold(writer0)(n => writer0.option("maxRecordsPerFile", n))
     writer.parquet(staging.toString)
 
@@ -219,7 +240,8 @@ final class GraftTable private (
     // whose footer representation isn't cast-string-exact. Neither
     // path re-runs the upstream pipeline (a merge/window write would
     // otherwise be computed twice); both yield exact per-file bounds.
-    val statCols = (Seq(config.keyField, config.orderingField) ++ config.statsColumns).distinct
+    val statCols = (Seq(config.keyField, config.orderingField) ++
+        config.effectiveStatsColumns).distinct
       .filter(df.columns.contains)
     val stagedParquet: Seq[java.nio.file.Path] =
       if (!Files.exists(staging)) Seq.empty
@@ -621,7 +643,7 @@ final class GraftTable private (
       s"bootstrap source must carry partition column '$p'"))
     val statCols =
       (Seq(config.keyField, config.orderingField) ++ config.partitionField ++
-        config.statsColumns).distinct.filter(sdf.columns.contains)
+        config.effectiveStatsColumns).distinct.filter(sdf.columns.contains)
     val aggs = count(lit(1)).as("__rows") +: statCols.flatMap { c =>
       Seq(min(col(c)).cast(StringType).as(s"__min_$c"),
           max(col(c)).cast(StringType).as(s"__max_$c"),

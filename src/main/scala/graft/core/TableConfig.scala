@@ -33,10 +33,29 @@ case class TableConfig(
     /** T5 small-file handling: inserts fold base files smaller than
       * this into the new write instead of stacking tiny files
       * (reference hoodie.parquet.small.file.limit). 0 disables. */
-    smallFileLimitBytes: Long = 0L) {
+    smallFileLimitBytes: Long = 0L,
+    /** Named secondary indexes (Hudi 1.0 `CREATE INDEX` analog):
+      * name → "kind:column" with kind ∈ {bloom, column_stats}.
+      * `bloom` puts a parquet bloom filter on the column in every
+      * future base/delta file (row-group point-lookup skipping);
+      * `column_stats` adds the column to the commit-log min/max stats
+      * (file-level range skipping, the metadata-table column_stats
+      * partition analog). Existing files index on the next rewrite —
+      * `CALL build_index` forces one. */
+    indexes: Map[String, String] = Map.empty) {
   require(tableType == TableConfig.Cow || tableType == TableConfig.Mor,
     s"tableType must be cow|mor, got $tableType")
   def isMor: Boolean = tableType == TableConfig.Mor
+
+  private def indexCols(kind: String): Seq[String] =
+    indexes.toSeq.sorted.collect {
+      case (_, v) if v.startsWith(kind + ":") => v.substring(kind.length + 1) }
+  /** Columns carrying a parquet bloom filter (beyond the key, which
+    * always has one). */
+  def bloomColumns: Seq[String] = indexCols("bloom")
+  /** statsColumns plus every column_stats-indexed column. */
+  def effectiveStatsColumns: Seq[String] =
+    (statsColumns ++ indexCols("column_stats")).distinct
 }
 
 object TableConfig {

@@ -44,6 +44,33 @@ object Curation {
     if (fraction >= 1.0) { require(fraction <= 1.0, s"fraction $fraction"); df }
     else df.filter(md5(col(keyCol).cast("string")) < lit(hexThreshold(fraction)))
 
+  /** Deterministic train/val/test split assignment: each row lands in
+    * the first split whose cumulative-fraction md5 threshold exceeds
+    * its key hash. A pure function of the key — membership is
+    * coordination-free, reproducible, and STABLE UNDER GROWTH: a new
+    * document never moves an existing one between splits (the property
+    * a shuffled `randomSplit` cannot give an evolving 100 TB corpus,
+    * and the reason eval sets stay uncontaminated across corpus
+    * versions). Proportions are uniform-approximate (48-bit hash
+    * granularity); exact-count splits need a sort — use
+    * [[stratifiedTopN]] when counts must be exact.
+    *
+    * Map-only: one codegen'd CASE chain, zero shuffles. */
+  def assignSplits(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0.0), s"fractions must be positive: $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1: $splits")
+    val h = md5(col(keyCol).cast("string"))
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val first = when(h < lit(hexThreshold(cums.head)), lit(splits.head._1))
+    val chain = splits.init.zip(cums.init).drop(1)
+      .foldLeft(first) { case (acc, ((name, _), cum)) =>
+        acc.when(h < lit(hexThreshold(cum)), lit(name)) }
+    df.withColumn("split", chain.otherwise(lit(splits.last._1)))
+  }
+
   /** Stratified top-N per class: N rows per `classCol` value, chosen
     * by md5 order of the key (uniform within the class, deterministic
     * across engines and runs). The WindowGroupLimit rewrite keeps the

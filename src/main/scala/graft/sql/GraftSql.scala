@@ -40,6 +40,11 @@ final class GraftSql(catalog: GraftCatalog) {
   private val DropRe =
     """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val TruncateRe = """(?is)\s*TRUNCATE\s+TABLE\s+(\w+)\s*""".r
+  private val CreateIndexRe =
+    """(?is)\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(\w+)\s+USING\s+(\w+)\s*\(\s*(\w+)\s*\)\s*""".r
+  private val DropIndexRe = """(?is)\s*DROP\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*""".r
+  private val ShowIndexesRe =
+    """(?is)\s*SHOW\s+INDEXES\s+(?:FROM|IN)\s+(\w+)\s*""".r
 
   def sql(text: String): DataFrame = text match {
     case DropRe(ifExists, name) =>
@@ -52,6 +57,41 @@ final class GraftSql(catalog: GraftCatalog) {
         ()
       }
       emptyResult()
+
+    // Hudi 1.0 `CREATE INDEX` analog. bloom → parquet bloom filter on
+    // the column in every future file (row-group point skipping);
+    // column_stats → commit-log min/max (file-level range skipping).
+    // Applies to data written AFTER the DDL; `CALL build_index` forces
+    // a rewrite so existing files carry it too.
+    case CreateIndexRe(ifNot, idx, name, kind0, column) =>
+      val kind = kind0.toLowerCase
+      require(kind == "bloom" || kind == "column_stats",
+        s"unsupported index type '$kind0': use bloom | column_stats")
+      val t = catalog.table(name)
+      require(t.schema.fieldNames.contains(column),
+        s"no column '$column' in $name")
+      if (t.config.indexes.contains(idx)) {
+        require(ifNot != null, s"index $idx already exists on $name")
+      } else {
+        t.alterConfig(c => c.copy(indexes = c.indexes + (idx -> s"$kind:$column")))
+        ()
+      }
+      emptyResult()
+
+    case DropIndexRe(idx, name) =>
+      val t = catalog.table(name)
+      require(t.config.indexes.contains(idx), s"no index $idx on $name")
+      t.alterConfig(c => c.copy(indexes = c.indexes - idx))
+      emptyResult()
+
+    case ShowIndexesRe(name) =>
+      val s = spark
+      import s.implicits._
+      catalog.table(name).config.indexes.toSeq.sorted
+        .map { case (n, v) =>
+          val Array(kind, column) = v.split(":", 2)
+          (n, kind, column) }
+        .toDF("index_name", "index_type", "column")
 
     case TruncateRe(name) =>
       // content reset as a normal timeline commit (history preserved,
@@ -160,6 +200,17 @@ final class GraftSql(catalog: GraftCatalog) {
           case None =>
             graft.core.TableServices.compact(table).toSeq.toDF("instant")
         }
+      case "build_index" =>
+        // backfill for CREATE INDEX: one service rewrite so EXISTING
+        // files carry the new bloom/stats (future writes index
+        // natively). MOR folds deltas into fresh bases (compaction);
+        // COW re-lays the bases (clustering). Both are normal timeline
+        // commits — history and incremental cursors stay valid.
+        val t = table
+        val inst = if (t.config.isMor) graft.core.TableServices.compact(t)
+                   else graft.core.TableServices.cluster(t)
+        inst.toSeq.toDF("instant")
+
       case "run_clustering" =>
         val t = table
         val target = arg("target_file_bytes", 2).map(_.toLong).getOrElse(1L << 30)
