@@ -50,7 +50,10 @@ object Bench {
     "p33_chunking", // round 11: map-only sliding-window chunking
     "p34_quality_classifier", // round 11: model-scored filtering
     "p35_oov_rate", // round 11: vocab-coverage metric
-    "p36_tf_cosine") // round 12: weighted all-pairs similarity
+    "p36_tf_cosine", // round 12: weighted all-pairs similarity
+    "l24_merge_full_sync", // round 13: MERGE with NOT MATCHED BY SOURCE
+    "p40_containment", // round 13: asymmetric shingle-containment dedup
+    "p42_hashed_classifier") // round 13: hashing-trick n-gram classifier
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

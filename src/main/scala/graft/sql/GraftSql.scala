@@ -43,6 +43,8 @@ final class GraftSql(catalog: GraftCatalog) {
   private val CreateIndexRe =
     """(?is)\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(\w+)\s+USING\s+(\w+)\s*\(\s*(\w+)\s*\)\s*""".r
   private val DropIndexRe = """(?is)\s*DROP\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*""".r
+  private val AlterAddRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\((.*?)\)\s*""".r
   private val ShowIndexesRe =
     """(?is)\s*SHOW\s+INDEXES\s+(?:FROM|IN)\s+(\w+)\s*""".r
 
@@ -76,6 +78,21 @@ final class GraftSql(catalog: GraftCatalog) {
         t.alterConfig(c => c.copy(indexes = c.indexes + (idx -> s"$kind:$column")))
         ()
       }
+      emptyResult()
+
+    // Hudi-SQL ALTER TABLE ADD COLUMNS: schema widening as an explicit
+    // zero-row commit (the l10 evolution path, driven by DDL instead of
+    // a wider write) — readers see the new columns as nulls immediately,
+    // existing files are never rewritten.
+    case AlterAddRe(name, colsDdl) =>
+      val t = catalog.table(name)
+      val add = StructType.fromDDL(colsDdl)
+      add.fieldNames.foreach(c => require(!t.schema.fieldNames.contains(c),
+        s"column '$c' already exists in $name"))
+      val merged = StructType(t.schema.fields ++ add.fields)
+      t.insert(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], merged))
+      catalog.syncViews()
       emptyResult()
 
     case DropIndexRe(idx, name) =>

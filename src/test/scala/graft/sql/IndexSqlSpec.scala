@@ -64,8 +64,10 @@ class IndexSqlSpec extends AnyFunSuite {
   }
 
   test("CREATE INDEX USING column_stats: commit-log stats + skipping") {
-    spark.conf.set("spark.sql.catalog.gcat", "graft.sql.GraftTableCatalog")
-    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    // own catalog name: the shared-session CatalogManager caches the
+    // instance per name, so reusing "gcat" would hijack TableCatalogSpec
+    spark.conf.set("spark.sql.catalog.gidx", "graft.sql.GraftTableCatalog")
+    spark.conf.set("spark.sql.catalog.gidx.warehouse", wh)
     val t = catalog.createTable(TableConfig(name = "idxs", keyField = "k",
       orderingField = "ts", numBuckets = 1))
     t.bulkInsert(batch(0L))
@@ -87,8 +89,8 @@ class IndexSqlSpec extends AnyFunSuite {
       n
     }
     assert(catalog.table("idxs").log.liveFiles().size == 2)
-    assert(scannedFiles("SELECT k FROM gcat.idxs WHERE v >= 1000") == 1)
-    assert(spark.sql("SELECT count(*) FROM gcat.idxs WHERE v >= 1000")
+    assert(scannedFiles("SELECT k FROM gidx.idxs WHERE v >= 1000") == 1)
+    assert(spark.sql("SELECT count(*) FROM gidx.idxs WHERE v >= 1000")
       .as[Long].head() == 10L)
   }
 

@@ -245,4 +245,23 @@ class SqlSpec extends AnyFunSuite {
     val stats = Observability.partitionStats(t)
     assert(stats.filter($"partition" === "berlin").count() == 1)
   }
+
+  test("ALTER TABLE ADD COLUMNS widens the schema; old rows read null") {
+    gsql.sql("""CREATE TABLE alt_sql (id BIGINT, ts BIGINT)
+      USING GRAFT OPTIONS (primaryKey='id', precombine='ts')""")
+    gsql.sql("INSERT INTO alt_sql VALUES (1, 100)")
+    gsql.sql("ALTER TABLE alt_sql ADD COLUMNS (score DOUBLE, tag STRING)")
+    val t = catalog.table("alt_sql")
+    assert(t.schema.fieldNames.toSet.intersect(Set("score", "tag")).size == 2)
+    // pre-evolution row surfaces nulls for the new columns
+    val row = gsql.sql("SELECT id, score, tag FROM alt_sql").collect().head
+    assert(row.getLong(0) == 1L && row.isNullAt(1) && row.isNullAt(2))
+    // new writes fill them
+    gsql.sql("INSERT INTO alt_sql VALUES (2, 100, 0.5, 'x')")
+    assert(gsql.sql("SELECT count(*) FROM alt_sql WHERE tag = 'x'")
+      .collect().head.getLong(0) == 1L)
+    // duplicate column refused
+    intercept[IllegalArgumentException] {
+      gsql.sql("ALTER TABLE alt_sql ADD COLUMNS (score DOUBLE)") }
+  }
 }
