@@ -1235,6 +1235,40 @@ object PipelineQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---- per-label embedding centroids (p44) ---------------------------
+
+  /** Per-label centroid of the embedding corpus — the class-prototype
+    * computation behind IVF list training, semantic-dedup cluster
+    * centers, and embedding-drift monitoring. Accumulation is
+    * FIXED-POINT (each float quantized to 2⁻²⁰ steps, summed as exact
+    * BIGINT): a plain double sum is shuffle-order-dependent and would
+    * never hash-match across engines — fixed-point is also how
+    * deterministic distributed training sums gradients. One (label,
+    * dim)-keyed exchange with map-side combine; qsum stays far inside
+    * 2⁵³ so the final double division is exact-over-exact. */
+  def eLabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x").cast("double") * 1048576.0).cast("long"))
+          .as("qsum"))
+      .select(col("label").cast("long").as("label"),
+        col("dim").cast("long").as("dim"), col("n"),
+        (col("qsum").cast("double") /
+          (col("n").cast("double") * 1048576.0)).as("centroid"))
+      .orderBy("label", "dim")
+
+  private val eLabelCentroidsSql =
+    """WITH e AS (SELECT label, u.i - 1 AS dim,
+      |    CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1048576.0) AS BIGINT)
+      |      AS q
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i))
+      |SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+      |  count(*) AS n,
+      |  CAST(sum(q) AS DOUBLE) / (count(*) * 1048576.0) AS centroid
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1281,6 +1315,7 @@ object PipelineQueries {
     "p41_quantize_int8" -> (eQuantizeInt8 _),
     "p42_hashed_classifier" -> (cHashedClassifier _),
     "p43_split_assignment" -> (cAssignSplits _),
+    "p44_label_centroids" -> (eLabelCentroids _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1334,5 +1369,6 @@ object PipelineQueries {
     "p41_quantize_int8" -> eQuantizeInt8Sql,
     "p42_hashed_classifier" -> cHashedClassifierSql,
     "p43_split_assignment" -> cAssignSplitsSql,
+    "p44_label_centroids" -> eLabelCentroidsSql,
   )
 }

@@ -1084,6 +1084,43 @@ object Queries {
       |  CAST(p AS DOUBLE) / CAST(total AS DOUBLE) AS share
       |FROM o JOIN t USING (o_orderstatus) ORDER BY o_orderkey""".stripMargin
 
+  // ---- A1+ OHLC downsampling / candlesticks (q41) --------------------
+
+  /** Hourly OHLC candles per event type — THE query shape of the
+    * reference's stock-ticks domain (open/close via MIN_BY/MAX_BY on
+    * event time, high/low/volume as plain aggregates). One map-side-
+    * combined exchange on (hour, type); open/close ride the same
+    * aggregate, no window, no self-join.
+    *
+    * Determinism: the selection key is a zero-padded `(ts, event_id)`
+    * composite string — identical lexicographic order in both engines
+    * (DuckDB's arg_min can't take a struct key), and event_id breaks
+    * any equal-timestamp tie. high/low/open/close are pass-through
+    * doubles (no arithmetic); volume is an exact decimal sum. */
+  def q41Ohlc(spark: SparkSession, dir: String): DataFrame = {
+    val k = format_string("%020d-%012d", col("ts_us"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("hour", expr("ts_us DIV 3600000000"))
+      .groupBy("hour", "event_type")
+      .agg(min_by(col("value"), k).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), k).as("close"),
+        count(lit(1)).as("n"),
+        sum(d2(col("value"))).cast(DoubleType).as("vol"))
+      .orderBy("hour", "event_type")
+  }
+
+  private val q41Sql =
+    """SELECT epoch_us(ts) // 3600000000 AS hour, event_type,
+      |  arg_min(value, printf('%020d-%012d', epoch_us(ts), event_id)) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  arg_max(value, printf('%020d-%012d', epoch_us(ts), event_id)) AS close,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vol
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1127,6 +1164,7 @@ object Queries {
     "q38_calendar_fill" -> (q38CalendarFill _),
     "q39_windowed_distinct" -> (q39WindowedDistinct _),
     "q40_share_of_total" -> (q40ShareOfTotal _),
+    "q41_ohlc" -> (q41Ohlc _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1170,5 +1208,6 @@ object Queries {
     "q38_calendar_fill" -> q38Sql,
     "q39_windowed_distinct" -> q39Sql,
     "q40_share_of_total" -> q40Sql,
+    "q41_ohlc" -> q41Sql,
   )
 }
