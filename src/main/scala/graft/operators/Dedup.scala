@@ -381,10 +381,35 @@ object Dedup {
     // pass, no anti-join, no second corpus scan (the first draft's
     // stop-set broadcast + per-consumer recompute measured ~2× slower).
     // Norms then derive from the df-filtered inverted lists themselves.
+    //
+    // Numeric layout (round-13 measurement: ~1.2-1.4× on the whole
+    // pipeline at 10×/100×): every CORPUS-SIZED relation — the term
+    // relation, the inverted lists, the expanded pair relation —
+    // carries tf as LONG (8-byte, codegen-friendly); only the
+    // aggregation buffers sum in DECIMAL(38,0). The per-element
+    // products tf·tf stay exact while tf ≤ ~3·10⁹ (a single document
+    // would need three billion occurrences of ONE shingle to overflow
+    // — orders of magnitude past any real document, and `tf` is a row
+    // count so it cannot exceed the doc's length); the decimal SUMS
+    // keep the totals overflow-safe exactly as before, and summing
+    // exact longs into decimal yields bit-identical results to the
+    // all-decimal formulation.
+    // Term identity is the shingle's xxhash64 (the minhashLsh
+    // convention): the shingle STRING dies inside the map-side partial
+    // aggregate and only (id, 8-byte hash, count) ever crosses the
+    // network. On local[32] this measures neutral (the "shuffle" is
+    // memory-local, so ~20-byte strings vs 8-byte longs costs nothing
+    // observable — profiled round 13); the win this buys is CLUSTER
+    // network/spill bytes, the same lower-bound argument as the SPJ
+    // isolation in BASELINE.md. A 64-bit collision would merge two
+    // shingles' postings; at 2⁻⁶⁴ pair probability the p1-p3 stack
+    // already accepts this trade, and the sf0.01 oracle (string
+    // identity) stays green.
     val terms = docs
       .select(col(idCol).as("id"),
         explode(wordShinglesAll(col(textCol), k)).as("term"))
-      .groupBy("id", "term").agg(count(lit(1)).cast(dec).as("tf"))
+      .groupBy(col("id"), xxhash64(col("term")).as("term"))
+      .agg(count(lit(1)).as("tf"))
     val buckets = terms.groupBy("term")
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(struct(col("id"), col("tf")))).as("xs"))
@@ -394,12 +419,12 @@ object Dedup {
       val norms = buckets
         .select(explode(col("xs")).as("e"))
         .groupBy(col("e.id").as("id"))
-        .agg(sum(col("e.tf") * col("e.tf")).as("n2"))
+        .agg(sum((col("e.tf") * col("e.tf")).cast(dec)).as("n2"))
       val dots = bucketPairs(buckets.filter(size(col("xs")) >= 2), "xs",
           "struct(__x.id AS id_a, __x.tf AS tf_a, y.id AS id_b, y.tf AS tf_b)")
         .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
           (col("p.tf_a") * col("p.tf_b")).as("prod"))
-        .groupBy("id_a", "id_b").agg(sum(col("prod")).as("dot"))
+        .groupBy("id_a", "id_b").agg(sum(col("prod").cast(dec)).as("dot"))
       val num2 = lit(thresholdNum.toLong * thresholdNum).cast(dec)
       val den2 = lit(thresholdDen.toLong * thresholdDen).cast(dec)
       dots
