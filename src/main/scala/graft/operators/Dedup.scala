@@ -473,10 +473,13 @@ object Dedup {
       maxDf: Int = 64): DataFrame = {
     require(thresholdNum > 0 && thresholdDen > 0 &&
       thresholdNum <= thresholdDen, s"threshold $thresholdNum/$thresholdDen")
+    // xxhash64 term identity, the p3/p36 convention: the shingle
+    // string dies map-side, only 8-byte hashes reach the term shuffle
+    // (cluster network-bytes win; collision odds 2⁻⁶⁴ per pair).
     val buckets = docs
       .select(col(idCol).as("id"),
         explode(wordShingles(col(textCol), k)).as("term"))
-      .groupBy("term")
+      .groupBy(xxhash64(col("term")).as("term"))
       .agg(count(lit(1)).as("df"), sort_array(collect_list(col("id"))).as("xs"))
       .filter(col("df") <= maxDf)
       .persist()
