@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Structured Streaming operator layer (SURVEY.md §2.9 + the
   * north-star streaming surface): event-time windowed aggregation
@@ -51,6 +52,35 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col(keyCol), col("n"))
+  }
+
+  /** Streaming OHLC candles — the watermarked event-time twin of the
+    * batch q41 aggregate: open/close selected by MIN_BY/MAX_BY on the
+    * same zero-padded (event-time µs, sequence) composite key, high/
+    * low/count/exact-decimal volume in the SAME aggregation (one state
+    * store, no window-function pass). State per (window, key) is one
+    * row of O(1) size and the watermark closes it — candles at 100 TB/
+    * day cost memory proportional to OPEN windows, not history.
+    * StreamingSpec pins the drained stream equal to the batch shape on
+    * identical rows. */
+  def streamingOhlc(stream: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, seqCol: String, windowDuration: String,
+      lateness: String = "10 minutes"): DataFrame = {
+    val k = format_string("%020d-%012d",
+      unix_micros(col(tsCol)), col(seqCol))
+    stream
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDuration).as("w"), col(keyCol))
+      .agg(min_by(col(valueCol), k).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), k).as("close"),
+        count(lit(1)).as("n"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("vol"))
+      .select(col("w.start").as("window_start"), col(keyCol),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n"), col("vol"))
   }
 
   /** Streaming exact dedup on a key set with watermark-bounded state

@@ -46,6 +46,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming OHLC equals the batch aggregate on identical rows") {
+    val in = tmp()
+    val ohlcSchema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_id", LongType),
+      StructField("sym", StringType), StructField("value", DoubleType)))
+    val rows = Seq(
+      """{"ts":"2024-01-01 10:00:05","event_id":1,"sym":"A","value":10.0}""",
+      """{"ts":"2024-01-01 10:00:05","event_id":2,"sym":"A","value":11.0}""",
+      """{"ts":"2024-01-01 10:02:00","event_id":3,"sym":"A","value":8.0}""",
+      """{"ts":"2024-01-01 10:04:59","event_id":4,"sym":"A","value":9.5}""",
+      """{"ts":"2024-01-01 10:06:00","event_id":5,"sym":"A","value":7.0}""",
+      """{"ts":"2024-01-01 10:00:30","event_id":6,"sym":"B","value":1.0}""")
+    writeJson(in, "b1.json", rows: _*)
+    val stream = spark.readStream.schema(ohlcSchema).json(in)
+    val q = StreamOps.streamingOhlc(stream, "ts", "sym", "value",
+        "event_id", "5 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ohlc_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        """select sym, open, high, low, close, n, vol from ohlc_out
+           order by window_start, sym""")
+        .as[(String, Double, Double, Double, Double, Long, Double)]
+        .collect().toSeq
+      // first A-candle: equal-ts tie at 10:00:05 resolved by event_id
+      // (open = id 1's 10.0), close = last event (9.5)
+      assert(got == Seq(
+        ("A", 10.0, 11.0, 8.0, 9.5, 4L, 38.5),
+        ("B", 1.0, 1.0, 1.0, 1.0, 1L, 1.0),
+        ("A", 7.0, 7.0, 7.0, 7.0, 1L, 7.0)))
+      // batch twin: the same aggregate expressions over the same rows
+      val batch = spark.read.schema(ohlcSchema).json(in)
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("sym"))
+        .agg(
+          min_by(col("value"), format_string("%020d-%012d",
+            unix_micros(col("ts")), col("event_id"))).as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max_by(col("value"), format_string("%020d-%012d",
+            unix_micros(col("ts")), col("event_id"))).as("close"),
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("vol"))
+        .orderBy(col("w.start"), col("sym"))
+        .select("sym", "open", "high", "low", "close", "n", "vol")
+        .as[(String, Double, Double, Double, Double, Long, Double)]
+        .collect().toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed rows under the watermark") {
     val in = tmp()
     writeJson(in, "b1.json",
