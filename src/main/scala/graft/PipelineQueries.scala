@@ -1269,6 +1269,32 @@ object PipelineQueries {
       |  CAST(sum(q) AS DOUBLE) / (count(*) * 1048576.0) AS centroid
       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- benchmark decontamination — removal (p45) ---------------------
+
+  /** The decontamination REMOVAL completing p21's report
+    * ([[Curation.decontaminate]]): corpus docs sharing any 5-gram with
+    * the eval slice are dropped; survivors pass through byte-intact. */
+  def cDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Curation.decontaminate(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        "doc_id", "text", k = 5)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private val cDecontaminateSql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |        generate_series(1, greatest(1, len(ws) - 4)),
+      |        i -> array_to_string(ws[i:i+4], ' ')))) AS gram FROM w),
+      |e AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
+      |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN e USING (gram)
+      |        WHERE g.doc_id >= 50)
+      |SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1316,6 +1342,7 @@ object PipelineQueries {
     "p42_hashed_classifier" -> (cHashedClassifier _),
     "p43_split_assignment" -> (cAssignSplits _),
     "p44_label_centroids" -> (eLabelCentroids _),
+    "p45_decontaminate" -> (cDecontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1370,5 +1397,6 @@ object PipelineQueries {
     "p42_hashed_classifier" -> cHashedClassifierSql,
     "p43_split_assignment" -> cAssignSplitsSql,
     "p44_label_centroids" -> eLabelCentroidsSql,
+    "p45_decontaminate" -> cDecontaminateSql,
   )
 }

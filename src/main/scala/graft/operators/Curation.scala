@@ -204,6 +204,21 @@ object Curation {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Benchmark decontamination — the REMOVAL step completing
+    * [[contaminationCheck]] (which only reports): drop every document
+    * sharing ≥ `minHits` distinct k-gram(s) with the eval set, keep
+    * the rest. Same plan as the check (eval grams broadcast against
+    * the exploded corpus — the eval set is the small side by
+    * definition) with a LEFT ANTI join on the flagged ids; the corpus
+    * crosses the network once, as gram hits, never as text. */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, k: Int = 5,
+      minHits: Long = 1): DataFrame = {
+    val flagged = contaminationCheck(docs, evalDocs, idCol, textCol,
+      k, minHits).select(idCol)
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Sequence packing for pretraining batches: assign each document a
     * byte-exact position in the concatenated token stream (ordered by
     * `idCol`) and the `targetTokens`-sized window it starts in —
