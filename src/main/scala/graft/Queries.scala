@@ -1121,6 +1121,38 @@ object Queries {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vol
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- §2.4+ modern SQL aggregates (q42) -----------------------------
+
+  /** The modern-SQL aggregate sugar every current engine ships and
+    * analysts actually write: GROUP BY ALL (group on every non-
+    * aggregated select item), COUNT_IF, ANY_VALUE — through the SQL
+    * parser on both engines. ANY_VALUE is only deterministic when the
+    * group's values are all equal, so it reads a column functionally
+    * determined by the grouping key (the priority's first char —
+    * portable and honest, rather than relying on engine-specific
+    * first-row order). Plan: the same single map-side-combined
+    * exchange as q1. */
+  def q42ModernAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("q42_orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n,
+        |  CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+        |  any_value(substring(o_orderpriority, 1, 1)) AS prio_class
+        |FROM q42_orders
+        |GROUP BY ALL
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  private val q42Sql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  count(*) AS n,
+      |  CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+      |  any_value(substring(o_orderpriority, 1, 1)) AS prio_class
+      |FROM orders
+      |GROUP BY ALL
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1165,6 +1197,7 @@ object Queries {
     "q39_windowed_distinct" -> (q39WindowedDistinct _),
     "q40_share_of_total" -> (q40ShareOfTotal _),
     "q41_ohlc" -> (q41Ohlc _),
+    "q42_modern_agg" -> (q42ModernAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1209,5 +1242,6 @@ object Queries {
     "q39_windowed_distinct" -> q39Sql,
     "q40_share_of_total" -> q40Sql,
     "q41_ohlc" -> q41Sql,
+    "q42_modern_agg" -> q42Sql,
   )
 }
