@@ -47,6 +47,8 @@ final class GraftSql(catalog: GraftCatalog) {
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\((.*?)\)\s*""".r
   private val ShowIndexesRe =
     """(?is)\s*SHOW\s+INDEXES\s+(?:FROM|IN)\s+(\w+)\s*""".r
+  private val ShowCreateRe =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*""".r
 
   def sql(text: String): DataFrame = text match {
     case DropRe(ifExists, name) =>
@@ -100,6 +102,27 @@ final class GraftSql(catalog: GraftCatalog) {
       require(t.config.indexes.contains(idx), s"no index $idx on $name")
       t.alterConfig(c => c.copy(indexes = c.indexes - idx))
       emptyResult()
+
+    // SHOW CREATE TABLE: a statement that ROUND-TRIPS — executing the
+    // emitted DDL in an empty warehouse reproduces the table's config
+    // and declared schema (SqlSpec pins the property). Engine metadata
+    // columns are elided; they're recreated by the first write.
+    case ShowCreateRe(name) =>
+      val s = spark
+      import s.implicits._
+      val t = catalog.table(name)
+      val c = t.config
+      val cols = t.schema.fields
+        .filterNot(f => f.name == graft.core.TableConfig.CommitTimeCol ||
+          f.name == c.softDeleteField)
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      val opts = Seq(s"primaryKey='${c.keyField}'",
+          s"precombine='${c.orderingField}'") ++
+        c.partitionField.map(p => s"partition='$p'") ++
+        Seq(s"type='${c.tableType}'", s"buckets='${c.numBuckets}'")
+      Seq(s"CREATE TABLE $name ($cols) USING GRAFT " +
+          s"OPTIONS (${opts.mkString(", ")})")
+        .toDF("createtab_stmt")
 
     case ShowIndexesRe(name) =>
       val s = spark

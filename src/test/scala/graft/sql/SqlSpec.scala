@@ -264,4 +264,20 @@ class SqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       gsql.sql("ALTER TABLE alt_sql ADD COLUMNS (score DOUBLE)") }
   }
+
+  test("SHOW CREATE TABLE round-trips: emitted DDL reproduces the table") {
+    gsql.sql("""CREATE TABLE sct (id BIGINT, city STRING, v DOUBLE, ts BIGINT)
+      USING GRAFT OPTIONS (primaryKey='id', precombine='ts',
+      partition='city', type='mor', buckets='3')""")
+    val stmt = gsql.sql("SHOW CREATE TABLE sct").collect().head.getString(0)
+    assert(stmt.contains("USING GRAFT") && stmt.contains("partition='city'"))
+    // execute the emitted statement in a FRESH warehouse: config and
+    // declared schema must match the original exactly
+    val catalog2 = new GraftCatalog(spark,
+      graft.util.TempDirs.create("graft-wh2-").toString)
+    new GraftSql(catalog2).sql(stmt)
+    val (a, b) = (catalog.table("sct"), catalog2.table("sct"))
+    assert(b.config == a.config.copy(indexes = b.config.indexes))
+    assert(b.schema == a.schema)
+  }
 }
