@@ -201,6 +201,39 @@ class Round13Spec extends AnyFunSuite {
     r.values.foreach(x => assert(x._4 == (x._3 >= 0.0)))
   }
 
+  test("round-13 operators degrade cleanly on empty input") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Dedup.containmentPairs(noDocs, "id", "text").count() == 0L)
+    assert(Curation.hashedNgramClassifier(noDocs, "id", "text").count() == 0L)
+    assert(Curation.decontaminate(noDocs, noDocs, "id", "text").count() == 0L)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.quantizeInt8(noVecs, "embedding").count() == 0L)
+    // decontaminating against an empty eval set keeps everything
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    assert(Curation.decontaminate(docs, noDocs, "id", "text").count() == 1L)
+  }
+
+  test("assignSplits validates fractions and stays growth-stable") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"d$i")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Curation.assignSplits(docs, "id", Seq("a" -> 0.5)) }
+    intercept[IllegalArgumentException] {
+      Curation.assignSplits(docs, "id", Seq("a" -> 0.5, "b" -> 0.6)) }
+    val full = Curation.assignSplits(docs, "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    // growth stability: assignments over a SUBSET agree row-for-row
+    val sub = Curation.assignSplits(docs.filter($"id" <= 100), "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    sub.foreach { case (id, s) => assert(full(id) == s) }
+    assert(full.values.toSet.subsetOf(Set("train", "val", "test")))
+    // all three splits materialize at n=200 under uniform md5
+    assert(full.values.toSet.size == 3)
+  }
+
   test("hashed classifier scores are bounded by the weight range") {
     import spark.implicits._
     val docs = Seq((1L, "some words to score here")).toDF("id", "text")
