@@ -670,6 +670,60 @@ object LakehouseQueries {
       |      FROM events WHERE user_id % 3 <> 0)
       |WHERE rn = 1 ORDER BY event_type, user_id""".stripMargin
 
+  // ---- S9+ partial-update upsert payload (l25) ----------------------
+
+  /** Hudi `PartialUpdateAvroPayload` semantics through the write path:
+    * batch₂ arrives pre-deduped to ONE row per key, with `value`
+    * NULLED on half the keys (`event_id % 4 = 1`) — "advance
+    * event_id/ts but keep the stored value". Keys where the incoming
+    * ordering is OLDER than the stored row lose wholesale (payload
+    * contract); keys without a stored row insert as-is, null value
+    * included. The MOR twin of this operator shares the same code
+    * path (the patch reads a latest-wins merge of base+delta), spec-
+    * covered in Round14Spec; the gate runs COW. */
+  def qPartialUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val t = GraftTable.create(spark, freshRoot("ev_partial"),
+      cfg("ev_partial", TableConfig.Cow))
+    t.insert(ev.filter(col("event_id") % 2 === 0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type", "user_id").orderBy(col("ts").desc)
+    val b2 = ev.filter(col("event_id") % 2 === 1)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("value",
+        when(col("event_id") % 4 === 1, lit(null).cast("double"))
+          .otherwise(col("value")))
+    t.upsertPartial(b2)
+    out(t.read())
+  }
+
+  /** DuckDB twin: e1 = latest-wins over batch₁; b2 = the same pre-
+    * deduped partial batch; winner-per-key decided on ordering with
+    * the newer-commit tiebreak (>=); a winning partial row COALESCEs
+    * its nulled value from e1. */
+  private val partialUpsertSql =
+    """WITH e1 AS (
+      |  SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us, value
+      |  FROM (SELECT *, row_number() OVER (
+      |          PARTITION BY event_type, user_id ORDER BY ts DESC) AS rn
+      |        FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+      |b2 AS (
+      |  SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us,
+      |         CASE WHEN event_id % 4 = 1 THEN NULL ELSE value END AS value
+      |  FROM (SELECT *, row_number() OVER (
+      |          PARTITION BY event_type, user_id ORDER BY ts DESC) AS rn
+      |        FROM events WHERE event_id % 2 = 1) WHERE rn = 1)
+      |SELECT event_type, user_id,
+      |  CASE WHEN b2.ts_us IS NOT NULL AND (e1.ts_us IS NULL OR b2.ts_us >= e1.ts_us)
+      |       THEN b2.event_id ELSE e1.event_id END AS event_id,
+      |  CASE WHEN b2.ts_us IS NOT NULL AND (e1.ts_us IS NULL OR b2.ts_us >= e1.ts_us)
+      |       THEN b2.ts_us ELSE e1.ts_us END AS ts_us,
+      |  CASE WHEN b2.ts_us IS NOT NULL AND (e1.ts_us IS NULL OR b2.ts_us >= e1.ts_us)
+      |       THEN coalesce(b2.value, e1.value) ELSE e1.value END AS value
+      |FROM e1 FULL OUTER JOIN b2 USING (event_type, user_id)
+      |ORDER BY event_type, user_id""".stripMargin
+
   // ---- A3 key-uniqueness invariant over the lakehouse table ---------
 
   /** The test-suite's duplicate-detection gate run against our own
@@ -716,6 +770,7 @@ object LakehouseQueries {
     "l22_streamer_transform" -> (qStreamerTransform _),
     "l23_cdc_sql" -> (qCdcSql _),
     "l24_merge_full_sync" -> (qMergeFullSync _),
+    "l25_partial_upsert" -> (qPartialUpsert _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -743,5 +798,6 @@ object LakehouseQueries {
     "l22_streamer_transform" -> streamerTransformSql,
     "l23_cdc_sql" -> cdcSql,
     "l24_merge_full_sync" -> mergeFullSyncSql,
+    "l25_partial_upsert" -> partialUpsertSql,
   )
 }

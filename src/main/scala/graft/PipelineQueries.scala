@@ -1295,6 +1295,73 @@ object PipelineQueries {
       |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM bad)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- signed random projection (p46) ---------------------------------
+
+  /** 64 → 16-dim deterministic signed projection
+    * ([[Similarity.randomProjection]]), exploded to (vec_id, dim, v)
+    * rows. Exact integer dot products over fixed-point inputs against
+    * a coordination-free md5-derived ±1 matrix; map-only. */
+  def eRandomProjection(spark: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(Tables.load(spark, dir, "embeddings"),
+        "embedding", inDim = 64, outDim = 16)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("v"))
+      .orderBy("vec_id", "dim")
+
+  private val eRandomProjectionSql =
+    """WITH q AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qa
+      |  FROM embeddings),
+      |e AS (SELECT vec_id, u.i - 1 AS i, qa[u.i] AS qv
+      |  FROM q, unnest(generate_series(1, len(qa))) AS u(i)),
+      |s AS (SELECT i.i, j.j,
+      |    CASE WHEN substring(md5(i.i || ':' || j.j), 1, 1) >= '8'
+      |         THEN -1 ELSE 1 END AS sgn
+      |  FROM generate_series(0, 63) AS i(i), generate_series(0, 15) AS j(j))
+      |SELECT e.vec_id, CAST(s.j AS BIGINT) AS dim,
+      |  CAST(sum(e.qv * s.sgn) AS BIGINT) AS v
+      |FROM e JOIN s ON e.i = s.i
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- k-NN majority-vote labeling (p47) -------------------------------
+
+  /** Semi-supervised label propagation ([[Similarity.knnLabel]]):
+    * vectors with `vec_id % 10 = 0` act as the hand-labeled seed set
+    * (broadcast); every other vector takes the majority label of its
+    * 5 nearest seeds by exact-integer squared-L2 over fixed-point
+    * values. Distance ties break by seed id, vote ties by smallest
+    * label — fully deterministic in both engines. */
+  def eKnnLabel(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    Similarity.knnLabel(
+        embs.filter(col("vec_id") % 10 =!= 0),
+        embs.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", "label", k = 5)
+      .select(col("vec_id"), col("pred_label").cast("long").as("pred_label"),
+        col("votes"))
+      .orderBy("vec_id")
+  }
+
+  private val eKnnLabelSql =
+    """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qa
+      |  FROM embeddings),
+      |exc AS (SELECT vec_id, u.i AS i, qa[u.i] AS v FROM q,
+      |    unnest(generate_series(1, len(qa))) AS u(i) WHERE vec_id % 10 <> 0),
+      |exr AS (SELECT vec_id AS rid, u.i AS i, qa[u.i] AS v FROM q,
+      |    unnest(generate_series(1, len(qa))) AS u(i) WHERE vec_id % 10 = 0),
+      |d AS (SELECT exc.vec_id, exr.rid,
+      |    sum((exc.v - exr.v) * (exc.v - exr.v)) AS dist
+      |  FROM exc JOIN exr USING (i) GROUP BY 1, 2),
+      |t AS (SELECT vec_id, rid, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY dist ASC, rid ASC) AS rn FROM d),
+      |v AS (SELECT t.vec_id, q.label, count(*) AS votes
+      |  FROM t JOIN q ON t.rid = q.vec_id WHERE t.rn <= 5 GROUP BY 1, 2),
+      |p AS (SELECT vec_id, label, votes, row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY votes DESC, label ASC) AS rn FROM v)
+      |SELECT vec_id, CAST(label AS BIGINT) AS pred_label, votes
+      |FROM p WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1342,6 +1409,8 @@ object PipelineQueries {
     "p42_hashed_classifier" -> (cHashedClassifier _),
     "p43_split_assignment" -> (cAssignSplits _),
     "p44_label_centroids" -> (eLabelCentroids _),
+    "p46_random_projection" -> (eRandomProjection _),
+    "p47_knn_label" -> (eKnnLabel _),
     "p45_decontaminate" -> (cDecontaminate _),
   )
 
@@ -1397,6 +1466,8 @@ object PipelineQueries {
     "p42_hashed_classifier" -> cHashedClassifierSql,
     "p43_split_assignment" -> cAssignSplitsSql,
     "p44_label_centroids" -> eLabelCentroidsSql,
+    "p46_random_projection" -> eRandomProjectionSql,
+    "p47_knn_label" -> eKnnLabelSql,
     "p45_decontaminate" -> cDecontaminateSql,
   )
 }

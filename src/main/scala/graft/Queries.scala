@@ -1153,6 +1153,117 @@ object Queries {
       |GROUP BY ALL
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
+  // ---- W1+ ordered-sequence funnel analysis (q43) ---------------------
+
+  /** Conversion funnel with a 24 h per-stage window: signup → first view
+    * within 24 h → first click within 24 h of that view → first purchase
+    * within 24 h of that click. The product-analytics query shape
+    * (Amplitude/Mixpanel "ordered funnel, conversion window").
+    *
+    * Plan/scale: ONE user_id exchange. Each user's per-stage timestamps
+    * are collected as sorted arrays inside the aggregate (state bounded
+    * by per-user activity — the same bound batch sessionization q22
+    * carries), and the stage chain is then resolved map-only with
+    * codegen'd array HOFs: `get(filter(arr, t_prev < x <= t_prev+W), 0)`.
+    * No self-joins, no per-stage passes over the corpus — a 4-stage
+    * funnel at 100 TB costs exactly one shuffle. A null t_prev nulls the
+    * lambda predicate, which both engines treat as not-kept, so a
+    * dropped-out user stays dropped out for every later stage. */
+  def q43Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val W = 86400000000L // 24 h in micros
+    def stageArr(t: String): Column =
+      sort_array(collect_list(when(col("event_type") === t, col("ts_us"))))
+    def nextWithin(arr: Column, tPrev: Column): Column =
+      get(filter(arr, x => x > tPrev && x <= tPrev + lit(W)), lit(0))
+    Tables.load(spark, dir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .groupBy("user_id")
+      .agg(get(stageArr("signup"), lit(0)).as("t1"),
+        stageArr("view").as("vw"), stageArr("click").as("ck"),
+        stageArr("purchase").as("pu"))
+      .withColumn("t2", nextWithin(col("vw"), col("t1")))
+      .withColumn("t3", nextWithin(col("ck"), col("t2")))
+      .withColumn("t4", nextWithin(col("pu"), col("t3")))
+      .agg(count("t1").as("n_signup"), count("t2").as("n_view"),
+        count("t3").as("n_click"), count("t4").as("n_purchase"))
+  }
+
+  private val q43Sql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    list_sort(list(epoch_us(ts)) FILTER (WHERE event_type = 'signup'))[1] AS t1,
+      |    list_sort(list(epoch_us(ts)) FILTER (WHERE event_type = 'view')) AS vw,
+      |    list_sort(list(epoch_us(ts)) FILTER (WHERE event_type = 'click')) AS ck,
+      |    list_sort(list(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')) AS pu
+      |  FROM events GROUP BY user_id),
+      |c AS (SELECT user_id, t1,
+      |  list_filter(vw, x -> x > t1 AND x <= t1 + 86400000000)[1] AS t2, ck, pu FROM u),
+      |d AS (SELECT user_id, t1, t2,
+      |  list_filter(ck, x -> x > t2 AND x <= t2 + 86400000000)[1] AS t3, pu FROM c),
+      |e AS (SELECT user_id, t1, t2, t3,
+      |  list_filter(pu, x -> x > t3 AND x <= t3 + 86400000000)[1] AS t4 FROM d)
+      |SELECT count(t1) AS n_signup, count(t2) AS n_view,
+      |       count(t3) AS n_click, count(t4) AS n_purchase FROM e""".stripMargin
+
+  // ---- W1+ cohort retention (q44) -------------------------------------
+
+  /** Day-grain cohort retention over purchases: cohort = day of a
+    * user's first purchase; cell (cohort_d, days_since) counts users
+    * from that cohort who purchased again days_since days later — the
+    * classic retention-triangle query.
+    *
+    * Plan/scale: the activity relation is pre-shrunk to distinct
+    * (user, day) BEFORE the join (O(users × active days), not O(events))
+    * and the cohort relation is O(users); both exchanges hash on
+    * user_id so AQE can plan the join without a third shuffle. The
+    * final cell aggregate is map-side combined. Each user appears at
+    * most once per (cohort, day) by construction, so the DISTINCT in
+    * the cell count is belt-and-braces, not a second expand pass. */
+  def q44CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000").as("d"))
+    val cohorts = f.groupBy("user_id").agg(min("d").as("cohort_d"))
+    f.distinct().join(cohorts, "user_id")
+      .groupBy(col("cohort_d"), (col("d") - col("cohort_d")).as("days_since"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_d", "days_since")
+  }
+
+  private val q44Sql =
+    """WITH f AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, min(d) AS cohort_d FROM f GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, d FROM f)
+      |SELECT cohort_d, d - cohort_d AS days_since,
+      |       count(DISTINCT a.user_id) AS n_users
+      |FROM a JOIN c ON a.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- A1+ equi-width histogram (q45) ----------------------------------
+
+  /** Equi-width histogram of order value (width_bucket semantics,
+    * 50 000-wide buckets). The bucket id is computed in EXACT integer
+    * math — price → decimal(18,2) → cents BIGINT → DIV — because a
+    * double `floor(x / width)` is unportable exactly at bucket
+    * boundaries, which is where histogram bugs live. DuckDB 1.0 has no
+    * width_bucket; the integer formulation sidesteps it. One map-side-
+    * combined exchange on O(buckets) groups; the scan reads one column. */
+  def q45Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(d2(col("o_totalprice")).as("p"))
+      .withColumn("bucket", expr("CAST(p * 100 AS BIGINT) DIV 5000000"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("p")).cast(DoubleType).as("total"))
+      .orderBy("bucket")
+
+  private val q45Sql =
+    """SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |         // 5000000 AS bucket,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1198,6 +1309,9 @@ object Queries {
     "q40_share_of_total" -> (q40ShareOfTotal _),
     "q41_ohlc" -> (q41Ohlc _),
     "q42_modern_agg" -> (q42ModernAgg _),
+    "q43_funnel" -> (q43Funnel _),
+    "q44_cohort_retention" -> (q44CohortRetention _),
+    "q45_histogram" -> (q45Histogram _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1243,5 +1357,8 @@ object Queries {
     "q40_share_of_total" -> q40Sql,
     "q41_ohlc" -> q41Sql,
     "q42_modern_agg" -> q42Sql,
+    "q43_funnel" -> q43Sql,
+    "q44_cohort_retention" -> q44Sql,
+    "q45_histogram" -> q45Sql,
   )
 }

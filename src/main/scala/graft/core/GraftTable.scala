@@ -501,6 +501,90 @@ final class GraftTable private (
     } finally batch.unpersist()
   }
 
+  /** Partial-update upsert — Hudi's `PartialUpdateAvroPayload` /
+    * `OverwriteNonDefaultsWithLatestAvroPayload` merge semantics: a
+    * NULL in an incoming DATA column means "leave the stored value
+    * alone", not "overwrite with null". Identity columns (key,
+    * partition, ordering) and the engine metadata columns are never
+    * patched.
+    *
+    * Three stages, all batch-sized:
+    *  1. fold the batch to one row per (partition, key): each data
+    *     column takes its latest NON-NULL value in ordering order, so
+    *     two partial rows for one key compose; the folded row carries
+    *     the batch's max ordering.
+    *  2. back-fill the remaining nulls from the CURRENT stored row of
+    *     the same key — a key/stats-pruned read of only the file
+    *     groups the batch's keys hash to (the upsert pruning reused),
+    *     merged latest-wins so MOR deltas and un-compacted duplicates
+    *     resolve first; tombstoned keys patch nothing.
+    *  3. ordinary [[upsert]] of the patched FULL rows.
+    *
+    * The patched row wins or loses the final merge on its ordering
+    * value exactly like any upsert: a partial update older than the
+    * stored row loses wholesale (no per-column mixing across losing
+    * rows) — Hudi's payload contract. Same read-modify-write race as
+    * [[updateWhere]]: a writer landing between the patch read and the
+    * commit is not folded into the patch (OCC still fences the
+    * touched groups). Cost: O(batch + touched file groups), one extra
+    * pruned read vs a plain upsert. */
+  def upsertPartial(df: DataFrame): String = {
+    val snap = log.snapshot()
+    val current = schemaOf(snap)
+    val idCols = config.partitionField.toSeq :+ config.keyField
+    val metaCols = Set(CommitTimeCol, softDel)
+    // cast columns the table already knows to their stored types BEFORE
+    // hashing/joining (an int key against a long table would bucket-route
+    // and join wrong); batch-only columns pass through for schema evolution
+    val aligned = df.columns.foldLeft(df) { (d, c) =>
+      current.fields.find(_.name == c)
+        .fold(d)(f => d.withColumn(c, col(c).cast(f.dataType)))
+    }
+    val dataCols = aligned.columns.filterNot(c =>
+      idCols.contains(c) || c == config.orderingField || metaCols.contains(c))
+    // (1) in-batch fold: latest non-null per column, one row per key
+    val wAll = Window.partitionBy(idCols.map(col): _*)
+      .orderBy(col(config.orderingField).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPick = Window.partitionBy(idCols.map(col): _*)
+      .orderBy(col(config.orderingField).desc_nulls_last)
+    val folded = dataCols.foldLeft(aligned) { (d, c) =>
+        d.withColumn(c, last(col(c), ignoreNulls = true).over(wAll))
+      }
+      .withColumn(config.orderingField, max(col(config.orderingField)).over(wAll))
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") === 1).drop("__rn")
+    // (2) patch from current state, reading only overlapping file groups
+    val patchCols = dataCols.filter(current.fieldNames.contains)
+    val keyType = current.fields.find(_.name == config.keyField)
+      .map(_.dataType).getOrElse(StringType)
+    val overlap =
+      if (patchCols.isEmpty) Nil
+      else {
+        val touched = folded
+          .withColumn("_part", partExpr).withColumn("_bucket", bucketExpr)
+          .groupBy("_part", "_bucket")
+          .agg(min(col(config.keyField)).cast(StringType).as("mn"),
+               max(col(config.keyField)).cast(StringType).as("mx"))
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getString(3)))
+          .toMap
+        snap.liveFiles().filter(overlapsIncoming(_, touched, keyType))
+      }
+    val patched =
+      if (overlap.isEmpty) folded
+      else {
+        val existing = dropDeleted(latestWins(readFiles(overlap, current)))
+          .select(idCols.map(col) ++
+            patchCols.map(c => col(c).as(s"__cur_$c")): _*)
+        patchCols.foldLeft(folded.join(existing, idCols.toIndexedSeq, "left")) {
+          (d, c) => d.withColumn(c, coalesce(col(c), col(s"__cur_$c")))
+        }.drop(patchCols.map(c => s"__cur_$c"): _*)
+      }
+    // (3) ordinary upsert of the patched full rows
+    upsert(patched)
+  }
+
   /** SQL UPDATE analog (D4 / SparkSqlUpdateNode): read-modify-write as
     * an upsert of the modified rows — ordering unchanged, so the newer
     * commit wins the tie against the old version. */

@@ -192,6 +192,87 @@ object Similarity {
     * round(x·scale) ties resolve away from zero in Spark (HALF_UP)
     * and DuckDB alike, and a tie can only arise when x·scale hits a
     * representable .5 exactly — the same double in both. */
+  /** Deterministic signed random projection (Achlioptas '01 / JL
+    * sketch with ±1 entries): `out_j = Σ_i q_i · s_ij` where the sign
+    * matrix is a pure function of (i, j) — `md5("i:j")`'s first hex
+    * digit ≥ '8' → −1, else +1 — so every executor, every run, and
+    * the DuckDB oracle derive the SAME matrix with no coordination
+    * and no stored model. The dimensionality-reduction step before
+    * clustering/ANN at the 100 TB vector scale: 64 → 16 dims cuts
+    * every downstream distance computation 4×.
+    *
+    * Inputs are quantized to exact fixed-point (`floor(x · 2²⁰)` as
+    * BIGINT — floor, not round: a representable ·.5 would make the
+    * rounding mode engine-visible) so the projection is an exact
+    * integer dot product, bit-identical regardless of evaluation
+    * order. |q| ≤ 2²¹, so a 64-dim sum stays ≤ 2²⁷ — far inside
+    * BIGINT.
+    *
+    * Map-only: the sign matrix is a plan literal (outDim × inDim
+    * longs), the projection a per-row HOF chain — zero shuffles, one
+    * codegen span; the 100 TB cost is exactly the scan. */
+  def randomProjection(embs: DataFrame, vecCol: String,
+      inDim: Int, outDim: Int): DataFrame = {
+    val signs: Seq[Seq[Long]] = (0 until outDim).map { j =>
+      (0 until inDim).map(i => projectionSign(i, j)).toSeq
+    }
+    embs
+      .withColumn("__q", transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1048576.0))))
+      .withColumn("proj", transform(typedLit(signs), row =>
+        aggregate(zip_with(col("__q"), row, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x)))
+      .drop("__q")
+  }
+
+  /** The (i, j) entry of the implicit projection matrix: −1 when the
+    * first hex digit of md5("i:j") is ≥ '8' (high nibble ≥ 8 — an
+    * unbiased coin), else +1. Public so specs and SQL twins can
+    * re-derive it. */
+  def projectionSign(i: Int, j: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$j".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) >= 8) -1L else 1L
+  }
+
+  /** k-NN majority-vote labeling: classify every corpus vector by the
+    * majority label among its `k` nearest reference vectors — the
+    * semi-supervised label-propagation step (a small hand-labeled
+    * seed set labels the whole corpus). Distances are exact-integer
+    * squared-L2 over `floor(x · 2²⁰)` fixed-point values, so ranking
+    * is engine-portable; distance ties break by reference id, vote
+    * ties by smallest label.
+    *
+    * 100 TB shape: the labeled reference is broadcast (seed sets are
+    * O(10⁴-10⁵) — driver-small by construction), the corpus streams
+    * through map-side; the only exchange is the per-corpus-id top-k
+    * window + vote, a key the corpus is already unique on. Never
+    * corpus × corpus: that quadratic lives in the dedup family with
+    * LSH/IVF candidate generation ([[lshCandidatePairs]],
+    * [[SemanticDedup]]). */
+  def knnLabel(corpus: DataFrame, reference: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    def quant(df: DataFrame) = df.withColumn("__q",
+      transform(col(vecCol), x => floor(x.cast("double") * lit(1048576.0))))
+    val ref = quant(reference)
+      .select(col(idCol).as("__rid"), col(labelCol).as("__rlabel"),
+        col("__q").as("__rq"))
+    val pairs = quant(corpus).select(col(idCol), col("__q"))
+      .crossJoin(broadcast(ref))
+      .withColumn("__dist",
+        aggregate(zip_with(col("__q"), col("__rq"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+    val topK = pairs
+      .withColumn("__rn", row_number().over(Window.partitionBy(idCol)
+        .orderBy(col("__dist").asc, col("__rid").asc)))
+      .filter(col("__rn") <= k)
+    topK.groupBy(col(idCol), col("__rlabel").as("pred_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__vr", row_number().over(Window.partitionBy(idCol)
+        .orderBy(col("votes").desc, col("pred_label").asc)))
+      .filter(col("__vr") === 1).drop("__vr")
+  }
+
   def quantizeInt8(embs: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol)
     val xd = transform(v, x => x.cast("double"))

@@ -1,0 +1,228 @@
+package graft
+
+import graft.core.{GraftTable, TableConfig}
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 additions: partial-update upsert payload, ordered-sequence
+  * funnel, cohort retention, equi-width histogram, signed random
+  * projection, k-NN majority-vote labeling. */
+class Round14Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+
+  private def freshRoot(name: String): String =
+    graft.util.TempDirs.create(s"graft-$name-").toString
+
+  private def mkTable(name: String, tpe: String): GraftTable =
+    GraftTable.create(spark, freshRoot(name),
+      TableConfig(name = name, keyField = "k", orderingField = "ts",
+        partitionField = None, tableType = tpe, numBuckets = 2))
+
+  private def state(t: GraftTable): Map[Long, (String, Any)] =
+    t.read().select("k", "a", "b").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.get(2))).toMap
+
+  // ---- upsertPartial ---------------------------------------------------
+
+  test("upsertPartial: null data columns keep the stored value") {
+    import spark.implicits._
+    val t = mkTable("part_basic", TableConfig.Cow)
+    t.insert(Seq((1L, 1L, "x", 10L), (2L, 1L, "y", 20L))
+      .toDF("k", "ts", "a", "b"))
+    t.upsertPartial(Seq(
+      (1L, 2L, Option.empty[String], Option(11L)), // a kept, b overwritten
+      (3L, 1L, Option.empty[String], Option(30L))  // new key: nulls stay
+    ).toDF("k", "ts", "a", "b"))
+    val s = state(t)
+    assert(s(1L) == (("x", 11L)))
+    assert(s(2L) == (("y", 20L)))
+    assert(s(3L) == ((null, 30L)))
+  }
+
+  test("upsertPartial: older ordering loses wholesale (no column mixing)") {
+    import spark.implicits._
+    val t = mkTable("part_old", TableConfig.Cow)
+    t.insert(Seq((2L, 5L, "y", 20L)).toDF("k", "ts", "a", "b"))
+    t.upsertPartial(Seq((2L, 1L, Option("z"), Option.empty[Long]))
+      .toDF("k", "ts", "a", "b"))
+    assert(state(t)(2L) == (("y", 20L)))
+  }
+
+  test("upsertPartial: two partial rows for one key compose in-batch") {
+    import spark.implicits._
+    val t = mkTable("part_fold", TableConfig.Cow)
+    t.insert(Seq((1L, 1L, "x", 10L)).toDF("k", "ts", "a", "b"))
+    t.upsertPartial(Seq(
+      (1L, 2L, Option.empty[String], Option(11L)),
+      (1L, 3L, Option("w"), Option.empty[Long])
+    ).toDF("k", "ts", "a", "b"))
+    // folded row: ts=3, a=w (latest non-null), b=11 (latest non-null)
+    assert(state(t)(1L) == (("w", 11L)))
+  }
+
+  test("upsertPartial: MOR patches against the base+delta merged state") {
+    import spark.implicits._
+    val t = mkTable("part_mor", TableConfig.Mor)
+    t.insert(Seq((1L, 1L, "x", 10L)).toDF("k", "ts", "a", "b"))
+    // delta upsert changes a; partial upsert must see the DELTA value
+    t.upsert(Seq((1L, 2L, "x2", 10L)).toDF("k", "ts", "a", "b"))
+    t.upsertPartial(Seq((1L, 3L, Option.empty[String], Option(13L)))
+      .toDF("k", "ts", "a", "b"))
+    val r = t.readRealtime().select("k", "ts", "a", "b").collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 3L)
+    assert(r.head.getString(2) == "x2") // patched from the delta row
+    assert(r.head.getLong(3) == 13L)
+  }
+
+  test("upsertPartial: a deleted key is not resurrected as patch source") {
+    import spark.implicits._
+    val t = mkTable("part_del", TableConfig.Cow)
+    t.insert(Seq((1L, 1L, "x", 10L)).toDF("k", "ts", "a", "b"))
+    t.deleteWhere(col("k") === 1L)
+    t.upsertPartial(Seq((1L, 2L, Option.empty[String], Option(99L)))
+      .toDF("k", "ts", "a", "b"))
+    // fresh insert semantics: a stays null (old "x" must NOT reappear)
+    assert(state(t)(1L) == ((null, 99L)))
+  }
+
+  // ---- q43 funnel -------------------------------------------------------
+
+  private def eventsDir(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.create("graft-funnel-fixt-").toString
+    // ts in epoch NANOS (LongType) — the shape Tables.load normalizes to
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q43 funnel: stage windows are (prev, prev+24h], in order") {
+    val us = 1000L // ns per µs
+    val H24 = 86400000000L * us
+    val dir = eventsDir(Seq(
+      // user 10: completes signup -> view exactly at +24h -> click -> purchase
+      (1L, 0L, 10L, "signup", 0.0),
+      (2L, H24, 10L, "view", 0.0),          // boundary: included
+      (3L, H24 + us, 10L, "click", 0.0),
+      (4L, H24 + 2 * us, 10L, "purchase", 0.0),
+      // user 11: view one µs past the window — drops at stage 2
+      (5L, 0L, 11L, "signup", 0.0),
+      (6L, H24 + us, 11L, "view", 0.0),
+      // user 12: view BEFORE signup only — order matters, drops
+      (7L, us, 12L, "signup", 0.0),
+      (8L, 0L, 12L, "view", 0.0)))
+    val r = Queries.q43Funnel(spark, dir).collect().head
+    assert(r.getLong(0) == 3L, "n_signup")
+    assert(r.getLong(1) == 1L, "n_view")
+    assert(r.getLong(2) == 1L, "n_click")
+    assert(r.getLong(3) == 1L, "n_purchase")
+  }
+
+  test("q43 funnel: stage counts are monotone non-increasing on sf0.001") {
+    val r = Queries.q43Funnel(spark, "/root/testdata/sf0.001").collect().head
+    val ns = (0 to 3).map(r.getLong)
+    assert(ns == ns.sortBy(-_), s"funnel not monotone: $ns")
+    assert(ns.head > 0)
+  }
+
+  test("q43 funnel: one corpus exchange feeds the whole 4-stage chain") {
+    val plan = Queries.q43Funnel(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString()
+    // one hash exchange on user_id + the final single-partition agg
+    val n = "(?i)exchange".r.findAllIn(plan).size
+    assert(n <= 2, s"expected <=2 exchanges, got $n:\n$plan")
+  }
+
+  // ---- q44 cohort retention ---------------------------------------------
+
+  test("q44 cohort: cells key on (first purchase day, days since)") {
+    val us = 1000L
+    val D = 86400000000L * us // one day in ns
+    val dir = eventsDir(Seq(
+      // user 1: first purchase day 0, again day 2 (+ a dup same day)
+      (1L, 0L, 1L, "purchase", 0.0),
+      (2L, 2 * D, 1L, "purchase", 0.0),
+      (3L, 2 * D + us, 1L, "purchase", 0.0),
+      // user 2: first purchase day 2
+      (4L, 2 * D, 2L, "purchase", 0.0),
+      // clicks never count
+      (5L, 0L, 2L, "click", 0.0)))
+    val got = Queries.q44CohortRetention(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val day0 = 0L
+    assert(got == Set((day0, 0L, 1L), (day0, 2L, 1L), (day0 + 2L, 0L, 1L)))
+  }
+
+  // ---- q45 histogram ------------------------------------------------------
+
+  test("q45 histogram: buckets are left-closed at exact boundaries") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.create("graft-hist-fixt-").toString
+    Seq(49999.99, 50000.00, 50000.01, 0.0, 99999.99, 100000.00)
+      .toDF("o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Queries.q45Histogram(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 3L, 2L -> 1L))
+  }
+
+  // ---- p46 random projection ----------------------------------------------
+
+  test("randomProjection: map-only (zero exchanges) and exact integer sums") {
+    import spark.implicits._
+    val v = Array.fill(64)(1.0f)
+    val df = Seq((1L, v)).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(df, "embedding", 64, 16)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.toLowerCase.contains("exchange"), plan)
+    val proj = out.select("proj").collect().head.getSeq[Long](0)
+    val expected = (0 until 16).map(j =>
+      (0 until 64).map(i => Similarity.projectionSign(i, j) * 1048576L).sum)
+    assert(proj == expected)
+  }
+
+  test("projectionSign: deterministic, both signs present") {
+    val signs = for (i <- 0 until 64; j <- 0 until 16)
+      yield Similarity.projectionSign(i, j)
+    assert(signs.contains(1L) && signs.contains(-1L))
+    assert(signs == signs.map(identity)) // re-derivation is stable
+    val minus = signs.count(_ == -1L)
+    assert(minus > 300 && minus < 700, s"suspiciously biased: $minus/1024")
+  }
+
+  // ---- p47 kNN labeling -----------------------------------------------------
+
+  test("knnLabel: majority of k nearest; vote ties pick the smallest label") {
+    import spark.implicits._
+    def vec(x: Float) = Array(x, 0.0f)
+    val ref = Seq(
+      (100L, vec(1.0f), 7L),  // dist 0 to corpus point at 1.0
+      (101L, vec(2.0f), 3L),  // dist 1
+      (102L, vec(9.0f), 7L),  // far
+      (103L, vec(9.1f), 3L))  // far
+      .toDF("vec_id", "embedding", "label")
+    val corpus = Seq((1L, vec(1.0f))).toDF("vec_id", "embedding")
+    // k=2: nearest two labels {7, 3} tie 1-1 -> smallest label 3 wins
+    val tie = Similarity.knnLabel(corpus, ref, "vec_id", "embedding",
+      "label", k = 2).collect().head
+    assert(tie.getLong(1) == 3L && tie.getLong(2) == 1L)
+    // k=4: labels {7,3,7,3} tie 2-2 -> 3; k=1: nearest only -> 7
+    val k1 = Similarity.knnLabel(corpus, ref, "vec_id", "embedding",
+      "label", k = 1).collect().head
+    assert(k1.getLong(1) == 7L)
+  }
+
+  test("knnLabel: reference side broadcasts, corpus never self-joins") {
+    import spark.implicits._
+    val ref = Seq((100L, Array(1.0f), 1L)).toDF("vec_id", "embedding", "label")
+    val corpus = Seq((1L, Array(1.0f))).toDF("vec_id", "embedding")
+    val plan = Similarity.knnLabel(corpus, ref, "vec_id", "embedding",
+      "label", k = 1).queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+}
