@@ -724,6 +724,37 @@ object LakehouseQueries {
       |FROM e1 FULL OUTER JOIN b2 USING (event_type, user_id)
       |ORDER BY event_type, user_id""".stripMargin
 
+  // ---- D11+ ALTER TABLE DROP COLUMN (l26) ----------------------------
+
+  /** Schema narrowing mid-lifecycle: insert batch₁ (with `value`),
+    * DROP COLUMN value through the SQL dialect, then upsert batch₂
+    * (which no longer carries it). The drop is a zero-row commit — no
+    * file rewritten — and the post-drop merge runs on the narrowed
+    * schema. Pre-drop files still hold the bytes; reads hide them by
+    * name, and the retired-name guard keeps them unreachable
+    * (Round14Spec covers refusal + time travel). */
+  def qDropColumn(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val wh = freshRoot("ev_dropcol_wh")
+    val catalog = new graft.sql.GraftCatalog(spark, wh)
+    val gsql = new graft.sql.GraftSql(catalog)
+    val t = catalog.createTable(cfg("ev_dropcol", TableConfig.Cow))
+    t.insert(ev.filter(col("event_id") % 2 === 0))
+    gsql.sql("ALTER TABLE ev_dropcol DROP COLUMN value")
+    t.upsert(ev.filter(col("event_id") % 2 === 1).drop("value"))
+    t.read()
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select("event_type", "user_id", "event_id", "ts_us")
+      .orderBy("event_type", "user_id")
+  }
+
+  private val dropColumnSql =
+    """SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY event_type, user_id ORDER BY ts DESC, (event_id % 2) DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY event_type, user_id""".stripMargin
+
   // ---- A3 key-uniqueness invariant over the lakehouse table ---------
 
   /** The test-suite's duplicate-detection gate run against our own
@@ -771,6 +802,7 @@ object LakehouseQueries {
     "l23_cdc_sql" -> (qCdcSql _),
     "l24_merge_full_sync" -> (qMergeFullSync _),
     "l25_partial_upsert" -> (qPartialUpsert _),
+    "l26_drop_column" -> (qDropColumn _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -799,5 +831,6 @@ object LakehouseQueries {
     "l23_cdc_sql" -> cdcSql,
     "l24_merge_full_sync" -> mergeFullSyncSql,
     "l25_partial_upsert" -> partialUpsertSql,
+    "l26_drop_column" -> dropColumnSql,
   )
 }

@@ -1362,6 +1362,29 @@ object PipelineQueries {
       |SELECT vec_id, CAST(label AS BIGINT) AS pred_label, votes
       |FROM p WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  // ---- exact heavy hitters (p48) ---------------------------------------
+
+  /** Frequent-phrase mining ([[Curation.heavyHitters]]): bigrams with
+    * ≥ 1/700 of all bigram occurrences. One term shuffle builds the
+    * O(vocab) count relation; the total re-aggregates from it and
+    * broadcasts back — the corpus is read once. The keep boundary is
+    * exact integer arithmetic. [[Curation.misraGriesTopTerms]] is the
+    * sketch twin for vocabularies too large to shuffle, contract-gated
+    * against this operator in Round14Spec. */
+  def cHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Curation.heavyHitters(Tables.load(spark, dir, "documents"),
+        "text", phiInv = 700L)
+      .orderBy(col("cnt").desc, col("term"))
+
+  private val cHeavyHittersSql =
+    """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |b AS (SELECT unnest(list_transform(
+      |    generate_series(1, greatest(1, len(ws) - 1)),
+      |    i -> array_to_string(ws[i:i+1], ' '))) AS term FROM t),
+      |c AS (SELECT term, count(*) AS cnt FROM b GROUP BY 1)
+      |SELECT term, cnt FROM c, (SELECT sum(cnt) AS n FROM c) t
+      |WHERE cnt * 700 >= n ORDER BY cnt DESC, term""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1411,6 +1434,7 @@ object PipelineQueries {
     "p44_label_centroids" -> (eLabelCentroids _),
     "p46_random_projection" -> (eRandomProjection _),
     "p47_knn_label" -> (eKnnLabel _),
+    "p48_heavy_hitters" -> (cHeavyHitters _),
     "p45_decontaminate" -> (cDecontaminate _),
   )
 
@@ -1468,6 +1492,7 @@ object PipelineQueries {
     "p44_label_centroids" -> eLabelCentroidsSql,
     "p46_random_projection" -> eRandomProjectionSql,
     "p47_knn_label" -> eKnnLabelSql,
+    "p48_heavy_hitters" -> cHeavyHittersSql,
     "p45_decontaminate" -> cDecontaminateSql,
   )
 }

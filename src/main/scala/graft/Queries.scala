@@ -1264,6 +1264,91 @@ object Queries {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- J++ six-table star join (q46, TPC-H Q5 shape) ------------------
+
+  /** Revenue per nation for one region and a two-year order band — the
+    * TPC-H Q5 join topology (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈
+    * nation ⋈ region with the "local supplier" s_nationkey =
+    * c_nationkey constraint). THE join-planning stress test: Catalyst
+    * must broadcast the three O(dims) relations (region filter →
+    * nation → supplier), keep the selective date filter on the orders
+    * scan (pushed to parquet), and shuffle only the two fact
+    * relations on the join keys. At 100 TB the date band + region cut
+    * shrink the orders side ~10× before the lineitem join — exactly
+    * the plan AQE picks when stats flow; the plan audit in PLANS.md
+    * pins it. Decimal revenue math as in q1. */
+  def q46MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast(TimestampType)
+    val hi = lit("1998-01-01").cast(TimestampType)
+    val cust = Tables.load(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val supp = Tables.load(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val nat = Tables.load(spark, dir, "nation")
+    val reg = Tables.load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    cust
+      .join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(d2(col("l_extendedprice")) *
+          (lit(1).cast(dec) - d2(col("l_discount")))).cast(DoubleType)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q46Sql =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |       AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---- J+ similarity (fuzzy) join (q47) --------------------------------
+
+  /** Entity-resolution join: name pairs within levenshtein distance 6,
+    * ordered pairs deduped by `a < b`. Dimension-scale fuzzy matching
+    * is a broadcast nested-loop (the right tool for O(dims²) work);
+    * CORPUS-scale fuzzy matching must never cross-join — that job
+    * belongs to the LSH/containment dedup family (p3/p36/p40), which
+    * generates candidates from bounded-fanout keys first. Both engines
+    * implement textbook single-matrix edit distance, so `dist` is
+    * integer-identical. */
+  def q47FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.load(spark, dir, "nation").select("n_name")
+    val a = n.as("a")
+    val b = n.as("b")
+    a.join(b, col("a.n_name") < col("b.n_name") &&
+        levenshtein(col("a.n_name"), col("b.n_name")) <= 6)
+      .select(col("a.n_name").as("name_a"), col("b.n_name").as("name_b"),
+        levenshtein(col("a.n_name"), col("b.n_name")).cast(LongType).as("dist"))
+      .orderBy("name_a", "name_b")
+  }
+
+  private val q47Sql =
+    """SELECT a.n_name AS name_a, b.n_name AS name_b,
+      |  CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+      |FROM nation a JOIN nation b ON a.n_name < b.n_name
+      |WHERE levenshtein(a.n_name, b.n_name) <= 6
+      |ORDER BY name_a, name_b""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1312,6 +1397,8 @@ object Queries {
     "q43_funnel" -> (q43Funnel _),
     "q44_cohort_retention" -> (q44CohortRetention _),
     "q45_histogram" -> (q45Histogram _),
+    "q46_multi_join" -> (q46MultiJoin _),
+    "q47_fuzzy_join" -> (q47FuzzyJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1360,5 +1447,7 @@ object Queries {
     "q43_funnel" -> q43Sql,
     "q44_cohort_retention" -> q44Sql,
     "q45_histogram" -> q45Sql,
+    "q46_multi_join" -> q46Sql,
+    "q47_fuzzy_join" -> q47Sql,
   )
 }

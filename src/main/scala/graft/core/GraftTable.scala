@@ -114,9 +114,23 @@ final class GraftTable private (
     var batch = df.withColumn(CommitTimeCol, lit(instant))
     if (!batch.columns.contains(softDel))
       batch = batch.withColumn(softDel, lit(false))
+    // retired names (see dropColumn): old files still hold the physical
+    // values, and reads select by NAME — re-introducing the name would
+    // silently resurrect them. Refuse at every write edge.
+    val retired = droppedColumns(snap)
+    val bad = batch.columns.filter(retired.contains)
+    require(bad.isEmpty,
+      s"column(s) ${bad.mkString(", ")} were dropped from '${config.name}' " +
+      "and the name is retired: existing files still hold the old values " +
+      "and reads select by name, so re-adding would resurrect them")
     val evolved = mergeSchemas(schemaOf(snap), batch.schema)
     (align(batch, evolved), evolved)
   }
+
+  /** Column names retired by [[dropColumn]] commits — permanently, for
+    * the table's lifetime (metadata-scale timeline fold). */
+  private def droppedColumns(snap: TimelineSnapshot): Set[String] =
+    snap.commits.flatMap(_.extra.get("dropped_column")).toSet
 
   // ------------------------------------------------------------------
   // the latest-wins primitive (W1 — SURVEY.md §2.5)
@@ -499,6 +513,36 @@ final class GraftTable private (
           extra = extra), planning, touched.keySet)
       }
     } finally batch.unpersist()
+  }
+
+  /** ALTER TABLE DROP COLUMN — schema narrowing as a zero-row commit.
+    * No file is rewritten: reads select columns BY NAME from an
+    * explicit schema ([[readFiles]]), so narrowing the committed
+    * schema hides the column everywhere at once, while time travel to
+    * a pre-drop instant still surfaces it (schema-at-instant).
+    *
+    * The name is permanently RETIRED: re-adding it (ALTER ADD or a
+    * write carrying the column) is refused, because old files still
+    * hold the physical values and a same-name column would silently
+    * resurrect them — the failure mode Delta prevents with column-
+    * mapping ids; without per-column ids, retirement is the honest
+    * contract. Structural columns (key, ordering, partition, engine
+    * metadata) cannot be dropped. */
+  def dropColumn(name: String): String = {
+    val snap = log.snapshot()
+    val cur = schemaOf(snap)
+    require(cur.fieldNames.contains(name),
+      s"no column '$name' in ${config.name}")
+    val structural = Set(config.keyField, config.orderingField,
+      CommitTimeCol, softDel) ++ config.partitionField
+    require(!structural.contains(name),
+      s"cannot drop '$name': key/ordering/partition/metadata columns are structural")
+    val narrowed = StructType(cur.fields.filterNot(_.name == name))
+    val planning = snap.lastInstant.getOrElse("0")
+    val instant = log.nextInstantAfter(snap.lastInstant)
+    commitValidated(Commit(instant, "commit", "drop_column",
+      schemaJson = narrowed.json,
+      extra = Map("dropped_column" -> name)), planning, Set.empty)
   }
 
   /** Partial-update upsert — Hudi's `PartialUpdateAvroPayload` /

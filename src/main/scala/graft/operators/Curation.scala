@@ -339,6 +339,76 @@ object Curation {
         (col("wsum") >= 0L).as("keep"))
   }
 
+  /** Exact heavy hitters over the corpus bigram space: bigrams whose
+    * occurrence count is ≥ total/φInv — the "frequent phrases"
+    * relation feeding boilerplate detection, stop-phrase lists, and
+    * n-gram LM pruning. The keep decision is exact integer arithmetic
+    * (`cnt · φInv ≥ total`), so the boundary is engine-portable.
+    *
+    * Plan at 100 TB: ONE term shuffle with map-side combine builds
+    * the O(vocab) count relation; the total re-aggregates from THAT
+    * relation (O(vocab), never a second corpus pass) and broadcasts
+    * back as a 1-row cross join. For vocabularies too large to
+    * shuffle comfortably, [[misraGriesTopTerms]] is the sketch path —
+    * gated against this exact operator in Round14Spec. */
+  def heavyHitters(docs: DataFrame, textCol: String, phiInv: Long): DataFrame = {
+    require(phiInv > 0, s"phiInv=$phiInv")
+    val toks = split(col(textCol), " ")
+    val bigrams = transform(
+      sequence(lit(1), greatest(lit(1), size(toks) - lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val counts = docs.select(explode(bigrams).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * phiInv >= col("n"))
+      .select("term", "cnt")
+  }
+
+  /** Misra-Gries heavy-hitter SKETCH over the same bigram space — the
+    * scale path when the vocabulary itself is too large to
+    * materialize: each partition keeps k counters (one corpus pass,
+    * O(k) memory), summaries merge associatively (counts added, the
+    * (k+1)-th largest subtracted, non-positives dropped — Agarwal et
+    * al. '12 mergeable-summaries rule). Guarantee: every term with
+    * true count > N/(k+1) survives, and each reported count is a
+    * lower bound within N/(k+1) of truth. Driver result is O(k). */
+  def misraGriesTopTerms(docs: DataFrame, textCol: String, k: Int): Seq[(String, Long)] = {
+    require(k > 0, s"k=$k")
+    val toks = split(col(textCol), " ")
+    val bigrams = transform(
+      sequence(lit(1), greatest(lit(1), size(toks) - lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val terms = docs.select(explode(bigrams).as("term"))
+    def shrink(m: scala.collection.mutable.HashMap[String, Long]): Unit =
+      if (m.size > k) {
+        val cut = m.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+        m.mapValuesInPlace((_, v) => v - cut)
+        m.filterInPlace((_, v) => v > 0)
+      }
+    val summaries = terms.rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { row =>
+        val t = row.getString(0)
+        m.updateWith(t)(c => Some(c.getOrElse(0L) + 1L))
+        // amortized batch shrink: let the buffer grow to 2k, then cut
+        // back to ≤k in one O(k log k) pass — O(log k) per element
+        // instead of a sort per miss; the cut rule (and therefore the
+        // N/(k+1) error bound) is the same one the merge uses
+        if (m.size > 2 * k) shrink(m)
+      }
+      shrink(m)
+      Iterator.single(m)
+    }
+    val merged = summaries.treeReduce { (a, b) =>
+      b.foreach { case (t, c) =>
+        a.updateWith(t)(x => Some(x.getOrElse(0L) + c)) }
+      shrink(a)
+      a
+    }
+    merged.toSeq.sortBy { case (t, c) => (-c, t) }
+  }
+
   /** Dataset statistics: document counts by (token-length bucket,
     * class) — the curation dashboard's length histogram. Integer
     * bucket math, one partial-aggregated shuffle. */

@@ -45,6 +45,8 @@ final class GraftSql(catalog: GraftCatalog) {
   private val DropIndexRe = """(?is)\s*DROP\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*""".r
   private val AlterAddRe =
     """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\((.*?)\)\s*""".r
+  private val AlterDropRe =
+    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*""".r
   private val ShowIndexesRe =
     """(?is)\s*SHOW\s+INDEXES\s+(?:FROM|IN)\s+(\w+)\s*""".r
   private val ShowCreateRe =
@@ -94,6 +96,15 @@ final class GraftSql(catalog: GraftCatalog) {
       val merged = StructType(t.schema.fields ++ add.fields)
       t.insert(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], merged))
+      catalog.syncViews()
+      emptyResult()
+
+    // ALTER TABLE DROP COLUMN: schema narrowing as a zero-row commit;
+    // the name is permanently retired (GraftTable.dropColumn contract —
+    // old files keep the physical values, so a same-name re-add would
+    // resurrect them).
+    case AlterDropRe(name, column) =>
+      catalog.table(name).dropColumn(column)
       catalog.syncViews()
       emptyResult()
 

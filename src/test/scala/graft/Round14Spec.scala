@@ -216,6 +216,95 @@ class Round14Spec extends AnyFunSuite {
     assert(k1.getLong(1) == 7L)
   }
 
+  // ---- l26 drop column ---------------------------------------------------
+
+  test("dropColumn: hides data everywhere, zero rewrites, name retired") {
+    import spark.implicits._
+    val t = mkTable("dropcol", TableConfig.Cow)
+    val c1 = t.insert(Seq((1L, 1L, "x", 10L)).toDF("k", "ts", "a", "b"))
+    val filesBefore = t.log.liveFiles().map(_.path).toSet
+    t.dropColumn("b")
+    assert(t.log.liveFiles().map(_.path).toSet == filesBefore, "no rewrite")
+    assert(!t.read().columns.contains("b"))
+    // time travel to the pre-drop instant still surfaces the column
+    val old = t.read(asOf = Some(c1))
+    assert(old.columns.contains("b"))
+    assert(old.select("b").collect().head.getLong(0) == 10L)
+    // the name is retired: a write carrying it is refused
+    val ex = intercept[IllegalArgumentException] {
+      t.upsert(Seq((1L, 2L, "y", 99L)).toDF("k", "ts", "a", "b"))
+    }
+    assert(ex.getMessage.contains("retired"), ex.getMessage)
+    // post-drop writes without the column work on the narrowed schema
+    t.upsert(Seq((1L, 3L, "z")).toDF("k", "ts", "a"))
+    val r = t.read().select("k", "ts", "a").collect()
+    assert(r.length == 1 && r.head.getString(2) == "z")
+  }
+
+  test("dropColumn: structural and unknown columns are refused") {
+    import spark.implicits._
+    val t = mkTable("dropcol_guard", TableConfig.Cow)
+    t.insert(Seq((1L, 1L, "x", 10L)).toDF("k", "ts", "a", "b"))
+    intercept[IllegalArgumentException](t.dropColumn("k"))
+    intercept[IllegalArgumentException](t.dropColumn("ts"))
+    intercept[IllegalArgumentException](t.dropColumn("nope"))
+  }
+
+  // ---- p48 heavy hitters + Misra-Gries contract ----------------------------
+
+  test("misraGries: every exact heavy hitter survives; counts lower-bound") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val k = 64
+    val toks = split(col("text"), " ")
+    val bigrams = transform(
+      sequence(lit(1), greatest(lit(1), size(toks) - lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val counts = docs.select(explode(bigrams).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    val mg = graft.operators.Curation.misraGriesTopTerms(docs, "text", k).toMap
+    assert(mg.size <= k)
+    // membership guarantee: true count > N/(k+1) => present
+    val mustHave = counts.filter { case (_, c) => c > n / (k + 1) }.keySet
+    assert(mustHave.subsetOf(mg.keySet),
+      s"missing: ${(mustHave -- mg.keySet).take(5)}")
+    // reported counts are lower bounds within N/(k+1)
+    mg.foreach { case (t, c) =>
+      val truth = counts.getOrElse(t, 0L)
+      assert(c <= truth && truth - c <= n / (k + 1) + 1,
+        s"$t: mg=$c truth=$truth n=$n")
+    }
+  }
+
+  test("heavyHitters: integer keep boundary, one corpus pass") {
+    import spark.implicits._
+    val docs = Seq("a b a b", "a b c d").toDF("text")
+    // bigrams: (a b)x2? doc1: "a b","b a","a b" -> a b:2, b a:1;
+    // doc2: "a b","b c","c d" -> totals: a b:3, b a:1, b c:1, c d:1 (n=6)
+    val hh = graft.operators.Curation.heavyHitters(docs, "text", phiInv = 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == Map("a b" -> 3L)) // 3*2 >= 6 exactly on the boundary
+  }
+
+  // ---- q46 / q47 plan + shape sanity ---------------------------------------
+
+  test("q46 multi-join: dims broadcast, facts alone cross the network") {
+    val df = Queries.q46MultiJoin(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+    assert(df.collect().nonEmpty)
+  }
+
+  test("q47 fuzzy join: ordered pairs within the levenshtein threshold") {
+    val rows = Queries.q47FuzzyJoin(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(2) <= 6L)
+    }
+  }
+
   test("knnLabel: reference side broadcasts, corpus never self-joins") {
     import spark.implicits._
     val ref = Seq((100L, Array(1.0f), 1L)).toDF("vec_id", "embedding", "label")
