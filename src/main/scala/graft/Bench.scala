@@ -53,7 +53,12 @@ object Bench {
     "p36_tf_cosine", // round 12: weighted all-pairs similarity
     "l24_merge_full_sync", // round 13: MERGE with NOT MATCHED BY SOURCE
     "p40_containment", // round 13: asymmetric shingle-containment dedup
-    "p42_hashed_classifier") // round 13: hashing-trick n-gram classifier
+    "p42_hashed_classifier", // round 13: hashing-trick n-gram classifier
+    "q43_funnel", // round 14: ordered-sequence funnel (one user exchange)
+    "q46_multi_join", // round 14: TPC-H Q5 six-table star join
+    "l25_partial_upsert", // round 14: partial-update payload write path
+    "p47_knn_label", // round 14: broadcast-seed kNN labeling
+    "p48_heavy_hitters") // round 14: exact frequent-bigram mining
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -755,6 +755,30 @@ object LakehouseQueries {
       |      FROM events)
       |WHERE rn = 1 ORDER BY event_type, user_id""".stripMargin
 
+  // ---- T3 cleaning through the oracle gate (l27) ---------------------
+
+  /** Cleaning must be CONTENT-INVISIBLE: after insert + upsert +
+    * delete and an aggressive `clean(retainCommits = 1)` that
+    * physically deletes every superseded file version, the snapshot
+    * still matches the oracle merge exactly. What cleaning changes —
+    * old versions gone from disk, time travel past the horizon
+    * refused — is asserted in Round14Spec; what it must never change
+    * is asserted here. */
+  def qClean(spark: SparkSession, dir: String): DataFrame = {
+    val t = build(spark, dir, "ev_clean", TableConfig.Cow)
+    t.deleteWhere(col("event_type") === "error")
+    TableServices.clean(t, retainCommits = 1)
+    out(t.read())
+  }
+
+  private val cleanSql =
+    """SELECT event_type, user_id, event_id, epoch_us(ts) AS ts_us, value
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY event_type, user_id ORDER BY ts DESC, (event_id % 2) DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY event_type, user_id""".stripMargin
+
   // ---- A3 key-uniqueness invariant over the lakehouse table ---------
 
   /** The test-suite's duplicate-detection gate run against our own
@@ -803,6 +827,7 @@ object LakehouseQueries {
     "l24_merge_full_sync" -> (qMergeFullSync _),
     "l25_partial_upsert" -> (qPartialUpsert _),
     "l26_drop_column" -> (qDropColumn _),
+    "l27_clean" -> (qClean _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -832,5 +857,6 @@ object LakehouseQueries {
     "l24_merge_full_sync" -> mergeFullSyncSql,
     "l25_partial_upsert" -> partialUpsertSql,
     "l26_drop_column" -> dropColumnSql,
+    "l27_clean" -> cleanSql,
   )
 }

@@ -1385,6 +1385,103 @@ object PipelineQueries {
       |SELECT term, cnt FROM c, (SELECT sum(cnt) AS n FROM c) t
       |WHERE cnt * 700 >= n ORDER BY cnt DESC, term""".stripMargin
 
+  // ---- tf-idf keyword extraction (p49) ---------------------------------
+
+  /** Per-document keyphrases: top-3 bigrams by a tf·idf SURROGATE kept
+    * entirely in exact integers — score = tf · 10⁶ DIV df. A real
+    * log-idf ranks identically for fixed tf (monotone in 1/df), and
+    * the integer form is bit-portable where `log` is not (the p30
+    * discipline). Ties break (score DESC, term ASC) — pinned.
+    *
+    * Plan at 100 TB: ONE corpus shuffle builds the (doc, term, tf)
+    * relation; df re-aggregates from IT (O(vocab), never a second
+    * corpus pass) and broadcasts back; the top-3 window keys on
+    * doc_id, a second corpus-sized exchange. Two exchanges total for
+    * corpus-wide keyword extraction. */
+  def cKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = split(col("text"), " ")
+    val bigrams = transform(
+      sequence(lit(1), greatest(lit(1), size(toks) - lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val tf = docs.select(col("doc_id"), explode(bigrams).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .withColumn("score", expr("tf * 1000000 DIV df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private val cKeywordsSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |b AS (SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, greatest(1, len(ws) - 1)),
+      |    i -> array_to_string(ws[i:i+1], ' '))) AS term FROM t),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM b GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |s AS (SELECT doc_id, term, tf * 1000000 // df AS score
+      |      FROM tf JOIN df USING (term)),
+      |r AS (SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM s)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+      |  CAST(score AS BIGINT) AS score
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // ---- Kneser-Ney continuation counts (p50) -----------------------------
+
+  /** The sufficient statistics of Kneser-Ney LM smoothing, per word:
+    * unigram count c(w), continuation count N1+(·w) = distinct left
+    * contexts, fertility N1+(w·) = distinct right contexts — the
+    * exact-integer inputs to P_KN's discounted estimates (Kneser &
+    * Ney '95). Words at document edges simply lack that side's
+    * context (coalesce 0). One corpus shuffle per relation over the
+    * same split, all joins on the O(vocab) word domain. */
+  def cKnCounts(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = split(col("text"), " ")
+    val bigrams = transform(
+      sequence(lit(1), greatest(lit(1), size(toks) - lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(2))))
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bg = docs.select(explode(bigrams).as("term"))
+      .select(split_part(col("term"), lit(" "), lit(1)).as("lw"),
+        split_part(col("term"), lit(" "), lit(2)).as("rw"))
+    val cont = bg.groupBy("rw").agg(countDistinct("lw").as("n_left"))
+    val fert = bg.groupBy("lw").agg(countDistinct("rw").as("n_right"))
+    uni
+      .join(cont, uni("w") === cont("rw"), "left")
+      .join(fert, uni("w") === fert("lw"), "left")
+      .select(col("w"), col("c"),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"))
+      .orderBy("w")
+  }
+
+  private val cKnCountsSql =
+    """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |uni AS (SELECT unnest(ws) AS w FROM t),
+      |u AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+      |b AS (SELECT unnest(list_transform(
+      |    generate_series(1, greatest(1, len(ws) - 1)),
+      |    i -> array_to_string(ws[i:i+1], ' '))) AS term FROM t),
+      |bg AS (SELECT split_part(term, ' ', 1) AS lw,
+      |              split_part(term, ' ', 2) AS rw FROM b),
+      |cont AS (SELECT rw, count(DISTINCT lw) AS n_left FROM bg GROUP BY 1),
+      |fert AS (SELECT lw, count(DISTINCT rw) AS n_right FROM bg GROUP BY 1)
+      |SELECT u.w, u.c,
+      |  coalesce(cont.n_left, 0) AS n_left,
+      |  coalesce(fert.n_right, 0) AS n_right
+      |FROM u LEFT JOIN cont ON u.w = cont.rw
+      |       LEFT JOIN fert ON u.w = fert.lw
+      |ORDER BY u.w""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1435,6 +1532,8 @@ object PipelineQueries {
     "p46_random_projection" -> (eRandomProjection _),
     "p47_knn_label" -> (eKnnLabel _),
     "p48_heavy_hitters" -> (cHeavyHitters _),
+    "p49_keywords" -> (cKeywords _),
+    "p50_kn_counts" -> (cKnCounts _),
     "p45_decontaminate" -> (cDecontaminate _),
   )
 
@@ -1493,6 +1592,8 @@ object PipelineQueries {
     "p46_random_projection" -> eRandomProjectionSql,
     "p47_knn_label" -> eKnnLabelSql,
     "p48_heavy_hitters" -> cHeavyHittersSql,
+    "p49_keywords" -> cKeywordsSql,
+    "p50_kn_counts" -> cKnCountsSql,
     "p45_decontaminate" -> cDecontaminateSql,
   )
 }

@@ -1349,6 +1349,27 @@ object Queries {
       |WHERE levenshtein(a.n_name, b.n_name) <= 6
       |ORDER BY name_a, name_b""".stripMargin
 
+  // ---- O1+ INTERSECT (q48) ---------------------------------------------
+
+  /** Set intersection, completing the q11 set-op family: orders that
+    * BOTH contain a high-quantity line AND a high-discount line.
+    * Spark plans `intersect` as a left-semi join over the deduped
+    * sides — the aggregate exchanges are the whole cost; no
+    * row-matching pass survives at 100 TB beyond the two hash aggs. */
+  def q48Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val a = li.filter(col("l_quantity") >= 25).select("l_orderkey").distinct()
+    val b = li.filter(col("l_discount") >= 0.05).select("l_orderkey").distinct()
+    a.intersect(b).orderBy("l_orderkey")
+  }
+
+  private val q48Sql =
+    """SELECT * FROM
+      |  (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 25
+      |   INTERSECT
+      |   SELECT DISTINCT l_orderkey FROM lineitem WHERE l_discount >= 0.05)
+      |ORDER BY l_orderkey""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1399,6 +1420,7 @@ object Queries {
     "q45_histogram" -> (q45Histogram _),
     "q46_multi_join" -> (q46MultiJoin _),
     "q47_fuzzy_join" -> (q47FuzzyJoin _),
+    "q48_intersect" -> (q48Intersect _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1449,5 +1471,6 @@ object Queries {
     "q45_histogram" -> q45Sql,
     "q46_multi_join" -> q46Sql,
     "q47_fuzzy_join" -> q47Sql,
+    "q48_intersect" -> q48Sql,
   )
 }

@@ -305,6 +305,51 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  // ---- l27 cleaning evidence -----------------------------------------------
+
+  test("clean: superseded versions physically deleted, snapshot intact, horizon enforced") {
+    import spark.implicits._
+    val t = mkTable("clean_spec", TableConfig.Cow)
+    val c1 = t.insert(Seq((1L, 1L, "a", 1L)).toDF("k", "ts", "a", "b"))
+    t.upsert(Seq((1L, 2L, "b", 2L)).toDF("k", "ts", "a", "b"))
+    t.upsert(Seq((1L, 3L, "c", 3L)).toDF("k", "ts", "a", "b"))
+    val deleted = graft.core.TableServices.clean(t, retainCommits = 1)
+    assert(deleted.nonEmpty, "COW rewrites must leave cleanable versions")
+    deleted.foreach { rel =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t.root, rel)), rel)
+    }
+    assert(state(t)(1L) == (("c", 3L)), "clean must not change the snapshot")
+    // time travel past the clean horizon now fails at scan time
+    intercept[Exception](t.read(asOf = Some(c1)).collect())
+  }
+
+  // ---- p49 keyword extraction / p50 KN counts -------------------------------
+
+  test("p49 keywords: at most 3 per doc, ranks dense, scores non-increasing") {
+    val rows = PipelineQueries.cKeywords(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1L to byRank.length))
+      assert(byRank.length <= 3)
+      assert(byRank.map(_._3).toSeq == byRank.map(_._3).sortBy(-_).toSeq)
+    }
+  }
+
+  test("p50 KN counts: hand-checked continuation and fertility") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.create("graft-kn-fixt-").toString
+    Seq((1L, "a b a"), (2L, "c a")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PipelineQueries.cKnCounts(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // bigrams: (a b), (b a), (c a)
+    assert(got("a") == ((3L, 2L, 1L))) // c=3; left contexts {b, c}; right {b}
+    assert(got("b") == ((1L, 1L, 1L))) // left {a}; right {a}
+    assert(got("c") == ((1L, 0L, 1L))) // never preceded; right {a}
+  }
+
   test("knnLabel: reference side broadcasts, corpus never self-joins") {
     import spark.implicits._
     val ref = Seq((100L, Array(1.0f), 1L)).toDF("vec_id", "embedding", "label")
