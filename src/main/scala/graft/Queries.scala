@@ -1224,9 +1224,14 @@ object Queries {
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000").as("d"))
     val cohorts = f.groupBy("user_id").agg(min("d").as("cohort_d"))
+    // count(*), not count(DISTINCT): the activity relation is already
+    // distinct (user, day) and the cohort join adds one row per user,
+    // so each user hits a (cohort, days_since) cell at most once —
+    // same value, without the distinct-expand pass the oracle's
+    // COUNT(DISTINCT) spelling would cost at 100 TB
     f.distinct().join(cohorts, "user_id")
       .groupBy(col("cohort_d"), (col("d") - col("cohort_d")).as("days_since"))
-      .agg(countDistinct("user_id").as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_d", "days_since")
   }
 
@@ -1370,6 +1375,39 @@ object Queries {
       |   SELECT DISTINCT l_orderkey FROM lineitem WHERE l_discount >= 0.05)
       |ORDER BY l_orderkey""".stripMargin
 
+  // ---- §2.2+ correlated scalar subquery (q49) ---------------------------
+
+  /** A correlated scalar subquery in the SELECT list — the "how many
+    * children does each parent have" idiom analysts write instead of
+    * an explicit join. Catalyst decorrelates it to one aggregate +
+    * LEFT OUTER equi-join (zero per-row subquery execution — the plan
+    * q36 pins for EXISTS, here for the scalar form); the coalesce(0)
+    * is the no-lineitem case the decorrelated outer join surfaces as
+    * null. */
+  def q49CorrelatedScalar(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("q49_orders")
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("q49_lineitem")
+    spark.sql(
+      """SELECT o_orderkey,
+        |  CAST(coalesce((SELECT count(*) FROM q49_lineitem
+        |                 WHERE l_orderkey = o_orderkey), 0) AS BIGINT) AS n_items,
+        |  (SELECT max(l_extendedprice) FROM q49_lineitem
+        |   WHERE l_orderkey = o_orderkey) AS max_price
+        |FROM q49_orders
+        |WHERE o_orderkey % 7 = 0
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val q49Sql =
+    """SELECT o_orderkey,
+      |  CAST(coalesce((SELECT count(*) FROM lineitem
+      |                 WHERE l_orderkey = o_orderkey), 0) AS BIGINT) AS n_items,
+      |  (SELECT max(l_extendedprice) FROM lineitem
+      |   WHERE l_orderkey = o_orderkey) AS max_price
+      |FROM orders
+      |WHERE o_orderkey % 7 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1421,6 +1459,7 @@ object Queries {
     "q46_multi_join" -> (q46MultiJoin _),
     "q47_fuzzy_join" -> (q47FuzzyJoin _),
     "q48_intersect" -> (q48Intersect _),
+    "q49_correlated_scalar" -> (q49CorrelatedScalar _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1472,5 +1511,6 @@ object Queries {
     "q46_multi_join" -> q46Sql,
     "q47_fuzzy_join" -> q47Sql,
     "q48_intersect" -> q48Sql,
+    "q49_correlated_scalar" -> q49Sql,
   )
 }

@@ -572,7 +572,7 @@ final class GraftTable private (
     * commit is not folded into the patch (OCC still fences the
     * touched groups). Cost: O(batch + touched file groups), one extra
     * pruned read vs a plain upsert. */
-  def upsertPartial(df: DataFrame): String = {
+  def upsertPartial(df: DataFrame, extra: Map[String, String] = Map.empty): String = {
     val snap = log.snapshot()
     val current = schemaOf(snap)
     val idCols = config.partitionField.toSeq :+ config.keyField
@@ -626,7 +626,7 @@ final class GraftTable private (
         }.drop(patchCols.map(c => s"__cur_$c"): _*)
       }
     // (3) ordinary upsert of the patched full rows
-    upsert(patched)
+    upsert(patched, extra)
   }
 
   /** SQL UPDATE analog (D4 / SparkSqlUpdateNode): read-modify-write as

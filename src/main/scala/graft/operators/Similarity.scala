@@ -244,24 +244,32 @@ object Similarity {
     * ties by smallest label.
     *
     * 100 TB shape: the labeled reference is broadcast (seed sets are
-    * O(10⁴-10⁵) — driver-small by construction), the corpus streams
-    * through map-side; the only exchange is the per-corpus-id top-k
-    * window + vote, a key the corpus is already unique on. Never
-    * corpus × corpus: that quadratic lives in the dedup family with
-    * LSH/IVF candidate generation ([[lshCandidatePairs]],
-    * [[SemanticDedup]]). */
+    * O(10⁴-10⁵) — driver-small by construction, and they do NOT grow
+    * with the corpus), the corpus streams through map-side; the only
+    * exchange is the per-corpus-id top-k window + vote, a key the
+    * corpus is already unique on. Never corpus × corpus: that
+    * quadratic lives in the dedup family with LSH/IVF candidate
+    * generation ([[lshCandidatePairs]], [[SemanticDedup]]).
+    *
+    * The distance is an UNROLLED `dims`-term expression (not
+    * `aggregate(zip_with(...))`): array HOF lambdas are interpreted
+    * (CodegenFallback) and measured 10×+ slower per pair at the 10×
+    * bench scale — the unrolled tree stays inside whole-stage
+    * codegen. */
   def knnLabel(corpus: DataFrame, reference: DataFrame, idCol: String,
-      vecCol: String, labelCol: String, k: Int): DataFrame = {
+      vecCol: String, labelCol: String, k: Int, dims: Int = 64): DataFrame = {
     def quant(df: DataFrame) = df.withColumn("__q",
       transform(col(vecCol), x => floor(x.cast("double") * lit(1048576.0))))
     val ref = quant(reference)
       .select(col(idCol).as("__rid"), col(labelCol).as("__rlabel"),
         col("__q").as("__rq"))
+    val dist = (0 until dims).map { i =>
+      val d = get(col("__q"), lit(i)) - get(col("__rq"), lit(i))
+      d * d
+    }.reduce(_ + _)
     val pairs = quant(corpus).select(col(idCol), col("__q"))
       .crossJoin(broadcast(ref))
-      .withColumn("__dist",
-        aggregate(zip_with(col("__q"), col("__rq"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
+      .withColumn("__dist", dist)
     val topK = pairs
       .withColumn("__rn", row_number().over(Window.partitionBy(idCol)
         .orderBy(col("__dist").asc, col("__rid").asc)))

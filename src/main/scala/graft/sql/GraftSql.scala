@@ -51,6 +51,8 @@ final class GraftSql(catalog: GraftCatalog) {
     """(?is)\s*SHOW\s+INDEXES\s+(?:FROM|IN)\s+(\w+)\s*""".r
   private val ShowCreateRe =
     """(?is)\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*""".r
+  private val DescribeRe =
+    """(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\s*""".r
 
   def sql(text: String): DataFrame = text match {
     case DropRe(ifExists, name) =>
@@ -134,6 +136,26 @@ final class GraftSql(catalog: GraftCatalog) {
       Seq(s"CREATE TABLE $name ($cols) USING GRAFT " +
           s"OPTIONS (${opts.mkString(", ")})")
         .toDF("createtab_stmt")
+
+    // DESCRIBE TABLE: user columns (engine metadata elided, like SHOW
+    // CREATE TABLE), then the table-property rows Hudi's DESCRIBE
+    // surfaces (key / precombine / partition / type)
+    case DescribeRe(name) =>
+      val s = spark
+      import s.implicits._
+      val t = catalog.table(name)
+      val c = t.config
+      val cols = t.schema.fields
+        .filterNot(f => f.name == graft.core.TableConfig.CommitTimeCol ||
+          f.name == c.softDeleteField)
+        .map(f => (f.name, f.dataType.sql.toLowerCase, ""))
+      val props = Seq(("", "", ""),
+        ("# Record Key", c.keyField, ""),
+        ("# Precombine", c.orderingField, ""),
+        ("# Partition", c.partitionField.getOrElse("<none>"), ""),
+        ("# Table Type", c.tableType, ""),
+        ("# Buckets", c.numBuckets.toString, ""))
+      (cols.toSeq ++ props).toDF("col_name", "data_type", "comment")
 
     case ShowIndexesRe(name) =>
       val s = spark

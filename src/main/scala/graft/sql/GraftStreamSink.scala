@@ -46,7 +46,11 @@ import scala.util.control.NonFatal
   * merge work is identical to the batch upsert path.
   */
 final class GraftStreamingWrite(root: String, queryId: String,
-    writeSchema: StructType) extends StreamingWrite {
+    writeSchema: StructType, mergeMode: String = "upsert")
+    extends StreamingWrite {
+
+  require(mergeMode == "upsert" || mergeMode == "partial",
+    s"unsupported mergeMode '$mergeMode': use upsert | partial")
 
   import GraftStreamingWrite._
 
@@ -77,8 +81,12 @@ final class GraftStreamingWrite(root: String, queryId: String,
     val staged = messages.collect { case GraftStagedFiles(ps) => ps }.flatten
     if (!done && staged.nonEmpty) {
       val batch = spark.read.schema(writeSchema).parquet(staged.toSeq: _*)
-      table.upsert(batch,
-        extra = Map(QueryIdKey -> queryId, EpochKey -> epochId.toString))
+      val stamp = Map(QueryIdKey -> queryId, EpochKey -> epochId.toString)
+      // mergeMode=partial: the Hudi PartialUpdateAvroPayload write
+      // option on the streaming path — incoming NULL data columns keep
+      // the stored value (CDC feeds that send only changed fields)
+      if (mergeMode == "partial") table.upsertPartial(batch, stamp)
+      else table.upsert(batch, stamp)
       ()
     }
     deleteRecursively(stagingDir(epochId))

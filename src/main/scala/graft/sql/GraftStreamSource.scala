@@ -80,12 +80,16 @@ final class GraftStreamTable(root: String, tableSchema: StructType)
     }
 
   /** `writeStream.format("graft-stream")` — per-epoch exactly-once
-    * upsert commits (see [[GraftStreamingWrite]]). */
+    * upsert commits (see [[GraftStreamingWrite]]). Writer option
+    * `mergeMode` ∈ upsert (default) | partial (null-preserving
+    * PartialUpdateAvroPayload semantics). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toStreaming: StreamingWrite =
-          new GraftStreamingWrite(root, info.queryId(), info.schema())
+        override def toStreaming: StreamingWrite = {
+          val mode = Option(info.options.get("mergeMode")).getOrElse("upsert")
+          new GraftStreamingWrite(root, info.queryId(), info.schema(), mode)
+        }
       }
     }
 }

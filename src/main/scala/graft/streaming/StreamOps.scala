@@ -146,6 +146,28 @@ object StreamOps {
       .drop(s"__r_$key")
   }
 
+  /** Stream-stream FULL OUTER interval join: both sides' unmatched
+    * rows surface null-padded once the global watermark closes their
+    * interval — impressions that never click AND clicks that never
+    * matched an impression (fraud/ghost-click detection) from one
+    * join. State stays watermark-bounded on both sides exactly as in
+    * the inner/left variants; the only extra cost is the right side's
+    * no-match verdicts being retained to the same horizon. */
+  def streamStreamFullOuterJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, within: String = "10 minutes",
+      lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+      .withColumnRenamed(key, s"__r_$key")
+    l.join(r,
+      col(key) === col(s"__r_$key") &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+      "full_outer")
+      .withColumn(key, coalesce(col(key), col(s"__r_$key")))
+      .drop(s"__r_$key")
+  }
+
   /** Stream-static enrichment: join each micro-batch against a static
     * dimension (broadcast — the dim is planned once, no streaming
     * state). The left-join keeps unmatched stream rows (nulls in dim

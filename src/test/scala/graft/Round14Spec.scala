@@ -208,11 +208,11 @@ class Round14Spec extends AnyFunSuite {
     val corpus = Seq((1L, vec(1.0f))).toDF("vec_id", "embedding")
     // k=2: nearest two labels {7, 3} tie 1-1 -> smallest label 3 wins
     val tie = Similarity.knnLabel(corpus, ref, "vec_id", "embedding",
-      "label", k = 2).collect().head
+      "label", k = 2, dims = 2).collect().head
     assert(tie.getLong(1) == 3L && tie.getLong(2) == 1L)
     // k=4: labels {7,3,7,3} tie 2-2 -> 3; k=1: nearest only -> 7
     val k1 = Similarity.knnLabel(corpus, ref, "vec_id", "embedding",
-      "label", k = 1).collect().head
+      "label", k = 1, dims = 2).collect().head
     assert(k1.getLong(1) == 7L)
   }
 
@@ -350,12 +350,38 @@ class Round14Spec extends AnyFunSuite {
     assert(got("c") == ((1L, 0L, 1L))) // never preceded; right {a}
   }
 
+  // ---- p51 Gram matrix --------------------------------------------------
+
+  test("p51 Gram matrix: per-row outer product, no self-join, hand-checked") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.create("graft-gram-fixt-").toString
+    // two 64-dim vectors that are zero beyond dims 0..1:
+    // v1 = (1, 0.5, 0...), v2 = (2, 1, 0...) — q = x*1024 exactly
+    def vec(a: Float, b: Float) = Array(a, b) ++ Array.fill(62)(0.0f)
+    Seq((1L, vec(1.0f, 0.5f), 0L), (2L, vec(2.0f, 1.0f), 0L))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val df = PipelineQueries.eGramMatrix(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), s"Gram matrix must not self-join:\n$plan")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val q = 1024L
+    // M[0,0] = (1q)² + (2q)² = 5q²; M[0,1] = 1q·0.5q + 2q·1q = 2.5q²;
+    // M[1,1] = 0.25q² + 1q² = 1.25q²
+    assert(got((0L, 0L)) == 5L * q * q)
+    assert(got((0L, 1L)) == (q / 2) * q + 2L * q * q)
+    assert(got((1L, 1L)) == (q / 2) * (q / 2) + q * q)
+    assert(got((2L, 5L)) == 0L) // zero dims contribute zero
+    assert(got.size == 64 * 65 / 2) // full upper triangle present
+  }
+
   test("knnLabel: reference side broadcasts, corpus never self-joins") {
     import spark.implicits._
     val ref = Seq((100L, Array(1.0f), 1L)).toDF("vec_id", "embedding", "label")
     val corpus = Seq((1L, Array(1.0f))).toDF("vec_id", "embedding")
     val plan = Similarity.knnLabel(corpus, ref, "vec_id", "embedding",
-      "label", k = 1).queryExecution.executedPlan.toString()
+      "label", k = 1, dims = 1).queryExecution.executedPlan.toString()
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan)
   }

@@ -265,6 +265,24 @@ class SqlSpec extends AnyFunSuite {
       gsql.sql("ALTER TABLE alt_sql ADD COLUMNS (score DOUBLE)") }
   }
 
+  test("DESCRIBE TABLE lists user columns and table properties") {
+    gsql.sql("""CREATE TABLE desc_t (id BIGINT, name STRING, ts BIGINT)
+      USING GRAFT OPTIONS (primaryKey='id', precombine='ts')""")
+    val rows = gsql.sql("DESCRIBE TABLE desc_t")
+      .as[(String, String, String)].collect().toSeq
+    val cols = rows.takeWhile(_._1.nonEmpty).map(r => (r._1, r._2))
+    assert(cols == Seq(("id", "bigint"), ("name", "string"), ("ts", "bigint")))
+    val props = rows.filter(_._1.startsWith("#"))
+      .map { case (k, v, _) => k -> v }.toMap
+    assert(props("# Record Key") == "id")
+    assert(props("# Precombine") == "ts")
+    assert(props("# Partition") == "<none>")
+    // engine metadata columns are elided
+    assert(!rows.exists(_._1 == graft.core.TableConfig.CommitTimeCol))
+    // short form parses too
+    assert(gsql.sql("DESC desc_t").count() == rows.length)
+  }
+
   test("SHOW CREATE TABLE round-trips: emitted DDL reproduces the table") {
     gsql.sql("""CREATE TABLE sct (id BIGINT, city STRING, v DOUBLE, ts BIGINT)
       USING GRAFT OPTIONS (primaryKey='id', precombine='ts',

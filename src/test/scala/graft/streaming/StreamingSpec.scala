@@ -257,6 +257,78 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER join surfaces both sides' no-matches") {
+    val impDir = tmp()
+    val clkDir = tmp()
+    writeJson(impDir, "imps.json",
+      """{"imp_ts":"2024-01-01 10:00:00","ad_id":1,"campaign":"c1"}""",
+      """{"imp_ts":"2024-01-01 10:00:00","ad_id":2,"campaign":"c2"}""")
+    writeJson(clkDir, "clicks.json",
+      """{"click_ts":"2024-01-01 10:05:00","ad_id":1}""", // matches imp 1
+      """{"click_ts":"2024-01-01 10:05:00","ad_id":77}""") // ghost click
+    val impSchema = StructType(Seq(StructField("imp_ts", TimestampType),
+      StructField("ad_id", LongType), StructField("campaign", StringType)))
+    val clkSchema = StructType(Seq(StructField("click_ts", TimestampType),
+      StructField("ad_id", LongType)))
+    val imps = spark.readStream.schema(impSchema).json(impDir)
+    val clicks = spark.readStream.schema(clkSchema).json(clkDir)
+    val joined = StreamOps.streamStreamFullOuterJoin(imps, clicks, "ad_id",
+      "imp_ts", "click_ts", within = "10 minutes", lateness = "1 minute")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("fouter_out").start()
+    try {
+      q.processAllAvailable()
+      // push the global watermark past every open interval, twice
+      // (outer verdicts surface one batch after the advance)
+      for (i <- 2 to 3) {
+        writeJson(impDir, s"imps$i.json",
+          s"""{"imp_ts":"2024-01-01 1$i:00:00","ad_id":99$i,"campaign":"px"}""")
+        writeJson(clkDir, s"clicks$i.json",
+          s"""{"click_ts":"2024-01-01 1$i:00:00","ad_id":98$i}""")
+        q.processAllAvailable()
+      }
+      val rows = spark.sql(
+        "select ad_id, campaign, click_ts from fouter_out where ad_id in (1, 2, 77)")
+        .as[(Long, Option[String], Option[java.sql.Timestamp])].collect().toSet
+      assert(rows.map(r => (r._1, r._2.isDefined, r._3.isDefined)) ==
+        Set((1L, true, true),    // matched pair
+            (2L, true, false),   // impression without click
+            (77L, false, true)), // click without impression
+        s"got $rows")
+    } finally q.stop()
+  }
+
+  test("streaming sink mergeMode=partial keeps stored values for null columns") {
+    import graft.core.{GraftTable, TableConfig}
+    val root = tmp()
+    def c(n: String) = TableConfig(
+      name = n, keyField = "k", orderingField = "ts", numBuckets = 2)
+    val src = GraftTable.create(spark, s"$root/src", c("psink_src"))
+    val dst = GraftTable.create(spark, s"$root/dst", c("psink_dst"))
+    dst.insert(Seq(("a", 1L, Option(10.0), Option("x")))
+      .toDF("k", "ts", "v", "tag"))
+    // the CDC-feed shape: only changed fields arrive, the rest null
+    src.insert(Seq(("a", 2L, Option.empty[Double], Option("y")),
+      ("b", 1L, Option(20.0), Option.empty[String]))
+      .toDF("k", "ts", "v", "tag"))
+    val q = spark.readStream.format("graft-stream")
+      .option("path", s"$root/src").load()
+      .select("k", "ts", "v", "tag")
+      .writeStream.outputMode("append").format("graft-stream")
+      .option("path", s"$root/dst")
+      .option("mergeMode", "partial")
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val got = dst.read().select("k", "ts", "v", "tag")
+        .as[(String, Long, Option[Double], Option[String])]
+        .collect().sortBy(_._1).toSeq
+      assert(got == Seq(
+        ("a", 2L, Some(10.0), Some("y")), // v kept from the stored row
+        ("b", 1L, Some(20.0), None)))     // new key: nulls stay null
+    } finally q.stop()
+  }
+
   test("stream-static enrichment broadcasts the dimension, keeps misses") {
     val in = tmp()
     writeJson(in, "b1.json",
