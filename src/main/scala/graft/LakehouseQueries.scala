@@ -779,6 +779,22 @@ object LakehouseQueries {
       |WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY event_type, user_id""".stripMargin
 
+  // ---- T6+ snapshot export (l28) -------------------------------------
+
+  /** Hudi snapshot-exporter analog: the MOR table's realtime-merged
+    * state exported as plain hive-partitioned parquet, then read back
+    * with a BARE `spark.read.parquet` — no commit log, no engine — and
+    * compared against the oracle merge. Proves the handoff format a
+    * non-graft consumer would load. */
+  def qSnapshotExport(spark: SparkSession, dir: String): DataFrame = {
+    val t = build(spark, dir, "ev_export", TableConfig.Mor)
+    val dest = freshRoot("ev_export_out")
+    TableServices.exportSnapshot(t, dest)
+    out(spark.read.parquet(dest))
+  }
+
+  // -------------------------------------------------------------------
+
   // ---- A3 key-uniqueness invariant over the lakehouse table ---------
 
   /** The test-suite's duplicate-detection gate run against our own
@@ -828,6 +844,7 @@ object LakehouseQueries {
     "l25_partial_upsert" -> (qPartialUpsert _),
     "l26_drop_column" -> (qDropColumn _),
     "l27_clean" -> (qClean _),
+    "l28_snapshot_export" -> (qSnapshotExport _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -858,5 +875,6 @@ object LakehouseQueries {
     "l25_partial_upsert" -> partialUpsertSql,
     "l26_drop_column" -> dropColumnSql,
     "l27_clean" -> cleanSql,
+    "l28_snapshot_export" -> cowUpsertSql,
   )
 }

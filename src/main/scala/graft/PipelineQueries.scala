@@ -1533,6 +1533,28 @@ object PipelineQueries {
       |  count(*) AS n, CAST(sum(p) AS BIGINT) AS m2
       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- dedup cluster-size histogram (p52) -------------------------------
+
+  /** Dedup observability: the size distribution of near-dup clusters —
+    * the first chart a curation run reports (how much of the corpus is
+    * duplicated, and in how large families?). Two O(clusters)
+    * aggregates on top of the p13 component labels; the histogram
+    * relation is O(distinct sizes). Oracle reuses the p13 transitive-
+    * closure CTEs. */
+  def dClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.minhashLsh(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", k = 5, threshold = 0.7))
+      .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("size")
+
+  private val dClusterSizesSql = closureCtes + "\n" +
+    """,c AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |       FROM reach GROUP BY a),
+      |s AS (SELECT cluster_id, count(*) AS size FROM c GROUP BY 1)
+      |SELECT size, count(*) AS n_clusters FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1586,6 +1608,7 @@ object PipelineQueries {
     "p49_keywords" -> (cKeywords _),
     "p50_kn_counts" -> (cKnCounts _),
     "p51_gram_matrix" -> (eGramMatrix _),
+    "p52_cluster_sizes" -> (dClusterSizes _),
     "p45_decontaminate" -> (cDecontaminate _),
   )
 
@@ -1647,6 +1670,7 @@ object PipelineQueries {
     "p49_keywords" -> cKeywordsSql,
     "p50_kn_counts" -> cKnCountsSql,
     "p51_gram_matrix" -> eGramMatrixSql,
+    "p52_cluster_sizes" -> dClusterSizesSql,
     "p45_decontaminate" -> cDecontaminateSql,
   )
 }

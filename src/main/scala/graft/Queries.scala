@@ -1408,6 +1408,50 @@ object Queries {
       |WHERE o_orderkey % 7 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- L1+ top-k over a join-aggregate (q50, TPC-H Q3 shape) ----------
+
+  /** Shipping-priority top-10: the TPC-H Q3 composite — selective dim
+    * filter → fact⋈fact join → per-order aggregate → ORDER BY revenue
+    * LIMIT 10. The plan property under test: the final ordering is
+    * TakeOrderedAndProject over the aggregate (heap of 10 per
+    * partition + driver merge), never a full sort of the O(orders)
+    * aggregate — the difference between seconds and a cluster-wide
+    * sort at 100 TB. Ties on revenue break by l_orderkey. */
+  def q50TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1997-06-30").cast(TimestampType)
+    val cust = Tables.load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > cut)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(sum(d2(col("l_extendedprice")) *
+          (lit(1).cast(dec) - d2(col("l_discount")))).cast(DoubleType)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q50Sql =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      |       AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-06-30'
+      |  AND l_shipdate  > TIMESTAMP '1997-06-30'
+      |GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1460,6 +1504,7 @@ object Queries {
     "q47_fuzzy_join" -> (q47FuzzyJoin _),
     "q48_intersect" -> (q48Intersect _),
     "q49_correlated_scalar" -> (q49CorrelatedScalar _),
+    "q50_top_revenue" -> (q50TopRevenue _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1512,5 +1557,6 @@ object Queries {
     "q47_fuzzy_join" -> q47Sql,
     "q48_intersect" -> q48Sql,
     "q49_correlated_scalar" -> q49Sql,
+    "q50_top_revenue" -> q50Sql,
   )
 }

@@ -260,6 +260,23 @@ object TableServices {
     deletable
   }
 
+  /** Snapshot exporter (Hudi's HoodieSnapshotExporter analog): write
+    * the table's CURRENT merged snapshot as plain, engine-agnostic
+    * parquet under `dest` — hive-style partition dirs when the table
+    * is partitioned, engine metadata columns dropped. The handoff
+    * format for consumers that don't speak the commit log. Cost: one
+    * snapshot read + one parquet write, fully distributed; for MOR
+    * the export IS the realtime merge, so exporting also proves the
+    * log-free view external engines would read. */
+  def exportSnapshot(t: GraftTable, dest: String): Unit = {
+    val df = t.read()
+      .drop(TableConfig.CommitTimeCol, t.config.softDeleteField)
+    t.config.partitionField match {
+      case Some(p) => df.write.mode("overwrite").partitionBy(p).parquet(dest)
+      case None => df.write.mode("overwrite").parquet(dest)
+    }
+  }
+
   /** Archival (T3): fold old commit files into the archive log so the
     * hot timeline dir stays O(retained). */
   def archive(t: GraftTable, retainCommits: Int = 20): Int = {

@@ -376,6 +376,38 @@ class Round14Spec extends AnyFunSuite {
     assert(got.size == 64 * 65 / 2) // full upper triangle present
   }
 
+  // ---- q50 top-k over join-aggregate ------------------------------------
+
+  test("q50: top-10 runs as TakeOrderedAndProject, never a full sort") {
+    val df = Queries.q50TopRevenue(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("GlobalLimit"), // TOAP subsumes sort+limit
+      s"limit fell back to sort+limit:\n$plan")
+    val rows = df.collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.toSeq == revs.sortBy(-_).toSeq)
+  }
+
+  // ---- l28 snapshot export ----------------------------------------------
+
+  test("exportSnapshot: engine-agnostic parquet, metadata columns dropped") {
+    import spark.implicits._
+    val t = mkTable("export_spec", TableConfig.Mor)
+    t.insert(Seq((1L, 1L, "x", 10L)).toDF("k", "ts", "a", "b"))
+    t.upsert(Seq((1L, 2L, "y", 11L)).toDF("k", "ts", "a", "b")) // delta
+    val dest = freshRoot("export_spec_out")
+    graft.core.TableServices.exportSnapshot(t, dest)
+    val back = spark.read.parquet(dest)
+    // merged view (the delta won), no engine columns
+    assert(!back.columns.contains(graft.core.TableConfig.CommitTimeCol))
+    assert(!back.columns.exists(_.contains("deleted")))
+    val r = back.select("k", "ts", "a", "b").as[(Long, Long, String, Long)]
+      .collect().toSeq
+    assert(r == Seq((1L, 2L, "y", 11L)))
+  }
+
   test("knnLabel: reference side broadcasts, corpus never self-joins") {
     import spark.implicits._
     val ref = Seq((100L, Array(1.0f), 1L)).toDF("vec_id", "embedding", "label")
