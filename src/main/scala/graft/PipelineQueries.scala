@@ -1555,6 +1555,45 @@ object PipelineQueries {
       |s AS (SELECT cluster_id, count(*) AS size FROM c GROUP BY 1)
       |SELECT size, count(*) AS n_clusters FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- skip-gram co-occurrence counts (p53) -----------------------------
+
+  /** The word-embedding training statistic: (center, context) pair
+    * counts within a ±2 token window — the input matrix of
+    * GloVe/PPMI/word2vec-CBOW pipelines (Pennington '14). Ordered
+    * pairs, so the matrix is symmetric by construction and exact
+    * integer counts hash-match across engines.
+    *
+    * Plan at 100 TB: the pair relation is built PER ROW with nested
+    * array HOFs (each position pairs with its ≤4 in-window neighbors)
+    * and exploded once — no position self-join, no corpus shuffle
+    * before the one map-side-combined (w, c) aggregate over the
+    * O(vocab²∩observed) domain. */
+  def cCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("ws"))
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ws")) - 1),
+        i => transform(
+          filter(array(i - 2, i - 1, i + 1, i + 2),
+            j => j >= 0 && j < size(col("ws"))),
+          j => struct(get(col("ws"), i).as("w"),
+            get(col("ws"), j).as("c")))))).as("p"))
+      .select(col("p.w").as("w"), col("p.c").as("c"))
+      .groupBy("w", "c")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("w", "c")
+  }
+
+  private val cCooccurrenceSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |e AS (SELECT doc_id, u.i AS i, ws[u.i] AS w
+      |  FROM t, unnest(generate_series(1, len(ws))) AS u(i)),
+      |p AS (SELECT a.w AS w, b.w AS c
+      |  FROM e a JOIN e b ON a.doc_id = b.doc_id
+      |    AND b.i BETWEEN a.i - 2 AND a.i + 2 AND b.i <> a.i)
+      |SELECT w, c, count(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1609,6 +1648,7 @@ object PipelineQueries {
     "p50_kn_counts" -> (cKnCounts _),
     "p51_gram_matrix" -> (eGramMatrix _),
     "p52_cluster_sizes" -> (dClusterSizes _),
+    "p53_cooccurrence" -> (cCooccurrence _),
     "p45_decontaminate" -> (cDecontaminate _),
   )
 
@@ -1671,6 +1711,7 @@ object PipelineQueries {
     "p50_kn_counts" -> cKnCountsSql,
     "p51_gram_matrix" -> eGramMatrixSql,
     "p52_cluster_sizes" -> dClusterSizesSql,
+    "p53_cooccurrence" -> cCooccurrenceSql,
     "p45_decontaminate" -> cDecontaminateSql,
   )
 }

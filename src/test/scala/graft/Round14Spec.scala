@@ -408,6 +408,29 @@ class Round14Spec extends AnyFunSuite {
     assert(r == Seq((1L, 2L, "y", 11L)))
   }
 
+  // ---- p53 co-occurrence ---------------------------------------------------
+
+  test("p53 co-occurrence: ±2 window pairs, join-free plan, hand-checked") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.create("graft-cooc-fixt-").toString
+    Seq((1L, "a b c a")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val df = PipelineQueries.cCooccurrence(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), s"co-occurrence must not self-join:\n$plan")
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // positions: a0 b1 c2 a3; window ±2 ordered pairs:
+    // (a,b):a0→b1 = 1 plus a3→b1 = 1 → 2; (a,c): a0→c2 + a3→c2 = 2;
+    // (a,a): a0↔a3 distance 3 → 0; (b,a): symmetric 2; (b,c): 1; (c,a): 2
+    assert(got(("a", "b")) == 2L && got(("b", "a")) == 2L)
+    assert(got(("a", "c")) == 2L && got(("c", "a")) == 2L)
+    assert(got(("b", "c")) == 1L && got(("c", "b")) == 1L)
+    assert(!got.contains(("a", "a")))
+    // symmetric by construction
+    got.keys.foreach { case (w, c) => assert(got((c, w)) == got((w, c))) }
+  }
+
   test("knnLabel: reference side broadcasts, corpus never self-joins") {
     import spark.implicits._
     val ref = Seq((100L, Array(1.0f), 1L)).toDF("vec_id", "embedding", "label")
