@@ -1452,6 +1452,39 @@ object Queries {
       |  AND l_shipdate  > TIMESTAMP '1997-06-30'
       |GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  // ---- W1+ positional window values (q51) ------------------------------
+
+  /** first_value / nth_value / last_value over an explicit running
+    * frame — "what was this user's first event, second event, and
+    * latest event so far" per row. Completes the window family
+    * (q19 lag/lead/rank, q27 distribution ranks, q30 range frames,
+    * q33 ignoreNulls fill). One (user_id) exchange + sort serves all
+    * three positional functions; the (ts_us, event_id) composite
+    * order key pins determinism in both engines. */
+  def q51PositionalWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        first(col("event_type")).over(w).as("first_type"),
+        nth_value(col("event_type"), 2).over(w).as("second_type"),
+        last(col("event_type")).over(w).as("latest_type"))
+      .orderBy("event_id")
+  }
+
+  private val q51Sql =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |  first_value(event_type) OVER w AS first_type,
+      |  nth_value(event_type, 2) OVER w AS second_type,
+      |  last_value(event_type) OVER w AS latest_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id
+      |  ORDER BY epoch_us(ts) ASC, event_id ASC
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1505,6 +1538,7 @@ object Queries {
     "q48_intersect" -> (q48Intersect _),
     "q49_correlated_scalar" -> (q49CorrelatedScalar _),
     "q50_top_revenue" -> (q50TopRevenue _),
+    "q51_positional_window" -> (q51PositionalWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1558,5 +1592,6 @@ object Queries {
     "q48_intersect" -> q48Sql,
     "q49_correlated_scalar" -> q49Sql,
     "q50_top_revenue" -> q50Sql,
+    "q51_positional_window" -> q51Sql,
   )
 }
