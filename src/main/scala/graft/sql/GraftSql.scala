@@ -139,8 +139,10 @@ final class GraftSql(catalog: GraftCatalog) {
 
     // DESCRIBE TABLE: user columns (engine metadata elided, like SHOW
     // CREATE TABLE), then the table-property rows Hudi's DESCRIBE
-    // surfaces (key / precombine / partition / type)
-    case DescribeRe(name) =>
+    // surfaces (key / precombine / partition / type). Non-graft names
+    // (temp views, spark catalog tables) keep the spark.sql
+    // fall-through they always had.
+    case DescribeRe(name) if catalog.listTables().contains(name) =>
       val s = spark
       import s.implicits._
       val t = catalog.table(name)
