@@ -203,6 +203,40 @@ object PipelineQueries {
       |       count(*) AS n_members
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Deep-chain connected components: three interleaved path graphs of
+    * 60 nodes each (diameter 59) planted over the 180 smallest doc
+    * ids — id-interleaved so labels genuinely propagate hop by hop.
+    * Plain O(diameter) min-label relaxation at the old default cap of
+    * 20 rounds FAILED this shape (split clusters); the pointer-jumping
+    * [[Dedup.connectedComponents]] converges in ~⌈log₂ 59⌉ + ε rounds.
+    * Oracle: chain membership is rank mod 3, so cluster = min id of
+    * the rank class.
+    *
+    * The 180-id fixture is built with a TakeOrdered limit + a window
+    * over that 180-row frame — the single-partition window is over the
+    * FIXTURE, not the corpus, so the gate stays scale-safe. */
+  def dCcChain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = Tables.load(spark, dir, "documents")
+      .select("doc_id").orderBy("doc_id").limit(180)
+    val ranked = ids
+      .withColumn("rn", row_number().over(Window.orderBy("doc_id")) - 1)
+      .withColumn("c", col("rn") % 3)
+      .withColumn("pos", expr("rn DIV 3"))
+    val pairs = ranked.as("x").join(ranked.as("y"),
+        col("x.c") === col("y.c") && col("x.pos") + 1 === col("y.pos"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    Dedup.connectedComponents(pairs).orderBy("doc_id")
+  }
+
+  private val dCcChainSql =
+    """WITH ids AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 180),
+      |g AS (SELECT doc_id,
+      |        (row_number() OVER (ORDER BY doc_id) - 1) % 3 AS c
+      |      FROM ids)
+      |SELECT doc_id, min(doc_id) OVER (PARTITION BY c) AS cluster_id
+      |FROM g ORDER BY doc_id""".stripMargin
+
   // ---- similarity search ---------------------------------------------
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
@@ -1650,6 +1684,7 @@ object PipelineQueries {
     "p52_cluster_sizes" -> (dClusterSizes _),
     "p53_cooccurrence" -> (cCooccurrence _),
     "p45_decontaminate" -> (cDecontaminate _),
+    "p54_cc_chain" -> (dCcChain _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1713,5 +1748,7 @@ object PipelineQueries {
     "p52_cluster_sizes" -> dClusterSizesSql,
     "p53_cooccurrence" -> cCooccurrenceSql,
     "p45_decontaminate" -> cDecontaminateSql,
+    // p54: diameter-59 planted chains — cluster = min id of rank class
+    "p54_cc_chain" -> dCcChainSql,
   )
 }

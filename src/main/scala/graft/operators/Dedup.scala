@@ -226,13 +226,23 @@ object Dedup {
   }
 
   /** Duplicate *clusters* from near-dup pairs: connected components by
-    * iterative min-label propagation (each node adopts the smallest id
-    * reachable; converges in O(diameter) rounds — the standard
-    * large-graph CC formulation, cf. Kiveris et al. "Connected
-    * Components in MapReduce", SoCC'14). Returns (doc_id, cluster_id)
-    * for every doc that appears in at least one pair; cluster_id =
-    * smallest doc id in the component. */
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    * min-label propagation WITH POINTER JUMPING — each round every node
+    * adopts min(own label, neighbours' labels) and then follows its
+    * label's label (path halving), so convergence is O(log diameter)
+    * rounds, not O(diameter) (the hooking/jumping family of parallel CC
+    * algorithms — Shiloach–Vishkin '82; Kiveris et al. "Connected
+    * Components in MapReduce", SoCC'14 reach the same bound via
+    * large-star/small-star). A 10⁶-node path graph converges in ~20
+    * rounds; plain relaxation would need 10⁶. Returns
+    * (doc_id, cluster_id) for every doc that appears in at least one
+    * pair; cluster_id = smallest doc id in the component.
+    *
+    * If the loop exhausts `maxIterations` with labels still moving the
+    * call THROWS rather than returning split clusters — silent
+    * under-dedup corrupts every downstream keep-best/histogram; with
+    * jumping the default 50 covers diameters past 2⁵⁰, so hitting the
+    * cap means something is genuinely wrong. */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
@@ -248,38 +258,66 @@ object Dedup {
     val changedAcc = pairs.sparkSession.sparkContext
       .longAccumulator("graft.cc.changed")
     try {
+      // Every iteration ends in an EAGER localCheckpoint: the label
+      // relation is referenced multiple times per round (neighbour
+      // join + the jump self-join), so without lineage truncation the
+      // logical plan TREE doubles per round — treeString/cachedName
+      // render it exponentially and OOM the driver long before the
+      // data does. Checkpointing makes the per-round plan constant
+      // size; the blocks of superseded rounds are reclaimed by the
+      // ContextCleaner once unreferenced.
       var labels = edges.groupBy(col("a").as("doc_id"))
         .agg(min(col("b")).as("minb"))
         .select(col("doc_id"),
           least(col("doc_id"), col("minb")).as("cluster_id"))
-        .persist()
+        .localCheckpoint()
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIterations) {
-        // each node adopts min(own label, neighbours' labels); the
-        // _changed flag rides along so the foreach below can count
-        // updates while it populates the cache
+        // (1) edge relaxation: each node adopts min(own label,
+        // neighbours' labels). Persisted because the jump below reads
+        // it twice (as itself and as the node→label lookup side).
         val viaNeighbors = edges
           .join(labels.select(col("doc_id").as("b"), col("cluster_id")), Seq("b"))
           .groupBy(col("a").as("doc_id"))
           .agg(min(col("cluster_id")).as("n_label"))
-        val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        val relaxed = labels.join(viaNeighbors, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("cluster_id"), coalesce(col("n_label"), col("cluster_id")))
-              .as("cluster_id"),
-            (col("n_label").isNotNull && col("n_label") < col("cluster_id"))
-              .as("_changed"))
+              .as("relab"),
+            col("cluster_id").as("old"))
           .persist()
+        // (2) pointer jump (path halving): adopt the label OF the
+        // label. Every label value is itself a node id in `relaxed`
+        // (labels are mins over node ids of the same component), so
+        // the left join always hits; coalesce is belt-and-braces.
+        // This is what turns O(diameter) into O(log diameter).
+        val next = relaxed.join(
+            // node → its label, keyed for the lookup; doc_id is unique
+            // (it comes out of a groupBy) so this side needs no agg
+            relaxed.select(col("doc_id").as("relab"), col("relab").as("hop")),
+            Seq("relab"), "left")
+          .select(col("doc_id"),
+            least(col("relab"), coalesce(col("hop"), col("relab")))
+              .as("cluster_id"),
+            (least(col("relab"), coalesce(col("hop"), col("relab")))
+              < col("old")).as("_changed"))
+          .localCheckpoint() // eager: materializes + truncates lineage
         val before = changedAcc.value
         next.foreach(r => if (r.getAs[Boolean]("_changed")) changedAcc.add(1L))
         changed = changedAcc.value - before
-        labels.unpersist()
+        relaxed.unpersist()
         labels = next
         iter += 1
       }
-      val out = labels.select("doc_id", "cluster_id").localCheckpoint()
-      labels.unpersist() // localCheckpoint is eager; the cache is done
-      out
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within $maxIterations " +
+            "pointer-jumping iterations (labels were still moving). " +
+            "With path halving this covers component diameters past " +
+            "2^maxIterations, so the input pair graph is pathological " +
+            "or corrupt; raise maxIterations only after understanding why.")
+      labels.select("doc_id", "cluster_id")
     } finally edges.unpersist()
   }
 
