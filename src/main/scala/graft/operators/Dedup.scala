@@ -514,30 +514,75 @@ object Dedup {
     // xxhash64 term identity, the p3/p36 convention: the shingle
     // string dies map-side, only 8-byte hashes reach the term shuffle
     // (cluster network-bytes win; collision odds 2⁻⁶⁴ per pair).
-    val buckets = docs
+    //
+    // PREFIX FILTERING (Chaudhuri/Bayardo '06-'07 family): rank each
+    // doc's kept terms by the global (df ASC, term) order; the PREFIX
+    // of doc x is its first  n_x − ⌈t·n_x⌉ + 1  rarest terms. A
+    // qualifying pair (s, l) with (n_s, id_s) < (n_l, id_l) needs
+    // |∩| ≥ ⌈t·n_s⌉; if l shared NO prefix term of s, the overlap
+    // would fit inside s's suffix: |∩| ≤ n_s − plen_s = ⌈t·n_s⌉ − 1 —
+    // contradiction. So candidates = (prefix occurrence of the
+    // size-smaller doc) × (any occurrence), COMPLETE, and the
+    // boilerplate-heavy high-df terms mostly sit in suffixes where
+    // they generate nothing — the df² expansion collapses to
+    // |prefix postings| · df per term. The threshold decision is
+    // unchanged integer cross-multiplication; prefix lengths are the
+    // exact integer ⌈⌉ via (num·n + den − 1) DIV den, so no float
+    // enters candidate generation either.
+    val kept = docs
       .select(col(idCol).as("id"),
         explode(wordShingles(col(textCol), k)).as("term"))
       .groupBy(xxhash64(col("term")).as("term"))
-      .agg(count(lit(1)).as("df"), sort_array(collect_list(col("id"))).as("xs"))
+      .agg(count(lit(1)).as("df"), collect_list(col("id")).as("ids"))
       .filter(col("df") <= maxDf)
+      .select(col("term"), col("df"), explode(col("ids")).as("id"))
+    // one id-shuffle: rank within doc by global rarity AND size n;
+    // the groupBy(id) for the verification vectors below reuses this
+    // partitioning (no second exchange on id)
+    val wId = Window.partitionBy("id")
+    val wRank = wId.orderBy(col("df"), col("term"))
+    val marked = kept
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wId))
+      .withColumn("pfx", col("rnk") <=
+        col("n") - expr(s"($thresholdNum * n + ${thresholdDen - 1}) " +
+          s"DIV $thresholdDen") + 1)
       .persist()
     try {
-      val sizes = buckets.select(explode(col("xs")).as("id"))
-        .groupBy("id").agg(count(lit(1)).as("n"))
-      val inters = bucketPairs(buckets.filter(size(col("xs")) >= 2), "xs",
-          "struct(__x AS id_a, y AS id_b)")
+      // verification vectors: each doc's full kept-term set + size
+      val vecs = marked.groupBy("id")
+        .agg(collect_list(col("term")).as("ts"), count(lit(1)).as("n"))
+      // candidate generation: per term, (size, id)-sorted postings;
+      // anchors restricted to prefix occurrences, tails chunked per
+      // anchor (the bucketPairs memory discipline — one O(df) slice
+      // per row, never a flattened O(df²) array)
+      val cands = marked
+        .groupBy("term")
+        .agg(sort_array(collect_list(
+          struct(col("n"), col("id"), col("pfx")))).as("xs"))
+        .filter(size(col("xs")) >= 2)
+        .select(col("xs"), posexplode(expr("filter(xs, e -> e.pfx)"))
+          .as(Seq("__i", "__x")))
+        .select(explode(expr(
+          "transform(filter(xs, y -> y.n > __x.n OR (y.n = __x.n AND y.id > __x.id)), " +
+            "y -> struct(__x.id AS id_a, y.id AS id_b))")).as("p"))
         .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      inters
-        .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
-        .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+        .distinct()
+      cands
+        .join(vecs.select(col("id").as("id_a"), col("ts").as("ts_a"),
+          col("n").as("n_a")), "id_a")
+        .join(vecs.select(col("id").as("id_b"), col("ts").as("ts_b"),
+          col("n").as("n_b")), "id_b")
+        .withColumn("inter",
+          size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
         .filter(col("inter") * thresholdDen >=
           least(col("n_a"), col("n_b")) * thresholdNum)
-        .select(col("id_a"), col("id_b"),
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"),
           (col("inter").cast("double") /
             least(col("n_a"), col("n_b")).cast("double")).as("containment"))
         .localCheckpoint()
-    } finally buckets.unpersist()
+    } finally marked.unpersist()
   }
 
   /** Line-level dedup (CCNet-style boilerplate removal, Wenzek '19):
