@@ -400,13 +400,13 @@ object Dedup {
     * document frequency and the inverted list together, with the
     * df ≤ maxDf cut as a filter on that relation (no separate stop
     * pass, no anti-join — boilerplate terms die where they are
-    * counted); an id shuffle ranks each doc's terms by global rarity
-    * and flags the PREFIX (see below); one more term shuffle expands
-    * prefix-anchored candidates; the exact dot is then a per-pair
-    * weighted map intersection on the verification vectors — no
-    * (id_a, id_b)-keyed aggregation over the full co-occurrence
-    * expansion ever materializes. The corpus is scanned and shingled
-    * exactly once; nothing corpus-sized is ever self-joined raw. */
+    * counted); per-term fanout is then capped at maxDf elements
+    * (≤ maxDf²/2 pairs per term, and [[bucketPairs]]' chunked
+    * expansion + size guard apply); one (id_a, id_b) shuffle sums the
+    * dot; norms re-derive from the kept inverted lists (one id
+    * shuffle of the same relation) and join only the thresholdable
+    * pair relation. The corpus is scanned and shingled exactly once;
+    * nothing corpus-sized is ever self-joined raw. */
   def tfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, thresholdNum: Int = 3, thresholdDen: Int = 5,
       maxDf: Int = 64): DataFrame = {
@@ -443,79 +443,28 @@ object Dedup {
     // shingles' postings; at 2⁻⁶⁴ pair probability the p1-p3 stack
     // already accepts this trade, and the sf0.01 oracle (string
     // identity) stays green.
-    //
-    // PREFIX FILTERING for weighted cosine (Bayardo '07 All-Pairs,
-    // Cauchy–Schwarz form): rank each doc's kept terms by the global
-    // (df ASC, term) order and flag as PREFIX every rank r whose tail
-    // weight satisfies  den² · Σ_{rnk ≥ r} tf² ≥ num² · n2 . For a
-    // qualifying pair (a, b) with id_a < id_b, if b shared NO prefix
-    // term of a then every shared term lies in a's suffix, and by
-    // Cauchy–Schwarz  dot ≤ √(suf2_a) · √(n2_b) < (num/den)·√(n2_a·n2_b)
-    // — below threshold, contradiction. So candidates = (prefix
-    // occurrence of the id-smaller doc) × (any id-greater occurrence),
-    // COMPLETE; the boilerplate high-df terms sit in suffixes where
-    // they anchor nothing, collapsing the df² expansion to
-    // |prefix postings| · df per term. All prefix arithmetic is exact
-    // DECIMAL(38,0) — no float enters candidate generation — and the
-    // threshold decision is the unchanged integer cross-multiplication.
-    val num2 = lit(thresholdNum.toLong * thresholdNum).cast(dec)
-    val den2 = lit(thresholdDen.toLong * thresholdDen).cast(dec)
     val terms = docs
       .select(col(idCol).as("id"),
         explode(wordShinglesAll(col(textCol), k)).as("term"))
       .groupBy(col("id"), xxhash64(col("term")).as("term"))
       .agg(count(lit(1)).as("tf"))
-    val kept = terms.groupBy("term")
+    val buckets = terms.groupBy("term")
       .agg(count(lit(1)).as("df"),
-        collect_list(struct(col("id"), col("tf"))).as("es"))
+        sort_array(collect_list(struct(col("id"), col("tf")))).as("xs"))
       .filter(col("df") <= maxDf)
-      .select(col("term"), col("df"), explode(col("es")).as("e"))
-      .select(col("term"), col("df"), col("e.id").as("id"),
-        col("e.tf").as("tf"))
-    // one id-shuffle computes norm, rarity rank, and the prefix flag
-    // together; the groupBy(id) for the verification vectors below
-    // reuses this partitioning (no second exchange on id)
-    val wId = Window.partitionBy("id")
-    val wCum = wId.orderBy(col("df"), col("term"))
-    val tf2 = (col("tf") * col("tf")).cast(dec)
-    val marked = kept
-      .withColumn("n2", sum(tf2).over(wId))
-      // tail2(r) = Σ_{rnk ≥ r} tf² = n2 − (running sum through r) + tf²(r)
-      .withColumn("tail2", col("n2") - sum(tf2).over(wCum) + tf2)
-      .withColumn("pfx", den2 * col("tail2") >= num2 * col("n2"))
       .persist()
     try {
-      val norms = marked.groupBy("id").agg(first(col("n2")).as("n2"))
-      // candidate generation: per term, id-sorted postings; anchors
-      // restricted to prefix occurrences, tails are the id-greater
-      // occurrences (one O(df) slice per anchor row — the bucketPairs
-      // memory discipline, never a flattened O(df²) array)
-      val cands = marked
-        .groupBy("term")
-        .agg(sort_array(collect_list(struct(col("id"), col("pfx")))).as("xs"))
-        .filter(size(col("xs")) >= 2)
-        .select(col("xs"), posexplode(expr("filter(xs, e -> e.pfx)"))
-          .as(Seq("__i", "__x")))
-        .select(explode(expr(
-          "transform(filter(xs, y -> y.id > __x.id), " +
-            "y -> struct(__x.id AS id_a, y.id AS id_b))")).as("p"))
-        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-        .distinct()
-      // exact dot for candidates only: explode the id-smaller side's
-      // postings per pair (skinny 3-long rows, never whole vectors —
-      // a map-valued verification vector was measured 6× SLOWER here:
-      // Spark maps are array-backed, so each lookup is O(|doc|) and
-      // the per-pair dot degenerates to O(|a|·|b|)), then one hash
-      // join on (id_b, term) keeps exactly the shared terms. Long
-      // products (tf ≤ doc length, so tf·tf can't overflow) summed
-      // in decimal.
-      val dots = cands
-        .join(marked.select(col("id").as("id_a"), col("term"),
-          col("tf").as("tf_a")), "id_a")
-        .join(marked.select(col("id").as("id_b"), col("term"),
-          col("tf").as("tf_b")), Seq("id_b", "term"))
-        .groupBy("id_a", "id_b")
-        .agg(sum((col("tf_a") * col("tf_b")).cast(dec)).as("dot"))
+      val norms = buckets
+        .select(explode(col("xs")).as("e"))
+        .groupBy(col("e.id").as("id"))
+        .agg(sum((col("e.tf") * col("e.tf")).cast(dec)).as("n2"))
+      val dots = bucketPairs(buckets.filter(size(col("xs")) >= 2), "xs",
+          "struct(__x.id AS id_a, __x.tf AS tf_a, y.id AS id_b, y.tf AS tf_b)")
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+          (col("p.tf_a") * col("p.tf_b")).as("prod"))
+        .groupBy("id_a", "id_b").agg(sum(col("prod").cast(dec)).as("dot"))
+      val num2 = lit(thresholdNum.toLong * thresholdNum).cast(dec)
+      val den2 = lit(thresholdDen.toLong * thresholdDen).cast(dec)
       dots
         .join(norms.select(col("id").as("id_a"), col("n2").as("n2_a")), "id_a")
         .join(norms.select(col("id").as("id_b"), col("n2").as("n2_b")), "id_b")
@@ -529,7 +478,7 @@ object Dedup {
           ((col("dot") * col("dot")).cast("double") /
             (col("n2_a") * col("n2_b")).cast("double")).as("cos2"))
         .localCheckpoint() // materialize before unpersisting the cache
-    } finally marked.unpersist()
+    } finally buckets.unpersist()
   }
 
   /** Exact shingle-CONTAINMENT near-dup pairs — the asymmetric
