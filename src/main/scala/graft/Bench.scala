@@ -70,7 +70,12 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
 
     val qs = SparkEntry.queries
-    val results = headline.filter(qs.contains).map { name =>
+    // local-iteration filter (the driver never sets it): run only the
+    // named headline queries, e.g. SPARK_GRAFT_BENCH_ONLY=p36_tf_cosine
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSet)
+    val results = headline.filter(qs.contains)
+      .filter(n => only.forall(_.contains(n))).map { name =>
       val runs = (1 to nRuns).map { _ =>
         // isolate runs: drop any cache a previous query/run left behind
         // and give the context cleaner a chance to drain its backlog —

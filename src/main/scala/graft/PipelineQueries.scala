@@ -948,31 +948,12 @@ object PipelineQueries {
 
   // ---- vocabulary coverage / OOV rate (p35) --------------------------
 
-  /** Tokenizer-vocabulary coverage: per-document fraction of token
-    * OCCURRENCES outside the corpus' top-V vocabulary (the OOV-rate
-    * curation metric; docs heavy in out-of-vocabulary tokens inflate
-    * sequence length under a fixed tokenizer). The vocabulary is
-    * p25's top-V relation (one word shuffle + TakeOrderedAndProject);
-    * its V rows are driver-collected like IVF centroids — a
-    * metadata-scale constant, never the corpus — and applied as a
-    * literal array in a map-only pass (zero further shuffles). */
-  def tOovRate(spark: SparkSession, dir: String): DataFrame = {
-    val topV = 20
-    val vocab: Array[String] = Tables.load(spark, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("word").asc)
-      .limit(topV)
-      .collect().map(_.getString(0))
-    val vocabArr = array(vocab.toIndexedSeq.map(lit): _*)
-    val ws = split(col("text"), " ")
-    Tables.load(spark, dir, "documents")
-      .select(col("doc_id"),
-        size(ws).as("n_tokens"),
-        (size(filter(ws, w => !array_contains(vocabArr, w))).cast("double") /
-          size(ws)).as("oov_frac"))
+  /** [[Curation.oovRate]] at V=20 (the gate fixture; V is a real
+    * operator parameter — Round16Spec pins other vocabulary sizes). */
+  def tOovRate(spark: SparkSession, dir: String): DataFrame =
+    Curation.oovRate(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", vocabSize = 20)
       .orderBy("doc_id")
-  }
 
   private val tOovRateSql =
     """WITH v AS (

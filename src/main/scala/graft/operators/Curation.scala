@@ -339,6 +339,40 @@ object Curation {
         (col("wsum") >= 0L).as("keep"))
   }
 
+  /** Tokenizer-vocabulary coverage: per-document fraction of token
+    * OCCURRENCES outside the corpus' top-`vocabSize` vocabulary (the
+    * OOV-rate curation metric; docs heavy in out-of-vocabulary tokens
+    * inflate sequence length under a fixed tokenizer). Vocabulary rank
+    * is (freq DESC, word ASC) so the cut is deterministic across
+    * engines.
+    *
+    * Plan at 100 TB: one word shuffle with map-side combine +
+    * TakeOrderedAndProject builds the top-V relation; its V rows are
+    * driver-collected like IVF centroids — a metadata-scale constant
+    * (V ≪ corpus, caller-bounded), never the corpus — and applied as
+    * a literal array in a map-only pass (zero further shuffles).
+    * Output: (idCol, n_tokens, oov_frac). */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize=$vocabSize")
+    require(vocabSize <= 4 * 1024 * 1024,
+      s"vocabSize=$vocabSize: the vocabulary is driver-collected and " +
+        "broadcast as a literal; beyond ~4M entries use a broadcast-join " +
+        "formulation instead")
+    val vocab: Array[String] = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(vocabSize)
+      .collect().map(_.getString(0))
+    val vocabArr = array(vocab.toIndexedSeq.map(lit): _*)
+    val ws = split(col(textCol), " ")
+    docs.select(col(idCol),
+      size(ws).as("n_tokens"),
+      (size(filter(ws, w => !array_contains(vocabArr, w))).cast("double") /
+        size(ws)).as("oov_frac"))
+  }
+
   /** Exact heavy hitters over the corpus bigram space: bigrams whose
     * occurrence count is ≥ total/φInv — the "frequent phrases"
     * relation feeding boilerplate detection, stop-phrase lists, and

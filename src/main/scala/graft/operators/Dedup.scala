@@ -406,7 +406,18 @@ object Dedup {
     * dot; norms re-derive from the kept inverted lists (one id
     * shuffle of the same relation) and join only the thresholdable
     * pair relation. The corpus is scanned and shingled exactly once;
-    * nothing corpus-sized is ever self-joined raw. */
+    * nothing corpus-sized is ever self-joined raw.
+    *
+    * Why NOT Bayardo prefix filtering here (tried and reverted, round
+    * 11): for weighted cosine the Cauchy–Schwarz prefix is every rank
+    * whose tf² tail ≥ t²·|a|² — at t = 0.6 that is the first 64% of
+    * each vector's mass, so candidates barely shrink, and finishing
+    * candidates exactly then needs a (pair × full-vector) probe join
+    * whose row count is Σ_pairs |a| — measured at the 100× corpus it
+    * spilled past 70 GB of local disk and aborted, vs 73 s complete
+    * for this formulation. [[containmentPairs]] is where the prefix
+    * trick pays (threshold against the SMALLER set ⇒ prefix length
+    * ⌊(1−t)·|a|⌋+1 ≈ 2 terms): same idea, opposite economics. */
   def tfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, thresholdNum: Int = 3, thresholdDen: Int = 5,
       maxDf: Int = 64): DataFrame = {
