@@ -1252,12 +1252,20 @@ object Queries {
     * math — price → decimal(18,2) → cents BIGINT → DIV — because a
     * double `floor(x / width)` is unportable exactly at bucket
     * boundaries, which is where histogram bugs live. DuckDB 1.0 has no
-    * width_bucket; the integer formulation sidesteps it. One map-side-
-    * combined exchange on O(buckets) groups; the scan reads one column. */
+    * width_bucket; the integer formulation sidesteps it. FLOOR-division
+    * semantics on BOTH engines: Spark's `DIV` truncates toward zero
+    * while DuckDB's `//` floors, so the Spark side corrects negative
+    * non-exact quotients down by one — prices are non-negative in this
+    * data, but the operator must not silently re-bucket if reused on a
+    * signed measure. One map-side-combined exchange on O(buckets)
+    * groups; the scan reads one column. */
   def q45Histogram(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "orders")
       .select(d2(col("o_totalprice")).as("p"))
-      .withColumn("bucket", expr("CAST(p * 100 AS BIGINT) DIV 5000000"))
+      .withColumn("__cents", expr("CAST(p * 100 AS BIGINT)"))
+      .withColumn("bucket", expr(
+        "__cents DIV 5000000 - CASE WHEN __cents < 0 AND __cents % 5000000 <> 0 THEN 1 ELSE 0 END"))
+      .drop("__cents")
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), sum(col("p")).cast(DoubleType).as("total"))
       .orderBy("bucket")

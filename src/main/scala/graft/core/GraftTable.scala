@@ -537,6 +537,13 @@ final class GraftTable private (
       CommitTimeCol, softDel) ++ config.partitionField
     require(!structural.contains(name),
       s"cannot drop '$name': key/ordering/partition/metadata columns are structural")
+    // an indexed column cannot vanish out from under its index — that
+    // would leave SHOW INDEXES listing a dangling definition
+    val referencing = config.indexes.collect {
+      case (idx, spec) if spec.split(":", 2).lift(1).contains(name) => idx }
+    require(referencing.isEmpty,
+      s"cannot drop '$name': referenced by index(es) ${referencing.mkString(", ")} — " +
+      "DROP INDEX first")
     val narrowed = StructType(cur.fields.filterNot(_.name == name))
     val planning = snap.lastInstant.getOrElse("0")
     val instant = log.nextInstantAfter(snap.lastInstant)
@@ -564,10 +571,15 @@ final class GraftTable private (
     *     resolve first; tombstoned keys patch nothing.
     *  3. ordinary [[upsert]] of the patched FULL rows.
     *
-    * The patched row wins or loses the final merge on its ordering
-    * value exactly like any upsert: a partial update older than the
-    * stored row loses wholesale (no per-column mixing across losing
-    * rows) — Hudi's payload contract. Same read-modify-write race as
+    * Merge direction follows Hudi's `PartialUpdateAvroPayload` BOTH
+    * ways: a partial row newer than the stored row takes effect and
+    * back-fills its nulls from the stored row (case 1); a partial row
+    * OLDER than the stored row keeps the stored row's values and
+    * ordering but back-fills the STORED row's nulls from the losing
+    * partial (case 2 of the Hudi javadoc — late-arriving partials
+    * still patch holes). Columns of the table absent from the batch
+    * frame are treated as unset (null) partials, so narrow frames are
+    * safe. Same read-modify-write race as
     * [[updateWhere]]: a writer landing between the patch read and the
     * commit is not folded into the patch (OCC still fences the
     * touched groups). Cost: O(batch + touched file groups), one extra
@@ -580,18 +592,30 @@ final class GraftTable private (
     // cast columns the table already knows to their stored types BEFORE
     // hashing/joining (an int key against a long table would bucket-route
     // and join wrong); batch-only columns pass through for schema evolution
-    val aligned = df.columns.foldLeft(df) { (d, c) =>
+    val aligned0 = df.columns.foldLeft(df) { (d, c) =>
       current.fields.find(_.name == c)
         .fold(d)(f => d.withColumn(c, col(c).cast(f.dataType)))
     }
+    // table columns the batch doesn't carry = unset partials: add them
+    // as typed nulls so a narrow frame never wipes stored values
+    val aligned = current.fields
+      .filterNot(f => aligned0.columns.contains(f.name) || metaCols(f.name))
+      .foldLeft(aligned0)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
     val dataCols = aligned.columns.filterNot(c =>
       idCols.contains(c) || c == config.orderingField || metaCols.contains(c))
-    // (1) in-batch fold: latest non-null per column, one row per key
+    // (1) in-batch fold: latest non-null per column, one row per key.
+    // Ordering ties between two partial rows are broken by the rows'
+    // full content (a struct over the data columns) so the fold is
+    // deterministic run-to-run — mirroring latestWins' commit-time
+    // tiebreak, which in-batch rows don't have yet.
+    val contentTie =
+      if (dataCols.isEmpty) lit(0) else struct(dataCols.map(col): _*)
     val wAll = Window.partitionBy(idCols.map(col): _*)
-      .orderBy(col(config.orderingField).asc_nulls_first)
+      .orderBy(col(config.orderingField).asc_nulls_first, contentTie.asc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wPick = Window.partitionBy(idCols.map(col): _*)
-      .orderBy(col(config.orderingField).desc_nulls_last)
+      .orderBy(col(config.orderingField).desc_nulls_last, contentTie.desc)
     val folded = dataCols.foldLeft(aligned) { (d, c) =>
         d.withColumn(c, last(col(c), ignoreNulls = true).over(wAll))
       }
@@ -618,12 +642,24 @@ final class GraftTable private (
     val patched =
       if (overlap.isEmpty) folded
       else {
+        val curOrd = s"__cur_${config.orderingField}"
         val existing = dropDeleted(latestWins(readFiles(overlap, current)))
           .select(idCols.map(col) ++
-            patchCols.map(c => col(c).as(s"__cur_$c")): _*)
+            (col(config.orderingField).as(curOrd) +:
+              patchCols.map(c => col(c).as(s"__cur_$c"))): _*)
+        // Hudi PartialUpdateAvroPayload direction: the row with the
+        // larger ordering supplies the base, the other fills its nulls.
+        val incWins = col(curOrd).isNull ||
+          (col(config.orderingField).isNotNull &&
+            col(config.orderingField) >= col(curOrd))
         patchCols.foldLeft(folded.join(existing, idCols.toIndexedSeq, "left")) {
-          (d, c) => d.withColumn(c, coalesce(col(c), col(s"__cur_$c")))
-        }.drop(patchCols.map(c => s"__cur_$c"): _*)
+          (d, c) => d.withColumn(c,
+            when(incWins, coalesce(col(c), col(s"__cur_$c")))
+              .otherwise(coalesce(col(s"__cur_$c"), col(c))))
+        }
+          .withColumn(config.orderingField,
+            when(incWins, col(config.orderingField)).otherwise(col(curOrd)))
+          .drop(curOrd +: patchCols.map(c => s"__cur_$c"): _*)
       }
     // (3) ordinary upsert of the patched full rows
     upsert(patched, extra)

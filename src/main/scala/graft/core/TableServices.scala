@@ -267,7 +267,15 @@ object TableServices {
     * format for consumers that don't speak the commit log. Cost: one
     * snapshot read + one parquet write, fully distributed; for MOR
     * the export IS the realtime merge, so exporting also proves the
-    * log-free view external engines would read. */
+    * log-free view external engines would read.
+    *
+    * Hive-style partition dirs carry the partition VALUE as a path
+    * string, so a bare `spark.read.parquet(dest)` re-infers its type
+    * (a string column holding '123' comes back integer; nulls become
+    * `__HIVE_DEFAULT_PARTITION__`). The export therefore writes a
+    * `_schema.json` sidecar with the exact exported StructType;
+    * [[readExportedSnapshot]] applies it, and foreign consumers can do
+    * the same (or disable partitionColumnTypeInference). */
   def exportSnapshot(t: GraftTable, dest: String): Unit = {
     val df = t.read()
       .drop(TableConfig.CommitTimeCol, t.config.softDeleteField)
@@ -275,6 +283,23 @@ object TableServices {
       case Some(p) => df.write.mode("overwrite").partitionBy(p).parquet(dest)
       case None => df.write.mode("overwrite").parquet(dest)
     }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dest, "_schema.json"),
+      df.schema.json.getBytes("UTF-8"))
+  }
+
+  /** Schema-faithful readback of an [[exportSnapshot]] directory: the
+    * sidecar pins column types (partition column included) instead of
+    * letting path inference guess them. */
+  def readExportedSnapshot(spark: org.apache.spark.sql.SparkSession,
+      dest: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val sidecar = java.nio.file.Paths.get(dest, "_schema.json")
+    require(java.nio.file.Files.exists(sidecar), s"no _schema.json under $dest")
+    val schema = DataType.fromJson(
+      new String(java.nio.file.Files.readAllBytes(sidecar), "UTF-8"))
+      .asInstanceOf[StructType]
+    spark.read.schema(schema).parquet(dest)
   }
 
   /** Archival (T3): fold old commit files into the archive log so the

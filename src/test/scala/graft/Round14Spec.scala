@@ -42,13 +42,37 @@ class Round14Spec extends AnyFunSuite {
     assert(s(3L) == ((null, 30L)))
   }
 
-  test("upsertPartial: older ordering loses wholesale (no column mixing)") {
+  test("upsertPartial: older ordering keeps stored values (non-null stored)") {
     import spark.implicits._
     val t = mkTable("part_old", TableConfig.Cow)
     t.insert(Seq((2L, 5L, "y", 20L)).toDF("k", "ts", "a", "b"))
     t.upsertPartial(Seq((2L, 1L, Option("z"), Option.empty[Long]))
       .toDF("k", "ts", "a", "b"))
+    // stored row has no nulls → the losing partial changes nothing
     assert(state(t)(2L) == (("y", 20L)))
+    val ord = t.read().select("ts").collect().head.getLong(0)
+    assert(ord == 5L) // stored ordering survives
+  }
+
+  test("upsertPartial: older partial back-fills stored NULLs (Hudi case 2)") {
+    import spark.implicits._
+    val t = mkTable("part_backfill", TableConfig.Cow)
+    t.insert(Seq((2L, 5L, Option.empty[String], Option(20L)))
+      .toDF("k", "ts", "a", "b"))
+    t.upsertPartial(Seq((2L, 1L, Option("z"), Option.empty[Long]))
+      .toDF("k", "ts", "a", "b"))
+    // stored wins (ts=5) but its null `a` is patched from the late partial
+    assert(state(t)(2L) == (("z", 20L)))
+    assert(t.read().select("ts").collect().head.getLong(0) == 5L)
+  }
+
+  test("upsertPartial: narrow frame never wipes unmentioned columns") {
+    import spark.implicits._
+    val t = mkTable("part_narrow", TableConfig.Cow)
+    t.insert(Seq((1L, 1L, "x", 10L)).toDF("k", "ts", "a", "b"))
+    // batch carries only (k, ts, b) — `a` must keep its stored value
+    t.upsertPartial(Seq((1L, 2L, 11L)).toDF("k", "ts", "b"))
+    assert(state(t)(1L) == (("x", 11L)))
   }
 
   test("upsertPartial: two partial rows for one key compose in-batch") {
