@@ -793,6 +793,56 @@ object LakehouseQueries {
     out(spark.read.parquet(dest))
   }
 
+  // ---- T6++ foreign-reader Delta verification (l29) -----------------
+
+  /** Where the l29 table lands. The oracle SQL is a STATIC string, so
+    * the table must live at a deterministic absolute path; the query
+    * resets it on every run (idempotent). Deliberately outside the
+    * `graft-` temp prefix: the shutdown hook must NOT delete it before
+    * the driver's DuckDB pass runs in a separate process. */
+  private val foreignDeltaRoot = "/tmp/graft_xtable_l29"
+
+  /** The xTable claim verified by a genuinely FOREIGN reader. The
+    * engine builds the COW table and emits the Delta log
+    * ([[graft.interop.XTableSync.syncDelta]]); the ORACLE side mounts
+    * it with no graft code at all — DuckDB replays the
+    * `_delta_log` JSON versions via read_json to resolve the live
+    * file set (add minus remove), then scans exactly those parquet
+    * files.
+    * Superseded file versions still sit under `data/`, so the oracle
+    * only matches if the emitted metadata selects the correct subset —
+    * the same reconstruction Trino/Spark-Delta perform when mounting
+    * the synced table (reference xtable.md:54-59 register_table +
+    * query flow, demo.ipynb cells 6-18). */
+  def qDeltaForeignRead(spark: SparkSession, dir: String): DataFrame = {
+    graft.util.TempDirs.deleteRecursively(
+      java.nio.file.Paths.get(foreignDeltaRoot))
+    val ev = events(spark, dir)
+    val t = GraftTable.create(spark, foreignDeltaRoot,
+      cfg("ev_delta_foreign", TableConfig.Cow))
+    t.insert(ev.filter(col("event_id") % 2 === 0))
+    t.upsert(ev.filter(col("event_id") % 2 === 1))
+    graft.interop.XTableSync.syncDelta(t)
+    out(t.read())
+  }
+
+  private val deltaForeignSql =
+    s"""WITH acts AS (
+       |  SELECT * FROM read_json_auto('$foreignDeltaRoot/_delta_log/*.json',
+       |                               format='newline_delimited', sample_size=-1)),
+       |live AS (
+       |  SELECT "add".path AS path FROM acts WHERE "add" IS NOT NULL
+       |  EXCEPT
+       |  SELECT "remove".path FROM acts WHERE "remove" IS NOT NULL),
+       |f AS (
+       |  SELECT event_type, user_id, event_id, ts, value, filename
+       |  FROM read_parquet('$foreignDeltaRoot/data/**/*.parquet',
+       |                    filename=true, hive_partitioning=false,
+       |                    union_by_name=true))
+       |SELECT event_type, user_id, event_id, ts // 1000 AS ts_us, value
+       |FROM f JOIN live ON f.filename = '$foreignDeltaRoot/' || live.path
+       |ORDER BY event_type, user_id""".stripMargin
+
   // -------------------------------------------------------------------
 
   // ---- A3 key-uniqueness invariant over the lakehouse table ---------
@@ -845,6 +895,7 @@ object LakehouseQueries {
     "l26_drop_column" -> (qDropColumn _),
     "l27_clean" -> (qClean _),
     "l28_snapshot_export" -> (qSnapshotExport _),
+    "l29_delta_foreign_read" -> (qDeltaForeignRead _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -876,5 +927,6 @@ object LakehouseQueries {
     "l26_drop_column" -> dropColumnSql,
     "l27_clean" -> cleanSql,
     "l28_snapshot_export" -> cowUpsertSql,
+    "l29_delta_foreign_read" -> deltaForeignSql,
   )
 }
