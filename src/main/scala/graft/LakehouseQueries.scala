@@ -843,6 +843,44 @@ object LakehouseQueries {
        |FROM f JOIN live ON f.filename = '$foreignDeltaRoot/' || live.path
        |ORDER BY event_type, user_id""".stripMargin
 
+  // ---- S9++ derived partition paths (l30) ---------------------------
+
+  /** TimestampBasedKeyGenerator analog through the oracle: the table
+    * partitions on `yyyy/MM/dd` DERIVED from the epoch-nanos `ts`
+    * column (reference test-suite/test.properties:34-42), so record
+    * identity is (derived day, user) — the same user on two days is
+    * two records; two versions within a day merge latest-wins. The
+    * oracle mirrors the derivation with strftime over the same epoch.
+    * Layout (real nested dirs) and range-pruning plan asserts live in
+    * DerivedPartitionSpec; this gate pins the merge SEMANTICS of
+    * derived identity. */
+  def qDerivedPartitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val t = GraftTable.create(spark, freshRoot("ev_derived"), TableConfig(
+      name = "ev_derived", keyField = "user_id", orderingField = "ts",
+      partitionField = Some("ts"), partitionFormat = Some("yyyy/MM/dd"),
+      partitionUnit = "ns", tableType = TableConfig.Cow, numBuckets = 4))
+    t.insert(ev.filter(col("event_id") % 2 === 0))
+    t.upsert(ev.filter(col("event_id") % 2 === 1))
+    t.read()
+      .withColumn("day", date_format(
+        timestamp_micros(expr("ts DIV 1000")), "yyyy/MM/dd"))
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select("day", "user_id", "event_id", "ts_us", "value")
+      .orderBy("day", "user_id")
+  }
+
+  private val derivedPartitionsSql =
+    """SELECT day, user_id, event_id, ts_us, value
+      |FROM (SELECT strftime(make_timestamp(epoch_us(ts)), '%Y/%m/%d') AS day,
+      |             user_id, event_id, epoch_us(ts) AS ts_us, value,
+      |             row_number() OVER (
+      |               PARTITION BY strftime(make_timestamp(epoch_us(ts)), '%Y/%m/%d'),
+      |                            user_id
+      |               ORDER BY ts DESC, (event_id % 2) DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY day, user_id""".stripMargin
+
   // -------------------------------------------------------------------
 
   // ---- A3 key-uniqueness invariant over the lakehouse table ---------
@@ -896,6 +934,7 @@ object LakehouseQueries {
     "l27_clean" -> (qClean _),
     "l28_snapshot_export" -> (qSnapshotExport _),
     "l29_delta_foreign_read" -> (qDeltaForeignRead _),
+    "l30_derived_partitions" -> (qDerivedPartitions _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -928,5 +967,6 @@ object LakehouseQueries {
     "l27_clean" -> cleanSql,
     "l28_snapshot_export" -> cowUpsertSql,
     "l29_delta_foreign_read" -> deltaForeignSql,
+    "l30_derived_partitions" -> derivedPartitionsSql,
   )
 }

@@ -43,6 +43,8 @@ final class GraftTable private (
       next.tableType == config.tableType &&
       next.numBuckets == config.numBuckets &&
       next.partitionField == config.partitionField &&
+      next.partitionFormat == config.partitionFormat &&
+      next.partitionUnit == config.partitionUnit &&
       next.orderingField == config.orderingField,
       "alterConfig may change only index/stats/small-file properties")
     java.nio.file.Files.write(
@@ -136,27 +138,71 @@ final class GraftTable private (
   // the latest-wins primitive (W1 — SURVEY.md §2.5)
   // ------------------------------------------------------------------
 
-  /** Keep the newest row per (partition, key): ordering field desc, then
-    * commit time desc. Deterministic given unique (key, ordering,
-    * commit) triples — the in-batch precombine guarantees one row per
-    * key per commit. */
-  private def latestWins(df: DataFrame): DataFrame = {
-    val partCols = config.partitionField.toSeq :+ config.keyField
+  /** Keep the newest row per (partition VALUE, key): ordering field
+    * desc, then commit time desc. Deterministic given unique (key,
+    * ordering, commit) triples — the in-batch precombine guarantees one
+    * row per key per commit. For derived partitions the grouping is on
+    * the DERIVED value (two versions of a key on the same day merge;
+    * the same key on two days is two records — Hudi's non-global-index
+    * contract under TimestampBasedKeyGenerator). */
+  private[core] def latestWins(df: DataFrame): DataFrame = {
+    val (d, partCols) = withIdCols(df)
     val w = Window.partitionBy(partCols.map(col): _*)
       .orderBy(col(config.orderingField).desc_nulls_last,
         col(CommitTimeCol).desc_nulls_last)
-    df.withColumn("__rn", row_number().over(w))
+    d.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+      .drop(PartValCol)
   }
 
   // ------------------------------------------------------------------
   // physical write
   // ------------------------------------------------------------------
 
-  private def partExpr: Column = config.partitionField match {
-    case Some(p) => coalesce(col(p).cast(StringType), lit("__null__"))
+  /** Partition-VALUE expression of a row, before null encoding: the
+    * column itself, or — the TimestampBasedKeyGenerator analog
+    * (reference test-suite/test.properties:34-42) — `date_format` of
+    * the epoch column at the configured resolution. Rendered in the
+    * session time zone, which [[graft.Session]] pins to UTC (Hudi's
+    * output.timezone default). */
+  private def partValExpr: Option[Column] = config.partitionField.map { p =>
+    config.partitionFormat match {
+      case Some(fmt) =>
+        val src = config.partitionUnit match {
+          case "s"  => timestamp_seconds(col(p).cast(LongType))
+          case "ms" => timestamp_millis(col(p).cast(LongType))
+          case "us" => timestamp_micros(col(p).cast(LongType))
+          // integer DIV, not `/`: double math loses microseconds on
+          // modern epoch-nanos values (> 2^53)
+          case "ns" => timestamp_micros(expr(s"CAST(`$p` AS BIGINT) DIV 1000"))
+          case "ts" => col(p).cast(TimestampType)
+        }
+        date_format(src, fmt)
+      case None => col(p)
+    }
+  }
+
+  private def partExpr: Column = partValExpr match {
+    case Some(v) => coalesce(v.cast(StringType), lit("__null__"))
     case None => lit("all")
   }
+
+  /** Materialized identity-partition column for derived-partition
+    * frames. Never persisted: every path drops it before writing. */
+  private val PartValCol = "__graft_pval"
+
+  /** (frame, identity columns) for grouping/joining on record identity
+    * = (partition VALUE, key). Plain partitions use the column itself;
+    * derived partitions materialize the derived value once (reusing an
+    * already-present [[PartValCol]] so chained callers don't collide). */
+  private[core] def withIdCols(df: DataFrame): (DataFrame, Seq[String]) =
+    config.partitionFormat match {
+      case Some(_) =>
+        val d = if (df.columns.contains(PartValCol)) df
+                else df.withColumn(PartValCol, partExpr)
+        (d, Seq(PartValCol, config.keyField))
+      case None => (df, config.partitionField.toSeq :+ config.keyField)
+    }
 
   /** Null record keys are rejected at plan time (Hudi's "record key
     * cannot be null" contract) — without the guard the staged write
@@ -255,6 +301,10 @@ final class GraftTable private (
     // path re-runs the upstream pipeline (a merge/window write would
     // otherwise be computed twice); both yield exact per-file bounds.
     val statCols = (Seq(config.keyField, config.orderingField) ++
+        // derived partitions prune scans via the SOURCE column's
+        // min/max (a ts-range filter skips whole days of files), so
+        // harvest its stats alongside key and ordering
+        (if (config.partitionFormat.isDefined) config.partitionField else None) ++
         config.effectiveStatsColumns).distinct
       .filter(df.columns.contains)
     val stagedParquet: Seq[java.nio.file.Path] =
@@ -345,11 +395,16 @@ final class GraftTable private (
   private def uriDecode(s: String): String =
     java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
 
+  /** Escape a partition value into its directory form. `/` separates
+    * REAL nested directories (derived `yyyy/MM/dd` layouts land as
+    * `data/2023/05/14/b0/...` like Hudi's TimestampBasedKeyGenerator
+    * paths); every other non-safe character is percent-encoded within
+    * its segment. */
   private def escapeDir(s: String): String =
-    s.flatMap {
+    s.split("/", -1).map(_.flatMap {
       case c if c.isLetterOrDigit || c == '-' || c == '_' || c == '.' || c == '=' => c.toString
       case c => f"%%${c.toInt}%02x"
-    }
+    }).mkString("/")
 
   /** Optimistic concurrency control (T4, SURVEY.md §2.7): writers plan
     * against a snapshot (`planningInstant`) and validate under the
@@ -587,7 +642,12 @@ final class GraftTable private (
   def upsertPartial(df: DataFrame, extra: Map[String, String] = Map.empty): String = {
     val snap = log.snapshot()
     val current = schemaOf(snap)
-    val idCols = config.partitionField.toSeq :+ config.keyField
+    // identity (key, partition source, ordering) must be REAL values —
+    // a partial row can't leave them unset, or it would route to the
+    // wrong file group / "__null__" partition instead of its record
+    (Seq(config.keyField, config.orderingField) ++ config.partitionField)
+      .foreach(c => require(df.columns.contains(c),
+        s"upsertPartial batch must carry identity column '$c'"))
     val metaCols = Set(CommitTimeCol, softDel)
     // cast columns the table already knows to their stored types BEFORE
     // hashing/joining (an int key against a long table would bucket-route
@@ -598,10 +658,11 @@ final class GraftTable private (
     }
     // table columns the batch doesn't carry = unset partials: add them
     // as typed nulls so a narrow frame never wipes stored values
-    val aligned = current.fields
+    val aligned1 = current.fields
       .filterNot(f => aligned0.columns.contains(f.name) || metaCols(f.name))
       .foldLeft(aligned0)((d, f) =>
         d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val (aligned, idCols) = withIdCols(aligned1)
     val dataCols = aligned.columns.filterNot(c =>
       idCols.contains(c) || c == config.orderingField || metaCols.contains(c))
     // (1) in-batch fold: latest non-null per column, one row per key.
@@ -643,7 +704,9 @@ final class GraftTable private (
       if (overlap.isEmpty) folded
       else {
         val curOrd = s"__cur_${config.orderingField}"
-        val existing = dropDeleted(latestWins(readFiles(overlap, current)))
+        val (existing0, _) =
+          withIdCols(dropDeleted(latestWins(readFiles(overlap, current))))
+        val existing = existing0
           .select(idCols.map(col) ++
             (col(config.orderingField).as(curOrd) +:
               patchCols.map(c => col(c).as(s"__cur_$c"))): _*)
@@ -662,7 +725,7 @@ final class GraftTable private (
           .drop(curOrd +: patchCols.map(c => s"__cur_$c"): _*)
       }
     // (3) ordinary upsert of the patched full rows
-    upsert(patched, extra)
+    upsert(patched.drop(PartValCol), extra)
   }
 
   /** SQL UPDATE analog (D4 / SparkSqlUpdateNode): read-modify-write as
@@ -703,11 +766,15 @@ final class GraftTable private (
       val evolved = schemaOf(snap)
       val keyType = evolved.fields.find(_.name == config.keyField)
         .map(_.dataType).getOrElse(StringType)
-      val idCols = config.partitionField.toSeq :+ config.keyField
+      // identity = (partition VALUE, key): for derived partitions the
+      // anti-join below must remove EVERY stored version sharing the
+      // victim's derived partition — joining on the raw source column
+      // would keep shadowed older versions alive and resurrect them
+      val (victimsId, idCols) = withIdCols(align(victims, evolved))
       // align victim types to the table schema BEFORE hashing: a key
       // arriving as int where the table stores long would xxhash64 to
       // a different bucket and the delete would silently miss
-      val keys = align(victims, evolved)
+      val keys = victimsId
         .withColumn("_part", partExpr).withColumn("_bucket", bucketExpr)
         .select((Seq("_part", "_bucket") ++ idCols).map(col): _*)
         .persist()
@@ -720,16 +787,38 @@ final class GraftTable private (
           .toMap
         val (rewrite, _) = snap.liveFiles().partition(
           overlapsIncoming(_, touched, keyType))
-        val existing = readFiles(rewrite, evolved)
+        val (existing, _) = withIdCols(readFiles(rewrite, evolved))
         val kept = existing.join(
           keys.select(idCols.map(col): _*).distinct(),
-          idCols, "left_anti")
+          idCols, "left_anti").drop(PartValCol)
         val added = writeFiles(kept, instant, delta = false)
         commitValidated(Commit(instant, "commit", "delete", added = added,
           removed = rewrite.map(_.path), schemaJson = evolved.json),
           planning, touched.keySet)
       } finally keys.unpersist()
     }
+  }
+
+  /** Driver-side twin of [[partValExpr]]'s derived branch for
+    * metadata-only paths (bootstrap): format one epoch stat string.
+    * Spark's `date_format` and java.time share the DateTimeFormatter
+    * pattern language, so the two renderings agree for the date-shaped
+    * patterns derived partitioning uses. */
+  private def deriveDriverSide(raw: String): String = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern(config.partitionFormat.get)
+      .withZone(java.time.ZoneOffset.UTC)
+    val us = config.partitionUnit match {
+      case "s"  => raw.toLong * 1000000L
+      case "ms" => raw.toLong * 1000L
+      case "us" => raw.toLong
+      case "ns" => Math.floorDiv(raw.toLong, 1000L)
+      case "ts" => throw new IllegalArgumentException(
+        "bootstrap with partitionUnit=ts is not supported: footer stats " +
+        "store timestamps in engine-specific text — bulkInsert instead")
+    }
+    fmt.format(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
   }
 
   /** Does live file `f` hold keys the incoming batch may touch?
@@ -834,11 +923,25 @@ final class GraftTable private (
         case None => "all"
         case Some(pf) =>
           val st = colStats.getOrElse(pf, ColStat("", "", rows))
-          require(st.nullCount == 0 && st.min == st.max,
-            s"bootstrap file $p spans partition values [${st.min}, ${st.max}] " +
-            s"of '$pf' — metadata-only adoption needs one value per file " +
-            "(use bulkInsert to split)")
-          st.min
+          config.partitionFormat match {
+            case Some(_) =>
+              require(st.nullCount == 0 && st.min.nonEmpty && st.max.nonEmpty,
+                s"bootstrap file $p has null/unknown '$pf' bounds — " +
+                "derived partitioning needs exact source stats")
+              val lo = deriveDriverSide(st.min)
+              val hi = deriveDriverSide(st.max)
+              require(lo == hi,
+                s"bootstrap file $p spans derived partitions [$lo, $hi] " +
+                s"of '$pf' — metadata-only adoption needs one partition per " +
+                "file (use bulkInsert to split)")
+              lo
+            case None =>
+              require(st.nullCount == 0 && st.min == st.max,
+                s"bootstrap file $p spans partition values [${st.min}, ${st.max}] " +
+                s"of '$pf' — metadata-only adoption needs one value per file " +
+                "(use bulkInsert to split)")
+              st.min
+          }
       }
       val rel = s"data/${escapeDir(part)}/b${GraftTable.BootstrapBucket}/$instant-$i-boot.parquet"
       val dst = Paths.get(root, rel)
@@ -973,13 +1076,14 @@ final class GraftTable private (
     val deltaGroups = deltaFiles.map(f => (f.partition, f.bucket)).toSet
     val (groupFiles, passGroups) =
       live.partition(f => deltaGroups.contains((f.partition, f.bucket)))
-    val idCols = config.partitionField.toSeq :+ config.keyField
-    val baseOfGroups = readFiles(groupFiles.filterNot(_.delta), sch)
-    val deltas = readFiles(deltaFiles, sch)
+    val (baseOfGroups, idCols) =
+      withIdCols(readFiles(groupFiles.filterNot(_.delta), sch))
+    val (deltas, _) = withIdCols(readFiles(deltaFiles, sch))
     val deltaKeys = deltas.select(idCols.map(col): _*).distinct()
     val merged = latestWins(
       baseOfGroups.join(deltaKeys, idCols, "left_semi").unionByName(deltas))
     val passKeys = baseOfGroups.join(deltaKeys, idCols, "left_anti")
+      .drop(PartValCol)
     val withPass = merged.unionByName(passKeys)
     if (passGroups.isEmpty) withPass
     else withPass.unionByName(readFiles(passGroups, sch))
@@ -1105,13 +1209,18 @@ final class GraftTable private (
         .filter(f => replaced.contains("*") || replaced.contains(f.partition))
         .map(f => (f.partition, f.bucket))
     if (touched.isEmpty) return empty
-    val idCols = config.partitionField.toSeq :+ config.keyField
+    // join identity = (partition VALUE, key); derived tables surface
+    // the derived value as `_partition_path` (the Hudi CDC
+    // _hoodie_partition_path analog) via the rename at the end
     def stateOf(files: Seq[DataFileMeta], asOf: String): DataFrame =
-      align(
+      withIdCols(align(
         mergeGroupScoped(files.filter(f => touched.contains((f.partition, f.bucket))),
             schemaAt(snap, Some(asOf)))
           .filter(!coalesce(col(softDel), lit(false))),
-        endSchema)
+        endSchema))._1
+    val idCols =
+      if (config.partitionFormat.isDefined) Seq(PartValCol, config.keyField)
+      else config.partitionField.toSeq :+ config.keyField
     val o = stateOf(oldLive, fromExclusive).withColumn("__o", lit(true)).as("o")
     val n = stateOf(newLive, end).withColumn("__n", lit(true)).as("n")
     val joined = o.join(n, idCols, "full_outer")
@@ -1134,6 +1243,7 @@ final class GraftTable private (
       }
       joined.select(
         op.as("_change_type") +: idCols.map(col) ++: imageCols.toIndexedSeq: _*)
+        .withColumnRenamed(PartValCol, "_partition_path")
     } else {
       // i → after; d → before; u → ub (before) + ua (after), one
       // flattened pass: explode each change into its image rows
@@ -1143,7 +1253,7 @@ final class GraftTable private (
       val after = joined.filter(col("__n").isNotNull).select(
         when(col("__o").isNull, lit("i")).otherwise(lit("ua"))
           .as("_change_type") +: idCols.map(col) ++: imageOf("n"): _*)
-      before.unionByName(after)
+      before.unionByName(after).withColumnRenamed(PartValCol, "_partition_path")
     }
   }
 

@@ -15,6 +15,19 @@ package graft.core
   * @param orderingField  precombine column — latest value wins
   *                       (reference: `--source-ordering-field ts`)
   * @param partitionField optional partition column
+  * @param partitionFormat TimestampBasedKeyGenerator analog (reference
+  *                       test-suite/test.properties:34-42 — `timestamp.type=
+  *                       UNIX_TIMESTAMP`, `output.dateformat=yyyy/MM/dd`):
+  *                       when set, the partition PATH value is
+  *                       `date_format` of [[partitionField]] under this
+  *                       pattern (UTC), and record identity is
+  *                       (derived value, key) — not the raw column. A
+  *                       `/` in the pattern produces real nested dirs.
+  * @param partitionUnit  epoch resolution of [[partitionField]] when
+  *                       [[partitionFormat]] is set: s | ms | us | ns
+  *                       for integral epochs (UNIX_TIMESTAMP /
+  *                       EPOCHMILLISECONDS analogs), or "ts" when the
+  *                       column is already timestamp/date typed
   * @param tableType      "cow" (rewrite groups per commit) or "mor"
   *                       (append delta files, merge on read/compaction)
   * @param numBuckets     file groups per partition; at 100 TB this is
@@ -26,6 +39,8 @@ case class TableConfig(
     keyField: String,
     orderingField: String,
     partitionField: Option[String] = None,
+    partitionFormat: Option[String] = None,
+    partitionUnit: String = "s",
     tableType: String = TableConfig.Cow,
     numBuckets: Int = 8,
     softDeleteField: String = "_is_deleted",
@@ -45,7 +60,18 @@ case class TableConfig(
     indexes: Map[String, String] = Map.empty) {
   require(tableType == TableConfig.Cow || tableType == TableConfig.Mor,
     s"tableType must be cow|mor, got $tableType")
+  require(partitionFormat.isEmpty || partitionField.isDefined,
+    "partitionFormat needs a partitionField to derive from")
+  require(Set("s", "ms", "us", "ns", "ts").contains(partitionUnit),
+    s"partitionUnit must be s|ms|us|ns|ts, got $partitionUnit")
   def isMor: Boolean = tableType == TableConfig.Mor
+
+  /** The partition column as seen by SCAN-side equality pruning and
+    * storage-partitioned-join reporting: only meaningful when the
+    * partition value IS the column value. Derived partitions prune via
+    * the source column's min/max stats instead. */
+  def scanPartitionField: Option[String] =
+    partitionField.filterNot(_ => partitionFormat.isDefined)
 
   private def indexCols(kind: String): Seq[String] =
     indexes.toSeq.sorted.collect {

@@ -382,13 +382,9 @@ object TableServices {
   def vectorIndexPath(t: GraftTable, vecCol: String): String =
     Paths.get(t.root, "index", s"ivf-$vecCol").toString
 
-  private def mergeLatest(t: GraftTable, df: org.apache.spark.sql.DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val partCols = t.config.partitionField.toSeq :+ t.config.keyField
-    val w = Window.partitionBy(partCols.map(col): _*)
-      .orderBy(col(t.config.orderingField).desc_nulls_last,
-        col(TableConfig.CommitTimeCol).desc_nulls_last)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
+  /** Latest-wins on record identity — delegates to the table's own
+    * merge so derived-partition identity (partition VALUE, key) is
+    * honored here exactly as on the write path. */
+  private def mergeLatest(t: GraftTable, df: org.apache.spark.sql.DataFrame) =
+    t.latestWins(df)
 }

@@ -25,8 +25,10 @@ object Validation {
     * deltastreamer-hive-sync-presto.yaml:66-67). */
   def duplicateKeys(t: GraftTable): DataFrame = {
     import org.apache.spark.sql.functions._
-    val keyCols = (t.config.partitionField.toSeq :+ t.config.keyField).map(col)
-    t.read().groupBy(keyCols: _*).agg(count(lit(1)).as("cnt"))
+    // identity = (partition VALUE, key): derived-partition tables
+    // group on the derived value, not the raw source column
+    val (df, idCols) = t.withIdCols(t.read())
+    df.groupBy(idCols.map(col): _*).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
   }
 

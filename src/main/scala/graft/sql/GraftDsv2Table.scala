@@ -61,8 +61,11 @@ final class GraftDsv2Table(val graft: GraftTable, delegate: Table,
     * scan is built (SQL-reachable data skipping); `delegate` remains
     * the full-set parquet table for schema/capability resolution. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    // scanPartitionField: derived-partition tables must NOT equality-
+    // prune on the raw source column (its value is not the partition
+    // value); they range-prune via the source column's stats instead
     new GraftFileSkippingScanBuilder(graft.spark, name(), graft.root,
-      scanFiles, scanSchema, graft.config.partitionField, options)
+      scanFiles, scanSchema, graft.config.scanPartitionField, options)
 }
 
 /** Realtime DSv2 table for a MOR snapshot with live delta files: reads
@@ -84,7 +87,9 @@ final class GraftMorDsv2Table(val graft: GraftTable, ident: String,
     * exchanges (storage-partitioned join). */
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
-    (graft.config.partitionField.map(Expressions.identity).toSeq :+
+    // derived partitions: the path value is no column's value, so only
+    // the bucket transform is declared (identity would be a lie)
+    (graft.config.scanPartitionField.map(Expressions.identity).toSeq :+
       Expressions.bucket(graft.config.numBuckets, graft.config.keyField)).toArray
   }
 
@@ -101,7 +106,7 @@ final class GraftMorDsv2Table(val graft: GraftTable, ident: String,
     new GraftMorScanBuilder(graft.spark, ident, graft.root, live,
       scanSchema, graft.config.keyField, graft.config.orderingField,
       graft.config.softDeleteField, options,
-      partitionField = graft.config.partitionField,
+      partitionField = graft.config.scanPartitionField,
       numBuckets = graft.config.numBuckets)
 }
 

@@ -132,6 +132,8 @@ final class GraftSql(catalog: GraftCatalog) {
       val opts = Seq(s"primaryKey='${c.keyField}'",
           s"precombine='${c.orderingField}'") ++
         c.partitionField.map(p => s"partition='$p'") ++
+        c.partitionFormat.map(f =>
+          s"partitionFormat='$f', partitionUnit='${c.partitionUnit}'") ++
         Seq(s"type='${c.tableType}'", s"buckets='${c.numBuckets}'")
       Seq(s"CREATE TABLE $name ($cols) USING GRAFT " +
           s"OPTIONS (${opts.mkString(", ")})")
@@ -154,7 +156,8 @@ final class GraftSql(catalog: GraftCatalog) {
       val props = Seq(("", "", ""),
         ("# Record Key", c.keyField, ""),
         ("# Precombine", c.orderingField, ""),
-        ("# Partition", c.partitionField.getOrElse("<none>"), ""),
+        ("# Partition", c.partitionField.getOrElse("<none>") +
+          c.partitionFormat.fold("")(f => s" (derived $f, unit=${c.partitionUnit})"), ""),
         ("# Table Type", c.tableType, ""),
         ("# Buckets", c.numBuckets.toString, ""))
       (cols.toSeq ++ props).toDF("col_name", "data_type", "comment")
@@ -190,6 +193,11 @@ final class GraftSql(catalog: GraftCatalog) {
         keyField = opts.getOrElse("primarykey", opts.getOrElse("key", "id")),
         orderingField = opts.getOrElse("precombine", opts.getOrElse("ordering", "ts")),
         partitionField = opts.get("partition"),
+        // TimestampBasedKeyGenerator analog: partitionFormat derives
+        // the partition path from the partition column's epoch value
+        // (reference test-suite/test.properties:34-42)
+        partitionFormat = opts.get("partitionformat"),
+        partitionUnit = opts.getOrElse("partitionunit", "s"),
         tableType = opts.getOrElse("type", TableConfig.Cow).toLowerCase,
         numBuckets = opts.get("buckets").map(_.toInt).getOrElse(8))
       (Option(ctasOpt), Option(colsOpt)) match {
