@@ -103,17 +103,23 @@ final class GraftTable private (
     df.select(cols.toIndexedSeq: _*)
   }
 
-  /** Batch preparation shared by all write ops: attach `_commit_time`,
-    * ensure the soft-delete flag exists, compute the evolved schema. */
+  /** Batch preparation shared by all write ops: attach `_commit_time`
+    * and `_commit_seqno`, ensure the soft-delete flag exists, compute
+    * the evolved schema. */
   private def prepare(df: DataFrame, instant: String,
       snap: TimelineSnapshot): (DataFrame, StructType) = {
     // incoming batches are ALWAYS stamped with the writing instant —
     // even when the rows were sourced from a snapshot read (UPDATE =
     // read-modify-write) they are new versions and must win the
     // commit-time tie-break. Unchanged rows merged during a COW
-    // rewrite keep their original _commit_time via the `existing`
-    // branch of upsert, not via prepare.
+    // rewrite keep their original _commit_time/_commit_seqno via the
+    // `existing` branch of upsert, not via prepare.
     var batch = df.withColumn(CommitTimeCol, lit(instant))
+      // _hoodie_commit_seqno analog: instant-prefixed so seqnos order
+      // by commit lexically; the row id makes it unique per row
+      // (monotonically_increasing_id encodes partition + row index)
+      .withColumn(TableConfig.CommitSeqNoCol, concat_ws("_",
+        lit(instant), monotonically_increasing_id().cast(StringType)))
     if (!batch.columns.contains(softDel))
       batch = batch.withColumn(softDel, lit(false))
     // retired names (see dropColumn): old files still hold the physical
@@ -589,7 +595,8 @@ final class GraftTable private (
     require(cur.fieldNames.contains(name),
       s"no column '$name' in ${config.name}")
     val structural = Set(config.keyField, config.orderingField,
-      CommitTimeCol, softDel) ++ config.partitionField
+      CommitTimeCol, TableConfig.CommitSeqNoCol, softDel) ++
+      config.partitionField
     require(!structural.contains(name),
       s"cannot drop '$name': key/ordering/partition/metadata columns are structural")
     // an indexed column cannot vanish out from under its index — that
@@ -648,7 +655,7 @@ final class GraftTable private (
     (Seq(config.keyField, config.orderingField) ++ config.partitionField)
       .foreach(c => require(df.columns.contains(c),
         s"upsertPartial batch must carry identity column '$c'"))
-    val metaCols = Set(CommitTimeCol, softDel)
+    val metaCols = TableConfig.metaColumns(softDel)
     // cast columns the table already knows to their stored types BEFORE
     // hashing/joining (an int key against a long table would bucket-route
     // and join wrong); batch-only columns pass through for schema evolution
@@ -958,6 +965,7 @@ final class GraftTable private (
     }
     val schemaJson = StructType(sdf.schema.fields ++ Seq(
       StructField(CommitTimeCol, StringType, nullable = true),
+      StructField(TableConfig.CommitSeqNoCol, StringType, nullable = true),
       StructField(softDel, BooleanType, nullable = true))
         .filterNot(f => sdf.schema.fieldNames.contains(f.name))).json
     commitValidated(Commit(instant, "commit", "bootstrap",
@@ -1337,13 +1345,21 @@ final class GraftTable private (
   def metadataRowCount: Long = log.liveFiles().map(_.rows).sum
 
   /** Register `name` (+ `_ro`/`_rt` for MOR) temp views, mirroring the
-    * reference's Hive-sync naming (README.md:341-344). */
-  def registerViews(): Unit = {
-    read().createOrReplaceTempView(config.name)
+    * reference's Hive-sync naming (README.md:341-344). With
+    * `skipRoSuffix` (the `hive_sync.skip_ro_suffix=true` option,
+    * test-suite/test.properties:32) the MOR read-optimized view takes
+    * the BARE name instead of `_ro` — bare serves the fast/stale
+    * view, `_rt` stays the realtime merge. */
+  def registerViews(skipRoSuffix: Boolean = false): Unit = {
     if (config.isMor) {
-      readOptimized().createOrReplaceTempView(s"${config.name}_ro")
+      if (skipRoSuffix)
+        readOptimized().createOrReplaceTempView(config.name)
+      else {
+        read().createOrReplaceTempView(config.name)
+        readOptimized().createOrReplaceTempView(s"${config.name}_ro")
+      }
       readRealtime().createOrReplaceTempView(s"${config.name}_rt")
-    }
+    } else read().createOrReplaceTempView(config.name)
   }
 }
 

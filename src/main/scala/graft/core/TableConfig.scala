@@ -92,4 +92,15 @@ object TableConfig {
     * rows by commit range (reference `_hoodie_commit_time`,
     * hudi-spark-minio-trino/README.md:386-389). */
   val CommitTimeCol = "_commit_time"
+  /** Per-record commit sequence number (`_hoodie_commit_seqno` analog):
+    * `<instant>_<rowId>`, stamped at write, preserved through COW
+    * rewrites for unchanged rows. Instants are lexically ordered, so
+    * seqnos sort by commit first — a per-record "which commit wrote
+    * this version" finer than [[CommitTimeCol]] alone (distinguishes
+    * rows of one commit). Null for bootstrap-adopted rows. */
+  val CommitSeqNoCol = "_commit_seqno"
+  /** Engine metadata columns (elided from user-facing DDL listings and
+    * snapshot exports). */
+  def metaColumns(softDeleteField: String): Set[String] =
+    Set(CommitTimeCol, CommitSeqNoCol, softDeleteField)
 }

@@ -278,7 +278,7 @@ object TableServices {
     * the same (or disable partitionColumnTypeInference). */
   def exportSnapshot(t: GraftTable, dest: String): Unit = {
     val df = t.read()
-      .drop(TableConfig.CommitTimeCol, t.config.softDeleteField)
+      .drop(TableConfig.metaColumns(t.config.softDeleteField).toSeq: _*)
     t.config.partitionField match {
       case Some(p) => df.write.mode("overwrite").partitionBy(p).parquet(dest)
       case None => df.write.mode("overwrite").parquet(dest)

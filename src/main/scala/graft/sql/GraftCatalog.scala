@@ -79,7 +79,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouseDir: String) {
         t.readOptimized().createOrReplaceTempView(s"${n}_ro")
         t.readRealtime().createOrReplaceTempView(s"${n}_rt")
       }
-    } else t.registerViews()
+    } else t.registerViews(skipRoSuffix =
+      spark.conf.getOption(s"graft.$n.hive_sync.skip_ro_suffix")
+        .exists(_.trim.toBoolean))
   }
 }
 

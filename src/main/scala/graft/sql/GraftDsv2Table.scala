@@ -145,8 +145,8 @@ sealed trait GraftDmlSupport extends SupportsWrite with SupportsDelete {
   private def bindPositional(data: DataFrame): DataFrame = {
     if (!data.columns.forall(_.matches("col\\d+"))) return data
     val dataCols = graft.schema.fields.map(_.name)
-      .filterNot(Set(TableConfig.CommitTimeCol,
-        graft.config.softDeleteField).contains)
+      .filterNot(TableConfig
+        .metaColumns(graft.config.softDeleteField).contains)
     if (dataCols.length == data.columns.length)
       data.toDF(dataCols.toIndexedSeq: _*)
     else data

@@ -126,8 +126,8 @@ final class GraftSql(catalog: GraftCatalog) {
       val t = catalog.table(name)
       val c = t.config
       val cols = t.schema.fields
-        .filterNot(f => f.name == graft.core.TableConfig.CommitTimeCol ||
-          f.name == c.softDeleteField)
+        .filterNot(f => graft.core.TableConfig
+          .metaColumns(c.softDeleteField).contains(f.name))
         .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
       val opts = Seq(s"primaryKey='${c.keyField}'",
           s"precombine='${c.orderingField}'") ++
@@ -150,8 +150,8 @@ final class GraftSql(catalog: GraftCatalog) {
       val t = catalog.table(name)
       val c = t.config
       val cols = t.schema.fields
-        .filterNot(f => f.name == graft.core.TableConfig.CommitTimeCol ||
-          f.name == c.softDeleteField)
+        .filterNot(f => graft.core.TableConfig
+          .metaColumns(c.softDeleteField).contains(f.name))
         .map(f => (f.name, f.dataType.sql.toLowerCase, ""))
       val props = Seq(("", "", ""),
         ("# Record Key", c.keyField, ""),
@@ -538,8 +538,8 @@ final class GraftSql(catalog: GraftCatalog) {
     if (body.trim.toUpperCase.startsWith("VALUES")) {
       val df = spark.sql(s"SELECT * FROM (${body.trim})")
       val dataCols = t.schema.fields.map(_.name)
-        .filterNot(Set(graft.core.TableConfig.CommitTimeCol,
-          t.config.softDeleteField).contains)
+        .filterNot(graft.core.TableConfig
+          .metaColumns(t.config.softDeleteField).contains)
       if (dataCols.length == df.columns.length)
         df.toDF(dataCols.toIndexedSeq: _*)
       else df

@@ -29,6 +29,53 @@ class Round17Spec extends AnyFunSuite {
     t.dropColumn("w")
   }
 
+  test("_commit_seqno: unique per row, commit-prefixed, monotone across commits") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, freshRoot("seqno"),
+      TableConfig(name = "seqno", keyField = "k", orderingField = "ts",
+        tableType = TableConfig.Cow, numBuckets = 2))
+    val c1 = t.insert(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "ts", "v"))
+    val c2 = t.upsert(Seq((1L, 2L, "a2"), (3L, 2L, "c")).toDF("k", "ts", "v"))
+    val rows = t.read()
+      .select("k", TableConfig.CommitSeqNoCol, TableConfig.CommitTimeCol)
+      .as[(Long, String, String)].collect()
+    // unique per row
+    assert(rows.map(_._2).distinct.length == rows.length)
+    // seqno prefix = the row's writing commit instant
+    rows.foreach { case (_, seq, ct) => assert(seq.startsWith(ct + "_")) }
+    // monotone across commits: every commit-2 seqno sorts after every
+    // commit-1 seqno (instants are lexically ordered)
+    val (of1, of2) = rows.partition(_._3 == c1)
+    assert(of1.nonEmpty && of2.nonEmpty)
+    assert(of1.map(_._2).max < of2.map(_._2).min)
+    // unchanged row (k=2) keeps its ORIGINAL commit-1 seqno through
+    // the COW rewrite, like _commit_time
+    assert(rows.find(_._1 == 2L).get._3 == c1)
+    val _ = c2
+  }
+
+  test("hive-sync skip_ro_suffix: bare MOR name serves the read-optimized view") {
+    import spark.implicits._
+    val wh = freshRoot("skipro_wh")
+    val catalog = new graft.sql.GraftCatalog(spark, wh)
+    val t = catalog.createTable(TableConfig(
+      name = "skipro", keyField = "k", orderingField = "ts",
+      tableType = TableConfig.Mor, numBuckets = 2))
+    t.insert(Seq((1L, 1L, "a")).toDF("k", "ts", "v"))
+    t.upsert(Seq((1L, 2L, "a2")).toDF("k", "ts", "v")) // delta only
+    // default naming: bare = realtime merge, _ro stale, _rt realtime
+    catalog.syncViews()
+    assert(spark.sql("SELECT v FROM skipro").as[String].head() == "a2")
+    assert(spark.sql("SELECT v FROM skipro_ro").as[String].head() == "a")
+    // skip_ro_suffix: bare name now serves the read-optimized view
+    spark.conf.set("graft.skipro.hive_sync.skip_ro_suffix", "true")
+    try {
+      catalog.syncViews()
+      assert(spark.sql("SELECT v FROM skipro").as[String].head() == "a")
+      assert(spark.sql("SELECT v FROM skipro_rt").as[String].head() == "a2")
+    } finally spark.conf.unset("graft.skipro.hive_sync.skip_ro_suffix")
+  }
+
   test("exportSnapshot sidecar keeps numeric-looking string partitions typed") {
     import spark.implicits._
     val t = GraftTable.create(spark, freshRoot("exptype"),

@@ -101,6 +101,59 @@ class ConcurrencyAndInteropSpec extends AnyFunSuite {
     assert(t.read().groupBy("key").count().filter($"count" > 1).count() == 0)
   }
 
+  test("OCC: 4-writer mixed-op matrix (upsert/upsert/delete/cluster) — no lost commits") {
+    // mirrors the reference's multi-writer-{1..4}.properties run: four
+    // genuinely concurrent writers with DIFFERENT operation kinds, all
+    // retrying on ConcurrentWriteException from a fresh snapshot
+    val root = tmp()
+    val t0 = GraftTable.create(spark, root, cfg("occ4"))
+    // w2's victims pre-exist so its deletes race the other writers
+    t0.insert(rows(("d0", "t0", 1L), ("d1", "t0", 1L), ("d2", "t0", 1L)))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def retrying(tag: String)(op: GraftTable => Unit): Thread =
+      new Thread(() => {
+        try {
+          val t = GraftTable.load(spark, root)
+          var done = false
+          var tries = 0
+          while (!done) {
+            try { op(t); done = true }
+            catch {
+              case _: ConcurrentWriteException =>
+                tries += 1
+                if (tries > 50) throw new IllegalStateException(
+                  s"$tag starved after $tries conflicts")
+            }
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    val threads = Seq(
+      retrying("w0-upserts") { t =>
+        (0 until 3).foreach(i => t.upsert(rows((s"a", s"t$i", i.toLong)))) },
+      retrying("w1-upserts") { t =>
+        (0 until 3).foreach(i => t.upsert(rows((s"b", s"t$i", (10 + i).toLong)))) },
+      retrying("w2-deletes") { t =>
+        t.deleteWhere(col("key").isin("d0", "d2")) },
+      retrying("w3-cluster") { t =>
+        TableServices.cluster(t); () })
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(failures.isEmpty, s"writer failures: ${failures.toArray.mkString("; ")}")
+    val t = GraftTable.load(spark, root)
+    // zero lost commits: every writer's LAST write is visible
+    val state = t.read().select("key", "volume").as[(String, Long)].collect().toMap
+    assert(state == Map("a" -> 2L, "b" -> 12L, "d1" -> 1L))
+    // timeline linearizable: instants strictly increasing and unique,
+    // and every operation kind that must have landed is on the timeline
+    val commits = t.log.commits()
+    val instants = commits.map(_.instant)
+    assert(instants == instants.sorted && instants.distinct == instants)
+    val ops = commits.map(_.operation)
+    assert(ops.count(_ == "upsert") >= 6) // 3 per upsert writer, none lost
+    assert(ops.contains("delete"))
+    assert(ops.contains("cluster"))
+  }
+
   test("concurrent streaming writers on disjoint keys commit conflict-free") {
     import graft.sql.GraftStreamingWrite
     val root = tmp()
