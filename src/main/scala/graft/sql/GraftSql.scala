@@ -556,8 +556,9 @@ final class GraftSql(catalog: GraftCatalog) {
       }
     }.toMap
 
-  /** Split on `sep` ignoring occurrences inside quotes/parens. */
-  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+  /** Split on `sep` ignoring occurrences inside quotes/parens.
+    * Package-visible so DialectFuzzSpec can property-test it directly. */
+  private[sql] def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     var depth = 0

@@ -1,0 +1,124 @@
+package graft.sql
+
+import graft.Session
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property fuzz for the hand-rolled SQL dialect's load-bearing
+  * primitive — the top-level splitter ([[GraftSql.splitTopLevel]],
+  * used by OPTIONS parsing, UPDATE/MERGE SET assignment lists and CALL
+  * arguments) — plus end-to-end statements with quoted values, odd
+  * casing, stray whitespace and nested parens. Seeded generators (the
+  * repo's PropertiesSpec idiom) keep failures reproducible. */
+class DialectFuzzSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+
+  private def freshSql(): GraftSql =
+    new GraftSql(new GraftCatalog(spark,
+      graft.util.TempDirs.create("graft-fuzz-").toString))
+
+  // ---- splitTopLevel property -----------------------------------------
+
+  // a token the splitter must keep whole: plain text, a quoted chunk
+  // that may contain separators/parens, or a balanced paren group with
+  // nested separators and nested groups
+  private val plain: Gen[String] =
+    Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '=', '.')))
+        .map(_.mkString))
+  private val quoted: Gen[String] =
+    Gen.choose(0, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(',', '(', ')', ' ')))
+        .map(cs => "'" + cs.mkString + "'"))
+  private def parens(depth: Int): Gen[String] =
+    if (depth <= 0) plain
+    else Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(plain, quoted, parens(depth - 1)))
+        .map(_.mkString("(", ",", ")")))
+  private val token: Gen[String] = for {
+    parts <- Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(plain, quoted, parens(2))))
+  } yield parts.mkString
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("splitTopLevel: joining split-safe tokens with ',' round-trips") {
+    val sql = freshSql()
+    (1L to 300L).foreach { seed =>
+      val tokens = sample(Gen.choose(1, 6)
+        .flatMap(n => Gen.listOfN(n, token)), seed)
+        .filter(_.trim.nonEmpty)
+      val joined = tokens.mkString(",")
+      val got = sql.splitTopLevel(joined, ',')
+      assert(got == tokens,
+        s"seed=$seed joined=<$joined> got=$got want=$tokens")
+    }
+  }
+
+  test("splitTopLevel: never splits inside quotes or parens, any depth") {
+    val sql = freshSql()
+    assert(sql.splitTopLevel("a=(1,2,(3,4)),b='x,y',c=d", ',') ==
+      Seq("a=(1,2,(3,4))", "b='x,y'", "c=d"))
+    assert(sql.splitTopLevel("f(g(h(',')),i),j", ',') ==
+      Seq("f(g(h(',')),i)", "j"))
+    // unbalanced input degrades without throwing (conservative glue)
+    assert(sql.splitTopLevel("a=(1,2", ',') == Seq("a=(1,2"))
+  }
+
+  // ---- end-to-end statements ------------------------------------------
+
+  test("CREATE: quoted option values with commas/parens, odd casing, whitespace") {
+    val g = freshSql()
+    g.sql(
+      """  cReAtE   TaBlE  fz1 ( k BIGINT, ts BIGINT, v STRING )  using  graft
+        |   oPtIoNs ( "primaryKey" = 'k' ,  precombine='ts',
+        |             partition='ts', partitionFormat='yyyy/MM/dd',
+        |             partitionUnit='s' )  """.stripMargin)
+    g.sql("InSeRt InTo fz1 VALUES (1, 1692000000, 'a,b(c)')")
+    assert(g.sql("SELECT v FROM fz1").collect().head.getString(0) == "a,b(c)")
+    val show = g.sql("show  create  table  fz1").collect().head.getString(0)
+    assert(show.contains("partitionFormat='yyyy/MM/dd'"))
+  }
+
+  test("UPDATE SET list: quoted commas and nested function calls per assignment") {
+    val g = freshSql()
+    g.sql("CREATE TABLE fz2 (k BIGINT, ts BIGINT, a STRING, b STRING) USING GRAFT " +
+      "OPTIONS (primaryKey='k', precombine='ts')")
+    g.sql("INSERT INTO fz2 VALUES (1, 1, 'x', 'y')")
+    g.sql("UPDATE fz2 SET a = concat('p,q', '(r', ')s'), b = upper(b) WHERE k = 1")
+    val r = g.sql("SELECT a, b FROM fz2").collect().head
+    assert(r.getString(0) == "p,q(r)s" && r.getString(1) == "Y")
+  }
+
+  test("CALL: nested-paren and quoted arguments reach the procedure intact") {
+    val g = freshSql()
+    g.sql("CREATE TABLE fz3 (k BIGINT, ts BIGINT, v STRING) USING GRAFT " +
+      "OPTIONS (primaryKey='k', precombine='ts')")
+    g.sql("INSERT INTO fz3 VALUES (1, 1, 'a'), (2, 1, 'b')")
+    // named-arg call with quoted value — the splitter must not split
+    // inside the quotes even with a comma in the value
+    g.sql("CALL run_clustering(table => 'fz3')")
+    assert(g.sql("SELECT count(*) FROM fz3").collect().head.getLong(0) == 2L)
+  }
+
+  test("MERGE: USING subquery with nested parens and quoted commas") {
+    val g = freshSql()
+    g.sql("CREATE TABLE fz4 (k BIGINT, ts BIGINT, v STRING) USING GRAFT " +
+      "OPTIONS (primaryKey='k', precombine='ts')")
+    g.sql("INSERT INTO fz4 VALUES (1, 1, 'old'), (2, 1, 'keep')")
+    g.sql(
+      """MERGE INTO fz4 USING (
+        |  SELECT k, ts + 1 AS ts, concat(v, ',(new)') AS v
+        |  FROM (SELECT 1 AS k, 1 AS ts, 'x' AS v)
+        |) AS s ON s.k = fz4.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = g.sql("SELECT k, v FROM fz4 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "x,(new)"), (2L, "keep")))
+  }
+}
