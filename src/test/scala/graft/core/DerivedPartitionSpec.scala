@@ -168,6 +168,32 @@ class DerivedPartitionSpec extends AnyFunSuite {
     assert(t.partitions() == Seq("2023/08/14"))
   }
 
+  test("Streamer ingestion lands in derived partitions (test.properties scenario)") {
+    import org.apache.spark.sql.types._
+    // the reference's test-suite shape: DFS JSON source + streamer into
+    // a table whose key generator derives yyyy/MM/dd from an epoch ts
+    val srcDir = freshRoot("deriv_src")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("ts", LongType),
+      StructField("v", StringType)))
+    Files.writeString(Paths.get(srcDir, "b1.json"),
+      s"""{"k":1,"ts":$D1,"v":"a"}\n{"k":2,"ts":$D2,"v":"b"}\n""")
+    val root = freshRoot("deriv_stream")
+    val t = GraftTable.create(spark, root, cfg("deriv_stream"))
+    val src = new graft.ingest.JsonDirSource(spark, srcDir, schema,
+      s"${freshRoot("deriv_ckpt")}/ckpt")
+    graft.ingest.Streamer.runUntilCaughtUp(t, src)
+    // second wave: same-day update + a new day
+    Files.writeString(Paths.get(srcDir, "b2.json"),
+      s"""{"k":1,"ts":${D1 + 5},"v":"a2"}\n{"k":3,"ts":$D3,"v":"c"}\n""")
+    graft.ingest.Streamer.runUntilCaughtUp(t, src)
+    assert(t.partitions().sorted ==
+      Seq("2023/08/14", "2023/08/15", "2023/08/17"))
+    assert(Files.isDirectory(Paths.get(root, "data", "2023", "08", "17")))
+    val got = t.read().select("k", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+  }
+
   test("config guards: format without field, bad unit") {
     intercept[IllegalArgumentException](TableConfig(
       name = "bad1", keyField = "k", orderingField = "ts",
