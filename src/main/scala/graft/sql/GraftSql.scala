@@ -34,8 +34,12 @@ final class GraftSql(catalog: GraftCatalog) {
     """(?is)\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)\s*""".r
   private val ShowTablesRe = """(?is)\s*SHOW\s+TABLES\s*""".r
   private val ShowPartsRe = """(?is)\s*SHOW\s+PARTITIONS\s+(\w+)\s*""".r
+  // everything after USING is ONE group; the source/clauses boundary
+  // is found by a quote/paren-aware scan in merge() — a lazy regex
+  // split would stop at a "WHEN MATCHED" inside a string literal or
+  // subquery of the source
   private val MergeRe =
-    """(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+\w+)?\s+USING\s+(.+?)\s+(WHEN\s+(?:NOT\s+)?MATCHED\s+.+?)\s*""".r
+    """(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+\w+)?\s+USING\s+(.+?)\s*""".r
   private val CallRe = """(?is)\s*CALL\s+(\w+)\s*\((.*)\)\s*""".r
   private val DropRe =
     """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*""".r
@@ -179,8 +183,14 @@ final class GraftSql(catalog: GraftCatalog) {
       t.insertOverwriteTable(t.read().limit(0))
       emptyResult()
 
-    case MergeRe(name, sourceAndOn, clauses) =>
-      merge(name, sourceAndOn, clauses)
+    case MergeRe(name, rest) =>
+      // source/ON vs clauses split at the first TOP-LEVEL "when" —
+      // quote- and paren-aware, so a 'WHEN MATCHED' inside a string
+      // literal or source subquery never splits the statement
+      val whenIdx = topLevelWordIndex(rest, "when")
+      require(whenIdx > 0,
+        "MERGE requires at least one WHEN [NOT] MATCHED clause")
+      merge(name, rest.substring(0, whenIdx), rest.substring(whenIdx))
       emptyResult()
 
     case CallRe(proc, argStr) =>

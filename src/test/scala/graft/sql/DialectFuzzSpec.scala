@@ -105,6 +105,21 @@ class DialectFuzzSpec extends AnyFunSuite {
     assert(g.sql("SELECT count(*) FROM fz3").collect().head.getLong(0) == 2L)
   }
 
+  test("MERGE: 'WHEN MATCHED' inside a source string literal doesn't split the statement") {
+    val g = freshSql()
+    g.sql("CREATE TABLE fz5 (k BIGINT, ts BIGINT, v STRING) USING GRAFT " +
+      "OPTIONS (primaryKey='k', precombine='ts')")
+    g.sql("INSERT INTO fz5 VALUES (1, 1, 'old')")
+    g.sql(
+      """MERGE INTO fz5 USING (
+        |  SELECT 1 AS k, 2 AS ts, 'WHEN MATCHED THEN trap' AS v
+        |) AS s ON s.k = fz5.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(g.sql("SELECT v FROM fz5").collect().head.getString(0)
+      == "WHEN MATCHED THEN trap")
+  }
+
   test("MERGE: USING subquery with nested parens and quoted commas") {
     val g = freshSql()
     g.sql("CREATE TABLE fz4 (k BIGINT, ts BIGINT, v STRING) USING GRAFT " +
