@@ -23,43 +23,52 @@ final class GraftSql(catalog: GraftCatalog) {
   private val spark = catalog.spark
 
   private val CreateRe =
-    """(?is)\s*CREATE\s+TABLE\s+(\w+)\s*(?:\((.*?)\))?\s*USING\s+GRAFT\s*(?:OPTIONS\s*\((.*?)\))?\s*(?:AS\s+(SELECT .*))?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+(`\w+`|\w+)\s*(?:\((.*?)\))?\s*USING\s+GRAFT\s*(?:OPTIONS\s*\((.*?)\))?\s*(?:AS\s+(SELECT .*))?\s*""".r
   private val InsertRe =
-    """(?is)\s*INSERT\s+INTO\s+(\w+)\s+(SELECT .*|VALUES\s*.*)\s*""".r
+    """(?is)\s*INSERT\s+INTO\s+(`\w+`|\w+)\s+(SELECT .*|VALUES\s*.*)\s*""".r
   private val InsertOverwriteRe =
-    """(?is)\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(\w+)\s+(SELECT .*|VALUES\s*.*)\s*""".r
+    """(?is)\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(`\w+`|\w+)\s+(SELECT .*|VALUES\s*.*)\s*""".r
   private val UpdateRe =
-    """(?is)\s*UPDATE\s+(\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*)\s*""".r
+    """(?is)\s*UPDATE\s+(`\w+`|\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*)\s*""".r
   private val DeleteRe =
-    """(?is)\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)\s*""".r
+    """(?is)\s*DELETE\s+FROM\s+(`\w+`|\w+)\s+WHERE\s+(.*)\s*""".r
   private val ShowTablesRe = """(?is)\s*SHOW\s+TABLES\s*""".r
-  private val ShowPartsRe = """(?is)\s*SHOW\s+PARTITIONS\s+(\w+)\s*""".r
+  private val ShowPartsRe = """(?is)\s*SHOW\s+PARTITIONS\s+(`\w+`|\w+)\s*""".r
   // everything after USING is ONE group; the source/clauses boundary
   // is found by a quote/paren-aware scan in merge() — a lazy regex
   // split would stop at a "WHEN MATCHED" inside a string literal or
   // subquery of the source
   private val MergeRe =
-    """(?is)\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+\w+)?\s+USING\s+(.+?)\s*""".r
+    """(?is)\s*MERGE\s+INTO\s+(`\w+`|\w+)(?:\s+AS\s+\w+)?\s+USING\s+(.+?)\s*""".r
   private val CallRe = """(?is)\s*CALL\s+(\w+)\s*\((.*)\)\s*""".r
   private val DropRe =
-    """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*""".r
-  private val TruncateRe = """(?is)\s*TRUNCATE\s+TABLE\s+(\w+)\s*""".r
+    """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(`\w+`|\w+)\s*""".r
+  private val TruncateRe = """(?is)\s*TRUNCATE\s+TABLE\s+(`\w+`|\w+)\s*""".r
   private val CreateIndexRe =
-    """(?is)\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(\w+)\s+USING\s+(\w+)\s*\(\s*(\w+)\s*\)\s*""".r
-  private val DropIndexRe = """(?is)\s*DROP\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*""".r
+    """(?is)\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+(`\w+`|\w+)\s+USING\s+(\w+)\s*\(\s*(\w+)\s*\)\s*""".r
+  private val DropIndexRe = """(?is)\s*DROP\s+INDEX\s+(\w+)\s+ON\s+(`\w+`|\w+)\s*""".r
   private val AlterAddRe =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s*\((.*?)\)\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+(`\w+`|\w+)\s+ADD\s+COLUMNS?\s*\((.*?)\)\s*""".r
   private val AlterDropRe =
-    """(?is)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*""".r
+    """(?is)\s*ALTER\s+TABLE\s+(`\w+`|\w+)\s+DROP\s+COLUMN\s+(\w+)\s*""".r
   private val ShowIndexesRe =
-    """(?is)\s*SHOW\s+INDEXES\s+(?:FROM|IN)\s+(\w+)\s*""".r
+    """(?is)\s*SHOW\s+INDEXES\s+(?:FROM|IN)\s+(`\w+`|\w+)\s*""".r
   private val ShowCreateRe =
-    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*""".r
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+(`\w+`|\w+)\s*""".r
   private val DescribeRe =
-    """(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\s*""".r
+    """(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(`\w+`|\w+)\s*""".r
+
+  /** Strip one layer of backtick quoting from an identifier —
+    * `` `events` `` and `events` address the same table, like Spark's
+    * own parser. */
+  private def unquoteId(id: String): String =
+    if (id.length >= 2 && id.startsWith("`") && id.endsWith("`"))
+      id.substring(1, id.length - 1)
+    else id
 
   def sql(text: String): DataFrame = text match {
-    case DropRe(ifExists, name) =>
+    case DropRe(ifExists, name0) =>
+      val name = unquoteId(name0)
       val known = catalog.listTables().contains(name)
       if (!known && ifExists == null)
         throw new IllegalArgumentException(s"no such table $name")
@@ -75,7 +84,8 @@ final class GraftSql(catalog: GraftCatalog) {
     // column_stats → commit-log min/max (file-level range skipping).
     // Applies to data written AFTER the DDL; `CALL build_index` forces
     // a rewrite so existing files carry it too.
-    case CreateIndexRe(ifNot, idx, name, kind0, column) =>
+    case CreateIndexRe(ifNot, idx, name0, kind0, column) =>
+      val name = unquoteId(name0)
       val kind = kind0.toLowerCase
       require(kind == "bloom" || kind == "column_stats",
         s"unsupported index type '$kind0': use bloom | column_stats")
@@ -94,7 +104,8 @@ final class GraftSql(catalog: GraftCatalog) {
     // zero-row commit (the l10 evolution path, driven by DDL instead of
     // a wider write) — readers see the new columns as nulls immediately,
     // existing files are never rewritten.
-    case AlterAddRe(name, colsDdl) =>
+    case AlterAddRe(name0, colsDdl) =>
+      val name = unquoteId(name0)
       val t = catalog.table(name)
       val add = StructType.fromDDL(colsDdl)
       add.fieldNames.foreach(c => require(!t.schema.fieldNames.contains(c),
@@ -109,12 +120,14 @@ final class GraftSql(catalog: GraftCatalog) {
     // the name is permanently retired (GraftTable.dropColumn contract —
     // old files keep the physical values, so a same-name re-add would
     // resurrect them).
-    case AlterDropRe(name, column) =>
+    case AlterDropRe(name0, column) =>
+      val name = unquoteId(name0)
       catalog.table(name).dropColumn(column)
       catalog.syncViews()
       emptyResult()
 
-    case DropIndexRe(idx, name) =>
+    case DropIndexRe(idx, name0) =>
+      val name = unquoteId(name0)
       val t = catalog.table(name)
       require(t.config.indexes.contains(idx), s"no index $idx on $name")
       t.alterConfig(c => c.copy(indexes = c.indexes - idx))
@@ -124,7 +137,8 @@ final class GraftSql(catalog: GraftCatalog) {
     // emitted DDL in an empty warehouse reproduces the table's config
     // and declared schema (SqlSpec pins the property). Engine metadata
     // columns are elided; they're recreated by the first write.
-    case ShowCreateRe(name) =>
+    case ShowCreateRe(name0) =>
+      val name = unquoteId(name0)
       val s = spark
       import s.implicits._
       val t = catalog.table(name)
@@ -148,7 +162,8 @@ final class GraftSql(catalog: GraftCatalog) {
     // surfaces (key / precombine / partition / type). Non-graft names
     // (temp views, spark catalog tables) keep the spark.sql
     // fall-through they always had.
-    case DescribeRe(name) if catalog.listTables().contains(name) =>
+    case DescribeRe(name0) if catalog.listTables().contains(unquoteId(name0)) =>
+      val name = unquoteId(name0)
       val s = spark
       import s.implicits._
       val t = catalog.table(name)
@@ -166,7 +181,8 @@ final class GraftSql(catalog: GraftCatalog) {
         ("# Buckets", c.numBuckets.toString, ""))
       (cols.toSeq ++ props).toDF("col_name", "data_type", "comment")
 
-    case ShowIndexesRe(name) =>
+    case ShowIndexesRe(name0) =>
+      val name = unquoteId(name0)
       val s = spark
       import s.implicits._
       catalog.table(name).config.indexes.toSeq.sorted
@@ -175,7 +191,8 @@ final class GraftSql(catalog: GraftCatalog) {
           (n, kind, column) }
         .toDF("index_name", "index_type", "column")
 
-    case TruncateRe(name) =>
+    case TruncateRe(name0) =>
+      val name = unquoteId(name0)
       // content reset as a normal timeline commit (history preserved,
       // time travel to pre-truncate instants still works) — the
       // overwrite-with-empty shape, not a file purge
@@ -183,7 +200,8 @@ final class GraftSql(catalog: GraftCatalog) {
       t.insertOverwriteTable(t.read().limit(0))
       emptyResult()
 
-    case MergeRe(name, rest) =>
+    case MergeRe(name0, rest) =>
+      val name = unquoteId(name0)
       // source/ON vs clauses split at the first TOP-LEVEL "when" —
       // quote- and paren-aware, so a 'WHEN MATCHED' inside a string
       // literal or source subquery never splits the statement
@@ -196,7 +214,8 @@ final class GraftSql(catalog: GraftCatalog) {
     case CallRe(proc, argStr) =>
       callProcedure(proc.toLowerCase, argStr)
 
-    case CreateRe(name, colsOpt, optsOpt, ctasOpt) =>
+    case CreateRe(name0, colsOpt, optsOpt, ctasOpt) =>
+      val name = unquoteId(name0)
       val opts = parseOptions(Option(optsOpt).getOrElse(""))
       val cfg = TableConfig(
         name = name,
@@ -225,17 +244,20 @@ final class GraftSql(catalog: GraftCatalog) {
       }
       emptyResult()
 
-    case InsertOverwriteRe(name, body) =>
+    case InsertOverwriteRe(name0, body) =>
+      val name = unquoteId(name0)
       val t = catalog.table(name)
       t.insertOverwrite(aligned(t, body))
       emptyResult()
 
-    case InsertRe(name, body) =>
+    case InsertRe(name0, body) =>
+      val name = unquoteId(name0)
       val t = catalog.table(name)
       t.insert(aligned(t, body))
       emptyResult()
 
-    case UpdateRe(name, sets, cond) =>
+    case UpdateRe(name0, sets, cond) =>
+      val name = unquoteId(name0)
       val assignments = splitTopLevel(sets, ',').map { a =>
         val Array(k, v) = a.split("=", 2)
         k.trim -> expr(v.trim)
@@ -243,7 +265,8 @@ final class GraftSql(catalog: GraftCatalog) {
       catalog.table(name).updateWhere(expr(cond), assignments)
       emptyResult()
 
-    case DeleteRe(name, cond) =>
+    case DeleteRe(name0, cond) =>
+      val name = unquoteId(name0)
       catalog.table(name).deleteWhere(expr(cond))
       emptyResult()
 
@@ -252,7 +275,8 @@ final class GraftSql(catalog: GraftCatalog) {
       import s.implicits._
       catalog.listTables().toDF("tableName")
 
-    case ShowPartsRe(name) =>
+    case ShowPartsRe(name0) =>
+      val name = unquoteId(name0)
       val s = spark
       import s.implicits._
       catalog.showPartitions(name).toDF("partition")

@@ -105,6 +105,22 @@ class DialectFuzzSpec extends AnyFunSuite {
     assert(g.sql("SELECT count(*) FROM fz3").collect().head.getLong(0) == 2L)
   }
 
+  test("backticked table names address the same table as bare names") {
+    val g = freshSql()
+    g.sql("CREATE TABLE `fzq` (k BIGINT, ts BIGINT, v STRING) USING GRAFT " +
+      "OPTIONS (primaryKey='k', precombine='ts')")
+    g.sql("INSERT INTO `fzq` VALUES (1, 1, 'a')")
+    g.sql("UPDATE `fzq` SET v = 'b' WHERE k = 1")
+    // bare and quoted spellings hit the SAME table
+    assert(g.sql("SELECT v FROM fzq").collect().head.getString(0) == "b")
+    assert(g.sql("SHOW CREATE TABLE `fzq`").collect().head.getString(0)
+      .contains("CREATE TABLE fzq"))
+    g.sql("DELETE FROM `fzq` WHERE k = 1")
+    assert(g.sql("SELECT count(*) FROM fzq").collect().head.getLong(0) == 0L)
+    g.sql("DROP TABLE `fzq`")
+    intercept[IllegalArgumentException](g.sql("DROP TABLE fzq"))
+  }
+
   test("MERGE: 'WHEN MATCHED' inside a source string literal doesn't split the statement") {
     val g = freshSql()
     g.sql("CREATE TABLE fz5 (k BIGINT, ts BIGINT, v STRING) USING GRAFT " +
