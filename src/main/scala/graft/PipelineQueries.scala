@@ -237,6 +237,37 @@ object PipelineQueries {
       |SELECT doc_id, min(doc_id) OVER (PARTITION BY c) AS cluster_id
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** Exact shared verbatim spans ([[Dedup.sharedSpanPairs]], the
+    * suffix-array ExactSubstr family): pairs of docs sharing a ≥20-token
+    * verbatim run, with the longest run length and run count. Oracle =
+    * the same positional-8-gram diagonal-run derivation in SQL. */
+  def dSharedSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sharedSpanPairs(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", k = 8, minTokens = 20, maxDf = 64)
+      .orderBy("id_a", "id_b")
+
+  private val dSharedSpansSql =
+    """WITH toks AS (SELECT doc_id AS id, string_split(text, ' ') AS ts
+      |              FROM documents),
+      |g AS (SELECT id, i AS pos, array_to_string(ts[i:i+7], ' ') AS gram
+      |      FROM toks, UNNEST(generate_series(1, len(ts) - 7)) AS t(i)
+      |      WHERE len(ts) >= 8),
+      |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= 64),
+      |c AS (SELECT g.* FROM g JOIN rare USING (gram)),
+      |m AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.pos AS pos_a,
+      |             a.pos - b.pos AS diag
+      |      FROM c a JOIN c b ON a.gram = b.gram AND a.id < b.id),
+      |r AS (SELECT id_a, id_b, diag, pos_a,
+      |             pos_a - row_number() OVER (
+      |               PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+      |      FROM m),
+      |runs AS (SELECT id_a, id_b, count(*) + 7 AS run_tokens
+      |         FROM r GROUP BY id_a, id_b, diag, grp
+      |         HAVING count(*) + 7 >= 20)
+      |SELECT id_a, id_b, max(run_tokens) AS span_tokens,
+      |       count(*) AS n_spans
+      |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- similarity search ---------------------------------------------
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
@@ -1666,6 +1697,7 @@ object PipelineQueries {
     "p53_cooccurrence" -> (cCooccurrence _),
     "p45_decontaminate" -> (cDecontaminate _),
     "p54_cc_chain" -> (dCcChain _),
+    "p55_shared_spans" -> (dSharedSpans _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1731,5 +1763,6 @@ object PipelineQueries {
     "p45_decontaminate" -> cDecontaminateSql,
     // p54: diameter-59 planted chains — cluster = min id of rank class
     "p54_cc_chain" -> dCcChainSql,
+    "p55_shared_spans" -> dSharedSpansSql,
   )
 }

@@ -636,4 +636,66 @@ object Dedup {
           x => x("line")), delimiter).as("clean_text"),
         count(lit(1)).as("kept_lines"))
   }
+
+  /** Exact shared verbatim SPANS between document pairs — the
+    * suffix-array "ExactSubstr" dedup family (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"),
+    * re-expressed as a diagonal-run scan that Spark can distribute:
+    *
+    *  1. positional k-gram relation: (id, pos, gram) — one row per
+    *     token position, gram = the k tokens starting there;
+    *  2. df-cap: grams occurring more than `maxDf` times corpus-wide
+    *     are dropped (stop-phrase fanout guard — under-detection only,
+    *     and only for spans made ENTIRELY of ubiquitous grams);
+    *  3. candidate join on a compact 64-bit gram hash, re-checked on
+    *     the gram string so a hash collision can never fabricate a
+    *     match;
+    *  4. run detection: matched positions with equal diagonal
+    *     (posA − posB) and consecutive posA form one verbatim run of
+    *     (grams + k − 1) tokens — grouped with the classic
+    *     pos − row_number() island trick, windowed per (pair,
+    *     diagonal), which is bounded by document length, never corpus
+    *     size.
+    *
+    * Output: (id_a, id_b, span_tokens, n_spans) for pairs whose
+    * longest shared run ≥ `minTokens` — id_a < id_b, span_tokens =
+    * the longest run, n_spans = how many distinct qualifying runs.
+    * One gram-key shuffle + one bounded window; no all-pairs product.
+    * Set-overlap dedup ([[ngramJaccardPairs]], [[containmentPairs]])
+    * scores WHOLE documents; this finds the copied PASSAGE inside
+    * otherwise-different documents — the contract the suffix-array
+    * method targets. */
+  def sharedSpanPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minTokens: Int = 20, maxDf: Int = 64): DataFrame = {
+    require(k >= 2 && minTokens >= k,
+      s"need k >= 2 and minTokens >= k, got k=$k minTokens=$minTokens")
+    val grams = docs
+      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${k - 1}), " +
+        s"i -> struct(i AS pos, array_join(slice(toks, i, $k), ' ') AS gram))"))
+        .as("g"))
+      .select(col("id"), col("g.pos").as("pos"), col("g.gram").as("gram"),
+        xxhash64(col("g.gram")).as("gh"))
+    val rare = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("gh")
+    val capped = grams.join(rare, Seq("gh"))
+    val matches = capped.as("x").join(capped.as("y"),
+        col("x.gh") === col("y.gh") && col("x.id") < col("y.id") &&
+          col("x.gram") === col("y.gram"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.pos").as("pos_a"),
+        (col("x.pos") - col("y.pos")).as("diag"))
+      .distinct()
+    val w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    matches
+      .withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy("id_a", "id_b", "diag", "grp")
+      .agg((count(lit(1)) + lit(k - 1)).as("run_tokens"))
+      .filter(col("run_tokens") >= minTokens)
+      .groupBy("id_a", "id_b")
+      .agg(max(col("run_tokens")).as("span_tokens"),
+        count(lit(1)).as("n_spans"))
+  }
 }

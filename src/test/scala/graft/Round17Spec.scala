@@ -76,6 +76,45 @@ class Round17Spec extends AnyFunSuite {
     } finally spark.conf.unset("graft.skipro.hive_sync.skip_ro_suffix")
   }
 
+  test("sharedSpanPairs: planted verbatim passage found, boundary exact") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val span20 = words("s", 20)  // exactly 20 shared tokens
+    val span19 = words("t", 19)  // one under the threshold
+    val docs = Seq(
+      (1L, s"${words("a", 30)} $span20 ${words("b", 25)}"),
+      (2L, s"${words("c", 10)} $span20 ${words("d", 40)}"),
+      (3L, s"${words("e", 30)} $span19 ${words("f", 25)}"),
+      (4L, s"${words("g", 12)} $span19 ${words("h", 40)}"),
+      (5L, words("z", 60)) // shares nothing
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .sharedSpanPairs(docs, "doc_id", "text", k = 8, minTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // only the 20-token passage qualifies, and its length is EXACT:
+    // 13 shared 8-grams on one diagonal → 13 + 7 = 20 tokens
+    assert(got == Seq((1L, 2L, 20L)))
+  }
+
+  test("sharedSpanPairs: df-cap drops ubiquitous grams (under-detect, never wrong)") {
+    import spark.implicits._
+    val common = (1 to 30).map(i => s"w$i").mkString(" ")
+    // the same 30-token passage in 5 docs; maxDf=4 drops its grams
+    val docs = (1L to 5L).map(i => (i, s"intro$i $common tail$i"))
+      .toDF("doc_id", "text")
+    assert(graft.operators.Dedup
+      .sharedSpanPairs(docs, "doc_id", "text", k = 8, minTokens = 20,
+        maxDf = 4).count() == 0)
+    // with the cap above the df, all 10 pairs surface at full length
+    val full = graft.operators.Dedup
+      .sharedSpanPairs(docs, "doc_id", "text", k = 8, minTokens = 20,
+        maxDf = 10)
+    assert(full.count() == 10)
+    assert(full.select("span_tokens").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(30L))
+  }
+
   test("exportSnapshot sidecar keeps numeric-looking string partitions typed") {
     import spark.implicits._
     val t = GraftTable.create(spark, freshRoot("exptype"),
