@@ -59,7 +59,8 @@ object Bench {
     "l25_partial_upsert", // round 14: partial-update payload write path
     "p47_knn_label", // round 14: broadcast-seed kNN labeling
     "p48_heavy_hitters", // round 14: exact frequent-bigram mining
-    "l30_derived_partitions") // round 17: TimestampBasedKeyGenerator write+merge
+    "l30_derived_partitions", // round 17: TimestampBasedKeyGenerator write+merge
+    "p55_shared_spans") // round 17: exact verbatim-span dedup (ExactSubstr family)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
