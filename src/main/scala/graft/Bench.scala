@@ -60,7 +60,9 @@ object Bench {
     "p47_knn_label", // round 14: broadcast-seed kNN labeling
     "p48_heavy_hitters", // round 14: exact frequent-bigram mining
     "l30_derived_partitions", // round 17: TimestampBasedKeyGenerator write+merge
-    "p55_shared_spans") // round 17: exact verbatim-span dedup (ExactSubstr family)
+    "p55_shared_spans", // round 17: exact verbatim-span dedup (ExactSubstr family)
+    "p56_dsir_select", // round 18: DSIR hashed n-gram importance resampling
+    "p57_ppl_buckets") // round 18: CCNet-style perplexity head/middle/tail split
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1640,6 +1640,148 @@ object PipelineQueries {
       |    AND b.i BETWEEN a.i - 2 AND a.i + 2 AND b.i <> a.i)
       |SELECT w, c, count(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- DSIR importance resampling (p56) ------------------------------
+
+  /** [[graft.operators.Selection.dsirSelect]] with `lang = 'en'` as the
+    * target slice: the top-40 raw docs whose hashed (uni+bi)gram
+    * distribution is most English-like, in integer micronats. */
+  def cDsirSelect(spark: SparkSession, dir: String): DataFrame =
+    operators.Selection.dsirSelect(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", targetPred = col("lang") === "en",
+        numBuckets = 256, topK = 40)
+      .orderBy("sel_rank")
+
+  private val cDsirSelectSql =
+    """WITH d AS (SELECT doc_id, lang = 'en' AS is_target,
+      |             string_split(text, ' ') AS toks FROM documents),
+      |t AS (
+      |  SELECT doc_id, is_target, unnest(toks) AS term FROM d
+      |  UNION ALL
+      |  SELECT doc_id, is_target,
+      |    unnest(list_transform(range(1, len(toks)),
+      |                          i -> toks[i] || ' ' || toks[i+1])) AS term
+      |  FROM d),
+      |b AS (SELECT doc_id, is_target,
+      |        ('0x' || substr(md5(term), 1, 4))::BIGINT % 256 AS bucket FROM t),
+      |c AS (SELECT bucket,
+      |        sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+      |        sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cr
+      |      FROM b GROUP BY bucket),
+      |n AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM c),
+      |q AS (SELECT bucket,
+      |        CAST(floor((ln(ct + 1.0) - ln(cr + 1.0)) * 1e6) AS BIGINT) AS lq FROM c),
+      |s AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |        CAST(sum(q.lq) AS BIGINT) AS sq
+      |      FROM b JOIN q USING (bucket) GROUP BY b.doc_id),
+      |sc AS (SELECT doc_id, n_terms,
+      |         sq + n_terms * (SELECT CAST(floor((ln(nr + 256.0) - ln(nt + 256.0)) * 1e6) AS BIGINT) FROM n)
+      |           AS score_micro
+      |       FROM s),
+      |r AS (SELECT doc_id, n_terms, score_micro,
+      |        CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT)
+      |          AS sel_rank
+      |      FROM sc)
+      |SELECT * FROM r WHERE sel_rank <= 40 ORDER BY sel_rank""".stripMargin
+
+  // ---- CCNet perplexity buckets (p57) --------------------------------
+
+  /** [[graft.operators.Selection.perplexityBuckets]] head/middle/tail
+    * split under the corpus-fit add-one unigram LM. */
+  def cPplBuckets(spark: SparkSession, dir: String): DataFrame =
+    operators.Selection.perplexityBuckets(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", numBuckets = 3)
+      .orderBy("doc_id")
+
+  private val cPplBucketsSql =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total, count(*) AS v_size FROM c),
+      |l AS (SELECT word, CAST(floor(ln(cnt + 1.0) * 1e6) AS BIGINT) AS lp FROM c),
+      |d AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |        CAST(sum(l.lp) AS BIGINT) AS sum_lp
+      |      FROM w JOIN l USING (word) GROUP BY w.doc_id),
+      |s AS (SELECT doc_id, n_tokens,
+      |        CAST(floor(ln((n_total + v_size)::DOUBLE) * 1e6) AS BIGINT) * n_tokens
+      |          - sum_lp AS surprisal_micro
+      |      FROM d, t)
+      |SELECT doc_id, n_tokens, surprisal_micro,
+      |  surprisal_micro::DOUBLE / n_tokens / 1e6 AS ppl_proxy,
+      |  CAST(ntile(3) OVER (
+      |    ORDER BY surprisal_micro::DOUBLE / n_tokens / 1e6 ASC, doc_id ASC) AS BIGINT)
+      |    AS ppl_bucket
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---- BM25 top-k retrieval (p58) ------------------------------------
+
+  /** [[graft.operators.Selection.bm25TopK]]: the 5 best docs per
+    * query for a fixed 3-query set over the documents corpus. */
+  def rBm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qs = Seq((1L, "spark filter join"), (2L, "table scan merge"),
+        (3L, "stream window customer"))
+      .toDF("query_id", "query_text")
+    operators.Selection.bm25TopK(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", qs, "query_id", "query_text", k = 5)
+      .select("query_id", "doc_id", "score_micro", "bm_rank")
+      .orderBy("query_id", "bm_rank")
+  }
+
+  private val rBm25Sql =
+    """WITH q(query_id, query_text) AS (VALUES
+      |  (1, 'spark filter join'), (2, 'table scan merge'),
+      |  (3, 'stream window customer')),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |len AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+      |sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(dl) AS BIGINT) AS n_toks FROM len),
+      |p AS (SELECT doc_id, unnest(toks) AS term FROM d),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM p GROUP BY 1, 2),
+      |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |qt AS (SELECT query_id,
+      |         unnest(list_distinct(string_split(query_text, ' '))) AS term FROM q),
+      |j AS (SELECT qt.query_id, tf.doc_id, tf.tf, dfx.df, len.dl, sc.n_docs, sc.n_toks
+      |      FROM tf JOIN qt USING (term) JOIN dfx USING (term)
+      |        JOIN len ON tf.doc_id = len.doc_id, sc),
+      |c AS (SELECT query_id, doc_id,
+      |        CAST(floor(
+      |          floor(ln(1.0 + (n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) * 1e6)
+      |            * (tf::DOUBLE * 2.2)
+      |            / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * ((dl * n_docs)::DOUBLE / n_toks)))
+      |        ) AS BIGINT) AS contrib
+      |      FROM j),
+      |s AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score_micro
+      |      FROM c GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, score_micro,
+      |        CAST(row_number() OVER (
+      |          PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS BIGINT)
+      |          AS bm_rank
+      |      FROM s)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_micro, bm_rank
+      |FROM r WHERE bm_rank <= 5 ORDER BY query_id, bm_rank""".stripMargin
+
+  // ---- Efraimidis-Spirakis weighted sample (p59) ---------------------
+
+  /** [[Curation.weightedSample]]: 50 docs sampled without replacement
+    * with inclusion odds proportional to `n_chars`. */
+  def cWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Curation.weightedSample(Tables.load(spark, dir, "documents")
+        .select("doc_id", "n_chars"), "doc_id", "n_chars", m = 50)
+      .orderBy("samp_rank")
+
+  private val cWeightedSampleSql =
+    """WITH u AS (SELECT doc_id, n_chars,
+      |    ((('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT::DOUBLE + 0.5)
+      |      / 281474976710656.0) AS uu
+      |  FROM documents),
+      |p AS (SELECT doc_id, n_chars,
+      |    CAST(floor(ln(uu) / n_chars * 1e9) AS BIGINT) AS pr_micro
+      |  FROM u WHERE n_chars > 0),
+      |r AS (SELECT doc_id, n_chars, pr_micro,
+      |    CAST(row_number() OVER (ORDER BY pr_micro DESC, doc_id ASC) AS BIGINT)
+      |      AS samp_rank
+      |  FROM p)
+      |SELECT * FROM r WHERE samp_rank <= 50 ORDER BY samp_rank""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1698,6 +1840,10 @@ object PipelineQueries {
     "p45_decontaminate" -> (cDecontaminate _),
     "p54_cc_chain" -> (dCcChain _),
     "p55_shared_spans" -> (dSharedSpans _),
+    "p56_dsir_select" -> (cDsirSelect _),
+    "p57_ppl_buckets" -> (cPplBuckets _),
+    "p58_bm25_topk" -> (rBm25 _),
+    "p59_weighted_sample" -> (cWeightedSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1764,5 +1910,9 @@ object PipelineQueries {
     // p54: diameter-59 planted chains — cluster = min id of rank class
     "p54_cc_chain" -> dCcChainSql,
     "p55_shared_spans" -> dSharedSpansSql,
+    "p56_dsir_select" -> cDsirSelectSql,
+    "p57_ppl_buckets" -> cPplBucketsSql,
+    "p58_bm25_topk" -> rBm25Sql,
+    "p59_weighted_sample" -> cWeightedSampleSql,
   )
 }

@@ -44,6 +44,45 @@ object Curation {
     if (fraction >= 1.0) { require(fraction <= 1.0, s"fraction $fraction"); df }
     else df.filter(md5(col(keyCol).cast("string")) < lit(hexThreshold(fraction)))
 
+  /** Deterministic weighted sample without replacement (Efraimidis &
+    * Spirakis, "Weighted random sampling with a reservoir", IPL 2006):
+    * keep the `m` rows with the largest key `u^(1/w)` — equivalently
+    * the largest `ln(u)/w` — where `u` is the row's md5-derived
+    * uniform. A row's inclusion odds are proportional to its weight
+    * (heavier docs: quality scores, domain boosts) yet membership is a
+    * pure function of (key, weight), so re-runs and incremental
+    * extensions agree with zero RNG state — same property as
+    * [[deterministicSample]], which is the w≡const special case.
+    *
+    * `u = (h + ½)/16¹²` from the first 48 md5 bits is an EXACT double
+    * (49-bit numerator, power-of-two denominator), so both engines
+    * compute `ln(u)/w` from identical inputs; the priority is floored
+    * to integer nano-units before ranking, making the selection
+    * hash-exact vs DuckDB.
+    *
+    * Rows with weight ≤ 0 are excluded (zero weight = zero inclusion
+    * probability; negative weights are undefined under ES).
+    *
+    * Plan at 100 TB: the priority is one codegen'd projection; the
+    * top-m is a TakeOrdered (per-partition heads + driver k-merge),
+    * never a global sort. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      m: Int): DataFrame = {
+    require(m > 0, s"m=$m")
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(281474976710656.0) // 16^12
+    val pr = floor(log(u) / col(weightCol).cast("double") * lit(1e9)).cast("long")
+    val top = df
+      .filter(col(weightCol) > 0)
+      .withColumn("pr_micro", pr)
+      .orderBy(col("pr_micro").desc, col(keyCol).asc)
+      .limit(m)
+    top.withColumn("samp_rank",
+      row_number().over(Window.orderBy(col("pr_micro").desc, col(keyCol).asc))
+        .cast("long"))
+  }
+
   /** Deterministic train/val/test split assignment: each row lands in
     * the first split whose cumulative-fraction md5 threshold exceeds
     * its key hash. A pure function of the key — membership is

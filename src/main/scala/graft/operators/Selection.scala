@@ -1,0 +1,237 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-light data-selection operators: the "which slice of the crawl
+  * do we train on" passes that sit between dedup and export.
+  *
+  *  - [[dsirSelect]] — hashed n-gram importance resampling (the DSIR
+  *    recipe: score raw docs by how target-like their hashed n-gram
+  *    distribution is, keep the top slice). Public method: Xie et al.,
+  *    "Data Selection for Language Models via Importance Resampling",
+  *    NeurIPS 2023.
+  *  - [[perplexityBuckets]] — corpus-LM perplexity bucketing (the
+  *    CCNet head/middle/tail split). Public method: Wenzek et al.,
+  *    "CCNet: Extracting High Quality Monolingual Datasets from Web
+  *    Crawl Data", LREC 2020. The 5-gram Kneser–Ney LM is stood in by
+  *    a unigram add-one LM *fit on the corpus itself* — the operator
+  *    shape (corpus pass → O(vocab) stats → map-side scoring →
+  *    percentile split) is identical; swapping the LM changes the
+  *    per-token score expression only.
+  *
+  * ENGINE-PORTABLE-DETERMINISTIC, like everything in [[Curation]]:
+  * all transcendental arithmetic is quantized to integer micronats
+  * (`floor(ln(·)·1e6)` of an exact integer input) at the per-distinct-
+  * value level BEFORE any aggregation, so document scores are exact
+  * BIGINT sums that hash-match DuckDB regardless of either engine's
+  * float-summation order or libm rounding. (A quantization boundary
+  * flip needs libm implementations to disagree exactly at a 1e-6
+  * nanoboundary — probability ~1e-9 per distinct token count.)
+  */
+object Selection {
+
+  /** Portable feature-hash bucket: the first 16 bits of md5, mod
+    * `numBuckets` — bit-identical in Spark and DuckDB
+    * (`('0x' || substr(md5(t),1,4))::BIGINT` on the oracle side). */
+  private def bucketOf(term: Column, numBuckets: Int): Column =
+    conv(substring(md5(term), 1, 4), 16, 10).cast("long") % numBuckets
+
+  /** DSIR's hashed feature stream: per doc, the bucket id of every
+    * unigram and adjacent bigram — the fused native
+    * [[graft.functions.TermBuckets]] expression (one Java loop per
+    * row). [[termBucketsHof]] is the slow-but-obviously-right HOF
+    * formulation it is parity-tested against. */
+  private def termBuckets(textCol: Column, numBuckets: Int): Column =
+    graft.functions.GraftExpressions.term_buckets(textCol, numBuckets)
+
+  /** Reference formulation of [[termBuckets]] (kept for the
+    * Round18Spec parity test; interpreted HOF tree, measured ~1.5 s
+    * per corpus pass at sf0.1 for the array construction alone). A
+    * 1-token doc has no bigrams. */
+  private[graft] def termBucketsHof(textCol: Column, numBuckets: Int): Column = {
+    val toks = split(textCol, " ")
+    val bigrams = when(size(toks) > lit(1),
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(toks, bigrams), t => bucketOf(t, numBuckets))
+  }
+
+  /** Hashed n-gram importance resampling — keep the `topK` raw docs
+    * whose feature distribution looks most like the target slice.
+    *
+    * score(d) = Σ_{t ∈ terms(d)} ln p̂_target(bucket(t)) / p̂_raw(bucket(t))
+    * with add-one-smoothed bucket unigram models over `numBuckets`
+    * hashed (uni+bi)gram buckets, in integer micronats.
+    *
+    * Plan at 100 TB: pass 1 is ONE term shuffle with map-side combine
+    * down to the O(numBuckets) count relation (the only corpus-sized
+    * exchange); the per-bucket log-ratio table is numBuckets rows —
+    * driver-collected (guarded) and rejoined as a BROADCAST hash join
+    * on the exploded term stream, so pass 2 (scoring) stays inside
+    * whole-stage codegen end to end and its shuffle carries only the
+    * partially-aggregated O(n_docs) rows. (A literal-array
+    * `aggregate` lambda was measured 10× slower here: higher-order
+    * functions evaluate interpreted, re-materializing the lookup
+    * array per element.) The final top-k is a TakeOrdered
+    * (per-partition heads + driver k-merge), never a global sort.
+    *
+    * Deterministic: membership and rank are pure functions of the
+    * corpus (exact integer compares; ties broken by id). */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, numBuckets: Int = 256, topK: Int = 100): DataFrame = {
+    require(numBuckets > 0 && numBuckets <= (1 << 16),
+      s"numBuckets=$numBuckets: bucket ids are 16-bit md5 prefixes and the " +
+        "ratio table is driver-collected; use <= 65536 buckets")
+    require(topK > 0, s"topK=$topK")
+
+    val counts = docs
+      .select(targetPred.as("is_target"),
+        explode(termBuckets(col(textCol), numBuckets)).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+           sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))
+      .collect() // O(numBuckets) rows — bounded by the require above
+
+    // lq(b) = floor(1e6·(ln(ct_b+1) − ln(cr_b+1))); absent buckets
+    // have ct = cr = 0 ⇒ lq = 0, which is also the smoothed ratio.
+    val lq = Array.ofDim[Long](numBuckets)
+    var nt = 0L; var nr = 0L
+    counts.foreach { r =>
+      val b = r.getLong(0).toInt
+      val ct = r.getLong(1); val cr = r.getLong(2)
+      nt += ct; nr += cr
+      lq(b) = math.floor((math.log(ct + 1.0) - math.log(cr + 1.0)) * 1e6).toLong
+    }
+    // per-term normalizer: ln((Nr+B)/(Nt+B)), same micronat grid
+    val cN = math.floor((math.log(nr + numBuckets.toDouble) -
+      math.log(nt + numBuckets.toDouble)) * 1e6).toLong
+
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lqDf = lq.toIndexedSeq.zipWithIndex
+      .map { case (v, b) => (b.toLong, v) }.toDF("bucket", "lq")
+    val scored = docs
+      .select(col(idCol), explode(termBuckets(col(textCol), numBuckets)).as("bucket"))
+      .join(broadcast(lqDf), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum("lq").as("sq"))
+      .select(col(idCol), col("n_terms"),
+        (col("sq") + col("n_terms") * lit(cN)).as("score_micro"))
+
+    // TakeOrdered top-k, then rank the k survivors (k-row window)
+    val top = scored.orderBy(col("score_micro").desc, col(idCol).asc).limit(topK)
+    top.withColumn("sel_rank",
+      row_number().over(Window.orderBy(col("score_micro").desc, col(idCol).asc))
+        .cast("long"))
+  }
+
+  /** BM25 top-k retrieval (Robertson & Zaragoza, "The Probabilistic
+    * Relevance Framework: BM25 and Beyond", 2009; the `1 + (N−df+½)/
+    * (df+½)` idf is Lucene's always-positive variant): for each query,
+    * the `k` best-scoring docs under
+    *
+    *   score(q,d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *
+    * with k1 = 1.2, b = 0.75.
+    *
+    * Engine-portable determinism: idf is quantized to integer
+    * micronats per TERM; each (term, doc) contribution is a FIXED
+    * sequence of IEEE ops over exact integers (tf, dl, N, total
+    * tokens) floored to a BIGINT, so the per-(query,doc) score is an
+    * exact integer sum — no float-summation-order dependence.
+    *
+    * Plan at 100 TB: the posting list (term, doc, tf) is one
+    * map-side-combined corpus shuffle; corpus scalars (N, Σdl)
+    * re-aggregate from the O(docs) length relation; the query set is
+    * broadcast (queries are human-scale); scoring re-aggregates by
+    * (query, doc) — fanout bounded by Σ_t df(t) over query terms, the
+    * classic impact of stopwords in queries (cap df upstream if
+    * queries are adversarial); top-k is a per-query ranked window
+    * (keys = queries, so the window is fully partitioned). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int = 5): DataFrame = {
+    require(k > 0, s"k=$k")
+    val toks = split(col(textCol), " ")
+    val lengths = docs.select(col(idCol), size(toks).cast("long").as("dl"))
+    val scalars = lengths.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_toks"))
+    val postings = docs
+      .select(col(idCol), explode(toks).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = postings.groupBy("term")
+      .agg(count(lit(1)).as("df")) // postings are (doc,term)-distinct
+    val qTerms = queries
+      .select(col(queryIdCol), explode(array_distinct(split(col(queryTextCol), " ")))
+        .as("term"))
+    val joined = postings
+      .join(broadcast(qTerms), "term")
+      .join(broadcast(df_), "term")
+      .join(lengths.withColumnRenamed("dl", "dl_"), idCol)
+      .crossJoin(broadcast(scalars))
+    // idf_micro = floor(1e6·ln(1 + (N−df+0.5)/(df+0.5))) — exact-int inputs
+    val idfMicro = floor(log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))) * 1e6)
+    // denom = tf + 1.2·(0.25 + 0.75·(dl·N)/Σdl): one double division, fixed order
+    val denom = col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+      lit(0.75) * ((col("dl_") * col("n_docs")).cast("double") / col("n_toks")))
+    val contrib = floor(idfMicro.cast("double") * (col("tf").cast("double") * lit(2.2))
+      / denom).cast("long")
+    val scored = joined
+      .select(col(queryIdCol), col(idCol), contrib.as("contrib_micro"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum("contrib_micro").as("score_micro"))
+    scored.withColumn("bm_rank",
+        row_number().over(Window.partitionBy(col(queryIdCol))
+          .orderBy(col("score_micro").desc, col(idCol).asc)).cast("long"))
+      .filter(col("bm_rank") <= k)
+  }
+
+  /** CCNet-style perplexity split: score every doc by per-token
+    * surprisal under an add-one-smoothed unigram LM fit on the corpus
+    * itself, then cut into `numBuckets` equal-depth buckets (bucket 1
+    * = most fluent "head", last = "tail").
+    *
+    * surprisal(d)/|d| = ln(N+V) − (1/|d|)·Σ_w ln(c(w)+1), kept as an
+    * exact integer numerator `surprisal_micro = |d|·⌊1e6·ln(N+V)⌋ −
+    * Σ⌊1e6·ln(c(w)+1)⌋` so the per-token double is the same IEEE
+    * quotient in both engines.
+    *
+    * Plan at 100 TB: one token shuffle (map-side combined) builds the
+    * O(V) count relation; totals re-aggregate from THAT relation —
+    * the corpus is never scanned twice. Scoring joins tokens to the
+    * broadcast vocab relation and re-aggregates per doc (second
+    * map-side-combined shuffle). The final `ntile` is exact
+    * equal-depth semantics over the O(docs) relation — the gate's
+    * verifiable form; at extreme scale swap the single-partition rank
+    * window for `approxQuantile` cutoffs + a map-only bucket compare
+    * (constants change, plan shape below the window doesn't). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 3): DataFrame = {
+    require(numBuckets > 0, s"numBuckets=$numBuckets")
+    val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+    val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt").as("n_total"), count(lit(1)).as("v_size"))
+    val lp = counts.select(col("word"),
+      floor(log(col("cnt") + lit(1)) * 1e6).as("lp_micro"))
+    val perDoc = words
+      .join(broadcast(lp), "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum("lp_micro").as("sum_lp"))
+    val scored = perDoc.crossJoin(broadcast(totals)).select(
+      col(idCol),
+      col("n_tokens"),
+      (floor(log(col("n_total") + col("v_size")) * 1e6) * col("n_tokens")
+        - col("sum_lp")).as("surprisal_micro"))
+    val proxy = col("surprisal_micro").cast("double") / col("n_tokens") / lit(1e6)
+    scored
+      .withColumn("ppl_proxy", proxy)
+      .withColumn("ppl_bucket",
+        ntile(numBuckets).over(Window.orderBy(proxy.asc, col(idCol).asc))
+          .cast("long"))
+  }
+}
