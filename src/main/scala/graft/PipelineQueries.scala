@@ -1782,6 +1782,23 @@ object PipelineQueries {
       |  FROM p)
       |SELECT * FROM r WHERE samp_rank <= 50 ORDER BY samp_rank""".stripMargin
 
+  // ---- Bloom-sketch decontamination (p60) ----------------------------
+
+  /** [[Curation.bloomDecontaminate]] on exactly the p45 fixture, gated
+    * against the EXACT operator's oracle — valid because at fpp=1e-9
+    * over this fixture's ~10³ probed grams the (fixed-seed,
+    * deterministic) filter produces zero false positives, so sketch
+    * output ≡ exact output; the no-false-negative half of the
+    * contract holds for every fpp by construction (Round19Spec). */
+  def cBloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Curation.bloomDecontaminate(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        "doc_id", "text", k = 5, fpp = 1e-9)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1844,6 +1861,7 @@ object PipelineQueries {
     "p57_ppl_buckets" -> (cPplBuckets _),
     "p58_bm25_topk" -> (rBm25 _),
     "p59_weighted_sample" -> (cWeightedSample _),
+    "p60_bloom_decontaminate" -> (cBloomDecontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1914,5 +1932,7 @@ object PipelineQueries {
     "p57_ppl_buckets" -> cPplBucketsSql,
     "p58_bm25_topk" -> rBm25Sql,
     "p59_weighted_sample" -> cWeightedSampleSql,
+    // p60: sketch gated at zero-false-positive params -> must equal exact
+    "p60_bloom_decontaminate" -> cDecontaminateSql,
   )
 }

@@ -555,6 +555,40 @@ case class TermBuckets(child: Expression, numBuckets: Int)
     copy(child = newChild)
 }
 
+/** Membership-hit counter against a serialized
+  * [[org.apache.spark.util.sketch.BloomFilter]]: how many elements of
+  * the input long-array might be in the filter. The filter bytes ride
+  * in the plan as a constructor argument (metadata-scale, like the
+  * IVF centroid tables) and deserialize once per task — so a
+  * bloom-gated filter pass is MAP-ONLY, no join, no shuffle. Sketch
+  * semantics (no false negatives, bounded false-positive rate) are
+  * the public Spark BloomFilter contract, spec-asserted against the
+  * exact operator in Round19Spec. */
+case class BloomHitCount(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bloom_hit_count"
+
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var hits = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (filter.mightContainLong(arr.getLong(i))) hits += 1L
+      i += 1
+    }
+    hits
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomHitCount =
+    copy(child = newChild)
+}
+
 /** Pairwise cosine similarity over two embedding arrays as a native
   * expression. Bit-identical arithmetic contract with the HOF
   * formulation it replaces (and the DuckDB oracle): every element
@@ -621,6 +655,9 @@ object GraftExpressions {
 
   def term_buckets(text: Column, numBuckets: Int): Column =
     column(TermBuckets(expression(text), numBuckets))
+
+  def bloom_hit_count(hashes: Column, filterBytes: Array[Byte]): Column =
+    column(BloomHitCount(expression(hashes), filterBytes))
 
   def lang_id(c: Column): Column = column(LangIdExpression(expression(c)))
 

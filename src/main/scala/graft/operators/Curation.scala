@@ -258,6 +258,45 @@ object Curation {
     docs.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Bloom-filter decontamination — the sketch twin of
+    * [[decontaminate]] (same relationship as Misra-Gries to
+    * [[heavyHitters]]): the eval corpus's distinct k-gram hashes go
+    * into a [[org.apache.spark.util.sketch.BloomFilter]] sized for
+    * `fpp`, and each document is kept by a MAP-ONLY probe — zero
+    * joins, zero shuffles, the corpus never crosses the network.
+    *
+    * Sketch contract (spec-asserted in Round19Spec against the exact
+    * operator): NO false negatives — every document the exact pass
+    * removes, this removes (Bloom filters never miss a member) — and
+    * false-positive removals bounded by ~`fpp` per probed gram, so
+    * the kept set is a subset of the exact kept set. Use the exact
+    * pass when auditability of every removal matters; use this when
+    * the corpus is 100 TB and the eval set fits a few MB of filter.
+    * The filter rides in the plan (metadata-scale, like IVF
+    * centroids) and deserializes once per task. */
+  def bloomDecontaminate(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, k: Int = 5, minHits: Long = 1,
+      fpp: Double = 0.001): DataFrame = {
+    require(minHits >= 1, s"minHits=$minHits")
+    require(fpp > 0 && fpp < 1, s"fpp=$fpp")
+    import graft.functions.TextFunctions.shingleHashes
+    val evalHashes = evalDocs
+      .select(explode(shingleHashes(col(textCol), k)).as("h"))
+      .distinct()
+    val n = math.max(1L, evalHashes.count())
+    val bf = evalHashes.stat.bloomFilter("h", n, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    require(bytes.length <= (256 << 20),
+      s"bloom filter is ${bytes.length >> 20} MB for $n eval grams at fpp=$fpp: " +
+        "the filter ships with every task; shrink the eval set, raise fpp, " +
+        "or fall back to the exact decontaminate join")
+    docs.filter(graft.functions.GraftExpressions
+      .bloom_hit_count(shingleHashes(col(textCol), k), bytes) < minHits)
+  }
+
   /** Sequence packing for pretraining batches: assign each document a
     * byte-exact position in the concatenated token stream (ordered by
     * `idCol`) and the `targetTokens`-sized window it starts in —

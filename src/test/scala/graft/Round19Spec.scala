@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-19 additions: [[Curation.bloomDecontaminate]] — the
+  * map-only Bloom-sketch twin of the exact decontamination join.
+  * Contract mirrors the Misra-Gries/heavyHitters pairing: the sketch
+  * may over-remove (bounded by fpp) but NEVER under-removes. */
+class Round19Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+
+  private def evalSet = {
+    import spark.implicits._
+    Seq(
+      (900L, "the quick brown fox jumps over the lazy dog"),
+      (901L, "pack my box with five dozen liquor jugs")
+    ).toDF("doc_id", "text")
+  }
+
+  /** docs 1-2 copy a 5-gram from the eval set (contaminated); docs
+    * 3-5 share words but no 5-gram (clean). */
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "intro text then the quick brown fox jumps over everything"),
+      (2L, "pack my box with five dozen liquor jugs said the clerk"),
+      (3L, "the fox and the dog are friends in this story"),
+      (4L, "a quick note about boxes and jugs of water"),
+      (5L, "completely unrelated sentence about spark partitions"),
+      // exactly ONE shared 5-gram: the neighbors break adjacent grams
+      (6L, "zzz the quick brown fox jumps yyy")
+    ).toDF("doc_id", "text")
+  }
+
+  test("bloomDecontaminate never under-removes vs the exact operator") {
+    val exact = Curation.decontaminate(corpus, evalSet, "doc_id", "text", k = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val bloom = Curation.bloomDecontaminate(corpus, evalSet, "doc_id", "text",
+        k = 5, fpp = 0.001)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // no false negatives: everything the exact pass removed is gone here too
+    assert(bloom.subsetOf(exact), s"bloom kept $bloom, exact kept $exact")
+    // and the contaminated docs are definitely gone
+    assert(!bloom(1L) && !bloom(2L))
+  }
+
+  test("bloomDecontaminate at tight fpp equals exact on the planted fixture") {
+    val exact = Curation.decontaminate(corpus, evalSet, "doc_id", "text", k = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val bloom = Curation.bloomDecontaminate(corpus, evalSet, "doc_id", "text",
+        k = 5, fpp = 1e-6)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(bloom == exact)
+  }
+
+  test("bloomDecontaminate survival rate on disjoint corpora is ~1") {
+    import spark.implicits._
+    // 300 clean docs with gram spaces disjoint from the eval set
+    val clean = (1L to 300L)
+      .map(i => (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g"))
+      .toDF("doc_id", "text")
+    val kept = Curation.bloomDecontaminate(clean, evalSet, "doc_id", "text",
+      k = 5, fpp = 0.001).count()
+    // each doc probes 3 distinct 5-grams; expected false removals
+    // ~300·3·0.001 ≈ 1 — allow a loose 10× margin
+    assert(kept >= 290L, s"kept $kept/300 clean docs")
+  }
+
+  test("bloomDecontaminate minHits raises the removal threshold") {
+    // doc 6 shares exactly ONE eval 5-gram: minHits=2 must keep it,
+    // while doc 1 (two overlapping shared grams) stays removed
+    val kept = Curation.bloomDecontaminate(corpus, evalSet, "doc_id", "text",
+        k = 5, minHits = 2, fpp = 1e-6)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept(6L) && !kept(1L), s"kept=$kept")
+  }
+
+  test("bloomDecontaminate argument guards") {
+    intercept[IllegalArgumentException] {
+      Curation.bloomDecontaminate(corpus, evalSet, "doc_id", "text", minHits = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.bloomDecontaminate(corpus, evalSet, "doc_id", "text", fpp = 0.0)
+    }
+  }
+}
