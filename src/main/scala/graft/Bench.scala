@@ -62,7 +62,10 @@ object Bench {
     "l30_derived_partitions", // round 17: TimestampBasedKeyGenerator write+merge
     "p55_shared_spans", // round 17: exact verbatim-span dedup (ExactSubstr family)
     "p56_dsir_select", // round 18: DSIR hashed n-gram importance resampling
-    "p57_ppl_buckets") // round 18: CCNet-style perplexity head/middle/tail split
+    "p57_ppl_buckets", // round 18: CCNet-style perplexity head/middle/tail split
+    "p58_bm25_topk", // round 18: posting-list BM25 retrieval
+    "p59_weighted_sample", // round 18: ES weighted sampling (map + TakeOrdered)
+    "p60_bloom_decontaminate") // round 19: map-only Bloom-probe decontamination
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
