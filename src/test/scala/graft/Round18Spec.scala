@@ -209,6 +209,37 @@ class Round18Spec extends AnyFunSuite {
     assert(picked.toSeq == again.toSeq)
   }
 
+  test("dsirSelect scoring plan: broadcast join, no extra corpus exchange") {
+    val plan = Selection.dsirSelect(corpus, "doc_id", "text",
+        targetPred = col("split") === "t", topK = 8)
+      .queryExecution.executedPlan.toString()
+    // the B-row ratio table joins broadcast, never shuffled
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // top-k is TakeOrdered, not a global Sort+Exchange
+    assert(plan.contains("TakeOrdered"), plan)
+  }
+
+  test("bm25TopK plan: query set and stats broadcast, no sort-merge joins") {
+    import spark.implicits._
+    val qs = Seq((1L, "cat dog")).toDF("qid", "qtext")
+    val plan = Selection.bm25TopK(corpus, "doc_id", "text", qs, "qid", "qtext", k = 3)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("weightedSample plan: map-only projection + TakeOrdered, zero shuffles") {
+    import spark.implicits._
+    val rows = (1L to 100L).map(i => (i, i % 7 + 1)).toDF("doc_id", "w")
+    val plan = graft.operators.Curation.weightedSample(rows, "doc_id", "w", m = 10)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrdered"), plan)
+    // the only exchange is the k-row SinglePartition under the final
+    // rank window — the corpus itself is never hash-shuffled
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("perplexityBuckets argument guard") {
     intercept[IllegalArgumentException] {
       Selection.perplexityBuckets(corpus, "doc_id", "text", numBuckets = 0)

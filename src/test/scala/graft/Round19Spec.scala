@@ -78,6 +78,19 @@ class Round19Spec extends AnyFunSuite {
     assert(kept(6L) && !kept(1L), s"kept=$kept")
   }
 
+  test("bloomDecontaminate plan is a single map-only filter: no joins, no exchanges") {
+    // parquet source, not a LocalRelation — ConvertToLocalRelation
+    // would otherwise evaluate the whole filter at optimization time
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plan = Curation.bloomDecontaminate(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 50),
+        evalSet, "doc_id", "text", k = 5)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("bloom_hit_count"), plan)
+  }
+
   test("bloomDecontaminate argument guards") {
     intercept[IllegalArgumentException] {
       Curation.bloomDecontaminate(corpus, evalSet, "doc_id", "text", minHits = 0)
