@@ -82,33 +82,56 @@ object Selection {
     * corpus (exact integer compares; ties broken by id). */
   def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
       targetPred: Column, numBuckets: Int = 256, topK: Int = 100): DataFrame = {
+    requireBuckets(numBuckets)
+    val counts = bucketCounts(docs, textCol, targetPred, numBuckets)
+      .collect() // O(numBuckets) rows — bounded by requireBuckets
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (lq, cN) = fitRatio(counts, numBuckets)
+    scoreWithRatio(docs, idCol, textCol, numBuckets, lq, cN, topK)
+  }
+
+  private[operators] def requireBuckets(numBuckets: Int): Unit =
     require(numBuckets > 0 && numBuckets <= (1 << 16),
       s"numBuckets=$numBuckets: bucket ids are 16-bit md5 prefixes and the " +
         "ratio table is driver-collected; use <= 65536 buckets")
-    require(topK > 0, s"topK=$topK")
 
-    val counts = docs
-      .select(targetPred.as("is_target"),
-        explode(termBuckets(col(textCol), numBuckets)).as("bucket"))
-      .groupBy("bucket")
-      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
-           sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))
-      .collect() // O(numBuckets) rows — bounded by the require above
+  /** Pass 1: the O(numBuckets) per-bucket (target, raw) term counts —
+    * the sufficient statistic of the DSIR model. Counts are ADDITIVE
+    * across disjoint batches, which is what [[IncrementalDsir]]
+    * exploits: per-batch count rows append to a store and aggregate
+    * back to exactly the union corpus's statistic. */
+  private[operators] def bucketCounts(docs: DataFrame, textCol: String,
+      targetPred: Column, numBuckets: Int): DataFrame = docs
+    .select(targetPred.as("is_target"),
+      explode(termBuckets(col(textCol), numBuckets)).as("bucket"))
+    .groupBy("bucket")
+    .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+         sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))
 
-    // lq(b) = floor(1e6·(ln(ct_b+1) − ln(cr_b+1))); absent buckets
-    // have ct = cr = 0 ⇒ lq = 0, which is also the smoothed ratio.
+  /** Fit the micronat log-ratio table from collected bucket counts:
+    * lq(b) = floor(1e6·(ln(ct_b+1) − ln(cr_b+1))); absent buckets
+    * have ct = cr = 0 ⇒ lq = 0, which is also the smoothed ratio.
+    * cN is the per-term normalizer ln((Nr+B)/(Nt+B)) on the same
+    * grid. */
+  private[operators] def fitRatio(counts: Array[(Long, Long, Long)],
+      numBuckets: Int): (Array[Long], Long) = {
     val lq = Array.ofDim[Long](numBuckets)
     var nt = 0L; var nr = 0L
-    counts.foreach { r =>
-      val b = r.getLong(0).toInt
-      val ct = r.getLong(1); val cr = r.getLong(2)
+    counts.foreach { case (b, ct, cr) =>
       nt += ct; nr += cr
-      lq(b) = math.floor((math.log(ct + 1.0) - math.log(cr + 1.0)) * 1e6).toLong
+      lq(b.toInt) = math.floor((math.log(ct + 1.0) - math.log(cr + 1.0)) * 1e6).toLong
     }
-    // per-term normalizer: ln((Nr+B)/(Nt+B)), same micronat grid
     val cN = math.floor((math.log(nr + numBuckets.toDouble) -
       math.log(nt + numBuckets.toDouble)) * 1e6).toLong
+    (lq, cN)
+  }
 
+  /** Pass 2: score docs against a fitted ratio table and keep the
+    * top-k (TakeOrdered + k-row rank window). */
+  private[operators] def scoreWithRatio(docs: DataFrame, idCol: String,
+      textCol: String, numBuckets: Int, lq: Array[Long], cN: Long,
+      topK: Int): DataFrame = {
+    require(topK > 0, s"topK=$topK")
     val spark = docs.sparkSession
     import spark.implicits._
     val lqDf = lq.toIndexedSeq.zipWithIndex
@@ -120,8 +143,6 @@ object Selection {
       .agg(count(lit(1)).as("n_terms"), sum("lq").as("sq"))
       .select(col(idCol), col("n_terms"),
         (col("sq") + col("n_terms") * lit(cN)).as("score_micro"))
-
-    // TakeOrdered top-k, then rank the k survivors (k-row window)
     val top = scored.orderBy(col("score_micro").desc, col(idCol).asc).limit(topK)
     top.withColumn("sel_rank",
       row_number().over(Window.orderBy(col("score_micro").desc, col(idCol).asc))

@@ -91,6 +91,45 @@ class Round19Spec extends AnyFunSuite {
     assert(plan.contains("bloom_hit_count"), plan)
   }
 
+  test("IncrementalDsir: batched ingest fits exactly the union-corpus model") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val b1 = Seq((1L, "t", "the cat sat on the soft mat"),
+        (10L, "r", "the cat sat on the soft rug"))
+      .toDF("doc_id", "split", "text")
+    val b2 = Seq((2L, "t", "a cat naps on the warm mat"),
+        (12L, "r", "hydraulic pump torque valve spec sheet"))
+      .toDF("doc_id", "split", "text")
+    val b3 = Seq((3L, "t", "the cat chased the toy mouse"),
+        (13L, "r", "compiler register allocation spill heuristics"))
+      .toDF("doc_id", "split", "text")
+    val union = b1.unionByName(b2).unionByName(b3)
+
+    val inc = new graft.operators.IncrementalDsir(spark,
+      graft.util.TempDirs.create("graft-incdsir-").toString)
+    assert(inc.ingest(b1, "text", col("split") === "t", 1L))
+    assert(inc.ingest(b2, "text", col("split") === "t", 2L))
+    assert(inc.ingest(b3, "text", col("split") === "t", 3L))
+
+    val incOut = inc.selectTopK(union, "doc_id", "text", topK = 6).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"),
+        r.getAs[Long]("sel_rank"))).toSet
+    val batchOut = graft.operators.Selection
+      .dsirSelect(union, "doc_id", "text", col("split") === "t", topK = 6)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"),
+        r.getAs[Long]("sel_rank"))).toSet
+    assert(incOut == batchOut)
+
+    // idempotence: re-running the last batch is a no-op
+    assert(!inc.ingest(b3, "text", col("split") === "t", 3L))
+    assert(inc.highWater.contains(3L))
+    val again = inc.selectTopK(union, "doc_id", "text", topK = 6).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"),
+        r.getAs[Long]("sel_rank"))).toSet
+    assert(again == batchOut)
+  }
+
   test("bloomDecontaminate argument guards") {
     intercept[IllegalArgumentException] {
       Curation.bloomDecontaminate(corpus, evalSet, "doc_id", "text", minHits = 0)
