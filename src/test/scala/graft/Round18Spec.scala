@@ -240,6 +240,26 @@ class Round18Spec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("selection outputs are partition-invariant (100 TB determinism property)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val sel = Selection.dsirSelect(df, "doc_id", "text",
+          col("lang") === "en", topK = 20)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"),
+          r.getAs[Long]("sel_rank"))).toSet
+      val ppl = Selection.perplexityBuckets(df, "doc_id", "text")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("surprisal_micro"),
+          r.getAs[Long]("ppl_bucket"))).toSet
+      val samp = graft.operators.Curation.weightedSample(df
+          .select(col("doc_id"), col("n_chars")), "doc_id", "n_chars", m = 25)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pr_micro"),
+          r.getAs[Long]("samp_rank"))).toSet
+      (sel, ppl, samp)
+    }
+    assert(run(docs.repartition(7)) == run(docs.coalesce(1)))
+  }
+
   test("perplexityBuckets argument guard") {
     intercept[IllegalArgumentException] {
       Selection.perplexityBuckets(corpus, "doc_id", "text", numBuckets = 0)
