@@ -260,6 +260,32 @@ class Round18Spec extends AnyFunSuite {
     assert(run(docs.repartition(7)) == run(docs.coalesce(1)))
   }
 
+  test("TermBuckets parity holds on adversarial text (seeded random strings)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // words over ascii, unicode (CJK, accents, emoji), digits, and
+    // punctuation; docs join them with single spaces (the operator's
+    // tokenizer contract) but may be empty or single-token
+    val word = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.oneOf(
+        Gen.alphaNumChar, Gen.oneOf('é', 'ß', '中', '文', '.', ',', '\'', '-')))
+        .map(_.mkString),
+      Gen.const("🙂"), // astral codepoint (surrogate pair in UTF-16)
+      Gen.const("a🙂中"))
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val docs = Gen.listOfN(120, doc)
+      .apply(Gen.Parameters.default, Seed(20260815L)).get
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val native = df.select(col("doc_id"),
+      graft.functions.GraftExpressions.term_buckets(col("text"), 256).as("b"))
+    val hof = df.select(col("doc_id"),
+      Selection.termBucketsHof(col("text"), 256).as("b"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
   test("perplexityBuckets argument guard") {
     intercept[IllegalArgumentException] {
       Selection.perplexityBuckets(corpus, "doc_id", "text", numBuckets = 0)
