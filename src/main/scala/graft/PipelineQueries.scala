@@ -1799,6 +1799,38 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ---- Unicode NFC normalization (p61) -------------------------------
+
+  /** [[graft.functions.NfcNormalize]] over text with PLANTED
+    * decomposed sequences (the fixture corpus is ASCII, so the gate
+    * prefixes each doc with combining-mark spellings — a&#769;,
+    * u&#776; — that NFC must fold to their composed forms): proves
+    * the JDK normalizer and DuckDB's `nfc_normalize` agree
+    * byte-for-byte, with before/after code-point counts showing the
+    * composition actually happened. */
+  def tNfcNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(lit("a\u0301e\u0301iou\u0308 "),
+      substring(col("text"), 1, 40))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        graft.functions.GraftExpressions.nfc_normalize(col("raw")).as("norm_text"),
+        length(col("raw")).cast("long").as("len_raw"),
+        length(graft.functions.GraftExpressions.nfc_normalize(col("raw")))
+          .cast("long").as("len_nfc"))
+      .orderBy("doc_id")
+  }
+
+  private val tNfcNormalizeSql =
+    """WITH s AS (SELECT doc_id,
+      |    'a' || chr(769) || 'e' || chr(769) || 'iou' || chr(776) || ' '
+      |      || substr(text, 1, 40) AS raw
+      |  FROM documents)
+      |SELECT doc_id, nfc_normalize(raw) AS norm_text,
+      |  CAST(length(raw) AS BIGINT) AS len_raw,
+      |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc
+      |FROM s ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1862,6 +1894,7 @@ object PipelineQueries {
     "p58_bm25_topk" -> (rBm25 _),
     "p59_weighted_sample" -> (cWeightedSample _),
     "p60_bloom_decontaminate" -> (cBloomDecontaminate _),
+    "p61_nfc_normalize" -> (tNfcNormalize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1934,5 +1967,6 @@ object PipelineQueries {
     "p59_weighted_sample" -> cWeightedSampleSql,
     // p60: sketch gated at zero-false-positive params -> must equal exact
     "p60_bloom_decontaminate" -> cDecontaminateSql,
+    "p61_nfc_normalize" -> tNfcNormalizeSql,
   )
 }

@@ -555,6 +555,33 @@ case class TermBuckets(child: Expression, numBuckets: Int)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (canonical composition) — the
+  * multilingual-corpus prerequisite the ASCII-only normalizers skip:
+  * decomposed sequences (e + U+0301) fold to their composed forms
+  * (é) so downstream hashing/dedup/tokenizing see one spelling.
+  * Backed by `java.text.Normalizer` (the JDK's Unicode NFC);
+  * DuckDB's `nfc_normalize` implements the same standard, which is
+  * what makes the p61 gate's cross-engine hash compare meaningful.
+  * Per-row, stateless — composes with streaming like the rest of the
+  * curation family. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // fast path: Normalizer.isNormalized is a cheap scan; most real
+    // text is already NFC and skips the rebuild allocation
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Membership-hit counter against a serialized
   * [[org.apache.spark.util.sketch.BloomFilter]]: how many elements of
   * the input long-array might be in the filter. The filter bytes ride
@@ -658,6 +685,9 @@ object GraftExpressions {
 
   def bloom_hit_count(hashes: Column, filterBytes: Array[Byte]): Column =
     column(BloomHitCount(expression(hashes), filterBytes))
+
+  def nfc_normalize(text: Column): Column =
+    column(NfcNormalize(expression(text)))
 
   def lang_id(c: Column): Column = column(LangIdExpression(expression(c)))
 

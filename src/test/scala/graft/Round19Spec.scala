@@ -130,6 +130,34 @@ class Round19Spec extends AnyFunSuite {
     assert(again == batchOut)
   }
 
+  test("NfcNormalize: composition, idempotence, astral passthrough") {
+    import spark.implicits._
+    import graft.functions.GraftExpressions.nfc_normalize
+    import org.apache.spark.sql.functions.{col, length}
+    val rows = Seq(
+      (1L, "cafe\u0301"),         // decomposed e + COMBINING ACUTE
+      (2L, "caf\u00e9"),           // already composed \u00e9
+      (3L, "\u1e69"),              // s with dot below and above, composed
+      (4L, "s\u0307\u0323"),       // decomposed, marks out of canonical order
+      (5L, "plain ascii stays"),
+      (6L, "astral \ud83d\ude42 ok") // surrogate-pair emoji
+    ).toDF("id", "t")
+    val out = rows.select(col("id"), nfc_normalize(col("t")).as("n"),
+        length(nfc_normalize(col("t"))).as("len"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L) == out(2L)) // decomposed folds to composed
+    assert(out(1L)._1 == "caf\u00e9" && out(1L)._2 == 4)
+    assert(out(3L) == out(4L)) // multi-mark canonical ordering
+    assert(out(5L)._1 == "plain ascii stays")
+    assert(out(6L)._1 == "astral 🙂 ok")
+    // idempotence: normalizing a normalized column is the identity
+    val twice = rows.select(nfc_normalize(nfc_normalize(col("t"))).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    val once = rows.select(nfc_normalize(col("t")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == once)
+  }
+
   test("bloomDecontaminate argument guards") {
     intercept[IllegalArgumentException] {
       Curation.bloomDecontaminate(corpus, evalSet, "doc_id", "text", minHits = 0)
