@@ -1831,6 +1831,34 @@ object PipelineQueries {
       |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---- repetition factors / epoch apportionment (p62) ----------------
+
+  /** [[Curation.repetitionFactors]]: a 1M-slot training budget
+    * apportioned across the corpus proportional to `n_chars` by
+    * largest remainder — Σ reps = 1,000,000 exactly. */
+  def cRepetitionFactors(spark: SparkSession, dir: String): DataFrame =
+    Curation.repetitionFactors(
+        Tables.load(spark, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", totalBudget = 1000000L)
+      .select("doc_id", "n_chars", "base_reps", "rem", "reps")
+      .orderBy("doc_id")
+
+  private val cRepetitionFactorsSql =
+    """WITH w AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tw FROM documents),
+      |q AS (SELECT doc_id, n_chars,
+      |        (n_chars * 1000000) // tw AS base_reps,
+      |        (n_chars * 1000000) % tw AS rem
+      |      FROM documents, w),
+      |d AS (SELECT CAST(1000000 - sum(base_reps) AS BIGINT) AS deficit FROM q),
+      |r AS (SELECT doc_id, n_chars, CAST(base_reps AS BIGINT) AS base_reps,
+      |        CAST(rem AS BIGINT) AS rem,
+      |        row_number() OVER (ORDER BY rem DESC, doc_id ASC) AS rr
+      |      FROM q)
+      |SELECT doc_id, n_chars, base_reps, rem,
+      |  base_reps + (CASE WHEN rr <= (SELECT deficit FROM d) THEN 1 ELSE 0 END)
+      |    AS reps
+      |FROM r ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1895,6 +1923,7 @@ object PipelineQueries {
     "p59_weighted_sample" -> (cWeightedSample _),
     "p60_bloom_decontaminate" -> (cBloomDecontaminate _),
     "p61_nfc_normalize" -> (tNfcNormalize _),
+    "p62_repetition_factors" -> (cRepetitionFactors _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1968,5 +1997,6 @@ object PipelineQueries {
     // p60: sketch gated at zero-false-positive params -> must equal exact
     "p60_bloom_decontaminate" -> cDecontaminateSql,
     "p61_nfc_normalize" -> tNfcNormalizeSql,
+    "p62_repetition_factors" -> cRepetitionFactorsSql,
   )
 }

@@ -521,6 +521,52 @@ object Curation {
     merged.toSeq.sortBy { case (t, c) => (-c, t) }
   }
 
+  /** Deterministic repetition factors for dataset mixing: apportion an
+    * integer `totalBudget` of training slots across rows proportional
+    * to weight, by Hamilton's largest-remainder method — each row gets
+    * `floor(w·B/W)` slots, and the `B − Σfloor` leftover slots go to
+    * the largest remainders (ties by id). The "upsample source X by
+    * 2.37 epochs" step of data-mixture recipes, made exact: integer
+    * arithmetic end to end, `Σ reps = totalBudget` ALWAYS, and the
+    * assignment is a pure function of (weights, budget) — re-runs and
+    * engine changes agree bit-for-bit.
+    *
+    * Plan at 100 TB: one O(rows) aggregate for the weight total, one
+    * codegen'd quota projection, one rank window over the O(rows)
+    * relation for the remainder round (the same doc-level-rank class
+    * as [[Selection.perplexityBuckets]] — swap in an approx remainder
+    * threshold at extreme scale). Weights must be non-negative and
+    * `max(w)·totalBudget` must fit a long — checked, with the decimal
+    * reformulation named in the error. */
+  def repetitionFactors(df: DataFrame, idCol: String, weightCol: String,
+      totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, s"totalBudget=$totalBudget")
+    val agg = df.agg(sum(col(weightCol).cast("long")).as("w"),
+      max(col(weightCol).cast("long")).as("mx"),
+      min(col(weightCol).cast("long")).as("mn")).collect()(0)
+    val totalW = agg.getLong(0); val maxW = agg.getLong(1)
+    require(agg.getLong(2) >= 0, s"negative weight in $weightCol")
+    require(totalW > 0, "all weights are zero")
+    require(maxW <= Long.MaxValue / totalBudget,
+      s"max weight $maxW times budget $totalBudget overflows long " +
+        "quota arithmetic; rescale weights or reformulate the quota in " +
+        "DECIMAL(38,0)")
+    // integral DIV, not `/` (Divide on longs widens to double and
+    // loses exactness past 2^53)
+    val quota = s"(CAST(`$weightCol` AS BIGINT) * ${totalBudget}L)"
+    val base = df
+      .withColumn("base_reps", expr(s"$quota DIV ${totalW}L"))
+      .withColumn("rem", expr(s"$quota % ${totalW}L"))
+    val deficit = totalBudget -
+      base.agg(sum("base_reps")).collect()(0).getLong(0)
+    base
+      .withColumn("__rr", row_number().over(
+        Window.orderBy(col("rem").desc, col(idCol).asc)))
+      .withColumn("reps",
+        col("base_reps") + when(col("__rr") <= deficit, 1L).otherwise(0L))
+      .drop("__rr")
+  }
+
   /** Dataset statistics: document counts by (token-length bucket,
     * class) — the curation dashboard's length histogram. Integer
     * bucket math, one partial-aggregated shuffle. */

@@ -158,6 +158,49 @@ class Round19Spec extends AnyFunSuite {
     assert(twice == once)
   }
 
+  test("repetitionFactors: Hamilton apportionment sums exactly to the budget") {
+    import spark.implicits._
+    val rows = Seq((1L, 3L), (2L, 1L), (3L, 1L), (4L, 2L)).toDF("id", "w")
+    // W=7, B=10: quotas 30/7,10/7,10/7,20/7 -> base 4,1,1,2 (sum 8),
+    // remainders 2,3,3,6 -> deficit 2 goes to id 4 (rem 6) then id 2
+    // (rem 3, tie with id 3 broken by id asc)
+    val out = Curation.repetitionFactors(rows, "id", "w", totalBudget = 10L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("reps")).toMap
+    assert(out == Map(1L -> 4L, 2L -> 2L, 3L -> 1L, 4L -> 3L), out.toString)
+    assert(out.values.sum == 10L)
+  }
+
+  test("repetitionFactors: proportionality and budget exactness at scale") {
+    import spark.implicits._
+    val rows = (1L to 777L).map(i => (i, i % 13 + 1)).toDF("id", "w")
+    val out = Curation.repetitionFactors(rows, "id", "w", totalBudget = 123457L)
+      .collect()
+    assert(out.map(_.getAs[Long]("reps")).sum == 123457L)
+    // each row's reps is its exact quota floor or floor+1
+    val tw = (1L to 777L).map(i => i % 13 + 1).sum
+    out.foreach { r =>
+      val q = r.getAs[Long]("w") * 123457L / tw
+      val reps = r.getAs[Long]("reps")
+      assert(reps == q || reps == q + 1, s"id ${r.getAs[Long]("id")}: $reps vs $q")
+    }
+  }
+
+  test("repetitionFactors argument guards") {
+    import spark.implicits._
+    val rows = Seq((1L, 0L), (2L, 0L)).toDF("id", "w")
+    intercept[IllegalArgumentException] {
+      Curation.repetitionFactors(rows, "id", "w", totalBudget = 10L) // all-zero
+    }
+    intercept[IllegalArgumentException] {
+      Curation.repetitionFactors(Seq((1L, -1L), (2L, 5L)).toDF("id", "w"),
+        "id", "w", totalBudget = 10L) // negative weight
+    }
+    intercept[IllegalArgumentException] {
+      Curation.repetitionFactors(Seq((1L, 1L << 40)).toDF("id", "w"),
+        "id", "w", totalBudget = 1L << 40) // quota overflow
+    }
+  }
+
   test("bloomDecontaminate argument guards") {
     intercept[IllegalArgumentException] {
       Curation.bloomDecontaminate(corpus, evalSet, "doc_id", "text", minHits = 0)
