@@ -201,6 +201,64 @@ class Round19Spec extends AnyFunSuite {
     }
   }
 
+  test("Pq: lossless codebooks reproduce the exact inner-product top-k") {
+    import spark.implicits._
+    import graft.operators.Pq
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.5f, 0.5f)), (2L, Seq(0.0f, 1.0f, 0.5f, 0.0f)),
+      (3L, Seq(0.9f, 0.1f, 0.0f, 1.0f)), (4L, Seq(0.2f, 0.8f, 1.0f, 0.5f)),
+      (5L, Seq(0.5f, 0.5f, 0.2f, 0.9f)), (6L, Seq(0.1f, 0.3f, 0.7f, 0.1f))
+    )
+    val df = vecs.toDF("vec_id", "embedding")
+    // codesPerSub >= distinct subvectors -> every subvector is its own
+    // code and ADC degenerates to the exact inner product
+    val cb = Pq.train(df, "vec_id", "embedding", m = 2, codesPerSub = 6)
+    val enc = Pq.encode(df, "vec_id", "embedding", cb)
+    val q = Array(0.7, 0.3, 0.4, 0.8)
+    val got = Pq.adcTopK(enc, "vec_id", cb, q, k = 3)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val want = vecs
+      .map { case (id, v) => id -> v.zip(q).map { case (a, b) => a * b }.sum }
+      .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1)
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("Pq: lossy codebooks keep cluster-level recall and training is deterministic") {
+    import spark.implicits._
+    import graft.operators.Pq
+    // 3 tight clusters of 10 vectors each in dim 8
+    val base = Seq(
+      Array(1.0f, 1, 0, 0, 0, 0, 1, 1), Array(0.0f, 0, 1, 1, 1, 1, 0, 0),
+      Array(1.0f, 0, 1, 0, 1, 0, 1, 0))
+    val vecs = for (c <- 0 until 3; i <- 0 until 10) yield
+      ((c * 10 + i).toLong, base(c).zipWithIndex
+        .map { case (x, j) => x + 0.01f * ((i + j) % 5) }.toSeq)
+    val df = vecs.toDF("vec_id", "embedding")
+    val cb = Pq.train(df, "vec_id", "embedding", m = 4, codesPerSub = 3)
+    val cb2 = Pq.train(df, "vec_id", "embedding", m = 4, codesPerSub = 3)
+    assert(cb.codes.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb2.codes.map(_.map(_.toSeq).toSeq).toSeq) // deterministic training
+    val enc = Pq.encode(df, "vec_id", "embedding", cb)
+    // query at cluster 2's center: its 10 members must own the top-10
+    val got = Pq.adcTopK(enc, "vec_id", cb, base(2).map(_.toDouble), k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(got == (20L until 30L).toSet, got.toString)
+  }
+
+  test("Pq argument guards") {
+    import spark.implicits._
+    import graft.operators.Pq
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Pq.train(df, "vec_id", "embedding", m = 2, codesPerSub = 4) // 3 % 2 != 0
+    }
+    val cb = Pq.train(df, "vec_id", "embedding", m = 3, codesPerSub = 2)
+    intercept[IllegalArgumentException] {
+      Pq.adcTopK(Pq.encode(df, "vec_id", "embedding", cb), "vec_id", cb,
+        Array(1.0, 2.0), k = 1) // wrong query dim
+    }
+  }
+
   test("bloomDecontaminate argument guards") {
     intercept[IllegalArgumentException] {
       Curation.bloomDecontaminate(corpus, evalSet, "doc_id", "text", minHits = 0)
