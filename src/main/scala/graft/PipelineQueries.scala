@@ -1859,6 +1859,36 @@ object PipelineQueries {
       |    AS reps
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---- Kneser-Ney bigram perplexity (p63) ----------------------------
+
+  /** [[graft.operators.Selection.knPerplexity]]: per-doc surprisal
+    * under the corpus-fit interpolated KN bigram LM (d = 0.75). */
+  def cKnPerplexity(spark: SparkSession, dir: String): DataFrame =
+    operators.Selection.knPerplexity(
+        Tables.load(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val cKnPerplexitySql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |db AS (SELECT doc_id, ws[i] AS v, ws[i+1] AS w
+      |       FROM t, unnest(range(1, len(ws))) AS u(i)
+      |       WHERE len(ws) > 1),
+      |ty AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c_vw FROM db GROUP BY 1, 2),
+      |cv AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS cv,
+      |         CAST(count(*) AS BIGINT) AS n1v FROM ty GROUP BY 1),
+      |nw AS (SELECT w, CAST(count(*) AS BIGINT) AS n1w FROM ty GROUP BY 1),
+      |na AS (SELECT CAST(count(*) AS BIGINT) AS n1all FROM ty),
+      |lp AS (SELECT ty.v, ty.w,
+      |         CAST(floor(ln(
+      |           (c_vw::DOUBLE - 0.75) / cv + (0.75 * n1v / cv) * (n1w / n1all)
+      |         ) * 1e6) AS BIGINT) AS lp_micro
+      |       FROM ty JOIN cv USING (v) JOIN nw USING (w), na)
+      |SELECT db.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(-sum(lp_micro) AS BIGINT) AS surprisal_micro,
+      |  CAST(-sum(lp_micro) AS BIGINT)::DOUBLE / count(*) / 1e6 AS ppl_token
+      |FROM db JOIN lp USING (v, w)
+      |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1924,6 +1954,7 @@ object PipelineQueries {
     "p60_bloom_decontaminate" -> (cBloomDecontaminate _),
     "p61_nfc_normalize" -> (tNfcNormalize _),
     "p62_repetition_factors" -> (cRepetitionFactors _),
+    "p63_kn_perplexity" -> (cKnPerplexity _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1998,5 +2029,6 @@ object PipelineQueries {
     "p60_bloom_decontaminate" -> cDecontaminateSql,
     "p61_nfc_normalize" -> tNfcNormalizeSql,
     "p62_repetition_factors" -> cRepetitionFactorsSql,
+    "p63_kn_perplexity" -> cKnPerplexitySql,
   )
 }

@@ -149,6 +149,58 @@ object Selection {
         .cast("long"))
   }
 
+  /** Per-doc surprisal under an interpolated Kneser–Ney BIGRAM LM fit
+    * on the corpus itself — the genuine CCNet scoring model (Wenzek
+    * et al. 2020 score with a 5-gram KN LM; [[perplexityBuckets]] is
+    * the unigram stand-in, this is the bigram real thing; the
+    * statistics involved are the p50 gate's continuation counts):
+    *
+    *   p(w|v) = (c(vw) − d)/c(v·) + d·N1+(v·)/c(v·) · N1+(·w)/N1+(··)
+    *
+    * with absolute discount d = 0.75. Every probability is a RATIONAL
+    * of exact integer corpus counts, so both engines compute the same
+    * double through the same op order, and the per-type log is
+    * quantized to micronats BEFORE the per-doc aggregation (the
+    * [[perplexityBuckets]] portability argument, per bigram TYPE).
+    * The LM is fit on the scored corpus, so every doc bigram is a
+    * seen type — no OOV branch.
+    *
+    * Plan at 100 TB: one bigram shuffle builds the O(types) count
+    * relation; the three marginals (c(v·), N1+(v·), N1+(·w)) and the
+    * type total re-aggregate from THAT relation; scoring joins doc
+    * bigrams to the type relation on (v,w) — a key-equality shuffle
+    * join, bounded fanout — and re-aggregates per doc with map-side
+    * combine. Docs with fewer than 2 tokens have no bigrams and are
+    * omitted (no LM evidence). */
+  def knPerplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val prs = when(size(toks) > lit(1),
+        transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("v"),
+            element_at(toks, i + lit(1)).as("w"))))
+      .otherwise(array().cast("array<struct<v:string,w:string>>"))
+    val docBg = docs.select(col(idCol), explode(prs).as("p"))
+      .select(col(idCol), col("p.v").as("v"), col("p.w").as("w"))
+    val types = docBg.groupBy("v", "w").agg(count(lit(1)).as("c_vw"))
+    val cv = types.groupBy("v")
+      .agg(sum("c_vw").as("cv"), count(lit(1)).as("n1v"))
+    val n1w = types.groupBy("w").agg(count(lit(1)).as("n1w"))
+    val n1all = types.agg(count(lit(1)).as("n1all"))
+    // identical op order in the DuckDB oracle:
+    //   (c−0.75)/cv + (0.75·n1v/cv)·(n1w/n1all)
+    val p = (col("c_vw").cast("double") - lit(0.75)) / col("cv") +
+      (lit(0.75) * col("n1v") / col("cv")) * (col("n1w") / col("n1all"))
+    val lp = types
+      .join(cv, "v").join(n1w, "w").crossJoin(broadcast(n1all))
+      .select(col("v"), col("w"), floor(log(p) * 1e6).as("lp_micro"))
+    docBg
+      .join(lp, Seq("v", "w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), (-sum("lp_micro")).as("surprisal_micro"))
+      .withColumn("ppl_token",
+        col("surprisal_micro").cast("double") / col("n_bigrams") / lit(1e6))
+  }
+
   /** BM25 top-k retrieval (Robertson & Zaragoza, "The Probabilistic
     * Relevance Framework: BM25 and Beyond", 2009; the `1 + (N−df+½)/
     * (df+½)` idf is Lucene's always-positive variant): for each query,

@@ -259,6 +259,54 @@ class Round19Spec extends AnyFunSuite {
     }
   }
 
+  test("knPerplexity matches the closed-form KN formula; model normalizes to 1") {
+    import spark.implicits._
+    import graft.operators.Selection
+    val texts = Map(
+      1L -> "a b a c a b",
+      2L -> "b c b a",
+      3L -> "c c a b a")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    // corpus bigram stats, replicated in plain Scala
+    val bgs = texts.values.flatMap(t => t.split(" ").sliding(2).map(p => (p(0), p(1)))).toSeq
+    val cVW = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cv = cVW.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1v = cVW.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1w = cVW.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val n1all = cVW.size.toLong
+    def p(v: String, w: String): Double =
+      (cVW((v, w)) - 0.75) / cv(v) + (0.75 * n1v(v) / cv(v)) * (n1w(w).toDouble / n1all)
+    def lpMicro(v: String, w: String): Long = math.floor(math.log(p(v, w)) * 1e6).toLong
+    val expect = texts.view.mapValues(t =>
+      -t.split(" ").sliding(2).map(x => lpMicro(x(0), x(1))).sum).toMap
+    val out = Selection.knPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("surprisal_micro")).toMap
+    assert(out == expect, s"$out vs $expect")
+    // interpolated KN normalizes: for each context v, Σ_w p(w|v) over
+    // the continuation vocabulary is exactly 1
+    val vocabW = n1w.keySet
+    for (v <- cv.keySet) {
+      val mass = vocabW.toSeq.map { w =>
+        val disc = cVW.get((v, w)).map(c => (c - 0.75) / cv(v)).getOrElse(0.0)
+        disc + (0.75 * n1v(v) / cv(v)) * (n1w(w).toDouble / n1all)
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"context $v mass $mass")
+    }
+  }
+
+  test("knPerplexity: formulaic docs score lower than rare-bigram docs; short docs omitted") {
+    import spark.implicits._
+    import graft.operators.Selection
+    val docs = (Seq((100L, "x")) ++ // 1 token: no bigrams, must be absent
+      (1L to 8L).map(i => (i, "the cat sat on the mat")) ++
+      Seq((50L, "zebra quark flux onto violet prism")))
+      .toDF("doc_id", "text")
+    val out = Selection.knPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl_token")).toMap
+    assert(!out.contains(100L))
+    assert(out(1L) < out(50L), out.toString)
+  }
+
   test("bloomDecontaminate argument guards") {
     intercept[IllegalArgumentException] {
       Curation.bloomDecontaminate(corpus, evalSet, "doc_id", "text", minHits = 0)
