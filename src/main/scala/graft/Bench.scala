@@ -65,7 +65,8 @@ object Bench {
     "p57_ppl_buckets", // round 18: CCNet-style perplexity head/middle/tail split
     "p58_bm25_topk", // round 18: posting-list BM25 retrieval
     "p59_weighted_sample", // round 18: ES weighted sampling (map + TakeOrdered)
-    "p60_bloom_decontaminate") // round 19: map-only Bloom-probe decontamination
+    "p60_bloom_decontaminate", // round 19: map-only Bloom-probe decontamination
+    "p63_kn_perplexity") // round 19: corpus-fit KN bigram LM scoring
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
