@@ -17,22 +17,29 @@ object TextFunctions {
     * output and DuckDB's string_split for oracle parity). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word k-shingles: `transform(sequence(...), i ->
-    * concat_ws(' ', slice(tokens, i, k)))`. Short docs (< k words)
-    * yield their whole token list as one shingle. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val ws = tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(lit(1), size(ws) - lit(k - 1))),
-      i => concat_ws(" ", slice(ws, i, lit(k)))))
-  }
+  /** Distinct word k-shingles. Short docs (< k words) yield their
+    * whole token list as one shingle. Backed by the native
+    * [[WordShingleStrings]] expression — value-identical to the HOF
+    * formulation [[wordShinglesHof]], parity-pinned in Round19Spec
+    * (the HOF tree evaluates interpreted per row; cf. the
+    * [[ShingleHashes]] and TermBuckets lessons). */
+  def wordShingles(text: Column, k: Int): Column =
+    GraftExpressions.word_shingle_strings(text, k, distinct = true)
 
   /** All word k-shingle occurrences WITH multiplicity (no
     * `array_distinct`) — the term-frequency twin of [[wordShingles]]
     * for weighted similarity (TF cosine), where how often a shingle
     * repeats inside a document carries signal. Same short-doc rule:
     * < k words yield the whole token list as one shingle. */
-  def wordShinglesAll(text: Column, k: Int): Column = {
+  def wordShinglesAll(text: Column, k: Int): Column =
+    GraftExpressions.word_shingle_strings(text, k, distinct = false)
+
+  /** The HOF formulations, kept as the reference implementations the
+    * native expression is parity-tested against. */
+  def wordShinglesHof(text: Column, k: Int): Column =
+    array_distinct(wordShinglesAllHof(text, k))
+
+  def wordShinglesAllHof(text: Column, k: Int): Column = {
     val ws = tokens(text)
     transform(
       sequence(lit(1), greatest(lit(1), size(ws) - lit(k - 1))),

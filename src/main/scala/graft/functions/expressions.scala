@@ -507,6 +507,51 @@ case class ShingleHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Word k-shingle STRINGS fused per row — the string-valued sibling
+  * of [[ShingleHashes]] (same tokenize/slice/short-doc semantics,
+  * but the grams themselves are the output): one Java loop replaces
+  * the interpreted `transform(sequence, i -> concat_ws(slice))` HOF
+  * tree wherever the gram string survives into the result (heavy
+  * hitters, containment, decontamination). `distinct = true` is the
+  * `array_distinct` composition (first-occurrence order preserved);
+  * `false` keeps multiplicity (the TF twin). Parity with the HOF
+  * formulation is pinned in Round19Spec. */
+case class WordShingleStrings(child: Expression, k: Int, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingle_strings"
+
+  @transient private lazy val space = UTF8String.fromString(" ")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].split(space, -1)
+    val n = toks.length
+    val m = math.max(1, n - k + 1)
+    val out = new Array[AnyRef](m)
+    val seen = if (distinct) new java.util.HashSet[UTF8String](m * 2) else null
+    var written = 0
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + k, n)
+      val gram =
+        if (end - i == n) UTF8String.concatWs(space, toks: _*)
+        else UTF8String.concatWs(space,
+          java.util.Arrays.copyOfRange(toks, i, end).toIndexedSeq: _*)
+      if (seen == null || seen.add(gram)) {
+        out(written) = gram
+        written += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(
+      if (written == m) out else java.util.Arrays.copyOf(out, written))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleStrings =
+    copy(child = newChild)
+}
+
 /** DSIR feature buckets fused per row: unigrams ++ adjacent bigrams,
   * each mapped to `(first 16 md5 bits) mod numBuckets`. One Java loop
   * per document replaces the interpreted HOF tree
@@ -682,6 +727,9 @@ object GraftExpressions {
 
   def term_buckets(text: Column, numBuckets: Int): Column =
     column(TermBuckets(expression(text), numBuckets))
+
+  def word_shingle_strings(text: Column, k: Int, distinct: Boolean): Column =
+    column(WordShingleStrings(expression(text), k, distinct))
 
   def bloom_hit_count(hashes: Column, filterBytes: Array[Byte]): Column =
     column(BloomHitCount(expression(hashes), filterBytes))

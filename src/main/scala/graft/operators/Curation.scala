@@ -465,10 +465,14 @@ object Curation {
     * gated against this exact operator in Round14Spec. */
   def heavyHitters(docs: DataFrame, textCol: String, phiInv: Long): DataFrame = {
     require(phiInv > 0, s"phiInv=$phiInv")
-    val toks = split(col(textCol), " ")
-    val bigrams = transform(
-      sequence(lit(1), greatest(lit(1), size(toks) - lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(2))))
+    // native 2-shingles with multiplicity (identical values to the
+    // inline HOF this replaces, incl. the whole-list short-doc rule)
+    val bigrams = graft.functions.TextFunctions.wordShinglesAll(col(textCol), 2)
+    // NOTE: do NOT checkpoint `counts` here — both consumers sit in
+    // ONE final plan, so Spark's ReusedExchange already runs the
+    // corpus bigram shuffle once; forcing materialization measured
+    // 12 s → 21 s at the 100× corpus (the opposite of knPerplexity,
+    // whose consumers could not share an exchange)
     val counts = docs.select(explode(bigrams).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("n"))

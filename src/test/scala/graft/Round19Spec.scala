@@ -307,6 +307,32 @@ class Round19Spec extends AnyFunSuite {
     assert(out(1L) < out(50L), out.toString)
   }
 
+  test("WordShingleStrings parity with the HOF formulation (both variants, adversarial text)") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions.col
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar,
+        Gen.oneOf('é', '中', '.', '-'))).map(_.mkString),
+      Gen.const("🙂"))
+    val doc = Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val docs = Gen.listOfN(150, doc)
+      .apply(Gen.Parameters.default, Seed(19L)).get
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 5)) {
+      val nd = docs.select(col("doc_id"), TextFunctions.wordShingles(col("text"), k).as("g"))
+      val hd = docs.select(col("doc_id"), TextFunctions.wordShinglesHof(col("text"), k).as("g"))
+      assert(nd.exceptAll(hd).isEmpty && hd.exceptAll(nd).isEmpty, s"distinct k=$k")
+      val na = docs.select(col("doc_id"), TextFunctions.wordShinglesAll(col("text"), k).as("g"))
+      val ha = docs.select(col("doc_id"), TextFunctions.wordShinglesAllHof(col("text"), k).as("g"))
+      assert(na.exceptAll(ha).isEmpty && ha.exceptAll(na).isEmpty, s"all k=$k")
+    }
+  }
+
   test("bloomDecontaminate argument guards") {
     intercept[IllegalArgumentException] {
       Curation.bloomDecontaminate(corpus, evalSet, "doc_id", "text", minHits = 0)
