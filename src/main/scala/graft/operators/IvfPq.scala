@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: the two ANN halves composed (Jégou et al. 2011 §V — the
+  * layout every large-scale vector store uses). [[IvfIndex]] prunes:
+  * a query reads only its `nProbe` nearest coarse lists. [[Pq]]
+  * compresses: within those lists the scan touches m-int codes, not
+  * d-float vectors (~32× fewer bytes at 64-dim/8-sub), scored by ADC
+  * lookup tables that ride in the plan.
+  *
+  * At 100 TB the economics multiply: IVF cuts the scanned fraction to
+  * nProbe/nLists, PQ cuts the bytes per scanned row — a query's IO is
+  * `corpus × nProbe/nLists / compression`, and nothing shuffles (the
+  * probed-partition scan is map-only + TakeOrdered).
+  *
+  * Build persists three relations under `path`: the coarse centroids
+  * and raw assignments ([[IvfIndex.build]]'s layout, kept so exact
+  * re-ranking remains possible), the PQ codebooks, and the encoded
+  * codes PARTITIONED BY LIST — the relation queries actually scan.
+  *
+  * Contract (Round19Spec): full probe + lossless codebooks ≡ exact
+  * inner-product top-k; partial probe scans only probed list
+  * directories (inputFiles-asserted). */
+object IvfPq {
+
+  /** Build coarse index + codebooks + encoded codes. */
+  def build(embs: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, m: Int, codesPerSub: Int, path: String): Pq.Codebooks = {
+    val spark = embs.sparkSession
+    IvfIndex.build(embs, idCol, vecCol, nLists, path)
+    val cb = Pq.train(embs, idCol, vecCol, m, codesPerSub)
+    // persist codebooks (m × k × subDim doubles — metadata-scale)
+    import spark.implicits._
+    cb.codes.zipWithIndex.flatMap { case (book, sub) =>
+      book.zipWithIndex.map { case (c, code) => (sub, code, c.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebooks.parquet")
+    // encode the assignments relation and lay codes out by list
+    val asg = spark.read.parquet(s"$path/assignments")
+    Pq.encode(asg, "id", "vec", cb)
+      .write.mode("overwrite").partitionBy("list").parquet(s"$path/pq_codes")
+    cb
+  }
+
+  /** Reload persisted codebooks. */
+  def codebooks(spark: SparkSession, path: String): Pq.Codebooks = {
+    val rows = spark.read.parquet(s"$path/pq_codebooks.parquet")
+      .orderBy("sub", "code").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val books = Array.tabulate(m) { sub =>
+      rows.filter(_.getInt(0) == sub).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray)
+    }
+    Pq.Codebooks(m, books(0)(0).length, books)
+  }
+
+  /** Single-query top-k: probe the `nProbe` coarse lists nearest the
+    * query (driver-side over the nLists×dim centroid table), scan
+    * ONLY those code partitions, ADC-score, TakeOrdered. */
+  def topK(spark: SparkSession, path: String, cb: Pq.Codebooks,
+      queryVec: Array[Double], k: Int, nProbe: Int): DataFrame = {
+    require(nProbe > 0, s"nProbe=$nProbe")
+    val cents = spark.read.parquet(s"$path/centroids.parquet")
+      .orderBy("list").collect()
+      .map(r => r.getInt(0) -> r.getAs[Seq[Double]]("centroid").toArray)
+    val probed = cents.map { case (list, c) =>
+      var d = 0.0; var j = 0
+      while (j < c.length) { val t = queryVec(j) - c(j); d += t * t; j += 1 }
+      (list, d)
+    }.sortBy { case (list, d) => (d, list) }.take(nProbe).map(_._1)
+    val codes = spark.read.parquet(s"$path/pq_codes")
+      .filter(col("list").isin(probed.toIndexedSeq: _*))
+    Pq.adcTopK(codes, "id", cb, queryVec, k)
+  }
+}

@@ -144,10 +144,11 @@ object Pq {
     best
   }
 
-  /** Encode the corpus: (id, codes array<int>) — one map-only pass,
-    * each subspace assigned via the native
-    * [[graft.functions.NearestCentroids]] expression over the
-    * subvector slice. */
+  /** Encode the corpus: every column except the vector survives, plus
+    * `codes array<int>` — one map-only pass, each subspace assigned
+    * via the native [[graft.functions.NearestCentroids]] expression
+    * over the subvector slice. (Carrying the other columns through is
+    * what lets [[IvfPq]] keep the coarse `list` alongside the codes.) */
   def encode(embs: DataFrame, idCol: String, vecCol: String,
       cb: Codebooks): DataFrame = {
     val codeCols = (0 until cb.m).map { sub =>
@@ -156,7 +157,7 @@ object Pq {
         slice(col(vecCol), sub * cb.subDim + 1, cb.subDim),
         cb.codes(sub), 1), 1)
     }
-    embs.select(col(idCol), array(codeCols: _*).as("codes"))
+    embs.withColumn("codes", array(codeCols: _*)).drop(vecCol)
   }
 
   /** ADC top-k by inner product: per query, the per-(sub, code) dot

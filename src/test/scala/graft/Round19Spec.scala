@@ -333,6 +333,49 @@ class Round19Spec extends AnyFunSuite {
     }
   }
 
+  test("IvfPq: full probe + lossless codebooks equals exact; partial probe prunes") {
+    import graft.operators.{IvfPq, Pq}
+    val embs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = embs.count().toInt
+    val path = graft.util.TempDirs.create("graft-ivfpq-").toString
+    val cb = IvfPq.build(embs, "vec_id", "embedding", nLists = 4,
+      m = 2, codesPerSub = n + 8, path = path)
+    assert(IvfPq.codebooks(spark, path).codes.map(_.length).toSeq ==
+      cb.codes.map(_.length).toSeq)
+
+    val all = embs.orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val q = all.head._2
+    // exact scores computed the ADC way (per-subspace partial sums)
+    def exact(v: Array[Double]): Double = {
+      val sub = cb.subDim
+      (0 until cb.m).map { s =>
+        var d = 0.0; var j = 0
+        while (j < sub) { d += q(s * sub + j) * v(s * sub + j); j += 1 }
+        d
+      }.sum
+    }
+    val want = all.map { case (id, v) => (id, exact(v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+    val full = IvfPq.topK(spark, path, cb, q, k = 5, nProbe = 4)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(full == want, s"got $full want $want")
+
+    // partial probe: the codes scan reads only probed list directories
+    val partial = IvfPq.topK(spark, path, cb, q, k = 5, nProbe = 1)
+    // selectedPartitions is the PRUNED set (location.inputFiles lists
+    // the whole unpruned index)
+    val scanned = partial.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("pq_codes")) =>
+        s.selectedPartitions.partitionCount
+    }.headOption
+    assert(scanned.contains(1),
+      s"expected one probed list partition, scanned $scanned")
+  }
+
   test("bloomDecontaminate argument guards") {
     intercept[IllegalArgumentException] {
       Curation.bloomDecontaminate(corpus, evalSet, "doc_id", "text", minHits = 0)
