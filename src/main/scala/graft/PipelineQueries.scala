@@ -3,6 +3,7 @@ package graft
 import graft.functions.{GraftExpressions, TextFunctions}
 import graft.operators.{Bpe, Curation, Dedup, IvfIndex, Joins, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators (dedup / similarity / text
@@ -1889,6 +1890,45 @@ object PipelineQueries {
       |FROM db JOIN lp USING (v, w)
       |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin
 
+  // ---- IVF-PQ ADC retrieval (p64) -------------------------------------
+
+  /** [[graft.operators.IvfPq]] at full probe with lossless codebooks
+    * (codesPerSub > corpus ⇒ every distinct subvector is its own
+    * code, Lloyd means are the points themselves exactly): ADC
+    * degenerates to the exact inner product computed as two
+    * per-subspace partial sums — the oracle replicates that grouping,
+    * so even the double scores hash-match. The gate rebuilds the
+    * persisted index from scratch each run (same discipline as the
+    * l-family write gates). */
+  def sIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    val n = embs.count().toInt
+    val path = graft.util.TempDirs.create("graft-ivfpq-gate-").toString
+    val cb = operators.IvfPq.build(embs, "vec_id", "embedding",
+      nLists = 4, m = 2, codesPerSub = n + 8, path = path)
+    val q = embs.filter(col("vec_id") === 0)
+      .select("embedding").first().getSeq[Float](0).map(_.toDouble).toArray
+    operators.IvfPq.topK(spark, path, cb, q, k = 10, nProbe = 4)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("adc_score").desc, col("id").asc)).cast("long"))
+      .select(col("id").as("neighbor_id"), col("adc_score"), col("rnk"))
+      .orderBy("rnk")
+  }
+
+  private val sIvfPqSql =
+    """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      |s AS (SELECT v.vec_id AS neighbor_id,
+      |    list_sum(list_transform(generate_series(1, 32),
+      |      i -> q.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE))
+      |    + list_sum(list_transform(generate_series(33, 64),
+      |      i -> q.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE)) AS adc_score
+      |  FROM embeddings v, q),
+      |r AS (SELECT neighbor_id, adc_score,
+      |    CAST(row_number() OVER (ORDER BY adc_score DESC, neighbor_id ASC) AS BIGINT)
+      |      AS rnk
+      |  FROM s)
+      |SELECT neighbor_id, adc_score, rnk FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1955,6 +1995,7 @@ object PipelineQueries {
     "p61_nfc_normalize" -> (tNfcNormalize _),
     "p62_repetition_factors" -> (cRepetitionFactors _),
     "p63_kn_perplexity" -> (cKnPerplexity _),
+    "p64_ivfpq_adc" -> (sIvfPq _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2030,5 +2071,7 @@ object PipelineQueries {
     "p61_nfc_normalize" -> tNfcNormalizeSql,
     "p62_repetition_factors" -> cRepetitionFactorsSql,
     "p63_kn_perplexity" -> cKnPerplexitySql,
+    // p64: sketch gated at lossless params -> must equal exact, scores included
+    "p64_ivfpq_adc" -> sIvfPqSql,
   )
 }
