@@ -1929,6 +1929,44 @@ object PipelineQueries {
       |  FROM s)
       |SELECT neighbor_id, adc_score, rnk FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin
 
+  // ---- HTML/markup stripping (p65) ------------------------------------
+
+  /** [[TextFunctions.stripMarkup]] over text with PLANTED markup (the
+    * p61 pattern: the fixture corpus is plain, so the gate wraps each
+    * doc in tags + entities in BOTH engines and hash-compares the
+    * extraction). */
+  def tHtmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val wrapped = concat(
+      lit("<html><body ref=\"c\"><p>"), col("text"),
+      lit("</p><br/>&nbsp;&amp;done &lt;eof&gt; &amp;lt;raw&amp;gt;</body></html>"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.stripMarkup(wrapped).as("clean_text"))
+      .withColumn("n_clean", length(col("clean_text")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  private val tHtmlStripSql =
+    """WITH w AS (SELECT doc_id,
+      |    '<html><body ref="c"><p>' || text ||
+      |    '</p><br/>&nbsp;&amp;done &lt;eof&gt; &amp;lt;raw&amp;gt;</body></html>'
+      |      AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  trim(regexp_replace(
+      |    replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |      '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&'),
+      |    '\s+', ' ', 'g')) AS clean_text,
+      |  CAST(length(trim(regexp_replace(
+      |    replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |      '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&'),
+      |    '\s+', ' ', 'g'))) AS BIGINT) AS n_clean
+      |FROM w ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1996,6 +2034,7 @@ object PipelineQueries {
     "p62_repetition_factors" -> (cRepetitionFactors _),
     "p63_kn_perplexity" -> (cKnPerplexity _),
     "p64_ivfpq_adc" -> (sIvfPq _),
+    "p65_html_strip" -> (tHtmlStrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2073,5 +2112,6 @@ object PipelineQueries {
     "p63_kn_perplexity" -> cKnPerplexitySql,
     // p64: sketch gated at lossless params -> must equal exact, scores included
     "p64_ivfpq_adc" -> sIvfPqSql,
+    "p65_html_strip" -> tHtmlStripSql,
   )
 }

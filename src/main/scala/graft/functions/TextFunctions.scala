@@ -46,6 +46,25 @@ object TextFunctions {
       i => concat_ws(" ", slice(ws, i, lit(k))))
   }
 
+  /** Markup stripping for web-crawl text: drop tags, decode the six
+    * ubiquitous HTML entities, collapse whitespace — the extraction
+    * step between raw crawl HTML and every operator above. Entity
+    * order matters: `&amp;` decodes LAST so `&amp;lt;` yields the
+    * literal `&lt;`, not a double-decoded `<` (the classic pitfall).
+    * Pure per-row regex/replace expressions (codegen'd, stream-safe);
+    * the p65 oracle runs the same chain in DuckDB (RE2 vs Java regex
+    * agree on these patterns; DuckDB needs the explicit 'g' flag). */
+  def stripMarkup(text: Column): Column = {
+    val untag = regexp_replace(text, "<[^>]*>", " ")
+    val entities = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&") // &amp; last
+    val decoded = entities.foldLeft(untag) { case (c, (k, v)) =>
+      call_function("replace", c, lit(k), lit(v))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** 64-bit hashes of the distinct shingles — the fused native
     * [[ShingleHashes]] expression (the HOF tree it replaces is
     * interpreted per row; see the expression's doc). Values are

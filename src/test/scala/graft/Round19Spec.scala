@@ -376,6 +376,29 @@ class Round19Spec extends AnyFunSuite {
       s"expected one probed list partition, scanned $scanned")
   }
 
+  test("stripMarkup: tags, entities, decode order, whitespace collapse") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "<p>hello <b>world</b></p>"),
+      (2L, "a &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;&amp;done"),
+      // &amp;lt; must decode to the LITERAL &lt;, never to <
+      (3L, "&amp;lt;not-a-tag&amp;gt;"),
+      (4L, "  spaced\tout\n\ntext  "),
+      (5L, "<div class=\"x\" data-y='1'>attr soup</div>"),
+      (6L, "no markup at all")
+    ).toDF("id", "t")
+    val out = rows.select(col("id"), TextFunctions.stripMarkup(col("t")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "hello world")
+    assert(out(2L) == "a <b> \"q\" 's' &done")
+    assert(out(3L) == "&lt;not-a-tag&gt;")
+    assert(out(4L) == "spaced out text")
+    assert(out(5L) == "attr soup")
+    assert(out(6L) == "no markup at all")
+  }
+
   test("bloomDecontaminate argument guards") {
     intercept[IllegalArgumentException] {
       Curation.bloomDecontaminate(corpus, evalSet, "doc_id", "text", minHits = 0)
