@@ -402,15 +402,29 @@ final class GraftTable private (
     java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
 
   /** Escape a partition value into its directory form. `/` separates
-    * REAL nested directories (derived `yyyy/MM/dd` layouts land as
-    * `data/2023/05/14/b0/...` like Hudi's TimestampBasedKeyGenerator
-    * paths); every other non-safe character is percent-encoded within
-    * its segment. */
-  private def escapeDir(s: String): String =
-    s.split("/", -1).map(_.flatMap {
-      case c if c.isLetterOrDigit || c == '-' || c == '_' || c == '.' || c == '=' => c.toString
+    * REAL nested directories ONLY for derived layouts (`yyyy/MM/dd`
+    * lands as `data/2023/05/14/b0/...` like Hudi's
+    * TimestampBasedKeyGenerator paths) — there the FORMAT STRING, not
+    * row data, controls the segments. For plain partition columns the
+    * value is row data, so `/` is percent-encoded like any other
+    * unsafe character: a dirty value like `../../x` must never escape
+    * the table root (writes AND the later clean/remove commits would
+    * otherwise touch files outside it). Dot-only segments (`.`, `..`)
+    * are percent-encoded even in the derived path, and empty segments
+    * are rejected loudly — both would break path identity. */
+  private def escapeDir(s: String): String = {
+    def seg(p: String): String = p.flatMap {
+      case c if c.isLetterOrDigit || c == '-' || c == '_' || c == '=' => c.toString
+      case '.' if !p.forall(_ == '.') => "."
       case c => f"%%${c.toInt}%02x"
-    }).mkString("/")
+    }
+    if (config.partitionFormat.isDefined) {
+      val parts = s.split("/", -1)
+      require(parts.forall(_.nonEmpty),
+        s"partition value '$s' has an empty path segment; cannot form a stable directory name")
+      parts.map(seg).mkString("/")
+    } else seg(s)
+  }
 
   /** Optimistic concurrency control (T4, SURVEY.md §2.7): writers plan
     * against a snapshot (`planningInstant`) and validate under the
@@ -819,7 +833,11 @@ final class GraftTable private (
       case "s"  => raw.toLong * 1000000L
       case "ms" => raw.toLong * 1000L
       case "us" => raw.toLong
-      case "ns" => Math.floorDiv(raw.toLong, 1000L)
+      // truncate toward zero like the write path's SQL DIV
+      // (IntegralDivide rounds DOWN) — floorDiv would put a negative
+      // (pre-1970) bootstrap epoch in a DIFFERENT partition name than
+      // subsequent writes derive, splitting one logical partition
+      case "ns" => raw.toLong / 1000L
       case "ts" => throw new IllegalArgumentException(
         "bootstrap with partitionUnit=ts is not supported: footer stats " +
         "store timestamps in engine-specific text — bulkInsert instead")

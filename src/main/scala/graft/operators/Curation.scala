@@ -545,6 +545,17 @@ object Curation {
   def repetitionFactors(df: DataFrame, idCol: String, weightCol: String,
       totalBudget: Long): DataFrame = {
     require(totalBudget > 0, s"totalBudget=$totalBudget")
+    // the quota arithmetic is exact INTEGER largest-remainder — a
+    // fractional weight column would be silently truncated (2.9 → 2),
+    // so demand an integral column and tell the caller how to rescale
+    import org.apache.spark.sql.types._
+    df.schema(weightCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+      case other => throw new IllegalArgumentException(
+        s"repetitionFactors needs an integral weight column; '$weightCol' " +
+        s"is $other — pre-scale fractional weights to integers (e.g. " +
+        "round(w * 1000) as milli-weights); proportions are scale-invariant")
+    }
     val agg = df.agg(sum(col(weightCol).cast("long")).as("w"),
       max(col(weightCol).cast("long")).as("mx"),
       min(col(weightCol).cast("long")).as("mn")).collect()(0)

@@ -249,11 +249,18 @@ object Selection {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    val df_ = postings.groupBy("term")
-      .agg(count(lit(1)).as("df")) // postings are (doc,term)-distinct
     val qTerms = queries
       .select(col(queryIdCol), explode(array_distinct(split(col(queryTextCol), " ")))
         .as("term"))
+    // df is only needed for QUERY terms, so restrict the marginal before
+    // broadcasting — broadcast(full-vocabulary df) would be a driver-OOM
+    // at the 100 TB corpus this plan is written for. Filtering postings
+    // by term before the groupBy leaves each surviving term's count
+    // unchanged (df is a per-term marginal).
+    val df_ = postings
+      .join(broadcast(qTerms.select("term").distinct()), "term")
+      .groupBy("term")
+      .agg(count(lit(1)).as("df")) // postings are (doc,term)-distinct
     val joined = postings
       .join(broadcast(qTerms), "term")
       .join(broadcast(df_), "term")

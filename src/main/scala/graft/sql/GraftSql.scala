@@ -543,20 +543,25 @@ final class GraftSql(catalog: GraftCatalog) {
   }
 
   /** Index of the first occurrence of `word` (token-bounded, case-
-    * insensitive) at paren/quote depth 0, or -1. */
+    * insensitive) at paren/quote depth 0, or -1. Tracks all three SQL
+    * quoting contexts — '…', "…", and backticked identifiers — so a
+    * keyword like `when` inside a double-quoted string or a quoted
+    * column name never splits the statement. */
   private def topLevelWordIndex(s: String, word: String): Int = {
     val lower = s.toLowerCase
     var depth = 0
-    var inQuote = false
+    var quote: Char = 0
     var i = 0
     while (i < s.length) {
-      s.charAt(i) match {
-        case '\'' => inQuote = !inQuote
-        case '(' if !inQuote => depth += 1
-        case ')' if !inQuote => depth -= 1
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
         case _ =>
       }
-      if (!inQuote && depth == 0 && lower.startsWith(word, i) &&
+      if (quote == 0 && depth == 0 && lower.startsWith(word, i) &&
           (i == 0 || !lower.charAt(i - 1).isLetterOrDigit) &&
           (i + word.length >= s.length || !lower.charAt(i + word.length).isLetterOrDigit))
         return i
@@ -596,14 +601,19 @@ final class GraftSql(catalog: GraftCatalog) {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     var depth = 0
-    var inQuote = false
-    s.foreach {
-      case '\'' => inQuote = !inQuote; cur += '\''
-      case '(' if !inQuote => depth += 1; cur += '('
-      case ')' if !inQuote => depth -= 1; cur += ')'
-      case c if c == sep && depth == 0 && !inQuote =>
-        out += cur.toString; cur.clear()
-      case c => cur += c
+    var quote: Char = 0 // 0 = outside; otherwise the char that closes
+    s.foreach { c =>
+      if (quote != 0) {
+        if (c == quote) quote = 0
+        cur += c
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; cur += c
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case _ if c == sep && depth == 0 =>
+          out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
     }
     if (cur.nonEmpty) out += cur.toString
     out.toSeq.filter(_.trim.nonEmpty)

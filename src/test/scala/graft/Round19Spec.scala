@@ -199,6 +199,13 @@ class Round19Spec extends AnyFunSuite {
       Curation.repetitionFactors(Seq((1L, 1L << 40)).toDF("id", "w"),
         "id", "w", totalBudget = 1L << 40) // quota overflow
     }
+    // fractional weights would be silently truncated by the integer
+    // quota math — rejected with a rescale hint instead
+    val frac = intercept[IllegalArgumentException] {
+      Curation.repetitionFactors(Seq((1L, 2.9), (2L, 0.4)).toDF("id", "w"),
+        "id", "w", totalBudget = 10L)
+    }
+    assert(frac.getMessage.contains("integral"))
   }
 
   test("Pq: lossless codebooks reproduce the exact inner-product top-k") {

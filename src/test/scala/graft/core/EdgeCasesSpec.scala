@@ -92,6 +92,38 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(t.read().select("id").as[Long].collect().toSet == Set(2L))
   }
 
+  test("adversarial partition values never escape the table root") {
+    // a string partition VALUE is row data — '../../x' or 'a/b' must
+    // percent-encode, not become real directory nesting (writes AND the
+    // later clean/remove commits would otherwise touch foreign paths)
+    val root = tmp()
+    val t = GraftTable.create(spark, root, TableConfig(
+      name = "trav", keyField = "id", orderingField = "v",
+      partitionField = Some("p"), numBuckets = 1))
+    t.insert(Seq((1L, 1L, "../../evil"), (2L, 1L, "a/b"), (3L, 1L, ".."),
+      (4L, 1L, ".")).toDF("id", "v", "p"))
+    val rootPath = java.nio.file.Paths.get(root).toRealPath()
+    import scala.jdk.CollectionConverters._
+    Files.walk(rootPath).iterator().asScala.foreach { p =>
+      assert(p.toRealPath().startsWith(rootPath), s"escaped root: $p")
+    }
+    // nothing landed beside the table root either
+    val parent = rootPath.getParent
+    assert(Files.list(parent).iterator().asScala
+      .count(_.getFileName.toString.startsWith("evil")) == 0)
+    // and the values round-trip intact through read + partition listing
+    assert(t.read().orderBy("id").select("p").as[String].collect().toSeq ==
+      Seq("../../evil", "a/b", "..", "."))
+    assert(t.read().filter($"p" === "../../evil").count() == 1)
+    // derived layouts still nest for real (format controls the segments)
+    val d = GraftTable.create(spark, tmp(), TableConfig(
+      name = "derived", keyField = "id", orderingField = "v",
+      partitionField = Some("ts"), partitionFormat = Some("yyyy/MM/dd"),
+      partitionUnit = "s", numBuckets = 1))
+    d.insert(Seq((1L, 1L, 1692000000L)).toDF("id", "v", "ts"))
+    assert(d.partitions() == Seq("2023/08/14"))
+  }
+
   test("MOR: delta-only table (no base) reads and compacts") {
     val t = GraftTable.create(spark, tmp(), TableConfig(
       name = "deltaonly", keyField = "id", orderingField = "v",

@@ -136,6 +136,34 @@ class DialectFuzzSpec extends AnyFunSuite {
       == "WHEN MATCHED THEN trap")
   }
 
+  test("splitTopLevel: double-quoted and backticked chunks are kept whole") {
+    val sql = freshSql()
+    assert(sql.splitTopLevel("""a="x,y",b=`w,z`,c='p,q'""", ',') ==
+      Seq("""a="x,y"""", "b=`w,z`", "c='p,q'"))
+    // a paren imbalance INSIDE a quoted chunk must not poison the depth
+    assert(sql.splitTopLevel("""a="(,(",b=c""", ',') ==
+      Seq("""a="(,("""", "b=c"))
+  }
+
+  test("MERGE: 'when' inside a double-quoted string or backticked identifier") {
+    val g = freshSql()
+    g.sql("CREATE TABLE fz6 (k BIGINT, ts BIGINT, `when` STRING) USING GRAFT " +
+      "OPTIONS (primaryKey='k', precombine='ts')")
+    g.sql("INSERT INTO fz6 VALUES (1, 1, 'old')")
+    // the clause boundary must be found at the REAL top-level WHEN, not
+    // at the double-quoted "when matched..." literal or the backticked
+    // `when` column reference inside the USING subquery
+    g.sql(
+      """MERGE INTO fz6 USING (
+        |  SELECT k, ts + 1 AS ts, concat(`when`, " when matched x") AS `when`
+        |  FROM (SELECT 1 AS k, 1 AS ts, 'v' AS `when`)
+        |) AS s ON s.k = fz6.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(g.sql("SELECT `when` FROM fz6").collect().head.getString(0)
+      == "v when matched x")
+  }
+
   test("MERGE: USING subquery with nested parens and quoted commas") {
     val g = freshSql()
     g.sql("CREATE TABLE fz4 (k BIGINT, ts BIGINT, v STRING) USING GRAFT " +
