@@ -661,6 +661,45 @@ case class BloomHitCount(child: Expression, filterBytes: Array[Byte])
     copy(child = newChild)
 }
 
+/** Count of token OCCURRENCES absent from the plan-resident vocabulary
+  * — the OOV numerator of [[graft.operators.Curation.oovRate]]. The
+  * vocabulary rides in the plan as a constructor argument (the
+  * [[BloomHitCount]] / IVF-centroid pattern: metadata-scale, V ≪
+  * corpus) and builds a hash set once per executor lazily, so the scan
+  * is tokens × O(1) — replacing the interpreted
+  * `filter(ws, w -> !array_contains(vocabLit, w))` HOF, which was
+  * tokens × O(V) per row in CodegenFallback code (invisible at the
+  * gate's V=20, pathological at a real 100k–4M vocabulary).
+  * Tokenization contract matches `split(text, " ")` exactly (literal
+  * single-space split, trailing empties kept), so values are
+  * bit-identical to the HOF formulation — parity-spec'd. */
+case class OovCount(child: Expression, vocab: Array[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "oov_count"
+
+  @transient private lazy val space = UTF8String.fromString(" ")
+  @transient private lazy val set = {
+    val s = new java.util.HashSet[UTF8String](vocab.length * 2)
+    vocab.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].split(space, -1)
+    var oov = 0L
+    var i = 0
+    while (i < toks.length) {
+      if (!set.contains(toks(i))) oov += 1L
+      i += 1
+    }
+    oov
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): OovCount =
+    copy(child = newChild)
+}
+
 /** Pairwise cosine similarity over two embedding arrays as a native
   * expression. Bit-identical arithmetic contract with the HOF
   * formulation it replaces (and the DuckDB oracle): every element
@@ -730,6 +769,9 @@ object GraftExpressions {
 
   def word_shingle_strings(text: Column, k: Int, distinct: Boolean): Column =
     column(WordShingleStrings(expression(text), k, distinct))
+
+  def oov_count(text: Column, vocab: Array[String]): Column =
+    column(OovCount(expression(text), vocab))
 
   def bloom_hit_count(hashes: Column, filterBytes: Array[Byte]): Column =
     column(BloomHitCount(expression(hashes), filterBytes))

@@ -427,15 +427,18 @@ object Curation {
     * Plan at 100 TB: one word shuffle with map-side combine +
     * TakeOrderedAndProject builds the top-V relation; its V rows are
     * driver-collected like IVF centroids — a metadata-scale constant
-    * (V ≪ corpus, caller-bounded), never the corpus — and applied as
-    * a literal array in a map-only pass (zero further shuffles).
+    * (V ≪ corpus, caller-bounded), never the corpus — and probed by
+    * the plan-resident [[graft.functions.OovCount]] hash set in a
+    * map-only pass (zero further shuffles, tokens × O(1) per row;
+    * the previous literal-array `array_contains` HOF was interpreted
+    * AND tokens × O(V) — measured in PLANS.md at V=100k).
     * Output: (idCol, n_tokens, oov_frac). */
   def oovRate(docs: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
     require(vocabSize > 0, s"vocabSize=$vocabSize")
     require(vocabSize <= 4 * 1024 * 1024,
       s"vocabSize=$vocabSize: the vocabulary is driver-collected and " +
-        "broadcast as a literal; beyond ~4M entries use a broadcast-join " +
+        "plan-resident; beyond ~4M entries use a broadcast-join " +
         "formulation instead")
     val vocab: Array[String] = docs
       .select(explode(split(col(textCol), " ")).as("word"))
@@ -443,12 +446,11 @@ object Curation {
       .orderBy(col("freq").desc, col("word").asc)
       .limit(vocabSize)
       .collect().map(_.getString(0))
-    val vocabArr = array(vocab.toIndexedSeq.map(lit): _*)
     val ws = split(col(textCol), " ")
     docs.select(col(idCol),
       size(ws).as("n_tokens"),
-      (size(filter(ws, w => !array_contains(vocabArr, w))).cast("double") /
-        size(ws)).as("oov_frac"))
+      (graft.functions.GraftExpressions.oov_count(col(textCol), vocab)
+        .cast("double") / size(ws)).as("oov_frac"))
   }
 
   /** Exact heavy hitters over the corpus bigram space: bigrams whose
