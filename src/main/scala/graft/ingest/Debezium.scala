@@ -33,6 +33,179 @@ object Debezium {
       .select(col("e.before").as("before"), col("e.after").as("after"),
         col("e.op").as("op"), col("e.ts_ms").as("ts_ms"))
 
+  // ---- MongoDB envelopes (reference: mongodb-debezium/
+  // register-mongodb.json:4-11 — io.debezium.connector.mongodb) --------
+
+  /** Debezium's MongoDB connector wraps documents differently from the
+    * relational connectors: `after`/`before` arrive as MongoDB
+    * extended-JSON *strings* (not structs), update events may carry
+    * only an `updateDescription` (changed fields) instead of a full
+    * `after` image, and delete events identify the document only
+    * through the Kafka message KEY (`{"id": <extended-json of _id>}`).
+    * This is the value-side envelope schema. */
+  def mongoEnvelopeSchema: StructType = StructType(Seq(
+    StructField("before", StringType),
+    StructField("after", StringType),
+    StructField("updateDescription", StructType(Seq(
+      StructField("updatedFields", StringType),
+      StructField("removedFields", ArrayType(StringType))))),
+    StructField("op", StringType),
+    StructField("ts_ms", LongType)))
+
+  /** Recursively replace MongoDB extended-JSON scalar wrappers with
+    * plain JSON values so `from_json` against the caller's row schema
+    * sees ordinary scalars: `{"$oid": s}`→s, `{"$numberLong": "n"}`/
+    * `{"$numberInt": "n"}`→n, `{"$numberDouble"|"$numberDecimal":
+    * "x"}`→x, `{"$date": n | {"$numberLong": "n"}}`→n. Unknown
+    * `$`-wrappers and everything else pass through untouched. */
+  private def unwrapExtendedJson(
+      n: com.fasterxml.jackson.databind.JsonNode,
+      m: com.fasterxml.jackson.databind.ObjectMapper): com.fasterxml.jackson.databind.JsonNode = {
+    import com.fasterxml.jackson.databind.node._
+    n match {
+      case o: ObjectNode if o.size() == 1 =>
+        val name = o.fieldNames().next()
+        name match {
+          case "$oid" | "$symbol" => o.get(name)
+          case "$numberLong" | "$numberInt" =>
+            LongNode.valueOf(o.get(name).asText.toLong)
+          case "$numberDouble" | "$numberDecimal" =>
+            DoubleNode.valueOf(java.lang.Double.parseDouble(o.get(name).asText))
+          case "$date" => unwrapExtendedJson(o.get(name), m)
+          case _ => unwrapObject(o, m)
+        }
+      case o: ObjectNode => unwrapObject(o, m)
+      case a: ArrayNode =>
+        val out = m.createArrayNode()
+        a.forEach(e => { out.add(unwrapExtendedJson(e, m)); () })
+        out
+      case other => other
+    }
+  }
+
+  private def unwrapObject(
+      o: com.fasterxml.jackson.databind.node.ObjectNode,
+      m: com.fasterxml.jackson.databind.ObjectMapper): com.fasterxml.jackson.databind.JsonNode = {
+    val out = m.createObjectNode()
+    o.fields().forEachRemaining { e =>
+      out.set[com.fasterxml.jackson.databind.JsonNode](
+        e.getKey, unwrapExtendedJson(e.getValue, m)); ()
+    }
+    out
+  }
+
+  /** Parse MongoDB Debezium envelopes. Output shape is [[parse]]'s
+    * (before, after, op, ts_ms) plus a `partial` flag:
+    *
+    *   - `after`/`before` extended-JSON strings are normalized to
+    *     plain JSON and typed against `row` (documents are
+    *     schemaless on the wire; `row` is the projection contract,
+    *     fields absent from a document read as null);
+    *   - update events WITHOUT a full `after` image (capture modes
+    *     other than `change_streams_update_full`) synthesize `after`
+    *     from `updateDescription.updatedFields` and are marked
+    *     `partial = true` — route them through [[applyMongo]], which
+    *     applies them with partial-merge semantics;
+    *   - delete (and key-only update) events recover `_id` from the
+    *     message-key JSON in `keyJsonCol` (`{"id": ...}`, the id
+    *     itself extended JSON), injected into the image as `_id`.
+    *
+    * Caveat (documented contract): a field `$unset` by a partial
+    * update is indistinguishable from "not updated" in the
+    * updatedFields image — both read as null — so unsets do not
+    * propagate through the partial path; use full-document capture
+    * mode when unsets matter. */
+  def parseMongo(raw: DataFrame, jsonCol: String, row: StructType,
+      keyJsonCol: Option[String] = None): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val cols = col(jsonCol).cast(StringType) +:
+      keyJsonCol.map(c => col(c).cast(StringType)).toSeq
+    val normalized = raw.select(cols: _*).mapPartitions { it =>
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      it.map { r =>
+      val env = m.readTree(r.getString(0))
+      // message-key _id (extended JSON nested in a string)
+      val keyId: Option[com.fasterxml.jackson.databind.JsonNode] =
+        (if (r.length > 1 && !r.isNullAt(1)) Option(m.readTree(r.getString(1)).get("id"))
+         else None).map {
+          case t if t.isTextual =>
+            try unwrapExtendedJson(m.readTree(t.asText), m)
+            catch { case _: Exception => t }
+          case other => unwrapExtendedJson(other, m)
+        }
+      def image(field: String): com.fasterxml.jackson.databind.JsonNode = {
+        val v = env.get(field)
+        if (v == null || v.isNull) m.nullNode()
+        else unwrapExtendedJson(m.readTree(v.asText), m)
+      }
+      def withKey(img: com.fasterxml.jackson.databind.JsonNode) = img match {
+        case o: com.fasterxml.jackson.databind.node.ObjectNode
+            if !o.has("_id") && keyId.isDefined =>
+          o.set[com.fasterxml.jackson.databind.JsonNode]("_id", keyId.get)
+        case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+        case _ if keyId.isDefined =>
+          val o = m.createObjectNode()
+          o.set[com.fasterxml.jackson.databind.JsonNode]("_id", keyId.get)
+        case other => other
+      }
+      val op = Option(env.get("op")).map(_.asText).orNull
+      var after = image("after")
+      var partial = false
+      if (op == "u" && after.isNull) {
+        val ud = env.get("updateDescription")
+        val uf = if (ud == null || ud.isNull) null else ud.get("updatedFields")
+        if (uf != null && !uf.isNull) {
+          after = unwrapExtendedJson(m.readTree(uf.asText), m)
+          partial = true
+        }
+      }
+      val before = image("before")
+      val out = m.createObjectNode()
+      out.set[com.fasterxml.jackson.databind.JsonNode]("after",
+        if (op == "d") m.nullNode() else withKey(after))
+      out.set[com.fasterxml.jackson.databind.JsonNode]("before", withKey(before))
+      out.put("op", op)
+      out.put("ts_ms",
+        Option(env.get("ts_ms")).filterNot(_.isNull).map(_.asLong).getOrElse(0L))
+      out.put("partial", partial)
+      m.writeValueAsString(out)
+      }
+    }.toDF("json")
+    val schema = envelopeSchema(row)
+      .add(StructField("partial", BooleanType))
+    normalized.select(from_json(col("json"), schema).as("e"))
+      .select(col("e.before").as("before"), col("e.after").as("after"),
+        col("e.op").as("op"), col("e.ts_ms").as("ts_ms"),
+        col("e.partial").as("partial"))
+  }
+
+  /** Apply [[parseMongo]] output: full-image events go through the
+    * standard [[apply]] path; `partial` update events (change-stream
+    * capture without full documents) apply with the table's
+    * partial-merge payload — only the fields present in
+    * `updatedFields` overwrite, everything else is preserved. */
+  def applyMongo(table: GraftTable, changes: DataFrame): Seq[String] = {
+    val full = changes.filter(!col("partial"))
+      .drop("partial")
+    val part = changes.filter(col("partial"))
+    var commits = apply(table, full)
+    if (!part.isEmpty) {
+      val cfg = table.config
+      val rowCols = part.select(col("after.*")).columns.toSeq
+      val imaged = part.select(col("after.*"), col("ts_ms"))
+      val withOrd =
+        if (rowCols.contains(cfg.orderingField)) imaged.drop("ts_ms")
+        else imaged.withColumn(cfg.orderingField, col("ts_ms")).drop("ts_ms")
+      // the full-width frame is correct as-is: upsertPartial treats
+      // null columns as UNSET partials (PartialUpdateAvroPayload
+      // semantics), which is exactly what "field absent from
+      // updatedFields" means
+      commits = commits :+ table.upsertPartial(withOrd)
+    }
+    commits
+  }
+
   // ---- Avro envelopes (reference: register-mysql-avro.json:4-22 — the
   // CDC demos are Avro-first; JSON alone cannot ingest them) ----------
 

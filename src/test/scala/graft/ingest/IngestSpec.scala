@@ -117,6 +117,88 @@ class IngestSpec extends AnyFunSuite {
     assert(t.read().select("id").as[Long].collect().toSet == Set(8L))
   }
 
+  test("Mongo Debezium envelope: extended-JSON strings, partial update, key-only delete") {
+    val work = tmp()
+    val rowSchema = StructType(Seq(
+      StructField("_id", LongType), StructField("name", StringType),
+      StructField("qty", LongType)))
+    def mkTable(p: String) = GraftTable.create(spark, s"$work/$p", TableConfig(
+      name = p, keyField = "_id", orderingField = "_cdc_ts", numBuckets = 2))
+    val mongoT = mkTable("mongo"); val structT = mkTable("structs")
+
+    // after/before ride as extended-JSON STRINGS in the Mongo envelope
+    // (register-mongodb.json connector); the key JSON carries _id
+    def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def env(op: String, ts: Long, after: String, updated: String = null): String = {
+      val a = if (after == null) "null" else js(after)
+      val ud = if (updated == null) "null"
+        else s"""{"updatedFields":${js(updated)},"removedFields":[]}"""
+      s"""{"before":null,"after":$a,"updateDescription":$ud,"op":"$op","ts_ms":$ts}"""
+    }
+    def key(id: Long) = s"""{"id":"$id"}"""
+
+    val batch1 = Seq(
+      (env("c", 100,
+        """{"_id": {"$numberLong": "1"}, "name": "ann", "qty": {"$numberInt": "5"}}"""),
+        key(1)),
+      (env("c", 101, """{"_id": 2, "name": "bob", "qty": 7}"""), key(2)),
+      (env("u", 102, """{"_id": 1, "name": "ann", "qty": 6}"""), key(1))
+    ).toDF("value", "key")
+    Debezium.applyMongo(mongoT,
+      Debezium.parseMongo(batch1, "value", rowSchema, keyJsonCol = Some("key")))
+    assert(mongoT.read().count() == 2)
+    assert(mongoT.read().filter($"_id" === 1).select("qty").as[Long].head() == 6L)
+
+    // partial update (no full after image) + key-only delete
+    val batch2 = Seq(
+      (env("u", 103, null, updated = """{"qty": {"$numberLong": "99"}}"""), key(2)),
+      (env("d", 104, null), key(1))
+    ).toDF("value", "key")
+    Debezium.applyMongo(mongoT,
+      Debezium.parseMongo(batch2, "value", rowSchema, keyJsonCol = Some("key")))
+
+    // struct-path parity: the same logical history through the
+    // relational envelope must land the same final state
+    def senv(op: String, ts: Long, before: String, after: String): String =
+      s"""{"before":$before,"after":$after,"op":"$op","ts_ms":$ts}"""
+    val structBatch = Seq(
+      senv("c", 100, "null", """{"_id":1,"name":"ann","qty":5}"""),
+      senv("c", 101, "null", """{"_id":2,"name":"bob","qty":7}"""),
+      senv("u", 102, "null", """{"_id":1,"name":"ann","qty":6}"""),
+      senv("u", 103, "null", """{"_id":2,"name":"bob","qty":99}"""),
+      senv("d", 104, """{"_id":1,"name":"ann","qty":6}""", "null")).toDF("json")
+    Debezium.apply(structT, Debezium.parse(structBatch, "json", rowSchema))
+
+    def state(t: GraftTable) = t.read()
+      .select("_id", "name", "qty")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(state(mongoT) == Set((2L, "bob", 99L)), state(mongoT).toString)
+    assert(state(mongoT) == state(structT))
+  }
+
+  test("Mongo extended-JSON scalars: $oid, $date, $numberDouble round into the row schema") {
+    val work = tmp()
+    val rowSchema = StructType(Seq(
+      StructField("_id", StringType), StructField("seen", LongType),
+      StructField("score", DoubleType)))
+    val t = GraftTable.create(spark, s"$work/t", TableConfig(
+      name = "oids", keyField = "_id", orderingField = "_cdc_ts", numBuckets = 1))
+    val after = """{"_id": {"$oid": "64a1f2c3d4e5f60718293a4b"}, """ +
+      """"seen": {"$date": {"$numberLong": "1692000000000"}}, """ +
+      """"score": {"$numberDouble": "0.25"}}"""
+    val batch = Seq(
+      (s"""{"before":null,"after":"${after.replace("\"", "\\\"")}",""" +
+        s""""updateDescription":null,"op":"c","ts_ms":1}""",
+       """{"id":"{\"$oid\": \"64a1f2c3d4e5f60718293a4b\"}"}""")
+    ).toDF("value", "key")
+    Debezium.applyMongo(t,
+      Debezium.parseMongo(batch, "value", rowSchema, keyJsonCol = Some("key")))
+    val r = t.read().select("_id", "seen", "score").collect().head
+    assert(r.getString(0) == "64a1f2c3d4e5f60718293a4b")
+    assert(r.getLong(1) == 1692000000000L)
+    assert(r.getDouble(2) == 0.25)
+  }
+
   test("CsvDirSource reads header CSVs incrementally") {
     val in = tmp(); val work = tmp()
     Files.write(Paths.get(in, "r1.csv"),
