@@ -1368,16 +1368,19 @@ final class GraftTable private (
     * test-suite/test.properties:32) the MOR read-optimized view takes
     * the BARE name instead of `_ro` — bare serves the fast/stale
     * view, `_rt` stays the realtime merge. */
-  def registerViews(skipRoSuffix: Boolean = false): Unit = {
+  def registerViews(skipRoSuffix: Boolean = false,
+      asName: String = config.name): Unit = {
+    // asName ≠ config.name when a catalog adopted this table under a
+    // different registration name (CALL register_table)
     if (config.isMor) {
       if (skipRoSuffix)
-        readOptimized().createOrReplaceTempView(config.name)
+        readOptimized().createOrReplaceTempView(asName)
       else {
-        read().createOrReplaceTempView(config.name)
-        readOptimized().createOrReplaceTempView(s"${config.name}_ro")
+        read().createOrReplaceTempView(asName)
+        readOptimized().createOrReplaceTempView(s"${asName}_ro")
       }
-      readRealtime().createOrReplaceTempView(s"${config.name}_rt")
-    } else read().createOrReplaceTempView(config.name)
+      readRealtime().createOrReplaceTempView(s"${asName}_rt")
+    } else read().createOrReplaceTempView(asName)
   }
 }
 

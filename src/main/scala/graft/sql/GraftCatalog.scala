@@ -36,9 +36,32 @@ final class GraftCatalog(val spark: SparkSession, val warehouseDir: String) {
 
   def tableExists(name: String): Boolean = GraftTable.exists(rootOf(name))
 
+  /** Iceberg `register_table` analog (reference demo.md:223-229 —
+    * `CALL hive_prod.system.register_table(table => ..., metadata_file
+    * => ...)`): adopt the EXISTING table metadata at `path` into this
+    * catalog under `name`. Registration is metadata-only — the catalog
+    * entry is a symlink to the foreign root; no data or commit-log
+    * files are copied or rewritten, and the table keeps its full
+    * timeline (time travel, incremental cursors). DROP on a registered
+    * table removes only the registration, never the linked data. */
+  def registerTable(name: String, path: String): GraftTable = {
+    require(!tableExists(name), s"table $name already exists")
+    val src = Paths.get(path).toAbsolutePath
+    require(GraftTable.exists(src.toString),
+      s"$path is not a graft table root (no commit log) — for foreign " +
+      "parquet, CREATE the table first and CALL register_table with it " +
+      "to bootstrap-adopt the files")
+    val link = Paths.get(rootOf(name))
+    Files.createSymbolicLink(link, src)
+    table(name)
+  }
+
   def dropTable(name: String): Unit = {
     val root = Paths.get(rootOf(name))
     require(Files.exists(root), s"no such table $name")
+    // a REGISTERED table is a symlink: dropping it un-registers (the
+    // linked table's own files are not ours to delete)
+    if (Files.isSymbolicLink(root)) { Files.delete(root); return }
     Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
   }
 
@@ -81,7 +104,8 @@ final class GraftCatalog(val spark: SparkSession, val warehouseDir: String) {
       }
     } else t.registerViews(skipRoSuffix =
       spark.conf.getOption(s"graft.$n.hive_sync.skip_ro_suffix")
-        .exists(_.trim.toBoolean))
+        .exists(_.trim.toBoolean),
+      asName = n)
   }
 }
 

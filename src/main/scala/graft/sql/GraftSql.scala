@@ -375,11 +375,33 @@ final class GraftSql(catalog: GraftCatalog) {
         Seq(path).toDF("index_path")
       case "show_commits" => Observability.commits(table)
       case "show_fsview_all_files" | "show_files" => Observability.files(table)
+      case "register_table" =>
+        // Iceberg catalog-registration analog (demo.md:223-229). Two
+        // adoption modes by what the path holds:
+        //   - a graft table root (commit log present): metadata-only
+        //     registration into the catalog under `table`;
+        //   - foreign parquet: the table must already exist (CREATE
+        //     TABLE gives it a schema/key config) and the files are
+        //     bootstrap-adopted in place (metadata build, no rewrite).
+        val name = arg("table").getOrElse(throw new IllegalArgumentException(
+          "CALL register_table: missing table argument"))
+        val path = arg("metadata_path", 1)
+          .orElse(arg("metadata_file", 1)).getOrElse(
+            throw new IllegalArgumentException(
+              "CALL register_table: missing metadata_path argument"))
+        if (graft.core.GraftTable.exists(
+            java.nio.file.Paths.get(path).toAbsolutePath.toString)) {
+          catalog.registerTable(name, path)
+          Seq((name, path, "registered")).toDF("table", "path", "mode")
+        } else {
+          val instant = catalog.table(name).bootstrapFrom(path)
+          Seq((name, path, s"bootstrapped@$instant")).toDF("table", "path", "mode")
+        }
       case other => throw new IllegalArgumentException(
         s"unknown procedure '$other' — supported: run_compaction, " +
         "run_clustering, run_clean, run_archival, rollback_to_instant, " +
         "rollback_last_commit, table_changes, build_vector_index, " +
-        "show_commits, show_files")
+        "register_table, show_commits, show_files")
     }
   }
 

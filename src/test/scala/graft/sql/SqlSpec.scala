@@ -298,4 +298,45 @@ class SqlSpec extends AnyFunSuite {
     assert(b.config == a.config.copy(indexes = b.config.indexes))
     assert(b.schema == a.schema)
   }
+
+  test("CALL register_table adopts an existing graft table by path (demo.md:223-229)") {
+    // a table living OUTSIDE the warehouse (e.g. an exported/foreign
+    // location), with history worth keeping
+    val ext = graft.util.TempDirs.create("graft-ext-").toString + "/people_ext"
+    val t = graft.core.GraftTable.create(spark, ext, graft.core.TableConfig(
+      name = "people_ext", keyField = "id", orderingField = "ts", numBuckets = 2))
+    t.insert(Seq((1L, 10L, "x"), (2L, 10L, "y")).toDF("id", "ts", "v"))
+    t.upsert(Seq((2L, 20L, "y2")).toDF("id", "ts", "v"))
+
+    val out = gsql.sql(
+      s"CALL register_table(table => 'adopted', metadata_path => '$ext')")
+      .collect().head
+    assert(out.getString(2) == "registered")
+    // registered table answers SQL with the source's current rows
+    val rows = gsql.sql("SELECT id, v FROM adopted ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "x"), (2L, "y2")))
+    // full timeline came with it: incremental/history surfaces work
+    assert(catalog.table("adopted").log.snapshot().commits.size == 2)
+    // DROP un-registers without touching the linked table's files
+    gsql.sql("DROP TABLE adopted")
+    assert(!catalog.tableExists("adopted"))
+    assert(graft.core.GraftTable.exists(ext))
+    assert(graft.core.GraftTable.load(spark, ext).read().count() == 2)
+  }
+
+  test("CALL register_table bootstraps foreign parquet into a created table") {
+    val dir = graft.util.TempDirs.create("graft-fp-").toString
+    Seq((1L, 1L, 5.0), (2L, 1L, 7.5)).toDF("id", "ts", "score")
+      .repartition(1).write.parquet(s"$dir/raw")
+    gsql.sql("""CREATE TABLE adopted2 (id BIGINT, ts BIGINT, score DOUBLE)
+      USING GRAFT OPTIONS (primaryKey='id', precombine='ts')""")
+    val out = gsql.sql(
+      s"CALL register_table(table => 'adopted2', metadata_path => '$dir/raw')")
+      .collect().head
+    assert(out.getString(2).startsWith("bootstrapped@"))
+    val rows = gsql.sql("SELECT id, score FROM adopted2 ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((1L, 5.0), (2L, 7.5)))
+  }
 }
