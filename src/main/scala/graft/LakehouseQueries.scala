@@ -843,6 +843,69 @@ object LakehouseQueries {
        |FROM f JOIN live ON f.filename = '$foreignDeltaRoot/' || live.path
        |ORDER BY event_type, user_id""".stripMargin
 
+  // ---- T6++ foreign-reader Iceberg verification (l31) ----------------
+
+  /** Fixed root for the same reason as l29: the oracle SQL is static. */
+  private val foreignIcebergRoot = "/tmp/graft_xtable_l31"
+
+  /** The Iceberg leg of the xTable claim verified by a FOREIGN reader
+    * (reference xtable.md:54-59 `register_table`, demo notebook cells
+    * 6-18). The engine builds the COW table and syncs Iceberg v2
+    * metadata TWICE — after the insert (v1: a snapshot whose files are
+    * later superseded) and after the upsert (v2: current) — so the
+    * oracle must resolve the real Iceberg chain: latest
+    * `v*.metadata.json` → current-snapshot-id → manifest LIST avro →
+    * manifest avro → live parquet set. DuckDB has no avro reader
+    * offline, but avro strings are raw length-prefixed UTF-8, so the
+    * oracle extracts the absolute paths from `read_blob` bytes with an
+    * anchored regex — decoding exactly the fields a real reader would.
+    * Superseded file versions still sit under `data/`, and v1's
+    * manifest (still on disk) points at them: the oracle matches ONLY
+    * if metadata-version selection, snapshot resolution, and both
+    * manifest layers are all correct. */
+  def qIcebergForeignRead(spark: SparkSession, dir: String): DataFrame = {
+    graft.util.TempDirs.deleteRecursively(
+      java.nio.file.Paths.get(foreignIcebergRoot))
+    val ev = events(spark, dir)
+    val t = GraftTable.create(spark, foreignIcebergRoot,
+      cfg("ev_iceberg_foreign", TableConfig.Cow))
+    t.insert(ev.filter(col("event_id") % 2 === 0))
+    graft.interop.XTableSync.syncIceberg(t) // v1 — superseded below
+    t.upsert(ev.filter(col("event_id") % 2 === 1))
+    graft.interop.XTableSync.syncIceberg(t) // v2 — current snapshot
+    out(t.read())
+  }
+
+  private val icebergForeignSql =
+    s"""WITH meta AS (
+       |  SELECT "current-snapshot-id" AS cur, snapshots
+       |  FROM read_json_auto('$foreignIcebergRoot/metadata/v*.metadata.json')
+       |  ORDER BY "last-sequence-number" DESC LIMIT 1),
+       |mlist AS (
+       |  SELECT s."manifest-list" AS path
+       |  FROM (SELECT unnest(snapshots) AS s, cur FROM meta)
+       |  WHERE s."snapshot-id" = cur),
+       |manifests AS (
+       |  SELECT DISTINCT mpath FROM (
+       |    SELECT unnest(regexp_extract_all(CAST(b.content AS VARCHAR),
+       |      '$foreignIcebergRoot/metadata/manifest-[-A-Za-z0-9_.]+[.]avro')) AS mpath
+       |    FROM read_blob('$foreignIcebergRoot/metadata/snap-*.avro') b
+       |    JOIN mlist ON b.filename = mlist.path)),
+       |files AS (
+       |  SELECT DISTINCT fpath FROM (
+       |    SELECT unnest(regexp_extract_all(CAST(b.content AS VARCHAR),
+       |      '$foreignIcebergRoot/data/[-/A-Za-z0-9_.=%]+[.]parquet')) AS fpath
+       |    FROM read_blob('$foreignIcebergRoot/metadata/manifest-*.avro') b
+       |    JOIN manifests ON b.filename = manifests.mpath)),
+       |f AS (
+       |  SELECT event_type, user_id, event_id, ts, value, filename
+       |  FROM read_parquet('$foreignIcebergRoot/data/**/*.parquet',
+       |                    filename=true, hive_partitioning=false,
+       |                    union_by_name=true))
+       |SELECT event_type, user_id, event_id, ts // 1000 AS ts_us, value
+       |FROM f JOIN files ON f.filename = files.fpath
+       |ORDER BY event_type, user_id""".stripMargin
+
   // ---- S9++ derived partition paths (l30) ---------------------------
 
   /** TimestampBasedKeyGenerator analog through the oracle: the table
@@ -935,6 +998,7 @@ object LakehouseQueries {
     "l28_snapshot_export" -> (qSnapshotExport _),
     "l29_delta_foreign_read" -> (qDeltaForeignRead _),
     "l30_derived_partitions" -> (qDerivedPartitions _),
+    "l31_iceberg_foreign_read" -> (qIcebergForeignRead _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -968,5 +1032,6 @@ object LakehouseQueries {
     "l28_snapshot_export" -> cowUpsertSql,
     "l29_delta_foreign_read" -> deltaForeignSql,
     "l30_derived_partitions" -> derivedPartitionsSql,
+    "l31_iceberg_foreign_read" -> icebergForeignSql,
   )
 }
