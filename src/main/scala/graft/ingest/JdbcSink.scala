@@ -29,4 +29,44 @@ object JdbcSink {
         if (!batch.isEmpty) write(batch, url, table, options)
       }
       .start()
+
+  /** Parse the connector's `topic2TableMap` string form
+    * (`"topicA=tableA,topicB=tableB"`,
+    * kafka_connect_clickhouse.json:20). */
+  def parseTopic2TableMap(s: String): Map[String, String] =
+    s.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(t, tbl) if tbl.nonEmpty => t.trim -> tbl.trim
+        case _ => throw new IllegalArgumentException(
+          s"bad topic2TableMap entry '$kv' (want topic=table)")
+      }
+    }.toMap
+
+  /** Multi-topic routing — the connector's `topic2TableMap`
+    * (kafka_connect_clickhouse.json:4-23): ONE streaming sink fans a
+    * mixed-topic stream out to its per-topic JDBC tables. The topic
+    * rides in `topicCol` (Kafka sources expose it as `topic`); rows
+    * whose topic has no mapping are ignored, mirroring the connector,
+    * which only subscribes to the topics it routes. Each micro-batch
+    * is persisted once and filtered per target — the per-table scans
+    * share the cached batch instead of re-reading the source. Same
+    * at-least-once contract as [[streamInto]]. */
+  def streamIntoRouted(stream: DataFrame, url: String, topicCol: String,
+      topic2Table: Map[String, String], checkpointDir: String,
+      options: Map[String, String] = Map.empty): StreamingQuery = {
+    require(topic2Table.nonEmpty, "topic2TableMap is empty")
+    import org.apache.spark.sql.functions.col
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.persist()
+          try topic2Table.foreach { case (topic, table) =>
+            val rows = b.filter(col(topicCol) === topic).drop(topicCol)
+            if (!rows.isEmpty) write(rows, url, table, options)
+          } finally { b.unpersist(); () }
+        }
+      }
+      .start()
+  }
 }

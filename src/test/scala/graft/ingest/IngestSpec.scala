@@ -241,6 +241,36 @@ class IngestSpec extends AnyFunSuite {
     assert(back.select("name").as[String].collect().toSet == Set("ann", "bob", "cid"))
   }
 
+  test("JDBC sink multi-topic routing: topic2TableMap lands each topic in its table") {
+    val in = tmp(); val work = tmp()
+    val url = s"jdbc:derby:$work/db;create=true"
+    val routeSchema = StructType(Seq(
+      StructField("topic", StringType), StructField("id", LongType),
+      StructField("name", StringType)))
+    writeJson(in, "b1.json",
+      """{"topic":"dbserver1.inventory.customers","id":1,"name":"ann"}""",
+      """{"topic":"dbserver1.inventory.orders","id":10,"name":"o-10"}""",
+      """{"topic":"dbserver1.inventory.customers","id":2,"name":"bob"}""",
+      """{"topic":"dbserver1.inventory.ignored","id":99,"name":"zzz"}""")
+    val routes = JdbcSink.parseTopic2TableMap(
+      "dbserver1.inventory.customers=customer, dbserver1.inventory.orders=orders")
+    val stream = spark.readStream.schema(routeSchema).json(in)
+    val q = JdbcSink.streamIntoRouted(stream, url, "topic", routes, s"$work/ckpt")
+    try {
+      q.processAllAvailable()
+      val props = new java.util.Properties()
+      val cust = spark.read.jdbc(url, "customer", props)
+      val ord = spark.read.jdbc(url, "orders", props)
+      assert(cust.select("name").as[String].collect().toSet == Set("ann", "bob"))
+      assert(ord.select("name").as[String].collect().toSet == Set("o-10"))
+      // second micro-batch appends (at-least-once contract)
+      writeJson(in, "b2.json",
+        """{"topic":"dbserver1.inventory.orders","id":11,"name":"o-11"}""")
+      q.processAllAvailable()
+      assert(spark.read.jdbc(url, "orders", props).count() == 2)
+    } finally q.stop()
+  }
+
   test("Structured Streaming foreachBatch upsert (S1 streaming path)") {
     val in = tmp(); val work = tmp()
     writeJson(in, "b1.json",
