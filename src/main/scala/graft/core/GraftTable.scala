@@ -295,6 +295,15 @@ final class GraftTable private (
       // put a CREATE INDEX ... USING bloom on
       .foldLeft(shuffled.write.partitionBy("_part", "_bucket").mode("overwrite")) {
         (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true") }
+      // adaptive sizing: without it parquet-mr sizes every bloom for
+      // the DEFAULT expected NDV and each file carries a ~1 MiB bloom
+      // regardless of content — measured 1,052,733 bytes for a 36-row
+      // file, i.e. the bloom WAS the file. Adaptive keeps candidate
+      // sizes and serializes the smallest one meeting the FPP for the
+      // file's actual NDV — same reader contract, right-sized bytes.
+      // At 100 TB this is the difference between blooms costing ~0.1%
+      // and blooms doubling small-file-group storage.
+      .option("parquet.bloom.filter.adaptive.enabled", "true")
     val writer = maxRecordsPerFile.fold(writer0)(n => writer0.option("maxRecordsPerFile", n))
     writer.parquet(staging.toString)
 
