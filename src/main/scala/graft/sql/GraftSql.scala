@@ -375,6 +375,24 @@ final class GraftSql(catalog: GraftCatalog) {
         Seq(path).toDF("index_path")
       case "show_commits" => Observability.commits(table)
       case "show_fsview_all_files" | "show_files" => Observability.files(table)
+      case "sync_xtable" =>
+        // the xtable RunSync flow (demo.md:87 `java -jar
+        // xtable-utilities... --datasetConfig xtable_hudi.yaml`) on the
+        // SQL surface: translate the table's current state into the
+        // requested target format's metadata, incrementally (cursors
+        // skip already-synced instants; a no-op sync returns no rows)
+        val t = table
+        val fmt = arg("format", 1).getOrElse("all").toLowerCase
+        require(Set("delta", "iceberg", "all").contains(fmt),
+          s"CALL sync_xtable: format must be delta|iceberg|all, got '$fmt'")
+        val versions: Seq[(String, Long)] =
+          (if (fmt == "delta" || fmt == "all")
+            graft.interop.XTableSync.syncDelta(t).map("delta" -> _)
+          else Nil) ++
+          (if (fmt == "iceberg" || fmt == "all")
+            graft.interop.XTableSync.syncIceberg(t).map("iceberg" -> _).toSeq
+          else Nil)
+        versions.toDF("format", "version")
       case "register_table" =>
         // Iceberg catalog-registration analog (demo.md:223-229). Two
         // adoption modes by what the path holds:
@@ -401,7 +419,7 @@ final class GraftSql(catalog: GraftCatalog) {
         s"unknown procedure '$other' — supported: run_compaction, " +
         "run_clustering, run_clean, run_archival, rollback_to_instant, " +
         "rollback_last_commit, table_changes, build_vector_index, " +
-        "register_table, show_commits, show_files")
+        "register_table, sync_xtable, show_commits, show_files")
     }
   }
 

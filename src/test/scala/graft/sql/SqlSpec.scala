@@ -299,6 +299,29 @@ class SqlSpec extends AnyFunSuite {
     assert(b.schema == a.schema)
   }
 
+  test("CALL sync_xtable emits Delta + Iceberg metadata incrementally (demo.md:87)") {
+    gsql.sql("""CREATE TABLE xts (id BIGINT, ts BIGINT, v STRING)
+      USING GRAFT OPTIONS (primaryKey='id', precombine='ts')""")
+    gsql.sql("INSERT INTO xts VALUES (1, 1, 'a'), (2, 1, 'b')")
+    // delta: one version per graft commit (CREATE's initial commit +
+    // the INSERT); iceberg: one snapshot per sync, versions from 0
+    val first = gsql.sql("CALL sync_xtable(table => 'xts', format => 'all')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(first == Seq("delta" -> 0L, "delta" -> 1L, "iceberg" -> 0L),
+      first.toString)
+    val root = java.nio.file.Paths.get(catalog.warehouseDir, "xts")
+    assert(java.nio.file.Files.exists(root.resolve("_delta_log")))
+    assert(java.nio.file.Files.exists(root.resolve("metadata/v0.metadata.json")))
+    // nothing new committed: the incremental cursor makes sync a no-op
+    assert(gsql.sql("CALL sync_xtable(table => 'xts')").count() == 0)
+    // a new commit re-arms it; single-format selection works
+    gsql.sql("INSERT INTO xts VALUES (3, 1, 'c')")
+    val inc = gsql.sql("CALL sync_xtable(table => 'xts', format => 'iceberg')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(inc == Seq("iceberg" -> 1L), inc.toString)
+    assert(java.nio.file.Files.exists(root.resolve("metadata/v1.metadata.json")))
+  }
+
   test("CALL register_table adopts an existing graft table by path (demo.md:223-229)") {
     // a table living OUTSIDE the warehouse (e.g. an exported/foreign
     // location), with history worth keeping
