@@ -66,7 +66,37 @@ final class GraftSql(catalog: GraftCatalog) {
       id.substring(1, id.length - 1)
     else id
 
-  def sql(text: String): DataFrame = text match {
+  /** Remove SQL comments — `--` to end of line and non-nested
+    * `/* ... */` blocks — outside quoted contexts ('…', "…", `…`), so
+    * a commented statement still matches the dialect's anchored
+    * grammar (Spark's parser tolerates comments; the regex grammar
+    * must see them gone). Optimizer hints (`/*+ ... */`) are KEPT —
+    * they are semantic for the fall-through Spark path. An unclosed
+    * block comment swallows to end of input, like Spark. */
+  private[sql] def stripComments(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == quote) quote = 0
+        out += c; i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out += c; i += 1
+      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*' &&
+          (i + 2 >= s.length || s.charAt(i + 2) != '+')) {
+        val end = s.indexOf("*/", i + 2)
+        i = if (end < 0) s.length else end + 2
+        out += ' ' // keep token separation across the removed block
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  def sql(text: String): DataFrame = stripComments(text) match {
     case DropRe(ifExists, name0) =>
       val name = unquoteId(name0)
       val known = catalog.listTables().contains(name)

@@ -164,6 +164,25 @@ class DialectFuzzSpec extends AnyFunSuite {
       == "v when matched x")
   }
 
+  test("SQL comments: line and block comments don't break the dialect grammar") {
+    val g = freshSql()
+    g.sql(
+      """-- demo table
+        |CREATE TABLE fz7 (k BIGINT, ts BIGINT, v STRING) USING GRAFT
+        |  /* options follow */ OPTIONS (primaryKey='k', precombine='ts')""".stripMargin)
+    g.sql("INSERT INTO fz7 -- trailing note\nVALUES (1, 1, 'a -- not a comment')")
+    // comment markers INSIDE string literals are data, not comments
+    assert(g.sql("SELECT v FROM fz7").collect().head.getString(0)
+      == "a -- not a comment")
+    g.sql("/* leading block */ UPDATE fz7 SET v = '/*x*/' WHERE k = 1")
+    assert(g.sql("SELECT v FROM fz7").collect().head.getString(0) == "/*x*/")
+    // optimizer hints survive to the Spark path
+    assert(g.sql("SELECT /*+ COALESCE(1) */ count(*) AS c FROM fz7")
+      .collect().head.getLong(0) == 1L)
+    g.sql("-- bye\nDROP TABLE fz7")
+    intercept[IllegalArgumentException](g.sql("DROP TABLE fz7"))
+  }
+
   test("MERGE: USING subquery with nested parens and quoted commas") {
     val g = freshSql()
     g.sql("CREATE TABLE fz4 (k BIGINT, ts BIGINT, v STRING) USING GRAFT " +
