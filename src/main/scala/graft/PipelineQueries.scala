@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{GraftExpressions, TextFunctions}
 import graft.operators.{Bpe, Curation, Dedup, IvfIndex, Joins, Similarity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1967,6 +1967,113 @@ object PipelineQueries {
       |    '\s+', ' ', 'g'))) AS BIGINT) AS n_clean
       |FROM w ORDER BY doc_id""".stripMargin
 
+  // ---- URL canonicalization + domain caps (p66, p67) ------------------
+
+  /** Deterministic messy URL per document — mixed-case scheme/host,
+    * www. prefixes, default and non-default ports, redundant trailing
+    * slashes, tracking params around a real one, fragments — built
+    * from (doc_id, source) IDENTICALLY in both engines so the gate
+    * exercises every canonicalization rule. */
+  private def messyUrl: Column = concat(
+    when(col("doc_id") % 3 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+    when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+    col("source"), lit(".Example.COM"),
+    when(col("doc_id") % 3 === 0, lit(":443"))
+      .when(col("doc_id") % 3 === 1, lit(":80"))
+      .otherwise(lit(":8080")),
+    lit("/Docs/"), (col("doc_id") % 10).cast("string"),
+    when(col("doc_id") % 4 === 0, lit("///")).otherwise(lit("")),
+    lit("?utm_source=feed"),
+    when(col("doc_id") % 5 =!= 0,
+      concat(lit("&page="), (col("doc_id") % 5).cast("string")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 2 === 1, lit("&fbclid=XyZ123")).otherwise(lit("")),
+    lit("&utm_medium=rss#frag"), (col("doc_id") % 7).cast("string"))
+
+  /** SQL twin of [[messyUrl]] (DuckDB string concatenation). */
+  private val messyUrlSql =
+    """(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'http://' END) ||
+      |(CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+      |source || '.Example.COM' ||
+      |(CASE WHEN doc_id % 3 = 0 THEN ':443'
+      |      WHEN doc_id % 3 = 1 THEN ':80' ELSE ':8080' END) ||
+      |'/Docs/' || CAST(doc_id % 10 AS VARCHAR) ||
+      |(CASE WHEN doc_id % 4 = 0 THEN '///' ELSE '' END) ||
+      |'?utm_source=feed' ||
+      |(CASE WHEN doc_id % 5 <> 0
+      |      THEN '&page=' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) ||
+      |(CASE WHEN doc_id % 2 = 1 THEN '&fbclid=XyZ123' ELSE '' END) ||
+      |'&utm_medium=rss#frag' || CAST(doc_id % 7 AS VARCHAR)""".stripMargin
+
+  /** [[Curation.canonicalizeUrls]]: the C4/RefinedWeb URL-identity
+    * step — scheme/host case, www., default ports, fragments, tracking
+    * params, trailing slashes all normalized; map-only regex chains
+    * with byte-identical RE2 twins in the oracle. */
+  def cUrlCanonicalize(spark: SparkSession, dir: String): DataFrame =
+    Curation.canonicalizeUrls(
+        Tables.load(spark, dir, "documents").select("doc_id", "source")
+          .withColumn("url", messyUrl),
+        "url")
+      .select("doc_id", "url", "canonical_url", "domain")
+      .orderBy("doc_id")
+
+  private val cUrlCanonicalizeSql =
+    s"""WITH u AS (SELECT doc_id, $messyUrlSql AS url FROM documents),
+       |c AS (SELECT doc_id, url,
+       |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+       |  FROM u),
+       |d AS (SELECT *,
+       |  regexp_replace(regexp_replace(
+       |    lower(regexp_extract(rest, '^([^/?#]*)', 1)), '^www\\.', ''),
+       |    ':[0-9]+$$', '') AS dom,
+       |  regexp_extract(lower(regexp_extract(rest, '^([^/?#]*)', 1)),
+       |    ':([0-9]+)$$', 1) AS port,
+       |  regexp_replace(rest, '^[^/?#]*', '') AS pathqf
+       |  FROM c),
+       |e AS (SELECT *,
+       |  CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+       |            OR (scheme = 'http' AND port = '80') THEN ''
+       |       ELSE ':' || port END AS keep_port,
+       |  CASE WHEN regexp_replace(regexp_extract(pathqf, '^([^?#]*)', 1),
+       |              '/+$$', '') = '' THEN '/'
+       |       ELSE regexp_replace(regexp_extract(pathqf, '^([^?#]*)', 1),
+       |              '/+$$', '') END AS path,
+       |  regexp_replace(regexp_replace(
+       |    regexp_extract(pathqf, '\\?([^#]*)', 1),
+       |    '(?:^|&)(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)=[^&]*', '', 'g'),
+       |    '^&+', '') AS query
+       |  FROM d)
+       |SELECT doc_id, url,
+       |  scheme || '://' || dom || keep_port || path ||
+       |    (CASE WHEN query = '' THEN '' ELSE '?' || query END) AS canonical_url,
+       |  dom AS domain
+       |FROM e ORDER BY doc_id""".stripMargin
+
+  /** [[Curation.domainCap]]: RefinedWeb-style domain balancing — at
+    * most 15 docs per canonical domain, ranked (n_chars DESC, doc_id
+    * ASC). The oracle derives the domain directly from the synthetic
+    * URL's known shape (p66 pins the full canonicalization chain). */
+  def cDomainCap(spark: SparkSession, dir: String): DataFrame =
+    Curation.domainCap(
+        Tables.load(spark, dir, "documents")
+          .select("doc_id", "source", "n_chars")
+          .withColumn("url", messyUrl),
+        "url", "doc_id", "n_chars", maxPerDomain = 15)
+      .select("domain", "doc_id", "n_chars", "domain_rank")
+      .orderBy("domain", "domain_rank")
+
+  private val cDomainCapSql =
+    """WITH d AS (SELECT doc_id, n_chars,
+      |    lower(source) || '.example.com' AS domain FROM documents),
+      |r AS (SELECT domain, doc_id, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY domain
+      |      ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS domain_rank
+      |  FROM d)
+      |SELECT domain, doc_id, n_chars, domain_rank
+      |FROM r WHERE domain_rank <= 15
+      |ORDER BY domain, domain_rank""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2035,6 +2142,8 @@ object PipelineQueries {
     "p63_kn_perplexity" -> (cKnPerplexity _),
     "p64_ivfpq_adc" -> (sIvfPq _),
     "p65_html_strip" -> (tHtmlStrip _),
+    "p66_url_canonicalize" -> (cUrlCanonicalize _),
+    "p67_domain_cap" -> (cDomainCap _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2113,5 +2222,7 @@ object PipelineQueries {
     // p64: sketch gated at lossless params -> must equal exact, scores included
     "p64_ivfpq_adc" -> sIvfPqSql,
     "p65_html_strip" -> tHtmlStripSql,
+    "p66_url_canonicalize" -> cUrlCanonicalizeSql,
+    "p67_domain_cap" -> cDomainCapSql,
   )
 }

@@ -595,4 +595,70 @@ object Curation {
         col(classCol).as("class"))
       .groupBy("token_bucket", "class")
       .agg(count(lit(1)).as("n_docs"))
+
+  /** URL canonicalization — the CommonCrawl-lineage identity step
+    * before URL-level dedup (C4/RefinedWeb keep one doc per canonical
+    * URL): lowercase scheme+host, drop a leading `www.`, strip the
+    * scheme's default port (`:443` for https, `:80` for http), strip
+    * the fragment, drop tracking query parameters (`utm_*`, `fbclid`,
+    * `gclid`, `msclkid`), trim trailing path slashes (an empty path
+    * canonicalizes to `/`), and surface the host-without-port as
+    * `domain`. Adds `canonical_url` and `domain`.
+    *
+    * Pure codegen'd regexp_extract/replace chains — map-only, zero
+    * shuffles, stream-safe; every regex has a byte-identical RE2 twin
+    * on the oracle side. Contract notes: userinfo is not handled
+    * (crawl URLs don't carry it); surviving query params keep their
+    * ORIGINAL order (param-sorting would conflate distinct resources
+    * on servers where order matters — the conservative choice for an
+    * identity key); the tracking list is the case-sensitive lowercase
+    * convention. */
+  def canonicalizeUrls(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val auth1 = regexp_replace(
+      regexp_replace(lower(regexp_extract(rest, "^([^/?#]*)", 1)),
+        "^www\\.", ""),
+      ":[0-9]+$", "")
+    val port = regexp_extract(lower(regexp_extract(rest, "^([^/?#]*)", 1)),
+      ":([0-9]+)$", 1)
+    val keepPort = when(port === "", lit(""))
+      .when(scheme === "https" && port === "443", lit(""))
+      .when(scheme === "http" && port === "80", lit(""))
+      .otherwise(concat(lit(":"), port))
+    val pathqf = regexp_replace(rest, "^[^/?#]*", "")
+    val pathTrim = regexp_replace(
+      regexp_extract(pathqf, "^([^?#]*)", 1), "/+$", "")
+    val path = when(pathTrim === "", lit("/")).otherwise(pathTrim)
+    val query = regexp_replace(
+      regexp_replace(regexp_extract(pathqf, "\\?([^#]*)", 1),
+        "(?:^|&)(?:utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)=[^&]*", ""),
+      "^&+", "")
+    val canon = concat(scheme, lit("://"), auth1, keepPort, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+    df.withColumn("canonical_url", canon).withColumn("domain", auth1)
+  }
+
+  /** Per-domain document caps — RefinedWeb-style domain balancing: at
+    * most `maxPerDomain` documents survive per canonical domain,
+    * ranked by (`scoreCol` DESC, `idCol` ASC) so the cut is
+    * deterministic and engine-portable. Adds `domain` (via
+    * [[canonicalizeUrls]]) and `domain_rank`.
+    *
+    * Plan at 100 TB: the canonicalization is map-only; the cap is ONE
+    * rank window partitioned by domain — fully parallel across the
+    * domain key space, with per-partition fanout equal to the domain's
+    * own doc count (bounding exactly that fanout is why the cap
+    * exists; a pathological single mega-domain is what the cap
+    * removes). */
+  def domainCap(df: DataFrame, urlCol: String, idCol: String,
+      scoreCol: String, maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain > 0, s"maxPerDomain=$maxPerDomain")
+    canonicalizeUrls(df, urlCol)
+      .withColumn("domain_rank",
+        row_number().over(Window.partitionBy(col("domain"))
+          .orderBy(col(scoreCol).desc, col(idCol).asc)).cast("long"))
+      .filter(col("domain_rank") <= maxPerDomain)
+  }
 }

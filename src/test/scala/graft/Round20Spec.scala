@@ -44,6 +44,42 @@ class Round20Spec extends AnyFunSuite {
     assert(native(3L) == 4L)
   }
 
+  test("canonicalizeUrls edge shapes: bare host, ports, params, case") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "HTTP://WWW.Foo.COM"),                      // bare host, no path
+      (2L, "https://foo.com:443"),                     // default port, https
+      (3L, "http://foo.com:8080/a/"),                  // kept port, slash
+      (4L, "https://foo.com/A/B?x=1&utm_source=s"),    // path CASE preserved
+      (5L, "http://foo.com/?utm_a=1&utm_b=2"),         // query all-tracking
+      (6L, "https://sub.foo.com/p?b=2&a=1#frag"),      // param order kept
+      (7L, "http://foo.com:80/x?gclid=g&keep=1")
+    ).toDF("id", "url")
+    val out = graft.operators.Curation.canonicalizeUrls(urls, "url")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("canonical_url"), r.getAs[String]("domain"))).toMap
+    assert(out(1L) == (("http://foo.com/", "foo.com")))
+    assert(out(2L) == (("https://foo.com/", "foo.com")))
+    assert(out(3L) == (("http://foo.com:8080/a", "foo.com")))
+    assert(out(4L) == (("https://foo.com/A/B?x=1", "foo.com")))
+    assert(out(5L) == (("http://foo.com/", "foo.com")))
+    assert(out(6L) == (("https://sub.foo.com/p?b=2&a=1", "sub.foo.com")))
+    assert(out(7L) == (("http://foo.com/x?keep=1", "foo.com")))
+  }
+
+  test("domainCap keeps at most N per domain, deterministic rank") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i =>
+      (i, s"http://d${i % 2}.com/p$i", 100L - i)).toDF("id", "url", "score")
+    val out = graft.operators.Curation.domainCap(docs, "url", "id", "score", 3)
+      .select("domain", "id", "domain_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // per domain the 3 HIGHEST scores = the 3 lowest ids of that parity
+    assert(out == Set(
+      ("d1.com", 1L, 1L), ("d1.com", 3L, 2L), ("d1.com", 5L, 3L),
+      ("d0.com", 2L, 1L), ("d0.com", 4L, 2L), ("d0.com", 6L, 3L)), out.toString)
+  }
+
   test("oovRate end-to-end uses the native expression and keeps values") {
     import spark.implicits._
     val docs = Seq(
