@@ -661,29 +661,31 @@ case class BloomHitCount(child: Expression, filterBytes: Array[Byte])
     copy(child = newChild)
 }
 
-/** Count of token OCCURRENCES absent from the plan-resident vocabulary
-  * — the OOV numerator of [[graft.operators.Curation.oovRate]]. The
-  * vocabulary rides in the plan as a constructor argument (the
-  * [[BloomHitCount]] / IVF-centroid pattern: metadata-scale, V ≪
-  * corpus) and builds a hash set once per executor lazily, so the scan
-  * is tokens × O(1) — replacing the interpreted
+/** Count of token OCCURRENCES absent from the broadcast vocabulary —
+  * the OOV numerator of [[graft.operators.Curation.oovRate]]. The
+  * vocabulary travels as a Broadcast (metadata-scale, V ≪ corpus;
+  * fetched once per executor) and the probe hash set builds once per
+  * JVM, cached by broadcast id — so the scan is tokens × O(1),
+  * replacing the interpreted
   * `filter(ws, w -> !array_contains(vocabLit, w))` HOF, which was
   * tokens × O(V) per row in CodegenFallback code (invisible at the
   * gate's V=20, pathological at a real 100k–4M vocabulary).
   * Tokenization contract matches `split(text, " ")` exactly (literal
   * single-space split, trailing empties kept), so values are
   * bit-identical to the HOF formulation — parity-spec'd. */
-case class OovCount(child: Expression, vocab: Array[String])
+case class OovCount(child: Expression,
+    vocab: org.apache.spark.broadcast.Broadcast[Array[String]])
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def prettyName: String = "oov_count"
 
   @transient private lazy val space = UTF8String.fromString(" ")
-  @transient private lazy val set = {
-    val s = new java.util.HashSet[UTF8String](vocab.length * 2)
-    vocab.foreach(w => s.add(UTF8String.fromString(w)))
-    s
-  }
+  // genuinely once per executor: the vocab travels as a BROADCAST
+  // (fetched once per executor, not per task like a plan-resident
+  // array would deserialize) and the built set caches JVM-wide by
+  // broadcast id — a 4M-entry vocabulary pays its hash-set build
+  // once, not once per task
+  @transient private lazy val set = OovCount.setFor(vocab)
 
   override protected def nullSafeEval(input: Any): Any = {
     val toks = input.asInstanceOf[UTF8String].split(space, -1)
@@ -698,6 +700,24 @@ case class OovCount(child: Expression, vocab: Array[String])
 
   override protected def withNewChildInternal(newChild: Expression): OovCount =
     copy(child = newChild)
+}
+
+object OovCount {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.util.HashSet[UTF8String]]()
+
+  private[functions] def setFor(
+      bc: org.apache.spark.broadcast.Broadcast[Array[String]]): java.util.HashSet[UTF8String] = {
+    // bounded: distinct vocabularies per JVM are few; evict wholesale
+    // rather than leak when a long session churns through many
+    if (cache.size > 8) cache.clear()
+    cache.computeIfAbsent(bc.id, _ => {
+      val v = bc.value
+      val s = new java.util.HashSet[UTF8String](v.length * 2)
+      v.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    })
+  }
 }
 
 /** Pairwise cosine similarity over two embedding arrays as a native
@@ -770,7 +790,8 @@ object GraftExpressions {
   def word_shingle_strings(text: Column, k: Int, distinct: Boolean): Column =
     column(WordShingleStrings(expression(text), k, distinct))
 
-  def oov_count(text: Column, vocab: Array[String]): Column =
+  def oov_count(text: Column,
+      vocab: org.apache.spark.broadcast.Broadcast[Array[String]]): Column =
     column(OovCount(expression(text), vocab))
 
   def bloom_hit_count(hashes: Column, filterBytes: Array[Byte]): Column =

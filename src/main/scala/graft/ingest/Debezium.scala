@@ -158,7 +158,12 @@ object Debezium {
         if (uf != null && !uf.isNull) {
           after = unwrapExtendedJson(m.readTree(uf.asText), m)
           partial = true
-        }
+        } else throw new IllegalArgumentException(
+          "Mongo update event carries neither an `after` image nor " +
+          "`updateDescription.updatedFields` — applying it would wipe the " +
+          "stored document's fields to null. Legacy oplog capture mode " +
+          "(`patch` envelopes) is not supported; use a change-streams " +
+          s"capture mode. Offending envelope: ${r.getString(0).take(500)}")
       }
       val before = image("before")
       val out = m.createObjectNode()
@@ -186,24 +191,31 @@ object Debezium {
     * partial-merge payload — only the fields present in
     * `updatedFields` overwrite, everything else is preserved. */
   def applyMongo(table: GraftTable, changes: DataFrame): Seq[String] = {
-    val full = changes.filter(!col("partial"))
-      .drop("partial")
-    val part = changes.filter(col("partial"))
-    var commits = apply(table, full)
-    if (!part.isEmpty) {
-      val cfg = table.config
-      val rowCols = part.select(col("after.*")).columns.toSeq
-      val imaged = part.select(col("after.*"), col("ts_ms"))
-      val withOrd =
-        if (rowCols.contains(cfg.orderingField)) imaged.drop("ts_ms")
-        else imaged.withColumn(cfg.orderingField, col("ts_ms")).drop("ts_ms")
-      // the full-width frame is correct as-is: upsertPartial treats
-      // null columns as UNSET partials (PartialUpdateAvroPayload
-      // semantics), which is exactly what "field absent from
-      // updatedFields" means
-      commits = commits :+ table.upsertPartial(withOrd)
-    }
-    commits
+    // persist: the per-row Jackson normalization upstream would
+    // otherwise re-run for every downstream action (emptiness probes,
+    // the upsert write, the delete key-range agg + probe join, the
+    // partial fold) — the same reason streamIntoRouted persists its
+    // micro-batch
+    val cached = changes.persist()
+    try {
+      val full = cached.filter(!col("partial")).drop("partial")
+      val part = cached.filter(col("partial"))
+      var commits = apply(table, full)
+      if (!part.isEmpty) {
+        val cfg = table.config
+        val rowCols = part.select(col("after.*")).columns.toSeq
+        val imaged = part.select(col("after.*"), col("ts_ms"))
+        val withOrd =
+          if (rowCols.contains(cfg.orderingField)) imaged.drop("ts_ms")
+          else imaged.withColumn(cfg.orderingField, col("ts_ms")).drop("ts_ms")
+        // the full-width frame is correct as-is: upsertPartial treats
+        // null columns as UNSET partials (PartialUpdateAvroPayload
+        // semantics), which is exactly what "field absent from
+        // updatedFields" means
+        commits = commits :+ table.upsertPartial(withOrd)
+      }
+      commits
+    } finally { cached.unpersist(); () }
   }
 
   // ---- Avro envelopes (reference: register-mysql-avro.json:4-22 — the

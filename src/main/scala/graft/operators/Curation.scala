@@ -446,10 +446,14 @@ object Curation {
       .orderBy(col("freq").desc, col("word").asc)
       .limit(vocabSize)
       .collect().map(_.getString(0))
+    // broadcast, not plan-resident: fetched once per executor and the
+    // hash set builds once per JVM (cached by broadcast id) instead of
+    // once per task
+    val bc = docs.sparkSession.sparkContext.broadcast(vocab)
     val ws = split(col(textCol), " ")
     docs.select(col(idCol),
       size(ws).as("n_tokens"),
-      (graft.functions.GraftExpressions.oov_count(col(textCol), vocab)
+      (graft.functions.GraftExpressions.oov_count(col(textCol), bc)
         .cast("double") / size(ws)).as("oov_frac"))
   }
 

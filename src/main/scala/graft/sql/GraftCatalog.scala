@@ -36,6 +36,12 @@ final class GraftCatalog(val spark: SparkSession, val warehouseDir: String) {
 
   def tableExists(name: String): Boolean = GraftTable.exists(rootOf(name))
 
+  /** True when `name` occupies the warehouse slot as a registration
+    * symlink — including a DANGLING one (target deleted out from under
+    * the catalog), which must remain visible to DROP. */
+  def isRegistration(name: String): Boolean =
+    Files.isSymbolicLink(Paths.get(rootOf(name)))
+
   /** Iceberg `register_table` analog (reference demo.md:223-229 —
     * `CALL hive_prod.system.register_table(table => ..., metadata_file
     * => ...)`): adopt the EXISTING table metadata at `path` into this
@@ -52,13 +58,21 @@ final class GraftCatalog(val spark: SparkSession, val warehouseDir: String) {
       "parquet, CREATE the table first and CALL register_table with it " +
       "to bootstrap-adopt the files")
     val link = Paths.get(rootOf(name))
+    // a DANGLING registration (link target deleted out from under us)
+    // fails tableExists but still occupies the name — replace it
+    // rather than throwing FileAlreadyExists
+    if (Files.isSymbolicLink(link)) Files.delete(link)
     Files.createSymbolicLink(link, src)
     table(name)
   }
 
   def dropTable(name: String): Unit = {
     val root = Paths.get(rootOf(name))
-    require(Files.exists(root), s"no such table $name")
+    // NOFOLLOW: a registered table whose target was deleted is a
+    // DANGLING symlink — Files.exists follows links and reports false,
+    // which would make the name permanently undroppable
+    require(Files.exists(root, java.nio.file.LinkOption.NOFOLLOW_LINKS),
+      s"no such table $name")
     // a REGISTERED table is a symlink: dropping it un-registers (the
     // linked table's own files are not ours to delete)
     if (Files.isSymbolicLink(root)) { Files.delete(root); return }

@@ -66,32 +66,62 @@ final class GraftSql(catalog: GraftCatalog) {
       id.substring(1, id.length - 1)
     else id
 
-  /** Remove SQL comments — `--` to end of line and non-nested
-    * `/* ... */` blocks — outside quoted contexts ('…', "…", `…`), so
-    * a commented statement still matches the dialect's anchored
-    * grammar (Spark's parser tolerates comments; the regex grammar
-    * must see them gone). Optimizer hints (`/*+ ... */`) are KEPT —
-    * they are semantic for the fall-through Spark path. An unclosed
-    * block comment swallows to end of input, like Spark. */
+  /** THE quoting state machine, shared by [[stripComments]],
+    * [[topLevelWordIndex]] and [[splitTopLevel]] so escape handling
+    * can never drift between them: consume the char at `i` in state
+    * `quote` (0 = code) and return (next index, next state).
+    * Backslash escapes apply inside '…' and "…" (Spark's default
+    * string-literal semantics — `'it\'s'` stays one literal);
+    * backticks escape by doubling, which the plain toggle already
+    * handles (`` `a``b` `` closes and reopens). */
+  private[sql] def quoteStep(s: String, i: Int, quote: Char): (Int, Char) = {
+    val c = s.charAt(i)
+    if (quote != 0) {
+      if (c == '\\' && quote != '`') (math.min(i + 2, s.length), quote)
+      else if (c == quote) (i + 1, 0.toChar)
+      else (i + 1, quote)
+    } else if (c == '\'' || c == '"' || c == '`') (i + 1, c)
+    else (i + 1, 0.toChar)
+  }
+
+  /** Remove SQL comments — `--` to end of line and `/* ... */` blocks
+    * (NESTED, matching Spark's parser since 3.0) — outside quoted
+    * contexts, so a commented statement still matches the dialect's
+    * anchored grammar. Optimizer hints (`/*+ ... */`) are KEPT
+    * verbatim — they are semantic for the fall-through Spark path.
+    * An unclosed block comment swallows to end of input, like Spark;
+    * quote chars inside comments are comment text, comment markers
+    * inside quotes are data. */
   private[sql] def stripComments(s: String): String = {
     val out = new StringBuilder(s.length)
     var quote: Char = 0
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != 0) {
-        if (c == quote) quote = 0
-        out += c; i += 1
-      } else if (c == '\'' || c == '"' || c == '`') {
-        quote = c; out += c; i += 1
-      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+      if (quote == 0 && c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
         while (i < s.length && s.charAt(i) != '\n') i += 1
-      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*' &&
+      } else if (quote == 0 && c == '/' && i + 1 < s.length &&
+          s.charAt(i + 1) == '*' &&
           (i + 2 >= s.length || s.charAt(i + 2) != '+')) {
-        val end = s.indexOf("*/", i + 2)
-        i = if (end < 0) s.length else end + 2
+        var depth = 1
+        i += 2
+        while (i < s.length && depth > 0) {
+          if (i + 1 < s.length && s.charAt(i) == '/' && s.charAt(i + 1) == '*') {
+            depth += 1; i += 2
+          } else if (i + 1 < s.length && s.charAt(i) == '*' && s.charAt(i + 1) == '/') {
+            depth -= 1; i += 2
+          } else i += 1
+        }
         out += ' ' // keep token separation across the removed block
-      } else { out += c; i += 1 }
+      } else if (quote == 0 && c == '/' && i + 2 < s.length &&
+          s.charAt(i + 1) == '*' && s.charAt(i + 2) == '+') {
+        val end = s.indexOf("*/", i + 3)
+        val stop = if (end < 0) s.length else end + 2
+        out.append(s.substring(i, stop)); i = stop
+      } else {
+        val (ni, nq) = quoteStep(s, i, quote)
+        out.append(s.substring(i, ni)); i = ni; quote = nq
+      }
     }
     out.toString
   }
@@ -99,7 +129,10 @@ final class GraftSql(catalog: GraftCatalog) {
   def sql(text: String): DataFrame = stripComments(text) match {
     case DropRe(ifExists, name0) =>
       val name = unquoteId(name0)
-      val known = catalog.listTables().contains(name)
+      // isRegistration: a dangling registered-table symlink is absent
+      // from listTables (its commit log is gone) but must stay droppable
+      val known = catalog.listTables().contains(name) ||
+        catalog.isRegistration(name)
       if (!known && ifExists == null)
         throw new IllegalArgumentException(s"no such table $name")
       if (known) {
@@ -623,19 +656,18 @@ final class GraftSql(catalog: GraftCatalog) {
     var quote: Char = 0
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
-      else c match {
-        case '\'' | '"' | '`' => quote = c
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ =>
+      if (quote == 0) {
+        val c = s.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        if (depth == 0 && c != '\'' && c != '"' && c != '`' &&
+            lower.startsWith(word, i) &&
+            (i == 0 || !lower.charAt(i - 1).isLetterOrDigit) &&
+            (i + word.length >= s.length || !lower.charAt(i + word.length).isLetterOrDigit))
+          return i
       }
-      if (quote == 0 && depth == 0 && lower.startsWith(word, i) &&
-          (i == 0 || !lower.charAt(i - 1).isLetterOrDigit) &&
-          (i + word.length >= s.length || !lower.charAt(i + word.length).isLetterOrDigit))
-        return i
-      i += 1
+      val (ni, nq) = quoteStep(s, i, quote)
+      i = ni; quote = nq
     }
     -1
   }
@@ -672,17 +704,17 @@ final class GraftSql(catalog: GraftCatalog) {
     val cur = new StringBuilder
     var depth = 0
     var quote: Char = 0 // 0 = outside; otherwise the char that closes
-    s.foreach { c =>
-      if (quote != 0) {
-        if (c == quote) quote = 0
-        cur += c
-      } else c match {
-        case '\'' | '"' | '`' => quote = c; cur += c
-        case '(' => depth += 1; cur += '('
-        case ')' => depth -= 1; cur += ')'
-        case _ if c == sep && depth == 0 =>
-          out += cur.toString; cur.clear()
-        case _ => cur += c
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote == 0 && c == sep && depth == 0) {
+        out += cur.toString; cur.clear(); i += 1
+      } else {
+        if (quote == 0) {
+          if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        }
+        val (ni, nq) = quoteStep(s, i, quote)
+        cur.append(s.substring(i, ni)); i = ni; quote = nq
       }
     }
     if (cur.nonEmpty) out += cur.toString

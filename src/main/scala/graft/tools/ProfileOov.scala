@@ -37,6 +37,7 @@ object ProfileOov {
         .orderBy(col("c").desc, col("w").asc).limit(v)
         .collect().map(_.getString(0))
     val vocab = real ++ (real.length until v).map(i => s"pad_$i")
+    val vocabBc = spark.sparkContext.broadcast(vocab)
     println(s"[oov] vocab real=${real.length} padded=${vocab.length}")
 
     def time(name: String)(f: => Any): Unit = {
@@ -47,7 +48,7 @@ object ProfileOov {
     (1 to 3).foreach { _ =>
       time("native hash-set") {
         docs.select(graft.functions.GraftExpressions
-            .oov_count(col("text"), vocab).as("o"))
+            .oov_count(col("text"), vocabBc).as("o"))
           .agg(sum("o")).collect()(0).getLong(0)
       }
     }

@@ -31,8 +31,9 @@ class Round20Spec extends AnyFunSuite {
     val hof = docs.select(col("doc_id"),
       size(filter(ws, w => !array_contains(vocabArr, w))).cast("long").as("oov"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bc = spark.sparkContext.broadcast(vocab)
     val native = docs.select(col("doc_id"),
-      graft.functions.GraftExpressions.oov_count(col("text"), vocab).as("oov"))
+      graft.functions.GraftExpressions.oov_count(col("text"), bc).as("oov"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(native == hof, s"native=$native hof=$hof")
     // spot-check absolutes: "" IS in this vocab, so the empty-string

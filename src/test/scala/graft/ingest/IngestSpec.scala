@@ -176,6 +176,21 @@ class IngestSpec extends AnyFunSuite {
     assert(state(mongoT) == state(structT))
   }
 
+  test("Mongo update with neither after nor updatedFields is rejected loudly") {
+    val rowSchema = StructType(Seq(
+      StructField("_id", LongType), StructField("v", StringType)))
+    val batch = Seq(
+      ("""{"before":null,"after":null,"updateDescription":null,"op":"u","ts_ms":5}""",
+       """{"id":"1"}""")).toDF("value", "key")
+    val e = intercept[org.apache.spark.SparkException] {
+      Debezium.parseMongo(batch, "value", rowSchema, keyJsonCol = Some("key"))
+        .collect()
+    }
+    // silently upserting {_id, null, ...} would wipe the stored doc
+    assert(e.getMessage.contains("neither") ||
+      Option(e.getCause).exists(_.getMessage.contains("neither")))
+  }
+
   test("Mongo extended-JSON scalars: $oid, $date, $numberDouble round into the row schema") {
     val work = tmp()
     val rowSchema = StructType(Seq(

@@ -183,6 +183,22 @@ class DialectFuzzSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](g.sql("DROP TABLE fz7"))
   }
 
+  test("comments/splitters: backslash-escaped quotes and nested block comments") {
+    val g = freshSql()
+    // Spark's default string literals honor backslash escapes: the
+    // escaped quote must NOT close the literal, so the -- inside stays data
+    assert(g.sql("""SELECT 'it\'s -- fine' AS v""").collect().head.getString(0)
+      == "it's -- fine")
+    // nested bracketed comments (Spark parser accepts them since 3.0)
+    assert(g.sql("SELECT /* outer /* inner */ still comment */ 1 AS c")
+      .collect().head.getInt(0) == 1)
+    // splitter: escaped quote inside a quoted chunk doesn't end it
+    assert(g.splitTopLevel("""a='x\',y',b=2""", ',') ==
+      Seq("""a='x\',y'""", "b=2"))
+    // stripComments keeps quote state across escapes
+    assert(g.stripComments("""'a\'--b' -- gone""") == """'a\'--b' """)
+  }
+
   test("MERGE: USING subquery with nested parens and quoted commas") {
     val g = freshSql()
     g.sql("CREATE TABLE fz4 (k BIGINT, ts BIGINT, v STRING) USING GRAFT " +

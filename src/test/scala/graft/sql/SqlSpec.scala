@@ -346,6 +346,26 @@ class SqlSpec extends AnyFunSuite {
     assert(!catalog.tableExists("adopted"))
     assert(graft.core.GraftTable.exists(ext))
     assert(graft.core.GraftTable.load(spark, ext).read().count() == 2)
+    // a DANGLING registration (target deleted out from under the
+    // catalog) must stay droppable and re-registrable
+    catalog.registerTable("adopted", ext)
+    graft.util.TempDirs.deleteRecursively(java.nio.file.Paths.get(ext))
+    gsql.sql("DROP TABLE adopted") // dangling symlink: un-register works
+    assert(!catalog.tableExists("adopted"))
+    val ext2 = graft.util.TempDirs.create("graft-ext2-").toString + "/t2"
+    val t2 = graft.core.GraftTable.create(spark, ext2, graft.core.TableConfig(
+      name = "t2", keyField = "id", orderingField = "ts", numBuckets = 1))
+    t2.insert(Seq((9L, 1L, "z")).toDF("id", "ts", "v"))
+    catalog.registerTable("adopted", ext2) // name reusable after the drop
+    assert(gsql.sql("SELECT v FROM adopted").as[String].head() == "z")
+    // and replacing a dangling link directly also works
+    graft.util.TempDirs.deleteRecursively(java.nio.file.Paths.get(ext2))
+    val ext3 = graft.util.TempDirs.create("graft-ext3-").toString + "/t3"
+    val t3 = graft.core.GraftTable.create(spark, ext3, graft.core.TableConfig(
+      name = "t3", keyField = "id", orderingField = "ts", numBuckets = 1))
+    t3.insert(Seq((7L, 1L, "w")).toDF("id", "ts", "v"))
+    catalog.registerTable("adopted", ext3)
+    assert(gsql.sql("SELECT v FROM adopted").as[String].head() == "w")
   }
 
   test("CALL register_table bootstraps foreign parquet into a created table") {
