@@ -29,10 +29,17 @@ class DialectFuzzSpec extends AnyFunSuite {
     Gen.choose(1, 6).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '=', '.')))
         .map(_.mkString))
-  private val quoted: Gen[String] =
-    Gen.choose(0, 5).flatMap(n =>
-      Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(',', '(', ')', ' ')))
-        .map(cs => "'" + cs.mkString + "'"))
+  private val quoted: Gen[String] = for {
+    q <- Gen.oneOf('\'', '"', '`')
+    n <- Gen.choose(0, 5)
+    // inside a quote: separators, parens, spaces, the OTHER quote
+    // chars, and (for '/") backslash-escaped quotes of the same kind
+    cs <- Gen.listOfN(n, Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf(",", "(", ")", " ", "--"),
+      Gen.oneOf("'", "\"", "`").suchThat(c => c != q.toString),
+      if (q == '`') Gen.const("x") else Gen.const("\\" + q)))
+  } yield q + cs.mkString + q
   private def parens(depth: Int): Gen[String] =
     if (depth <= 0) plain
     else Gen.choose(1, 3).flatMap(n =>
