@@ -132,15 +132,26 @@ final class CommitLog(tableRoot: String) {
     }
   }
 
-  /** All commits, instant-ascending, archived ones included. */
+  /** Closed directory listing: Files.list leaks a directory fd until
+    * GC if the stream isn't closed — and this is the hottest metadata
+    * path (every snapshot lists the timeline dir). */
+  private def listClosed[A](d: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(d)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
+  /** All commits, instant-ascending, archived ones included. A crash
+    * between archiveBefore's append and its source deletion can leave
+    * an instant in BOTH places — dedup by instant (the copies are
+    * byte-identical), or counting-based retention logic would drift. */
   def commits(): Seq[Commit] = {
     val live =
       if (!Files.exists(dir)) Nil
-      else Files.list(dir).iterator().asScala
+      else listClosed(dir)(_
         .filter(p => p.getFileName.toString.matches("\\d+\\.json"))
         .map(parseFile)
-        .toSeq
-    (archived() ++ live).sortBy(_.instant)
+        .toSeq)
+    (archived() ++ live).distinctBy(_.instant).sortBy(_.instant)
   }
 
   /** One directory scan, all planning questions answered off the result. */
@@ -176,7 +187,15 @@ final class CommitLog(tableRoot: String) {
     * planning a write costs one timeline scan total. */
   def nextInstantAfter(last: Option[String]): String = {
     val prev = last.map(_.toLong).getOrElse(0L)
-    val candidate = math.max(System.currentTimeMillis() * 1000, prev + 1)
+    // sub-millisecond digits carry a pid residue: two PROCESSES
+    // planning in the same millisecond draw different instants, so
+    // cross-process instant collisions (which would force a write to
+    // replan — rows are stamped with the planned instant) need a
+    // pid-residue collision in the same millisecond first. Intra-process
+    // uniqueness is the lastIssued high-water, as before.
+    val pidSalt = java.lang.ProcessHandle.current().pid() % 1000L
+    val candidate = math.max(
+      System.currentTimeMillis() * 1000 + pidSalt, prev + 1)
     val issued = CommitLog.lastIssued.updateAndGet(
       l => math.max(candidate, l + 1))
     f"$issued%019d"
@@ -294,19 +313,30 @@ final class CommitLog(tableRoot: String) {
   }
 
   /** Move commits strictly before `keepFrom` into the archive file
-    * (timeline stays complete; the hot dir stays small). */
-  def archiveBefore(keepFrom: String): Int = {
-    val toArchive = Files.list(dir).iterator().asScala
+    * (timeline stays complete; the hot dir stays small). Runs under
+    * the table lock — two concurrent archivers would otherwise both
+    * append the same commits; and instants already present in the
+    * archive (a previous run crashed between append and delete) are
+    * never appended twice. */
+  def archiveBefore(keepFrom: String): Int = withLock {
+    val alreadyArchived = archived().map(_.instant).toSet
+    val toArchive = listClosed(dir)(_
       .filter(p => p.getFileName.toString.matches("\\d+\\.json"))
       .filter(_.getFileName.toString.stripSuffix(".json") < keepFrom)
-      .toSeq.sortBy(_.getFileName.toString)
+      .toSeq).sortBy(_.getFileName.toString)
     if (toArchive.isEmpty) return 0
-    val af = dir.resolve(ArchiveFile)
-    val lines = toArchive.map(p => new String(Files.readAllBytes(p), "UTF-8").replaceAll("\n", " "))
-    Files.write(af, (lines.mkString("", "\n", "\n")).getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    val fresh = toArchive.filterNot(p =>
+      alreadyArchived.contains(p.getFileName.toString.stripSuffix(".json")))
+    if (fresh.nonEmpty) {
+      val af = dir.resolve(ArchiveFile)
+      val lines = fresh.map(p =>
+        new String(Files.readAllBytes(p), "UTF-8").replaceAll("\n", " "))
+      Files.write(af, (lines.mkString("", "\n", "\n")).getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
     toArchive.foreach { p =>
-      Files.delete(p)
+      Files.deleteIfExists(p)
       parsed.remove(p.getFileName.toString)
     }
     toArchive.size

@@ -45,7 +45,10 @@ final class GraftTable private (
       next.partitionField == config.partitionField &&
       next.partitionFormat == config.partitionFormat &&
       next.partitionUnit == config.partitionUnit &&
-      next.orderingField == config.orderingField,
+      next.orderingField == config.orderingField &&
+      // renaming the tombstone column would orphan every stored
+      // `_is_deleted` flag and resurrect soft-deleted rows
+      next.softDeleteField == config.softDeleteField,
       "alterConfig may change only index/stats/small-file properties")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(root, CommitLog.Dir, "table.json"),
@@ -77,8 +80,27 @@ final class GraftTable private (
     * cast-to-base behavior for genuinely incompatible arrivals. */
   private def mergeSchemas(base: StructType, incoming: StructType): StructType = {
     val inc = incoming.fields.map(f => f.name -> f).toMap
+    // ROUTING columns never widen: bucket = xxhash64(key) hashes int
+    // and long DIFFERENTLY, so widening the stored key type would
+    // silently re-route every existing key to a new bucket (old
+    // versions stay live, reads return duplicates). Same for the
+    // partition column (plain: the value IS the directory; derived:
+    // the epoch arithmetic changes shape). Batches with a wider
+    // routing column are rejected loudly instead — align() handles
+    // the narrower-batch direction by casting batch → stored type.
+    val pinned = Set(config.keyField) ++ config.partitionField
     val widened = base.fields.map { f =>
       inc.get(f.name) match {
+        case Some(g) if g.dataType != f.dataType && pinned.contains(f.name) =>
+          val w = org.apache.spark.sql.catalyst.analysis.TypeCoercion
+            .findTightestCommonType(f.dataType, g.dataType)
+          if (w.exists(_ != f.dataType)) throw new IllegalArgumentException(
+            s"batch carries routing column '${f.name}' as ${g.dataType.sql}, " +
+            s"wider than the stored ${f.dataType.sql}: widening a key/" +
+            "partition column would re-hash record routing and corrupt " +
+            "merges — rewrite the table (CTAS) to change a routing " +
+            "column's type")
+          f
         case Some(g) if g.dataType != f.dataType =>
           org.apache.spark.sql.catalyst.analysis.TypeCoercion
             .findTightestCommonType(f.dataType, g.dataType)
@@ -192,6 +214,11 @@ final class GraftTable private (
     case Some(v) => coalesce(v.cast(StringType), lit("__null__"))
     case None => lit("all")
   }
+
+  /** The partition VALUE as the write path renders it (derived tables:
+    * the formatted value) — for metadata-faithful consumers like
+    * [[TableServices.exportSnapshot]]. */
+  private[core] def derivedPartValue: Column = partExpr
 
   /** Materialized identity-partition column for derived-partition
     * frames. Never persisted: every path drops it before writing. */
@@ -324,9 +351,9 @@ final class GraftTable private (
       .filter(df.columns.contains)
     val stagedParquet: Seq[java.nio.file.Path] =
       if (!Files.exists(staging)) Seq.empty
-      else Files.walk(staging).iterator().asScala
+      else graft.util.Fs.walk(staging)(_
         .filter(p => p.toString.contains("/_part=") &&
-          p.getFileName.toString.endsWith(".parquet")).toSeq
+          p.getFileName.toString.endsWith(".parquet")).toSeq)
     def footerHarvest(): Option[Map[String, (Long, Map[String, ColStat])]] =
       if (!spark.conf.get("spark.graft.write.footerStats", "true").toBoolean)
         None
@@ -370,14 +397,14 @@ final class GraftTable private (
     // move staged files into the stable layout
     val metas = scala.collection.mutable.ArrayBuffer[DataFileMeta]()
     if (Files.exists(staging)) {
-      Files.list(staging).iterator().asScala
+      graft.util.Fs.listSeq(staging)
         .filter(p => p.getFileName.toString.startsWith("_part=")).foreach { partDir =>
           val partEnc = unescapePath(partDir.getFileName.toString.stripPrefix("_part="))
           val part = if (partEnc == "__HIVE_DEFAULT_PARTITION__") "__null__" else partEnc
-          Files.list(partDir).iterator().asScala
+          graft.util.Fs.listSeq(partDir)
             .filter(p => p.getFileName.toString.startsWith("_bucket=")).foreach { bDir =>
               val bucket = bDir.getFileName.toString.stripPrefix("_bucket=").toInt
-              val parts = Files.list(bDir).iterator().asScala
+              val parts = graft.util.Fs.listSeq(bDir)
                 .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
               parts.zipWithIndex.foreach { case (src, i) =>
                 val suffix = if (delta) ".delta.parquet" else ".parquet"
@@ -400,7 +427,7 @@ final class GraftTable private (
             }
         }
       // clean staging remains (_SUCCESS etc.)
-      Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      graft.util.Fs.walkSeq(staging).reverse.foreach(Files.deleteIfExists(_))
     }
     metas.toSeq
   }
@@ -490,15 +517,19 @@ final class GraftTable private (
       dedupLatest = dedupLatest, dropSoftDeleted = dropSoftDeleted)
 
   private def commitOrThrow(c: Commit): String = {
-    var attempt = c
-    var tries = 0
-    while (!log.tryCommit(attempt)) {
-      tries += 1
-      if (tries > 10) throw new IllegalStateException(
-        s"could not commit after $tries instant collisions")
-      attempt = attempt.copy(instant = log.nextInstant())
-    }
-    attempt.instant
+    // NO silent renumbering on an instant collision: the data files
+    // were already written with rows stamped `_commit_time = c.instant`,
+    // so publishing under a different instant would desynchronize row
+    // stamps from the timeline (readIncremental's `> fromExclusive`
+    // row filter would drop the whole commit; readCdc would treat the
+    // update as unchanged). A collision is a concurrency event —
+    // surface it like one and let the caller replan the write, which
+    // re-stamps everything consistently. With pid-salted instants
+    // (CommitLog.nextInstantAfter) this is vanishingly rare.
+    if (!log.tryCommit(c)) throw new ConcurrentWriteException(
+      s"instant ${c.instant} was claimed by a concurrent writer; " +
+      "retry the operation (it will replan under a fresh instant)")
+    c.instant
   }
 
   // ------------------------------------------------------------------
@@ -778,6 +809,13 @@ final class GraftTable private (
   /** Delete by a DataFrame of victim rows (must carry key + partition +
     * ordering columns — e.g. rows selected from a snapshot read). */
   def deleteRows(victims: DataFrame): String = {
+    // enforced, not just documented: align() would add a missing
+    // identity column as NULL, the identity would become
+    // (__null__, key), the anti-join would match nothing, and the
+    // "delete" would commit successfully having deleted nothing
+    (Seq(config.keyField, config.orderingField) ++ config.partitionField)
+      .foreach(c => require(victims.columns.contains(c),
+        s"deleteRows victims must carry identity column '$c'"))
     val snap = log.snapshot()
     val planning = snap.lastInstant.getOrElse("0")
     val instant = log.nextInstantAfter(snap.lastInstant)
@@ -906,10 +944,10 @@ final class GraftTable private (
     val src = Paths.get(source)
     val files: Seq[Path] =
       if (Files.isRegularFile(src)) Seq(src)
-      else Files.walk(src).iterator().asScala
+      else graft.util.Fs.walk(src)(_
         .filter(p => Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(".parquet") &&
-          !p.getFileName.toString.startsWith(".")).toSeq.sortBy(_.toString)
+          !p.getFileName.toString.startsWith(".")).toSeq.sortBy(_.toString))
     require(files.nonEmpty, s"no parquet files under $source")
     // Stats below are keyed by basename (input_file_name gives a URI
     // whose directories may be encoded differently than `files`).
@@ -1173,10 +1211,9 @@ final class GraftTable private (
     val live = snap.liveFiles(Some(end))
       .filter(f => touched.contains((f.partition, f.bucket)))
     val s = schemaAt(snap, Some(end))
-    mergeGroupScoped(live, s)
+    dropDeleted(mergeGroupScoped(live, s)
       .filter(col(TableConfig.CommitTimeCol) > fromExclusive &&
-              col(TableConfig.CommitTimeCol) <= end)
-      .filter(!coalesce(col(softDel), lit(false)))
+              col(TableConfig.CommitTimeCol) <= end))
   }
 
   /** CDC-format incremental read (the Hudi incremental query with
@@ -1249,9 +1286,9 @@ final class GraftTable private (
     // _hoodie_partition_path analog) via the rename at the end
     def stateOf(files: Seq[DataFileMeta], asOf: String): DataFrame =
       withIdCols(align(
-        mergeGroupScoped(files.filter(f => touched.contains((f.partition, f.bucket))),
-            schemaAt(snap, Some(asOf)))
-          .filter(!coalesce(col(softDel), lit(false))),
+        dropDeleted(mergeGroupScoped(
+          files.filter(f => touched.contains((f.partition, f.bucket))),
+          schemaAt(snap, Some(asOf)))),
         endSchema))._1
     val idCols =
       if (config.partitionFormat.isDefined) Seq(PartValCol, config.keyField)
@@ -1314,11 +1351,14 @@ final class GraftTable private (
         .filter(f => StatsPruner.mayContain(dt, f.stats.get(column), lo, hi))
         .map(f => (f.partition, f.bucket)).toSet
       val files = live.filter(f => survivingGroups.contains((f.partition, f.bucket)))
-      mergeGroupScoped(files, s).filter(!coalesce(col(softDel), lit(false)))
+      dropDeleted(mergeGroupScoped(files, s))
     } else {
       val files = live.filter(f =>
         StatsPruner.mayContain(dt, f.stats.get(column), lo, hi))
-      readFiles(files, s).filter(!coalesce(col(softDel), lit(false)))
+      // dropDeleted, not a bare filter: a never-written table has an
+      // EMPTY schema and the unguarded soft-delete filter threw
+      // UNRESOLVED_COLUMN on the very first probe
+      dropDeleted(readFiles(files, s))
     }
   }
 
@@ -1352,10 +1392,9 @@ final class GraftTable private (
       val survivingGroups = live.filter(mayMatch)
         .map(f => (f.partition, f.bucket)).toSet
       val files = live.filter(f => survivingGroups.contains((f.partition, f.bucket)))
-      mergeGroupScoped(files, s).filter(!coalesce(col(softDel), lit(false)))
+      dropDeleted(mergeGroupScoped(files, s))
     } else {
-      readFiles(live.filter(mayMatch), s)
-        .filter(!coalesce(col(softDel), lit(false)))
+      dropDeleted(readFiles(live.filter(mayMatch), s))
     }
   }
 

@@ -14,8 +14,16 @@ object StatsPruner {
   /** negative/zero/positive like compareTo, under dataType ordering. */
   def compare(dt: DataType, a: String, b: String): Int = dt match {
     case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
-         _: FloatType | _: DoubleType | _: DecimalType =>
+         _: DecimalType =>
       BigDecimal(a).compare(BigDecimal(b))
+    case _: FloatType | _: DoubleType =>
+      // fractional stats can legitimately hold "Infinity"/"-Infinity"/
+      // "NaN" (cast-to-string of ±∞ and NaN extrema) — BigDecimal
+      // throws on those; java.lang.Double parses them and Double.compare
+      // gives NaN the IEEE total-order slot Spark's max() uses (NaN
+      // largest), so pruning stays conservative-correct
+      java.lang.Double.compare(
+        java.lang.Double.parseDouble(a), java.lang.Double.parseDouble(b))
     case _: BooleanType => a.toBoolean.compareTo(b.toBoolean)
     case _ => a.compareTo(b) // string / timestamp-as-iso / date-as-iso
   }

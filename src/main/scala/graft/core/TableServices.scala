@@ -240,21 +240,27 @@ object TableServices {
     if (commits.size <= retainCommits) return Nil
     val horizon = commits(commits.size - retainCommits).instant
     val liveNow = t.log.liveFiles().map(_.path).toSet
-    // files removed by commits at-or-before the horizon are unreachable
-    // by any snapshotAt >= horizon
+    // a file removed at-or-before the horizon is NOT automatically
+    // unreachable: a later restore() re-ADDS old paths, so a snapshot
+    // inside the retained window can reference a file whose original
+    // removal predates the horizon. Protect every path added by any
+    // commit after the horizon (O(commits × files) metadata, no IO).
+    val readdedLater = commits.filter(_.instant > horizon)
+      .flatMap(_.added).map(_.path).toSet
     val deletable = commits.filter(_.instant <= horizon)
       .flatMap(_.removed).distinct
       .filterNot(liveNow.contains)
+      .filterNot(readdedLater.contains)
     deletable.foreach { rel =>
       Files.deleteIfExists(Paths.get(t.root, rel))
     }
     // drop now-empty dirs
     val dataDir = Paths.get(t.root, "data")
     if (Files.exists(dataDir)) {
-      Files.walk(dataDir).iterator().asScala.toSeq.reverse
+      graft.util.Fs.walkSeq(dataDir).reverse
         .filter(Files.isDirectory(_))
         .foreach { d =>
-          if (!Files.list(d).iterator().hasNext) Files.deleteIfExists(d)
+          if (graft.util.Fs.list(d)(!_.hasNext)) Files.deleteIfExists(d)
         }
     }
     deletable
@@ -280,6 +286,13 @@ object TableServices {
     val df = t.read()
       .drop(TableConfig.metaColumns(t.config.softDeleteField).toSeq: _*)
     t.config.partitionField match {
+      // derived layouts must NOT partitionBy the raw epoch source —
+      // that would hive-split on every distinct timestamp (one dir per
+      // row at the limit). Export the DERIVED value as the partition
+      // column (path-safe: '/' nests like the table's own layout).
+      case Some(_) if t.config.partitionFormat.isDefined =>
+        df.withColumn("_partition_path", t.derivedPartValue)
+          .write.mode("overwrite").partitionBy("_partition_path").parquet(dest)
       case Some(p) => df.write.mode("overwrite").partitionBy(p).parquet(dest)
       case None => df.write.mode("overwrite").parquet(dest)
     }
