@@ -268,18 +268,26 @@ case class HyperplaneBuckets(child: Expression, dim: Int,
     copy(child = newChild)
 }
 
-/** nProbe nearest centroids (by cosine) for a vector against a fixed
-  * centroid table — the IVF coarse-quantizer assignment step, native
-  * for the usual interpreted-HOF reason. Returns array<int> of
-  * centroid indexes, most-similar first. */
+/** nProbe nearest centroids (by SQUARED L2 distance) for a vector
+  * against a fixed centroid table — the IVF coarse-quantizer
+  * assignment step, native for the usual interpreted-HOF reason.
+  * Returns array<int> of centroid indexes, nearest first (ties by
+  * index).
+  *
+  * L2, NOT cosine: the centroids everywhere in this engine are
+  * Lloyd/k-means MEANS, whose training objective is squared-L2 —
+  * and the Pq/IvfPq stack probes and reconstructs under L2. An
+  * earlier cosine (dot/‖c‖) formulation here silently disagreed with
+  * both: a vector could be assigned to a scaled collinear centroid
+  * instead of its Euclidean nearest (breaking Pq's lossless-encode
+  * contract: a subvector identical to one centroid could take
+  * another's code), and IvfPq's L2 probe could scan a different list
+  * than the one the corpus row was filed under. */
 case class NearestCentroids(child: Expression,
     centroids: Array[Array[Double]], nProbe: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_centroids"
-
-  private lazy val centroidNorms: Array[Double] =
-    centroids.map(c => math.sqrt(c.map(x => x * x).sum))
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -291,15 +299,15 @@ case class NearestCentroids(child: Expression,
       case _ =>
         var i = 0; while (i < n) { v(i) = arr.getDouble(i); i += 1 }
     }
-    val sims = centroids.indices.map { c =>
+    val dists = centroids.indices.map { c =>
       val cv = centroids(c)
       var d = 0.0
       var i = 0
       val m = math.min(n, cv.length)
-      while (i < m) { d += v(i) * cv(i); i += 1 }
-      (d / centroidNorms(c), c) // query norm constant per row — rank-safe
+      while (i < m) { val t = v(i) - cv(i); d += t * t; i += 1 }
+      (d, c)
     }
-    val top = sims.sortBy { case (s, c) => (-s, c) }.take(nProbe).map(_._2)
+    val top = dists.sortBy { case (d, c) => (d, c) }.take(nProbe).map(_._2)
     new GenericArrayData(top.toArray)
   }
 

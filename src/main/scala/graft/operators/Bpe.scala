@@ -113,6 +113,14 @@ object Bpe {
     * words.) */
   def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
+    // merge symbols are interpolated into a SQL expression string:
+    // enforce the [a-z]+ invariant (which mergeStats always satisfies)
+    // so a quote/metachar in a caller-supplied symbol fails loudly
+    // instead of producing a corrupted expression
+    merges.foreach { case (l, r) =>
+      require(l.matches("[a-z]+") && r.matches("[a-z]+"),
+        s"merge symbols must be lowercase ASCII words, got ('$l', '$r')")
+    }
     val segExpr = merges.foldLeft(
       "concat('  ', regexp_replace(w, '(.)', '$1  '))") {
       case (acc, (l, r)) => s"replace($acc, ' $l  $r ', ' $l$r ')"

@@ -482,8 +482,13 @@ object Curation {
     val counts = docs.select(explode(bigrams).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("n"))
+    // DECIMAL comparison: cnt·phiInv as a long would wrap past 2⁶³ at
+    // exactly the 100 TB corpus size this operator documents (cnt ~
+    // 1e13 × phiInv 1e6), silently DROPPING the heaviest hitters
     counts.crossJoin(broadcast(total))
-      .filter(col("cnt") * phiInv >= col("n"))
+      .filter(col("cnt").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        * phiInv >=
+        col("n").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
       .select("term", "cnt")
   }
 

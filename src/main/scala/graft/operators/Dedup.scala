@@ -140,6 +140,13 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, numHashes: Int = 128, numBands: Int = 32,
       threshold: Double = 0.7): DataFrame = {
+    // the documented collision probability is a function of EXACTLY
+    // b bands × r rows = numHashes: a non-dividing band count would
+    // silently drop signature tail hashes (recall loss with no error),
+    // and numBands > numHashes degenerates to a constant band key
+    // (whole corpus in one bucket)
+    require(numBands > 0 && numHashes % numBands == 0,
+      s"numBands=$numBands must divide numHashes=$numHashes")
     val rowsPerBand = numHashes / numBands
     // one shingle-hash pass feeds signatures, set sizes, AND the
     // verify relation (grams keyed by 64-bit hash — collision odds
@@ -645,8 +652,13 @@ object Dedup {
     *  1. positional k-gram relation: (id, pos, gram) — one row per
     *     token position, gram = the k tokens starting there;
     *  2. df-cap: grams occurring more than `maxDf` times corpus-wide
-    *     are dropped (stop-phrase fanout guard — under-detection only,
-    *     and only for spans made ENTIRELY of ubiquitous grams);
+    *     are dropped (stop-phrase fanout guard — under-detection
+    *     only). NOTE the precise shape of the recall loss: a dropped
+    *     gram in the MIDDLE of a long copied span splits its diagonal
+    *     run, and if both islands fall below `minTokens` the whole
+    *     span is missed — not just spans made entirely of ubiquitous
+    *     grams. Size `minTokens`/`maxDf` with that in mind (larger
+    *     maxDf or smaller minTokens narrows the gap);
     *  3. candidate join on a compact 64-bit gram hash, re-checked on
     *     the gram string so a hash collision can never fabricate a
     *     match;

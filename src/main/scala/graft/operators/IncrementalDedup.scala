@@ -49,6 +49,8 @@ class IncrementalDedup(spark: SparkSession, root: String,
     k: Int = 5, numHashes: Int = 128, numBands: Int = 32,
     threshold: Double = 0.7) {
 
+  require(numBands > 0 && numHashes % numBands == 0,
+    s"numBands=$numBands must divide numHashes=$numHashes")
   private val rowsPerBand = numHashes / numBands
 
   /** (id, hashes, _b) keyed by id — the per-doc shingle-hash arrays the

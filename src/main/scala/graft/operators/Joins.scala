@@ -72,6 +72,11 @@ object Joins {
   def rangeJoinBinned(left: DataFrame, leftValCol: String,
       ranges: DataFrame, loCol: String, hiCol: String,
       binWidth: Double): DataFrame = {
+    // binWidth = 0 puts EVERY row of both sides in bin Long.MaxValue
+    // (floor(x/0.0) = Infinity) — the single-key cross product this
+    // operator exists to prevent, surfacing as a hang, not an error
+    require(binWidth > 0 && !binWidth.isInfinite,
+      s"binWidth=$binWidth must be a positive finite number")
     val binned = ranges.withColumn("__bin",
       explode(sequence(
         floor(col(loCol) / binWidth).cast("long"),

@@ -175,23 +175,6 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
-  /** Symmetric per-vector int8 scalar quantization — the storage/IO
-    * step every billion-vector ANN deployment takes before indexing
-    * (4× smaller than float32, SIMD-friendly integer dot products):
-    * scale = 127 / max|x|, q_i = round(x_i · scale). Zero vectors
-    * quantize to zeros (scale guard). Adds three columns: `qvec`
-    * (array<int>), `scale` (double; 0 for the zero vector), and
-    * `max_err` (double) — the max absolute reconstruction error
-    * max_i |q_i/scale − x_i|, the quality metric a deployment
-    * monitors to pick int8 vs float16.
-    *
-    * Map-only: per-row higher-order functions, zero shuffles, one
-    * codegen span — the plan cost at 100 TB is exactly the scan.
-    * Arithmetic is all-double (float inputs widen exactly), so every
-    * value is one IEEE expression both engines evaluate identically:
-    * round(x·scale) ties resolve away from zero in Spark (HALF_UP)
-    * and DuckDB alike, and a tie can only arise when x·scale hits a
-    * representable .5 exactly — the same double in both. */
   /** Deterministic signed random projection (Achlioptas '01 / JL
     * sketch with ±1 entries): `out_j = Σ_i q_i · s_ij` where the sign
     * matrix is a pure function of (i, j) — `md5("i:j")`'s first hex
@@ -281,6 +264,23 @@ object Similarity {
       .filter(col("__vr") === 1).drop("__vr")
   }
 
+  /** Symmetric per-vector int8 scalar quantization — the storage/IO
+    * step every billion-vector ANN deployment takes before indexing
+    * (4× smaller than float32, SIMD-friendly integer dot products):
+    * scale = 127 / max|x|, q_i = round(x_i · scale). Zero vectors
+    * quantize to zeros (scale guard). Adds three columns: `qvec`
+    * (array<int>), `scale` (double; 0 for the zero vector), and
+    * `max_err` (double) — the max absolute reconstruction error
+    * max_i |q_i/scale − x_i|, the quality metric a deployment
+    * monitors to pick int8 vs float16.
+    *
+    * Map-only: per-row higher-order functions, zero shuffles, one
+    * codegen span — the plan cost at 100 TB is exactly the scan.
+    * Arithmetic is all-double (float inputs widen exactly), so every
+    * value is one IEEE expression both engines evaluate identically:
+    * round(x·scale) ties resolve away from zero in Spark (HALF_UP)
+    * and DuckDB alike, and a tie can only arise when x·scale hits a
+    * representable .5 exactly — the same double in both. */
   def quantizeInt8(embs: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol)
     val xd = transform(v, x => x.cast("double"))
