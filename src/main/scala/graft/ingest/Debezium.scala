@@ -152,6 +152,14 @@ object Debezium {
       val op = Option(env.get("op")).map(_.asText).orNull
       var after = image("after")
       var partial = false
+      // fail loudly when an event's document identity is unrecoverable:
+      // a delete with no before image (Mongo default — no pre-images)
+      // and no message key would silently match nothing downstream
+      if (op == "d" && image("before").isNull && keyId.isEmpty)
+        throw new IllegalArgumentException(
+          "Mongo delete carries no before image and no message key — " +
+          "pass keyJsonCol (the Kafka key column holding {\"id\": ...}) " +
+          s"so _id can be recovered. Envelope: ${r.getString(0).take(300)}")
       if (op == "u" && after.isNull) {
         val ud = env.get("updateDescription")
         val uf = if (ud == null || ud.isNull) null else ud.get("updatedFields")
@@ -206,7 +214,23 @@ object Debezium {
         val rowCols = part.select(col("after.*")).columns.toSeq
         val imaged = part.select(col("after.*"), col("ts_ms"))
         val withOrd =
-          if (rowCols.contains(cfg.orderingField)) imaged.drop("ts_ms")
+          if (rowCols.contains(cfg.orderingField))
+            // the ordering column is a DOCUMENT field: a partial
+            // update that didn't touch it has it null, and a
+            // null-ordering partial silently LOSES the merge (the
+            // stored row wins and the update is discarded). Filling
+            // in ts_ms instead would overwrite the document's own
+            // ordering domain (e.g. a version counter) with epoch
+            // millis and corrupt future merges — so demand the field
+            // in updatedFields, loudly.
+            imaged.withColumn(cfg.orderingField,
+              when(col(cfg.orderingField).isNotNull, col(cfg.orderingField))
+                .otherwise(raise_error(lit(
+                  s"Mongo partial update lacks ordering field " +
+                  s"'${cfg.orderingField}' in updatedFields — it would " +
+                  "silently lose the merge; include the field in the " +
+                  "update or use full-document capture mode"))))
+              .drop("ts_ms")
           else imaged.withColumn(cfg.orderingField, col("ts_ms")).drop("ts_ms")
         // the full-width frame is correct as-is: upsertPartial treats
         // null columns as UNSET partials (PartialUpdateAvroPayload
@@ -274,9 +298,16 @@ object Debezium {
       val reader = new org.apache.avro.generic.GenericDatumReader[
         org.apache.avro.generic.GenericRecord](schema)
       it.map { bytes =>
+        // a topic DECLARED framed must only hold framed records — a
+        // silent offset-0 fallback could "successfully" decode garbage
+        // into wrong rows (the sibling stripConfluentFrame throws too)
+        if (confluentFramed && (bytes.length <= 5 || bytes(0) != 0))
+          throw new IllegalArgumentException(
+            s"record is not Confluent-framed (len=${bytes.length}, " +
+            s"magic=${if (bytes.isEmpty) "∅" else bytes(0).toString}) on a " +
+            "confluentFramed=true source")
         val (buf, off, len) =
-          if (confluentFramed && bytes.length > 5 && bytes(0) == 0)
-            (bytes, 5, bytes.length - 5)
+          if (confluentFramed) (bytes, 5, bytes.length - 5)
           else (bytes, 0, bytes.length)
         val dec = org.apache.avro.io.DecoderFactory.get()
           .binaryDecoder(buf, off, len, null)
@@ -435,48 +466,67 @@ object Debezium {
     require(rowCols.contains(cfg.keyField),
       s"CDC row schema lacks key ${cfg.keyField}")
 
+    // envelope columns under reserved names BEFORE the r.* expansion —
+    // a row schema carrying its own `ts_ms`/`op` column would otherwise
+    // make the window/select references ambiguous
     val imaged = changes.select(
         coalesce(col("after"), col("before")).as("r"),
-        col("op"), col("ts_ms"))
-      .select(col("r.*") +: Seq(col("op"), col("ts_ms")): _*)
+        col("op").as("__ev_op"), col("ts_ms").as("__ev_ts"))
+      .select(col("r.*") +: Seq(col("__ev_op"), col("__ev_ts")): _*)
     val withOrd =
       if (rowCols.contains(cfg.orderingField)) imaged
-      else imaged.withColumn(cfg.orderingField, col("ts_ms"))
+      else imaged.withColumn(cfg.orderingField, col("__ev_ts"))
 
-    // one surviving event per key: the latest in the batch
+    // one surviving event per key: the latest in the batch. Tie at the
+    // same ts_ms: the DELETE wins — an explicit priority, because the
+    // previous `col("op").desc` string ordering ranked 'u' ABOVE 'd'
+    // and resurrected rows deleted in the same binlog millisecond
     val keyCols = (cfg.partitionField.toSeq.filter(rowCols.contains) :+
       cfg.keyField).map(col)
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("ts_ms").desc, col("op").desc) // d beats u at same ts
+      .orderBy(col("__ev_ts").desc,
+        when(col("__ev_op") === "d", 1).otherwise(0).desc)
+    // persisted: the parse + window plan feeds ~5 downstream actions
+    // (emptiness probes, the upsert write, the delete range agg +
+    // probe join) — without this every action re-decodes the batch
     val latest = withOrd
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .persist()
+    try {
+      val dataCols = withOrd.columns.filterNot(Set("__ev_op", "__ev_ts", "__rn"))
+      val upserts = latest.filter(col("__ev_op") =!= "d")
+        .select(dataCols.distinct.map(col).toIndexedSeq: _*)
+      val deletes = latest.filter(col("__ev_op") === "d")
+        .select(dataCols.distinct.map(col).toIndexedSeq: _*)
 
-    val dataCols = withOrd.columns.filterNot(Set("op", "ts_ms", "__rn")) ++
-      (if (rowCols.contains("ts_ms")) Seq("ts_ms") else Nil)
-    val upserts = latest.filter(col("op") =!= "d")
-      .select(dataCols.distinct.map(col).toIndexedSeq: _*)
-    val deletes = latest.filter(col("op") === "d")
-      .select(dataCols.distinct.map(col).toIndexedSeq: _*)
-
-    var commits = List.empty[String]
-    if (!upserts.isEmpty) commits ::= table.upsert(upserts)
-    if (!deletes.isEmpty) {
-      // drop deletes that are older than the current table row. The
-      // probe read is PRUNED to the deletes' key range via the same
-      // commit-log stats the upsert planner uses — a CDC batch pays
-      // O(touched file groups), not a full-table scan.
-      val idCols = cfg.partitionField.toSeq :+ cfg.keyField
-      val range = deletes.agg(
-        min(col(cfg.keyField)).cast(StringType).as("mn"),
-        max(col(cfg.keyField)).cast(StringType).as("mx")).first()
-      val cur = table.readWhereBetween(cfg.keyField,
-          Option(range.getString(0)), Option(range.getString(1)))
-        .select((idCols.map(col) :+ col(cfg.orderingField).as("__cur_ord")): _*)
-      val valid = deletes.join(cur, idCols)
-        .filter(col("__cur_ord") <= col(cfg.orderingField))
-        .drop("__cur_ord")
-      if (!valid.isEmpty) commits ::= table.deleteRows(valid)
-    }
-    commits.reverse
+      var commits = List.empty[String]
+      if (!upserts.isEmpty) commits ::= table.upsert(upserts)
+      // schema-empty = never written: nothing can exist to delete, and
+      // the probe read would have no columns to select
+      if (!deletes.isEmpty && table.schema.nonEmpty) {
+        // drop deletes that are older than the current table row. The
+        // probe read is PRUNED to the deletes' key range via the same
+        // commit-log stats the upsert planner uses — a CDC batch pays
+        // O(touched file groups), not a full-table scan.
+        val idCols = cfg.partitionField.toSeq :+ cfg.keyField
+        val range = deletes.agg(
+          min(col(cfg.keyField)).cast(StringType).as("mn"),
+          max(col(cfg.keyField)).cast(StringType).as("mx")).first()
+        val cur = table.readWhereBetween(cfg.keyField,
+            Option(range.getString(0)), Option(range.getString(1)))
+          .select((idCols.map(col) :+ col(cfg.orderingField).as("__cur_ord")): _*)
+        // a delete whose image carries NO ordering value (key-only
+        // before images: Postgres default REPLICA IDENTITY, Mongo
+        // deletes) cannot be proven stale — it APPLIES (the connector
+        // only emits a delete for a row that was just deleted); the
+        // null comparison previously dropped such tombstones silently
+        val valid = deletes.join(cur, idCols)
+          .filter(col(cfg.orderingField).isNull ||
+            col("__cur_ord") <= col(cfg.orderingField))
+          .drop("__cur_ord")
+        if (!valid.isEmpty) commits ::= table.deleteRows(valid)
+      }
+      commits.reverse
+    } finally { latest.unpersist(); () }
   }
 }

@@ -133,8 +133,13 @@ object ProtoSchemaText {
   }
 
   private def messageBody(text: String, name: String): String = {
-    val start = text.indexOf(s"message $name")
-    require(start >= 0, s"message $name not found in proto text")
+    // word-boundary match: a prefix search for "message Row" would
+    // land on "message RowKey" and parse the wrong struct
+    val m = java.util.regex.Pattern
+      .compile("message\\s+" + java.util.regex.Pattern.quote(name) + "\\b")
+      .matcher(text)
+    require(m.find(), s"message $name not found in proto text")
+    val start = m.start()
     val open = text.indexOf('{', start)
     require(open >= 0, s"malformed proto text: no body for message $name")
     var depth = 1

@@ -194,8 +194,14 @@ class TableIncrementalSource(upstream: GraftTable, checkpointFile: String)
   }
 
   override def commitCheckpoint(token: String): Unit = {
+    // atomic like DirSource's checkpoint: an in-place truncate+write
+    // interrupted by a crash leaves an empty instant and the next run
+    // silently re-ingests from scratch
     val p = Paths.get(checkpointFile)
     Files.createDirectories(p.getParent)
-    Files.writeString(p, token)
+    val tmp = p.resolveSibling(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, token)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 }

@@ -58,21 +58,37 @@ object XTableSync {
     val fresh = t.log.commits().filter(_.instant > from)
     if (fresh.isEmpty) return Nil
     var ver = lastVer
+    def metaDataAction(schemaJson: String): String =
+      mapper.writeValueAsString(Map(
+        "metaData" -> Map(
+          "id" -> java.util.UUID.nameUUIDFromBytes(t.root.getBytes).toString,
+          "name" -> t.config.name,
+          "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+          "schemaString" -> schemaJson,
+          "partitionColumns" -> t.config.partitionField.toSeq,
+          "configuration" -> Map.empty,
+          "createdTime" -> 0L)))
+    // Delta readers take the LAST metaData action as the schema: a
+    // fresh one must be emitted whenever a commit evolves the schema —
+    // the previous v0-only emission froze foreign readers on the
+    // first-sync schema forever. Resumed syncs seed the comparison
+    // with the schema as of the cursor.
+    var lastSchema: String =
+      if (lastVer < 0) null else t.log.latestSchemaJson(Some(from)).orNull
     val written = fresh.map { c =>
       ver += 1
       val actions = scala.collection.mutable.ArrayBuffer[String]()
       if (ver == 0L) {
         actions += mapper.writeValueAsString(Map(
           "protocol" -> Map("minReaderVersion" -> 1, "minWriterVersion" -> 2)))
-        actions += mapper.writeValueAsString(Map(
-          "metaData" -> Map(
-            "id" -> java.util.UUID.nameUUIDFromBytes(t.root.getBytes).toString,
-            "name" -> t.config.name,
-            "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
-            "schemaString" -> t.schema.json,
-            "partitionColumns" -> t.config.partitionField.toSeq,
-            "configuration" -> Map.empty,
-            "createdTime" -> 0L)))
+        lastSchema = Option(c.schemaJson).filter(_.nonEmpty)
+          .getOrElse(t.schema.json)
+        actions += metaDataAction(lastSchema)
+      } else Option(c.schemaJson).filter(_.nonEmpty).foreach { cs =>
+        if (cs != lastSchema) {
+          actions += metaDataAction(cs)
+          lastSchema = cs
+        }
       }
       c.removed.foreach { path =>
         actions += mapper.writeValueAsString(Map(

@@ -117,6 +117,54 @@ class IngestSpec extends AnyFunSuite {
     assert(t.read().select("id").as[Long].collect().toSet == Set(8L))
   }
 
+  test("Debezium: delete beats update at the same ts_ms (binlog-millisecond tie)") {
+    val work = tmp()
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    val t = GraftTable.create(spark, s"$work/t", TableConfig(
+      name = "tiebreak", keyField = "id", orderingField = "_cdc_ts", numBuckets = 1))
+    val batch = Seq(
+      """{"before":null,"after":{"id":1,"v":1},"op":"c","ts_ms":10}""",
+      // update and delete in the SAME millisecond: the delete must win
+      """{"before":{"id":1,"v":1},"after":{"id":1,"v":2},"op":"u","ts_ms":20}""",
+      """{"before":{"id":1,"v":2},"after":null,"op":"d","ts_ms":20}""").toDF("json")
+    Debezium.apply(t, Debezium.parse(batch, "json", rowSchema))
+    assert(t.read().count() == 0, "row deleted in the same ms was resurrected")
+  }
+
+  test("Debezium: key-only delete images (null ordering) still delete") {
+    val work = tmp()
+    // ordering is a ROW column; the delete's before image carries only
+    // the key (Postgres default REPLICA IDENTITY shape)
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("ver", LongType),
+      StructField("v", StringType)))
+    val t = GraftTable.create(spark, s"$work/t", TableConfig(
+      name = "keyonly", keyField = "id", orderingField = "ver", numBuckets = 1))
+    Debezium.apply(t, Debezium.parse(Seq(
+      """{"before":null,"after":{"id":1,"ver":5,"v":"x"},"op":"c","ts_ms":10}""")
+      .toDF("json"), "json", rowSchema))
+    assert(t.read().count() == 1)
+    Debezium.apply(t, Debezium.parse(Seq(
+      """{"before":{"id":1},"after":null,"op":"d","ts_ms":20}""")
+      .toDF("json"), "json", rowSchema))
+    assert(t.read().count() == 0, "key-only tombstone was silently dropped")
+  }
+
+  test("Debezium: a row schema carrying its own ts_ms column applies cleanly") {
+    val work = tmp()
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("ts_ms", LongType),
+      StructField("v", StringType)))
+    val t = GraftTable.create(spark, s"$work/t", TableConfig(
+      name = "tsms", keyField = "id", orderingField = "_cdc_ts", numBuckets = 1))
+    Debezium.apply(t, Debezium.parse(Seq(
+      """{"before":null,"after":{"id":1,"ts_ms":777,"v":"a"},"op":"c","ts_ms":10}""")
+      .toDF("json"), "json", rowSchema))
+    val r = t.read().select("id", "ts_ms", "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getString(2)) == ((1L, 777L, "a")))
+  }
+
   test("Mongo Debezium envelope: extended-JSON strings, partial update, key-only delete") {
     val work = tmp()
     val rowSchema = StructType(Seq(
