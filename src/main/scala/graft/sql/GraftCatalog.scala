@@ -67,6 +67,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouseDir: String) {
   }
 
   def dropTable(name: String): Unit = {
+    syncedState.remove(name)
     val root = Paths.get(rootOf(name))
     // NOFOLLOW: a registered table whose target was deleted is a
     // DANGLING symlink — Files.exists follows links and reports false,
@@ -76,14 +77,14 @@ final class GraftCatalog(val spark: SparkSession, val warehouseDir: String) {
     // a REGISTERED table is a symlink: dropping it un-registers (the
     // linked table's own files are not ours to delete)
     if (Files.isSymbolicLink(root)) { Files.delete(root); return }
-    Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    graft.util.Fs.walkSeq(root).reverse.foreach(Files.deleteIfExists(_))
   }
 
   /** D9: SHOW TABLES. */
   def listTables(): Seq[String] =
-    Files.list(Paths.get(warehouseDir)).iterator().asScala
+    graft.util.Fs.list(Paths.get(warehouseDir))(_
       .filter(p => GraftTable.exists(p.toString))
-      .map(_.getFileName.toString).toSeq.sorted
+      .map(_.getFileName.toString).toSeq).sorted
 
   /** D9: SHOW PARTITIONS (from the commit log, no data listing). */
   def showPartitions(name: String): Seq[String] = table(name).partitions()
@@ -101,25 +102,35 @@ final class GraftCatalog(val spark: SparkSession, val warehouseDir: String) {
     * }}}
     * makes the bare view of `<t>` resolve to the incremental read until
     * the mode conf is unset. */
+  /** view-state signature per table: re-registering a view costs a
+    * snapshot read + plan build, and syncViews runs before EVERY
+    * fall-through statement — without this cache each plain SELECT
+    * paid O(warehouse) re-registrations. A view is refreshed only
+    * when its timeline head or its consume/hive-sync confs changed. */
+  private val syncedState = scala.collection.mutable.Map.empty[String, String]
+
   def syncViews(): Unit = listTables().foreach { n =>
     val t = table(n)
     val mode = spark.conf.getOption(s"graft.$n.consume.mode")
       .map(_.trim.toUpperCase)
-    if (mode.contains("INCREMENTAL")) {
-      val from = spark.conf.getOption(s"graft.$n.consume.start.instant")
-        .getOrElse("0").trim
-      val maxCommits = spark.conf.getOption(s"graft.$n.consume.max.commits")
-        .map(_.trim.toInt).getOrElse(Int.MaxValue)
-      t.readIncremental(fromExclusive = from, maxCommits = maxCommits)
-        .createOrReplaceTempView(n)
-      if (t.config.isMor) {
-        t.readOptimized().createOrReplaceTempView(s"${n}_ro")
-        t.readRealtime().createOrReplaceTempView(s"${n}_rt")
-      }
-    } else t.registerViews(skipRoSuffix =
-      spark.conf.getOption(s"graft.$n.hive_sync.skip_ro_suffix")
-        .exists(_.trim.toBoolean),
-      asName = n)
+    val from = spark.conf.getOption(s"graft.$n.consume.start.instant")
+      .getOrElse("0").trim
+    val maxCommits = spark.conf.getOption(s"graft.$n.consume.max.commits")
+      .map(_.trim.toInt).getOrElse(Int.MaxValue)
+    val skipRo = spark.conf.getOption(s"graft.$n.hive_sync.skip_ro_suffix")
+      .exists(_.trim.toBoolean)
+    val sig = s"${t.log.lastInstant().getOrElse("0")}|$mode|$from|$maxCommits|$skipRo"
+    if (!syncedState.get(n).contains(sig)) {
+      if (mode.contains("INCREMENTAL")) {
+        t.readIncremental(fromExclusive = from, maxCommits = maxCommits)
+          .createOrReplaceTempView(n)
+        if (t.config.isMor) {
+          t.readOptimized().createOrReplaceTempView(s"${n}_ro")
+          t.readRealtime().createOrReplaceTempView(s"${n}_rt")
+        }
+      } else t.registerViews(skipRoSuffix = skipRo, asName = n)
+      syncedState(n) = sig
+    }
   }
 }
 

@@ -282,9 +282,16 @@ final class GraftMorScan(
     val lits = children.drop(1)
     if (!lits.forall(_.isInstanceOf[V2Literal[_]])) return true
     val values = lits.map(_.asInstanceOf[V2Literal[_]])
+    // render through StatsLit.str like the COW runtime filter: a
+    // date/timestamp V2 literal's value is a catalyst INT/LONG whose
+    // toString ("19877") never equals the stored ISO string — blind
+    // toString would prune EVERY group and silently drop rows; None
+    // from StatsLit.str means "can't render" → keep the group
+    val rendered = values.map(v => StatsLit.str(v.value))
+    if (rendered.exists(_.isEmpty)) return true
     if (partitionField.contains(attr)) {
       // partition dirs store cast-to-string values ("__null__" = null)
-      values.exists(v => v.value != null && v.value.toString == p)
+      rendered.flatten.exists(_ == p)
     } else if (attr == keyField) {
       val bucketHit = values.exists { v =>
         val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
@@ -292,7 +299,7 @@ final class GraftMorScan(
         (((h % numBuckets) + numBuckets) % numBuckets).toInt == b
       }
       bucketHit && {
-        val sorted = values.map(_.value: Any).filter(_ != null).map(_.toString)
+        val sorted = rendered.flatten
           .sortWith((a, x) => graft.core.StatsPruner.compare(keyDt, a, x) < 0)
           .toArray
         fs.exists(f => graft.core.StatsPruner.mayContainAny(keyDt,

@@ -188,16 +188,10 @@ private[sql] object StatsFilterEval {
 
   /** Literal rendered the way stats were stored (`cast(col as string)`
     * of the value); None = not comparable → never prune on it. */
-  def litStr(v: Any): Option[String] = v match {
-    case null => None
-    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
-    case b: Boolean => Some(b.toString)
-    case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
-      Some(n.toString)
-    case d: Decimal => Some(d.toString)
-    case d: java.math.BigDecimal => Some(d.toString)
-    case _ => None // timestamps / dates / binary: stored form differs
-  }
+  // ONE literal-rendering table (StatsLit.str) for the static and
+  // runtime pruning paths — a second copy here had already drifted
+  // once and diverging them reintroduces the date/timestamp bug
+  def litStr(v: Any): Option[String] = StatsLit.str(v)
 
   def mayMatch(f: DataFileMeta, e: Expression, schema: StructType,
       partitionField: Option[String]): Boolean = e match {

@@ -28,8 +28,11 @@ final class GraftSql(catalog: GraftCatalog) {
     """(?is)\s*INSERT\s+INTO\s+(`\w+`|\w+)\s+(SELECT .*|VALUES\s*.*)\s*""".r
   private val InsertOverwriteRe =
     """(?is)\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(`\w+`|\w+)\s+(SELECT .*|VALUES\s*.*)\s*""".r
+  // everything after SET is ONE group; the SET/WHERE boundary is found
+  // by the quote-aware scan in the handler — the lazy-regex split
+  // stopped at a ' where ' inside a string literal
   private val UpdateRe =
-    """(?is)\s*UPDATE\s+(`\w+`|\w+)\s+SET\s+(.*?)\s+WHERE\s+(.*)\s*""".r
+    """(?is)\s*UPDATE\s+(`\w+`|\w+)\s+SET\s+(.*)\s*""".r
   private val DeleteRe =
     """(?is)\s*DELETE\s+FROM\s+(`\w+`|\w+)\s+WHERE\s+(.*)\s*""".r
   private val ShowTablesRe = """(?is)\s*SHOW\s+TABLES\s*""".r
@@ -82,6 +85,24 @@ final class GraftSql(catalog: GraftCatalog) {
       else (i + 1, quote)
     } else if (c == '\'' || c == '"' || c == '`') (i + 1, c)
     else (i + 1, 0.toChar)
+  }
+
+  /** Length-preserving quote mask: every char inside a quoted context
+    * (delimiters included) becomes \\u0001, so keyword scans and regex
+    * position finds over the mask can never match string-literal
+    * content — and positions index back into the original text. */
+  private[sql] def maskQuoted(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val (ni, nq) = quoteStep(s, i, quote)
+      val inQuote = quote != 0 || nq != 0 // covers the opening delimiter
+      var j = i
+      while (j < ni) { out += (if (inQuote) '\u0001' else s.charAt(j)); j += 1 }
+      i = ni; quote = nq
+    }
+    out.toString
   }
 
   /** Remove SQL comments — `--` to end of line and `/* ... */` blocks
@@ -137,7 +158,11 @@ final class GraftSql(catalog: GraftCatalog) {
         throw new IllegalArgumentException(s"no such table $name")
       if (known) {
         catalog.dropTable(name)
+        // the MOR sync registers _ro/_rt companions — leaving them
+        // would resolve later SELECTs over deleted files
         spark.catalog.dropTempView(name)
+        spark.catalog.dropTempView(s"${name}_ro")
+        spark.catalog.dropTempView(s"${name}_rt")
         ()
       }
       emptyResult()
@@ -319,8 +344,12 @@ final class GraftSql(catalog: GraftCatalog) {
       t.insert(aligned(t, body))
       emptyResult()
 
-    case UpdateRe(name0, sets, cond) =>
+    case UpdateRe(name0, rest) =>
       val name = unquoteId(name0)
+      val wIdx = topLevelWordIndex(rest, "where")
+      require(wIdx >= 0, "UPDATE requires a top-level WHERE clause")
+      val sets = rest.substring(0, wIdx)
+      val cond = rest.substring(wIdx + "where".length)
       val assignments = splitTopLevel(sets, ',').map { a =>
         val Array(k, v) = a.split("=", 2)
         k.trim -> expr(v.trim)
@@ -551,7 +580,12 @@ final class GraftSql(catalog: GraftCatalog) {
     val src = spark.sql(srcSql)
     require(src.columns.contains(key),
       s"MERGE source must expose the record key column '$key'")
-    val c = clauses.toLowerCase.replaceAll("\\s+", " ")
+    // clause keywords are detected on a QUOTE-MASKED copy: a string
+    // literal like 'when not matched then insert *' in an assignment
+    // must never flip merge semantics. maskQuoted preserves length, so
+    // positions found on the mask index into the original text.
+    val masked = maskQuoted(clauses)
+    val c = masked.toLowerCase.replaceAll("\\s+", " ")
     val updateAll = c.contains("when matched then update set *")
     val insertAll = c.contains("when not matched then insert *")
     val deleteMatched = c.contains("when matched then delete")
@@ -588,7 +622,8 @@ final class GraftSql(catalog: GraftCatalog) {
     // updateWhere.
     val partialSet: Option[String] =
       """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?!\*)(.+?)(?=\s+WHEN\s|\s*$)""".r
-        .findFirstMatchIn(clauses).map(_.group(1).trim)
+        .findFirstMatchIn(masked) // positions from the mask...
+        .map(m => clauses.substring(m.start(1), m.end(1)).trim) // ...text from the original
     if (partialSet.isDefined && !updateAll) {
       require(!deleteMatched,
         "MERGE with both a partial UPDATE SET and a DELETE clause is unsupported")

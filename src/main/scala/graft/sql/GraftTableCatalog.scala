@@ -54,7 +54,7 @@ class GraftTableCatalog extends TableCatalog with FunctionCatalog {
     Paths.get(warehouse, ident.name).toString
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    Files.list(Paths.get(warehouse)).iterator().asScala
+    graft.util.Fs.listSeq(Paths.get(warehouse))
       .filter(p => GraftTable.exists(p.toString))
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
@@ -128,6 +128,15 @@ class GraftTableCatalog extends TableCatalog with FunctionCatalog {
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val props = properties.asScala
+    // only identity transforms are supported: silently dropping a
+    // bucket(n, col) transform would create a table the user believes
+    // is n-bucketed (SPJ co-partition planning) with the default 8
+    partitions.find(t => t.name != "identity").foreach { t =>
+      throw new UnsupportedOperationException(
+        s"unsupported partition transform '$t' — this catalog supports " +
+        "identity partitioning; bucket routing is configured via the " +
+        "'buckets' table property")
+    }
     val partitionField = partitions.collectFirst {
       case t if t.name == "identity" && t.references.nonEmpty =>
         t.references.head.fieldNames.head
@@ -174,9 +183,15 @@ class GraftTableCatalog extends TableCatalog with FunctionCatalog {
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    if (!tableExists(ident)) return false
     val root = Paths.get(rootOf(ident))
-    Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    // NOFOLLOW + symlink handling mirror GraftCatalog.dropTable: a
+    // dangling registered-table symlink must stay droppable, and a
+    // live registration must drop the LINK, not the linked files
+    if (!Files.exists(root, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      return false
+    if (Files.isSymbolicLink(root)) { Files.delete(root); return true }
+    if (!GraftTable.exists(root.toString)) return false
+    graft.util.Fs.walkSeq(root).reverse.foreach(Files.deleteIfExists(_))
     true
   }
 

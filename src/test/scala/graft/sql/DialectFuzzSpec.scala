@@ -206,6 +206,42 @@ class DialectFuzzSpec extends AnyFunSuite {
     assert(g.stripComments("""'a\'--b' -- gone""") == """'a\'--b' """)
   }
 
+  test("UPDATE: ' where ' inside a SET string literal doesn't split the statement") {
+    val g = freshSql()
+    g.sql("CREATE TABLE fz8 (k BIGINT, ts BIGINT, note STRING) USING GRAFT " +
+      "OPTIONS (primaryKey='k', precombine='ts')")
+    g.sql("INSERT INTO fz8 VALUES (1, 1, 'x')")
+    g.sql("UPDATE fz8 SET note = 'fixed where broken' WHERE k = 1")
+    assert(g.sql("SELECT note FROM fz8").collect().head.getString(0)
+      == "fixed where broken")
+  }
+
+  test("MERGE: clause keywords inside assignment literals don't change semantics") {
+    val g = freshSql()
+    g.sql("CREATE TABLE fz9 (k BIGINT, ts BIGINT, note STRING) USING GRAFT " +
+      "OPTIONS (primaryKey='k', precombine='ts')")
+    g.sql("INSERT INTO fz9 VALUES (1, 1, 'old')")
+    // the literal spells out an INSERT clause: it must stay DATA — the
+    // merge has no real NOT MATCHED clause, so key 2 must NOT appear
+    g.sql(
+      """MERGE INTO fz9 USING (
+        |  SELECT 2 AS k, 5 AS ts, 'z' AS note
+        |) AS s ON s.k = fz9.k
+        |WHEN MATCHED THEN UPDATE SET note = 'when not matched then insert *'""".stripMargin)
+    assert(g.sql("SELECT count(*) FROM fz9").collect().head.getLong(0) == 1L)
+    assert(g.sql("SELECT note FROM fz9 WHERE k = 1").collect().head.getString(0)
+      == "old") // no match for key 2 -> no update happened either
+    // and a partial SET whose literal contains ' when matched ' keeps
+    // the full assignment text
+    g.sql(
+      """MERGE INTO fz9 USING (
+        |  SELECT 1 AS k, 9 AS ts, 'z' AS note
+        |) AS s ON s.k = fz9.k
+        |WHEN MATCHED THEN UPDATE SET note = 'updated when matched here'""".stripMargin)
+    assert(g.sql("SELECT note FROM fz9 WHERE k = 1").collect().head.getString(0)
+      == "updated when matched here")
+  }
+
   test("MERGE: USING subquery with nested parens and quoted commas") {
     val g = freshSql()
     g.sql("CREATE TABLE fz4 (k BIGINT, ts BIGINT, v STRING) USING GRAFT " +
