@@ -84,25 +84,49 @@ object Bench {
     // named headline queries, e.g. SPARK_GRAFT_BENCH_ONLY=p36_tf_cosine
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').toSet)
+    def once(name: String): Double = {
+      // isolate runs: drop any cache a previous query/run left behind
+      // and give the context cleaner a chance to drain its backlog —
+      // leftover heap state was measured adding 2-6× tail latency to
+      // later queries at the 100× scale point
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = try qs(name)(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (n < 0) -1.0 else dt
+    }
+    // host-speed sentinel: a fixed CPU-bound job, independent of sfDir
+    // and of any engine code path, timed the same way the queries are.
+    // Two consecutive driver sweeps have twice flagged 20-35% phantom
+    // "regressions" on unchanged sub-second queries that targeted
+    // quiet-host re-runs put back at historical bests — the shared
+    // host drifts. Dividing each query by the SAME sweep's sentinel
+    // separates code changes from host drift in one glance.
+    def sentinelOnce(): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      spark.range(0L, 2000000000L, 1L, cpus)
+        .selectExpr("sum(xxhash64(id * 2654435761))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinelBefore = (1 to 3).map(_ => sentinelOnce()).min
     val results = headline.filter(qs.contains)
       .filter(n => only.forall(_.contains(n))).map { name =>
-      val runs = (1 to nRuns).map { _ =>
-        // isolate runs: drop any cache a previous query/run left behind
-        // and give the context cleaner a chance to drain its backlog —
-        // leftover heap state was measured adding 2-6× tail latency to
-        // later queries at the 100× scale point
-        spark.catalog.clearCache()
-        System.gc()
-        val t0 = System.nanoTime()
-        val n = try qs(name)(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (n < 0) -1.0 else dt
-      }
-      name -> runs
+      val runs = (1 to nRuns).map(_ => once(name))
+      // sub-second entries are the ones scheduler noise swamps (the
+      // phantom-regression band is exactly here): extend to min-of-5
+      val extended =
+        if (runs.forall(_ >= 0) && runs.min < 1.0 && nRuns < 5)
+          runs ++ (nRuns until 5).map(_ => once(name))
+        else runs
+      name -> extended
     }
+    val sentinelAfter = (1 to 3).map(_ => sentinelOnce()).min
+    val sentinel = math.min(sentinelBefore, sentinelAfter)
     def f3(v: Double) = f"$v%.3f"
     val best = results.map { case (k, rs) =>
       k -> (if (rs.exists(_ < 0)) -1.0 else rs.min)
@@ -119,7 +143,12 @@ object Bench {
     // non-zero so the harness records the run as failed.
     val failed = best.collect { case (k, v) if v < 0 => k }
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    // normalized = best ÷ sentinel (host-speed units): compare THESE
+    // across rounds to separate code changes from host drift
+    val normJson = best.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) "-1.0" else f3(v / sentinel))
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"runs":$runsJson,"sentinel":${f3(sentinel)},"normalized":$normJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -906,6 +906,176 @@ object LakehouseQueries {
        |FROM f JOIN files ON f.filename = files.fpath
        |ORDER BY event_type, user_id""".stripMargin
 
+  // ---- T6 reverse leg: Delta → graft adoption (l32) -------------------
+
+  /** Fixed root, same reason as l29: the oracle SQL is static. */
+  private val adoptDeltaRoot = "/tmp/graft_xtable_l32"
+
+  /** Forge a FOREIGN Delta table at `root`: v0 adds a STALE file the
+    * v1 version removes and replaces with the true live pair — so any
+    * adoption that walks the directory instead of replaying the log
+    * resurrects superseded rows and fails the gate. Returns the live
+    * schema's StructType JSON (the log's schemaString). */
+  private def forgeForeignDelta(root: String, stale: DataFrame,
+      liveA: DataFrame, liveB: DataFrame): Unit = {
+    val logDir = java.nio.file.Paths.get(root, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    def writeOne(df: DataFrame, name: String): Long = {
+      val tmp = s"$root/.tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = graft.util.Fs.list(java.nio.file.Paths.get(tmp))(_
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(root, name))
+      graft.util.TempDirs.deleteRecursively(java.nio.file.Paths.get(tmp))
+      java.nio.file.Files.size(java.nio.file.Paths.get(root, name))
+    }
+    val m = graft.core.CommitLog.mapper
+    def add(p: String, sz: Long) =
+      s"""{"add":{"path":"$p","partitionValues":{},"size":$sz,"modificationTime":1,"dataChange":true}}"""
+    def rm(p: String) =
+      s"""{"remove":{"path":"$p","dataChange":true,"deletionTimestamp":2}}"""
+    val metaData = m.writeValueAsString(Map("metaData" -> Map(
+      "id" -> "00000000-0000-0000-0000-000000000000",
+      "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+      "schemaString" -> liveA.schema.json,
+      "partitionColumns" -> Seq.empty, "configuration" -> Map.empty,
+      "createdTime" -> 0L)))
+    val szS = writeOne(stale, "stale.parquet")
+    val szA = writeOne(liveA, "fileA.parquet")
+    val szB = writeOne(liveB, "fileB.parquet")
+    def w(ver: Long, actions: Seq[String]): Unit =
+      java.nio.file.Files.write(logDir.resolve(f"$ver%020d.json"),
+        actions.mkString("", "\n", "\n").getBytes("UTF-8"))
+    w(0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaData, add("stale.parquet", szS)))
+    w(1L, Seq(rm("stale.parquet"),
+      add("fileA.parquet", szA), add("fileB.parquet", szB)))
+  }
+
+  /** The reverse xTable leg (xtable/xtable_delta.yaml:17-25
+    * sourceFormat DELTA): a FOREIGN Delta table — hand-forged log, a
+    * superseded version still on disk — is adopted in place as a graft
+    * table ([[graft.interop.XTableSync.adoptDelta]]), takes one engine
+    * upsert, and re-syncs its continued `_delta_log`. The returned
+    * rows are the graft snapshot; the query itself asserts the
+    * unbroken-history claim (a full-log Delta replay reads the exact
+    * same rows). The ORACLE is fully independent: DuckDB replays ONLY
+    * the foreign versions (v0, v1) to the source live set and applies
+    * the upsert's effect arithmetically — if adoption had resurrected
+    * the stale file or dropped a live one, the sides diverge. */
+  def qDeltaAdopt(spark: SparkSession, dir: String): DataFrame = {
+    graft.util.TempDirs.deleteRecursively(
+      java.nio.file.Paths.get(adoptDeltaRoot))
+    val ev = events(spark, dir)
+    forgeForeignDelta(adoptDeltaRoot,
+      stale = ev.filter(col("event_id") % 2 === 0)
+        .withColumn("value", col("value") + lit(1000.0)),
+      liveA = ev.filter(col("event_id") % 2 === 0),
+      liveB = ev.filter(col("event_id") % 2 === 1))
+    val t = graft.interop.XTableSync.adoptDelta(spark, adoptDeltaRoot,
+      TableConfig(name = "ev_adopt", keyField = "event_id",
+        orderingField = "ts", partitionField = None, numBuckets = 4))
+    t.upsert(ev.filter(col("event_id") % 100 === 0)
+      .withColumn("value", col("value") * 2))
+    graft.interop.XTableSync.syncDelta(t)
+    val cols = Seq("event_type", "user_id", "event_id", "ts", "value")
+    val viaGraft = t.read().select(cols.map(col): _*)
+    val viaDelta = graft.interop.XTableSync.readDelta(spark, adoptDeltaRoot)
+      .select(cols.map(col): _*)
+    require(viaDelta.exceptAll(viaGraft).isEmpty &&
+            viaGraft.exceptAll(viaDelta).isEmpty,
+      "continued _delta_log replay diverges from the graft snapshot")
+    viaGraft
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select("event_type", "user_id", "event_id", "ts_us", "value")
+      .orderBy("event_id")
+  }
+
+  private val deltaAdoptSql =
+    s"""WITH acts AS (
+       |  SELECT * FROM read_json_auto(
+       |    ['$adoptDeltaRoot/_delta_log/00000000000000000000.json',
+       |     '$adoptDeltaRoot/_delta_log/00000000000000000001.json'],
+       |    format='newline_delimited', sample_size=-1)),
+       |live AS (
+       |  SELECT "add".path AS path FROM acts WHERE "add" IS NOT NULL
+       |  EXCEPT
+       |  SELECT "remove".path FROM acts WHERE "remove" IS NOT NULL),
+       |f AS (
+       |  SELECT event_type, user_id, event_id, ts, value, filename
+       |  FROM read_parquet('$adoptDeltaRoot/*.parquet',
+       |                    filename=true, hive_partitioning=false,
+       |                    union_by_name=true))
+       |SELECT event_type, user_id, event_id, ts // 1000 AS ts_us,
+       |       CASE WHEN event_id % 100 = 0 THEN value * 2 ELSE value END AS value
+       |FROM f JOIN live ON f.filename = '$adoptDeltaRoot/' || live.path
+       |ORDER BY event_id""".stripMargin
+
+  // ---- T6 full triangle: adopt Delta, re-export Iceberg (l33) --------
+
+  /** Fixed root, same reason as l29/l31/l32. */
+  private val adoptTriangleRoot = "/tmp/graft_xtable_l33"
+
+  /** The full xTable triangle (demo.ipynb cells 6-18): a foreign
+    * DELTA table is adopted as a graft table, takes an engine upsert,
+    * and `sync` re-exports ICEBERG v2 metadata over the adopted +
+    * rewritten files. The oracle is the l31 foreign-reader chain —
+    * latest metadata.json → current snapshot → manifest-list avro →
+    * manifest avro → live parquet — run against the ADOPTED table's
+    * root, proving the re-exported metadata alone reproduces the
+    * post-migration snapshot with zero engine code. */
+  def qAdoptRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    graft.util.TempDirs.deleteRecursively(
+      java.nio.file.Paths.get(adoptTriangleRoot))
+    val ev = events(spark, dir)
+    forgeForeignDelta(adoptTriangleRoot,
+      stale = ev.filter(col("event_id") % 2 === 0)
+        .withColumn("value", col("value") + lit(1000.0)),
+      liveA = ev.filter(col("event_id") % 2 === 0),
+      liveB = ev.filter(col("event_id") % 2 === 1))
+    val t = graft.interop.XTableSync.adoptDelta(spark, adoptTriangleRoot,
+      TableConfig(name = "ev_triangle", keyField = "event_id",
+        orderingField = "ts", partitionField = None, numBuckets = 4))
+    t.upsert(ev.filter(col("event_id") % 100 === 0)
+      .withColumn("value", col("value") * 2))
+    graft.interop.XTableSync.syncIceberg(t)
+    t.read()
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select("event_type", "user_id", "event_id", "ts_us", "value")
+      .orderBy("event_id")
+  }
+
+  private val adoptRoundtripSql =
+    s"""WITH meta AS (
+       |  SELECT "current-snapshot-id" AS cur, snapshots
+       |  FROM read_json_auto('$adoptTriangleRoot/metadata/v*.metadata.json')
+       |  ORDER BY "last-sequence-number" DESC LIMIT 1),
+       |mlist AS (
+       |  SELECT s."manifest-list" AS path
+       |  FROM (SELECT unnest(snapshots) AS s, cur FROM meta)
+       |  WHERE s."snapshot-id" = cur),
+       |manifests AS (
+       |  SELECT DISTINCT mpath FROM (
+       |    SELECT unnest(regexp_extract_all(CAST(b.content AS VARCHAR),
+       |      '$adoptTriangleRoot/metadata/manifest-[-A-Za-z0-9_.]+[.]avro')) AS mpath
+       |    FROM read_blob('$adoptTriangleRoot/metadata/snap-*.avro') b
+       |    JOIN mlist ON b.filename = mlist.path)),
+       |files AS (
+       |  SELECT DISTINCT fpath FROM (
+       |    SELECT unnest(regexp_extract_all(CAST(b.content AS VARCHAR),
+       |      '$adoptTriangleRoot/data/[-/A-Za-z0-9_.=%]+[.]parquet')) AS fpath
+       |    FROM read_blob('$adoptTriangleRoot/metadata/manifest-*.avro') b
+       |    JOIN manifests ON b.filename = manifests.mpath)),
+       |f AS (
+       |  SELECT event_type, user_id, event_id, ts, value, filename
+       |  FROM read_parquet('$adoptTriangleRoot/data/**/*.parquet',
+       |                    filename=true, hive_partitioning=false,
+       |                    union_by_name=true))
+       |SELECT event_type, user_id, event_id, ts // 1000 AS ts_us, value
+       |FROM f JOIN files ON f.filename = files.fpath
+       |ORDER BY event_id""".stripMargin
+
   // ---- S9++ derived partition paths (l30) ---------------------------
 
   /** TimestampBasedKeyGenerator analog through the oracle: the table
@@ -999,6 +1169,8 @@ object LakehouseQueries {
     "l29_delta_foreign_read" -> (qDeltaForeignRead _),
     "l30_derived_partitions" -> (qDerivedPartitions _),
     "l31_iceberg_foreign_read" -> (qIcebergForeignRead _),
+    "l32_delta_adopt" -> (qDeltaAdopt _),
+    "l33_adopt_roundtrip" -> (qAdoptRoundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1033,5 +1205,7 @@ object LakehouseQueries {
     "l29_delta_foreign_read" -> deltaForeignSql,
     "l30_derived_partitions" -> derivedPartitionsSql,
     "l31_iceberg_foreign_read" -> icebergForeignSql,
+    "l32_delta_adopt" -> deltaAdoptSql,
+    "l33_adopt_roundtrip" -> adoptRoundtripSql,
   )
 }

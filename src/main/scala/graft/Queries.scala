@@ -514,7 +514,15 @@ object Queries {
     * group) and deriving the moments in identically-written double
     * arithmetic is deterministic on both engines AND the shape that
     * scales: sufficient statistics are the distributed-aggregation
-    * answer to second-moment analytics at 100 TB. */
+    * answer to second-moment analytics at 100 TB.
+    *
+    * The decimal sums cross to double VIA A STRING round-trip
+    * (`CAST(CAST(s AS STRING) AS DOUBLE)`): both engines parse
+    * strings with correctly-rounded conversion, while DuckDB's direct
+    * decimal-to-double scales the int128 payload in double arithmetic
+    * (two roundings) - a data-dependent last-ulp divergence that
+    * surfaced at sf0.001. Strings pin both sides to the single
+    * correctly rounded value. */
   def q24CorrMoments(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .groupBy("l_returnflag")
@@ -526,8 +534,8 @@ object Queries {
         sum(d2(col("l_quantity")) * d2(col("l_extendedprice"))).as("sxy"),
         count(lit(1)).as("cnt"))
       .select(col("l_returnflag"),
-        expr("(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0)").as("var_qty"),
-        expr("(CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))").as("corr_qty_price"),
+        expr("(CAST(CAST(sxx AS STRING) AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE) * CAST(CAST(sx AS STRING) AS DOUBLE) / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0)").as("var_qty"),
+        expr("(CAST(cnt AS DOUBLE) * CAST(CAST(sxy AS STRING) AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE) * CAST(CAST(sy AS STRING) AS DOUBLE)) / (sqrt(CAST(cnt AS DOUBLE) * CAST(CAST(sxx AS STRING) AS DOUBLE) - CAST(CAST(sx AS STRING) AS DOUBLE) * CAST(CAST(sx AS STRING) AS DOUBLE)) * sqrt(CAST(cnt AS DOUBLE) * CAST(CAST(syy AS STRING) AS DOUBLE) - CAST(CAST(sy AS STRING) AS DOUBLE) * CAST(CAST(sy AS STRING) AS DOUBLE)))").as("corr_qty_price"),
         col("cnt"))
       .orderBy("l_returnflag")
 
@@ -542,8 +550,8 @@ object Queries {
       |    count(*) AS cnt
       |  FROM lineitem GROUP BY 1)
       |SELECT l_returnflag,
-      |  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0) AS var_qty,
-      |  (CAST(cnt AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(cnt AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(cnt AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price,
+      |  (CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(cnt AS DOUBLE)) / (CAST(cnt AS DOUBLE) - 1.0) AS var_qty,
+      |  (CAST(cnt AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)) / (sqrt(CAST(cnt AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) * sqrt(CAST(cnt AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS corr_qty_price,
       |  cnt
       |FROM s ORDER BY 1""".stripMargin
 

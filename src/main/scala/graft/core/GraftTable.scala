@@ -738,8 +738,9 @@ final class GraftTable private (
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wPick = Window.partitionBy(idCols.map(col): _*)
       .orderBy(col(config.orderingField).desc_nulls_last, contentTie.desc)
+    val alignedTypes = aligned.schema.fields.map(f => f.name -> f.dataType).toMap
     val folded = dataCols.foldLeft(aligned) { (d, c) =>
-        d.withColumn(c, last(col(c), ignoreNulls = true).over(wAll))
+        d.withColumn(c, foldLastNonNull(col(c), alignedTypes(c), wAll))
       }
       .withColumn(config.orderingField, max(col(config.orderingField)).over(wAll))
       .withColumn("__rn", row_number().over(wPick))
@@ -777,9 +778,12 @@ final class GraftTable private (
           (col(config.orderingField).isNotNull &&
             col(config.orderingField) >= col(curOrd))
         patchCols.foldLeft(folded.join(existing, idCols.toIndexedSeq, "left")) {
-          (d, c) => d.withColumn(c,
-            when(incWins, coalesce(col(c), col(s"__cur_$c")))
-              .otherwise(coalesce(col(s"__cur_$c"), col(c))))
+          (d, c) =>
+            val dt = current.fields.find(_.name == c).map(_.dataType)
+              .getOrElse(StringType)
+            d.withColumn(c,
+              when(incWins, deepCoalesce(col(c), col(s"__cur_$c"), dt))
+                .otherwise(deepCoalesce(col(s"__cur_$c"), col(c), dt)))
         }
           .withColumn(config.orderingField,
             when(incWins, col(config.orderingField)).otherwise(col(curOrd)))
@@ -787,6 +791,39 @@ final class GraftTable private (
       }
     // (3) ordinary upsert of the patched full rows
     upsert(patched.drop(PartValCol), extra)
+  }
+
+  /** `coalesce` generalized to STRUCT columns: when both sides are
+    * non-null structs, merge subfield-wise (recursively) instead of
+    * taking `a` whole — so a Mongo dotted-path partial that sets only
+    * `address.city` patches the stored `address` struct rather than
+    * wiping its other subfields. Contract (mirrors the top-level
+    * null-means-unset rule): a null SUBFIELD of a partial struct is
+    * "not updated", so partials cannot null-out a subfield, and a
+    * partial that intends to REPLACE a whole subdocument keeps stored
+    * subfields absent from the new image — use full-document capture
+    * when either matters. Scalars/arrays/maps stay plain coalesce. */
+  private def deepCoalesce(a: Column, b: Column, dt: DataType): Column = dt match {
+    case st: StructType =>
+      when(a.isNull, b).when(b.isNull, a).otherwise(
+        struct(st.fields.map(f =>
+          deepCoalesce(a.getField(f.name), b.getField(f.name), f.dataType)
+            .as(f.name)): _*))
+    case _ => coalesce(a, b)
+  }
+
+  /** In-batch fold twin of [[deepCoalesce]]: latest-non-null per LEAF
+    * for struct columns (two partial rows touching different subfields
+    * of one struct compose), whole-column `last(ignoreNulls)` for
+    * everything else. The outer null-guard keeps an all-null struct
+    * column null instead of materializing a struct of nulls. */
+  private def foldLastNonNull(c: Column, dt: DataType,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column = dt match {
+    case st: StructType =>
+      when(last(c, ignoreNulls = true).over(w).isNull, lit(null).cast(st))
+        .otherwise(struct(st.fields.map(f =>
+          foldLastNonNull(c.getField(f.name), f.dataType, w).as(f.name)): _*))
+    case _ => last(c, ignoreNulls = true).over(w)
   }
 
   /** SQL UPDATE analog (D4 / SparkSqlUpdateNode): read-modify-write as
@@ -937,10 +974,6 @@ final class GraftTable private (
     * exactly one partition value (derived from its own min/max stats);
     * files spanning partitions need a real `bulkInsert` instead. */
   def bootstrapFrom(source: String): String = {
-    require(!config.isMor, "bootstrapFrom supports COW tables")
-    val snap = log.snapshot()
-    val planning = snap.lastInstant.getOrElse("0")
-    val instant = log.nextInstantAfter(snap.lastInstant)
     val src = Paths.get(source)
     val files: Seq[Path] =
       if (Files.isRegularFile(src)) Seq(src)
@@ -949,6 +982,23 @@ final class GraftTable private (
           p.getFileName.toString.endsWith(".parquet") &&
           !p.getFileName.toString.startsWith(".")).toSeq.sortBy(_.toString))
     require(files.nonEmpty, s"no parquet files under $source")
+    bootstrapFromFiles(files)
+  }
+
+  /** [[bootstrapFrom]] over an EXPLICIT file list — the adoption path
+    * for foreign TABLE FORMATS (Delta/Iceberg), whose directories also
+    * hold files a log replay has already superseded: the caller
+    * resolves the format's LIVE set (e.g.
+    * [[graft.interop.XTableSync.replayDelta]]) and only those files
+    * are adopted; a directory walk would resurrect removed versions. */
+  def bootstrapFromFiles(files: Seq[Path]): String = {
+    require(!config.isMor, "bootstrapFrom supports COW tables")
+    val snap = log.snapshot()
+    val planning = snap.lastInstant.getOrElse("0")
+    val instant = log.nextInstantAfter(snap.lastInstant)
+    require(files.nonEmpty, "no parquet files to bootstrap")
+    files.foreach(p => require(Files.isRegularFile(p),
+      s"bootstrap file $p does not exist"))
     // Stats below are keyed by basename (input_file_name gives a URI
     // whose directories may be encoded differently than `files`).
     // Writer-produced part-files have UUID basenames, but a hand-built

@@ -243,14 +243,20 @@ object TableServices {
     // a file removed at-or-before the horizon is NOT automatically
     // unreachable: a later restore() re-ADDS old paths, so a snapshot
     // inside the retained window can reference a file whose original
-    // removal predates the horizon. Protect every path added by any
-    // commit after the horizon (O(commits × files) metadata, no IO).
-    val readdedLater = commits.filter(_.instant > horizon)
-      .flatMap(_.added).map(_.path).toSet
+    // removal predates the horizon. Protect every path a post-horizon
+    // commit TOUCHES: adds (the re-added file is live inside the
+    // window) AND removes (a post-horizon removal means the file was
+    // still live at some retained instant — e.g. re-added at-or-before
+    // the horizon, removed again after it; its ORIGINAL removal is
+    // <= horizon but snapshots in [horizon, re-removal) reference it).
+    // O(commits × files) metadata, no IO.
+    val laterCommits = commits.filter(_.instant > horizon)
+    val touchedLater = (laterCommits.flatMap(_.added).map(_.path) ++
+      laterCommits.flatMap(_.removed)).toSet
     val deletable = commits.filter(_.instant <= horizon)
       .flatMap(_.removed).distinct
       .filterNot(liveNow.contains)
-      .filterNot(readdedLater.contains)
+      .filterNot(touchedLater.contains)
     deletable.foreach { rel =>
       Files.deleteIfExists(Paths.get(t.root, rel))
     }

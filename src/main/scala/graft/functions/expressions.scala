@@ -315,6 +315,47 @@ case class NearestCentroids(child: Expression,
     copy(child = newChild)
 }
 
+/** Squared L2 distance from a vector to its NEAREST centroid — the
+  * assignment-quality statistic behind the IVF drift monitor
+  * ([[graft.operators.IvfPq.append]]): a rising batch mean relative to
+  * the build-time mean says the frozen coarse quantizer no longer fits
+  * the incoming distribution. Same metric as [[NearestCentroids]]
+  * (L2 end to end — the round-21 unification), same plan-resident
+  * centroid table. */
+case class NearestCentroidDist(child: Expression,
+    centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "nearest_centroid_dist"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        var i = 0; while (i < n) { v(i) = arr.getFloat(i).toDouble; i += 1 }
+      case _ =>
+        var i = 0; while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+    }
+    var best = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      var d = 0.0
+      var i = 0
+      val m = math.min(n, cv.length)
+      while (i < m) { val t = v(i) - cv(i); d += t * t; i += 1 }
+      if (d < best) best = d
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidDist =
+    copy(child = newChild)
+}
+
 /** Deterministic stand-in codec for multimodal binary columns: parses
   * a tiny fake header (`[format:1][width:2][height:2]` big-endian) the
   * test fixture writer emits. A real deployment replaces exactly this
@@ -635,31 +676,29 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
-/** Membership-hit counter against a serialized
-  * [[org.apache.spark.util.sketch.BloomFilter]]: how many elements of
-  * the input long-array might be in the filter. The filter bytes ride
-  * in the plan as a constructor argument (metadata-scale, like the
-  * IVF centroid tables) and deserialize once per task — so a
-  * bloom-gated filter pass is MAP-ONLY, no join, no shuffle. Sketch
-  * semantics (no false negatives, bounded false-positive rate) are
-  * the public Spark BloomFilter contract, spec-asserted against the
-  * exact operator in Round19Spec. */
-case class BloomHitCount(child: Expression, filterBytes: Array[Byte])
+/** Membership-hit counter against a broadcast [[GraftBloom]]: how many
+  * elements of the input long-array might be in the filter. The filter
+  * travels as a BROADCAST (fetched once per executor — it can be up to
+  * the 256 MB guard at full eval-set scale, too big to ride the plan),
+  * so a bloom-gated filter pass is MAP-ONLY, no join, no shuffle.
+  * Sketch semantics (no false negatives, bounded false-positive rate)
+  * are spec-asserted against the exact operator in Round19Spec; the
+  * independently-seeded probe scheme that makes tiny-fpp gates sound
+  * is documented on [[GraftBloom]]. */
+case class BloomHitCount(child: Expression,
+    filter: org.apache.spark.broadcast.Broadcast[GraftBloom])
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def prettyName: String = "bloom_hit_count"
 
-  @transient private lazy val filter =
-    org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(filterBytes))
-
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val f = filter.value
     var hits = 0L
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      if (filter.mightContainLong(arr.getLong(i))) hits += 1L
+      if (f.mightContain(arr.getLong(i))) hits += 1L
       i += 1
     }
     hits
@@ -802,8 +841,9 @@ object GraftExpressions {
       vocab: org.apache.spark.broadcast.Broadcast[Array[String]]): Column =
     column(OovCount(expression(text), vocab))
 
-  def bloom_hit_count(hashes: Column, filterBytes: Array[Byte]): Column =
-    column(BloomHitCount(expression(hashes), filterBytes))
+  def bloom_hit_count(hashes: Column,
+      filter: org.apache.spark.broadcast.Broadcast[GraftBloom]): Column =
+    column(BloomHitCount(expression(hashes), filter))
 
   def nfc_normalize(text: Column): Column =
     column(NfcNormalize(expression(text)))
@@ -826,6 +866,10 @@ object GraftExpressions {
   def nearest_centroids(vec: Column, centroids: Array[Array[Double]],
       nProbe: Int): Column =
     column(NearestCentroids(expression(vec), centroids, nProbe))
+
+  def nearest_centroid_dist(vec: Column,
+      centroids: Array[Array[Double]]): Column =
+    column(NearestCentroidDist(expression(vec), centroids))
 
   def image_meta(bin: Column): Column =
     column(ImageMetaExpression(expression(bin)))

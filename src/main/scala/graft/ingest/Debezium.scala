@@ -94,6 +94,44 @@ object Debezium {
     out
   }
 
+  /** Mongo `updateDescription.updatedFields` addresses NESTED updates
+    * by dotted path — `$set {"address.city": x}` arrives as the flat
+    * key `"address.city"`, which would not match any field of the
+    * caller's row schema and be silently dropped by `from_json`.
+    * Expand dotted keys into nested objects ({"address":{"city":x}})
+    * so the typed partial image patches the struct column; sibling
+    * dotted keys under one root merge into one subtree. Only TOP-level
+    * keys are expanded — a dot inside a nested document's own key is a
+    * literal Mongo field name and passes through untouched. */
+  private def nestDottedPaths(
+      n: com.fasterxml.jackson.databind.JsonNode,
+      m: com.fasterxml.jackson.databind.ObjectMapper): com.fasterxml.jackson.databind.JsonNode = {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    n match {
+      case o: ObjectNode =>
+        val out = m.createObjectNode()
+        o.fields().forEachRemaining { e =>
+          val parts = e.getKey.split("\\.")
+          var cur = out
+          var i = 0
+          while (i < parts.length - 1) {
+            cur = cur.get(parts(i)) match {
+              case child: ObjectNode => child
+              case _ =>
+                val c = m.createObjectNode()
+                cur.set[com.fasterxml.jackson.databind.JsonNode](parts(i), c)
+                c
+            }
+            i += 1
+          }
+          cur.set[com.fasterxml.jackson.databind.JsonNode](parts.last, e.getValue)
+          ()
+        }
+        out
+      case other => other
+    }
+  }
+
   /** Parse MongoDB Debezium envelopes. Output shape is [[parse]]'s
     * (before, after, op, ts_ms) plus a `partial` flag:
     *
@@ -123,7 +161,11 @@ object Debezium {
       keyJsonCol.map(c => col(c).cast(StringType)).toSeq
     val normalized = raw.select(cols: _*).mapPartitions { it =>
       val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      it.map { r =>
+      // with the connector default tombstones.on.delete=true every
+      // delete is FOLLOWED by a null-value Kafka record (the compaction
+      // tombstone); it carries no envelope and must not fail the batch
+      it.filter(r => !r.isNullAt(0) && r.getString(0).trim.nonEmpty)
+        .map { r =>
       val env = m.readTree(r.getString(0))
       // message-key _id (extended JSON nested in a string)
       val keyId: Option[com.fasterxml.jackson.databind.JsonNode] =
@@ -164,7 +206,7 @@ object Debezium {
         val ud = env.get("updateDescription")
         val uf = if (ud == null || ud.isNull) null else ud.get("updatedFields")
         if (uf != null && !uf.isNull) {
-          after = unwrapExtendedJson(m.readTree(uf.asText), m)
+          after = nestDottedPaths(unwrapExtendedJson(m.readTree(uf.asText), m), m)
           partial = true
         } else throw new IllegalArgumentException(
           "Mongo update event carries neither an `after` image nor " +
@@ -301,7 +343,10 @@ object Debezium {
         // a topic DECLARED framed must only hold framed records — a
         // silent offset-0 fallback could "successfully" decode garbage
         // into wrong rows (the sibling stripConfluentFrame throws too)
-        if (confluentFramed && (bytes.length <= 5 || bytes(0) != 0))
+        // length < 5 (not <= 5): a 5-byte frame is a valid header with
+        // an EMPTY Avro payload (a record whose fields all encode to
+        // zero bytes — e.g. every field null in a null-first union)
+        if (confluentFramed && (bytes.length < 5 || bytes(0) != 0))
           throw new IllegalArgumentException(
             s"record is not Confluent-framed (len=${bytes.length}, " +
             s"magic=${if (bytes.isEmpty) "∅" else bytes(0).toString}) on a " +

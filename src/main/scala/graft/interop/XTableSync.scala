@@ -49,6 +49,40 @@ object XTableSync {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  private def metaDataAction(t: GraftTable, schemaJson: String): String =
+    mapper.writeValueAsString(Map(
+      "metaData" -> Map(
+        "id" -> java.util.UUID.nameUUIDFromBytes(t.root.getBytes).toString,
+        "name" -> t.config.name,
+        "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
+        "schemaString" -> schemaJson,
+        "partitionColumns" -> t.config.partitionField.toSeq,
+        "configuration" -> Map.empty,
+        "createdTime" -> 0L)))
+
+  private def removeAction(path: String, tsMs: Long): String =
+    mapper.writeValueAsString(Map(
+      "remove" -> Map("path" -> path, "dataChange" -> true,
+        "deletionTimestamp" -> tsMs)))
+
+  private def addAction(t: GraftTable, instantMs: Long,
+      f: graft.core.DataFileMeta): String = {
+    val stats = Map(
+      "numRecords" -> f.rows,
+      "minValues" -> f.stats.map { case (k, v) => k -> v.min },
+      "maxValues" -> f.stats.map { case (k, v) => k -> v.max },
+      "nullCount" -> f.stats.map { case (k, v) => k -> v.nullCount })
+    mapper.writeValueAsString(Map(
+      "add" -> Map(
+        "path" -> f.path,
+        "partitionValues" -> t.config.partitionField
+          .map(p => Map(p -> f.partition)).getOrElse(Map.empty),
+        "size" -> f.bytes,
+        "modificationTime" -> instantMs,
+        "dataChange" -> true,
+        "stats" -> mapper.writeValueAsString(stats))))
+  }
+
   /** Translate commits newer than the cursor into Delta-log versions
     * (one Delta version per graft commit). Returns versions written. */
   def syncDelta(t: GraftTable): Seq[Long] = {
@@ -58,16 +92,6 @@ object XTableSync {
     val fresh = t.log.commits().filter(_.instant > from)
     if (fresh.isEmpty) return Nil
     var ver = lastVer
-    def metaDataAction(schemaJson: String): String =
-      mapper.writeValueAsString(Map(
-        "metaData" -> Map(
-          "id" -> java.util.UUID.nameUUIDFromBytes(t.root.getBytes).toString,
-          "name" -> t.config.name,
-          "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
-          "schemaString" -> schemaJson,
-          "partitionColumns" -> t.config.partitionField.toSeq,
-          "configuration" -> Map.empty,
-          "createdTime" -> 0L)))
     // Delta readers take the LAST metaData action as the schema: a
     // fresh one must be emitted whenever a commit evolves the schema —
     // the previous v0-only emission froze foreign readers on the
@@ -83,32 +107,18 @@ object XTableSync {
           "protocol" -> Map("minReaderVersion" -> 1, "minWriterVersion" -> 2)))
         lastSchema = Option(c.schemaJson).filter(_.nonEmpty)
           .getOrElse(t.schema.json)
-        actions += metaDataAction(lastSchema)
+        actions += metaDataAction(t, lastSchema)
       } else Option(c.schemaJson).filter(_.nonEmpty).foreach { cs =>
         if (cs != lastSchema) {
-          actions += metaDataAction(cs)
+          actions += metaDataAction(t, cs)
           lastSchema = cs
         }
       }
       c.removed.foreach { path =>
-        actions += mapper.writeValueAsString(Map(
-          "remove" -> Map("path" -> path, "dataChange" -> true,
-            "deletionTimestamp" -> c.instant.toLong)))
+        actions += removeAction(path, c.instant.toLong)
       }
       c.added.foreach { f =>
-        val stats = Map(
-          "numRecords" -> f.rows,
-          "minValues" -> f.stats.map { case (k, v) => k -> v.min },
-          "maxValues" -> f.stats.map { case (k, v) => k -> v.max },
-          "nullCount" -> f.stats.map { case (k, v) => k -> v.nullCount })
-        actions += mapper.writeValueAsString(Map(
-          "add" -> Map(
-            "path" -> f.path,
-            "partitionValues" -> t.config.partitionField.map(p => Map(p -> f.partition)).getOrElse(Map.empty),
-            "size" -> f.bytes,
-            "modificationTime" -> c.instant.toLong,
-            "dataChange" -> true,
-            "stats" -> mapper.writeValueAsString(stats))))
+        actions += addAction(t, c.instant.toLong, f)
       }
       Files.write(logDir.resolve(f"$ver%020d.json"),
         actions.mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -282,12 +292,17 @@ object XTableSync {
   final case class DeltaState(schemaJson: String,
       partitionColumns: Seq[String], liveFiles: Seq[String])
 
-  def replayDelta(root: String): DeltaState = {
+  /** The `_delta_log` version files under `root`, ascending. */
+  private def deltaVersionFiles(root: String): Seq[java.nio.file.Path] = {
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log under $root")
-    val versions = Files.list(logDir).iterator().asScala
+    Files.list(logDir).iterator().asScala
       .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
       .toSeq.sortBy(_.getFileName.toString)
+  }
+
+  def replayDelta(root: String): DeltaState = {
+    val versions = deltaVersionFiles(root)
     require(versions.nonEmpty, s"empty _delta_log under $root")
     var schemaJson = ""
     var partCols = Seq.empty[String]
@@ -308,6 +323,52 @@ object XTableSync {
     DeltaState(schemaJson, partCols, live.toSeq)
   }
 
+  /** Reverse xTable leg (reference xtable/xtable_delta.yaml:17-25 —
+    * `sourceFormat: DELTA`, targetFormats HUDI/ICEBERG): adopt an
+    * EXISTING Delta table at `root` as a graft table IN PLACE that
+    * continues to accept upserts, with its Delta history mapped.
+    *
+    *  - the `_delta_log` is replayed to the LIVE file set — versions
+    *    still on disk that the log has removed are NOT resurrected;
+    *  - live files are metadata-only bootstrap-adopted (hard links +
+    *    one stats scan, no data rewrite) into the graft layout;
+    *  - the `_delta_log` CONTINUES across the migration: a reconcile
+    *    version (last foreign version + 1) removes the foreign paths
+    *    and re-adds the SAME bytes at their adopted graft paths
+    *    (pure metadata churn), and the delta sync cursor is seeded at
+    *    (bootstrap instant, reconcile version) so future [[syncDelta]]
+    *    calls translate only post-adoption commits. A foreign Delta
+    *    reader replaying the whole log sees an unbroken history —
+    *    identical rows immediately before and after adoption.
+    *
+    * The caller supplies the graft `config` (record key / ordering /
+    * buckets are engine concepts a Delta log doesn't carry). COW only,
+    * like every bootstrap path. */
+  def adoptDelta(spark: org.apache.spark.sql.SparkSession, root: String,
+      config: graft.core.TableConfig): GraftTable = {
+    require(!GraftTable.exists(root), s"$root is already a graft table")
+    val st = replayDelta(root)
+    require(st.liveFiles.nonEmpty, s"Delta table at $root has no live files")
+    val lastForeignVer = deltaVersionFiles(root)
+      .last.getFileName.toString.stripSuffix(".json").toLong
+    val t = GraftTable.create(spark, root, config)
+    val instant = t.bootstrapFromFiles(
+      st.liveFiles.map(p => Paths.get(root, p)))
+    val commit = t.log.commits().last
+    val ver = lastForeignVer + 1
+    val actions = scala.collection.mutable.ArrayBuffer[String]()
+    // graft's schema supersedes the foreign schemaString: same data
+    // columns (bootstrap adopted them verbatim) + the engine's nullable
+    // meta columns, which adopted files simply read as null
+    actions += metaDataAction(t, commit.schemaJson)
+    st.liveFiles.foreach(p => actions += removeAction(p, instant.toLong))
+    commit.added.foreach(f => actions += addAction(t, instant.toLong, f))
+    Files.write(Paths.get(root, "_delta_log").resolve(f"$ver%020d.json"),
+      actions.mkString("", "\n", "\n").getBytes("UTF-8"))
+    writeCursor(t, "delta", instant, ver)
+    t
+  }
+
   /** Read the synced table as a Delta reader would: replayed live file
     * set under the log's schemaString. Meaningful for COW tables and
     * compacted MOR states (like xTable's read-optimized sync target) —
@@ -325,21 +386,31 @@ object XTableSync {
       .parquet(st.liveFiles.map(p => s"$root/$p"): _*)
   }
 
-  /** Read the synced table as an Iceberg reader would: latest
-    * `vN.metadata.json` → current snapshot's manifest list → manifests
-    * → data files (absolute paths per the spec). */
-  def readIceberg(spark: org.apache.spark.sql.SparkSession,
-      root: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.avro.file.DataFileReader
-    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+  /** Latest `vN.metadata.json` under an Iceberg table's `metadata/`
+    * dir (highest N — the spec's resolution when no catalog pointer
+    * exists). */
+  def latestIcebergMetadataFile(root: String): java.nio.file.Path = {
     val metaDir = Paths.get(root, "metadata")
+    require(Files.isDirectory(metaDir), s"no metadata/ dir under $root")
     val latest = Files.list(metaDir).iterator().asScala
       .map(_.getFileName.toString)
       .flatMap { n =>
         val m = "^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(n)
         m.map(_.group(1).toLong -> n)
-      }.maxBy(_._1)._2
-    val meta = mapper.readTree(Files.readAllBytes(metaDir.resolve(latest)))
+      }.toSeq
+    require(latest.nonEmpty, s"no v*.metadata.json under $metaDir")
+    metaDir.resolve(latest.maxBy(_._1)._2)
+  }
+
+  /** Resolve an Iceberg table's LIVE data-file set from a specific
+    * `metadata.json`: current snapshot → manifest LIST avro → manifest
+    * avro → non-deleted `file_path`s (absolute, per the spec). This is
+    * the chain `CALL register_table(metadata_file => ...)` adopts
+    * from, and the read side of [[readIceberg]]. */
+  def icebergLiveFiles(metaFile: java.nio.file.Path): Seq[String] = {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val meta = mapper.readTree(Files.readAllBytes(metaFile))
     val snapId = meta.get("current-snapshot-id").asLong()
     val snap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == snapId)
@@ -351,12 +422,20 @@ object XTableSync {
       try Iterator.continually(r).takeWhile(_.hasNext).map(_.next()).toList
       finally r.close()
     }
-    val dataFiles = for {
+    for {
       m <- avroRecords(snap.get("manifest-list").asText())
       e <- avroRecords(m.get("manifest_path").toString)
       if e.get("status").asInstanceOf[Int] != 2 // 2 = DELETED
     } yield e.get("data_file").asInstanceOf[GenericRecord]
       .get("file_path").toString
+  }
+
+  /** Read the synced table as an Iceberg reader would: latest
+    * `vN.metadata.json` → current snapshot's manifest list → manifests
+    * → data files (absolute paths per the spec). */
+  def readIceberg(spark: org.apache.spark.sql.SparkSession,
+      root: String): org.apache.spark.sql.DataFrame = {
+    val dataFiles = icebergLiveFiles(latestIcebergMetadataFile(root))
     spark.read.parquet(dataFiles: _*)
   }
 

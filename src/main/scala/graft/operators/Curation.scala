@@ -261,9 +261,9 @@ object Curation {
   /** Bloom-filter decontamination — the sketch twin of
     * [[decontaminate]] (same relationship as Misra-Gries to
     * [[heavyHitters]]): the eval corpus's distinct k-gram hashes go
-    * into a [[org.apache.spark.util.sketch.BloomFilter]] sized for
-    * `fpp`, and each document is kept by a MAP-ONLY probe — zero
-    * joins, zero shuffles, the corpus never crosses the network.
+    * into a [[graft.functions.GraftBloom]] sized for `fpp`, and each
+    * document is kept by a MAP-ONLY probe — zero joins, zero shuffles,
+    * the corpus never crosses the network.
     *
     * Sketch contract (spec-asserted in Round19Spec against the exact
     * operator): NO false negatives — every document the exact pass
@@ -272,8 +272,12 @@ object Curation {
     * the kept set is a subset of the exact kept set. Use the exact
     * pass when auditability of every removal matters; use this when
     * the corpus is 100 TB and the eval set fits a few MB of filter.
-    * The filter rides in the plan (metadata-scale, like IVF
-    * centroids) and deserializes once per task. */
+    * The filter builds distributedly (per-partition bit arrays,
+    * OR-tree-reduced) and travels as a BROADCAST, fetched once per
+    * executor. GraftBloom's independently-seeded probes are what make
+    * a tiny `fpp` actually deliver ~fpp — Spark's sketch BloomFilter's
+    * double-hashing probe cycles put a ~1e-5 FP floor under any
+    * requested rate (measured; see [[graft.functions.GraftBloom]]). */
   def bloomDecontaminate(docs: DataFrame, evalDocs: DataFrame,
       idCol: String, textCol: String, k: Int = 5, minHits: Long = 1,
       fpp: Double = 0.001): DataFrame = {
@@ -284,17 +288,14 @@ object Curation {
       .select(explode(shingleHashes(col(textCol), k)).as("h"))
       .distinct()
     val n = math.max(1L, evalHashes.count())
-    val bf = evalHashes.stat.bloomFilter("h", n, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos); bos.toByteArray
-    }
-    require(bytes.length <= (256 << 20),
-      s"bloom filter is ${bytes.length >> 20} MB for $n eval grams at fpp=$fpp: " +
-        "the filter ships with every task; shrink the eval set, raise fpp, " +
-        "or fall back to the exact decontaminate join")
+    require(graft.functions.GraftBloom.numWords(n, fpp).toLong * 8L <= (256L << 20),
+      s"bloom filter would exceed 256 MB for $n eval grams at fpp=$fpp: " +
+        "shrink the eval set, raise fpp, or fall back to the exact " +
+        "decontaminate join")
+    val bloom = graft.functions.GraftBloom.build(evalHashes, "h", n, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     docs.filter(graft.functions.GraftExpressions
-      .bloom_hit_count(shingleHashes(col(textCol), k), bytes) < minHits)
+      .bloom_hit_count(shingleHashes(col(textCol), k), bc) < minHits)
   }
 
   /** Sequence packing for pretraining batches: assign each document a
@@ -655,19 +656,37 @@ object Curation {
     * deterministic and engine-portable. Adds `domain` (via
     * [[canonicalizeUrls]]) and `domain_rank`.
     *
-    * Plan at 100 TB: the canonicalization is map-only; the cap is ONE
-    * rank window partitioned by domain — fully parallel across the
-    * domain key space, with per-partition fanout equal to the domain's
-    * own doc count (bounding exactly that fanout is why the cap
-    * exists; a pathological single mega-domain is what the cap
-    * removes). */
+    * Plan at 100 TB — exact two-stage salted top-N. A single
+    * `row_number() OVER (PARTITION BY domain)` window would shuffle
+    * and SORT a mega-domain's entire doc set through one task (a real
+    * crawl puts 10⁸ pages on one host — a straggler holding that
+    * host's whole corpus share). Instead:
+    *   1. salt the domain key with `hash(id) % salts` and take the
+    *      per-(domain, salt) top-`maxPerDomain` — each task sorts at
+    *      most ~domainCount/salts rows;
+    *   2. re-rank the ≤ salts×maxPerDomain survivors per domain and
+    *      cut at `maxPerDomain`.
+    * EXACT, not approximate: any row of a domain's global top-N ranks
+    * ≤ N inside its salt bucket too (its bucket holds a subset of the
+    * rows that beat it), so stage 1 never drops a final survivor; the
+    * ordering is total (unique ids break score ties), so stage-2 ranks
+    * equal the single-window ranks. Identical row set and
+    * `domain_rank` values, bounded per-task fanout. */
   def domainCap(df: DataFrame, urlCol: String, idCol: String,
-      scoreCol: String, maxPerDomain: Int): DataFrame = {
+      scoreCol: String, maxPerDomain: Int, salts: Int = 64): DataFrame = {
     require(maxPerDomain > 0, s"maxPerDomain=$maxPerDomain")
-    canonicalizeUrls(df, urlCol)
+    require(salts > 0, s"salts=$salts")
+    val ord = Seq(col(scoreCol).desc, col(idCol).asc)
+    val pre = canonicalizeUrls(df, urlCol)
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(salts)).cast("int"))
+      .withColumn("__srank", row_number().over(
+        Window.partitionBy(col("domain"), col("__salt")).orderBy(ord: _*)))
+      .filter(col("__srank") <= maxPerDomain)
+      .drop("__salt", "__srank")
+    pre
       .withColumn("domain_rank",
         row_number().over(Window.partitionBy(col("domain"))
-          .orderBy(col(scoreCol).desc, col(idCol).asc)).cast("long"))
+          .orderBy(ord: _*)).cast("long"))
       .filter(col("domain_rank") <= maxPerDomain)
   }
 }

@@ -34,8 +34,13 @@ import java.nio.file.{Files, Paths}
   */
 object IvfIndex {
 
+  /** `meanAssignDist` is the build-time mean squared-L2 distance of
+    * corpus vectors to their assigned centroid — the baseline the
+    * incremental drift monitor ([[IvfPq.append]]) compares batches
+    * against; -1 on indexes persisted before the field existed. */
   case class Meta(nLists: Int, dim: Int, corpusCount: Long,
-      idCol: String = "", vecCol: String = "")
+      idCol: String = "", vecCol: String = "",
+      meanAssignDist: Double = -1.0)
 
   private val mapper = graft.core.CommitLog.mapper
 
@@ -92,7 +97,12 @@ object IvfIndex {
       corpus
         .withColumn("list", element_at(nearest_centroids(col("vec"), table, 1), 1))
         .write.mode("overwrite").partitionBy("list").parquet(s"$path/assignments")
-      val meta = Meta(nLists, dim, count, idCol, vecCol)
+      // drift baseline: mean assigned-centroid distance over the (still
+      // cached) corpus — one cache-resident aggregate, no extra IO pass
+      val meanDist = corpus.select(avg(
+        graft.functions.GraftExpressions.nearest_centroid_dist(col("vec"), table)))
+        .first().getDouble(0)
+      val meta = Meta(nLists, dim, count, idCol, vecCol, meanDist)
       Files.createDirectories(Paths.get(path))
       Files.write(Paths.get(path, "meta.json"), mapper.writeValueAsBytes(meta))
       meta

@@ -56,6 +56,66 @@ object IvfPq {
     Pq.Codebooks(m, books(0)(0).length, books)
   }
 
+  /** Result of one incremental [[append]]: how much landed, the new
+    * corpus size, and the drift statistic. `driftRatio` is the batch's
+    * mean assigned-centroid distance over the BUILD-time mean — ~1.0
+    * means the frozen coarse quantizer still fits the incoming
+    * distribution; a sustained rise (rule of thumb: > 1.5) says the
+    * lists have drifted off the data and a retrain ([[build]]) will
+    * recover recall. -1 when the index predates the baseline field. */
+  final case class AppendStats(appended: Long, corpusCount: Long,
+      batchMeanDist: Double, buildMeanDist: Double, driftRatio: Double)
+
+  /** Incremental maintenance — real vector stores append; a full
+    * retrain per batch would re-shuffle the whole corpus. New vectors
+    * are assigned and PQ-encoded against the FIXED persisted
+    * centroids/codebooks and appended to the existing list partitions
+    * (the [[IncrementalDedup]] deployment shape applied to the vector
+    * index): marginal cost is O(batch) — one map-only assignment +
+    * encode pass over the batch, no history rescan, no retraining.
+    * Queries see appended vectors immediately: [[topK]] prunes by list
+    * directory, and appends land inside those directories.
+    *
+    * Appending against frozen codebooks is EXACT with respect to the
+    * frozen index (spec: append-path topK ≡ rebuild-at-fixed-codebooks
+    * topK); what degrades over time is the FIT of the frozen quantizer
+    * to a drifting distribution — which is what the returned drift
+    * statistic monitors. Caller owns id uniqueness (same contract as
+    * build). */
+  def append(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): AppendStats = {
+    val spark = batch.sparkSession
+    val meta = IvfIndex.meta(path).getOrElse(throw new IllegalArgumentException(
+      s"no IVF-PQ index at $path — build() first"))
+    require(meta.idCol == idCol && meta.vecCol == vecCol,
+      s"index at $path was built over (${meta.idCol}, ${meta.vecCol}), " +
+      s"append called with ($idCol, $vecCol)")
+    val cb = codebooks(spark, path)
+    val table = spark.read.parquet(s"$path/centroids.parquet")
+      .orderBy("list").collect()
+      .map(_.getAs[Seq[Double]]("centroid").toArray)
+    val b = batch.select(col(idCol).as("id"), col(vecCol).as("vec")).persist()
+    try {
+      val n = b.count()
+      if (n == 0L)
+        return AppendStats(0L, meta.corpusCount, 0.0, meta.meanAssignDist, -1.0)
+      val asg = b.withColumn("list",
+        element_at(graft.functions.GraftExpressions
+          .nearest_centroids(col("vec"), table, 1), 1))
+      asg.write.mode("append").partitionBy("list").parquet(s"$path/assignments")
+      Pq.encode(asg, "id", "vec", cb)
+        .write.mode("append").partitionBy("list").parquet(s"$path/pq_codes")
+      val batchMean = b.select(avg(graft.functions.GraftExpressions
+        .nearest_centroid_dist(col("vec"), table))).first().getDouble(0)
+      val newMeta = meta.copy(corpusCount = meta.corpusCount + n)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "meta.json"),
+        graft.core.CommitLog.mapper.writeValueAsBytes(newMeta))
+      AppendStats(n, newMeta.corpusCount, batchMean, meta.meanAssignDist,
+        if (meta.meanAssignDist > 0) batchMean / meta.meanAssignDist else -1.0)
+    } finally { b.unpersist(); () }
+  }
+
   /** Single-query top-k: probe the `nProbe` coarse lists nearest the
     * query (driver-side over the nLists×dim centroid table), scan
     * ONLY those code partitions, ADC-score, TakeOrdered. */

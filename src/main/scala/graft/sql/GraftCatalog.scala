@@ -14,8 +14,16 @@ final class GraftCatalog(val spark: SparkSession, val warehouseDir: String) {
 
   Files.createDirectories(Paths.get(warehouseDir))
 
-  private def rootOf(name: String): String =
+  private def rootOf(name: String): String = {
+    // table names resolve to warehouse subpaths — enforce the same
+    // \w+ identifier grammar the SQL dialect uses, CENTRALLY, so an
+    // API-level name like '../../x' can never escape the warehouse
+    // (registerTable would delete/plant a symlink outside it and
+    // dropTable would walk-delete the resolved tree)
+    require(name.matches("\\w+"),
+      s"invalid table name '$name' — must match \\w+")
     Paths.get(warehouseDir, name).toString
+  }
 
   /** D1: CREATE TABLE. */
   def createTable(config: TableConfig): GraftTable = {
@@ -120,7 +128,15 @@ final class GraftCatalog(val spark: SparkSession, val warehouseDir: String) {
     val skipRo = spark.conf.getOption(s"graft.$n.hive_sync.skip_ro_suffix")
       .exists(_.trim.toBoolean)
     val sig = s"${t.log.lastInstant().getOrElse("0")}|$mode|$from|$maxCommits|$skipRo"
-    if (!syncedState.get(n).contains(sig)) {
+    // a signature hit is only valid while the temp view still EXISTS:
+    // a user DROP VIEW / createOrReplaceTempView through the spark.sql
+    // passthrough removes or shadows it without advancing the timeline,
+    // and skipping here would leave SELECTs unresolvable (or reading
+    // the foreign relation) until the table's next commit
+    val viewAlive = spark.catalog.tableExists(n) &&
+      (!t.config.isMor || (spark.catalog.tableExists(s"${n}_rt") &&
+        (skipRo || spark.catalog.tableExists(s"${n}_ro"))))
+    if (!viewAlive || !syncedState.get(n).contains(sig)) {
       if (mode.contains("INCREMENTAL")) {
         t.readIncremental(fromExclusive = from, maxCommits = maxCommits)
           .createOrReplaceTempView(n)

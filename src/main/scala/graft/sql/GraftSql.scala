@@ -486,26 +486,49 @@ final class GraftSql(catalog: GraftCatalog) {
           else Nil)
         versions.toDF("format", "version")
       case "register_table" =>
-        // Iceberg catalog-registration analog (demo.md:223-229). Two
+        // Iceberg catalog-registration analog (demo.md:223-229). Four
         // adoption modes by what the path holds:
         //   - a graft table root (commit log present): metadata-only
         //     registration into the catalog under `table`;
-        //   - foreign parquet: the table must already exist (CREATE
-        //     TABLE gives it a schema/key config) and the files are
-        //     bootstrap-adopted in place (metadata build, no rewrite).
+        //   - a Delta table root (`_delta_log` present): the log is
+        //     replayed to the LIVE file set and those files are
+        //     bootstrap-adopted into the pre-created table — a naive
+        //     directory walk would resurrect removed versions;
+        //   - an Iceberg `vN.metadata.json` (or a root whose
+        //     `metadata/` holds them, demo.md:223-229 metadata_file):
+        //     current snapshot → manifests → live files, adopted the
+        //     same way;
+        //   - bare foreign parquet: every file under the path adopted.
+        // All but the first need the table to already exist (CREATE
+        // TABLE carries the key/ordering config foreign formats lack);
+        // adoption is a metadata build, no data rewrite.
         val name = arg("table").getOrElse(throw new IllegalArgumentException(
           "CALL register_table: missing table argument"))
         val path = arg("metadata_path", 1)
           .orElse(arg("metadata_file", 1)).getOrElse(
             throw new IllegalArgumentException(
               "CALL register_table: missing metadata_path argument"))
-        if (graft.core.GraftTable.exists(
-            java.nio.file.Paths.get(path).toAbsolutePath.toString)) {
+        val p = java.nio.file.Paths.get(path).toAbsolutePath
+        import graft.interop.XTableSync
+        def adopted(mode: String, instant: String) =
+          Seq((name, path, s"$mode@$instant")).toDF("table", "path", "mode")
+        if (graft.core.GraftTable.exists(p.toString)) {
           catalog.registerTable(name, path)
           Seq((name, path, "registered")).toDF("table", "path", "mode")
+        } else if (java.nio.file.Files.isDirectory(p.resolve("_delta_log"))) {
+          val live = XTableSync.replayDelta(p.toString).liveFiles
+          adopted("delta_adopted", catalog.table(name)
+            .bootstrapFromFiles(live.map(p.resolve)))
+        } else if (p.getFileName.toString.endsWith(".metadata.json") ||
+            java.nio.file.Files.isDirectory(p.resolve("metadata"))) {
+          val metaFile =
+            if (java.nio.file.Files.isRegularFile(p)) p
+            else XTableSync.latestIcebergMetadataFile(p.toString)
+          adopted("iceberg_adopted", catalog.table(name).bootstrapFromFiles(
+            XTableSync.icebergLiveFiles(metaFile)
+              .map(java.nio.file.Paths.get(_))))
         } else {
-          val instant = catalog.table(name).bootstrapFrom(path)
-          Seq((name, path, s"bootstrapped@$instant")).toDF("table", "path", "mode")
+          adopted("bootstrapped", catalog.table(name).bootstrapFrom(path))
         }
       case other => throw new IllegalArgumentException(
         s"unknown procedure '$other' — supported: run_compaction, " +

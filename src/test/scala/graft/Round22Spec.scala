@@ -1,0 +1,335 @@
+package graft
+
+import graft.core.{GraftTable, TableConfig, TableServices}
+import graft.ingest.Debezium
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Round-22 hardening (advisor findings): clean() vs a file re-added
+  * at-or-before the horizon and re-removed after it, Mongo delete
+  * tombstones, dotted-path nested partial updates, catalog table-name
+  * traversal, 5-byte Confluent frames with empty Avro payloads, and
+  * syncViews recovering a user-dropped temp view. */
+class Round22Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+  import spark.implicits._
+
+  private def tmp(): String = graft.util.TempDirs.create("graft-r22-").toString
+
+  // ---- clean(): post-horizon re-removal protects the file ------------
+
+  test("clean never deletes a file re-added <= horizon and re-removed > horizon") {
+    val t = GraftTable.create(spark, tmp(), TableConfig(
+      name = "cleanedge", keyField = "id", orderingField = "v",
+      numBuckets = 1, smallFileLimitBytes = 0))
+    t.insert(Seq((1L, 1L)).toDF("id", "v"))           // c1: adds A
+    val c1 = t.log.lastInstant().get
+    t.upsert(Seq((1L, 2L)).toDF("id", "v"))           // c2: removes A, adds B
+    TableServices.restore(t, c1)                      // c3: re-adds A, removes B
+    // c4: the horizon commit — an insert of a DIFFERENT key would land
+    // in the same (sole) file group and rewrite A, so append new keys
+    // via a second insert commit that doesn't touch A's file: with
+    // smallFileLimitBytes=0 inserts always add fresh files
+    t.insert(Seq((2L, 1L)).toDF("id", "v"))           // c4
+    t.insert(Seq((3L, 1L)).toDF("id", "v"))           // c5
+    t.upsert(Seq((1L, 9L)).toDF("id", "v"))           // c6: removes A again
+    val commits = t.log.commits()
+    assert(commits.size == 6)
+    // retain 3 newest => horizon = c4; A's ORIGINAL removal (c2) is
+    // <= horizon, its re-add (c3) is <= horizon, its re-removal (c6)
+    // is > horizon — snapshots at c4/c5 still reference A
+    val horizon = commits(commits.size - 3).instant
+    val deleted = TableServices.clean(t, retainCommits = 3)
+    val c5 = commits(4).instant
+    assert(horizon == commits(3).instant)
+    // time travel to a retained snapshot must still read A's row
+    assert(t.read(Some(c5)).filter($"id" === 1L).select("v").as[Long].head() == 1L)
+    // and cleaning still deletes genuinely dead files (B: removed by
+    // the restore, never referenced inside the retained window)
+    assert(deleted.nonEmpty, "clean deleted nothing — B should be dead")
+  }
+
+  // ---- Mongo: delete tombstones -------------------------------------
+
+  test("Mongo parse tolerates null-value tombstone records after deletes") {
+    val work = tmp()
+    val rowSchema = StructType(Seq(
+      StructField("_id", LongType), StructField("v", StringType)))
+    val t = GraftTable.create(spark, s"$work/t", TableConfig(
+      name = "tomb", keyField = "_id", orderingField = "_cdc_ts", numBuckets = 1))
+    def js(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
+    val create = s"""{"before":null,"after":${js("""{"_id":1,"v":"a"}""")},""" +
+      """"updateDescription":null,"op":"c","ts_ms":1}"""
+    val del = """{"before":null,"after":null,"updateDescription":null,"op":"d","ts_ms":2}"""
+    // connector default tombstones.on.delete=true: the delete is
+    // followed by a null-value record on the same key
+    val batch = Seq(
+      (create, """{"id":"1"}"""),
+      (del, """{"id":"1"}"""),
+      (null.asInstanceOf[String], """{"id":"1"}""")).toDF("value", "key")
+    Debezium.applyMongo(t,
+      Debezium.parseMongo(batch, "value", rowSchema, keyJsonCol = Some("key")))
+    assert(t.read().count() == 0)
+  }
+
+  // ---- Mongo: dotted-path nested partial update ----------------------
+
+  test("Mongo dotted-path update patches a struct column at full-doc parity") {
+    val work = tmp()
+    val rowSchema = StructType(Seq(
+      StructField("_id", LongType),
+      StructField("name", StringType),
+      StructField("address", StructType(Seq(
+        StructField("city", StringType), StructField("zip", StringType))))))
+    def mk(p: String) = GraftTable.create(spark, s"$work/$p", TableConfig(
+      name = p, keyField = "_id", orderingField = "_cdc_ts", numBuckets = 1))
+    val dottedT = mk("dotted"); val fullT = mk("fulldoc")
+    def js(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
+    def env(op: String, ts: Long, after: String, updated: String = null): String = {
+      val a = if (after == null) "null" else js(after)
+      val ud = if (updated == null) "null"
+        else s"""{"updatedFields":${js(updated)},"removedFields":[]}"""
+      s"""{"before":null,"after":$a,"updateDescription":$ud,"op":"$op","ts_ms":$ts}"""
+    }
+    val doc0 = """{"_id":1,"name":"ann","address":{"city":"lyon","zip":"69"}}"""
+    // dotted table: create, then $set {"address.city": "nice"} arrives
+    // as a dotted updatedFields key (change-stream capture w/o full doc)
+    Debezium.applyMongo(dottedT, Debezium.parseMongo(Seq(
+      (env("c", 100, doc0), """{"id":"1"}"""),
+      (env("u", 101, null, updated = """{"address.city":"nice"}"""), """{"id":"1"}""")
+    ).toDF("value", "key"), "value", rowSchema, keyJsonCol = Some("key")))
+    // full-doc table: the same logical history with full-document capture
+    Debezium.applyMongo(fullT, Debezium.parseMongo(Seq(
+      (env("c", 100, doc0), """{"id":"1"}"""),
+      (env("u", 101,
+        """{"_id":1,"name":"ann","address":{"city":"nice","zip":"69"}}"""),
+        """{"id":"1"}""")
+    ).toDF("value", "key"), "value", rowSchema, keyJsonCol = Some("key")))
+    def state(t: GraftTable) = t.read()
+      .select($"_id", $"name", $"address.city", $"address.zip")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(state(dottedT) == Set((1L, "ann", "nice", "69")), state(dottedT).toString)
+    assert(state(dottedT) == state(fullT))
+  }
+
+  test("upsertPartial merges struct columns subfield-wise") {
+    val t = GraftTable.create(spark, tmp(), TableConfig(
+      name = "structpatch", keyField = "id", orderingField = "ts", numBuckets = 1))
+    t.insert(Seq((1L, 1L, "lyon", "69")).toDF("id", "ts", "city", "zip")
+      .select($"id", $"ts", struct($"city", $"zip").as("addr")))
+    // partial row carries addr.city only (zip null = unset)
+    t.upsertPartial(
+      Seq((1L, 2L, "nice")).toDF("id", "ts", "city")
+        .select($"id", $"ts",
+          struct($"city".as("city"), lit(null).cast("string").as("zip")).as("addr")))
+    val r = t.read().select($"addr.city", $"addr.zip").collect().head
+    assert((r.getString(0), r.getString(1)) == (("nice", "69")))
+  }
+
+  // ---- Confluent frame: 5-byte header-only message --------------------
+
+  test("Avro parse accepts a 5-byte Confluent frame with an empty payload") {
+    // a record with zero fields encodes to ZERO payload bytes — the
+    // frame is exactly the 5-byte header and must not be rejected
+    val avsc = """{"type":"record","name":"E","fields":[]}"""
+    val frame = Array[Byte](0, 0, 0, 0, 42)
+    val row = StructType(Seq(StructField("id", LongType)))
+    val parsed = Debezium.parseAvro(
+      Seq(frame).toDF("value"), "value", avsc, row, confluentFramed = true)
+    // decodes to an empty envelope (all-null fields) without throwing
+    assert(parsed.count() == 1)
+  }
+
+  // ---- catalog: table-name traversal ---------------------------------
+
+  test("catalog rejects traversal table names centrally") {
+    val wh = tmp()
+    val cat = new graft.sql.GraftCatalog(spark, wh)
+    intercept[IllegalArgumentException] { cat.registerTable("../../x", tmp()) }
+    intercept[IllegalArgumentException] { cat.dropTable("../escape") }
+    intercept[IllegalArgumentException] {
+      cat.createTable(TableConfig(name = "a/b", keyField = "k", orderingField = "o"))
+    }
+  }
+
+  // ---- IvfPq incremental append ---------------------------------------
+
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    graft.util.Fs.walkSeq(src).foreach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(p, t); () }
+    }
+  }
+
+  test("IvfPq.append: append-path topK equals rebuild-at-fixed-codebooks topK") {
+    import graft.operators.IvfPq
+    def vec(i: Long): Seq[Double] =
+      Seq((i % 5).toDouble, (i * 3 % 7).toDouble, (i * 7 % 11).toDouble,
+        (i * 11 % 13).toDouble)
+    val a = (1L to 64L).map(i => (i, vec(i))).toDF("id", "embedding")
+    val b = (1001L to 1032L).map(i => (i, vec(i))).toDF("id", "embedding")
+    val p1 = tmp() + "/idx_inc"; val p2 = tmp() + "/idx_fixed"
+    val cb = IvfPq.build(a, "id", "embedding", nLists = 4, m = 2,
+      codesPerSub = 8, path = p1)
+    // clone ONLY the frozen quantizer (meta + centroids + codebooks)
+    Seq("meta.json", "centroids.parquet", "pq_codebooks.parquet").foreach(f =>
+      copyTree(Paths.get(p1, f), Paths.get(p2, f)))
+    // rebuild-at-fixed-codebooks: every vector encoded against the clone
+    IvfPq.append(a.unionByName(b), "id", "embedding", p2)
+    // incremental path: only the new batch appended
+    val st = IvfPq.append(b, "id", "embedding", p1)
+    assert(st.appended == 32L && st.corpusCount == 96L)
+    assert(st.driftRatio > 0, st.toString) // baseline recorded at build
+    val q = Array(2.0, 3.0, 5.0, 7.0)
+    for (nProbe <- Seq(1, 2, 4)) {
+      def res(p: String) = IvfPq.topK(spark, p, cb, q, k = 10, nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(res(p1) == res(p2), s"nProbe=$nProbe diverged")
+    }
+    // appended ids are actually reachable
+    val ids = IvfPq.topK(spark, p1, cb, q, k = 96, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.exists(_ > 1000L), "no appended vector ever surfaced")
+    // drift monitor: a far-shifted batch reports a clear rise
+    val far = (2001L to 2032L).map(i =>
+      (i, vec(i).map(_ + 100.0))).toDF("id", "embedding")
+    val st2 = IvfPq.append(far, "id", "embedding", p1)
+    assert(st2.driftRatio > 1.5, s"shifted batch driftRatio=${st2.driftRatio}")
+  }
+
+  // ---- GraftBloom: independent-seed probes, tiny-fpp soundness --------
+
+  test("bloomDecontaminate at fpp=1e-9 equals the exact operator on the fixture") {
+    // regression: Spark's sketch BloomFilter (double-hashed probes)
+    // false-positived doc 423 of this exact fixture at fpp=1e-9 —
+    // a ~1e-5 per-item FP floor no requested fpp could lower. The
+    // independently-seeded GraftBloom must match the exact pass.
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    import org.apache.spark.sql.functions.col
+    val exact = graft.operators.Curation.decontaminate(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        "doc_id", "text", k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sketch = graft.operators.Curation.bloomDecontaminate(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        "doc_id", "text", k = 5, fpp = 1e-9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sketch == exact,
+      s"diverged: sketch-only=${sketch -- exact}, exact-only=${exact -- sketch}")
+    assert(sketch.contains(423L), "the historical FP victim must be kept")
+  }
+
+  test("GraftBloom has no false negatives and honest sizing") {
+    val b = {
+      import spark.implicits._
+      val hashes = (1L to 10000L).map(_ * 2654435761L).toDF("h")
+      graft.functions.GraftBloom.build(hashes, "h", 10000L, 0.001)
+    }
+    (1L to 10000L).foreach(i => assert(b.mightContain(i * 2654435761L)))
+    // FP sample on disjoint probes: ~0.001 expected, allow 10x
+    val fps = (1L to 20000L).map(i => i * 7L + 3L)
+      .count(h => b.mightContain(h))
+    assert(fps <= 200, s"fp count $fps way above the 0.001 target")
+  }
+
+  // ---- adoptDelta: in-place adoption continues the _delta_log ---------
+
+  test("adoptDelta: live-set adoption, continued log, upserts keep flowing") {
+    val root = tmp() + "/dsrc"
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    def writeFile(name: String, rows: Seq[(Long, Long, Double)]): Long = {
+      val tmpd = s"$root/.tmp"
+      rows.toDF("id", "ts", "score").coalesce(1).write.mode("overwrite").parquet(tmpd)
+      val part = graft.util.Fs.list(Paths.get(tmpd))(_
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
+      Files.move(part, Paths.get(root, name))
+      graft.util.TempDirs.deleteRecursively(Paths.get(tmpd))
+      Files.size(Paths.get(root, name))
+    }
+    val schema = Seq((1L, 1L, 0.0)).toDF("id", "ts", "score").schema.json
+    val meta = graft.core.CommitLog.mapper.writeValueAsString(Map(
+      "metaData" -> Map("id" -> "0", "format" -> Map("provider" -> "parquet"),
+        "schemaString" -> schema, "partitionColumns" -> Seq.empty)))
+    val s0 = writeFile("old.parquet", Seq((1L, 1L, -1.0)))
+    val s1 = writeFile("a.parquet", Seq((1L, 2L, 1.0), (2L, 2L, 2.0)))
+    def w(ver: Long, actions: Seq[String]): Unit = Files.write(
+      Paths.get(root, "_delta_log", f"$ver%020d.json"),
+      actions.mkString("", "\n", "\n").getBytes("UTF-8"))
+    w(0L, Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta,
+      s"""{"add":{"path":"old.parquet","partitionValues":{},"size":$s0,"modificationTime":1,"dataChange":true}}"""))
+    w(1L, Seq(
+      """{"remove":{"path":"old.parquet","dataChange":true,"deletionTimestamp":2}}""",
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$s1,"modificationTime":2,"dataChange":true}}"""))
+
+    val t = graft.interop.XTableSync.adoptDelta(spark, root,
+      graft.core.TableConfig(name = "adopted", keyField = "id",
+        orderingField = "ts", numBuckets = 1))
+    def state(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "ts", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // adoption resolved the LIVE set (old.parquet still on disk, excluded)
+    assert(state(t.read()) == Set((1L, 2L, 1.0), (2L, 2L, 2.0)))
+    // the _delta_log continued: full-log replay == graft snapshot
+    assert(state(graft.interop.XTableSync.readDelta(spark, root)) == state(t.read()))
+    // post-adoption upsert flows into BOTH views after an incremental sync
+    t.upsert(Seq((2L, 3L, 9.0), (3L, 3L, 3.0)).toDF("id", "ts", "score"))
+    graft.interop.XTableSync.syncDelta(t)
+    val expect = Set((1L, 2L, 1.0), (2L, 3L, 9.0), (3L, 3L, 3.0))
+    assert(state(t.read()) == expect)
+    assert(state(graft.interop.XTableSync.readDelta(spark, root)) == expect)
+    // full triangle: re-export Iceberg over the adopted table
+    graft.interop.XTableSync.syncIceberg(t)
+    assert(state(graft.interop.XTableSync.readIceberg(spark, root)) == expect)
+  }
+
+  // ---- domainCap: salted two-stage top-N is exact ---------------------
+
+  test("domainCap two-stage salted top-N equals the single-window result") {
+    import org.apache.spark.sql.expressions.Window
+    // planted skew: 85% of docs on one mega-domain, score ties included
+    val docs = (1L to 2000L).map { i =>
+      val d = if (i % 100 < 85) "mega" else s"d${i % 7}"
+      (i, s"http://$d.com/p$i", (i % 13).toDouble)
+    }.toDF("id", "url", "score")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("domain", "id", "domain_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = key(graft.operators.Curation
+      .canonicalizeUrls(docs, "url")
+      .withColumn("domain_rank", row_number().over(
+        Window.partitionBy($"domain").orderBy($"score".desc, $"id".asc))
+        .cast("long"))
+      .filter($"domain_rank" <= 5))
+    for (s <- Seq(1, 3, 64)) {
+      val staged = key(graft.operators.Curation
+        .domainCap(docs, "url", "id", "score", maxPerDomain = 5, salts = s))
+      assert(staged == direct, s"salts=$s diverged")
+    }
+    // cap larger than every domain: nothing dropped, ranks still dense
+    val all = graft.operators.Curation
+      .domainCap(docs, "url", "id", "score", maxPerDomain = 10000, salts = 8)
+    assert(all.count() == 2000)
+  }
+
+  // ---- syncViews: user-dropped temp view recovers ---------------------
+
+  test("syncViews re-registers a view the user dropped without a timeline advance") {
+    val wh = tmp()
+    val cat = new graft.sql.GraftCatalog(spark, wh)
+    val t = cat.createTable(TableConfig(
+      name = "sv", keyField = "id", orderingField = "v", numBuckets = 1))
+    t.insert(Seq((1L, 1L)).toDF("id", "v"))
+    cat.syncViews()
+    assert(spark.sql("SELECT count(*) FROM sv").as[Long].head() == 1L)
+    spark.catalog.dropTempView("sv") // user drops it out from under the cache
+    cat.syncViews()                  // timeline unchanged — must still re-register
+    assert(spark.sql("SELECT count(*) FROM sv").as[Long].head() == 1L)
+    cat.dropTable("sv")
+  }
+}

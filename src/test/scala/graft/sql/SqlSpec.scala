@@ -368,6 +368,66 @@ class SqlSpec extends AnyFunSuite {
     assert(gsql.sql("SELECT v FROM adopted").as[String].head() == "w")
   }
 
+  test("CALL register_table adopts a Delta table by LIVE-set replay (xtable_delta.yaml)") {
+    val root = graft.util.TempDirs.create("graft-deltasrc-").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "_delta_log"))
+    def writeFile(name: String, rows: Seq[(Long, Long, String)]): Long = {
+      val tmp = s"$root/.tmp"
+      rows.toDF("id", "ts", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = graft.util.Fs.list(java.nio.file.Paths.get(tmp))(_
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(root, name))
+      graft.util.TempDirs.deleteRecursively(java.nio.file.Paths.get(tmp))
+      java.nio.file.Files.size(java.nio.file.Paths.get(root, name))
+    }
+    val schema = Seq((1L, 1L, "x")).toDF("id", "ts", "v").schema.json
+    val meta = graft.core.CommitLog.mapper.writeValueAsString(Map(
+      "metaData" -> Map("id" -> "0", "format" -> Map("provider" -> "parquet"),
+        "schemaString" -> schema, "partitionColumns" -> Seq.empty)))
+    val s0 = writeFile("stale.parquet", Seq((1L, 1L, "OLD"), (2L, 1L, "OLD")))
+    val s1 = writeFile("live.parquet", Seq((1L, 2L, "x"), (2L, 2L, "y")))
+    def w(ver: Long, actions: Seq[String]): Unit = java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_delta_log", f"$ver%020d.json"),
+      actions.mkString("", "\n", "\n").getBytes("UTF-8"))
+    w(0L, Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta,
+      s"""{"add":{"path":"stale.parquet","partitionValues":{},"size":$s0,"modificationTime":1,"dataChange":true}}"""))
+    w(1L, Seq(
+      """{"remove":{"path":"stale.parquet","dataChange":true,"deletionTimestamp":2}}""",
+      s"""{"add":{"path":"live.parquet","partitionValues":{},"size":$s1,"modificationTime":2,"dataChange":true}}"""))
+    gsql.sql("""CREATE TABLE fromdelta (id BIGINT, ts BIGINT, v STRING)
+      USING GRAFT OPTIONS (primaryKey='id', precombine='ts')""")
+    val out = gsql.sql(
+      s"CALL register_table(table => 'fromdelta', metadata_path => '$root')")
+      .collect().head
+    assert(out.getString(2).startsWith("delta_adopted@"))
+    // the stale version sits on disk but the log replay excluded it
+    val rows = gsql.sql("SELECT id, v FROM fromdelta ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("CALL register_table adopts an Iceberg table by metadata_file (demo.md:223-229)") {
+    val src = graft.util.TempDirs.create("graft-icesrc-").toString + "/t"
+    val t = graft.core.GraftTable.create(spark, src, graft.core.TableConfig(
+      name = "ice_src", keyField = "id", orderingField = "ts", numBuckets = 1))
+    t.insert(Seq((1L, 1L, 5.0), (2L, 1L, 6.0)).toDF("id", "ts", "score"))
+    graft.interop.XTableSync.syncIceberg(t) // v0 — superseded below
+    t.upsert(Seq((2L, 2L, 9.0), (3L, 2L, 7.0)).toDF("id", "ts", "score"))
+    graft.interop.XTableSync.syncIceberg(t) // v1 — current
+    val metaFile = graft.interop.XTableSync
+      .latestIcebergMetadataFile(src).toString
+    assert(metaFile.endsWith("v1.metadata.json"))
+    gsql.sql("""CREATE TABLE fromice (id BIGINT, ts BIGINT, score DOUBLE)
+      USING GRAFT OPTIONS (primaryKey='id', precombine='ts')""")
+    val out = gsql.sql(
+      s"CALL register_table(table => 'fromice', metadata_file => '$metaFile')")
+      .collect().head
+    assert(out.getString(2).startsWith("iceberg_adopted@"))
+    val rows = gsql.sql("SELECT id, score FROM fromice ORDER BY id")
+      .as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((1L, 5.0), (2L, 9.0), (3L, 7.0)))
+  }
+
   test("CALL register_table bootstraps foreign parquet into a created table") {
     val dir = graft.util.TempDirs.create("graft-fp-").toString
     Seq((1L, 1L, 5.0), (2L, 1L, 7.5)).toDF("id", "ts", "score")
