@@ -2074,6 +2074,111 @@ object PipelineQueries {
       |FROM r WHERE domain_rank <= 15
       |ORDER BY domain, domain_rank""".stripMargin
 
+  // ---- real-format image dimensions (p68) -----------------------------
+
+  /** Fixed path: the planted payload parquet must be visible to the
+    * oracle's independent re-parse (same contract as l29/l31). */
+  private val imageDimsRoot = "/tmp/graft_multimodal_p68"
+
+  /** [[graft.functions.GraftExpressions.image_dims]] — REAL PNG/JPEG
+    * header parsing, no codec library (PNG IHDR and JPEG SOF are pure
+    * byte arithmetic). Each doc plants one of three payloads, written
+    * to a fixed parquet so BOTH sides parse the same physical bytes:
+    *   - doc_id%3=0: a well-formed PNG (width=(doc_id%1000)+1,
+    *     height=(n_chars%800)+1, big-endian u32 at IHDR offsets 16/20);
+    *   - doc_id%3=1: a JPEG whose SOF0 sits BEHIND a COM segment — the
+    *     parser must SCAN markers by segment length, not read a fixed
+    *     offset;
+    *   - doc_id%3=2: the PNG truncated to 10 bytes (signature intact,
+    *     IHDR gone) → ("unknown", null, null), never a throw.
+    * The ORACLE re-parses independently in DuckDB: hex() the blob,
+    * slice the hex string by byte offset, '0x'-cast to integers, and a
+    * RECURSIVE CTE walks the JPEG marker chain — construct→parse only
+    * round-trips when offsets, endianness, and the scan agree. */
+  def mImageDims(spark: SparkSession, dir: String): DataFrame = {
+    graft.util.TempDirs.deleteRecursively(
+      java.nio.file.Paths.get(imageDimsRoot))
+    def be(n: Column, nBytes: Int): Column =
+      unhex(lpad(hex(n.cast("long")), nBytes * 2, "0"))
+    val w = (col("doc_id") % 1000 + 1).cast("int")
+    val h = (col("n_chars") % 800 + 1).cast("int")
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")), be(w, 4), be(h, 4),
+      unhex(lit("08060000001A2B3C4D")))
+    val jpeg = concat(
+      unhex(lit("FFD8FFFE0004ABCDFFC0001108")), be(h, 2), be(w, 2),
+      unhex(lit("03012200021101031101")))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, png)
+          .when(col("doc_id") % 3 === 1, jpeg)
+          .otherwise(substring(png, 1, 10)).as("payload"))
+      .write.mode("overwrite").parquet(imageDimsRoot)
+    spark.read.parquet(imageDimsRoot)
+      .select(col("doc_id"),
+        graft.functions.GraftExpressions.image_dims(col("payload")).as("d"))
+      .select(col("doc_id"), col("d.format").as("format"),
+        col("d.width").cast("long").as("width"),
+        col("d.height").cast("long").as("height"))
+      .orderBy("doc_id")
+  }
+
+  private val mImageDimsSql =
+    s"""WITH RECURSIVE b AS (
+       |  SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS n
+       |  FROM read_parquet('$imageDimsRoot/*.parquet')),
+       |png AS (
+       |  SELECT doc_id,
+       |    (n >= 24 AND substring(hx, 1, 16) = '89504E470D0A1A0A'
+       |       AND substring(hx, 25, 8) = '49484452') AS ok,
+       |    CASE WHEN n >= 24 THEN ('0x' || substring(hx, 33, 8))::BIGINT END AS w,
+       |    CASE WHEN n >= 24 THEN ('0x' || substring(hx, 41, 8))::BIGINT END AS h
+       |  FROM b),
+       |j0 AS (SELECT doc_id, hx, n FROM b
+       |       WHERE n >= 4 AND substring(hx, 1, 4) = 'FFD8'),
+       |scan(doc_id, pos, sofpos) AS (
+       |  SELECT doc_id, CAST(2 AS BIGINT), CAST(NULL AS BIGINT) FROM j0
+       |  UNION ALL
+       |  SELECT s.doc_id,
+       |    CASE WHEN substring(j.hx, CAST(2*s.pos+3 AS INT), 2) IN
+       |           ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF')
+       |         THEN s.pos
+       |         WHEN substring(j.hx, CAST(2*s.pos+3 AS INT), 2) IN
+       |           ('D0','D1','D2','D3','D4','D5','D6','D7','D8','D9','01')
+       |         THEN s.pos + 2
+       |         ELSE s.pos + 2 +
+       |           ('0x' || substring(j.hx, CAST(2*s.pos+5 AS INT), 4))::BIGINT END,
+       |    CASE WHEN substring(j.hx, CAST(2*s.pos+3 AS INT), 2) IN
+       |           ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF')
+       |         THEN s.pos END
+       |  FROM scan s JOIN j0 j USING (doc_id)
+       |  WHERE s.sofpos IS NULL AND s.pos + 1 < j.n
+       |    AND substring(j.hx, CAST(2*s.pos+1 AS INT), 2) = 'FF'
+       |    AND NOT (substring(j.hx, CAST(2*s.pos+3 AS INT), 2) IN
+       |          ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF')
+       |        AND s.pos + 8 >= j.n)
+       |    AND (substring(j.hx, CAST(2*s.pos+3 AS INT), 2) IN
+       |          ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF',
+       |           'D0','D1','D2','D3','D4','D5','D6','D7','D8','D9','01')
+       |         OR (s.pos + 3 < j.n AND
+       |             ('0x' || substring(j.hx, CAST(2*s.pos+5 AS INT), 4))::BIGINT >= 2))),
+       |sof AS (SELECT doc_id, min(sofpos) AS p FROM scan
+       |        WHERE sofpos IS NOT NULL GROUP BY 1),
+       |jd AS (SELECT j.doc_id,
+       |        ('0x' || substring(j.hx, CAST(2*(s.p+7)+1 AS INT), 4))::BIGINT AS w,
+       |        ('0x' || substring(j.hx, CAST(2*(s.p+5)+1 AS INT), 4))::BIGINT AS h
+       |       FROM sof s JOIN j0 j USING (doc_id))
+       |SELECT b.doc_id,
+       |  CASE WHEN png.ok AND png.w > 0 AND png.h > 0 THEN 'png'
+       |       WHEN jd.w > 0 AND jd.h > 0 THEN 'jpeg'
+       |       ELSE 'unknown' END AS format,
+       |  CASE WHEN png.ok AND png.w > 0 AND png.h > 0 THEN png.w
+       |       WHEN jd.w > 0 AND jd.h > 0 THEN jd.w END AS width,
+       |  CASE WHEN png.ok AND png.w > 0 AND png.h > 0 THEN png.h
+       |       WHEN jd.w > 0 AND jd.h > 0 THEN jd.h END AS height
+       |FROM b LEFT JOIN png USING (doc_id) LEFT JOIN jd USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2144,6 +2249,7 @@ object PipelineQueries {
     "p65_html_strip" -> (tHtmlStrip _),
     "p66_url_canonicalize" -> (cUrlCanonicalize _),
     "p67_domain_cap" -> (cDomainCap _),
+    "p68_image_dims" -> (mImageDims _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2224,5 +2330,6 @@ object PipelineQueries {
     "p65_html_strip" -> tHtmlStripSql,
     "p66_url_canonicalize" -> cUrlCanonicalizeSql,
     "p67_domain_cap" -> cDomainCapSql,
+    "p68_image_dims" -> mImageDimsSql,
   )
 }

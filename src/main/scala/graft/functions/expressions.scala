@@ -356,6 +356,83 @@ case class NearestCentroidDist(child: Expression,
     copy(child = newChild)
 }
 
+/** REAL image-dimension extraction from raw bytes — PNG IHDR and JPEG
+  * SOF parsing are pure byte arithmetic, no codec library needed:
+  *
+  *  - PNG: 8-byte signature, then the mandatory first chunk must be
+  *    IHDR (`len=13, "IHDR"`); width/height are big-endian u32 at
+  *    byte offsets 16/20 (PNG spec §11.2.2).
+  *  - JPEG: `FF D8`, then marker segments; scan `FF xx [len₁₆ …]`
+  *    skipping non-SOF segments (standalone RST/TEM/EOI markers carry
+  *    no length) until a start-of-frame marker (C0–CF minus C4/C8/CC);
+  *    height/width are big-endian u16 at SOF payload offsets 3/5
+  *    (ITU T.81 §B.2.2).
+  *
+  * Returns struct(format, width, height): `("png"|"jpeg", w, h)` only
+  * when the header parses COMPLETELY; anything else — truncated
+  * signature, missing IHDR, no SOF before the bytes run out —
+  * degrades to `("unknown", null, null)`, never throws (corrupt blobs
+  * are data, not errors, in a crawl). Map-only; the multimodal gate
+  * hash-matches it against DuckDB re-parsing the same blobs by hex
+  * arithmetic. */
+case class ImageDims(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
+  override def prettyName: String = "image_dims"
+
+  private def unknown: Any = org.apache.spark.sql.catalyst.InternalRow(
+    UTF8String.fromString("unknown"), null, null)
+  private def dims(fmt: String, w: Int, h: Int): Any =
+    org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(fmt), w, h)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    def u8(i: Int): Int = b(i) & 0xff
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b.length >= 24 && pngSig.indices.forall(i => u8(i) == pngSig(i))) {
+      // first chunk must be IHDR: 4-byte length then "IHDR"
+      if (u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R') {
+        val w = be32(16); val h = be32(20)
+        if (w > 0 && h > 0) dims("png", w, h) else unknown
+      } else unknown
+    } else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var pos = 2
+      while (pos + 1 < b.length) {
+        if (u8(pos) != 0xff) return unknown
+        var marker = u8(pos + 1)
+        // fill bytes: consecutive FFs before a marker are padding
+        while (marker == 0xff && pos + 2 < b.length) {
+          pos += 1; marker = u8(pos + 1)
+        }
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          // SOF: len(2) precision(1) height(2) width(2)
+          if (pos + 8 >= b.length) return unknown
+          val h = be16(pos + 5); val w = be16(pos + 7)
+          return if (w > 0 && h > 0) dims("jpeg", w, h) else unknown
+        } else if ((marker >= 0xd0 && marker <= 0xd9) || marker == 0x01) {
+          pos += 2 // standalone marker, no length field
+        } else {
+          if (pos + 3 >= b.length) return unknown
+          val len = be16(pos + 2)
+          if (len < 2) return unknown
+          pos += 2 + len
+        }
+      }
+      unknown
+    } else unknown
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageDims =
+    copy(child = newChild)
+}
+
 /** Deterministic stand-in codec for multimodal binary columns: parses
   * a tiny fake header (`[format:1][width:2][height:2]` big-endian) the
   * test fixture writer emits. A real deployment replaces exactly this
@@ -873,6 +950,9 @@ object GraftExpressions {
 
   def image_meta(bin: Column): Column =
     column(ImageMetaExpression(expression(bin)))
+
+  def image_dims(bin: Column): Column =
+    column(ImageDims(expression(bin)))
 
   def thumbnail_checksum(bin: Column, maxSide: Int): Column =
     column(ThumbnailChecksumExpression(expression(bin), maxSide))

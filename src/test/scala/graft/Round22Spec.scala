@@ -157,6 +157,38 @@ class Round22Spec extends AnyFunSuite {
     }
   }
 
+  // ---- image_dims: real PNG/JPEG header parsing -------------------------
+
+  test("image_dims parses real headers and degrades malformed ones to unknown") {
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def be(v: Int, n: Int): String = ("%0" + (2 * n) + "X").format(v)
+    val png = hexBytes("89504E470D0A1A0A0000000D49484452" +
+      be(640, 4) + be(480, 4) + "08060000001A2B3C4D")
+    // SOF behind a COM segment AND a restart marker (standalone, no len)
+    val jpeg = hexBytes("FFD8FFFE0004ABCD" + "FFD0" + "FFC2001108" +
+      be(33, 2) + be(77, 2) + "03012200021101031101")
+    val cases = Seq(
+      (1L, png),
+      (2L, jpeg),
+      (3L, png.take(10)),                       // truncated: sig only
+      (4L, hexBytes("FFD8FFC00003")),           // SOF but dims run off the end
+      (5L, hexBytes("FFD8FFFE0001")),           // segment length < 2
+      (6L, hexBytes("FFD8FFFE0004ABCD")),       // markers end, no SOF
+      (7L, hexBytes("89504E470D0A1A0A0000000D49484452" +
+        be(0, 4) + be(480, 4) + "0806000000")), // PNG width 0
+      (8L, Array.empty[Byte]))
+    val out = cases.toDF("id", "payload")
+      .select($"id", graft.functions.GraftExpressions.image_dims($"payload").as("d"))
+      .select($"id", $"d.format", $"d.width", $"d.height")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3)))).toMap
+    assert(out(1L) == (("png", 640, 480)))
+    assert(out(2L) == (("jpeg", 77, 33)))
+    (3L to 8L).foreach(i => assert(out(i) == (("unknown", -1, -1)), s"case $i: ${out(i)}"))
+  }
+
   // ---- IvfPq incremental append ---------------------------------------
 
   private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
