@@ -2074,6 +2074,118 @@ object PipelineQueries {
       |FROM r WHERE domain_rank <= 15
       |ORDER BY domain, domain_rank""".stripMargin
 
+  // ---- real-format WAV audio metadata (p69) ----------------------------
+
+  /** Fixed path: same oracle-visibility contract as p68/l29. */
+  private val audioMetaRoot = "/tmp/graft_multimodal_p69"
+
+  /** [[graft.functions.GraftExpressions.audio_meta]] — REAL WAV/RIFF
+    * parsing (chunk-chain scan, little-endian fields), the audio twin
+    * of p68's image path. Payloads per doc:
+    *   - doc_id%3=0: a WAV whose `fmt ` chunk hides BEHIND a LIST/INFO
+    *     chunk — the parser must walk the chain by chunk size;
+    *   - doc_id%3=1: a plain `fmt `-first WAV;
+    *   - doc_id%3=2: the header truncated to 10 bytes → unknown.
+    * The `data` chunk declares its size without carrying the payload —
+    * metadata parsers never read sample bytes, and the gate is about
+    * header arithmetic: channels = 1+(doc_id%2), rate =
+    * 8000·(1+n_chars%4), 16-bit, duration_ms = dataSize·1000/byteRate
+    * in integer division on BOTH engines. The oracle re-parses the
+    * same blobs: hex slicing with byte-swapped little-endian
+    * reconstruction and a recursive chunk-scan CTE. */
+  def mAudioMeta(spark: SparkSession, dir: String): DataFrame = {
+    graft.util.TempDirs.deleteRecursively(
+      java.nio.file.Paths.get(audioMetaRoot))
+    // little-endian: reverse the big-endian hex byte pairs
+    def le(n: Column, nBytes: Int): Column = {
+      val hx = lpad(hex(n.cast("long")), nBytes * 2, "0")
+      unhex(concat((0 until nBytes).map(i =>
+        substring(hx, (nBytes - 1 - i) * 2 + 1, 2)): _*))
+    }
+    val channels = (col("doc_id") % 2 + 1).cast("int")
+    val rate = ((col("n_chars") % 4 + 1) * 8000).cast("int")
+    val blockAlign = channels * 2 // 16-bit PCM
+    val byteRate = rate * blockAlign
+    val dataSize = (col("doc_id") % 1000 + 1) * blockAlign
+    val fmtChunk = concat(
+      unhex(lit("666D7420")), le(lit(16), 4),          // "fmt " size=16
+      le(lit(1), 2), le(channels, 2), le(rate, 4),     // PCM, channels, rate
+      le(byteRate, 4), le(blockAlign, 2), le(lit(16), 2))
+    val dataHdr = concat(unhex(lit("64617461")), le(dataSize, 4))
+    val listChunk = unhex(lit("4C495354" + "04000000" + "494E464F"))
+    def wav(chunks: Column): Column = concat(
+      unhex(lit("52494646")), le(lit(0) + length(chunks) + 4, 4),
+      unhex(lit("57415645")), chunks)
+    val withList = wav(concat(listChunk, fmtChunk, dataHdr))
+    val plain = wav(concat(fmtChunk, dataHdr))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, withList)
+          .when(col("doc_id") % 3 === 1, plain)
+          .otherwise(substring(withList, 1, 10)).as("payload"))
+      .write.mode("overwrite").parquet(audioMetaRoot)
+    spark.read.parquet(audioMetaRoot)
+      .select(col("doc_id"),
+        graft.functions.GraftExpressions.audio_meta(col("payload")).as("a"))
+      .select(col("doc_id"), col("a.format").as("format"),
+        col("a.channels").cast("long").as("channels"),
+        col("a.sample_rate").cast("long").as("sample_rate"),
+        col("a.bits_per_sample").cast("long").as("bits_per_sample"),
+        col("a.duration_ms").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
+  private val mAudioMetaSql = {
+    // byte p (0-based) of the hex dump, 1-based SQL substring
+    def b(p: String) = s"substring(hx, CAST(2*($p)+1 AS INT), 2)"
+    def le16(p: String) = s"('0x' || ${b(s"($p)+1")} || ${b(p)})::BIGINT"
+    def le32(p: String) =
+      s"('0x' || ${b(s"($p)+3")} || ${b(s"($p)+2")} || ${b(s"($p)+1")} || ${b(p)})::BIGINT"
+    s"""WITH RECURSIVE w AS (
+       |  SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS n
+       |  FROM read_parquet('$audioMetaRoot/*.parquet')),
+       |wav AS (SELECT * FROM w WHERE n >= 12
+       |        AND substring(hx, 1, 8) = '52494646'
+       |        AND substring(hx, 17, 8) = '57415645'),
+       |scan(doc_id, pos, fmtpos, datasize) AS (
+       |  SELECT doc_id, CAST(12 AS BIGINT), CAST(NULL AS BIGINT),
+       |         CAST(NULL AS BIGINT) FROM wav
+       |  UNION ALL
+       |  SELECT s.doc_id,
+       |    s.pos + 8 + ${le32("s.pos+4")} + (${le32("s.pos+4")} % 2),
+       |    CASE WHEN substring(j.hx, CAST(2*s.pos+1 AS INT), 8) = '666D7420'
+       |         THEN s.pos + 8 ELSE s.fmtpos END,
+       |    CASE WHEN substring(j.hx, CAST(2*s.pos+1 AS INT), 8) = '64617461'
+       |         THEN ${le32("s.pos+4")} ELSE s.datasize END
+       |  FROM scan s JOIN wav j USING (doc_id)
+       |  WHERE (s.fmtpos IS NULL OR s.datasize IS NULL)
+       |    AND s.pos + 8 <= j.n
+       |    AND NOT (substring(j.hx, CAST(2*s.pos+1 AS INT), 8) = '666D7420'
+       |             AND (${le32("s.pos+4")} < 16 OR s.pos + 24 > j.n))),
+       |agg AS (SELECT doc_id, max(fmtpos) AS fp, max(datasize) AS ds
+       |        FROM scan GROUP BY 1),
+       |parsed AS (
+       |  SELECT j.doc_id,
+       |    ${le16("a.fp+2")} AS channels, ${le32("a.fp+4")} AS rate,
+       |    ${le32("a.fp+8")} AS byterate, ${le16("a.fp+14")} AS bits,
+       |    a.ds AS ds
+       |  FROM agg a JOIN wav j USING (doc_id)
+       |  WHERE a.fp IS NOT NULL AND a.ds IS NOT NULL)
+       |SELECT w.doc_id,
+       |  CASE WHEN p.channels > 0 AND p.rate > 0 AND p.byterate > 0
+       |       THEN 'wav' ELSE 'unknown' END AS format,
+       |  CASE WHEN p.channels > 0 AND p.rate > 0 AND p.byterate > 0
+       |       THEN p.channels END AS channels,
+       |  CASE WHEN p.channels > 0 AND p.rate > 0 AND p.byterate > 0
+       |       THEN p.rate END AS sample_rate,
+       |  CASE WHEN p.channels > 0 AND p.rate > 0 AND p.byterate > 0
+       |       THEN p.bits END AS bits_per_sample,
+       |  CASE WHEN p.channels > 0 AND p.rate > 0 AND p.byterate > 0
+       |       THEN p.ds * 1000 // p.byterate END AS duration_ms
+       |FROM w LEFT JOIN parsed p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- real-format image dimensions (p68) -----------------------------
 
   /** Fixed path: the planted payload parquet must be visible to the
@@ -2250,6 +2362,7 @@ object PipelineQueries {
     "p66_url_canonicalize" -> (cUrlCanonicalize _),
     "p67_domain_cap" -> (cDomainCap _),
     "p68_image_dims" -> (mImageDims _),
+    "p69_audio_meta" -> (mAudioMeta _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2331,5 +2444,6 @@ object PipelineQueries {
     "p66_url_canonicalize" -> cUrlCanonicalizeSql,
     "p67_domain_cap" -> cDomainCapSql,
     "p68_image_dims" -> mImageDimsSql,
+    "p69_audio_meta" -> mAudioMetaSql,
   )
 }

@@ -433,6 +433,77 @@ case class ImageDims(child: Expression)
     copy(child = newChild)
 }
 
+/** REAL audio-metadata extraction from raw WAV/RIFF bytes — like
+  * [[ImageDims]], pure byte arithmetic, no codec library:
+  *
+  *  - container: `"RIFF" <size u32-LE> "WAVE"`, then a CHUNK CHAIN of
+  *    `<id 4cc> <size u32-LE> <payload>` (odd payloads pad one byte);
+  *  - the `"fmt "` chunk carries channels (u16-LE @ +2), sample rate
+  *    (u32-LE @ +4), byte rate (u32-LE @ +8), bits/sample (u16-LE
+  *    @ +14);
+  *  - the `"data"` chunk's SIZE over the byte rate gives the duration:
+  *    `duration_ms = dataSize * 1000 / byteRate` (integer division).
+  *
+  * The scan walks chunks by size (a LIST/INFO chunk before `fmt ` must
+  * be skipped, not tripped over). Returns struct(format, channels,
+  * sample_rate, bits_per_sample, duration_ms); anything not a complete
+  * WAV — wrong magic, truncated chain, missing fmt/data, zero byte
+  * rate — degrades to ("unknown", null, …), never throws. */
+case class AudioMeta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("bits_per_sample", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+  override def prettyName: String = "audio_meta"
+
+  private def unknown: Any = org.apache.spark.sql.catalyst.InternalRow(
+    UTF8String.fromString("unknown"), null, null, null, null)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+        (u8(i + 3).toLong << 24)
+    def fourcc(i: Int, s: String): Boolean =
+      u8(i) == s.charAt(0) && u8(i + 1) == s.charAt(1) &&
+      u8(i + 2) == s.charAt(2) && u8(i + 3) == s.charAt(3)
+    if (b.length < 12 || !fourcc(0, "RIFF") || !fourcc(8, "WAVE"))
+      return unknown
+    var pos = 12
+    var fmtPos = -1
+    var dataSize = -1L
+    while (pos + 8 <= b.length && (fmtPos < 0 || dataSize < 0)) {
+      val size = le32(pos + 4)
+      if (fourcc(pos, "fmt ")) {
+        if (size < 16 || pos + 8 + 16 > b.length) return unknown
+        fmtPos = pos + 8
+      } else if (fourcc(pos, "data")) {
+        dataSize = size
+      }
+      // RIFF pads odd-sized payloads to even offsets
+      pos += 8 + size.toInt + (size.toInt & 1)
+      if (size < 0 || size > Int.MaxValue - 16) return unknown
+    }
+    if (fmtPos < 0 || dataSize < 0) return unknown
+    val channels = le16(fmtPos + 2)
+    val rate = le32(fmtPos + 4)
+    val byteRate = le32(fmtPos + 8)
+    val bits = le16(fmtPos + 14)
+    if (channels <= 0 || rate <= 0 || byteRate <= 0) return unknown
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString("wav"), channels, rate.toInt, bits,
+      dataSize * 1000L / byteRate)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AudioMeta =
+    copy(child = newChild)
+}
+
 /** Deterministic stand-in codec for multimodal binary columns: parses
   * a tiny fake header (`[format:1][width:2][height:2]` big-endian) the
   * test fixture writer emits. A real deployment replaces exactly this
@@ -953,6 +1024,9 @@ object GraftExpressions {
 
   def image_dims(bin: Column): Column =
     column(ImageDims(expression(bin)))
+
+  def audio_meta(bin: Column): Column =
+    column(AudioMeta(expression(bin)))
 
   def thumbnail_checksum(bin: Column, maxSide: Int): Column =
     column(ThumbnailChecksumExpression(expression(bin), maxSide))

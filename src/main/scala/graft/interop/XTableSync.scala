@@ -369,6 +369,38 @@ object XTableSync {
     t
   }
 
+  /** The Iceberg twin of [[adoptDelta]] (xtable/xtable_iceberg.yaml:
+    * 17-24 — `sourceFormat: ICEBERG`): adopt an existing Iceberg table
+    * at `root` IN PLACE as a graft table that continues to accept
+    * upserts. The latest `metadata/vN.metadata.json` resolves the LIVE
+    * file set through the real manifest chain; those files are
+    * bootstrap-adopted without rewrite; and the Iceberg metadata
+    * lineage CONTINUES — the sync cursor is seeded at (bootstrap
+    * instant, last foreign version), so the next [[syncIceberg]]
+    * writes v(N+1) over the adopted state and an Iceberg reader walks
+    * one unbroken version history across the migration. (Iceberg sync
+    * is snapshot-granular, so no reconcile version is needed — the
+    * next snapshot simply lists the adopted files.) COW only. */
+  def adoptIceberg(spark: org.apache.spark.sql.SparkSession, root: String,
+      config: graft.core.TableConfig): GraftTable = {
+    require(!GraftTable.exists(root), s"$root is already a graft table")
+    val metaFile = latestIcebergMetadataFile(root)
+    val live = icebergLiveFiles(metaFile)
+    require(live.nonEmpty, s"Iceberg table at $root has no live files")
+    val lastVer = "^v(\\d+)\\.metadata\\.json$".r
+      .findFirstMatchIn(metaFile.getFileName.toString).get.group(1).toLong
+    val t = GraftTable.create(spark, root, config)
+    t.bootstrapFromFiles(live.map(Paths.get(_)))
+    // seed the version counter at the foreign head with an instant
+    // BEFORE the bootstrap commit, then sync: v(N+1) describes the
+    // adopted (graft-owned, hard-linked) file layout and the cursor
+    // lands at (bootstrap instant, N+1) — later upserts continue the
+    // same version lineage
+    writeCursor(t, "iceberg", "0", lastVer)
+    syncIceberg(t)
+    t
+  }
+
   /** Read the synced table as a Delta reader would: replayed live file
     * set under the log's schemaString. Meaningful for COW tables and
     * compacted MOR states (like xTable's read-optimized sync target) —

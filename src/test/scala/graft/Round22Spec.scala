@@ -189,6 +189,40 @@ class Round22Spec extends AnyFunSuite {
     (3L to 8L).foreach(i => assert(out(i) == (("unknown", -1, -1)), s"case $i: ${out(i)}"))
   }
 
+  test("audio_meta parses WAV chunk chains and degrades malformed ones") {
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def le(v: Long, n: Int): String =
+      (0 until n).map(i => "%02X".format((v >> (8 * i)) & 0xff)).mkString
+    val fmt = "666D7420" + le(16, 4) +
+      le(1, 2) + le(2, 2) + le(16000, 4) + le(64000, 4) + le(4, 2) + le(16, 2)
+    def wav(chunks: String) =
+      hexBytes("52494646" + le(4 + chunks.length / 2, 4) + "57415645" + chunks)
+    val data = "64617461" + le(8000, 4)
+    // odd-size junk chunk (1-byte payload, padded) before fmt
+    val odd = "6A756E6B" + le(1, 4) + "AB" + "00"
+    val cases = Seq(
+      (1L, wav(fmt + data)),                        // plain
+      (2L, wav(odd + fmt + data)),                  // padded chunk first
+      (3L, wav(fmt)),                               // no data chunk
+      (4L, hexBytes("52494646" + le(4, 4) + "57415645")), // no chunks
+      (5L, wav(fmt + data).take(10)),               // truncated
+      (6L, wav("666D7420" + le(16, 4) + le(1, 2) + le(2, 2) + le(16000, 4) +
+        le(0, 4) + le(4, 2) + le(16, 2) + data)))   // zero byteRate
+    val out = cases.toDF("id", "payload")
+      .select($"id", graft.functions.GraftExpressions.audio_meta($"payload").as("a"))
+      .select($"id", $"a.format", $"a.channels", $"a.sample_rate",
+        $"a.bits_per_sample", $"a.duration_ms")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(out(1L) == (("wav", 2, 16000, 125L))) // 8000B / 64000Bps = 125ms
+    assert(out(2L) == (("wav", 2, 16000, 125L)))
+    (3L to 6L).foreach(i =>
+      assert(out(i) == (("unknown", -1, -1, -1L)), s"case $i: ${out(i)}"))
+  }
+
   // ---- IvfPq incremental append ---------------------------------------
 
   private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
@@ -317,6 +351,46 @@ class Round22Spec extends AnyFunSuite {
     assert(state(graft.interop.XTableSync.readDelta(spark, root)) == expect)
     // full triangle: re-export Iceberg over the adopted table
     graft.interop.XTableSync.syncIceberg(t)
+    assert(state(graft.interop.XTableSync.readIceberg(spark, root)) == expect)
+  }
+
+  // ---- adoptIceberg: in-place adoption continues the metadata lineage --
+
+  test("adoptIceberg: live-set adoption, continued versions, upserts keep flowing") {
+    val root = tmp() + "/isrc"
+    // produce a REAL Iceberg table: graft writes + sync, then the graft
+    // commit log is deleted — what's left is only the Iceberg metadata
+    // chain and the parquet it references (a genuinely foreign table
+    // with a superseded v0 still on disk)
+    locally {
+      val t0 = GraftTable.create(spark, root, TableConfig(
+        name = "ice0", keyField = "id", orderingField = "ts", numBuckets = 1))
+      t0.insert(Seq((1L, 1L, 1.0), (2L, 1L, 2.0)).toDF("id", "ts", "score"))
+      graft.interop.XTableSync.syncIceberg(t0) // v0 — superseded
+      t0.upsert(Seq((2L, 2L, 9.0), (3L, 2L, 3.0)).toDF("id", "ts", "score"))
+      graft.interop.XTableSync.syncIceberg(t0) // v1 — current
+      graft.util.Fs.walkSeq(Paths.get(root, graft.core.CommitLog.Dir))
+        .reverse.foreach(Files.deleteIfExists(_))
+    }
+    assert(!GraftTable.exists(root))
+    val t = graft.interop.XTableSync.adoptIceberg(spark, root,
+      TableConfig(name = "iceadopt", keyField = "id", orderingField = "ts",
+        numBuckets = 1))
+    def state(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "ts", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val adopted = Set((1L, 1L, 1.0), (2L, 2L, 9.0), (3L, 2L, 3.0))
+    assert(state(t.read()) == adopted)
+    // the metadata lineage continued: v2 now describes the adopted
+    // layout and an Iceberg reader sees the same rows
+    assert(graft.interop.XTableSync
+      .latestIcebergMetadataFile(root).getFileName.toString == "v2.metadata.json")
+    assert(state(graft.interop.XTableSync.readIceberg(spark, root)) == adopted)
+    // post-adoption upsert flows through the next incremental sync
+    t.upsert(Seq((3L, 3L, 7.0), (4L, 3L, 4.0)).toDF("id", "ts", "score"))
+    graft.interop.XTableSync.syncIceberg(t)
+    val expect = Set((1L, 1L, 1.0), (2L, 2L, 9.0), (3L, 3L, 7.0), (4L, 3L, 4.0))
+    assert(state(t.read()) == expect)
     assert(state(graft.interop.XTableSync.readIceberg(spark, root)) == expect)
   }
 
