@@ -474,26 +474,30 @@ case class AudioMeta(child: Expression)
       u8(i + 2) == s.charAt(2) && u8(i + 3) == s.charAt(3)
     if (b.length < 12 || !fourcc(0, "RIFF") || !fourcc(8, "WAVE"))
       return unknown
-    var pos = 12
-    var fmtPos = -1
+    // pos is a Long and sizes are validated BEFORE advancing: a corrupt
+    // chunk declaring size near 2^31 must degrade to unknown, not wrap
+    // the cursor negative and index out of bounds (never-throws contract)
+    var pos = 12L
+    var fmtPos = -1L
     var dataSize = -1L
     while (pos + 8 <= b.length && (fmtPos < 0 || dataSize < 0)) {
-      val size = le32(pos + 4)
-      if (fourcc(pos, "fmt ")) {
+      val size = le32(pos.toInt + 4)
+      if (size < 0 || size > Int.MaxValue - 16) return unknown
+      if (fourcc(pos.toInt, "fmt ")) {
         if (size < 16 || pos + 8 + 16 > b.length) return unknown
         fmtPos = pos + 8
-      } else if (fourcc(pos, "data")) {
+      } else if (fourcc(pos.toInt, "data")) {
         dataSize = size
       }
       // RIFF pads odd-sized payloads to even offsets
-      pos += 8 + size.toInt + (size.toInt & 1)
-      if (size < 0 || size > Int.MaxValue - 16) return unknown
+      pos += 8L + size + (size & 1L)
     }
     if (fmtPos < 0 || dataSize < 0) return unknown
-    val channels = le16(fmtPos + 2)
-    val rate = le32(fmtPos + 4)
-    val byteRate = le32(fmtPos + 8)
-    val bits = le16(fmtPos + 14)
+    val fp = fmtPos.toInt // bounded by b.length (checked at discovery)
+    val channels = le16(fp + 2)
+    val rate = le32(fp + 4)
+    val byteRate = le32(fp + 8)
+    val bits = le16(fp + 14)
     if (channels <= 0 || rate <= 0 || byteRate <= 0) return unknown
     org.apache.spark.sql.catalyst.InternalRow(
       UTF8String.fromString("wav"), channels, rate.toInt, bits,

@@ -60,9 +60,21 @@ object XTableSync {
         "configuration" -> Map.empty,
         "createdTime" -> 0L)))
 
+  /** The Delta protocol stores `add`/`remove` paths URL-ENCODED
+    * (RFC 2396): encode on write, decode on replay. Round-trip is
+    * exact — the URI constructor always quotes '%' itself, so a
+    * literal `%20` in one of our escapeDir-produced directory names
+    * survives as `%2520`. Foreign logs (Delta-Spark and friends
+    * encode per spec) decode to real filesystem paths. */
+  private def encodeDeltaPath(p: String): String =
+    new java.net.URI(null, null, p, null).getRawPath
+
+  private def decodeDeltaPath(p: String): String =
+    java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
+
   private def removeAction(path: String, tsMs: Long): String =
     mapper.writeValueAsString(Map(
-      "remove" -> Map("path" -> path, "dataChange" -> true,
+      "remove" -> Map("path" -> encodeDeltaPath(path), "dataChange" -> true,
         "deletionTimestamp" -> tsMs)))
 
   private def addAction(t: GraftTable, instantMs: Long,
@@ -74,7 +86,7 @@ object XTableSync {
       "nullCount" -> f.stats.map { case (k, v) => k -> v.nullCount })
     mapper.writeValueAsString(Map(
       "add" -> Map(
-        "path" -> f.path,
+        "path" -> encodeDeltaPath(f.path),
         "partitionValues" -> t.config.partitionField
           .map(p => Map(p -> f.partition)).getOrElse(Map.empty),
         "size" -> f.bytes,
@@ -315,8 +327,12 @@ object XTableSync {
           partCols = a.get("metaData").get("partitionColumns")
             .elements().asScala.map(_.asText()).toSeq
         }
-        if (a.has("add")) { live += a.get("add").get("path").asText(); () }
-        if (a.has("remove")) { live -= a.get("remove").get("path").asText(); () }
+        if (a.has("add")) {
+          live += decodeDeltaPath(a.get("add").get("path").asText()); ()
+        }
+        if (a.has("remove")) {
+          live -= decodeDeltaPath(a.get("remove").get("path").asText()); ()
+        }
       }
     }
     require(schemaJson.nonEmpty, "log replay found no metaData action")
@@ -390,7 +406,7 @@ object XTableSync {
     val lastVer = "^v(\\d+)\\.metadata\\.json$".r
       .findFirstMatchIn(metaFile.getFileName.toString).get.group(1).toLong
     val t = GraftTable.create(spark, root, config)
-    t.bootstrapFromFiles(live.map(Paths.get(_)))
+    t.bootstrapFromFiles(live.map(icebergLocalPath))
     // seed the version counter at the foreign head with an instant
     // BEFORE the bootstrap commit, then sync: v(N+1) describes the
     // adopted (graft-owned, hard-linked) file layout and the cursor
@@ -460,6 +476,29 @@ object XTableSync {
       if e.get("status").asInstanceOf[Int] != 2 // 2 = DELETED
     } yield e.get("data_file").asInstanceOf[GenericRecord]
       .get("file_path").toString
+  }
+
+  /** Iceberg manifests store `file_path` as a LOCATION string that a
+    * real engine writes as a URI (`file:/wh/db/t/data/...parquet`,
+    * `s3://...`), while this engine's own emission writes bare paths.
+    * Resolve either to a local filesystem Path; a non-local scheme is
+    * a loud error — there is no object store to read from here. */
+  def icebergLocalPath(s: String): java.nio.file.Path = {
+    if (s.startsWith("file:")) {
+      // tolerate all Hadoop-style spellings: file:/x, file:///x,
+      // file://host/x (host ignored for local adoption)
+      val rest = s.stripPrefix("file:")
+      val path =
+        if (rest.startsWith("///")) rest.stripPrefix("//")
+        else if (rest.startsWith("//"))
+          rest.stripPrefix("//").dropWhile(_ != '/')
+        else rest
+      Paths.get(path)
+    } else if (s.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*")) {
+      throw new IllegalArgumentException(
+        s"Iceberg data file '$s' lives on a non-local scheme — adoption " +
+        "in this environment reads the local filesystem only")
+    } else Paths.get(s)
   }
 
   /** Read the synced table as an Iceberg reader would: latest

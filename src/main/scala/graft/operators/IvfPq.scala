@@ -81,24 +81,55 @@ object IvfPq {
     * topK); what degrades over time is the FIT of the frozen quantizer
     * to a drifting distribution — which is what the returned drift
     * statistic monitors. Caller owns id uniqueness (same contract as
-    * build). */
+    * build).
+    *
+    * Failure contract: the two relation appends + the meta write are
+    * NOT one atomic commit, so each append journals under
+    * `_appends/` — an `.inprogress` marker goes down first and flips
+    * to `.done` only after everything landed. A crash in between
+    * leaves the marker, and the NEXT append (or any caller checking)
+    * fails loudly demanding a rebuild instead of serving an index
+    * whose assignments and codes disagree. Pass a stable `batchId` to
+    * make retries idempotent: a batch whose `.done` marker exists is
+    * skipped (0 appended) rather than double-appended. */
   def append(batch: DataFrame, idCol: String, vecCol: String,
-      path: String): AppendStats = {
+      path: String, batchId: Option[String] = None): AppendStats = {
     val spark = batch.sparkSession
     val meta = IvfIndex.meta(path).getOrElse(throw new IllegalArgumentException(
       s"no IVF-PQ index at $path — build() first"))
     require(meta.idCol == idCol && meta.vecCol == vecCol,
       s"index at $path was built over (${meta.idCol}, ${meta.vecCol}), " +
       s"append called with ($idCol, $vecCol)")
+    import java.nio.file.{Files, Paths}
+    val appDir = Paths.get(path, "_appends")
+    Files.createDirectories(appDir)
+    val leftover = graft.util.Fs.list(appDir)(_
+      .filter(_.getFileName.toString.endsWith(".inprogress")).toSeq)
+    require(leftover.isEmpty,
+      s"IVF-PQ index at $path has a half-applied append " +
+      s"(${leftover.map(_.getFileName).mkString(", ")}) — its assignments " +
+      "and codes may disagree; rebuild() the index")
+    val id = batchId.getOrElse(
+      s"${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}")
+    if (Files.exists(appDir.resolve(s"$id.done")))
+      return AppendStats(0L, meta.corpusCount, 0.0, meta.meanAssignDist, -1.0)
     val cb = codebooks(spark, path)
     val table = spark.read.parquet(s"$path/centroids.parquet")
       .orderBy("list").collect()
       .map(_.getAs[Seq[Double]]("centroid").toArray)
     val b = batch.select(col(idCol).as("id"), col(vecCol).as("vec")).persist()
     try {
+      val firstDim = b.select(size(col("vec"))).limit(1).collect()
       val n = b.count()
       if (n == 0L)
         return AppendStats(0L, meta.corpusCount, 0.0, meta.meanAssignDist, -1.0)
+      // a wrong-dimension batch would silently mis-assign (the distance
+      // loops compare only the common prefix) and mis-slice PQ subvectors
+      require(firstDim.head.getInt(0) == meta.dim,
+        s"batch vectors are ${firstDim.head.getInt(0)}-dim; index at " +
+        s"$path was built over ${meta.dim}-dim vectors")
+      val marker = appDir.resolve(s"$id.inprogress")
+      Files.writeString(marker, "")
       val asg = b.withColumn("list",
         element_at(graft.functions.GraftExpressions
           .nearest_centroids(col("vec"), table, 1), 1))
@@ -108,9 +139,10 @@ object IvfPq {
       val batchMean = b.select(avg(graft.functions.GraftExpressions
         .nearest_centroid_dist(col("vec"), table))).first().getDouble(0)
       val newMeta = meta.copy(corpusCount = meta.corpusCount + n)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(path, "meta.json"),
+      Files.write(Paths.get(path, "meta.json"),
         graft.core.CommitLog.mapper.writeValueAsBytes(newMeta))
+      Files.move(marker, appDir.resolve(s"$id.done"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       AppendStats(n, newMeta.corpusCount, batchMean, meta.meanAssignDist,
         if (meta.meanAssignDist > 0) batchMean / meta.meanAssignDist else -1.0)
     } finally { b.unpersist(); () }

@@ -15,13 +15,17 @@ final class GraftCatalog(val spark: SparkSession, val warehouseDir: String) {
   Files.createDirectories(Paths.get(warehouseDir))
 
   private def rootOf(name: String): String = {
-    // table names resolve to warehouse subpaths — enforce the same
-    // \w+ identifier grammar the SQL dialect uses, CENTRALLY, so an
-    // API-level name like '../../x' can never escape the warehouse
-    // (registerTable would delete/plant a symlink outside it and
-    // dropTable would walk-delete the resolved tree)
-    require(name.matches("\\w+"),
-      s"invalid table name '$name' — must match \\w+")
+    // table names resolve to warehouse subpaths — reject anything that
+    // is not a SINGLE path component, CENTRALLY, so an API-level name
+    // like '../../x' can never escape the warehouse (registerTable
+    // would delete/plant a symlink outside it and dropTable would
+    // walk-delete the resolved tree). Deliberately containment-shaped
+    // rather than the SQL dialect's \w+ grammar: API-created names
+    // with '-'/'.' pre-date validation and must stay reachable (and
+    // droppable), while every traversal spelling is one of these.
+    require(name.nonEmpty && name != "." && name != ".." &&
+        !name.contains('/') && !name.contains('\\'),
+      s"invalid table name '$name' — must be a single path component")
     Paths.get(warehouseDir, name).toString
   }
 
@@ -129,10 +133,13 @@ final class GraftCatalog(val spark: SparkSession, val warehouseDir: String) {
       .exists(_.trim.toBoolean)
     val sig = s"${t.log.lastInstant().getOrElse("0")}|$mode|$from|$maxCommits|$skipRo"
     // a signature hit is only valid while the temp view still EXISTS:
-    // a user DROP VIEW / createOrReplaceTempView through the spark.sql
-    // passthrough removes or shadows it without advancing the timeline,
-    // and skipping here would leave SELECTs unresolvable (or reading
-    // the foreign relation) until the table's next commit
+    // a user DROP VIEW through the spark.sql passthrough removes it
+    // without advancing the timeline, and skipping here would leave
+    // SELECTs unresolvable until the table's next commit. A user
+    // createOrReplaceTempView SHADOW is NOT detected (tableExists
+    // can't tell ours from theirs without analyzing the plan per
+    // statement, which this cache exists to avoid) — a deliberate
+    // shadow wins until the table's next commit re-registers.
     val viewAlive = spark.catalog.tableExists(n) &&
       (!t.config.isMor || (spark.catalog.tableExists(s"${n}_rt") &&
         (skipRo || spark.catalog.tableExists(s"${n}_ro"))))

@@ -526,7 +526,7 @@ final class GraftSql(catalog: GraftCatalog) {
             else XTableSync.latestIcebergMetadataFile(p.toString)
           adopted("iceberg_adopted", catalog.table(name).bootstrapFromFiles(
             XTableSync.icebergLiveFiles(metaFile)
-              .map(java.nio.file.Paths.get(_))))
+              .map(XTableSync.icebergLocalPath)))
         } else {
           adopted("bootstrapped", catalog.table(name).bootstrapFrom(path))
         }

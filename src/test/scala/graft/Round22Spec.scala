@@ -223,6 +223,85 @@ class Round22Spec extends AnyFunSuite {
       assert(out(i) == (("unknown", -1, -1, -1L)), s"case $i: ${out(i)}"))
   }
 
+  test("audio_meta never throws: huge declared chunk size degrades to unknown") {
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // a chunk declaring size 0x7FFFFFEF would wrap an Int cursor
+    val evil = hexBytes("52494646" + "10000000" + "57415645" +
+      "6A756E6B" + "EFFFFF7F")
+    val out = Seq((1L, evil)).toDF("id", "payload")
+      .select(graft.functions.GraftExpressions.audio_meta($"payload").as("a"))
+      .select($"a.format").as[String].head()
+    assert(out == "unknown")
+  }
+
+  test("catalog accepts legacy non-\\w+ names but rejects traversal") {
+    val cat = new graft.sql.GraftCatalog(spark, tmp())
+    val t = cat.createTable(TableConfig(
+      name = "my-table.v2", keyField = "id", orderingField = "ts", numBuckets = 1))
+    t.insert(Seq((1L, 1L)).toDF("id", "ts"))
+    assert(cat.table("my-table.v2").read().count() == 1)
+    cat.dropTable("my-table.v2")
+    assert(!cat.tableExists("my-table.v2"))
+    intercept[IllegalArgumentException] { cat.dropTable("..") }
+    intercept[IllegalArgumentException] { cat.dropTable("a/b") }
+  }
+
+  test("icebergLocalPath resolves file: URIs and rejects remote schemes") {
+    import graft.interop.XTableSync.icebergLocalPath
+    assert(icebergLocalPath("file:/wh/t/data/f.parquet").toString ==
+      "/wh/t/data/f.parquet")
+    assert(icebergLocalPath("file:///wh/t/f.parquet").toString ==
+      "/wh/t/f.parquet")
+    assert(icebergLocalPath("/wh/t/f.parquet").toString == "/wh/t/f.parquet")
+    intercept[IllegalArgumentException] {
+      icebergLocalPath("s3://bucket/t/f.parquet")
+    }
+  }
+
+  test("delta sync URL-encodes paths per spec; replay round-trips escapeDir dirs") {
+    // a partition VALUE with a space: escapeDir writes 'ny%20c' into the
+    // directory name, the delta log must carry 'ny%2520c' (spec-encoded)
+    // and the replay must land back on the real file
+    val t = GraftTable.create(spark, tmp(), TableConfig(
+      name = "enc", keyField = "id", orderingField = "ts",
+      partitionField = Some("city"), numBuckets = 1))
+    t.insert(Seq((1L, 1L, "ny c"), (2L, 1L, "sf")).toDF("id", "ts", "city"))
+    graft.interop.XTableSync.syncDelta(t)
+    val log = Files.readString(graft.util.Fs.list(
+      Paths.get(t.root, "_delta_log"))(_.toSeq).head)
+    assert(log.contains("%2520") || !log.contains("%20"), log.take(500))
+    val viaDelta = graft.interop.XTableSync.readDelta(spark, t.root)
+      .select("id", "city").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaDelta == Set((1L, "ny c"), (2L, "sf")))
+  }
+
+  test("IvfPq.append: batchId idempotence, dim guard, partial-append detection") {
+    import graft.operators.IvfPq
+    def vec(i: Long): Seq[Double] = Seq((i % 5).toDouble, (i % 7).toDouble)
+    val a = (1L to 32L).map(i => (i, vec(i))).toDF("id", "embedding")
+    val p = tmp() + "/idx_guard"
+    IvfPq.build(a, "id", "embedding", nLists = 2, m = 1, codesPerSub = 4, path = p)
+    val b = (101L to 108L).map(i => (i, vec(i))).toDF("id", "embedding")
+    val st1 = IvfPq.append(b, "id", "embedding", p, batchId = Some("b1"))
+    assert(st1.appended == 8L)
+    // same batchId again: skipped, not double-appended
+    val st2 = IvfPq.append(b, "id", "embedding", p, batchId = Some("b1"))
+    assert(st2.appended == 0L && st2.corpusCount == st1.corpusCount)
+    // wrong-dim batch fails loudly before touching the index
+    val wrong = Seq((201L, Seq(1.0, 2.0, 3.0))).toDF("id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      IvfPq.append(wrong, "id", "embedding", p, batchId = Some("b2"))
+    }
+    assert(e.getMessage.contains("dim"))
+    // a crashed append leaves .inprogress: the next append refuses
+    Files.writeString(Paths.get(p, "_appends", "dead.inprogress"), "")
+    val e2 = intercept[IllegalArgumentException] {
+      IvfPq.append(b, "id", "embedding", p, batchId = Some("b3"))
+    }
+    assert(e2.getMessage.contains("half-applied"))
+  }
+
   // ---- IvfPq incremental append ---------------------------------------
 
   private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {

@@ -227,9 +227,11 @@ class ConcurrencyAndInteropSpec extends AnyFunSuite {
     assert(log1.contains("\"add\"") && log1.contains("\"remove\""))
     // caught up → no-op
     assert(XTableSync.syncDelta(t).isEmpty)
-    // every referenced file exists on disk
+    // every referenced file exists on disk — log paths are URL-encoded
+    // per the Delta protocol, so decode like a Delta reader would
     val added = "\"path\":\"([^\"]+)\"".r.findAllMatchIn(log0 + log1)
-      .map(_.group(1)).toSeq
+      .map(m => java.net.URLDecoder.decode(
+        m.group(1).replace("+", "%2B"), "UTF-8")).toSeq
     added.foreach(p => assert(Files.exists(Paths.get(root, p)), p))
   }
 
