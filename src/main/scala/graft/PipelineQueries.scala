@@ -2074,6 +2074,101 @@ object PipelineQueries {
       |FROM r WHERE domain_rank <= 15
       |ORDER BY domain, domain_rank""".stripMargin
 
+  // ---- real-format MP4 video metadata (p70) ----------------------------
+
+  /** Fixed path: same oracle-visibility contract as p68/p69. */
+  private val videoMetaRoot = "/tmp/graft_multimodal_p70"
+
+  /** [[graft.functions.GraftExpressions.video_meta]] — MP4/ISO-BMFF
+    * box parsing, the video leg completing the multimodal triad
+    * (p68 image, p69 audio). Payloads per doc:
+    *   - doc_id%3=0: ftyp + a `free` box + moov{ pad box + mvhd } —
+    *     BOTH scan levels must walk by box size;
+    *   - doc_id%3=1: ftyp + moov{mvhd} + a declared mdat header;
+    *   - doc_id%3=2: truncated to 10 bytes → unknown.
+    * mvhd is version 0: timescale = 600·(1+n_chars%3), duration units
+    * = 1000+doc_id%9000; duration_ms = units·1000/timescale in integer
+    * division on both engines. The oracle walks the same two-level box
+    * structure in DuckDB with two recursive CTEs over the hex dump. */
+  def mVideoMeta(spark: SparkSession, dir: String): DataFrame = {
+    graft.util.TempDirs.deleteRecursively(
+      java.nio.file.Paths.get(videoMetaRoot))
+    def be(n: Column, nBytes: Int): Column =
+      unhex(lpad(hex(n.cast("long")), nBytes * 2, "0"))
+    val timescale = ((col("n_chars") % 3 + 1) * 600).cast("int")
+    val durUnits = (col("doc_id") % 9000 + 1000).cast("int")
+    val ftyp = unhex(lit("00000010" + "66747970" + "69736F6D" + "00000200"))
+    val freeBox = unhex(lit("0000000C" + "66726565" + "DEADBEEF"))
+    // mvhd v0: size 40 = 8 hdr + 32 payload (version..duration + pad)
+    val mvhd = concat(unhex(lit("00000028" + "6D766864" + "00000000")),
+      be(lit(1), 4), be(lit(2), 4),      // creation, modification
+      be(timescale, 4), be(durUnits, 4), // timescale, duration
+      unhex(lit("0001000001000000000000000000")))  // rate/volume pad
+    val padBox = unhex(lit("0000000A" + "75647461" + "0102"))
+    def moov(children: Column): Column =
+      concat(be(length(children) + 8, 4), unhex(lit("6D6F6F76")), children)
+    val mdatHdr = unhex(lit("00000008" + "6D646174"))
+    val withFree = concat(ftyp, freeBox, moov(concat(padBox, mvhd)))
+    val plain = concat(ftyp, moov(mvhd), mdatHdr)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, withFree)
+          .when(col("doc_id") % 3 === 1, plain)
+          .otherwise(substring(withFree, 1, 10)).as("payload"))
+      .write.mode("overwrite").parquet(videoMetaRoot)
+    spark.read.parquet(videoMetaRoot)
+      .select(col("doc_id"),
+        graft.functions.GraftExpressions.video_meta(col("payload")).as("v"))
+      .select(col("doc_id"), col("v.format").as("format"),
+        col("v.timescale").cast("long").as("timescale"),
+        col("v.duration_ms").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
+  private val mVideoMetaSql = {
+    def be32(p: String) = s"('0x' || substring(hx, CAST(2*($p)+1 AS INT), 8))::BIGINT"
+    def typ(p: String) = s"substring(hx, CAST(2*($p)+9 AS INT), 8)"
+    s"""WITH RECURSIVE b AS (
+       |  SELECT doc_id, hex(payload) AS hx, octet_length(payload) AS n
+       |  FROM read_parquet('$videoMetaRoot/*.parquet')),
+       |mp4 AS (SELECT * FROM b WHERE n >= 12
+       |        AND substring(hx, 9, 8) = '66747970'),
+       |top(doc_id, pos, moovpos, moovend) AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+       |         CAST(NULL AS BIGINT) FROM mp4
+       |  UNION ALL
+       |  SELECT s.doc_id, s.pos + ${be32("s.pos")},
+       |    CASE WHEN ${typ("s.pos")} = '6D6F6F76' THEN s.pos + 8 END,
+       |    CASE WHEN ${typ("s.pos")} = '6D6F6F76'
+       |         THEN s.pos + ${be32("s.pos")} END
+       |  FROM top s JOIN mp4 j USING (doc_id)
+       |  WHERE s.moovpos IS NULL AND s.pos + 8 <= j.n
+       |    AND ${be32("s.pos")} >= 8 AND s.pos + ${be32("s.pos")} <= j.n),
+       |moov AS (SELECT doc_id, max(moovpos) AS mp, max(moovend) AS me
+       |         FROM top WHERE moovpos IS NOT NULL GROUP BY 1),
+       |inner_scan(doc_id, pos, mvhdpos) AS (
+       |  SELECT m.doc_id, m.mp, CAST(NULL AS BIGINT) FROM moov m
+       |  UNION ALL
+       |  SELECT s.doc_id, s.pos + ${be32("s.pos")},
+       |    CASE WHEN ${typ("s.pos")} = '6D766864' THEN s.pos + 8 END
+       |  FROM inner_scan s JOIN moov m USING (doc_id)
+       |                    JOIN mp4 j USING (doc_id)
+       |  WHERE s.mvhdpos IS NULL AND s.pos + 8 <= m.me
+       |    AND ${be32("s.pos")} >= 8 AND s.pos + ${be32("s.pos")} <= m.me),
+       |mvhd AS (SELECT doc_id, max(mvhdpos) AS q FROM inner_scan
+       |         WHERE mvhdpos IS NOT NULL GROUP BY 1),
+       |parsed AS (
+       |  SELECT v.doc_id, ${be32("v.q+12")} AS ts, ${be32("v.q+16")} AS dur
+       |  FROM mvhd v JOIN mp4 j USING (doc_id)
+       |  WHERE substring(j.hx, CAST(2*v.q+1 AS INT), 2) = '00')
+       |SELECT b.doc_id,
+       |  CASE WHEN p.ts > 0 THEN 'mp4' ELSE 'unknown' END AS format,
+       |  CASE WHEN p.ts > 0 THEN p.ts END AS timescale,
+       |  CASE WHEN p.ts > 0 THEN p.dur * 1000 // p.ts END AS duration_ms
+       |FROM b LEFT JOIN parsed p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---- real-format WAV audio metadata (p69) ----------------------------
 
   /** Fixed path: same oracle-visibility contract as p68/l29. */
@@ -2363,6 +2458,7 @@ object PipelineQueries {
     "p67_domain_cap" -> (cDomainCap _),
     "p68_image_dims" -> (mImageDims _),
     "p69_audio_meta" -> (mAudioMeta _),
+    "p70_video_meta" -> (mVideoMeta _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2445,5 +2541,6 @@ object PipelineQueries {
     "p67_domain_cap" -> cDomainCapSql,
     "p68_image_dims" -> mImageDimsSql,
     "p69_audio_meta" -> mAudioMetaSql,
+    "p70_video_meta" -> mVideoMetaSql,
   )
 }

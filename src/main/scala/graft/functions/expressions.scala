@@ -508,6 +508,93 @@ case class AudioMeta(child: Expression)
     copy(child = newChild)
 }
 
+/** REAL video-metadata extraction from MP4/ISO-BMFF bytes — the third
+  * leg of the multimodal family ([[ImageDims]], [[AudioMeta]]): pure
+  * byte arithmetic over the box structure (ISO 14496-12):
+  *
+  *  - a box is `[size u32-BE][type 4cc][payload]`; size 1 means a
+  *    64-bit size follows, size 0 means "to end of file";
+  *  - the file signature is a leading `ftyp` box;
+  *  - `moov` (a container box) holds `mvhd`, whose version-0 payload
+  *    carries timescale (u32-BE @ +12) and duration (u32-BE @ +16) —
+  *    version 1 widens creation/modification/duration to 64 bits, so
+  *    timescale sits @ +20 and duration (u64) @ +24;
+  *  - `duration_ms = duration * 1000 / timescale` (integer division).
+  *
+  * Two-level scan (top-level boxes for `moov`, its children for
+  * `mvhd`); anything that does not parse completely degrades to
+  * ("unknown", null, null) — never throws. */
+case class VideoMeta(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("timescale", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+  override def prettyName: String = "video_meta"
+
+  private def unknown: Any = org.apache.spark.sql.catalyst.InternalRow(
+    UTF8String.fromString("unknown"), null, null)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    def u8(i: Long): Int = b(i.toInt) & 0xff
+    def be32(i: Long): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Long): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Long, s: String): Boolean =
+      u8(i) == s.charAt(0) && u8(i + 1) == s.charAt(1) &&
+      u8(i + 2) == s.charAt(2) && u8(i + 3) == s.charAt(3)
+    // (start of box, payload start, end) for the box at pos, or null
+    def boxBounds(pos: Long, limit: Long): (Long, Long) = {
+      // returns (payloadStart, boxEnd); (-1,-1) when malformed
+      if (pos + 8 > limit) return (-1L, -1L)
+      val size = be32(pos)
+      if (size == 0L) (pos + 8, limit) // "to end"
+      else if (size == 1L) {
+        if (pos + 16 > limit) return (-1L, -1L)
+        val s64 = be64(pos + 8)
+        if (s64 < 16 || pos + s64 > limit) (-1L, -1L) else (pos + 16, pos + s64)
+      } else if (size < 8 || pos + size > limit) (-1L, -1L)
+      else (pos + 8, pos + size)
+    }
+    if (b.length < 12 || !fourcc(4, "ftyp")) return unknown
+    var pos = 0L
+    while (pos + 8 <= b.length) {
+      val (pay, end) = boxBounds(pos, b.length)
+      if (pay < 0) return unknown
+      if (fourcc(pos + 4, "moov")) {
+        var q = pay
+        while (q + 8 <= end) {
+          val (qpay, qend) = boxBounds(q, end)
+          if (qpay < 0) return unknown
+          if (fourcc(q + 4, "mvhd")) {
+            if (qpay + 4 > qend) return unknown
+            val version = u8(qpay)
+            val (ts, dur) =
+              if (version == 0) {
+                if (qpay + 20 > qend) return unknown
+                (be32(qpay + 12), be32(qpay + 16))
+              } else if (version == 1) {
+                if (qpay + 32 > qend) return unknown
+                (be32(qpay + 20), be64(qpay + 24))
+              } else return unknown
+            if (ts <= 0 || dur < 0) return unknown
+            return org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString("mp4"), ts.toInt, dur * 1000L / ts)
+          }
+          q = qend
+        }
+        return unknown // moov without mvhd
+      }
+      pos = end
+    }
+    unknown
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VideoMeta =
+    copy(child = newChild)
+}
+
 /** Deterministic stand-in codec for multimodal binary columns: parses
   * a tiny fake header (`[format:1][width:2][height:2]` big-endian) the
   * test fixture writer emits. A real deployment replaces exactly this
@@ -1031,6 +1118,9 @@ object GraftExpressions {
 
   def audio_meta(bin: Column): Column =
     column(AudioMeta(expression(bin)))
+
+  def video_meta(bin: Column): Column =
+    column(VideoMeta(expression(bin)))
 
   def thumbnail_checksum(bin: Column, maxSide: Int): Column =
     column(ThumbnailChecksumExpression(expression(bin), maxSide))

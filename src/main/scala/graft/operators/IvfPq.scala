@@ -148,6 +148,27 @@ object IvfPq {
     } finally { b.unpersist(); () }
   }
 
+  /** Streaming index maintenance: a foreachBatch sink that [[append]]s
+    * every micro-batch to the persisted index — the vector-store
+    * deployment shape (embeddings arrive as a stream; the index must
+    * not be rebuilt per batch). Exactly-once across restarts comes
+    * from the (streamName, epoch) idempotence key: a replayed epoch
+    * finds its `.done` journal marker and appends nothing — the same
+    * contract as the graft streaming sink's (queryId, epoch) stamps.
+    * Monitor the returned stats through [[IvfIndex.meta]]'s drift
+    * baseline or by logging [[append]]'s AppendStats per batch. */
+  def appendStream(stream: DataFrame, idCol: String, vecCol: String,
+      path: String, streamName: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, epoch: Long) =>
+        append(df, idCol, vecCol, path,
+          batchId = Some(s"$streamName-$epoch"))
+        ()
+      }
+      .start()
+
   /** Single-query top-k: probe the `nProbe` coarse lists nearest the
     * query (driver-side over the nLists×dim centroid table), scan
     * ONLY those code partitions, ADC-score, TakeOrdered. */

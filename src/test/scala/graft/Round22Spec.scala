@@ -302,6 +302,46 @@ class Round22Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("half-applied"))
   }
 
+  test("video_meta parses MP4 box variants and degrades malformed ones") {
+    def hexBytes(h: String): Array[Byte] =
+      h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def be(v: Long, n: Int): String = ("%0" + (2 * n) + "X").format(v)
+    val ftyp = "00000010" + "66747970" + "69736F6D" + "00000200"
+    def mvhd0(ts: Long, dur: Long): String =
+      be(28, 4) + "6D766864" + "00000000" + be(1, 4) + be(2, 4) +
+        be(ts, 4) + be(dur, 4)
+    // v1: 64-bit creation/modification/duration
+    def mvhd1(ts: Long, dur: Long): String =
+      be(40, 4) + "6D766864" + "01000000" + be(1, 8) + be(2, 8) +
+        be(ts, 4) + be(dur, 8)
+    def moov(children: String): String =
+      be(8 + children.length / 2, 4) + "6D6F6F76" + children
+    // 64-bit-size moov (size field 1 + u64 size)
+    def moov64(children: String): String =
+      be(1, 4) + "6D6F6F76" + be(16 + children.length / 2, 8) + children
+    val cases = Seq(
+      (1L, hexBytes(ftyp + moov(mvhd0(600, 1200)))),
+      (2L, hexBytes(ftyp + moov(mvhd1(1000, 2500)))),
+      (3L, hexBytes(ftyp + be(0, 4) + "6D6F6F76" + mvhd0(600, 900))), // size 0 = to EOF
+      (4L, hexBytes(ftyp + moov64(mvhd0(240, 120)))),
+      (5L, hexBytes(ftyp + moov(""))),                  // moov without mvhd
+      (6L, hexBytes(ftyp + be(4, 4) + "6D6F6F76")),     // box size < 8
+      (7L, hexBytes(ftyp).take(10)),                    // truncated
+      (8L, hexBytes(ftyp + moov(mvhd0(0, 100)))))       // timescale 0
+    val out = cases.toDF("id", "payload")
+      .select($"id", graft.functions.GraftExpressions.video_meta($"payload").as("v"))
+      .select($"id", $"v.format", $"v.timescale", $"v.duration_ms")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out(1L) == (("mp4", 600, 2000L)))
+    assert(out(2L) == (("mp4", 1000, 2500L)))
+    assert(out(3L) == (("mp4", 600, 1500L)))
+    assert(out(4L) == (("mp4", 240, 500L)))
+    (5L to 8L).foreach(i =>
+      assert(out(i) == (("unknown", -1, -1L)), s"case $i: ${out(i)}"))
+  }
+
   // ---- IvfPq incremental append ---------------------------------------
 
   private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
@@ -347,6 +387,45 @@ class Round22Spec extends AnyFunSuite {
     val st2 = IvfPq.append(far, "id", "embedding", p1)
     assert(st2.driftRatio > 1.5, s"shifted batch driftRatio=${st2.driftRatio}")
   }
+
+  test("IvfPq.appendStream: micro-batches land exactly-once, queries see them") {
+    import graft.operators.IvfPq
+    def vec(i: Long): Seq[Double] = Seq((i % 5).toDouble, (i % 7).toDouble)
+    val base = (1L to 32L).map(i => (i, vec(i))).toDF("id", "embedding")
+    val p = tmp() + "/idx_stream"
+    val cb = IvfPq.build(base, "id", "embedding", nLists = 2, m = 1,
+      codesPerSub = 4, path = p)
+    val in = tmp()
+    def writeBatch(name: String, ids: Range): Unit = Files.write(
+      Paths.get(in, name),
+      ids.map(i => s"""{"id":$i,"embedding":[${vec(i).mkString(",")}]}""")
+        .mkString("\n").getBytes("UTF-8"))
+    writeBatch("b1.json", 101 to 108)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val q = IvfPq.appendStream(
+      spark.readStream.schema(schema).json(in),
+      "id", "embedding", p, streamName = "s1", checkpointDir = tmp())
+    try {
+      q.processAllAvailable()
+      writeBatch("b2.json", 201 to 204)
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = IvfPq.topK(spark, p, cb, Array(2.0, 3.0), k = 64, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert((101L to 108L).forall(ids) && (201L to 204L).forall(ids))
+    assert(IvfIndexMetaCount(p) == 44L)
+    // a replayed epoch is a no-op: re-appending batch 0 under the same
+    // (stream, epoch) key appends nothing
+    val replay = IvfPq.append(
+      (101L to 108L).map(i => (i, vec(i))).toDF("id", "embedding"),
+      "id", "embedding", p, batchId = Some("s1-0"))
+    assert(replay.appended == 0L)
+    assert(IvfIndexMetaCount(p) == 44L)
+  }
+
+  private def IvfIndexMetaCount(p: String): Long =
+    graft.operators.IvfIndex.meta(p).get.corpusCount
 
   // ---- GraftBloom: independent-seed probes, tiny-fpp soundness --------
 
