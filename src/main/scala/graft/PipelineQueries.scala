@@ -2074,6 +2074,62 @@ object PipelineQueries {
       |FROM r WHERE domain_rank <= 15
       |ORDER BY domain, domain_rank""".stripMargin
 
+  // ---- composed web-curation pipeline (p71) ----------------------------
+
+  /** The RefinedWeb-style FRONT half composed end to end (p29 gates
+    * the dedup-centric back half): URL canonicalization → per-domain
+    * caps (the exact two-stage salted top-N) → eval-set
+    * decontamination (exact join) → deterministic split assignment →
+    * per-doc token stats. One DuckDB oracle reproduces the whole
+    * chain, so the stages are verified COMPOSED — the order is the
+    * real pipeline's (identity first, balance second, leakage removal
+    * third, split last so eval membership is stable under corpus
+    * growth), and every stage shrinks the next stage's input. */
+  def cWebPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") >= 50).withColumn("url", messyUrl)
+    val eval = docs.filter(col("doc_id") < 50)
+    val capped = Curation.domainCap(corpus, "url", "doc_id", "n_chars",
+      maxPerDomain = 15)
+    val clean = Curation.decontaminate(capped, eval, "doc_id", "text", k = 5)
+    Curation.assignSplits(clean, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("domain"), col("domain_rank"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("split"))
+      .orderBy("doc_id")
+  }
+
+  private val cWebPipelineSql = {
+    val t80 = Curation.hexThreshold(0.8)
+    val t90 = Curation.hexThreshold(0.8 + 0.1)
+    s"""WITH c AS (SELECT doc_id, n_chars, text,
+       |    lower(source) || '.example.com' AS domain
+       |  FROM documents WHERE doc_id >= 50),
+       |cap AS (SELECT *, CAST(row_number() OVER (PARTITION BY domain
+       |    ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS domain_rank
+       |  FROM c),
+       |kept AS (SELECT * FROM cap WHERE domain_rank <= 15),
+       |kw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+       |kg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |        generate_series(1, greatest(1, len(ws) - 4)),
+       |        i -> array_to_string(ws[i:i+4], ' ')))) AS gram FROM kw),
+       |ew AS (SELECT string_split(text, ' ') AS ws FROM documents
+       |       WHERE doc_id < 50),
+       |eg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+       |        generate_series(1, greatest(1, len(ws) - 4)),
+       |        i -> array_to_string(ws[i:i+4], ' ')))) AS gram FROM ew),
+       |bad AS (SELECT DISTINCT kg.doc_id FROM kg JOIN eg USING (gram)),
+       |fin AS (SELECT * FROM kept
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+       |SELECT doc_id, domain, domain_rank,
+       |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+       |  CASE WHEN md5(doc_id::VARCHAR) < '$t80' THEN 'train'
+       |       WHEN md5(doc_id::VARCHAR) < '$t90' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM fin ORDER BY doc_id""".stripMargin
+  }
+
   // ---- real-format MP4 video metadata (p70) ----------------------------
 
   /** Fixed path: same oracle-visibility contract as p68/p69. */
@@ -2099,11 +2155,13 @@ object PipelineQueries {
     val durUnits = (col("doc_id") % 9000 + 1000).cast("int")
     val ftyp = unhex(lit("00000010" + "66747970" + "69736F6D" + "00000200"))
     val freeBox = unhex(lit("0000000C" + "66726565" + "DEADBEEF"))
-    // mvhd v0: size 40 = 8 hdr + 32 payload (version..duration + pad)
+    // mvhd v0: size 40 = 8 hdr + 4 ver/flags + 4+4 times + 4+4 ts/dur
+    // + 12 pad — declared size and byte count must agree, or a parser
+    // advancing PAST mvhd by size reads misaligned garbage
     val mvhd = concat(unhex(lit("00000028" + "6D766864" + "00000000")),
       be(lit(1), 4), be(lit(2), 4),      // creation, modification
       be(timescale, 4), be(durUnits, 4), // timescale, duration
-      unhex(lit("0001000001000000000000000000")))  // rate/volume pad
+      unhex(lit("000100000100000000000000")))      // rate/volume pad (12B)
     val padBox = unhex(lit("0000000A" + "75647461" + "0102"))
     def moov(children: Column): Column =
       concat(be(length(children) + 8, 4), unhex(lit("6D6F6F76")), children)
@@ -2459,6 +2517,7 @@ object PipelineQueries {
     "p68_image_dims" -> (mImageDims _),
     "p69_audio_meta" -> (mAudioMeta _),
     "p70_video_meta" -> (mVideoMeta _),
+    "p71_web_pipeline" -> (cWebPipeline _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2542,5 +2601,6 @@ object PipelineQueries {
     "p68_image_dims" -> mImageDimsSql,
     "p69_audio_meta" -> mAudioMetaSql,
     "p70_video_meta" -> mVideoMetaSql,
+    "p71_web_pipeline" -> cWebPipelineSql,
   )
 }

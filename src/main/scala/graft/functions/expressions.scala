@@ -498,7 +498,10 @@ case class AudioMeta(child: Expression)
     val rate = le32(fp + 4)
     val byteRate = le32(fp + 8)
     val bits = le16(fp + 14)
-    if (channels <= 0 || rate <= 0 || byteRate <= 0) return unknown
+    // u32 rates above Int.MaxValue would go negative on .toInt and
+    // diverge from the oracle's positive BIGINT — degrade instead
+    if (channels <= 0 || rate <= 0 || rate > Int.MaxValue || byteRate <= 0)
+      return unknown
     org.apache.spark.sql.catalyst.InternalRow(
       UTF8String.fromString("wav"), channels, rate.toInt, bits,
       dataSize * 1000L / byteRate)
@@ -546,14 +549,19 @@ case class VideoMeta(child: Expression)
       u8(i + 2) == s.charAt(2) && u8(i + 3) == s.charAt(3)
     // (start of box, payload start, end) for the box at pos, or null
     def boxBounds(pos: Long, limit: Long): (Long, Long) = {
-      // returns (payloadStart, boxEnd); (-1,-1) when malformed
+      // returns (payloadStart, boxEnd); (-1,-1) when malformed. The
+      // 64-bit size is bounded to the blob length BEFORE any addition:
+      // a crafted largesize near 2^63 would overflow pos + s64 to a
+      // negative "end" that passes the limit check and traps the walk
+      // in a cycle (never-throws AND always-terminates contract).
       if (pos + 8 > limit) return (-1L, -1L)
       val size = be32(pos)
       if (size == 0L) (pos + 8, limit) // "to end"
       else if (size == 1L) {
         if (pos + 16 > limit) return (-1L, -1L)
         val s64 = be64(pos + 8)
-        if (s64 < 16 || pos + s64 > limit) (-1L, -1L) else (pos + 16, pos + s64)
+        if (s64 < 16 || s64 > limit || pos + s64 > limit) (-1L, -1L)
+        else (pos + 16, pos + s64)
       } else if (size < 8 || pos + size > limit) (-1L, -1L)
       else (pos + 8, pos + size)
     }
@@ -578,7 +586,9 @@ case class VideoMeta(child: Expression)
                 if (qpay + 32 > qend) return unknown
                 (be32(qpay + 20), be64(qpay + 24))
               } else return unknown
-            if (ts <= 0 || dur < 0) return unknown
+            // u32 timescale above Int.MaxValue would go negative on
+            // .toInt and diverge from the oracle's positive BIGINT
+            if (ts <= 0 || ts > Int.MaxValue || dur < 0) return unknown
             return org.apache.spark.sql.catalyst.InternalRow(
               UTF8String.fromString("mp4"), ts.toInt, dur * 1000L / ts)
           }

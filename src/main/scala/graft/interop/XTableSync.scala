@@ -67,7 +67,12 @@ object XTableSync {
     * survives as `%2520`. Foreign logs (Delta-Spark and friends
     * encode per spec) decode to real filesystem paths. */
   private def encodeDeltaPath(p: String): String =
-    new java.net.URI(null, null, p, null).getRawPath
+    // the './' prefix stops URI from reading a ':' in the FIRST
+    // segment as a scheme delimiter (a foreign partition dir like
+    // 'ts=2020-01-01 12:30:00/...' would otherwise throw
+    // URISyntaxException, or a scheme-shaped segment would null out
+    // getRawPath); ':' inside later segments is legal raw path syntax
+    new java.net.URI(null, null, "./" + p, null).getRawPath.stripPrefix("./")
 
   private def decodeDeltaPath(p: String): String =
     java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")

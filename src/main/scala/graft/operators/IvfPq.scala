@@ -113,21 +113,24 @@ object IvfPq {
       s"${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}")
     if (Files.exists(appDir.resolve(s"$id.done")))
       return AppendStats(0L, meta.corpusCount, 0.0, meta.meanAssignDist, -1.0)
-    val cb = codebooks(spark, path)
-    val table = spark.read.parquet(s"$path/centroids.parquet")
-      .orderBy("list").collect()
-      .map(_.getAs[Seq[Double]]("centroid").toArray)
     val b = batch.select(col(idCol).as("id"), col(vecCol).as("vec")).persist()
     try {
-      val firstDim = b.select(size(col("vec"))).limit(1).collect()
-      val n = b.count()
+      // ONE pass answers both emptiness and the dim probe, BEFORE the
+      // codebook/centroid loads — idle streaming micro-batches hit
+      // append on every epoch and must not pay two parquet collects
+      val probe = b.agg(count(lit(1)), first(size(col("vec")))).first()
+      val n = probe.getLong(0)
       if (n == 0L)
         return AppendStats(0L, meta.corpusCount, 0.0, meta.meanAssignDist, -1.0)
       // a wrong-dimension batch would silently mis-assign (the distance
       // loops compare only the common prefix) and mis-slice PQ subvectors
-      require(firstDim.head.getInt(0) == meta.dim,
-        s"batch vectors are ${firstDim.head.getInt(0)}-dim; index at " +
+      require(probe.getInt(1) == meta.dim,
+        s"batch vectors are ${probe.getInt(1)}-dim; index at " +
         s"$path was built over ${meta.dim}-dim vectors")
+      val cb = codebooks(spark, path)
+      val table = spark.read.parquet(s"$path/centroids.parquet")
+        .orderBy("list").collect()
+        .map(_.getAs[Seq[Double]]("centroid").toArray)
       val marker = appDir.resolve(s"$id.inprogress")
       Files.writeString(marker, "")
       val asg = b.withColumn("list",
@@ -152,19 +155,29 @@ object IvfPq {
     * every micro-batch to the persisted index — the vector-store
     * deployment shape (embeddings arrive as a stream; the index must
     * not be rebuilt per batch). Exactly-once across restarts comes
-    * from the (streamName, epoch) idempotence key: a replayed epoch
-    * finds its `.done` journal marker and appends nothing — the same
-    * contract as the graft streaming sink's (queryId, epoch) stamps.
-    * Monitor the returned stats through [[IvfIndex.meta]]'s drift
-    * baseline or by logging [[append]]'s AppendStats per batch. */
+    * from the (queryId, epoch) idempotence key — the SAME contract as
+    * the graft streaming sink: queryId is CHECKPOINT-derived, so a
+    * restart from the same checkpoint replays epochs onto their
+    * existing `.done` markers (no-ops), while a FRESH checkpoint mints
+    * a new queryId whose keys can never collide with stale markers —
+    * a static name there would silently drop the re-delivered data.
+    * (A fresh checkpoint also makes the source re-deliver from scratch,
+    * which duplicates rows in an append-only index — same as any
+    * new-query append of already-indexed data; dedup of ids is the
+    * caller's contract, as with [[build]].) `streamName` is the
+    * fallback key component for the off-chance Spark stops publishing
+    * the queryId thread property. Monitor drift by logging
+    * [[append]]'s AppendStats per batch. */
   def appendStream(stream: DataFrame, idCol: String, vecCol: String,
       path: String, streamName: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, epoch: Long) =>
-        append(df, idCol, vecCol, path,
-          batchId = Some(s"$streamName-$epoch"))
+        val qid = Option(df.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId"))
+          .getOrElse(streamName)
+        append(df, idCol, vecCol, path, batchId = Some(s"$qid-$epoch"))
         ()
       }
       .start()

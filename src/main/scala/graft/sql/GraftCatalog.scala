@@ -29,8 +29,21 @@ final class GraftCatalog(val spark: SparkSession, val warehouseDir: String) {
     Paths.get(warehouseDir, name).toString
   }
 
+  /** NEW names must satisfy the \w+ identifier grammar: the SQL
+    * surface registers every catalog table as a temp view, and Spark
+    * rejects view names with '-'/'.'/spaces — one minted bad name
+    * would make syncViews (and thus EVERY fall-through statement)
+    * throw for the whole catalog. Lookup/drop stay containment-only
+    * (rootOf) so legacy names created before validation remain
+    * reachable and droppable. */
+  private def requireNewName(name: String): Unit =
+    require(name.matches("\\w+"),
+      s"invalid new table name '$name' — must match \\w+ (the SQL " +
+      "surface registers tables as views, which reject other names)")
+
   /** D1: CREATE TABLE. */
   def createTable(config: TableConfig): GraftTable = {
+    requireNewName(config.name)
     require(!GraftTable.exists(rootOf(config.name)),
       s"table ${config.name} already exists")
     GraftTable.create(spark, rootOf(config.name), config)
@@ -63,6 +76,7 @@ final class GraftCatalog(val spark: SparkSession, val warehouseDir: String) {
     * timeline (time travel, incremental cursors). DROP on a registered
     * table removes only the registration, never the linked data. */
   def registerTable(name: String, path: String): GraftTable = {
+    requireNewName(name)
     require(!tableExists(name), s"table $name already exists")
     val src = Paths.get(path).toAbsolutePath
     require(GraftTable.exists(src.toString),
@@ -121,7 +135,12 @@ final class GraftCatalog(val spark: SparkSession, val warehouseDir: String) {
     * when its timeline head or its consume/hive-sync confs changed. */
   private val syncedState = scala.collection.mutable.Map.empty[String, String]
 
-  def syncViews(): Unit = listTables().foreach { n =>
+  def syncViews(): Unit = listTables()
+    // legacy API-created names outside the \w+ grammar cannot be temp
+    // views (Spark rejects them) — skip them here so ONE such table
+    // can never break the whole SQL surface; they stay reachable
+    // through the API, and requireNewName stops new ones from minting
+    .filter(_.matches("\\w+")).foreach { n =>
     val t = table(n)
     val mode = spark.conf.getOption(s"graft.$n.consume.mode")
       .map(_.trim.toUpperCase)

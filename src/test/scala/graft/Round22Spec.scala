@@ -235,12 +235,24 @@ class Round22Spec extends AnyFunSuite {
     assert(out == "unknown")
   }
 
-  test("catalog accepts legacy non-\\w+ names but rejects traversal") {
-    val cat = new graft.sql.GraftCatalog(spark, tmp())
+  test("catalog: legacy non-\\w+ names stay reachable, new ones are rejected") {
+    val wh = tmp()
+    val cat = new graft.sql.GraftCatalog(spark, wh)
+    // NEW names outside \w+ can no longer be minted (one bad name
+    // would break syncViews — and with it every SQL statement)
+    intercept[IllegalArgumentException] {
+      cat.createTable(TableConfig(
+        name = "my-table.v2", keyField = "id", orderingField = "ts"))
+    }
+    // a LEGACY table created before validation (simulated by an
+    // on-disk rename) stays readable and droppable...
     val t = cat.createTable(TableConfig(
-      name = "my-table.v2", keyField = "id", orderingField = "ts", numBuckets = 1))
+      name = "legacyt", keyField = "id", orderingField = "ts", numBuckets = 1))
     t.insert(Seq((1L, 1L)).toDF("id", "ts"))
+    Files.move(Paths.get(wh, "legacyt"), Paths.get(wh, "my-table.v2"))
     assert(cat.table("my-table.v2").read().count() == 1)
+    // ...and does NOT break SQL for the rest of the catalog
+    cat.syncViews()
     cat.dropTable("my-table.v2")
     assert(!cat.tableExists("my-table.v2"))
     intercept[IllegalArgumentException] { cat.dropTable("..") }
@@ -406,6 +418,7 @@ class Round22Spec extends AnyFunSuite {
     val q = IvfPq.appendStream(
       spark.readStream.schema(schema).json(in),
       "id", "embedding", p, streamName = "s1", checkpointDir = tmp())
+    val queryId = q.id.toString // checkpoint-stable — the idempotence key
     try {
       q.processAllAvailable()
       writeBatch("b2.json", 201 to 204)
@@ -416,10 +429,10 @@ class Round22Spec extends AnyFunSuite {
     assert((101L to 108L).forall(ids) && (201L to 204L).forall(ids))
     assert(IvfIndexMetaCount(p) == 44L)
     // a replayed epoch is a no-op: re-appending batch 0 under the same
-    // (stream, epoch) key appends nothing
+    // (queryId, epoch) key appends nothing
     val replay = IvfPq.append(
       (101L to 108L).map(i => (i, vec(i))).toDF("id", "embedding"),
-      "id", "embedding", p, batchId = Some("s1-0"))
+      "id", "embedding", p, batchId = Some(s"$queryId-0"))
     assert(replay.appended == 0L)
     assert(IvfIndexMetaCount(p) == 44L)
   }
