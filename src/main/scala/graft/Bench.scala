@@ -68,7 +68,8 @@ object Bench {
     "p60_bloom_decontaminate", // round 19: map-only Bloom-probe decontamination
     "p63_kn_perplexity", // round 19: corpus-fit KN bigram LM scoring
     "p64_ivfpq_adc", // round 19: build+query the composed IVF-PQ index
-    "p67_domain_cap") // round 20: URL canonicalization + per-domain caps
+    "p67_domain_cap", // round 20: URL canonicalization + per-domain caps
+    "p71_web_pipeline") // round 21: composed canonicalize→cap→decontaminate→split chain
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
