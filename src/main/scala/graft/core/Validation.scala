@@ -10,11 +10,17 @@ import org.apache.spark.sql.DataFrame
 object Validation {
 
   /** Multiset equality of two DataFrames over `cols` (all shared
-    * columns when empty). */
+    * columns when empty). An EMPTY comparison column set is refused:
+    * zero-column exceptAll degenerates to row-count equality, which
+    * would "validate" two unrelated datasets of the same size. */
   def datasetEquals(expected: DataFrame, actual: DataFrame,
       cols: Seq[String] = Nil): Boolean = {
     val shared = if (cols.nonEmpty) cols
       else expected.columns.toSeq.intersect(actual.columns.toSeq)
+    require(shared.nonEmpty,
+      "datasetEquals over zero shared columns would compare only row " +
+      s"counts — expected has [${expected.columns.mkString(",")}], " +
+      s"actual has [${actual.columns.mkString(",")}]")
     val e = expected.select(shared.map(expected.col): _*)
     val a = actual.select(shared.map(actual.col): _*)
     e.exceptAll(a).isEmpty && a.exceptAll(e).isEmpty
@@ -33,11 +39,25 @@ object Validation {
   }
 
   /** Table state vs accumulated expected input: the full DAG-node
-    * check — content equality on data columns plus key uniqueness. */
+    * check — content equality on data columns plus key uniqueness.
+    * EVERY expected column must exist in the table: silently narrowing
+    * to the intersection would let a table that never materialized a
+    * column "validate" against input that has it. The snapshot is
+    * computed once and persisted — it feeds five actions (two
+    * exceptAll probes, the dup check, plus planning), and for MOR each
+    * un-cached read would repeat the full realtime merge. */
   def validateAgainstInput(t: GraftTable, expectedInput: DataFrame): Boolean = {
-    val dataCols = expectedInput.columns.toSeq
-      .intersect(t.read().columns.toSeq)
-    datasetEquals(expectedInput, t.read(), dataCols) &&
-      duplicateKeys(t).isEmpty
+    import org.apache.spark.sql.functions._
+    val snapshot = t.read().persist()
+    try {
+      val missing = expectedInput.columns.toSeq
+        .filterNot(snapshot.columns.contains)
+      if (missing.nonEmpty) return false
+      val (df, idCols) = t.withIdCols(snapshot)
+      val noDups = df.groupBy(idCols.map(col): _*)
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1).isEmpty
+      datasetEquals(expectedInput, snapshot, expectedInput.columns.toSeq) &&
+        noDups
+    } finally { snapshot.unpersist(); () }
   }
 }

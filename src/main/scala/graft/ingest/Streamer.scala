@@ -117,13 +117,31 @@ abstract class DirSource(spark: SparkSession, dir: String,
 
   override def next(): (Option[DataFrame], String) = {
     val done = processed()
-    val all = Files.list(Paths.get(dir)).iterator().asScala
+    // Fs.list closes the directory stream (a bare Files.list leaks one
+    // fd per poll — fatal for a caught-up loop that rarely GCs); the
+    // mtime stat is fetched in the SAME pass and tolerates a producer
+    // deleting a file between listing and stat (skip, don't crash)
+    val all = graft.util.Fs.list(Paths.get(dir))(_
       .filter(Files.isRegularFile(_))
       .filterNot(_.getFileName.toString.startsWith("."))
-      .toSeq.sortBy(p => (Files.getLastModifiedTime(p).toMillis, p.toString))
-    val fresh = all.map(_.toString).filterNot(done.contains)
+      .flatMap { p =>
+        try Some((p.toString, Files.getLastModifiedTime(p).toMillis))
+        catch { case _: java.io.IOException => None }
+      }.toSeq)
+      .sortBy { case (p, m) => (m, p) }
+      .map(_._1)
+    val fresh = all.filterNot(done.contains)
     if (fresh.isEmpty) (None, "")
-    else (Some(readFiles(fresh)), (done ++ fresh).toSeq.sorted.mkString("\n"))
+    else {
+      // the checkpoint keeps only paths STILL PRESENT in the listing:
+      // entries for deleted files are dead weight (a re-created
+      // same-name file is new data and should re-ingest), and an
+      // ever-growing set would make every poll pay O(total history)
+      // in checkpoint read+rewrite
+      val token = (all.toSet.intersect(done) ++ fresh).toSeq.sorted
+        .mkString("\n")
+      (Some(readFiles(fresh)), token)
+    }
   }
 
   override def commitCheckpoint(token: String): Unit = {
@@ -188,9 +206,22 @@ class TableIncrementalSource(upstream: GraftTable, checkpointFile: String)
 
   override def next(): (Option[DataFrame], String) = {
     val from = last()
-    val latest = upstream.log.lastInstant().getOrElse("0")
-    if (latest <= from) (None, "")
-    else (Some(upstream.readIncremental(fromExclusive = from)), latest)
+    // only ROW commits (action commit|replace — readIncremental's own
+    // filter) carry ingestable changes: an upstream table SERVICE
+    // (compact/cluster/clean) advances the timeline without new rows,
+    // and treating its instant as data would publish a spurious empty
+    // commit on the chained target (and tick its inline-compaction
+    // counter). Service-only advancement returns None and is cheaply
+    // re-examined next poll — O(commits) metadata, no data read.
+    val latestRow = upstream.log.commits()
+      .filter(c => c.instant > from)
+      .filter(c => c.action == "commit" || c.action == "replace")
+      .lastOption.map(_.instant)
+    latestRow match {
+      case None => (None, "")
+      case Some(latest) =>
+        (Some(upstream.readIncremental(fromExclusive = from)), latest)
+    }
   }
 
   override def commitCheckpoint(token: String): Unit = {

@@ -102,11 +102,12 @@ object GraftStreamingWrite {
   val QueryIdKey = "graft.stream.queryId"
   val EpochKey = "graft.stream.epoch"
 
+  // delegate to the shared helper: it CLOSES the walk stream (a bare
+  // Files.walk leaks one fd per epoch commit/abort on a long-running
+  // query) and swallows IOException as best-effort — staging cleanup
+  // must never fail commit(epochId) AFTER the table commit landed
   private[sql] def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => { Files.deleteIfExists(f); () })
-    }
+    graft.util.TempDirs.deleteRecursively(p)
 }
 
 /** One staged parquet file per non-empty task. */

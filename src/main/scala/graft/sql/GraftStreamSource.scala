@@ -74,6 +74,16 @@ final class GraftStreamTable(root: String, tableSchema: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new Scan {
+      // READ-side only (inferSchema also serves the SINK, which
+      // legitimately starts on an empty destination): the inferred
+      // schema is pinned for the query's lifetime, so a stream READ
+      // begun on a never-written table would capture the empty struct
+      // and die on its first planned batch with a bare fieldIndex
+      // error — fail at start() with the actionable message instead
+      // (the batch scan has the same guard, GraftMorScan)
+      require(tableSchema.fields.nonEmpty,
+        s"graft table at $root has no commits yet — write a first " +
+        "batch before starting a stream over it")
       override def readSchema(): StructType = tableSchema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new GraftMicroBatchStream(SparkSession.active, root, tableSchema)
@@ -201,10 +211,11 @@ final class GraftMicroBatchStream(spark: SparkSession, root: String,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val cfg = table.config
-    val need = tableSchema.fieldNames.toSet ++
-      Set(cfg.keyField, cfg.orderingField, TableConfig.CommitTimeCol,
-        cfg.softDeleteField)
-    val superset = StructType(tableSchema.fields.filter(f => need.contains(f.name)))
+    // unlike the batch scan there is no column pruning on this path
+    // (the stream emits the full table schema), so the merge superset
+    // IS the table schema and the output mapping is the identity —
+    // the batch path's need/filter dance would be a no-op here
+    val superset = tableSchema
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
       spark,
       dataSchema = tableSchema,

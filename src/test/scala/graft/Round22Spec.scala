@@ -440,6 +440,82 @@ class Round22Spec extends AnyFunSuite {
   private def IvfIndexMetaCount(p: String): Long =
     graft.operators.IvfIndex.meta(p).get.corpusCount
 
+  // ---- streaming/ingest hardening (third review pass) ------------------
+
+  test("TableIncrementalSource ignores upstream table-service commits") {
+    val work = tmp()
+    val up = GraftTable.create(spark, s"$work/up", TableConfig(
+      name = "up", keyField = "id", orderingField = "ts", numBuckets = 1))
+    val down = GraftTable.create(spark, s"$work/down", TableConfig(
+      name = "down", keyField = "id", orderingField = "ts", numBuckets = 1))
+    up.insert(Seq((1L, 1L, "a")).toDF("id", "ts", "v"))
+    val src = new graft.ingest.TableIncrementalSource(up, s"$work/ckpt")
+    assert(graft.ingest.Streamer.runOnce(down, src).isDefined)
+    val downCommits = down.log.commits().size
+    // an upstream CLEAN advances the timeline with zero new rows: the
+    // chained source must report nothing, not publish an empty commit
+    (2 to 12).foreach(i => up.upsert(Seq((1L, i.toLong, "a")).toDF("id", "ts", "v")))
+    assert(graft.ingest.Streamer.runOnce(down, src).isDefined) // real rows
+    graft.core.TableServices.clean(up, retainCommits = 2)
+    val afterData = down.log.commits().size
+    assert(graft.ingest.Streamer.runOnce(down, src).isEmpty,
+      "service-only upstream advancement must not produce a batch")
+    assert(down.log.commits().size == afterData)
+    assert(downCommits < afterData)
+  }
+
+  test("streaming source on a never-written table fails at start, actionably") {
+    val root = tmp() + "/empty"
+    GraftTable.create(spark, root, TableConfig(
+      name = "emptystream", keyField = "id", orderingField = "ts"))
+    // the scan (where the guard lives) is built at query START; the
+    // failure surfaces either synchronously or as the stream's
+    // termination exception — both must carry the actionable message
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft-stream").option("path", root)
+        .load().writeStream.format("memory").queryName("neverwritten").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("no commits yet")), messages(e).toString)
+  }
+
+  test("DirSource checkpoint prunes deleted files; re-created names re-ingest") {
+    val in = tmp(); val work = tmp()
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("ts", LongType), StructField("v", StringType)))
+    val t = GraftTable.create(spark, s"$work/t", TableConfig(
+      name = "dirsrc", keyField = "id", orderingField = "ts", numBuckets = 1))
+    val src = new graft.ingest.JsonDirSource(spark, in, schema, s"$work/ckpt")
+    Files.writeString(Paths.get(in, "a.json"), """{"id":1,"ts":1,"v":"x"}""")
+    assert(graft.ingest.Streamer.runOnce(t, src).isDefined)
+    Files.delete(Paths.get(in, "a.json"))
+    Files.writeString(Paths.get(in, "b.json"), """{"id":2,"ts":1,"v":"y"}""")
+    assert(graft.ingest.Streamer.runOnce(t, src).isDefined)
+    // the checkpoint no longer holds the deleted a.json — a re-created
+    // file under the same name is NEW data and must re-ingest
+    assert(!Files.readString(Paths.get(s"$work/ckpt")).contains("a.json"))
+    Files.writeString(Paths.get(in, "a.json"), """{"id":1,"ts":2,"v":"x2"}""")
+    assert(graft.ingest.Streamer.runOnce(t, src).isDefined)
+    assert(t.read().filter($"id" === 1L).select("v").as[String].head() == "x2")
+  }
+
+  test("validateAgainstInput fails when expected columns are missing from the table") {
+    val t = GraftTable.create(spark, tmp(), TableConfig(
+      name = "valmiss", keyField = "id", orderingField = "ts", numBuckets = 1))
+    t.insert(Seq((1L, 1L)).toDF("id", "ts"))
+    val expected = Seq((1L, 1L, "x")).toDF("id", "ts", "v")
+    assert(!graft.core.Validation.validateAgainstInput(t, expected),
+      "a table missing an expected column must not validate")
+    assert(graft.core.Validation.validateAgainstInput(t,
+      Seq((1L, 1L)).toDF("id", "ts")))
+    intercept[IllegalArgumentException] {
+      graft.core.Validation.datasetEquals(
+        Seq(1L).toDF("a"), Seq(1L).toDF("b"))
+    }
+  }
+
   // ---- GraftBloom: independent-seed probes, tiny-fpp soundness --------
 
   test("bloomDecontaminate at fpp=1e-9 equals the exact operator on the fixture") {
