@@ -26,7 +26,13 @@ object JdbcSink {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) write(batch, url, table, options)
+        // persist: isEmpty and the JDBC write would otherwise each
+        // re-plan the micro-batch (a Kafka source re-fetches the
+        // offset range per action) — same reason streamIntoRouted
+        // caches its batch
+        val cached = batch.persist()
+        try { if (!cached.isEmpty) write(cached, url, table, options) }
+        finally { cached.unpersist(); () }
       }
       .start()
 
@@ -36,11 +42,22 @@ object JdbcSink {
   def parseTopic2TableMap(s: String): Map[String, String] =
     s.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { kv =>
       kv.split("=", 2) match {
-        case Array(t, tbl) if tbl.nonEmpty => t.trim -> tbl.trim
+        // BOTH sides must be non-empty: '=tableA' would route the
+        // empty-string topic (matching nothing, silently starving the
+        // table) instead of failing loudly like other bad entries
+        case Array(t, tbl) if t.trim.nonEmpty && tbl.trim.nonEmpty =>
+          t.trim -> tbl.trim
         case _ => throw new IllegalArgumentException(
           s"bad topic2TableMap entry '$kv' (want topic=table)")
       }
-    }.toMap
+    }.toSeq match {
+      case entries =>
+        val dups = entries.groupBy(_._1).filter(_._2.size > 1).keys
+        require(dups.isEmpty,
+          s"topic2TableMap routes topic(s) ${dups.mkString(", ")} twice — " +
+          "a duplicate would silently last-win")
+        entries.toMap
+    }
 
   /** Multi-topic routing — the connector's `topic2TableMap`
     * (kafka_connect_clickhouse.json:4-23): ONE streaming sink fans a

@@ -29,6 +29,11 @@ import org.apache.spark.sql.types.DecimalType
 object IncrementalMv {
 
   private val dec = DecimalType(18, 2)
+  // sum over dec(18,2) widens to dec(28,2) in Spark — the MV stores
+  // the ACCUMULATED sum at this type; casting back to (18,2) per
+  // refresh would NULL out (non-ANSI) once a group's running sum
+  // passes 16 integer digits, where the full recompute still succeeds
+  private val decSum = DecimalType(28, 2)
 
   /** Full compute of the MV's defining aggregate over a snapshot. */
   def fullAggregate(snapshot: DataFrame, groupCol: String,
@@ -36,6 +41,19 @@ object IncrementalMv {
     snapshot.groupBy(groupCol)
       .agg(count(lit(1)).as("cnt"),
         sum(col(valueCol).cast(dec)).as("sum_value"))
+
+  /** [[fullAggregate]] plus the maintenance-only `_nn` column (count
+    * of NON-NULL values): SQL `sum` ignores NULLs and is NULL for an
+    * all-NULL group, so the incremental path must know how many
+    * non-null values a group holds to reproduce that — without it, a
+    * delta batch whose rows for a group are all NULL-valued would
+    * clobber the running sum to NULL. */
+  private def fullWithNn(snapshot: DataFrame, groupCol: String,
+      valueCol: String): DataFrame =
+    snapshot.groupBy(groupCol)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast(dec)).as("sum_value"),
+        count(col(valueCol)).as("_nn"))
 
   /** Commit-extra key carrying the base-table instant a refresh
     * covered — rides IN the refresh commit itself, so cursor and data
@@ -62,13 +80,21 @@ object IncrementalMv {
     val end = rowCommits.lastOption.map(_.instant).getOrElse(return 0L)
     lastCursor(mv) match {
       case None =>
-        val full = fullAggregate(base.read(), groupCol, valueCol)
+        // read AS OF the cursor instant: a commit landing between the
+        // log read above and this snapshot would otherwise be baked
+        // into the MV yet NOT covered by the stored cursor, and the
+        // next sync would apply its deltas a second time
+        val full = fullWithNn(base.read(Some(end)), groupCol, valueCol)
           .withColumn("_refreshed", lit(0L))
         mv.upsert(full, extra = Map(CursorKey -> end))
         mv.read().count()
       case Some(cur) if cur >= end => 0L // nothing new
       case Some(cur) =>
-        refresh(spark, mv, base.readCdc(cur, withPreimages = true),
+        // bound the CDC read to EXACTLY the commits the cursor will
+        // cover (same TOCTOU as the full build: readCdc re-snapshots)
+        val nUncovered = rowCommits.count(_.instant > cur)
+        refresh(spark, mv,
+          base.readCdc(cur, maxCommits = nUncovered, withPreimages = true),
           groupCol, valueCol, cursor = Some(end))
     }
   }
@@ -89,17 +115,40 @@ object IncrementalMv {
     val deltas = cdc
       .groupBy(groupCol)
       .agg(sum(sign).as("d_cnt"),
-        sum(sign.cast(dec) * col(valueCol).cast(dec)).as("d_sum"))
+        // NULL-valued rows contribute 0 to the sum and 0 to _nn (SQL
+        // sum ignores NULLs); coalesce keeps an all-NULL delta batch
+        // from clobbering the running sum to NULL
+        coalesce(sum(sign.cast(dec) * col(valueCol).cast(dec)),
+          lit(0).cast(decSum)).as("d_sum"),
+        sum(when(col(valueCol).isNotNull, sign).otherwise(lit(0)))
+          .as("d_nn"))
     // current MV rows for the touched groups only — the MV table is
-    // group-cardinality small, but read it pruned anyway
-    val current = mv.read().select(col(groupCol),
-      col("cnt").as("o_cnt"), col("sum_value").as("o_sum"))
+    // group-cardinality small, but read it pruned anyway. An MV built
+    // before the _nn column existed falls back to o_nn = cnt (exact
+    // whenever its history held no NULL values — the common case).
+    val curCols = Seq(col(groupCol), col("cnt").as("o_cnt"),
+      col("sum_value").as("o_sum")) :+
+      (if (mv.read().columns.contains("_nn")) col("_nn").as("o_nn")
+       else col("cnt").as("o_nn"))
+    val current = mv.read().select(curCols: _*)
+    val nn = coalesce(col("o_nn"), lit(0L)) + col("d_nn")
     val merged = deltas.join(current, Seq(groupCol), "left_outer")
       .select(col(groupCol),
         (coalesce(col("o_cnt"), lit(0L)) + col("d_cnt")).as("cnt"),
-        (coalesce(col("o_sum"), lit(0).cast(dec)) + col("d_sum"))
-          .cast(dec).as("sum_value"),
-        (unix_micros(current_timestamp()) * lit(1000L)).as("_refreshed"))
+        // SQL sum semantics: a group whose surviving rows are all
+        // NULL-valued has sum NULL, not 0
+        when(nn > 0L,
+          (coalesce(col("o_sum"), lit(0).cast(decSum)) + col("d_sum"))
+            .cast(decSum))
+          .otherwise(lit(null).cast(decSum)).as("sum_value"),
+        nn.as("_nn"),
+        // the ordering stamp must be MONOTONE per refresh: the covered
+        // base instant is (wall-clock current_timestamp could step
+        // BACKWARDS under NTP and make a newer refresh lose the
+        // latest-wins merge, silently serving stale aggregates)
+        cursor.map(c => lit(c.toLong))
+          .getOrElse(unix_micros(current_timestamp()) * lit(1000L))
+          .as("_refreshed"))
     // materialize ONCE: the count gate and the upsert below otherwise
     // each recompute the whole CDC read + join (measured as a full
     // second pass in the l20 step profile); the merged relation is
@@ -113,6 +162,11 @@ object IncrementalMv {
         mv.config.softDeleteField, col("cnt") === 0L)
       mv.upsert(withTombstones,
         extra = cursor.map(CursorKey -> _).toMap)
+    } else cursor.foreach { c =>
+      // ZERO changed groups must still ADVANCE the cursor (a row-less
+      // base commit would otherwise be re-diffed on every later sync,
+      // forever): an empty upsert is a metadata-only commit
+      mv.upsert(materialized, extra = Map(CursorKey -> c))
     }
     changed
   }

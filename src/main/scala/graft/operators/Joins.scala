@@ -38,8 +38,16 @@ object Joins {
     // whenever a right value is null
     val packed = struct(
       rightValueCols.map(col) :+ col(timeCol).as("__t"): _*)
-    val r = right.select(keys.map(col) :+ col(timeCol) :+
-      packed.as("__asof"): _*)
+    // NULL contract (matches the equivalent non-equi join `right.time
+    // <= left.time AND keys equal`, where NULL never compares true):
+    // a right row with NULL time must not match anything — unfiltered
+    // it would sort FIRST (asc = nulls-first) and be carried as the
+    // "latest at-or-before" match to every left row — and NULL keys
+    // must not pair up, which partitionBy would otherwise do.
+    val r = right
+      .filter(col(timeCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(keys.map(col) :+ col(timeCol) :+ packed.as("__asof"): _*)
     val structType = r.schema("__asof").dataType
     // right rows sort BEFORE left rows at equal time (<= semantics)
     val l = left
@@ -77,10 +85,29 @@ object Joins {
     // operator exists to prevent, surfacing as a hang, not an error
     require(binWidth > 0 && !binWidth.isInfinite,
       s"binWidth=$binWidth must be a positive finite number")
-    val binned = ranges.withColumn("__bin",
-      explode(sequence(
-        floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+    // per-ROW guards, same failure class as binWidth=0: one corrupt
+    // range (hi < lo, or a range spanning millions of bins) would
+    // drive sequence() into the array-size limit and kill the job, or
+    // silently emit a junk descending sequence — fail loudly naming
+    // the row instead
+    val maxBinsPerRange = 1000000L
+    val lo = floor(col(loCol) / binWidth).cast("long")
+    val hi = floor(col(hiCol) / binWidth).cast("long")
+    // the guard is FOLDED INTO the sequence's lower bound (+0) — a
+    // standalone projected-then-dropped column would be eliminated by
+    // the optimizer and never evaluate the raise_error
+    val guardZero = when(col(hiCol) < col(loCol), raise_error(concat(
+        lit(s"rangeJoinBinned: inverted range [$loCol, $hiCol) = ["),
+        col(loCol), lit(", "), col(hiCol), lit(")"))).cast("long"))
+      .when(hi - lo > maxBinsPerRange, raise_error(concat(
+        lit(s"rangeJoinBinned: range ["), col(loCol), lit(", "),
+        col(hiCol),
+        lit(s") spans more than $maxBinsPerRange bins at binWidth=" +
+          s"$binWidth — raise binWidth or clean the range rows")))
+        .cast("long"))
+      .otherwise(lit(0L))
+    val binned = ranges
+      .withColumn("__bin", explode(sequence(lo + guardZero, hi)))
     val l = left.withColumn("__bin",
       floor(col(leftValCol) / binWidth).cast("long"))
     l.join(binned, Seq("__bin"))

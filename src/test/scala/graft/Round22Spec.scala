@@ -516,6 +516,109 @@ class Round22Spec extends AnyFunSuite {
     }
   }
 
+  // ---- IncrementalMv / Joins / JdbcSink hardening ----------------------
+
+  test("IncrementalMv: NULL-valued rows keep SQL sum semantics through refreshes") {
+    val work = tmp()
+    def mk(n: String, key: String, buckets: Int) = GraftTable.create(
+      spark, s"$work/$n", TableConfig(name = n, keyField = key,
+        orderingField = if (key == "id") "ts" else "_refreshed",
+        numBuckets = buckets))
+    val base = mk("base", "id", 2)
+    val mv = mk("mv", "g", 1)
+    base.insert(Seq((1L, 1L, "a", Some(5.0)), (2L, 1L, "b", None))
+      .toDF("id", "ts", "g", "value"))
+    graft.operators.IncrementalMv.sync(spark, base, mv, "g", "value")
+    // group b: one NULL-valued row -> cnt 1, sum NULL
+    def state() = mv.read().select("g", "cnt", "sum_value").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDecimal(2).toPlainString))).toMap
+    assert(state()("b") == ((1L, null)))
+    // an all-NULL delta batch must not clobber group a's running sum
+    base.upsert(Seq((3L, 2L, "a", Option.empty[Double]))
+      .toDF("id", "ts", "g", "value"))
+    graft.operators.IncrementalMv.sync(spark, base, mv, "g", "value")
+    assert(state()("a") == ((2L, "5.00")))
+    // a non-null arrival flips group b's sum from NULL to a value
+    base.upsert(Seq((4L, 2L, "b", Some(7.0))).toDF("id", "ts", "g", "value"))
+    graft.operators.IncrementalMv.sync(spark, base, mv, "g", "value")
+    assert(state()("b") == ((2L, "7.00")))
+    // maintained == recomputed, NULLs included
+    val full = graft.operators.IncrementalMv
+      .fullAggregate(base.read(), "g", "value")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDecimal(2).toPlainString))).toMap
+    assert(state() == full)
+  }
+
+  test("IncrementalMv: a row-less base commit advances the cursor once") {
+    val work = tmp()
+    val base = GraftTable.create(spark, s"$work/base", TableConfig(
+      name = "b2", keyField = "id", orderingField = "ts", numBuckets = 1))
+    val mv = GraftTable.create(spark, s"$work/mv", TableConfig(
+      name = "m2", keyField = "g", orderingField = "_refreshed", numBuckets = 1))
+    base.insert(Seq((1L, 1L, "a", 5.0, "x")).toDF("id", "ts", "g", "value", "tmp"))
+    graft.operators.IncrementalMv.sync(spark, base, mv, "g", "value")
+    // dropColumn is a ROW-LESS action=commit: the head advances but the
+    // CDC range holds zero rows — the cursor must advance anyway, or
+    // every later sync re-diffs the same empty range forever
+    base.dropColumn("tmp")
+    assert(graft.operators.IncrementalMv.sync(spark, base, mv, "g", "value") == 0L)
+    val cur1 = graft.operators.IncrementalMv.lastCursor(mv)
+    assert(cur1.contains(base.log.lastInstant().get),
+      s"cursor $cur1 must cover the row-less head")
+    // next sync: a true no-op, no new mv commits
+    val mvCommits = mv.log.commits().size
+    assert(graft.operators.IncrementalMv.sync(spark, base, mv, "g", "value") == 0L)
+    assert(mv.log.commits().size == mvCommits)
+    // and the MV content is intact
+    assert(mv.read().select("cnt").as[Long].head() == 1L)
+  }
+
+  test("asofJoin: NULL right times and NULL keys never match") {
+    val left = Seq(("A", 5L), ("B", 5L), (null.asInstanceOf[String], 5L))
+      .toDF("sym", "t")
+    val right = Seq(("A", Some(10L), 50.0), ("A", None, 99.0),
+      ("B", Some(3L), 7.0), (null.asInstanceOf[String], Some(1L), 88.0))
+      .toDF("sym", "t", "px")
+    val out = graft.operators.Joins
+      .asofJoin(left, right, Seq("sym"), "t", Seq("px"))
+      .collect().map(r => Option(r.getString(0)) ->
+        (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(out(Some("A")) == null,   "NULL-time right row must not match")
+    assert(out(Some("B")) == 7.0)
+    assert(out(None) == null,        "NULL keys must not pair up")
+  }
+
+  test("rangeJoinBinned rejects inverted and bin-exploding ranges loudly") {
+    val left = Seq(1.0, 2.0).toDF("v")
+    val bad = Seq((10.0, 2.0)).toDF("lo", "hi") // inverted
+    val e = intercept[Exception] {
+      graft.operators.Joins.rangeJoinBinned(left, "v", bad, "lo", "hi", 1.0)
+        .collect()
+    }
+    assert(e.getMessage.contains("inverted") ||
+      Option(e.getCause).exists(_.getMessage.contains("inverted")), e.getMessage)
+    val wide = Seq((0.0, 1e9)).toDF("lo", "hi")
+    val e2 = intercept[Exception] {
+      graft.operators.Joins.rangeJoinBinned(left, "v", wide, "lo", "hi", 0.001)
+        .collect()
+    }
+    assert(e2.getMessage.contains("bins") ||
+      Option(e2.getCause).exists(_.getMessage.contains("bins")), e2.getMessage)
+    // well-formed ranges still join
+    val ok = Seq((0.0, 1.5), (1.5, 3.0)).toDF("lo", "hi")
+    assert(graft.operators.Joins
+      .rangeJoinBinned(left, "v", ok, "lo", "hi", 1.0).count() == 2)
+  }
+
+  test("parseTopic2TableMap rejects empty topics and duplicate routes") {
+    import graft.ingest.JdbcSink.parseTopic2TableMap
+    assert(parseTopic2TableMap("a=t1,b=t2") == Map("a" -> "t1", "b" -> "t2"))
+    intercept[IllegalArgumentException] { parseTopic2TableMap("=t1,b=t2") }
+    intercept[IllegalArgumentException] { parseTopic2TableMap("a=t1,a=t2") }
+  }
+
   // ---- GraftBloom: independent-seed probes, tiny-fpp soundness --------
 
   test("bloomDecontaminate at fpp=1e-9 equals the exact operator on the fixture") {
