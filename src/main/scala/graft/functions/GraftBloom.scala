@@ -42,13 +42,22 @@ final case class GraftBloom(numProbes: Int, words: Array[Long])
 object GraftBloom {
 
   /** Optimal bit count for (n, fpp), rounded up to whole 64-bit words
-    * (≥ 1 word). */
+    * (≥ 1 word). Fails loudly past Int.MaxValue words (~17 GB): a
+    * silent .toInt wrap would build a far-undersized filter that
+    * PASSES downstream byte-size guards while inflating the FP rate —
+    * over-removing clean documents at exactly the scale the guards
+    * exist for. */
   def numWords(expectedItems: Long, fpp: Double): Int = {
     require(expectedItems > 0, s"expectedItems=$expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp=$fpp")
     val m = math.ceil(-expectedItems.toDouble * math.log(fpp) /
       (math.log(2) * math.log(2)))
-    math.max(1L, math.ceil(m / 64.0).toLong).toInt
+    val w = math.max(1L, math.ceil(m / 64.0).toLong)
+    require(w <= Int.MaxValue.toLong,
+      s"bloom for expectedItems=$expectedItems fpp=$fpp needs $w words " +
+      s"(${w * 8L / (1L << 30)} GiB) — past the single-array limit; " +
+      "shard the filter or raise fpp")
+    w.toInt
   }
 
   /** Optimal probe count for n items in m bits. */

@@ -119,18 +119,28 @@ abstract class DirSource(spark: SparkSession, dir: String,
     val done = processed()
     // Fs.list closes the directory stream (a bare Files.list leaks one
     // fd per poll — fatal for a caught-up loop that rarely GCs); the
-    // mtime stat is fetched in the SAME pass and tolerates a producer
-    // deleting a file between listing and stat (skip, don't crash)
-    val all = graft.util.Fs.list(Paths.get(dir))(_
+    // mtime stat is fetched in the SAME pass. A stat failure must be
+    // split two ways: file genuinely gone (deleted between listing and
+    // stat) → drop; file still present but the stat was flaky → keep
+    // it listed with NO mtime, so its checkpoint entry survives (a
+    // drop would erase the processed marker and re-ingest it — dup
+    // rows from one transient IOException) but it is not ingested this
+    // poll (an unreadable stat is a poor omen for a readable ingest;
+    // next poll retries).
+    val listed = graft.util.Fs.list(Paths.get(dir))(_
       .filter(Files.isRegularFile(_))
       .filterNot(_.getFileName.toString.startsWith("."))
       .flatMap { p =>
-        try Some((p.toString, Files.getLastModifiedTime(p).toMillis))
-        catch { case _: java.io.IOException => None }
+        try Some((p.toString, Some(Files.getLastModifiedTime(p).toMillis)))
+        catch {
+          case _: java.io.IOException =>
+            if (Files.exists(p)) Some((p.toString, None)) else None
+        }
       }.toSeq)
-      .sortBy { case (p, m) => (m, p) }
-      .map(_._1)
-    val fresh = all.filterNot(done.contains)
+    val all = listed.map(_._1)
+    val fresh = listed.collect { case (p, Some(m)) if !done.contains(p) =>
+      (p, m)
+    }.sortBy { case (p, m) => (m, p) }.map(_._1)
     if (fresh.isEmpty) (None, "")
     else {
       // the checkpoint keeps only paths STILL PRESENT in the listing:
@@ -213,14 +223,19 @@ class TableIncrementalSource(upstream: GraftTable, checkpointFile: String)
     // commit on the chained target (and tick its inline-compaction
     // counter). Service-only advancement returns None and is cheaply
     // re-examined next poll — O(commits) metadata, no data read.
-    val latestRow = upstream.log.commits()
+    val rowCommits = upstream.log.commits()
       .filter(c => c.instant > from)
       .filter(c => c.action == "commit" || c.action == "replace")
-      .lastOption.map(_.instant)
-    latestRow match {
+    rowCommits.lastOption.map(_.instant) match {
       case None => (None, "")
       case Some(latest) =>
-        (Some(upstream.readIncremental(fromExclusive = from)), latest)
+        // bound the read to exactly the commits the token covers: a
+        // row commit landing between this log read and the snapshot
+        // inside readIncremental would otherwise be delivered NOW but
+        // not covered by `latest` — and redelivered next poll (the
+        // IncrementalMv.sync TOCTOU, same fix: maxCommits)
+        (Some(upstream.readIncremental(fromExclusive = from,
+          maxCommits = rowCommits.size)), latest)
     }
   }
 

@@ -309,13 +309,29 @@ object XTableSync {
   final case class DeltaState(schemaJson: String,
       partitionColumns: Seq[String], liveFiles: Seq[String])
 
-  /** The `_delta_log` version files under `root`, ascending. */
+  /** The `_delta_log` version files under `root`, ascending. Fails
+    * loudly on a checkpointed log (`_last_checkpoint` or
+    * `*.checkpoint*.parquet`): Delta's log-retention cleaning deletes
+    * JSON commits older than the checkpoint, so replaying the
+    * surviving JSON chain alone reconstructs an INCOMPLETE live set —
+    * adoption would silently drop files (later JSONs still exist, so
+    * a bare nonEmpty check can't catch it). Checkpoint-parquet replay
+    * needs the Delta kernel's checkpoint schema; until that lands the
+    * honest answer is refusal, not a truncated adopt. */
   private def deltaVersionFiles(root: String): Seq[java.nio.file.Path] = {
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log under $root")
-    Files.list(logDir).iterator().asScala
-      .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val names = graft.util.Fs.list(logDir)(
+      _.map(_.getFileName.toString).toSeq)
+    val checkpointed = names.contains("_last_checkpoint") ||
+      names.exists(n => n.contains(".checkpoint") && n.endsWith(".parquet"))
+    require(!checkpointed,
+      s"_delta_log under $root is checkpointed — JSON commits before " +
+      "the checkpoint may have been retention-cleaned, so a JSON-only " +
+      "replay would silently drop live files; adopt from a table whose " +
+      "full JSON history is present")
+    names.filter(_.matches("\\d{20}\\.json")).sorted
+      .map(logDir.resolve)
   }
 
   def replayDelta(root: String): DeltaState = {
@@ -445,8 +461,8 @@ object XTableSync {
   def latestIcebergMetadataFile(root: String): java.nio.file.Path = {
     val metaDir = Paths.get(root, "metadata")
     require(Files.isDirectory(metaDir), s"no metadata/ dir under $root")
-    val latest = Files.list(metaDir).iterator().asScala
-      .map(_.getFileName.toString)
+    val latest = graft.util.Fs.list(metaDir)(
+      _.map(_.getFileName.toString).toSeq).iterator
       .flatMap { n =>
         val m = "^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(n)
         m.map(_.group(1).toLong -> n)

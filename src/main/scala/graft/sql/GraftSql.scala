@@ -520,7 +520,13 @@ final class GraftSql(catalog: GraftCatalog) {
           adopted("delta_adopted", catalog.table(name)
             .bootstrapFromFiles(live.map(p.resolve)))
         } else if (p.getFileName.toString.endsWith(".metadata.json") ||
-            java.nio.file.Files.isDirectory(p.resolve("metadata"))) {
+            // a plain parquet tree may legitimately hold a metadata/
+            // subdirectory — only commit to the Iceberg branch when it
+            // actually contains a v*.metadata.json, else fall through
+            // to bare-parquet bootstrap
+            (java.nio.file.Files.isDirectory(p.resolve("metadata")) &&
+              graft.util.Fs.list(p.resolve("metadata"))(_.exists(
+                _.getFileName.toString.matches("^v\\d+\\.metadata\\.json$"))))) {
           val metaFile =
             if (java.nio.file.Files.isRegularFile(p)) p
             else XTableSync.latestIcebergMetadataFile(p.toString)
