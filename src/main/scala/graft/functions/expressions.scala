@@ -1138,11 +1138,14 @@ object GraftExpressions {
   def byte_histogram(bin: Column, bins: Int = 16): Column =
     column(ByteHistogramExpression(expression(bin), bins))
 
-  /** Register as SQL functions (`SELECT lang_id(text) ...`). */
+  /** Register as SQL functions (`SELECT lang_id(text) ...`,
+    * `cosine_sim(a, b)` for embedding similarity in SQL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lang_id", exprs => LangIdExpression(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fingerprint", exprs => WinnowFingerprint(exprs.head, 3, 4), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
   }
 }

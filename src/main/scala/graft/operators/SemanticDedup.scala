@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   *  - clustering reuses the persisted [[IvfIndex]] (trained on a
   *    bounded sample; the corpus is touched once for assignment, and a
   *    warm index is reused across calls via `buildIfStale`);
-  *  - candidate pairs expand per cluster through the same sorted-array
-  *    slice/transform as the LSH dedup — no self-join, no O(N²)
-  *    relation, and the cluster-size guard raises an actionable error
-  *    instead of letting one mega-cluster quadratically explode;
+  *  - candidate pairs come from a per-cluster SELF-JOIN whose
+  *    quadratic cross product STREAMS through the fused cosine filter
+  *    (never materialized, never shuffled) — the LSH-style array
+  *    expansion is wrong here because vectors are O(dim) wide and the
+  *    exploded anchor rows copy the member array, O(members² × dim)
+  *    bytes per cluster;
   *  - duplicate groups come from [[Dedup.connectedComponents]]
   *    (min-label propagation, O(diameter) rounds over O(near-dup)
   *    edges);
@@ -53,16 +55,23 @@ object SemanticDedup {
     val assigned = spark.read.parquet(s"$indexPath/assignments")
       .select(col("id"), col("vec").cast("array<double>").as("vec"),
         col("list"))
-    // within-cluster candidate pairs: one shuffle on the cluster id,
-    // then the sorted-members pair expansion (bucketPairs' slice/
-    // transform — same cap + error contract as the LSH buckets)
-    val buckets = assigned
-      .groupBy("list")
-      .agg(sort_array(collect_list(struct(col("id"), col("vec")))).as("xs"))
-    val pairs = Dedup.bucketPairs(buckets, "xs",
-        "struct(__x.id AS id_a, __x.vec AS va, y.id AS id_b, y.vec AS vb)")
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        cosine(col("p.va"), col("p.vb")).as("cos"))
+    // Within-cluster candidate pairs as a LIST SELF-JOIN, not an array
+    // expansion: vectors are O(dim) wide, so the LSH-style
+    // collect_list + posexplode shape pays O(members² × dim) bytes —
+    // each exploded anchor row copies the whole member array — and
+    // OOMed at the 100× profile on ~3k-member clusters. The self-join
+    // shuffles each side once on the cluster id; the sort-merge join
+    // then STREAMS each cluster's cross product through the fused
+    // (id_a < id_b) + codegen'd cosine filter — the quadratic pair
+    // relation is never materialized, never shuffled, and the per-task
+    // buffered side is one cluster's members (spillable). The
+    // quadratic COMPUTE is the paper's own within-cluster contract.
+    val pairs = assigned
+      .select(col("list"), col("id").as("id_a"), col("vec").as("va"))
+      .join(assigned.select(col("list"), col("id").as("id_b"),
+        col("vec").as("vb")), Seq("list"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
     val groups = Dedup.connectedComponents(
       pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
