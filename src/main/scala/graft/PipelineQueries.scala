@@ -2130,6 +2130,98 @@ object PipelineQueries {
        |FROM fin ORDER BY doc_id""".stripMargin
   }
 
+  // ---- full-chain RefinedWeb pipeline (p73) -----------------------------
+
+  /** The WHOLE RefinedWeb-style pipeline under ONE oracle: p71 gates
+    * the front half (canonicalize → domain cap → decontaminate →
+    * split) and p29 the dedup-centric back half — this gate fuses
+    * them, so the front/back SEAM itself is verified: canonicalize →
+    * salted domain cap → eval-set decontamination → deterministic
+    * split → minhash-LSH near-dup keep-best → per-doc token stats.
+    * Every row also carries the two halves' row counts (front-half
+    * survivors, post-dedup keepers), computed independently by both
+    * engines — the reconciliation is inside the hash compare. */
+  def cFullChain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") >= 50).withColumn("url", messyUrl)
+    val eval = docs.filter(col("doc_id") < 50)
+    val capped = Curation.domainCap(corpus, "url", "doc_id", "n_chars",
+      maxPerDomain = 15)
+    val clean = Curation.decontaminate(capped, eval, "doc_id", "text", k = 5)
+    val splitDf = Curation.assignSplits(clean, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val keep = Dedup.keepBest(splitDf, "doc_id", "text",
+        Dedup.minhashLsh(splitDf, "doc_id", "text", k = 5, threshold = 0.7))
+      .select(col("keep_id").as("doc_id"))
+    val surv = splitDf.join(keep, Seq("doc_id"), "left_semi")
+    // seam reconciliation: both counts ride every row (broadcast-of-
+    // one-row scalars — the established crossJoin-scalar shape)
+    surv
+      .select(col("doc_id"), col("domain"), col("domain_rank"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("split"))
+      .crossJoin(broadcast(splitDf.agg(count(lit(1)).as("n_front"))))
+      .crossJoin(broadcast(surv.agg(count(lit(1)).as("n_kept"))))
+      .orderBy("doc_id")
+  }
+
+  private val cFullChainSql = {
+    val t80 = Curation.hexThreshold(0.8)
+    val t90 = Curation.hexThreshold(0.8 + 0.1)
+    s"""WITH RECURSIVE
+       |c AS (SELECT doc_id, n_chars, text,
+       |    lower(source) || '.example.com' AS domain
+       |  FROM documents WHERE doc_id >= 50),
+       |cap AS (SELECT *, CAST(row_number() OVER (PARTITION BY domain
+       |    ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS domain_rank
+       |  FROM c),
+       |kept AS (SELECT * FROM cap WHERE domain_rank <= 15),
+       |kw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+       |kg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |        generate_series(1, greatest(1, len(ws) - 4)),
+       |        i -> array_to_string(ws[i:i+4], ' ')))) AS gram FROM kw),
+       |ew AS (SELECT string_split(text, ' ') AS ws FROM documents
+       |       WHERE doc_id < 50),
+       |eg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+       |        generate_series(1, greatest(1, len(ws) - 4)),
+       |        i -> array_to_string(ws[i:i+4], ' ')))) AS gram FROM ew),
+       |bad AS (SELECT DISTINCT kg.doc_id FROM kg JOIN eg USING (gram)),
+       |fin AS (SELECT * FROM kept
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+       |g AS (SELECT doc_id, gram FROM kg
+       |      WHERE doc_id IN (SELECT doc_id FROM fin)),
+       |n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |jp AS (SELECT doc_a, doc_b FROM p
+       |       JOIN n na ON p.doc_a = na.doc_id
+       |       JOIN n nb ON p.doc_b = nb.doc_id
+       |       WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.7),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+       |      UNION SELECT doc_b, doc_a FROM jp),
+       |reach(a, b) AS (SELECT a, b FROM e
+       |      UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+       |       FROM reach GROUP BY a),
+       |m AS (SELECT fin.doc_id,
+       |        coalesce(cl.cluster_id, fin.doc_id) AS cluster_id,
+       |        fin.domain, fin.domain_rank,
+       |        len(string_split(fin.text, ' '))::BIGINT AS n_tokens,
+       |        CASE WHEN md5(fin.doc_id::VARCHAR) < '$t80' THEN 'train'
+       |             WHEN md5(fin.doc_id::VARCHAR) < '$t90' THEN 'val'
+       |             ELSE 'test' END AS split
+       |      FROM fin LEFT JOIN cl USING (doc_id)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |        ORDER BY n_tokens DESC, doc_id ASC) AS rn FROM m),
+       |k AS (SELECT doc_id, domain, domain_rank, n_tokens, split
+       |      FROM r WHERE rn = 1)
+       |SELECT doc_id, domain, domain_rank, n_tokens, split,
+       |  (SELECT count(*) FROM fin)::BIGINT AS n_front,
+       |  (SELECT count(*) FROM k)::BIGINT AS n_kept
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   // ---- real-format MP4 video metadata (p70) ----------------------------
 
   /** Fixed path: same oracle-visibility contract as p68/p69. */
@@ -2444,6 +2536,140 @@ object PipelineQueries {
        |FROM b LEFT JOIN png USING (doc_id) LEFT JOIN jd USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- interleaved multimodal assembly (p72) ---------------------------
+
+  /** Fixed path: the asset fixture must be visible to the oracle's
+    * independent re-parse (same contract as p68–p70). */
+  private val assembleRoot = "/tmp/graft_multimodal_p72"
+
+  /** [[graft.operators.Multimodal.assembleInterleaved]] — the
+    * MMC4/LAION training-sample shape. The fixture plants one PNG
+    * image asset on every even doc (at position doc_id%5) and one
+    * plain fmt-first WAV audio asset on every doc_id%3==0 doc (at
+    * position doc_id%7), both REAL byte formats (the p68/p69
+    * builders); text is chunked into 5-word spans. The engine parses
+    * asset dims with the native [[graft.functions.GraftExpressions]]
+    * byte parsers and assembles per-doc interleaved sequences in ONE
+    * doc_id shuffle; the oracle re-parses the same blobs at fixed hex
+    * offsets (the plain variants pin fmt/IHDR positions), rebuilds the
+    * same entries, and list_sort reproduces the (pos, ord) order. */
+  def mAssembleInterleaved(spark: SparkSession, dir: String): DataFrame = {
+    graft.util.TempDirs.deleteRecursively(
+      java.nio.file.Paths.get(assembleRoot))
+    def be(n: Column, nBytes: Int): Column =
+      unhex(lpad(hex(n.cast("long")), nBytes * 2, "0"))
+    def le(n: Column, nBytes: Int): Column = {
+      val hx = lpad(hex(n.cast("long")), nBytes * 2, "0")
+      unhex(concat((0 until nBytes).map(i =>
+        substring(hx, (nBytes - 1 - i) * 2 + 1, 2)): _*))
+    }
+    val docs = Tables.load(spark, dir, "documents")
+    // PNG: p68's well-formed builder (IHDR w/h at byte offsets 16/20)
+    val w = (col("doc_id") % 1000 + 1).cast("int")
+    val h = (col("n_chars") % 800 + 1).cast("int")
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")), be(w, 4), be(h, 4),
+      unhex(lit("08060000001A2B3C4D")))
+    // WAV: p69's plain fmt-first builder (fmt data at byte 20)
+    val channels = (col("doc_id") % 2 + 1).cast("int")
+    val rate = ((col("n_chars") % 4 + 1) * 8000).cast("int")
+    val blockAlign = channels * 2
+    val fmtChunk = concat(
+      unhex(lit("666D7420")), le(lit(16), 4),
+      le(lit(1), 2), le(channels, 2), le(rate, 4),
+      le(rate * blockAlign, 4), le(blockAlign, 2), le(lit(16), 2))
+    val dataHdr = concat(unhex(lit("64617461")),
+      le((col("doc_id") % 1000 + 1) * blockAlign, 4))
+    val wavChunks = concat(fmtChunk, dataHdr)
+    val wav = concat(unhex(lit("52494646")),
+      le(lit(0) + length(wavChunks) + 4, 4), unhex(lit("57415645")),
+      wavChunks)
+    val images = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), (col("doc_id") % 5).cast("int").as("pos"),
+        (col("doc_id") * 10 + 1).as("asset_id"),
+        lit("image").as("modality"), png.as("payload"))
+    val audio = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), (col("doc_id") % 7).cast("int").as("pos"),
+        (col("doc_id") * 10 + 2).as("asset_id"),
+        lit("audio").as("modality"), wav.as("payload"))
+    images.unionByName(audio)
+      .write.mode("overwrite").parquet(assembleRoot)
+    // engine side: parse the persisted blobs with the native byte
+    // parsers, render entries, assemble in one shuffle
+    val assets = spark.read.parquet(assembleRoot)
+    val imgEntries = assets.filter(col("modality") === "image")
+      .withColumn("d", graft.functions.GraftExpressions.image_dims(col("payload")))
+      .select(col("doc_id"), col("pos"), lit(1).as("ord"),
+        lit("image").as("kind"),
+        concat(lit("I:"), col("asset_id").cast("string"), lit(":"),
+          col("d.width").cast("string"), lit("x"),
+          col("d.height").cast("string")).as("entry"),
+        (col("d.width").cast("long") * col("d.height")).as("pixels"))
+    val audEntries = assets.filter(col("modality") === "audio")
+      .withColumn("a", graft.functions.GraftExpressions.audio_meta(col("payload")))
+      .select(col("doc_id"), col("pos"), lit(2).as("ord"),
+        lit("audio").as("kind"),
+        concat(lit("A:"), col("asset_id").cast("string"), lit(":"),
+          col("a.channels").cast("string"), lit("@"),
+          col("a.sample_rate").cast("string")).as("entry"),
+        lit(null).cast("long").as("pixels"))
+    val spanEntries = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0),
+          greatest(lit(1), ceil(size(col("ws")) / lit(5.0)).cast("int")) - 1))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"), lit(0).as("ord"),
+        lit("text").as("kind"),
+        concat(lit("T:"), element_at(col("ws"), col("pos") * 5 + 1),
+          lit(":"), least(lit(5), size(col("ws")) - col("pos") * 5)
+            .cast("string")).as("entry"),
+        lit(null).cast("long").as("pixels"))
+    graft.operators.Multimodal.assembleInterleaved(
+        spanEntries.unionByName(imgEntries).unionByName(audEntries))
+      .orderBy("doc_id")
+  }
+
+  private val mAssembleInterleavedSql = {
+    def b(p: String) = s"substring(hx, CAST(2*($p)+1 AS INT), 2)"
+    def le16(p: String) = s"('0x' || ${b(s"($p)+1")} || ${b(p)})::BIGINT"
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sp0 AS (SELECT doc_id, ws, unnest(generate_series(1,
+       |    greatest(1, CAST(ceil(len(ws) / 5.0) AS BIGINT)))) AS i FROM d),
+       |sp AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, 0 AS ord,
+       |    'text' AS kind,
+       |    'T:' || ws[CAST((i-1)*5 + 1 AS INT)] || ':' ||
+       |      least(5, len(ws) - (i-1)*5)::VARCHAR AS entry,
+       |    CAST(NULL AS BIGINT) AS pixels
+       |  FROM sp0),
+       |b AS (SELECT doc_id, pos, asset_id, modality, hex(payload) AS hx
+       |      FROM read_parquet('$assembleRoot/*.parquet')),
+       |img AS (SELECT doc_id, pos, 1 AS ord, 'image' AS kind,
+       |    'I:' || asset_id || ':' || w || 'x' || h AS entry,
+       |    w * h AS pixels
+       |  FROM (SELECT *, ('0x' || substring(hx, 33, 8))::BIGINT AS w,
+       |          ('0x' || substring(hx, 41, 8))::BIGINT AS h
+       |        FROM b WHERE modality = 'image')),
+       |aud AS (SELECT doc_id, pos, 2 AS ord, 'audio' AS kind,
+       |    'A:' || asset_id || ':' || ch || '@' || rate AS entry,
+       |    CAST(NULL AS BIGINT) AS pixels
+       |  FROM (SELECT *, ${le16("22")} AS ch,
+       |          ('0x' || ${b("27")} || ${b("26")} || ${b("25")} ||
+       |            ${b("24")})::BIGINT AS rate
+       |        FROM b WHERE modality = 'audio')),
+       |u AS (SELECT * FROM sp UNION ALL SELECT * FROM img
+       |      UNION ALL SELECT * FROM aud)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(
+       |    list_sort(list(struct_pack(pos := pos, ord := ord,
+       |      entry := entry))), x -> x.entry), '|') AS seq,
+       |  sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END)::BIGINT AS n_spans,
+       |  sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END)::BIGINT AS n_images,
+       |  sum(CASE WHEN kind = 'audio' THEN 1 ELSE 0 END)::BIGINT AS n_audio,
+       |  sum(coalesce(pixels, 0))::BIGINT AS total_pixels
+       |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2518,6 +2744,8 @@ object PipelineQueries {
     "p69_audio_meta" -> (mAudioMeta _),
     "p70_video_meta" -> (mVideoMeta _),
     "p71_web_pipeline" -> (cWebPipeline _),
+    "p72_interleaved_assembly" -> (mAssembleInterleaved _),
+    "p73_full_chain" -> (cFullChain _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2602,5 +2830,7 @@ object PipelineQueries {
     "p69_audio_meta" -> mAudioMetaSql,
     "p70_video_meta" -> mVideoMetaSql,
     "p71_web_pipeline" -> cWebPipelineSql,
+    "p72_interleaved_assembly" -> mAssembleInterleavedSql,
+    "p73_full_chain" -> cFullChainSql,
   )
 }

@@ -106,4 +106,42 @@ object Multimodal {
       threshold: Double): DataFrame =
     Dedup.embeddingCosinePairs(
       withByteHistogram(df, binCol), idCol, "features", threshold)
+
+  /** Interleaved multimodal document ASSEMBLY — the MMC4/LAION training
+    * sample shape: text spans and binary assets merged per document
+    * into one order-preserving sequence, plus per-doc modality stats.
+    *
+    * `entries` carries one row per sequence element, text or asset:
+    * {{{
+    *   (doc_id, pos INT, ord INT, kind STRING, entry STRING,
+    *    pixels LONG nullable)
+    * }}}
+    * `pos` is the element's position in the document, `ord` breaks
+    * same-position ties deterministically (convention: text 0,
+    * image 1, audio 2 — an asset anchored at span p renders after the
+    * span), `entry` is the element's rendered reference (the caller
+    * decides the rendering: span text, asset id + dims, ...), `pixels`
+    * feeds the image-mass stat (null for non-images).
+    *
+    * Scale shape: ONE doc_id shuffle. Each side (spans from the text
+    * table, assets from the asset table) arrives as its own map-only
+    * projection; the union groups by doc and the sequence + every stat
+    * come out of the SAME aggregate — assets are never joined per span
+    * (an assets⋈spans join would duplicate each asset across its
+    * document's spans), and nothing is ever collected per partition
+    * beyond one document's elements (a single doc's sequence must fit
+    * in memory — the same per-key contract every collect_list
+    * aggregation in the engine carries). */
+  def assembleInterleaved(entries: DataFrame,
+      docCol: String = "doc_id"): DataFrame =
+    entries.groupBy(col(docCol))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("ord"),
+            col("entry")))),
+          x => x.getField("entry")), "|").as("seq"),
+        sum(when(col("kind") === "text", 1L).otherwise(0L)).as("n_spans"),
+        sum(when(col("kind") === "image", 1L).otherwise(0L)).as("n_images"),
+        sum(when(col("kind") === "audio", 1L).otherwise(0L)).as("n_audio"),
+        sum(coalesce(col("pixels"), lit(0L))).as("total_pixels"))
 }
