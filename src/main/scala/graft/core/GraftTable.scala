@@ -601,10 +601,26 @@ final class GraftTable private (
     val batch = batch0.persist()
     try {
       if (config.isMor) {
+        // Adopt-as-MOR progressive conversion: delta rows merge per
+        // (partition, bucket) group, but bootstrap-adopted base files
+        // sit in the sentinel UNBUCKETED group — a delta for a key
+        // held by an unbucketed file would never meet it at merge
+        // time and reads would serve both versions. Any overlapping
+        // bootstrap file is FOLDED into hash-routed base files in the
+        // SAME commit as the delta append (the COW progressive-
+        // conversion rule; a one-time cost per adopted file, after
+        // which upserts are pure O(batch) delta appends again).
+        val bootVictims = morBootstrapVictims(batch, snap, evolved)
+        val folded =
+          if (bootVictims.isEmpty) Seq.empty
+          else writeFiles(readFiles(bootVictims, evolved), instant,
+            delta = false, dedupLatest = true)
         val added = writeFiles(batch, instant, delta = true,
-          dedupLatest = true)
+          dedupLatest = true) ++ folded
         commitValidated(Commit(instant, "commit", "upsert", added = added,
-          schemaJson = evolved.json, extra = extra), planning, Set.empty)
+          removed = bootVictims.map(_.path),
+          schemaJson = evolved.json, extra = extra), planning,
+          bootVictims.map(f => (f.partition, f.bucket)).toSet)
       } else {
         val touched = batch
           .withColumn("_part", partExpr).withColumn("_bucket", bucketExpr)
@@ -859,14 +875,24 @@ final class GraftTable private (
     if (config.isMor) {
       // tombstone deltas: same schema, soft-delete flag set, ordering
       // preserved so the tombstone wins the merge at equal ordering via
-      // commit time.
+      // commit time. Overlapping bootstrap-adopted files fold into
+      // hash-routed groups in the same commit, exactly as in [[upsert]]
+      // — a tombstone for a key held by an unbucketed file would
+      // otherwise never meet it at merge time and the delete would
+      // silently not delete.
       val (batch0, evolved) = prepare(
         victims.withColumn(softDel, lit(true))
           .withColumn(CommitTimeCol, lit(instant)), instant, snap)
+      val bootVictims = morBootstrapVictims(batch0, snap, evolved)
+      val folded =
+        if (bootVictims.isEmpty) Seq.empty
+        else writeFiles(readFiles(bootVictims, evolved), instant,
+          delta = false, dedupLatest = true)
       val added = writeFiles(batch0, instant, delta = true,
-        dedupLatest = true)
+        dedupLatest = true) ++ folded
       commitValidated(Commit(instant, "commit", "delete", added = added,
-        schemaJson = evolved.json), planning, Set.empty)
+        removed = bootVictims.map(_.path), schemaJson = evolved.json),
+        planning, bootVictims.map(f => (f.partition, f.bucket)).toSet)
     } else {
       val evolved = schemaOf(snap)
       val keyType = evolved.fields.find(_.name == config.keyField)
@@ -954,6 +980,30 @@ final class GraftTable private (
       }
     }
 
+  /** The live UNBUCKETED bootstrap base files whose partition-wide key
+    * range overlaps the prepared MOR batch — the files [[upsert]] /
+    * [[deleteRows]] must fold into hash-routed groups alongside their
+    * delta append (adopt-as-MOR progressive conversion; see the
+    * comments at both call sites). Zero-cost (no Spark job) when the
+    * table holds no bootstrap files — the steady state. */
+  private def morBootstrapVictims(batch: DataFrame, snap: TimelineSnapshot,
+      evolved: StructType): Seq[DataFileMeta] = {
+    val boots = snap.liveFiles().filter(f =>
+      f.bucket == GraftTable.BootstrapBucket && !f.delta)
+    if (boots.isEmpty) return Nil
+    val keyType = evolved.fields.find(_.name == config.keyField)
+      .map(_.dataType).getOrElse(StringType)
+    val touched = batch
+      .withColumn("_part", partExpr).withColumn("_bucket", bucketExpr)
+      .groupBy("_part", "_bucket")
+      .agg(min(col(config.keyField)).cast(StringType).as("mn"),
+           max(col(config.keyField)).cast(StringType).as("mx"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getString(3)))
+      .toMap
+    boots.filter(overlapsIncoming(_, touched, keyType))
+  }
+
   /** METADATA-ONLY BOOTSTRAP (Hudi bootstrap, METADATA_ONLY mode):
     * adopt existing parquet files into the table WITHOUT rewriting
     * data. Files are hard-linked (copy fallback across devices) into
@@ -963,8 +1013,10 @@ final class GraftTable private (
     * per-file key/stats ranges; no row is rewritten. Readers see the
     * rows immediately. The first upsert/delete whose keys may overlap
     * an unbucketed file FOLDS it into hash-routed groups (progressive
-    * conversion — Hudi's upsert-on-bootstrapped-file behavior);
-    * clustering converts the whole table at once. COW only; adopted
+    * conversion — Hudi's upsert-on-bootstrapped-file behavior; for MOR
+    * the fold happens as base-file rewrites in the same commit as the
+    * delta append, after which upserts are pure delta appends again);
+    * clustering converts the whole table at once. Adopted
     * rows carry no `_commit_time` (the files are untouched), so
     * incremental/CDC cursors must start at the bootstrap instant, and
     * latest-wins ties resolve in favor of post-bootstrap writes
@@ -992,7 +1044,6 @@ final class GraftTable private (
     * [[graft.interop.XTableSync.replayDelta]]) and only those files
     * are adopted; a directory walk would resurrect removed versions. */
   def bootstrapFromFiles(files: Seq[Path]): String = {
-    require(!config.isMor, "bootstrapFrom supports COW tables")
     val snap = log.snapshot()
     val planning = snap.lastInstant.getOrElse("0")
     val instant = log.nextInstantAfter(snap.lastInstant)

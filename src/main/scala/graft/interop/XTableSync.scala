@@ -379,8 +379,17 @@ object XTableSync {
     *    identical rows immediately before and after adoption.
     *
     * The caller supplies the graft `config` (record key / ordering /
-    * buckets are engine concepts a Delta log doesn't carry). COW only,
-    * like every bootstrap path. */
+    * buckets are engine concepts a Delta log doesn't carry). With a
+    * MOR config, adopted parquet become the BASE files and subsequent
+    * upserts append deltas — the migration path for a streaming-heavy
+    * Delta lake (the reference's default demo table type,
+    * hudi-spark-minio-trino/README.md:341-344); overlapping bootstrap
+    * files fold into hash-routed groups on first touch (see
+    * [[graft.core.GraftTable.bootstrapFromFiles]]). Note the foreign
+    * `_delta_log` continues to describe BASE files only (the
+    * read-optimized view) — Delta has no delta-file concept, so a
+    * foreign reader's rows lag the realtime view until compaction,
+    * exactly like xTable's RO sync targets. */
   def adoptDelta(spark: org.apache.spark.sql.SparkSession, root: String,
       config: graft.core.TableConfig): GraftTable = {
     require(!GraftTable.exists(root), s"$root is already a graft table")
@@ -417,7 +426,10 @@ object XTableSync {
     * writes v(N+1) over the adopted state and an Iceberg reader walks
     * one unbroken version history across the migration. (Iceberg sync
     * is snapshot-granular, so no reconcile version is needed — the
-    * next snapshot simply lists the adopted files.) COW only. */
+    * next snapshot simply lists the adopted files.) MOR configs adopt
+    * exactly as in [[adoptDelta]]: adopted parquet = base files,
+    * upserts append deltas, foreign Iceberg lineage tracks the
+    * read-optimized (base-file) view. */
   def adoptIceberg(spark: org.apache.spark.sql.SparkSession, root: String,
       config: graft.core.TableConfig): GraftTable = {
     require(!GraftTable.exists(root), s"$root is already a graft table")

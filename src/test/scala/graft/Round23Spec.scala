@@ -146,6 +146,149 @@ class Round23Spec extends AnyFunSuite {
     c.unpersist()
   }
 
+  test("adoptDelta as MOR: base-file adoption, delta upserts, fold on touch") {
+    import java.nio.file.{Files, Paths}
+    val root = tmp("mor") + "/dsrc"
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    def writeFile(name: String, rows: Seq[(Long, Long, Double)]): Long = {
+      val tmpd = s"$root/.tmp"
+      rows.toDF("id", "ts", "score").coalesce(1).write.mode("overwrite").parquet(tmpd)
+      val part = graft.util.Fs.list(Paths.get(tmpd))(_
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
+      Files.move(part, Paths.get(root, name))
+      graft.util.TempDirs.deleteRecursively(Paths.get(tmpd))
+      Files.size(Paths.get(root, name))
+    }
+    val schema = Seq((1L, 1L, 0.0)).toDF("id", "ts", "score").schema.json
+    val meta = graft.core.CommitLog.mapper.writeValueAsString(Map(
+      "metaData" -> Map("id" -> "0", "format" -> Map("provider" -> "parquet"),
+        "schemaString" -> schema, "partitionColumns" -> Seq.empty)))
+    val s1 = writeFile("a.parquet", Seq((1L, 2L, 1.0), (2L, 2L, 2.0)))
+    val s2 = writeFile("b.parquet", Seq((10L, 2L, 10.0)))
+    Files.write(Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+      (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta,
+        s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$s1,"modificationTime":1,"dataChange":true}}""",
+        s"""{"add":{"path":"b.parquet","partitionValues":{},"size":$s2,"modificationTime":1,"dataChange":true}}"""))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val t = graft.interop.XTableSync.adoptDelta(spark, root,
+      graft.core.TableConfig(name = "adoptedmor", keyField = "id",
+        orderingField = "ts", numBuckets = 2,
+        tableType = graft.core.TableConfig.Mor))
+    def state(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "ts", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(state(t.read()) == Set((1L, 2L, 1.0), (2L, 2L, 2.0), (10L, 2L, 10.0)))
+    // the adopted parquet ARE the base files: adoption rewrote nothing
+    assert(t.log.liveFiles().forall(f => !f.delta))
+    // a delta upsert touching file a's key range folds ONLY that file;
+    // the untouched bootstrap file b stays unbucketed (progressive)
+    t.upsert(Seq((2L, 3L, 9.0), (3L, 3L, 3.0)).toDF("id", "ts", "score"))
+    val live = t.log.liveFiles()
+    assert(live.exists(_.delta), "MOR upsert must append a delta file")
+    assert(!live.exists(f =>
+      f.bucket == graft.core.GraftTable.BootstrapBucket &&
+      !f.delta && f.minKey == "1"),
+      "overlapping bootstrap file was not folded")
+    assert(live.exists(f =>
+      f.bucket == graft.core.GraftTable.BootstrapBucket && f.rows == 1),
+      "non-overlapping bootstrap file should stay unbucketed")
+    val expect = Set((1L, 2L, 1.0), (2L, 3L, 9.0), (3L, 3L, 3.0),
+      (10L, 2L, 10.0))
+    assert(state(t.read()) == expect)
+    // read-optimized lags (delta rows invisible); compaction catches it up
+    assert(state(t.readOptimized()) ==
+      Set((1L, 2L, 1.0), (2L, 2L, 2.0), (10L, 2L, 10.0)))
+    graft.core.TableServices.compact(t)
+    assert(state(t.readOptimized()) == expect)
+    // the continued _delta_log tracks the base-file view — after
+    // compaction a foreign Delta reader sees the full state
+    graft.interop.XTableSync.syncDelta(t)
+    assert(state(graft.interop.XTableSync.readDelta(spark, root)) == expect)
+  }
+
+  test("MOR delete folds overlapping bootstrap files so tombstones take effect") {
+    val root = tmp("mordel")
+    val src = tmp("mordel-src")
+    Seq((1L, 1L, 1.0), (2L, 1L, 2.0), (3L, 1L, 3.0))
+      .toDF("id", "ts", "score").coalesce(1).write.mode("overwrite").parquet(src)
+    val t = graft.core.GraftTable.create(spark, root + "/t",
+      graft.core.TableConfig(name = "mordel", keyField = "id",
+        orderingField = "ts", numBuckets = 2,
+        tableType = graft.core.TableConfig.Mor))
+    t.bootstrapFrom(src)
+    assert(t.read().count() == 3)
+    t.deleteWhere(col("id") === 2L)
+    val ids = t.read().select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L),
+      s"tombstone must reach the adopted rows, got $ids")
+  }
+
+  test("streaming sink into an adopted Delta table keeps the foreign log replayable") {
+    import java.nio.file.{Files, Paths}
+    val base = tmp("adoptstream")
+    val root = s"$base/dsrc"
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    def writeFile(name: String, rows: Seq[(String, Long, Double)]): Long = {
+      val tmpd = s"$root/.tmp"
+      rows.toDF("k", "ts", "v").coalesce(1).write.mode("overwrite").parquet(tmpd)
+      val part = graft.util.Fs.list(Paths.get(tmpd))(_
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
+      Files.move(part, Paths.get(root, name))
+      graft.util.TempDirs.deleteRecursively(Paths.get(tmpd))
+      Files.size(Paths.get(root, name))
+    }
+    val schema = Seq(("a", 1L, 0.0)).toDF("k", "ts", "v").schema.json
+    val meta = graft.core.CommitLog.mapper.writeValueAsString(Map(
+      "metaData" -> Map("id" -> "0", "format" -> Map("provider" -> "parquet"),
+        "schemaString" -> schema, "partitionColumns" -> Seq.empty)))
+    val s1 = writeFile("a.parquet", Seq(("a", 1L, 1.0), ("b", 1L, 2.0)))
+    Files.write(Paths.get(root, "_delta_log", f"${0L}%020d.json"),
+      (Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta,
+        s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$s1,"modificationTime":1,"dataChange":true}}"""))
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val t = graft.interop.XTableSync.adoptDelta(spark, root,
+      graft.core.TableConfig(name = "adoptstream", keyField = "k",
+        orderingField = "ts", numBuckets = 2))
+    val src = graft.core.GraftTable.create(spark, s"$base/src",
+      graft.core.TableConfig(name = "adoptstream_src", keyField = "k",
+        orderingField = "ts", numBuckets = 2))
+    src.insert(Seq(("c", 2L, 3.0)).toDF("k", "ts", "v"))
+    def state(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "ts", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // the l17 exactly-once sink drives the ADOPTED table; after each
+    // epoch the continued _delta_log must replay to the same rows a
+    // graft read serves (cursor + reconcile interplay under streaming
+    // epoch commits — ≥ 2 epochs)
+    val q = spark.readStream.format("graft-stream")
+      .option("path", s"$base/src").load()
+      .select("k", "ts", "v")
+      .writeStream.outputMode("append").format("graft-stream")
+      .option("path", root)
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      graft.interop.XTableSync.syncDelta(t)
+      val after1 = Set(("a", 1L, 1.0), ("b", 1L, 2.0), ("c", 2L, 3.0))
+      assert(state(t.read()) == after1)
+      assert(state(graft.interop.XTableSync.readDelta(spark, root)) == after1,
+        "epoch-1 foreign replay diverged from the graft snapshot")
+      // epoch 2: an update through the stream (touches the adopted file)
+      src.upsert(Seq(("b", 3L, 9.0), ("d", 3L, 4.0)).toDF("k", "ts", "v"))
+      q.processAllAvailable()
+      graft.interop.XTableSync.syncDelta(t)
+      val after2 = Set(("a", 1L, 1.0), ("b", 3L, 9.0), ("c", 2L, 3.0),
+        ("d", 3L, 4.0))
+      assert(state(t.read()) == after2)
+      assert(state(graft.interop.XTableSync.readDelta(spark, root)) == after2,
+        "epoch-2 foreign replay diverged from the graft snapshot")
+      // the sink stamped ≥ 2 distinct epochs on the adopted timeline
+      val epochs = t.log.commits()
+        .flatMap(_.extra.get(graft.sql.GraftStreamingWrite.EpochKey))
+      assert(epochs.distinct.size >= 2, s"epochs $epochs")
+    } finally q.stop()
+  }
+
   test("freeze refuses to retrain under persisted assignments") {
     val c = corpus
     val inc = new IncrementalSemanticDedup(spark, tmp("frz"),
