@@ -69,7 +69,9 @@ object Bench {
     "p63_kn_perplexity", // round 19: corpus-fit KN bigram LM scoring
     "p64_ivfpq_adc", // round 19: build+query the composed IVF-PQ index
     "p67_domain_cap", // round 20: URL canonicalization + per-domain caps
-    "p71_web_pipeline") // round 21: composed canonicalize→cap→decontaminate→split chain
+    "p71_web_pipeline", // round 21: composed canonicalize→cap→decontaminate→split chain
+    "p72_interleaved_assembly", // round 23: multimodal sample assembly (one doc_id shuffle)
+    "p73_full_chain") // round 23: the WHOLE RefinedWeb pipeline, front+back composed
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
