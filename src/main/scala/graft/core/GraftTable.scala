@@ -622,14 +622,7 @@ final class GraftTable private (
           schemaJson = evolved.json, extra = extra), planning,
           bootVictims.map(f => (f.partition, f.bucket)).toSet)
       } else {
-        val touched = batch
-          .withColumn("_part", partExpr).withColumn("_bucket", bucketExpr)
-          .groupBy("_part", "_bucket")
-          .agg(min(col(config.keyField)).cast(StringType).as("mn"),
-               max(col(config.keyField)).cast(StringType).as("mx"))
-          .collect()
-          .map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getString(3)))
-          .toMap
+        val touched = touchedKeyRanges(batch)
         val keyType = evolved.fields.find(_.name == config.keyField)
           .map(_.dataType).getOrElse(StringType)
         val (rewrite, untouched) = snap.liveFiles().partition(
@@ -883,16 +876,23 @@ final class GraftTable private (
       val (batch0, evolved) = prepare(
         victims.withColumn(softDel, lit(true))
           .withColumn(CommitTimeCol, lit(instant)), instant, snap)
-      val bootVictims = morBootstrapVictims(batch0, snap, evolved)
-      val folded =
-        if (bootVictims.isEmpty) Seq.empty
-        else writeFiles(readFiles(bootVictims, evolved), instant,
-          delta = false, dedupLatest = true)
-      val added = writeFiles(batch0, instant, delta = true,
-        dedupLatest = true) ++ folded
-      commitValidated(Commit(instant, "commit", "delete", added = added,
-        removed = bootVictims.map(_.path), schemaJson = evolved.json),
-        planning, bootVictims.map(f => (f.partition, f.bucket)).toSet)
+      // persisted: the victims pipeline (typically a filtered table
+      // read) feeds both the fold probe and the tombstone write —
+      // unpersisted it would be recomputed per consumer, like upsert's
+      // batch
+      val batch = batch0.persist()
+      try {
+        val bootVictims = morBootstrapVictims(batch, snap, evolved)
+        val folded =
+          if (bootVictims.isEmpty) Seq.empty
+          else writeFiles(readFiles(bootVictims, evolved), instant,
+            delta = false, dedupLatest = true)
+        val added = writeFiles(batch, instant, delta = true,
+          dedupLatest = true) ++ folded
+        commitValidated(Commit(instant, "commit", "delete", added = added,
+          removed = bootVictims.map(_.path), schemaJson = evolved.json),
+          planning, bootVictims.map(f => (f.partition, f.bucket)).toSet)
+      } finally { batch.unpersist(); () }
     } else {
       val evolved = schemaOf(snap)
       val keyType = evolved.fields.find(_.name == config.keyField)
@@ -993,7 +993,18 @@ final class GraftTable private (
     if (boots.isEmpty) return Nil
     val keyType = evolved.fields.find(_.name == config.keyField)
       .map(_.dataType).getOrElse(StringType)
-    val touched = batch
+    val touched = touchedKeyRanges(batch)
+    boots.filter(overlapsIncoming(_, touched, keyType))
+  }
+
+  /** Per-(partition, bucket) incoming key ranges of a prepared batch —
+    * what [[overlapsIncoming]] probes against. One collect of
+    * O(touched groups). (The COW delete path keeps its own variant:
+    * its input already carries materialized identity columns and may
+    * lack the partition SOURCE column `partExpr` derives from.) */
+  private def touchedKeyRanges(
+      batch: DataFrame): Map[(String, Int), (String, String)] =
+    batch
       .withColumn("_part", partExpr).withColumn("_bucket", bucketExpr)
       .groupBy("_part", "_bucket")
       .agg(min(col(config.keyField)).cast(StringType).as("mn"),
@@ -1001,8 +1012,6 @@ final class GraftTable private (
       .collect()
       .map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getString(3)))
       .toMap
-    boots.filter(overlapsIncoming(_, touched, keyType))
-  }
 
   /** METADATA-ONLY BOOTSTRAP (Hudi bootstrap, METADATA_ONLY mode):
     * adopt existing parquet files into the table WITHOUT rewriting

@@ -53,9 +53,12 @@ object GraftBloom {
     val m = math.ceil(-expectedItems.toDouble * math.log(fpp) /
       (math.log(2) * math.log(2)))
     val w = math.max(1L, math.ceil(m / 64.0).toLong)
+    // GiB = words / 2^27 (8 bytes/word): dividing first cannot
+    // overflow, where `w * 8` would wrap negative for w > 2^60 —
+    // garbage in exactly the loud-failure diagnostic
     require(w <= Int.MaxValue.toLong,
       s"bloom for expectedItems=$expectedItems fpp=$fpp needs $w words " +
-      s"(${w * 8L / (1L << 30)} GiB) — past the single-array limit; " +
+      s"(${w / (1L << 27)} GiB) — past the single-array limit; " +
       "shard the filter or raise fpp")
     w.toInt
   }

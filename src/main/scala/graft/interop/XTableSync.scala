@@ -131,11 +131,20 @@ object XTableSync {
           lastSchema = cs
         }
       }
+      // MOR: the foreign log tracks the READ-OPTIMIZED view — base
+      // files only. Delta has no delta-file concept, so exporting a
+      // MOR delta parquet as an add-action would make a foreign reader
+      // scan it as plain data: BOTH versions of every upserted key
+      // served, tombstone rows served as live. Delta-file removes
+      // (compaction folding them away) are skipped symmetrically —
+      // they were never added. COW commits carry no delta files, so
+      // this is a no-op there.
       c.removed.foreach { path =>
-        actions += removeAction(path, c.instant.toLong)
+        if (!path.endsWith(".delta.parquet"))
+          actions += removeAction(path, c.instant.toLong)
       }
       c.added.foreach { f =>
-        actions += addAction(t, c.instant.toLong, f)
+        if (!f.delta) actions += addAction(t, c.instant.toLong, f)
       }
       Files.write(logDir.resolve(f"$ver%020d.json"),
         actions.mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -205,7 +214,8 @@ object XTableSync {
     if (latest <= from) return None
     val ver = lastVer + 1
     val snapshotId = latest.toLong
-    val live = t.log.liveFiles()
+    // read-optimized view for MOR: base files only (see syncDelta)
+    val live = t.log.liveFiles().filterNot(_.delta)
 
     // layer 2: the manifest — one entry per live data file
     val entrySchema = new Schema.Parser().parse(

@@ -230,15 +230,27 @@ class IncrementalSemanticDedup(spark: SparkSession, root: String,
           .filter(col("doc_id") =!= col("cluster_id"))
           .select(col("doc_id").as("old_gid"), col("cluster_id").as("new_gid"))
           .localCheckpoint()
-        val movedGids = gidMoves.select("old_gid").collect()
-          .map(_.get(0).toString).toSeq
+        // the moved-gid collect drives point pruning and is CAPPED like
+        // the candidate-id collect above — past the cap the relabel
+        // falls back to a full store scan + distributed join (still
+        // O(near-dup docs), never a driver OOM); the join is the exact
+        // filter either way
+        val capInt = math.min(maxIds, Int.MaxValue.toLong - 1L).toInt
+        val movedGids = gidMoves.select("old_gid").limit(capInt + 1)
+          .collect().map(_.get(0).toString).toSeq
         val relabeled =
           if (movedGids.isEmpty || store.isEmpty) None
-          else Some(verdictStore.readWhereIn("group_id", movedGids)
-            .join(gidMoves, col("group_id") === col("old_gid"))
-            .select(col("vec_id").as("doc_id"), col("cluster"),
-              col("new_gid").as("cluster_id"),
-              col("centroid_cos").as("ccos"), col("keep")))
+          else {
+            val src =
+              if (movedGids.size <= capInt)
+                verdictStore.readWhereIn("group_id", movedGids)
+              else verdictStore.read()
+            Some(src
+              .join(gidMoves, col("group_id") === col("old_gid"))
+              .select(col("vec_id").as("doc_id"), col("cluster"),
+                col("new_gid").as("cluster_id"),
+                col("centroid_cos").as("ccos"), col("keep")))
+          }
         val fresh0 = batchVerdicts
           .select(col("doc_id"), col("list").as("cluster"), col("cluster_id"),
             col("ccos"), col("keep"))
@@ -269,9 +281,14 @@ class IncrementalSemanticDedup(spark: SparkSession, root: String,
   }
 
   /** Current survivors' view: every seen id with keep=false only for
-    * docs a verdict dropped — the corpus a curation run would release. */
-  def survivors(): DataFrame =
-    members.read().select(col("id").as("vec_id"))
-      .join(verdictStore.read().filter(!col("keep"))
-        .select(col("vec_id")), Seq("vec_id"), "left_anti")
+    * docs a verdict dropped — the corpus a curation run would release.
+    * Guarded for the duplicate-free start: a never-written verdict
+    * store reads with an EMPTY schema, and filtering it on `keep`
+    * would throw (the same empty-schema hazard `hist` documents). */
+  def survivors(): DataFrame = {
+    val seen = members.read().select(col("id").as("vec_id"))
+    if (verdictStore.log.lastInstant().isEmpty) seen
+    else seen.join(verdictStore.read().filter(!col("keep"))
+      .select(col("vec_id")), Seq("vec_id"), "left_anti")
+  }
 }

@@ -198,6 +198,14 @@ class Round23Spec extends AnyFunSuite {
     // read-optimized lags (delta rows invisible); compaction catches it up
     assert(state(t.readOptimized()) ==
       Set((1L, 2L, 1.0), (2L, 2L, 2.0), (10L, 2L, 10.0)))
+    // the continued foreign log tracks the READ-OPTIMIZED view: synced
+    // BEFORE compaction it must equal readOptimized — a delta parquet
+    // leaked as a Delta add-action would surface both versions of key
+    // 2 and fail this set compare
+    graft.interop.XTableSync.syncDelta(t)
+    assert(state(graft.interop.XTableSync.readDelta(spark, root)) ==
+      state(t.readOptimized()),
+      "pre-compaction foreign replay must equal the read-optimized view")
     graft.core.TableServices.compact(t)
     assert(state(t.readOptimized()) == expect)
     // the continued _delta_log tracks the base-file view — after
