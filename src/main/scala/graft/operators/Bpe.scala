@@ -110,7 +110,13 @@ object Bpe {
     * the chain becomes an expression-depth problem; the move then is
     * encoding the DISTINCT-word relation once and joining back, paying
     * one bounded-vocab shuffle to amortize the chain over repeated
-    * words.) */
+    * words.)
+    *
+    * Docs with NO `[a-z]+` token ("1234 !!!", empty text) are ABSENT
+    * from the output, not emitted as n_tokens = 0 — the explode yields
+    * no rows for them (same omission contract as knPerplexity's
+    * bigram-less docs). Callers joining per-doc must left-join and
+    * coalesce to 0. */
   def encodeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     // merge symbols are interpolated into a SQL expression string:

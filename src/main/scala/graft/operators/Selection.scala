@@ -237,21 +237,26 @@ object Selection {
       k: Int = 5): DataFrame = {
     require(k > 0, s"k=$k")
     val toks = split(col(textCol), " ")
+    // doc and query ids are renamed on entry (__did/__qid) so the
+    // natural idCol == queryIdCol call shape doesn't hit an
+    // AMBIGUOUS_REFERENCE after the term join — the bruteForceTopK/
+    // knnLabel convention; original names are restored on output
+    // (suffixed query_/doc_ only when they collide).
     // lengths feeds the corpus scalars AND the scoring join; postings
     // feeds the df marginal AND the query join — checkpoint both so
     // the corpus scan and the posting-list shuffle run exactly once
     // (materializing the posting list IS the index build at scale)
-    val lengths = docs.select(col(idCol), size(toks).cast("long").as("dl"))
+    val lengths = docs.select(col(idCol).as("__did"), size(toks).cast("long").as("dl"))
       .localCheckpoint()
     val scalars = lengths.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_toks"))
     val postings = docs
-      .select(col(idCol), explode(toks).as("term"))
-      .groupBy(col(idCol), col("term"))
+      .select(col(idCol).as("__did"), explode(toks).as("term"))
+      .groupBy(col("__did"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val qTerms = queries
-      .select(col(queryIdCol), explode(array_distinct(split(col(queryTextCol), " ")))
-        .as("term"))
+      .select(col(queryIdCol).as("__qid"),
+        explode(array_distinct(split(col(queryTextCol), " "))).as("term"))
     // df is only needed for QUERY terms, so restrict the marginal before
     // broadcasting — broadcast(full-vocabulary df) would be a driver-OOM
     // at the 100 TB corpus this plan is written for. Filtering postings
@@ -264,7 +269,7 @@ object Selection {
     val joined = postings
       .join(broadcast(qTerms), "term")
       .join(broadcast(df_), "term")
-      .join(lengths.withColumnRenamed("dl", "dl_"), idCol)
+      .join(lengths.withColumnRenamed("dl", "dl_"), "__did")
       .crossJoin(broadcast(scalars))
     // idf_micro = floor(1e6·ln(1 + (N−df+0.5)/(df+0.5))) — exact-int inputs
     val idfMicro = floor(log(lit(1.0) +
@@ -276,13 +281,18 @@ object Selection {
     val contrib = floor(idfMicro.cast("double") * (col("tf").cast("double") * lit(2.2))
       / denom).cast("long")
     val scored = joined
-      .select(col(queryIdCol), col(idCol), contrib.as("contrib_micro"))
-      .groupBy(col(queryIdCol), col(idCol))
+      .select(col("__qid"), col("__did"), contrib.as("contrib_micro"))
+      .groupBy(col("__qid"), col("__did"))
       .agg(sum("contrib_micro").as("score_micro"))
+    val (qOut, dOut) =
+      if (queryIdCol == idCol) (s"query_$queryIdCol", s"doc_$idCol")
+      else (queryIdCol, idCol)
     scored.withColumn("bm_rank",
-        row_number().over(Window.partitionBy(col(queryIdCol))
-          .orderBy(col("score_micro").desc, col(idCol).asc)).cast("long"))
+        row_number().over(Window.partitionBy(col("__qid"))
+          .orderBy(col("score_micro").desc, col("__did").asc)).cast("long"))
       .filter(col("bm_rank") <= k)
+      .select(col("__qid").as(qOut), col("__did").as(dOut),
+        col("score_micro"), col("bm_rank"))
   }
 
   /** CCNet-style perplexity split: score every doc by per-token
@@ -298,7 +308,9 @@ object Selection {
     * Plan at 100 TB: one token shuffle (map-side combined) builds the
     * O(V) count relation; totals re-aggregate from THAT relation —
     * the corpus is never scanned twice. Scoring joins tokens to the
-    * broadcast vocab relation and re-aggregates per doc (second
+    * vocab relation (AQE broadcasts it when small; web-crawl vocab
+    * sizes shuffle-join instead of breaching the broadcast limit)
+    * and re-aggregates per doc (second
     * map-side-combined shuffle). The final `ntile` is exact
     * equal-depth semantics over the O(docs) relation — the gate's
     * verifiable form; at extreme scale swap the single-partition rank
@@ -317,8 +329,14 @@ object Selection {
     val totals = counts.agg(sum("cnt").as("n_total"), count(lit(1)).as("v_size"))
     val lp = counts.select(col("word"),
       floor(log(col("cnt") + lit(1)) * 1e6).as("lp_micro"))
+    // NO broadcast hint on the vocab relation: at web-crawl scale the
+    // distinct-token table is itself past the broadcast limit (the
+    // exact driver-OOM bm25TopK's df marginal documents); a plain join
+    // lets AQE broadcast it at runtime whenever it IS small, so the
+    // gate-scale plan is unchanged while the 100 TB plan degrades to a
+    // shuffle join instead of dying
     val perDoc = words
-      .join(broadcast(lp), "word")
+      .join(lp, "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum("lp_micro").as("sum_lp"))
     val scored = perDoc.crossJoin(broadcast(totals)).select(

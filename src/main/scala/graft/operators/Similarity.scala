@@ -30,8 +30,8 @@ object Similarity {
     * similar pairs, and it is paid in bucket keys, never in O(N²). */
   def lshAutoParams(corpusCount: Long, threshold: Double,
       eps: Double = 1e-8, maxTables: Int = 256): (Int, Int) = {
-    val bits = math.max(4, math.ceil(
-      math.log(math.max(1.0, corpusCount / 64.0)) / math.log(2)).toInt)
+    val bits = math.min(63, math.max(4, math.ceil(
+      math.log(math.max(1.0, corpusCount / 64.0)) / math.log(2)).toInt))
     val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
     val pb = math.pow(p, bits)
     val tables = math.min(maxTables,
@@ -69,6 +69,10 @@ object Similarity {
       targetCosine: Double = 0.2, corpusCount: Long = -1L): DataFrame = {
     require((numTables > 0) == (bitsPerTable > 0),
       "pass BOTH numTables and bitsPerTable, or neither (auto-sized)")
+    require(bitsPerTable <= 63,
+      s"bitsPerTable=$bitsPerTable: bucket bits pack into one long; " +
+      "64+ would alias mod 64 (1L << b wraps) and silently collapse " +
+      "the collision model")
     // auto-sizing needs only the corpus SCALE (it feeds a log): pass
     // `corpusCount` from metadata — commit-log stats for graft tables
     // (GraftTable.metadataRowCount), parquet footers for raw files
@@ -148,6 +152,10 @@ object Similarity {
       bitsPerTable: Int = 0, corpusCount: Long = -1L): DataFrame = {
     require((numTables > 0) == (bitsPerTable > 0),
       "pass BOTH numTables and bitsPerTable, or neither (auto-sized)")
+    require(bitsPerTable <= 63,
+      s"bitsPerTable=$bitsPerTable: bucket bits pack into one long; " +
+      "64+ would alias mod 64 (1L << b wraps) and silently collapse " +
+      "the collision model")
     val (nt, bt) =
       if (numTables > 0) (numTables, bitsPerTable)
       else lshAutoParams(
@@ -191,21 +199,25 @@ object Similarity {
     * order. |q| ≤ 2²¹, so a 64-dim sum stays ≤ 2²⁷ — far inside
     * BIGINT.
     *
-    * Map-only: the sign matrix is a plan literal (outDim × inDim
-    * longs), the projection a per-row HOF chain — zero shuffles, one
-    * codegen span; the 100 TB cost is exactly the scan. */
+    * Map-only, zero shuffles; the 100 TB cost is exactly the scan.
+    * The projection is an UNROLLED outDim × inDim sum of ±get() terms
+    * (signs folded at plan build), not an `aggregate(zip_with(...))`
+    * chain: array HOF lambdas are interpreted, and on a function
+    * positioned for full-corpus scans that interpretation tax is the
+    * hot path — the same measured reasoning as [[knnLabel]]'s unrolled
+    * distance. Integer sums are order-independent, so the values are
+    * bit-identical to the HOF formulation. */
   def randomProjection(embs: DataFrame, vecCol: String,
       inDim: Int, outDim: Int): DataFrame = {
-    val signs: Seq[Seq[Long]] = (0 until outDim).map { j =>
-      (0 until inDim).map(i => projectionSign(i, j)).toSeq
-    }
-    embs
-      .withColumn("__q", transform(col(vecCol),
-        x => floor(x.cast("double") * lit(1048576.0))))
-      .withColumn("proj", transform(typedLit(signs), row =>
-        aggregate(zip_with(col("__q"), row, (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x)))
-      .drop("__q")
+    val q = embs.withColumn("__q", transform(col(vecCol),
+      x => floor(x.cast("double") * lit(1048576.0))))
+    val proj = array((0 until outDim).map { j =>
+      (0 until inDim).map { i =>
+        val t = get(col("__q"), lit(i))
+        if (projectionSign(i, j) < 0L) -t else t
+      }.reduce(_ + _)
+    }: _*)
+    q.withColumn("proj", proj).drop("__q")
   }
 
   /** The (i, j) entry of the implicit projection matrix: −1 when the
@@ -241,8 +253,18 @@ object Similarity {
     * codegen. */
   def knnLabel(corpus: DataFrame, reference: DataFrame, idCol: String,
       vecCol: String, labelCol: String, k: Int, dims: Int = 64): DataFrame = {
+    // size-guarded: the unrolled distance reads positions 0..dims-1
+    // with get(), which returns NULL past the end — and a NULL
+    // distance sorts FIRST under asc (nulls-first), silently making
+    // one malformed short vector everyone's nearest neighbor. Fail
+    // loudly instead (raise_error folded into the projection so the
+    // optimizer cannot eliminate it).
     def quant(df: DataFrame) = df.withColumn("__q",
-      transform(col(vecCol), x => floor(x.cast("double") * lit(1048576.0))))
+      when(size(col(vecCol)) >= dims,
+        transform(col(vecCol), x => floor(x.cast("double") * lit(1048576.0))))
+      .otherwise(raise_error(concat(
+        lit(s"knnLabel: vector of size "), size(col(vecCol)).cast("string"),
+        lit(s" is shorter than dims=$dims")))))
     val ref = quant(reference)
       .select(col(idCol).as("__rid"), col(labelCol).as("__rlabel"),
         col("__q").as("__rq"))

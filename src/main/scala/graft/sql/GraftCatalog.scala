@@ -86,20 +86,31 @@ final class GraftCatalog(val spark: SparkSession, val warehouseDir: String) {
     val link = Paths.get(rootOf(name))
     // a DANGLING registration (link target deleted out from under us)
     // fails tableExists but still occupies the name — replace it
-    // rather than throwing FileAlreadyExists
-    if (Files.isSymbolicLink(link)) Files.delete(link)
+    // rather than throwing FileAlreadyExists. The sync signature must
+    // be invalidated too: the dead target's lastInstant can collide
+    // with the new target's, and a signature hit would keep serving
+    // the dead table's view
+    if (Files.isSymbolicLink(link)) { Files.delete(link); () }
+    syncedState.remove(name)
     Files.createSymbolicLink(link, src)
     table(name)
   }
 
   def dropTable(name: String): Unit = {
-    syncedState.remove(name)
     val root = Paths.get(rootOf(name))
     // NOFOLLOW: a registered table whose target was deleted is a
     // DANGLING symlink — Files.exists follows links and reports false,
     // which would make the name permanently undroppable
     require(Files.exists(root, java.nio.file.LinkOption.NOFOLLOW_LINKS),
       s"no such table $name")
+    syncedState.remove(name)
+    // the table's temp views must die WITH it — syncViews cannot
+    // repair them afterwards (the name is gone from listTables), so a
+    // survivor would keep resolving SELECTs against deleted files.
+    // Dropped here, at the layer that owns view registration, so API
+    // callers get the same cleanup as SQL DROP TABLE.
+    Seq(name, s"${name}_ro", s"${name}_rt")
+      .foreach(v => { spark.catalog.dropTempView(v); () })
     // a REGISTERED table is a symlink: dropping it un-registers (the
     // linked table's own files are not ours to delete)
     if (Files.isSymbolicLink(root)) { Files.delete(root); return }
@@ -167,10 +178,21 @@ final class GraftCatalog(val spark: SparkSession, val warehouseDir: String) {
         t.readIncremental(fromExclusive = from, maxCommits = maxCommits)
           .createOrReplaceTempView(n)
         if (t.config.isMor) {
-          t.readOptimized().createOrReplaceTempView(s"${n}_ro")
+          // honor skip_ro_suffix here too: with it set there IS no
+          // `_ro` view by contract, and one registered in this branch
+          // would never be refreshed (viewAlive short-circuits the
+          // `_ro` check under skipRo) — permanently stale
+          if (!skipRo) t.readOptimized().createOrReplaceTempView(s"${n}_ro")
           t.readRealtime().createOrReplaceTempView(s"${n}_rt")
         }
       } else t.registerViews(skipRoSuffix = skipRo, asName = n)
+      // flipping skip_ro_suffix false→true orphans a previously
+      // registered `_ro` that no refresh path would ever touch again —
+      // drop it so queries fail with "not found" instead of silently
+      // reading a frozen (and eventually cleaned-away) file list
+      if (skipRo && t.config.isMor) {
+        spark.catalog.dropTempView(s"${n}_ro"); ()
+      }
       syncedState(n) = sig
     }
   }

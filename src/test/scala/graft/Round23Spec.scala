@@ -297,6 +297,47 @@ class Round23Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bm25TopK survives idCol == queryIdCol (suffixed output names)") {
+    val docs = Seq((1L, "spark filter join"), (2L, "table scan"),
+      (3L, "spark join")).toDF("id", "text")
+    val qs = Seq((10L, "spark join")).toDF("id", "qtext")
+    val out = graft.operators.Selection.bm25TopK(
+      docs, "id", "text", qs, "id", "qtext", k = 2)
+    assert(out.columns.toSeq ==
+      Seq("query_id", "doc_id", "score_micro", "bm_rank"))
+    val rows = out.select("query_id", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(rows.nonEmpty && rows.forall(_._1 == 10L))
+    // distinct names keep their original spellings
+    val out2 = graft.operators.Selection.bm25TopK(
+      docs, "id", "text", qs.toDF("qid", "qtext"), "qid", "qtext", k = 2)
+    assert(out2.columns.toSeq == Seq("qid", "id", "score_micro", "bm_rank"))
+  }
+
+  test("knnLabel fails loudly on a vector shorter than dims") {
+    val ref = Seq((1L, Array.fill(4)(0.5), "a")).toDF("id", "vec", "lab")
+    val corpus = Seq((2L, Array.fill(2)(0.5))).toDF("id", "vec")
+    val ex = intercept[Exception] {
+      graft.operators.Similarity.knnLabel(corpus, ref, "id", "vec", "lab",
+        k = 1, dims = 4).collect()
+    }
+    assert(ex.getMessage.contains("shorter than dims"),
+      s"expected the size guard, got: ${ex.getMessage}")
+  }
+
+  test("catalog dropTable removes the table's temp views") {
+    val wh = tmp("cat")
+    val cat = new graft.sql.GraftCatalog(spark, wh)
+    val t = cat.createTable(graft.core.TableConfig(name = "dropv",
+      keyField = "k", orderingField = "ts", numBuckets = 1))
+    t.insert(Seq(("a", 1L, 1.0)).toDF("k", "ts", "v"))
+    cat.syncViews()
+    assert(spark.catalog.tableExists("dropv"))
+    cat.dropTable("dropv")
+    assert(!spark.catalog.tableExists("dropv"),
+      "dropTable left a stale temp view resolving deleted files")
+  }
+
   test("freeze refuses to retrain under persisted assignments") {
     val c = corpus
     val inc = new IncrementalSemanticDedup(spark, tmp("frz"),
