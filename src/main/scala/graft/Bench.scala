@@ -71,7 +71,8 @@ object Bench {
     "p67_domain_cap", // round 20: URL canonicalization + per-domain caps
     "p71_web_pipeline", // round 21: composed canonicalize→cap→decontaminate→split chain
     "p72_interleaved_assembly", // round 23: multimodal sample assembly (one doc_id shuffle)
-    "p73_full_chain") // round 23: the WHOLE RefinedWeb pipeline, front+back composed
+    "p73_full_chain", // round 23: the WHOLE RefinedWeb pipeline, front+back composed
+    "p74_exact_substr_excise") // round 24: keep-first duplicated-span cutting
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

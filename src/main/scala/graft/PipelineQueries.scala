@@ -269,6 +269,49 @@ object PipelineQueries {
       |       count(*) AS n_spans
       |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** ExactSubstr excision ([[Dedup.exactSubstrExcise]], the cutting half
+    * of the p55 family): every duplicated 20-token window loses all but
+    * its first (id, pos) occurrence — including intra-doc repeats — and
+    * covered tokens are cut from the text. Oracle = the same positional
+    * 20-gram keep-first + interval-union derivation in SQL. */
+  def dExactSubstrExcise(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstrExcise(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", windowTokens = 20)
+      .orderBy("doc_id")
+
+  private val dExactSubstrExciseSql =
+    """WITH toks AS (SELECT doc_id AS id, string_split(text, ' ') AS ts
+      |              FROM documents),
+      |g AS (SELECT id, i AS pos, array_to_string(ts[i:i+19], ' ') AS gram
+      |      FROM toks, UNNEST(generate_series(1, len(ts) - 19)) AS t(i)
+      |      WHERE len(ts) >= 20),
+      |f AS (SELECT id, pos FROM (
+      |        SELECT id, pos,
+      |               row_number() OVER (PARTITION BY gram ORDER BY id, pos) AS rn
+      |        FROM g) WHERE rn >= 2),
+      |b AS (SELECT id, pos,
+      |             CASE WHEN pos > lag(pos) OVER w + 20 THEN 1 ELSE 0 END AS brk
+      |      FROM f WINDOW w AS (PARTITION BY id ORDER BY pos)),
+      |iv AS (SELECT id, min(pos) AS s, max(pos) + 19 AS e
+      |       FROM (SELECT id, pos, sum(brk) OVER (
+      |               PARTITION BY id ORDER BY pos) AS grp FROM b)
+      |       GROUP BY id, grp),
+      |tok AS (SELECT id, j, ts[j] AS tok, len(ts) AS n FROM toks,
+      |        UNNEST(generate_series(1, len(ts))) AS t(j)),
+      |cov AS (SELECT DISTINCT iv.id, c.j
+      |        FROM iv, UNNEST(generate_series(iv.s, iv.e)) AS c(j)),
+      |kept AS (SELECT tok.id, any_value(tok.n) AS n_tokens,
+      |                count(cov.j) AS removed_tokens,
+      |                coalesce(array_to_string(list(tok.tok ORDER BY tok.j)
+      |                  FILTER (WHERE cov.j IS NULL), ' '), '') AS cleaned_text
+      |         FROM tok LEFT JOIN cov ON tok.id = cov.id AND tok.j = cov.j
+      |         GROUP BY tok.id),
+      |sp AS (SELECT id, count(*) AS n_spans FROM iv GROUP BY id)
+      |SELECT k.id AS doc_id, k.n_tokens, k.removed_tokens, sp.n_spans,
+      |       k.cleaned_text
+      |FROM kept k JOIN sp ON k.id = sp.id
+      |ORDER BY doc_id""".stripMargin
+
   // ---- similarity search ---------------------------------------------
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
@@ -2751,6 +2794,7 @@ object PipelineQueries {
     "p71_web_pipeline" -> (cWebPipeline _),
     "p72_interleaved_assembly" -> (mAssembleInterleaved _),
     "p73_full_chain" -> (cFullChain _),
+    "p74_exact_substr_excise" -> (dExactSubstrExcise _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2837,5 +2881,6 @@ object PipelineQueries {
     "p71_web_pipeline" -> cWebPipelineSql,
     "p72_interleaved_assembly" -> mAssembleInterleavedSql,
     "p73_full_chain" -> cFullChainSql,
+    "p74_exact_substr_excise" -> dExactSubstrExciseSql,
   )
 }

@@ -710,4 +710,77 @@ object Dedup {
       .agg(max(col("run_tokens")).as("span_tokens"),
         count(lit(1)).as("n_spans"))
   }
+
+  /** ExactSubstr excision (Lee et al. '22, "Deduplicating Training Data
+    * Makes Language Models Better"): REMOVE every duplicated verbatim
+    * token window from the corpus, keeping only its first occurrence —
+    * the cutting half of the family whose detection half is
+    * [[sharedSpanPairs]]. Where the paper builds a corpus-wide suffix
+    * array, the Spark-shaped equivalent is positional L-token windows
+    * grouped corpus-wide: a token run of length ≥ L is duplicated iff
+    * every L-window inside it is, so excising all non-first duplicated
+    * windows removes exactly the duplicated runs (to window
+    * granularity) and nothing else.
+    *
+    * Semantics (deterministic, engine-independent):
+    *  - every position i of doc d with ≥ L whitespace tokens carries
+    *    the window `toks[i..i+L-1]`;
+    *  - an occurrence (d, i) is excised iff its window occurs elsewhere
+    *    in the corpus and (d, i) is not the lexicographically smallest
+    *    (id, pos) occurrence — the keep-first rule, which also removes
+    *    INTRA-doc repetition (the second copy inside one doc);
+    *  - excised windows are unioned into maximal spans per doc and the
+    *    covered tokens dropped; docs with nothing removed are omitted.
+    *
+    * Scale shape: ONE term shuffle of (id, pos, md5-128(window)) — the
+    * window text itself never crosses the network; per-window stats
+    * (count, first occurrence) come from a partial-aggregating groupBy
+    * (skew-safe: a boilerplate mega-window combines map-side), and the
+    * flag join back to positions is a shuffle hash join AQE can split
+    * on skew — never a per-key sort. Interval union and text rebuild
+    * are per-doc window/HOF work bounded by doc length. Grouping by the
+    * 128-bit md5 instead of the window string trades a ~1e-19 birthday
+    * collision at 10¹⁰ windows for not shuffling L tokens per position. */
+  def exactSubstrExcise(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 20): DataFrame = {
+    require(windowTokens >= 2, s"need windowTokens >= 2, got $windowTokens")
+    val L = windowTokens
+    val toks = docs.select(col(idCol).as("id"),
+      split(col(textCol), "\\s+").as("toks"))
+    val grams = toks
+      .filter(size(col("toks")) >= L)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${L - 1}), " +
+        s"i -> struct(i AS pos, md5(array_join(slice(toks, i, $L), ' ')) AS h))"))
+        .as("g"))
+      .select(col("id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val dupStats = grams.groupBy("h")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("id"), col("pos"))).as("first"))
+      .filter(col("cnt") >= 2)
+      .select(col("h"), col("first"))
+    val flagged = grams.join(dupStats, Seq("h"))
+      .filter(!(col("id") === col("first.id") && col("pos") === col("first.pos")))
+      .select("id", "pos")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val intervals = flagged
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(w) + lit(L), lit(1))
+          .otherwise(lit(0)))
+      .withColumn("grp", sum(col("brk")).over(w))
+      .groupBy("id", "grp")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(L - 1)).as("e"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"),
+        sum(col("e") - col("s") + lit(1)).as("removed_tokens"),
+        count(lit(1)).as("n_spans"))
+    toks.join(intervals, Seq("id"))
+      .select(col("id").as("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        col("removed_tokens"), col("n_spans"),
+        array_join(expr(
+          "filter(transform(toks, (t, j) -> struct(j + 1 AS p, t AS t)), " +
+          "x -> NOT exists(iv, v -> x.p >= v.s AND x.p <= v.e)).t"), " ")
+          .as("cleaned_text"))
+  }
 }
