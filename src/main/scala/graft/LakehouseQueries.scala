@@ -843,6 +843,61 @@ object LakehouseQueries {
        |FROM f JOIN live ON f.filename = '$foreignDeltaRoot/' || live.path
        |ORDER BY event_type, user_id""".stripMargin
 
+  // ---- T6++ checkpointed Delta log verification (l34) ----------------
+
+  /** Fixed root, same reason as l29: the oracle SQL is static. */
+  private val checkpointDeltaRoot = "/tmp/graft_xtable_l34"
+
+  /** The Delta LOG-RETENTION flow verified by a foreign reader: the
+    * engine exports two versions, writes a single-part CHECKPOINT
+    * ([[graft.interop.XTableSync.checkpointDelta]] — the public Delta
+    * checkpoint protocol: one parquet of reconciled actions +
+    * `_last_checkpoint`), exports one more version, then EXPIRES the
+    * JSON commits the checkpoint covers
+    * ([[graft.interop.XTableSync.expireDeltaLog]]). The oracle mounts
+    * what a real post-retention `_delta_log` looks like with no graft
+    * code: live set = checkpoint adds ∪ later-JSON adds ∖ later-JSON
+    * removes. Without checkpointing, a long-lived export accumulates
+    * an O(commits) JSON chain that every foreign mount must replay —
+    * the 100 TB operational path is checkpoint + expire. */
+  def qDeltaCheckpointRead(spark: SparkSession, dir: String): DataFrame = {
+    graft.util.TempDirs.deleteRecursively(
+      java.nio.file.Paths.get(checkpointDeltaRoot))
+    val ev = events(spark, dir)
+    val t = GraftTable.create(spark, checkpointDeltaRoot,
+      cfg("ev_delta_checkpoint", TableConfig.Cow))
+    t.insert(ev.filter(col("event_id") % 3 === 0))
+    t.upsert(ev.filter(col("event_id") % 3 === 1))
+    graft.interop.XTableSync.syncDelta(t) // v0, v1
+    graft.interop.XTableSync.checkpointDelta(spark, checkpointDeltaRoot)
+    t.upsert(ev.filter(col("event_id") % 3 === 2)) // rewrites buckets →
+    graft.interop.XTableSync.syncDelta(t) // v2 carries adds AND removes
+    graft.interop.XTableSync.expireDeltaLog(checkpointDeltaRoot)
+    out(t.read())
+  }
+
+  private val deltaCheckpointSql =
+    s"""WITH cp AS (
+       |  SELECT * FROM read_parquet(
+       |    '$checkpointDeltaRoot/_delta_log/*.checkpoint.parquet')),
+       |acts AS (
+       |  SELECT * FROM read_json_auto('$checkpointDeltaRoot/_delta_log/*.json',
+       |                               format='newline_delimited', sample_size=-1)),
+       |live AS (
+       |  SELECT "add".path AS path FROM cp WHERE "add" IS NOT NULL
+       |  UNION
+       |  SELECT "add".path FROM acts WHERE "add" IS NOT NULL
+       |  EXCEPT
+       |  SELECT "remove".path FROM acts WHERE "remove" IS NOT NULL),
+       |f AS (
+       |  SELECT event_type, user_id, event_id, ts, value, filename
+       |  FROM read_parquet('$checkpointDeltaRoot/data/**/*.parquet',
+       |                    filename=true, hive_partitioning=false,
+       |                    union_by_name=true))
+       |SELECT event_type, user_id, event_id, ts // 1000 AS ts_us, value
+       |FROM f JOIN live ON f.filename = '$checkpointDeltaRoot/' || live.path
+       |ORDER BY event_type, user_id""".stripMargin
+
   // ---- T6++ foreign-reader Iceberg verification (l31) ----------------
 
   /** Fixed root for the same reason as l29: the oracle SQL is static. */
@@ -1171,6 +1226,7 @@ object LakehouseQueries {
     "l31_iceberg_foreign_read" -> (qIcebergForeignRead _),
     "l32_delta_adopt" -> (qDeltaAdopt _),
     "l33_adopt_roundtrip" -> (qAdoptRoundtrip _),
+    "l34_delta_checkpoint" -> (qDeltaCheckpointRead _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1207,5 +1263,6 @@ object LakehouseQueries {
     "l31_iceberg_foreign_read" -> icebergForeignSql,
     "l32_delta_adopt" -> deltaAdoptSql,
     "l33_adopt_roundtrip" -> adoptRoundtripSql,
+    "l34_delta_checkpoint" -> deltaCheckpointSql,
   )
 }

@@ -2,6 +2,7 @@ package graft.interop
 
 import graft.core.{CommitLog, GraftTable}
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions.{col, struct, to_json}
 import scala.jdk.CollectionConverters._
 
 /** Format-interop metadata emission — the Apache xTable analog
@@ -319,55 +320,214 @@ object XTableSync {
   final case class DeltaState(schemaJson: String,
       partitionColumns: Seq[String], liveFiles: Seq[String])
 
-  /** The `_delta_log` version files under `root`, ascending. Fails
-    * loudly on a checkpointed log (`_last_checkpoint` or
-    * `*.checkpoint*.parquet`): Delta's log-retention cleaning deletes
-    * JSON commits older than the checkpoint, so replaying the
-    * surviving JSON chain alone reconstructs an INCOMPLETE live set —
-    * adoption would silently drop files (later JSONs still exist, so
-    * a bare nonEmpty check can't catch it). Checkpoint-parquet replay
-    * needs the Delta kernel's checkpoint schema; until that lands the
-    * honest answer is refusal, not a truncated adopt. */
-  private def deltaVersionFiles(root: String): Seq[java.nio.file.Path] = {
+  /** The replayable `_delta_log` chain under `root`: an optional
+    * single-part checkpoint seed plus the contiguous JSON versions
+    * after it. Every unsound shape fails loudly instead of replaying a
+    * wrong live set:
+    *  - multi-part checkpoints (`N.checkpoint.0000000001.0000000002
+    *    .parquet`) are refused — single-part only;
+    *  - a `_last_checkpoint` naming a missing file is refused;
+    *  - a GAP in the JSON chain (commits retention-cleaned without a
+    *    covering checkpoint) is refused — replay would silently drop
+    *    or resurrect files;
+    *  - without a checkpoint the chain must start at version 0. */
+  private final case class DeltaChain(
+      checkpoint: Option[(Long, java.nio.file.Path)],
+      jsons: Seq[(Long, java.nio.file.Path)]) {
+    def lastVersion: Long =
+      (checkpoint.map(_._1).toSeq ++ jsons.map(_._1)).max
+  }
+
+  private def deltaChain(root: String): DeltaChain = {
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log under $root")
     val names = graft.util.Fs.list(logDir)(
       _.map(_.getFileName.toString).toSeq)
-    val checkpointed = names.contains("_last_checkpoint") ||
-      names.exists(n => n.contains(".checkpoint") && n.endsWith(".parquet"))
-    require(!checkpointed,
-      s"_delta_log under $root is checkpointed — JSON commits before " +
-      "the checkpoint may have been retention-cleaned, so a JSON-only " +
-      "replay would silently drop live files; adopt from a table whose " +
-      "full JSON history is present")
-    names.filter(_.matches("\\d{20}\\.json")).sorted
-      .map(logDir.resolve)
+    require(!names.exists(_.matches(
+        "\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet")),
+      s"_delta_log under $root has a multi-part checkpoint — only " +
+      "single-part checkpoints are supported; write a single-part " +
+      "checkpoint from the source engine first")
+    val cpVersions = names.collect {
+      case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
+        n.stripSuffix(".checkpoint.parquet").toLong
+    }
+    val cpVer: Option[Long] = if (names.contains("_last_checkpoint")) {
+      val node = mapper.readTree(
+        Files.readString(logDir.resolve("_last_checkpoint")))
+      require(!node.has("parts") || node.get("parts").asInt() <= 1,
+        s"_delta_log under $root has a multi-part checkpoint " +
+        s"(parts=${node.get("parts")}) — only single-part checkpoints " +
+        "are supported")
+      val v = node.get("version").asLong()
+      require(cpVersions.contains(v),
+        s"_last_checkpoint under $root names version $v but " +
+        f"$v%020d.checkpoint.parquet is missing")
+      Some(v)
+    } else cpVersions.maxOption
+    val cp = cpVer.map(v => v -> logDir.resolve(f"$v%020d.checkpoint.parquet"))
+    val floor = cpVer.getOrElse(-1L)
+    val jsons = names.filter(_.matches("\\d{20}\\.json")).sorted
+      .map(n => n.stripSuffix(".json").toLong -> logDir.resolve(n))
+      .filter(_._1 > floor)
+    jsons.map(_._1).zipWithIndex.foreach { case (v, i) =>
+      val expect = floor + 1 + i
+      require(v == expect,
+        s"_delta_log under $root is missing version $expect (next " +
+        s"present: $v): JSON commits were removed without a covering " +
+        "checkpoint, so a replay would silently drop or resurrect files")
+    }
+    require(cp.nonEmpty || jsons.nonEmpty, s"empty _delta_log under $root")
+    DeltaChain(cp, jsons)
   }
 
-  def replayDelta(root: String): DeltaState = {
-    val versions = deltaVersionFiles(root)
-    require(versions.nonEmpty, s"empty _delta_log under $root")
+  /** Every action of the replayable chain as one JSON line each, in
+    * replay order. A checkpoint seed needs a SparkSession to read its
+    * parquet; its rows are re-serialized one action per line
+    * (protocol, metaData, remove tombstones, adds — order inside a
+    * checkpoint is immaterial since it is a reconciled state, but
+    * removes go before adds so a path both tombstoned and re-added by
+    * later JSONs replays correctly). The checkpoint collect is
+    * O(live files) driver metadata, the same order as the commit log
+    * itself. */
+  private def deltaActionLines(root: String,
+      spark: Option[org.apache.spark.sql.SparkSession]): Seq[String] = {
+    val chain = deltaChain(root)
+    val cpLines = chain.checkpoint match {
+      case None => Seq.empty[String]
+      case Some((v, p)) =>
+        val s = spark.getOrElse(throw new IllegalArgumentException(
+          s"_delta_log under $root is checkpointed (version $v) — " +
+          "replaying it reads the checkpoint parquet, which needs a " +
+          "SparkSession: use replayDelta(root, spark) or adoptDelta"))
+        val df = s.read.parquet(p.toString)
+        def part(colName: String): Seq[String] =
+          if (df.columns.contains(colName))
+            df.filter(col(colName).isNotNull)
+              .select(to_json(struct(col(colName))))
+              .collect().map(_.getString(0)).toSeq
+          else Seq.empty
+        part("protocol") ++ part("metaData") ++ part("remove") ++ part("add")
+    }
+    cpLines ++ chain.jsons.flatMap { case (_, f) =>
+      Files.readAllLines(f).asScala.filter(_.nonEmpty)
+    }
+  }
+
+  /** Full replay state: the last metaData/protocol action lines and
+    * the live map (decoded path → its add-action line) — what a
+    * checkpoint must persist. */
+  private final case class DeltaReplay(schemaJson: String,
+      partCols: Seq[String], protocolLine: Option[String],
+      metaDataLine: Option[String],
+      live: scala.collection.mutable.LinkedHashMap[String, String])
+
+  private def replayActions(lines: Seq[String]): DeltaReplay = {
     var schemaJson = ""
     var partCols = Seq.empty[String]
-    val live = scala.collection.mutable.LinkedHashSet[String]()
-    versions.foreach { v =>
-      Files.readAllLines(v).asScala.filter(_.nonEmpty).foreach { line =>
-        val a = mapper.readTree(line)
-        if (a.has("metaData")) {
-          schemaJson = a.get("metaData").get("schemaString").asText()
-          partCols = a.get("metaData").get("partitionColumns")
-            .elements().asScala.map(_.asText()).toSeq
-        }
-        if (a.has("add")) {
-          live += decodeDeltaPath(a.get("add").get("path").asText()); ()
-        }
-        if (a.has("remove")) {
-          live -= decodeDeltaPath(a.get("remove").get("path").asText()); ()
-        }
+    var protocol: Option[String] = None
+    var metaLine: Option[String] = None
+    val live = scala.collection.mutable.LinkedHashMap[String, String]()
+    lines.foreach { line =>
+      val a = mapper.readTree(line)
+      if (a.has("protocol") && !a.get("protocol").isNull)
+        protocol = Some(mapper.writeValueAsString(
+          Map("protocol" -> mapper.treeToValue(a.get("protocol"), classOf[Object]))))
+      if (a.has("metaData") && !a.get("metaData").isNull) {
+        metaLine = Some(mapper.writeValueAsString(
+          Map("metaData" -> mapper.treeToValue(a.get("metaData"), classOf[Object]))))
+        schemaJson = a.get("metaData").get("schemaString").asText()
+        partCols = a.get("metaData").get("partitionColumns")
+          .elements().asScala.map(_.asText()).toSeq
+      }
+      if (a.has("add") && !a.get("add").isNull) {
+        live += decodeDeltaPath(a.get("add").get("path").asText()) ->
+          mapper.writeValueAsString(
+            Map("add" -> mapper.treeToValue(a.get("add"), classOf[Object])))
+        ()
+      }
+      if (a.has("remove") && !a.get("remove").isNull) {
+        live -= decodeDeltaPath(a.get("remove").get("path").asText()); ()
       }
     }
     require(schemaJson.nonEmpty, "log replay found no metaData action")
-    DeltaState(schemaJson, partCols, live.toSeq)
+    DeltaReplay(schemaJson, partCols, protocol, metaLine, live)
+  }
+
+  /** JSON-only replay — refuses checkpointed logs (they need
+    * [[replayDelta(root:String,spark*]] to read the checkpoint). */
+  def replayDelta(root: String): DeltaState = replayDelta(root, None)
+
+  /** Checkpoint-aware replay: seeds the live set from the latest
+    * single-part checkpoint (if any) and applies the JSON versions
+    * after it — the reconstruction a real Delta reader performs, and
+    * the one that survives log-retention cleaning. */
+  def replayDelta(root: String,
+      spark: org.apache.spark.sql.SparkSession): DeltaState =
+    replayDelta(root, Some(spark))
+
+  private def replayDelta(root: String,
+      spark: Option[org.apache.spark.sql.SparkSession]): DeltaState = {
+    val st = replayActions(deltaActionLines(root, spark))
+    DeltaState(st.schemaJson, st.partCols, st.live.keys.toSeq)
+  }
+
+  /** Write a single-part Delta CHECKPOINT at the log's current head
+    * version (the public checkpoint protocol: one parquet of the
+    * reconciled protocol/metaData/add actions as nullable struct
+    * columns, then `_last_checkpoint` naming it — readers that see
+    * `_last_checkpoint` must find the file, so it is written LAST,
+    * atomically). After a checkpoint, [[expireDeltaLog]] may delete
+    * the JSON commits it covers — the log-retention flow every real
+    * Delta writer runs, without which a long-lived export accumulates
+    * an O(commits) JSON chain that every foreign mount must replay.
+    *
+    * Works on any replayable `_delta_log` (a graft export or a foreign
+    * table), not just graft-owned roots. Returns the checkpointed
+    * version. */
+  def checkpointDelta(spark: org.apache.spark.sql.SparkSession,
+      root: String): Long = {
+    val chain = deltaChain(root)
+    val v = chain.lastVersion
+    val st = replayActions(deltaActionLines(root, Some(spark)))
+    // a continued foreign log may have had its protocol action expired
+    // with a previous checkpoint's JSONs; re-seed the default
+    val protocol = st.protocolLine.getOrElse(mapper.writeValueAsString(
+      Map("protocol" -> Map("minReaderVersion" -> 1, "minWriterVersion" -> 2))))
+    val lines = Seq(protocol) ++ st.metaDataLine.toSeq ++ st.live.values.toSeq
+    val logDir = Paths.get(root, "_delta_log")
+    import spark.implicits._
+    val tmpd = logDir.resolve(s".cp-tmp-${java.util.UUID.randomUUID()}")
+    spark.read.json(spark.createDataset(lines))
+      .coalesce(1).write.parquet(tmpd.toString)
+    val part = graft.util.Fs.list(tmpd)(
+      _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
+    Files.move(part, logDir.resolve(f"$v%020d.checkpoint.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    graft.util.TempDirs.deleteRecursively(tmpd)
+    val tmpf = logDir.resolve(s".tmp-lc-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmpf, s"""{"version":$v,"size":${lines.size}}""")
+    Files.move(tmpf, logDir.resolve("_last_checkpoint"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** Delta log-retention cleaning: delete the JSON commits at or below
+    * the `_last_checkpoint` version (they are covered by the
+    * checkpoint; replay seeds from it). Refuses to clean an
+    * uncheckpointed log. Returns the deleted versions. */
+  def expireDeltaLog(root: String): Seq[Long] = {
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.exists(logDir.resolve("_last_checkpoint")),
+      s"_delta_log under $root has no _last_checkpoint — run " +
+      "checkpointDelta before expiring JSON commits")
+    val chain = deltaChain(root) // validates the checkpoint file exists
+    val cpV = chain.checkpoint.get._1
+    graft.util.Fs.list(logDir)(_.map(_.getFileName.toString).toSeq)
+      .filter(_.matches("\\d{20}\\.json"))
+      .map(n => n.stripSuffix(".json").toLong -> n)
+      .filter(_._1 <= cpV).sortBy(_._1)
+      .map { case (ver, n) => Files.delete(logDir.resolve(n)); ver }
   }
 
   /** Reverse xTable leg (reference xtable/xtable_delta.yaml:17-25 —
@@ -403,10 +563,9 @@ object XTableSync {
   def adoptDelta(spark: org.apache.spark.sql.SparkSession, root: String,
       config: graft.core.TableConfig): GraftTable = {
     require(!GraftTable.exists(root), s"$root is already a graft table")
-    val st = replayDelta(root)
+    val st = replayDelta(root, spark)
     require(st.liveFiles.nonEmpty, s"Delta table at $root has no live files")
-    val lastForeignVer = deltaVersionFiles(root)
-      .last.getFileName.toString.stripSuffix(".json").toLong
+    val lastForeignVer = deltaChain(root).lastVersion
     val t = GraftTable.create(spark, root, config)
     val instant = t.bootstrapFromFiles(
       st.liveFiles.map(p => Paths.get(root, p)))
@@ -468,7 +627,7 @@ object XTableSync {
   def readDelta(spark: org.apache.spark.sql.SparkSession,
       root: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types.{DataType, StructType}
-    val st = replayDelta(root)
+    val st = replayDelta(root, spark)
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     if (st.liveFiles.isEmpty)
       spark.createDataFrame(

@@ -516,7 +516,7 @@ final class GraftSql(catalog: GraftCatalog) {
           catalog.registerTable(name, path)
           Seq((name, path, "registered")).toDF("table", "path", "mode")
         } else if (java.nio.file.Files.isDirectory(p.resolve("_delta_log"))) {
-          val live = XTableSync.replayDelta(p.toString).liveFiles
+          val live = XTableSync.replayDelta(p.toString, spark).liveFiles
           adopted("delta_adopted", catalog.table(name)
             .bootstrapFromFiles(live.map(p.resolve)))
         } else if (p.getFileName.toString.endsWith(".metadata.json") ||

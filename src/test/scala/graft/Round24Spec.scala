@@ -101,6 +101,107 @@ class Round24Spec extends AnyFunSuite {
     assert(t == toks("v", 10).mkString(" "))
   }
 
+  // ---- Delta checkpoint write / checkpoint-aware replay ---------------
+
+  import java.nio.file.{Files, Paths}
+  import graft.interop.XTableSync
+
+  private def tmp(tag: String) =
+    graft.util.TempDirs.create(s"graft-r24-$tag-").toString
+
+  /** Synthesize a two-version foreign Delta table: v0 adds old.parquet,
+    * v1 removes it and adds a.parquet (the Round22Spec fixture). */
+  private def foreignDelta(root: String): Unit = {
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    def writeFile(name: String, rows: Seq[(Long, Long, Double)]): Long = {
+      val tmpd = s"$root/.tmp"
+      rows.toDF("id", "ts", "score").coalesce(1).write.mode("overwrite")
+        .parquet(tmpd)
+      val part = graft.util.Fs.list(Paths.get(tmpd))(_
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
+      Files.move(part, Paths.get(root, name))
+      graft.util.TempDirs.deleteRecursively(Paths.get(tmpd))
+      Files.size(Paths.get(root, name))
+    }
+    val schema = Seq((1L, 1L, 0.0)).toDF("id", "ts", "score").schema.json
+    val meta = graft.core.CommitLog.mapper.writeValueAsString(Map(
+      "metaData" -> Map("id" -> "0", "format" -> Map("provider" -> "parquet"),
+        "schemaString" -> schema, "partitionColumns" -> Seq.empty)))
+    val s0 = writeFile("old.parquet", Seq((1L, 1L, -1.0)))
+    val s1 = writeFile("a.parquet", Seq((1L, 2L, 1.0), (2L, 2L, 2.0)))
+    def w(ver: Long, actions: Seq[String]): Unit = Files.write(
+      Paths.get(root, "_delta_log", f"$ver%020d.json"),
+      actions.mkString("", "\n", "\n").getBytes("UTF-8"))
+    w(0L, Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      meta,
+      s"""{"add":{"path":"old.parquet","partitionValues":{},"size":$s0,"modificationTime":1,"dataChange":true}}"""))
+    w(1L, Seq(
+      """{"remove":{"path":"old.parquet","dataChange":true,"deletionTimestamp":2}}""",
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$s1,"modificationTime":2,"dataChange":true}}"""))
+  }
+
+  test("checkpointDelta + expireDeltaLog: replay equals the full-chain " +
+      "replay, and a retention-cleaned foreign table still ADOPTS") {
+    val root = tmp("cp") + "/dsrc"
+    foreignDelta(root)
+    val before = XTableSync.replayDelta(root).liveFiles.toSet
+    val v = XTableSync.checkpointDelta(spark, root)
+    assert(v == 1L)
+    // checkpoint-aware replay agrees with the JSON chain while both exist
+    assert(XTableSync.replayDelta(root, spark).liveFiles.toSet == before)
+    val expired = XTableSync.expireDeltaLog(root)
+    assert(expired == Seq(0L, 1L))
+    // JSON-only replay now refuses (needs the checkpoint), loudly
+    val e = intercept[IllegalArgumentException](XTableSync.replayDelta(root))
+    assert(e.getMessage.contains("needs a SparkSession"))
+    // checkpoint-seeded replay reconstructs the same live set
+    assert(XTableSync.replayDelta(root, spark).liveFiles.toSet == before)
+    // and the retention-cleaned table adopts: live rows survive, the
+    // continued log replays to the graft snapshot after a post-adoption
+    // upsert + sync
+    val t = XTableSync.adoptDelta(spark, root,
+      graft.core.TableConfig(name = "adopted_cp", keyField = "id",
+        orderingField = "ts", numBuckets = 1))
+    def state(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "ts", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(state(t.read()) == Set((1L, 2L, 1.0), (2L, 2L, 2.0)))
+    t.upsert(Seq((2L, 3L, 9.0), (3L, 3L, 3.0)).toDF("id", "ts", "score"))
+    XTableSync.syncDelta(t)
+    assert(state(XTableSync.readDelta(spark, root)) == state(t.read()))
+  }
+
+  test("unsound _delta_log shapes are refused loudly: version gaps, " +
+      "multi-part checkpoints, _last_checkpoint naming a missing file, " +
+      "expire without a checkpoint") {
+    val root = tmp("bad") + "/dsrc"
+    foreignDelta(root)
+    // expire before any checkpoint exists
+    val e0 = intercept[IllegalArgumentException](
+      XTableSync.expireDeltaLog(root))
+    assert(e0.getMessage.contains("no _last_checkpoint"))
+    // gap: delete v0 with no covering checkpoint
+    Files.delete(Paths.get(root, "_delta_log", f"${0L}%020d.json"))
+    val e1 = intercept[IllegalArgumentException](XTableSync.replayDelta(root))
+    assert(e1.getMessage.contains("missing version 0"))
+    // multi-part checkpoint name
+    val root2 = tmp("mp") + "/dsrc"
+    foreignDelta(root2)
+    Files.write(Paths.get(root2, "_delta_log",
+      f"${1L}%020d.checkpoint.0000000001.0000000002.parquet"), Array[Byte]())
+    val e2 = intercept[IllegalArgumentException](
+      XTableSync.replayDelta(root2, spark))
+    assert(e2.getMessage.contains("multi-part"))
+    // _last_checkpoint pointing at a version with no checkpoint file
+    val root3 = tmp("lc") + "/dsrc"
+    foreignDelta(root3)
+    Files.writeString(Paths.get(root3, "_delta_log", "_last_checkpoint"),
+      """{"version":1,"size":3}""")
+    val e3 = intercept[IllegalArgumentException](
+      XTableSync.replayDelta(root3, spark))
+    assert(e3.getMessage.contains("missing"))
+  }
+
   test("cleaned token count reconciles on the sf0.001 fixture corpus") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = Dedup.exactSubstrExcise(docs, "doc_id", "text", 20)
