@@ -291,4 +291,30 @@ class IncrementalSemanticDedup(spark: SparkSession, root: String,
     else seen.join(verdictStore.read().filter(!col("keep"))
       .select(col("vec_id")), Seq("vec_id"), "left_anti")
   }
+
+  /** Streaming twin of [[dedupBatch]] — the [[IvfPq.appendStream]]
+    * deployment shape applied to semantic dedup: each micro-batch is
+    * deduped against everything seen before it, with `batchNo =
+    * baseBatchNo + epoch` (checkpoint epochs are monotone per query,
+    * so the [[dedupBatch]] monotonicity contract holds for free).
+    *
+    * Exactly-once: a crash-replayed epoch re-runs [[dedupBatch]] under
+    * the SAME batchNo — the member store's high-water `_b` marks it as
+    * the latest batch, so the re-run recomputes against pre-batch
+    * history and re-upserts identical verdict rows (the crash-recovery
+    * contract [[dedupBatch]] already specs). A RESET checkpoint
+    * restarts epochs at 0, which the monotone require refuses LOUDLY —
+    * resume with the original checkpoint, or pass `baseBatchNo` above
+    * the member store's high-water mark to continue under fresh batch
+    * numbers. Empty micro-batches are skipped (no empty commits, no
+    * epoch-number gaps that matter — later epochs stay monotone). */
+  def dedupStream(stream: DataFrame, idCol: String, vecCol: String,
+      checkpointDir: String, baseBatchNo: Long = 0L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, epoch: Long) =>
+        if (!df.isEmpty) { dedupBatch(df, idCol, vecCol, baseBatchNo + epoch); () }
+      }
+      .start()
 }

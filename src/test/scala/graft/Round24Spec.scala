@@ -202,6 +202,111 @@ class Round24Spec extends AnyFunSuite {
     assert(e3.getMessage.contains("missing"))
   }
 
+  // ---- streaming incremental SemDeDup ---------------------------------
+
+  import graft.operators.{IncrementalSemanticDedup, SemanticDedup}
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType,
+    StructField, StructType}
+
+  private val dim = 16
+  private val threshold = 0.95
+
+  /** The Round23Spec corpus: 40 near-orthogonal unit vectors, a tight
+    * duplicate for every 4th, a second for every 8th. */
+  private def semCorpus: org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val base = (0 until 40).map { i =>
+      i.toLong -> unit(Array.fill(dim)(rnd.nextGaussian()))
+    }
+    val dups = base.collect { case (i, v) if i % 4 == 0 =>
+      val copies = if (i % 8 == 0) 2 else 1
+      (1 to copies).map { c =>
+        (1000L * c + i) -> unit(v.map(_ + 0.004 * rnd.nextGaussian()))
+      }
+    }.flatten
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  test("dedupStream: micro-batched semantic dedup equals the batch " +
+      "operator; a reset checkpoint is refused; baseBatchNo resumes") {
+    val c = semCorpus.cache(); c.count()
+    val inc = new IncrementalSemanticDedup(spark, tmp("stream"),
+      nClusters = 8, threshold = threshold)
+    inc.freeze(c, "vec_id", "embedding")
+
+    // one JSON file per micro-batch, interleaved like Round23Spec
+    val in = tmp("semin")
+    def writeBatch(name: String, rows: Seq[(Long, Seq[Double])]): Unit =
+      Files.write(Paths.get(in, name),
+        rows.map { case (id, v) =>
+          s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+        }.mkString("\n").getBytes("UTF-8"))
+    val all = c.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Double])].collect().toSeq
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val ckpt = tmp("semckpt")
+    def start(dir: String, base: Long = 0L) = inc.dedupStream(
+      spark.readStream.schema(schema).json(in),
+      "vec_id", "embedding", checkpointDir = dir, baseBatchNo = base)
+
+    writeBatch("b0.json", all.filter(_._1 % 3 == 0))
+    val q = start(ckpt)
+    try {
+      q.processAllAvailable()
+      writeBatch("b1.json", all.filter(_._1 % 3 == 1))
+      q.processAllAvailable()
+      writeBatch("b2.json", all.filter(_._1 % 3 == 2))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // verdict-store groups equal the batch operator's on the union
+    val batchV = SemanticDedup.verdicts(c, "vec_id", "embedding",
+      nClusters = 8, threshold = threshold, indexPath = tmp("bidx"))
+    val expGroups = batchV.select("vec_id", "group_id")
+      .as[(Long, Long)].collect().toMap
+    def gotGroups() = inc.verdictStore.read()
+      .select(col("vec_id").cast("long"), col("group_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(expGroups.nonEmpty && gotGroups() == expGroups)
+    val membersBefore = inc.members.read().count()
+
+    // restarting from the SAME checkpoint replays nothing: state holds
+    val q2 = start(ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(gotGroups() == expGroups && inc.members.read().count() == membersBefore)
+
+    // a RESET checkpoint restarts epochs at 0 — refused loudly, state
+    // untouched
+    val q3 = start(tmp("reset"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    assert(ex.getMessage.contains("monotone"))
+    assert(gotGroups() == expGroups && inc.members.read().count() == membersBefore)
+
+    // NEW data resumes under baseBatchNo above the high-water mark: a
+    // tight duplicate of doc 2 arrives and is grouped with it
+    val in2 = in + "2"
+    val v2 = all.find(_._1 == 2L).get._2
+    Files.createDirectories(Paths.get(in2))
+    Files.write(Paths.get(in2, "late.json"),
+      s"""{"vec_id":3002,"embedding":[${v2.mkString(",")}]}"""
+        .getBytes("UTF-8"))
+    val q4 = inc.dedupStream(
+      spark.readStream.schema(schema).json(in2),
+      "vec_id", "embedding", checkpointDir = tmp("ck2"), baseBatchNo = 10L)
+    try q4.processAllAvailable() finally q4.stop()
+    val g = gotGroups()
+    assert(g.get(3002L).contains(2L), s"late duplicate not grouped: $g")
+    assert(inc.survivors().filter($"vec_id" === 3002L).count() == 0,
+      "late duplicate of a released doc must not survive")
+    c.unpersist()
+  }
+
   test("cleaned token count reconciles on the sf0.001 fixture corpus") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = Dedup.exactSubstrExcise(docs, "doc_id", "text", 20)
