@@ -73,7 +73,8 @@ object Bench {
     "p72_interleaved_assembly", // round 23: multimodal sample assembly (one doc_id shuffle)
     "p73_full_chain", // round 23: the WHOLE RefinedWeb pipeline, front+back composed
     "p74_exact_substr_excise", // round 24: keep-first duplicated-span cutting
-    "l34_delta_checkpoint") // round 24: export → checkpoint → expire → foreign mount
+    "l34_delta_checkpoint", // round 24: export → checkpoint → expire → foreign mount
+    "p75_unigram_encode") // round 24: unigram-LM Viterbi tokenizer encode
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

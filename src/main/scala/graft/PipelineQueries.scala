@@ -312,6 +312,55 @@ object PipelineQueries {
       |FROM kept k JOIN sp ON k.id = sp.id
       |ORDER BY doc_id""".stripMargin
 
+  /** Unigram-LM tokenizer encode ([[graft.operators.Unigram]], Kudo
+    * '18): Viterbi segmentation of every corpus word under the
+    * frequency-seeded top-512 substring vocabulary, aggregated per doc.
+    * The DP value is the integer `micronat_cost · 1024 + n_pieces`, so
+    * the oracle — vocabulary selection, micronat costs, and the DP as
+    * a recursive CTE carrying the best-cost list — reproduces every
+    * output bit. */
+  def tUnigramEncode(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.encodeStats(
+        Tables.load(spark, dir, "documents"), "doc_id", "text",
+        topK = 512, maxPieceLen = 4)
+      .orderBy("doc_id")
+
+  private val tUnigramEncodeSql =
+    """WITH RECURSIVE dw AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |  FROM documents),
+      |wf AS (SELECT w, count(*) AS freq FROM dw GROUP BY w),
+      |occ AS (SELECT substr(w, s, l) AS piece, freq
+      |        FROM wf, UNNEST(generate_series(1, len(w))) AS ts(s),
+      |             UNNEST(generate_series(1, least(4, len(w) - s + 1))) AS tl(l)),
+      |pc AS (SELECT piece, sum(freq)::BIGINT AS cnt FROM occ GROUP BY piece),
+      |total AS (SELECT sum(cnt)::BIGINT AS tot FROM pc),
+      |vocab AS (
+      |  SELECT piece, cnt FROM (
+      |    SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece ASC LIMIT 512)
+      |  UNION
+      |  SELECT piece, cnt FROM pc WHERE len(piece) = 1),
+      |vc AS (SELECT piece,
+      |         (floor(1e6 * ln(tot)) - floor(1e6 * ln(cnt)))::BIGINT * 1024
+      |           + 1 AS enc
+      |       FROM vocab, total),
+      |dp AS (
+      |  SELECT w, 0 AS i, [0::BIGINT] AS best FROM wf
+      |  UNION ALL
+      |  SELECT d.w, d.i + 1 AS i,
+      |         list_append(d.best, min(d.best[j + 1] + v.enc)) AS best
+      |  FROM dp d,
+      |       UNNEST(generate_series(greatest(0, d.i + 1 - 4), d.i)) AS tj(j)
+      |       JOIN vc v ON v.piece = substr(d.w, j + 1, d.i + 1 - j)
+      |  WHERE d.i < len(d.w)
+      |  GROUP BY d.w, d.i, d.best),
+      |wenc AS (SELECT w, best[len(w) + 1] AS enc FROM dp WHERE i = len(w))
+      |SELECT doc_id, count(*) AS n_words,
+      |       sum(enc % 1024)::BIGINT AS n_pieces,
+      |       sum(enc // 1024)::BIGINT AS cost_micronats
+      |FROM dw JOIN wenc USING (w) GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---- similarity search ---------------------------------------------
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
@@ -2795,6 +2844,7 @@ object PipelineQueries {
     "p72_interleaved_assembly" -> (mAssembleInterleaved _),
     "p73_full_chain" -> (cFullChain _),
     "p74_exact_substr_excise" -> (dExactSubstrExcise _),
+    "p75_unigram_encode" -> (tUnigramEncode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2882,5 +2932,6 @@ object PipelineQueries {
     "p72_interleaved_assembly" -> mAssembleInterleavedSql,
     "p73_full_chain" -> cFullChainSql,
     "p74_exact_substr_excise" -> dExactSubstrExciseSql,
+    "p75_unigram_encode" -> tUnigramEncodeSql,
   )
 }

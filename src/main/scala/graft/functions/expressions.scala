@@ -1016,6 +1016,120 @@ object OovCount {
   }
 }
 
+/** Viterbi unigram-LM segmentation DP (Kudo '18, the SentencePiece
+  * unigram model) shared by [[UnigramEncodeStat]] and
+  * [[UnigramSegment]]: segment a word into vocabulary pieces
+  * minimizing total piece cost, with the (cost, n_pieces) pair
+  * compared LEXICOGRAPHICALLY — encoded as one long
+  * `cost · 1024 + n_pieces` so the DP value is engine-reproducible
+  * integer arithmetic (the DuckDB oracle carries the same encoding;
+  * n_pieces ≤ word length < 1024). Ties beyond (cost, n_pieces) break
+  * to the longest piece ending at each position (smallest start index
+  * — only observable in [[UnigramSegment]]'s piece array, which no
+  * oracle consumes). Costs are integer micronats supplied with the
+  * broadcast vocabulary; a word with an unreachable position (a
+  * character outside the vocabulary) yields null.
+  *
+  * The vocabulary travels as a Broadcast and builds its probe map once
+  * per JVM keyed by broadcast id — the [[OovCount]] discipline. */
+object UnigramDp {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.util.HashMap[String, Long]]()
+
+  private[functions] def mapFor(
+      bc: org.apache.spark.broadcast.Broadcast[Array[(String, Long)]])
+      : java.util.HashMap[String, Long] = {
+    if (cache.size > 8) cache.clear()
+    cache.computeIfAbsent(bc.id, _ => {
+      val m = new java.util.HashMap[String, Long](bc.value.length * 2)
+      bc.value.foreach { case (p, c) => m.put(p, c); () }
+      m
+    })
+  }
+
+  /** (enc, choice array) — enc = Long.MaxValue when unreachable. */
+  private[functions] def solve(w: String,
+      costs: java.util.HashMap[String, Long],
+      maxPieceLen: Int): (Long, Array[Int]) = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Long.MaxValue)
+    val choice = Array.fill(n + 1)(-1)
+    best(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (best(j) != Long.MaxValue) {
+          val sub = w.substring(j, i)
+          if (costs.containsKey(sub)) {
+            val cand = best(j) + costs.get(sub) * 1024L + 1L
+            if (cand < best(i)) { best(i) = cand; choice(i) = j }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    (best(n), choice)
+  }
+}
+
+/** Per-word unigram-LM Viterbi statistic: the encoded
+  * `min_cost · 1024 + n_pieces` long ([[UnigramDp]]), null when the
+  * word cannot be segmented from the vocabulary. Applied to the
+  * DISTINCT-word relation and joined back (the Bpe.encodeTokenCounts
+  * amortization note made real), so the corpus pays one bounded-vocab
+  * shuffle, not a per-occurrence DP. */
+case class UnigramEncodeStat(child: Expression,
+    vocab: org.apache.spark.broadcast.Broadcast[Array[(String, Long)]],
+    maxPieceLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "unigram_encode_stat"
+
+  @transient private lazy val costs = UnigramDp.mapFor(vocab)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val (enc, _) = UnigramDp.solve(
+      input.asInstanceOf[UTF8String].toString, costs, maxPieceLen)
+    if (enc == Long.MaxValue) null else enc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncodeStat =
+    copy(child = newChild)
+}
+
+/** The optimal piece sequence itself — the E-step of hard-EM unigram
+  * training ([[graft.operators.Unigram.learn]]) and the apply half of
+  * the tokenizer. Same DP and tie rules as [[UnigramEncodeStat]];
+  * null when unreachable. */
+case class UnigramSegment(child: Expression,
+    vocab: org.apache.spark.broadcast.Broadcast[Array[(String, Long)]],
+    maxPieceLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_segment"
+
+  @transient private lazy val costs = UnigramDp.mapFor(vocab)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val w = input.asInstanceOf[UTF8String].toString
+    val (enc, choice) = UnigramDp.solve(w, costs, maxPieceLen)
+    if (enc == Long.MaxValue) return null
+    var i = w.length
+    var pieces = List.empty[UTF8String]
+    while (i > 0) {
+      val j = choice(i)
+      pieces = UTF8String.fromString(w.substring(j, i)) :: pieces
+      i = j
+    }
+    new GenericArrayData(pieces.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramSegment =
+    copy(child = newChild)
+}
+
 /** Pairwise cosine similarity over two embedding arrays as a native
   * expression. Bit-identical arithmetic contract with the HOF
   * formulation it replaces (and the DuckDB oracle): every element
@@ -1096,6 +1210,16 @@ object GraftExpressions {
 
   def nfc_normalize(text: Column): Column =
     column(NfcNormalize(expression(text)))
+
+  def unigram_encode_stat(word: Column,
+      vocab: org.apache.spark.broadcast.Broadcast[Array[(String, Long)]],
+      maxPieceLen: Int): Column =
+    column(UnigramEncodeStat(expression(word), vocab, maxPieceLen))
+
+  def unigram_segment(word: Column,
+      vocab: org.apache.spark.broadcast.Broadcast[Array[(String, Long)]],
+      maxPieceLen: Int): Column =
+    column(UnigramSegment(expression(word), vocab, maxPieceLen))
 
   def lang_id(c: Column): Column = column(LangIdExpression(expression(c)))
 

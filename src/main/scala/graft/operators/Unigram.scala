@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.functions.GraftExpressions.{unigram_encode_stat, unigram_segment}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer (Kudo '18, the SentencePiece unigram model) —
+  * the other major subword tokenizer family beside [[Bpe]]: where BPE
+  * grows pieces bottom-up by greedy merges, the unigram model starts
+  * from a LARGE substring-candidate vocabulary and segments each word
+  * by Viterbi under per-piece costs.
+  *
+  * Scale design (the [[Bpe]] discipline): the CORPUS is touched exactly
+  * once — the word-histogram shuffle. Candidate extraction, scoring,
+  * Viterbi segmentation, and EM recounts all run on the DISTINCT-WORD
+  * relation (bounded by vocabulary, independent of corpus growth); the
+  * per-doc encode joins the distinct-word encodings back — one
+  * bounded-vocab shuffle amortizing the DP over repeated words (the
+  * amortization [[Bpe.encodeTokenCounts]]' scaladoc sketches, made
+  * real). The vocabulary itself is driver-collected (top-K + alphabet
+  * — KB, not data-sized) and ships as a Broadcast probed by the native
+  * [[graft.functions.UnigramEncodeStat]] DP.
+  *
+  * Determinism discipline (oracle-exact, p75): piece counts are exact
+  * longs; costs are integer micronats `⌊1e6·ln(total)⌋ − ⌊1e6·ln(cnt)⌋`
+  * (per-value quantization BEFORE subtraction — the p57/p63 rule, so
+  * both engines floor the same IEEE ln of the same integer); the DP
+  * minimizes the single long `cost·1024 + n_pieces`, i.e. (cost,
+  * n_pieces) lexicographically — no float ever crosses an engine
+  * boundary.
+  */
+object Unigram {
+
+  /** Words (`[a-z]+`, lowercased) with corpus frequencies — the one
+    * corpus-sized pass. */
+  private def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Substring-occurrence counts over the distinct-word relation:
+    * every (start, len ≤ maxPieceLen) substring of every word, each
+    * occurrence weighted by the word's corpus frequency — the standard
+    * unigram-LM seed vocabulary statistic. */
+  private def pieceCounts(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+           |  s -> transform(sequence(1, least($maxPieceLen, length(w) - s + 1)),
+           |    l -> substring(w, s, l))))""".stripMargin)).as("piece"),
+        col("freq"))
+      .groupBy("piece").agg(sum("freq").cast("long").as("cnt"))
+
+  /** The frequency-seeded vocabulary: top `topK` pieces by
+    * (count desc, piece asc) UNION every single character (so any
+    * corpus word stays segmentable), with their exact counts. */
+  def vocab(docs: DataFrame, textCol: String, topK: Int,
+      maxPieceLen: Int = 4): DataFrame = {
+    val pc = pieceCounts(wordHistogram(docs, textCol), maxPieceLen)
+    pc.orderBy(col("cnt").desc, col("piece").asc).limit(topK)
+      .union(pc.filter(length(col("piece")) === 1))
+      .distinct()
+  }
+
+  /** Driver-side (piece → micronat cost) table from a (piece, cnt)
+    * vocabulary: `⌊1e6·ln(total)⌋ − ⌊1e6·ln(cnt)⌋` per piece (the DP
+    * itself folds each step into the `cost · 1024 + n_pieces`
+    * encoding). */
+  private def encTable(spark: SparkSession, voc: DataFrame,
+      total: Long): Array[(String, Long)] = {
+    def qln(x: Long): Long = math.floor(1e6 * math.log(x.toDouble)).toLong
+    val qt = qln(total)
+    voc.select("piece", "cnt").collect()
+      .map(r => r.getString(0) -> (qt - qln(r.getLong(1))))
+  }
+
+  /** Per-doc encode statistics under the frequency-seeded vocabulary —
+    * the oracle-gated surface (p75): (doc_id, n_words, n_pieces,
+    * cost_micronats). Docs with no `[a-z]+` word are absent (the
+    * [[Bpe.encodeTokenCounts]] omission contract). */
+  def encodeStats(docs: DataFrame, idCol: String, textCol: String,
+      topK: Int, maxPieceLen: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val words = wordHistogram(docs, textCol).persist()
+    try {
+      val pc = pieceCounts(words, maxPieceLen).persist()
+      val bc =
+        try {
+          val voc = pc.orderBy(col("cnt").desc, col("piece").asc).limit(topK)
+            .union(pc.filter(length(col("piece")) === 1)).distinct()
+          val tot = pc.agg(sum("cnt")).first().getLong(0)
+          spark.sparkContext.broadcast(encTable(spark, voc, tot))
+        } finally pc.unpersist()
+      val encoded = words.select(col("w"),
+        unigram_encode_stat(col("w"), bc, maxPieceLen).as("enc"))
+      docs
+        .select(col(idCol).as("doc_id"), explode(
+          expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("w"))
+        .join(encoded, Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(expr("enc % 1024")).as("n_pieces"),
+          sum(expr("enc DIV 1024")).as("cost_micronats"))
+    } finally { words.unpersist(); () }
+  }
+
+  /** Hard-EM (Viterbi-EM) vocabulary refinement — deterministic
+    * unigram training: seed with [[vocab]]'s occurrence counts, then
+    * `emRounds` times (E) Viterbi-segment the distinct words under the
+    * current costs and (M) recount pieces from the segmentation
+    * (weighted by word frequency), keeping the top `vocabSize` by
+    * (count desc, piece asc) plus every character (floor count 1 when
+    * a char fell out of use — required for coverage, the SentencePiece
+    * required-char rule). Each round's work is O(distinct words ×
+    * maxPieceLen) DP on the bounded relation; the corpus is never
+    * re-read. Returns the final (piece, cnt). */
+  def learn(docs: DataFrame, textCol: String, vocabSize: Int,
+      emRounds: Int = 2, maxPieceLen: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val words = wordHistogram(docs, textCol).persist()
+    try {
+      var counts = pieceCounts(words, maxPieceLen)
+      var round = 0
+      while (round < emRounds) {
+        val cur = counts.persist()
+        val kept = cur.orderBy(col("cnt").desc, col("piece").asc)
+          .limit(vocabSize)
+          .union(cur.filter(length(col("piece")) === 1))
+          .distinct()
+        val total = cur.agg(sum("cnt")).first().getLong(0)
+        val bc = spark.sparkContext.broadcast(encTable(spark, kept, total))
+        val recount = words
+          .select(explode(unigram_segment(col("w"), bc, maxPieceLen))
+            .as("piece"), col("freq"))
+          .groupBy("piece").agg(sum("freq").cast("long").as("cnt"))
+        // chars must stay segmentable even when unused this round
+        val chars = cur.filter(length(col("piece")) === 1)
+          .select(col("piece")).join(recount, Seq("piece"), "left_anti")
+          .withColumn("cnt", lit(1L))
+        // materialize (vocab-sized) before unpersisting the parent the
+        // round read through
+        counts = recount.unionByName(chars).localCheckpoint()
+        cur.unpersist()
+        round += 1
+      }
+      counts.orderBy(col("cnt").desc, col("piece").asc).limit(vocabSize)
+        .union(counts.filter(length(col("piece")) === 1))
+        .distinct()
+        .orderBy(col("cnt").desc, col("piece").asc)
+    } finally { words.unpersist(); () }
+  }
+
+  /** Segment arbitrary words under a learned (piece, cnt) vocabulary —
+    * the apply half for callers that need the pieces themselves. */
+  def segmentWords(words: DataFrame, wordCol: String, learned: DataFrame,
+      maxPieceLen: Int = 4): DataFrame = {
+    val spark = words.sparkSession
+    val total = learned.agg(sum("cnt")).first().getLong(0)
+    val bc = spark.sparkContext.broadcast(encTable(spark, learned, total))
+    words.withColumn("pieces",
+      unigram_segment(col(wordCol), bc, maxPieceLen))
+  }
+}

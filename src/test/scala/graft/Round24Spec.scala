@@ -307,6 +307,61 @@ class Round24Spec extends AnyFunSuite {
     c.unpersist()
   }
 
+  // ---- unigram-LM tokenizer -------------------------------------------
+
+  import graft.operators.Unigram
+
+  test("Unigram.learn: hard-EM reallocates mass to whole-word pieces, " +
+      "keeps characters segmentable, and is deterministic") {
+    // 9 seed pieces (a b ab · c d cd · x q xq); vocabSize must keep all
+    // — at 8 the tie-broken last piece "xq" would be cut before EM ever
+    // sees it (seed order: cnt desc, piece asc)
+    val docs = Seq((1L, "ab ab ab"), (2L, "cd cd xq")).toDF("doc_id", "text")
+    def learned() = Unigram.learn(docs, "text", vocabSize = 12,
+        emRounds = 2, maxPieceLen = 4)
+      .as[(String, Long)].collect().toSeq
+    val v = learned()
+    val m = v.toMap
+    // whole words won the corpus: "ab" carries its full frequency, and
+    // the n_pieces tie-break made single-piece segmentations canonical
+    assert(m.get("ab").contains(3L), s"vocab: $v")
+    assert(m.get("cd").contains(2L) && m.get("xq").contains(1L))
+    // characters survive with the floor count even when unused
+    Seq("a", "b", "c", "d", "x", "q").foreach(c =>
+      assert(m.get(c).contains(1L), s"char $c lost from $v"))
+    // determinism: the EM is pure integer/floored arithmetic
+    assert(learned() == v)
+    // segmentation under the learned vocab: known words are single
+    // pieces, a novel concatenation decomposes, a foreign char is null
+    val segs = Unigram.segmentWords(
+        Seq("ab", "abcd", "zzz").toDF("w"), "w", Unigram.learn(
+          docs, "text", vocabSize = 12, emRounds = 2, maxPieceLen = 4))
+      .select($"w", $"pieces").as[(String, Option[Seq[String]])]
+      .collect().toMap
+    assert(segs("ab").contains(Seq("ab")))
+    assert(segs("abcd").contains(Seq("ab", "cd")))
+    assert(segs("zzz").isEmpty, "a word with unseen chars must yield null")
+  }
+
+  test("Unigram.encodeStats: n_pieces bounds, cost positivity, and " +
+      "word-count reconciliation on the fixture corpus") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val out = Unigram.encodeStats(docs, "doc_id", "text", topK = 256)
+      .persist()
+    try {
+      assert(out.count() > 0)
+      // every word yields at least one piece and costs are positive
+      assert(out.filter($"n_pieces" < $"n_words").count() == 0)
+      assert(out.filter($"cost_micronats" <= 0).count() == 0)
+      // n_words reconciles with a direct count
+      val direct = docs.select($"doc_id", size(expr(
+          "regexp_extract_all(lower(text), '[a-z]+', 0)")).cast("long")
+        .as("nw")).filter($"nw" > 0)
+      assert(out.join(direct, Seq("doc_id"))
+        .filter($"n_words" =!= $"nw").count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
   test("cleaned token count reconciles on the sf0.001 fixture corpus") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = Dedup.exactSubstrExcise(docs, "doc_id", "text", 20)
