@@ -74,7 +74,8 @@ object Bench {
     "p73_full_chain", // round 23: the WHOLE RefinedWeb pipeline, front+back composed
     "p74_exact_substr_excise", // round 24: keep-first duplicated-span cutting
     "l34_delta_checkpoint", // round 24: export → checkpoint → expire → foreign mount
-    "p75_unigram_encode") // round 24: unigram-LM Viterbi tokenizer encode
+    "p75_unigram_encode", // round 24: unigram-LM Viterbi tokenizer encode
+    "p76_gopher_rules") // round 24: the full Gopher decision battery, map-only
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

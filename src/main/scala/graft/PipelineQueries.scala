@@ -361,6 +361,52 @@ object PipelineQueries {
       |FROM dw JOIN wenc USING (w) GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** The complete Gopher rule battery ([[Curation.gopherRules]], Rae
+    * et al. '21 §A1.1) as a per-doc decision surface: every rule's
+    * verdict plus the conjunction, all thresholds integer
+    * cross-multiplications so no float decides a verdict. */
+  def cGopherRules(spark: SparkSession, dir: String): DataFrame =
+    Curation.gopherRules(Tables.load(spark, dir, "documents"),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val cGopherRulesSql =
+    """WITH f AS (SELECT doc_id,
+      |    string_split(text, ' ') AS ws,
+      |    string_split(text, chr(10)) AS lines,
+      |    length(replace(text, ' ', ''))::BIGINT AS sumlen,
+      |    (length(text) - length(replace(text, '#', '')))::BIGINT AS hashes,
+      |    ((length(text) - length(replace(text, '...', ''))) / 3)::BIGINT
+      |      AS ellipses
+      |  FROM documents),
+      |g AS (SELECT doc_id, sumlen, hashes, ellipses,
+      |    len(ws)::BIGINT AS n_words,
+      |    len(lines)::BIGINT AS n_lines,
+      |    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'
+      |      OR l LIKE '•%'))::BIGINT AS bullets,
+      |    len(list_filter(lines, l -> l LIKE '%...'))::BIGINT AS ell_lines,
+      |    len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))::BIGINT
+      |      AS alpha,
+      |    len(list_intersect(list_distinct(ws),
+      |      ['the','be','to','of','and','that','have','with']))::BIGINT
+      |      AS stop_hits
+      |  FROM f)
+      |SELECT doc_id, n_words,
+      |  n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+      |  sumlen >= n_words * 3 AND sumlen <= n_words * 10 AS mean_word_len_ok,
+      |  (hashes + ellipses) * 10 <= n_words AS symbol_ratio_ok,
+      |  bullets * 10 <= n_lines * 9 AND ell_lines * 10 <= n_lines * 3
+      |    AS bullet_ok,
+      |  alpha * 5 >= n_words * 4 AS alpha_ratio_ok,
+      |  stop_hits >= 2 AS stopwords_ok,
+      |  (n_words >= 50 AND n_words <= 100000)
+      |    AND (sumlen >= n_words * 3 AND sumlen <= n_words * 10)
+      |    AND ((hashes + ellipses) * 10 <= n_words)
+      |    AND (bullets * 10 <= n_lines * 9 AND ell_lines * 10 <= n_lines * 3)
+      |    AND (alpha * 5 >= n_words * 4)
+      |    AND (stop_hits >= 2) AS keep
+      |FROM g ORDER BY doc_id""".stripMargin
+
   // ---- similarity search ---------------------------------------------
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
@@ -2845,6 +2891,7 @@ object PipelineQueries {
     "p73_full_chain" -> (cFullChain _),
     "p74_exact_substr_excise" -> (dExactSubstrExcise _),
     "p75_unigram_encode" -> (tUnigramEncode _),
+    "p76_gopher_rules" -> (cGopherRules _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2933,5 +2980,6 @@ object PipelineQueries {
     "p73_full_chain" -> cFullChainSql,
     "p74_exact_substr_excise" -> dExactSubstrExciseSql,
     "p75_unigram_encode" -> tUnigramEncodeSql,
+    "p76_gopher_rules" -> cGopherRulesSql,
   )
 }

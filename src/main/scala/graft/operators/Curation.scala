@@ -689,4 +689,56 @@ object Curation {
           .orderBy(ord: _*)).cast("long"))
       .filter(col("domain_rank") <= maxPerDomain)
   }
+
+  /** The complete Gopher quality-rule battery (Rae et al. '21 §A1.1)
+    * as a per-doc DECISION surface — where p8/p24 compute the metric
+    * families, this applies the published rule set and returns every
+    * rule's verdict plus the conjunction, so a curation run can both
+    * filter and report per-rule rejection rates:
+    *
+    *   1. word count in [50, 100 000];
+    *   2. mean word length in [3, 10] characters;
+    *   3. symbol-to-word ratio (`#` chars + `...` occurrences) ≤ 0.1;
+    *   4. ≤ 90% of lines start with a bullet, ≤ 30% end with `...`;
+    *   5. ≥ 80% of words contain an alphabetic character;
+    *   6. at least 2 distinct words from the required-stopword set
+    *      {the, be, to, of, and, that, have, with}.
+    *
+    * All thresholds are evaluated as INTEGER cross-multiplications
+    * (`10·symbols ≤ words`, `5·alpha ≥ 4·words`, …) — no float ever
+    * decides a verdict, so the oracle can never diverge on rounding.
+    * Map-only per-row expressions: zero shuffles, stream-safe (the
+    * round-19 stream-native curation contract). Tokenization is the
+    * repo's single-space contract; lines split on `\n`. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val t = col(textCol)
+    val ws = split(t, " ")
+    val nWords = size(ws).cast("long")
+    // chars excluding spaces = total word length (single-space contract)
+    val sumLen = length(regexp_replace(t, " ", "")).cast("long")
+    val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val ellipses = ((length(t) -
+      length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("•"))).cast("long")
+    val ellipsisLines = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val alphaWords = size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("long")
+    val stopHits = size(array_intersect(array_distinct(ws),
+      array(required.map(lit): _*))).cast("long")
+    val rules = Seq(
+      "word_count_ok" -> (nWords >= 50L && nWords <= 100000L),
+      "mean_word_len_ok" -> (sumLen >= nWords * 3L && sumLen <= nWords * 10L),
+      "symbol_ratio_ok" -> ((hashes + ellipses) * 10L <= nWords),
+      "bullet_ok" -> (bulletLines * 10L <= nLines * 9L &&
+        ellipsisLines * 10L <= nLines * 3L),
+      "alpha_ratio_ok" -> (alphaWords * 5L >= nWords * 4L),
+      "stopwords_ok" -> (stopHits >= 2L))
+    docs.select(
+      col(idCol) +: nWords.as("n_words") +:
+        rules.map { case (n, c) => c.as(n) } :+
+        rules.map(_._2).reduce(_ && _).as("keep"): _*)
+  }
 }

@@ -362,6 +362,34 @@ class Round24Spec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  // ---- Gopher rule battery --------------------------------------------
+
+  test("Curation.gopherRules: each rule trips on its planted violation " +
+      "and a clean doc passes everything") {
+    import graft.operators.Curation
+    val good = (("the of and " * 20) + ("sensible words here " * 10)).trim
+    val docs = Seq(
+      (1L, good), // passes all six
+      (2L, "the of " + ("w " * 10).trim), // word count < 50
+      (3L, ("the of and " * 20 + "a b c d " * 30).trim), // mean len < 3
+      (4L, (("the of and " * 20) + ("### " * 20)).trim), // symbols + alpha
+      (5L, (1 to 60).map(i => s"- the of and bullet $i").mkString("\n")),
+      (6L, good + " " + ("42 17 99 " * 40).trim) // alpha ratio < 0.8
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, f: String) =
+      out(id).getBoolean(out(id).fieldIndex(f))
+    assert(b(1L, "keep"), "clean doc must pass the battery")
+    assert(!b(2L, "word_count_ok") && !b(2L, "keep"))
+    assert(!b(3L, "mean_word_len_ok") && b(3L, "word_count_ok"))
+    assert(!b(4L, "symbol_ratio_ok") && !b(4L, "alpha_ratio_ok"))
+    assert(!b(5L, "bullet_ok"),
+      "a doc of bullet lines must trip the bullet rule")
+    assert(b(5L, "word_count_ok") && b(5L, "stopwords_ok"))
+    assert(!b(6L, "alpha_ratio_ok") && b(6L, "symbol_ratio_ok"))
+  }
+
   test("cleaned token count reconciles on the sf0.001 fixture corpus") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val out = Dedup.exactSubstrExcise(docs, "doc_id", "text", 20)
