@@ -1033,19 +1033,28 @@ object OovCount {
   * The vocabulary travels as a Broadcast and builds its probe map once
   * per JVM keyed by broadcast id — the [[OovCount]] discipline. */
 object UnigramDp {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long, java.util.HashMap[String, Long]]()
+  // keyed by the Broadcast OBJECT, not its id: broadcast ids restart at
+  // 0 with a new SparkContext in the same JVM, and an id-keyed cache
+  // would silently serve a previous context's vocabulary (a count-skew
+  // nuisance for OovCount, but a wrong-tokenization bug here). Weak
+  // keys let destroyed broadcasts age out with GC.
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.broadcast.Broadcast[Array[(String, Long)]],
+      java.util.HashMap[String, Long]]())
 
   private[functions] def mapFor(
       bc: org.apache.spark.broadcast.Broadcast[Array[(String, Long)]])
-      : java.util.HashMap[String, Long] = {
-    if (cache.size > 8) cache.clear()
-    cache.computeIfAbsent(bc.id, _ => {
-      val m = new java.util.HashMap[String, Long](bc.value.length * 2)
-      bc.value.foreach { case (p, c) => m.put(p, c); () }
-      m
-    })
-  }
+      : java.util.HashMap[String, Long] =
+    cache.synchronized {
+      val got = cache.get(bc)
+      if (got != null) got
+      else {
+        val m = new java.util.HashMap[String, Long](bc.value.length * 2)
+        bc.value.foreach { case (p, c) => m.put(p, c); () }
+        cache.put(bc, m)
+        m
+      }
+    }
 
   /** (enc, choice array) — enc = Long.MaxValue when unreachable. */
   private[functions] def solve(w: String,

@@ -414,13 +414,16 @@ object XTableSync {
     }
   }
 
-  /** Full replay state: the last metaData/protocol action lines and
-    * the live map (decoded path → its add-action line) — what a
-    * checkpoint must persist. */
+  /** Full replay state: the last metaData/protocol action lines, the
+    * live map (decoded path → its add-action line), and the remove
+    * TOMBSTONES of currently-dead paths (the Delta checkpoint must
+    * carry them so a later VACUUM can still see what to clean after
+    * the JSON commits expire). */
   private final case class DeltaReplay(schemaJson: String,
       partCols: Seq[String], protocolLine: Option[String],
       metaDataLine: Option[String],
-      live: scala.collection.mutable.LinkedHashMap[String, String])
+      live: scala.collection.mutable.LinkedHashMap[String, String],
+      tombstones: scala.collection.mutable.LinkedHashMap[String, String])
 
   private def replayActions(lines: Seq[String]): DeltaReplay = {
     var schemaJson = ""
@@ -428,6 +431,7 @@ object XTableSync {
     var protocol: Option[String] = None
     var metaLine: Option[String] = None
     val live = scala.collection.mutable.LinkedHashMap[String, String]()
+    val tombs = scala.collection.mutable.LinkedHashMap[String, String]()
     lines.foreach { line =>
       val a = mapper.readTree(line)
       if (a.has("protocol") && !a.get("protocol").isNull)
@@ -441,17 +445,60 @@ object XTableSync {
           .elements().asScala.map(_.asText()).toSeq
       }
       if (a.has("add") && !a.get("add").isNull) {
-        live += decodeDeltaPath(a.get("add").get("path").asText()) ->
-          mapper.writeValueAsString(
-            Map("add" -> mapper.treeToValue(a.get("add"), classOf[Object])))
+        val p = decodeDeltaPath(a.get("add").get("path").asText())
+        live += p -> mapper.writeValueAsString(
+          Map("add" -> mapper.treeToValue(a.get("add"), classOf[Object])))
+        tombs -= p
         ()
       }
       if (a.has("remove") && !a.get("remove").isNull) {
-        live -= decodeDeltaPath(a.get("remove").get("path").asText()); ()
+        val p = decodeDeltaPath(a.get("remove").get("path").asText())
+        live -= p
+        tombs += p -> mapper.writeValueAsString(
+          Map("remove" -> mapper.treeToValue(a.get("remove"), classOf[Object])))
+        ()
       }
     }
     require(schemaJson.nonEmpty, "log replay found no metaData action")
-    DeltaReplay(schemaJson, partCols, protocol, metaLine, live)
+    DeltaReplay(schemaJson, partCols, protocol, metaLine, live, tombs)
+  }
+
+  /** The Delta checkpoint-parquet schema (the protocol's required field
+    * subset) — EXPLICIT, never inferred: schema inference from the
+    * action lines would prune `add.partitionValues` when every value
+    * is `{}` (an unpartitioned export) and type it struct instead of
+    * map<string,string> otherwise, handing real Delta readers a
+    * checkpoint that violates the spec. Exotic optional fields a
+    * foreign log may carry are dropped on checkpointing (the required
+    * set below is what readers resolve state from). */
+  private def checkpointSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val pv = MapType(StringType, StringType)
+    StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", pv)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", pv),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", pv),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType))))))
   }
 
   /** JSON-only replay — refuses checkpointed logs (they need
@@ -494,11 +541,12 @@ object XTableSync {
     // with a previous checkpoint's JSONs; re-seed the default
     val protocol = st.protocolLine.getOrElse(mapper.writeValueAsString(
       Map("protocol" -> Map("minReaderVersion" -> 1, "minWriterVersion" -> 2))))
-    val lines = Seq(protocol) ++ st.metaDataLine.toSeq ++ st.live.values.toSeq
+    val lines = Seq(protocol) ++ st.metaDataLine.toSeq ++
+      st.tombstones.values.toSeq ++ st.live.values.toSeq
     val logDir = Paths.get(root, "_delta_log")
     import spark.implicits._
     val tmpd = logDir.resolve(s".cp-tmp-${java.util.UUID.randomUUID()}")
-    spark.read.json(spark.createDataset(lines))
+    spark.read.schema(checkpointSchema).json(spark.createDataset(lines))
       .coalesce(1).write.parquet(tmpd.toString)
     val part = graft.util.Fs.list(tmpd)(
       _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head

@@ -745,8 +745,12 @@ object Dedup {
       windowTokens: Int = 20): DataFrame = {
     require(windowTokens >= 2, s"need windowTokens >= 2, got $windowTokens")
     val L = windowTokens
+    // literal single-space split (the repo tokenization contract, and
+    // the oracle's string_split): join(" ") is then the EXACT inverse,
+    // so untouched text — including runs of spaces or embedded
+    // tabs/newlines, which stay inside tokens — survives byte-for-byte
     val toks = docs.select(col(idCol).as("id"),
-      split(col(textCol), "\\s+").as("toks"))
+      split(col(textCol), " ", -1).as("toks"))
     val grams = toks
       .filter(size(col("toks")) >= L)
       .select(col("id"), explode(expr(

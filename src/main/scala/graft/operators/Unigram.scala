@@ -52,16 +52,21 @@ object Unigram {
         col("freq"))
       .groupBy("piece").agg(sum("freq").cast("long").as("cnt"))
 
-  /** The frequency-seeded vocabulary: top `topK` pieces by
-    * (count desc, piece asc) UNION every single character (so any
-    * corpus word stays segmentable), with their exact counts. */
-  def vocab(docs: DataFrame, textCol: String, topK: Int,
-      maxPieceLen: Int = 4): DataFrame = {
-    val pc = pieceCounts(wordHistogram(docs, textCol), maxPieceLen)
-    pc.orderBy(col("cnt").desc, col("piece").asc).limit(topK)
+  /** The determinism-critical vocabulary-selection rule, shared by
+    * every caller AND re-derived verbatim in the p75 oracle: top `k`
+    * pieces by (count desc, piece asc) UNION every single character
+    * (so any corpus word stays segmentable), with their exact
+    * counts. */
+  private def selectVocab(pc: DataFrame, k: Int): DataFrame =
+    pc.orderBy(col("cnt").desc, col("piece").asc).limit(k)
       .union(pc.filter(length(col("piece")) === 1))
       .distinct()
-  }
+
+  /** The frequency-seeded vocabulary ([[selectVocab]] over the raw
+    * substring-occurrence counts). */
+  def vocab(docs: DataFrame, textCol: String, topK: Int,
+      maxPieceLen: Int = 4): DataFrame =
+    selectVocab(pieceCounts(wordHistogram(docs, textCol), maxPieceLen), topK)
 
   /** Driver-side (piece → micronat cost) table from a (piece, cnt)
     * vocabulary: `⌊1e6·ln(total)⌋ − ⌊1e6·ln(cnt)⌋` per piece (the DP
@@ -83,26 +88,32 @@ object Unigram {
       topK: Int, maxPieceLen: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     val words = wordHistogram(docs, textCol).persist()
-    try {
-      val pc = pieceCounts(words, maxPieceLen).persist()
-      val bc =
+    val bc =
+      try {
+        val pc = pieceCounts(words, maxPieceLen).persist()
         try {
-          val voc = pc.orderBy(col("cnt").desc, col("piece").asc).limit(topK)
-            .union(pc.filter(length(col("piece")) === 1)).distinct()
           val tot = pc.agg(sum("cnt")).first().getLong(0)
-          spark.sparkContext.broadcast(encTable(spark, voc, tot))
+          spark.sparkContext.broadcast(
+            encTable(spark, selectVocab(pc, topK), tot))
         } finally pc.unpersist()
-      val encoded = words.select(col("w"),
-        unigram_encode_stat(col("w"), bc, maxPieceLen).as("enc"))
-      docs
-        .select(col(idCol).as("doc_id"), explode(
-          expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("w"))
-        .join(encoded, Seq("w"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_words"),
-          sum(expr("enc % 1024")).as("n_pieces"),
-          sum(expr("enc DIV 1024")).as("cost_micronats"))
-    } finally { words.unpersist(); () }
+      } catch { case t: Throwable => words.unpersist(); throw t }
+    // materialize the bounded distinct-word DP EAGERLY (vocab-sized),
+    // so the caches and the broadcast can be released before the lazy
+    // result is returned — without this the corpus histogram would
+    // recompute on every evaluation of the result
+    val encoded =
+      try words.select(col("w"),
+          unigram_encode_stat(col("w"), bc, maxPieceLen).as("enc"))
+        .localCheckpoint()
+      finally { words.unpersist(); bc.destroy(); () }
+    docs
+      .select(col(idCol).as("doc_id"), explode(
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("w"))
+      .join(encoded, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("enc % 1024")).as("n_pieces"),
+        sum(expr("enc DIV 1024")).as("cost_micronats"))
   }
 
   /** Hard-EM (Viterbi-EM) vocabulary refinement — deterministic
@@ -124,12 +135,9 @@ object Unigram {
       var round = 0
       while (round < emRounds) {
         val cur = counts.persist()
-        val kept = cur.orderBy(col("cnt").desc, col("piece").asc)
-          .limit(vocabSize)
-          .union(cur.filter(length(col("piece")) === 1))
-          .distinct()
         val total = cur.agg(sum("cnt")).first().getLong(0)
-        val bc = spark.sparkContext.broadcast(encTable(spark, kept, total))
+        val bc = spark.sparkContext.broadcast(
+          encTable(spark, selectVocab(cur, vocabSize), total))
         val recount = words
           .select(explode(unigram_segment(col("w"), bc, maxPieceLen))
             .as("piece"), col("freq"))
@@ -138,15 +146,18 @@ object Unigram {
         val chars = cur.filter(length(col("piece")) === 1)
           .select(col("piece")).join(recount, Seq("piece"), "left_anti")
           .withColumn("cnt", lit(1L))
-        // materialize (vocab-sized) before unpersisting the parent the
-        // round read through
+        // materialize (vocab-sized) before releasing what the round
+        // read through — the parent cache AND the round's broadcast
         counts = recount.unionByName(chars).localCheckpoint()
         cur.unpersist()
+        bc.destroy()
         round += 1
       }
-      counts.orderBy(col("cnt").desc, col("piece").asc).limit(vocabSize)
-        .union(counts.filter(length(col("piece")) === 1))
-        .distinct()
+      // emRounds == 0 returns the seed counts: materialize them too, so
+      // the lazy result never recomputes the corpus histogram after the
+      // finally below unpersists it
+      if (round == 0) counts = counts.localCheckpoint()
+      selectVocab(counts, vocabSize)
         .orderBy(col("cnt").desc, col("piece").asc)
     } finally { words.unpersist(); () }
   }
