@@ -75,7 +75,8 @@ object Bench {
     "p74_exact_substr_excise", // round 24: keep-first duplicated-span cutting
     "l34_delta_checkpoint", // round 24: export → checkpoint → expire → foreign mount
     "p75_unigram_encode", // round 24: unigram-LM Viterbi tokenizer encode
-    "p76_gopher_rules") // round 24: the full Gopher decision battery, map-only
+    "p76_gopher_rules", // round 24: the full Gopher decision battery, map-only
+    "p77_tokenizer_pipeline") // round 24: gopher → excise → unigram, composed
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -407,6 +407,119 @@ object PipelineQueries {
       |    AND (stop_hits >= 2) AS keep
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** Composed tokenizer pipeline — the round's three new text stages
+    * verified COMPOSED under one oracle (the p71/p73 discipline):
+    * Gopher rule filter → ExactSubstr excision (keep-first, computed
+    * on the FILTERED corpus) → unigram-LM encode (vocabulary re-seeded
+    * on the CLEANED corpus). Each stage shrinks or rewrites the next
+    * stage's input, so the seams — filter-before-dedup, dedup-before-
+    * vocab — are inside the hash, not just each stage alone.
+    *
+    * The filter is the five STRUCTURAL Gopher rules; the required-
+    * stopword rule presumes natural English and rejects 100% of the
+    * synthetic fixture (a filter that keeps nothing verifies nothing
+    * downstream), so the pipeline composes the rules that bite here —
+    * word count cuts 45% of docs, the p76 gate still verifies all six
+    * verdicts per doc. */
+  def cTokenizerPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val r = Curation.gopherRules(docs, "doc_id", "text")
+    val keep = r.filter(col("word_count_ok") && col("mean_word_len_ok") &&
+        col("symbol_ratio_ok") && col("bullet_ok") && col("alpha_ratio_ok"))
+      .select("doc_id")
+    val kept = docs.join(keep, Seq("doc_id")).select("doc_id", "text")
+    val excised = Dedup.exactSubstrExcise(kept, "doc_id", "text", 20)
+      .select(col("doc_id"), col("cleaned_text"))
+    val cleaned = kept.join(excised, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cleaned_text"), col("text")).as("text"))
+    graft.operators.Unigram
+      .encodeStats(cleaned, "doc_id", "text", topK = 512, maxPieceLen = 4)
+      .orderBy("doc_id")
+  }
+
+  private val cTokenizerPipelineSql =
+    """WITH RECURSIVE keepers AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |      len(string_split(text, ' '))::BIGINT AS n_words,
+      |      length(replace(text, ' ', ''))::BIGINT AS sumlen,
+      |      (length(text) - length(replace(text, '#', '')))::BIGINT AS hashes,
+      |      ((length(text) - length(replace(text, '...', ''))) / 3)::BIGINT
+      |        AS ellipses,
+      |      len(string_split(text, chr(10)))::BIGINT AS n_lines,
+      |      len(list_filter(string_split(text, chr(10)), l -> l LIKE '- %'
+      |        OR l LIKE '* %' OR l LIKE '•%'))::BIGINT AS bullets,
+      |      len(list_filter(string_split(text, chr(10)),
+      |        l -> l LIKE '%...'))::BIGINT AS ell_lines,
+      |      len(list_filter(string_split(text, ' '),
+      |        w -> regexp_matches(w, '[a-zA-Z]')))::BIGINT AS alpha
+      |    FROM documents)
+      |  WHERE n_words >= 50 AND n_words <= 100000
+      |    AND sumlen >= n_words * 3 AND sumlen <= n_words * 10
+      |    AND (hashes + ellipses) * 10 <= n_words
+      |    AND bullets * 10 <= n_lines * 9 AND ell_lines * 10 <= n_lines * 3
+      |    AND alpha * 5 >= n_words * 4),
+      |toks AS (SELECT d.doc_id AS id, string_split(d.text, ' ') AS ts
+      |         FROM documents d JOIN keepers USING (doc_id)),
+      |g AS (SELECT id, i AS pos, array_to_string(ts[i:i+19], ' ') AS gram
+      |      FROM toks, UNNEST(generate_series(1, len(ts) - 19)) AS t(i)
+      |      WHERE len(ts) >= 20),
+      |fl AS (SELECT id, pos FROM (
+      |        SELECT id, pos,
+      |               row_number() OVER (PARTITION BY gram ORDER BY id, pos) AS rn
+      |        FROM g) WHERE rn >= 2),
+      |b AS (SELECT id, pos,
+      |             CASE WHEN pos > lag(pos) OVER w + 20 THEN 1 ELSE 0 END AS brk
+      |      FROM fl WINDOW w AS (PARTITION BY id ORDER BY pos)),
+      |iv AS (SELECT id, min(pos) AS s, max(pos) + 19 AS e
+      |       FROM (SELECT id, pos, sum(brk) OVER (
+      |               PARTITION BY id ORDER BY pos) AS grp FROM b)
+      |       GROUP BY id, grp),
+      |tok AS (SELECT id, j, ts[j] AS tok FROM toks,
+      |        UNNEST(generate_series(1, len(ts))) AS t(j)),
+      |cov AS (SELECT DISTINCT iv.id, c.j
+      |        FROM iv, UNNEST(generate_series(iv.s, iv.e)) AS c(j)),
+      |cleaned AS (SELECT tok.id AS doc_id,
+      |              coalesce(array_to_string(list(tok.tok ORDER BY tok.j)
+      |                FILTER (WHERE cov.j IS NULL), ' '), '') AS text
+      |            FROM tok LEFT JOIN cov ON tok.id = cov.id AND tok.j = cov.j
+      |            GROUP BY tok.id),
+      |dw AS (SELECT doc_id,
+      |         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |       FROM cleaned),
+      |wf AS (SELECT w, count(*) AS freq FROM dw GROUP BY w),
+      |occ AS (SELECT substr(w, s, l) AS piece, freq
+      |        FROM wf, UNNEST(generate_series(1, len(w))) AS ts(s),
+      |             UNNEST(generate_series(1, least(4, len(w) - s + 1))) AS tl(l)),
+      |pc AS (SELECT piece, sum(freq)::BIGINT AS cnt FROM occ GROUP BY piece),
+      |total AS (SELECT sum(cnt)::BIGINT AS tot FROM pc),
+      |vocab AS (
+      |  SELECT piece, cnt FROM (
+      |    SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece ASC LIMIT 512)
+      |  UNION
+      |  SELECT piece, cnt FROM pc WHERE len(piece) = 1),
+      |vc AS (SELECT piece,
+      |         (floor(1e6 * ln(tot)) - floor(1e6 * ln(cnt)))::BIGINT * 1024
+      |           + 1 AS enc
+      |       FROM vocab, total),
+      |dp AS (
+      |  SELECT w, 0 AS i, [0::BIGINT] AS best FROM wf
+      |  UNION ALL
+      |  SELECT d.w, d.i + 1 AS i,
+      |         list_append(d.best, min(d.best[j + 1] + v.enc)) AS best
+      |  FROM dp d,
+      |       UNNEST(generate_series(greatest(0, d.i + 1 - 4), d.i)) AS tj(j)
+      |       JOIN vc v ON v.piece = substr(d.w, j + 1, d.i + 1 - j)
+      |  WHERE d.i < len(d.w)
+      |  GROUP BY d.w, d.i, d.best),
+      |wenc AS (SELECT w, best[len(w) + 1] AS enc FROM dp WHERE i = len(w))
+      |SELECT doc_id, count(*) AS n_words,
+      |       sum(enc % 1024)::BIGINT AS n_pieces,
+      |       sum(enc // 1024)::BIGINT AS cost_micronats
+      |FROM dw JOIN wenc USING (w) GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---- similarity search ---------------------------------------------
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
@@ -2892,6 +3005,7 @@ object PipelineQueries {
     "p74_exact_substr_excise" -> (dExactSubstrExcise _),
     "p75_unigram_encode" -> (tUnigramEncode _),
     "p76_gopher_rules" -> (cGopherRules _),
+    "p77_tokenizer_pipeline" -> (cTokenizerPipeline _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2981,5 +3095,6 @@ object PipelineQueries {
     "p74_exact_substr_excise" -> dExactSubstrExciseSql,
     "p75_unigram_encode" -> tUnigramEncodeSql,
     "p76_gopher_rules" -> cGopherRulesSql,
+    "p77_tokenizer_pipeline" -> cTokenizerPipelineSql,
   )
 }

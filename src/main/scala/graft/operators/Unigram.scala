@@ -92,9 +92,12 @@ object Unigram {
       try {
         val pc = pieceCounts(words, maxPieceLen).persist()
         try {
-          val tot = pc.agg(sum("cnt")).first().getLong(0)
+          val totRow = pc.agg(sum("cnt")).first()
+          require(!totRow.isNullAt(0),
+            "encodeStats over an empty corpus: no [a-z]+ word exists to " +
+            "seed a vocabulary from — check the upstream filter")
           spark.sparkContext.broadcast(
-            encTable(spark, selectVocab(pc, topK), tot))
+            encTable(spark, selectVocab(pc, topK), totRow.getLong(0)))
         } finally pc.unpersist()
       } catch { case t: Throwable => words.unpersist(); throw t }
     // materialize the bounded distinct-word DP EAGERLY (vocab-sized),
