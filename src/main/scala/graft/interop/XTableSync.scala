@@ -728,6 +728,72 @@ object XTableSync {
       .get("file_path").toString
   }
 
+  /** Every METADATA file a `vN.metadata.json` references: each
+    * snapshot's manifest-list avro plus the manifest avros that list
+    * names. Data files are deliberately NOT collected — expiring them
+    * is the table's clean service's job, never the metadata
+    * retention's. Missing files (already expired by an earlier pass)
+    * are skipped. */
+  private def icebergMetadataRefs(metaFile: java.nio.file.Path): Set[java.nio.file.Path] = {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val meta = mapper.readTree(Files.readAllBytes(metaFile))
+    val lists = meta.get("snapshots").elements().asScala
+      .map(_.get("manifest-list").asText()).toSeq
+    lists.flatMap { l =>
+      val lp = Paths.get(l)
+      if (!Files.exists(lp)) Seq.empty
+      else {
+        val r = new DataFileReader(lp.toFile,
+          new GenericDatumReader[GenericRecord]())
+        val manifests =
+          try Iterator.continually(r).takeWhile(_.hasNext)
+            .map(_.next().get("manifest_path").toString).toList
+          finally r.close()
+        lp +: manifests.map(Paths.get(_))
+      }
+    }.toSet
+  }
+
+  /** Iceberg metadata retention — the [[expireDeltaLog]] twin: keep the
+    * newest `keepVersions` `vN.metadata.json` files and delete the
+    * older ones plus every manifest-list/manifest avro referenced ONLY
+    * by them. Every sync writes a fresh version + manifest chain, so a
+    * sync-per-commit export accumulates O(commits) metadata files
+    * without this — at one commit a minute that is half a million
+    * files a year that every catalog listing walks. Data files are
+    * never touched (cleaning superseded data is the table service's
+    * job, with its own safety horizon). Returns the deleted paths. */
+  def expireIcebergMetadata(root: String, keepVersions: Int = 2): Seq[String] = {
+    require(keepVersions >= 1, s"keepVersions=$keepVersions — must keep " +
+      "at least the latest metadata version")
+    val metaDir = Paths.get(root, "metadata")
+    require(Files.isDirectory(metaDir), s"no metadata/ dir under $root")
+    val versions = graft.util.Fs.list(metaDir)(
+      _.map(_.getFileName.toString).toSeq)
+      .flatMap(n => "^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(n)
+        .map(_.group(1).toLong -> n))
+      .sortBy(_._1)
+    if (versions.size <= keepVersions) return Nil
+    val (drop, keep) = versions.splitAt(versions.size - keepVersions)
+    val keepRefs = keep.flatMap { case (_, n) =>
+      icebergMetadataRefs(metaDir.resolve(n))
+    }.toSet
+    val deleted = Seq.newBuilder[String]
+    drop.foreach { case (_, n) =>
+      val mf = metaDir.resolve(n)
+      icebergMetadataRefs(mf).foreach { p =>
+        if (!keepRefs.contains(p) && Files.exists(p)) {
+          Files.delete(p)
+          deleted += p.toString
+        }
+      }
+      Files.delete(mf)
+      deleted += mf.toString
+    }
+    deleted.result()
+  }
+
   /** Iceberg manifests store `file_path` as a LOCATION string that a
     * real engine writes as a URI (`file:/wh/db/t/data/...parquet`,
     * `s3://...`), while this engine's own emission writes bare paths.

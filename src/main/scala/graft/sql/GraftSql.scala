@@ -485,6 +485,33 @@ final class GraftSql(catalog: GraftCatalog) {
             graft.interop.XTableSync.syncIceberg(t).map("iceberg" -> _).toSeq
           else Nil)
         versions.toDF("format", "version")
+      case "expire_metadata" =>
+        // xTable-target retention on the SQL surface: checkpoint the
+        // Delta export then expire its covered JSON commits, and/or
+        // drop old Iceberg metadata versions with their manifest
+        // chains. Without this a sync-per-commit export accumulates
+        // O(commits) metadata files every foreign mount must walk.
+        val t = table
+        val fmt = arg("format", 1).getOrElse("all").toLowerCase
+        require(Set("delta", "iceberg", "all").contains(fmt),
+          s"CALL expire_metadata: format must be delta|iceberg|all, got '$fmt'")
+        val keep = arg("keep", 2).map(_.toInt).getOrElse(2)
+        import graft.interop.XTableSync
+        // `all` quietly skips a target that was never synced; naming a
+        // format explicitly keeps the loud missing-metadata requires
+        def present(dir: String) = java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(t.root, dir))
+        val removed: Seq[(String, String)] =
+          (if (fmt == "delta" || (fmt == "all" && present("_delta_log"))) {
+            XTableSync.checkpointDelta(t.spark, t.root)
+            XTableSync.expireDeltaLog(t.root)
+              .map(v => "delta" -> f"$v%020d.json")
+          } else Nil) ++
+          (if (fmt == "iceberg" || (fmt == "all" && present("metadata")))
+            XTableSync.expireIcebergMetadata(t.root, keep)
+              .map("iceberg" -> _)
+          else Nil)
+        removed.toDF("format", "removed")
       case "register_table" =>
         // Iceberg catalog-registration analog (demo.md:223-229). Four
         // adoption modes by what the path holds:
@@ -540,7 +567,8 @@ final class GraftSql(catalog: GraftCatalog) {
         s"unknown procedure '$other' — supported: run_compaction, " +
         "run_clustering, run_clean, run_archival, rollback_to_instant, " +
         "rollback_last_commit, table_changes, build_vector_index, " +
-        "register_table, sync_xtable, show_commits, show_files")
+        "register_table, sync_xtable, expire_metadata, show_commits, " +
+        "show_files")
     }
   }
 

@@ -202,6 +202,74 @@ class Round24Spec extends AnyFunSuite {
     assert(e3.getMessage.contains("missing"))
   }
 
+  test("expireIcebergMetadata keeps the newest versions' manifest " +
+      "chains intact and deletes the rest") {
+    val root = tmp("iceexp") + "/t"
+    val t = graft.core.GraftTable.create(spark, root,
+      graft.core.TableConfig(name = "iceexp", keyField = "id",
+        orderingField = "ts", numBuckets = 1))
+    (1 to 3).foreach { i =>
+      t.upsert(Seq((i.toLong, i.toLong, i * 1.0)).toDF("id", "ts", "score"))
+      XTableSync.syncIceberg(t)
+    }
+    val metaDir = Paths.get(root, "metadata")
+    def metaVersions() = graft.util.Fs.list(metaDir)(
+      _.map(_.getFileName.toString).toSeq)
+      .filter(_.matches("^v\\d+\\.metadata\\.json$")).sorted
+    def avroCount() = graft.util.Fs.list(metaDir)(
+      _.map(_.getFileName.toString).toSeq).count(_.endsWith(".avro"))
+    assert(metaVersions().size == 3)
+    val avrosBefore = avroCount()
+    // keepVersions >= present versions: no-op
+    assert(XTableSync.expireIcebergMetadata(root, keepVersions = 3).isEmpty)
+    val before = XTableSync.readIceberg(spark, root)
+      .select("id", "ts", "score").collect().toSet
+    val deleted = XTableSync.expireIcebergMetadata(root, keepVersions = 1)
+    assert(deleted.nonEmpty)
+    assert(metaVersions().size == 1)
+    assert(avroCount() < avrosBefore, "old manifest chains must be deleted")
+    // the kept head still resolves its full chain — an Iceberg reader
+    // reproduces the same rows, and the engine keeps writing
+    assert(XTableSync.readIceberg(spark, root)
+      .select("id", "ts", "score").collect().toSet == before)
+    t.upsert(Seq((4L, 4L, 4.0)).toDF("id", "ts", "score"))
+    XTableSync.syncIceberg(t)
+    assert(metaVersions().size == 2)
+    assert(XTableSync.readIceberg(spark, root).count() == 4)
+    // the guard: keeping zero versions is refused
+    intercept[IllegalArgumentException](
+      XTableSync.expireIcebergMetadata(root, keepVersions = 0))
+  }
+
+  test("CALL expire_metadata checkpoints + expires both xTable targets " +
+      "and foreign mounts survive") {
+    import graft.sql.{GraftCatalog, GraftSql}
+    val catalog = new GraftCatalog(spark,
+      graft.util.TempDirs.create("graft-wh-r24-").toString)
+    val gsql = new GraftSql(catalog)
+    gsql.sql("""CREATE TABLE exm (id BIGINT, ts BIGINT, v STRING)
+      USING GRAFT OPTIONS (primaryKey='id', precombine='ts')""")
+    (1 to 3).foreach { i =>
+      gsql.sql(s"INSERT INTO exm VALUES ($i, $i, 'v$i')")
+      gsql.sql("CALL sync_xtable(table => 'exm', format => 'all')")
+    }
+    val root = Paths.get(catalog.warehouseDir, "exm")
+    val removed = gsql.sql(
+        "CALL expire_metadata(table => 'exm', format => 'all', keep => 1)")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(removed.exists(_._1 == "delta") && removed.exists(_._1 == "iceberg"),
+      removed.mkString(", "))
+    // both targets still mount: delta from the checkpoint, iceberg from
+    // the kept head's intact manifest chain
+    assert(XTableSync.readDelta(spark, root.toString).count() == 3)
+    assert(XTableSync.readIceberg(spark, root.toString).count() == 3)
+    assert(Files.exists(root.resolve("_delta_log/_last_checkpoint")))
+    // idempotent: nothing left to expire
+    assert(gsql.sql(
+      "CALL expire_metadata(table => 'exm', format => 'all', keep => 1)")
+      .count() == 0)
+  }
+
   // ---- streaming incremental SemDeDup ---------------------------------
 
   import graft.operators.{IncrementalSemanticDedup, SemanticDedup}
