@@ -76,7 +76,8 @@ object Bench {
     "l34_delta_checkpoint", // round 24: export → checkpoint → expire → foreign mount
     "p75_unigram_encode", // round 24: unigram-LM Viterbi tokenizer encode
     "p76_gopher_rules", // round 24: the full Gopher decision battery, map-only
-    "p77_tokenizer_pipeline") // round 24: gopher → excise → unigram, composed
+    "p77_tokenizer_pipeline", // round 24: gopher → excise → unigram, composed
+    "p78_mmr_select") // round 24: greedy MMR diversity selection, k TakeOrdered scans
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -520,6 +520,74 @@ object PipelineQueries {
       |FROM dw JOIN wenc USING (w) GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** MMR diversity selection ([[Similarity.mmrSelect]], Carbonell &
+    * Goldstein '98): 8 greedy picks from candidates 1..199 against the
+    * vec-0 query at λ = 0.5. The oracle replays the greedy loop as a
+    * recursive CTE carrying the selected-id list; scores hash as raw
+    * doubles (identical IEEE op sequence — the p6 contract). */
+  def sMmrSelect(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    val q = embs.filter(col("vec_id") === 0).select("embedding").first()
+      .getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray
+    Similarity.mmrSelect(embs.filter(col("vec_id").between(1, 199)),
+        "vec_id", "embedding", q, k = 8, lambda = 0.5)
+      .orderBy("rank")
+  }
+
+  private def mmrCos(a: String, b: String): String =
+    s"""(list_sum(list_transform(generate_series(1, len($a)),
+       |    i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       |  / (sqrt(list_sum(list_transform(generate_series(1, len($a)),
+       |       i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
+       |   * sqrt(list_sum(list_transform(generate_series(1, len($b)),
+       |       i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))""".stripMargin
+
+  private val sMmrSelectSql =
+    s"""WITH RECURSIVE
+       |cand AS (SELECT vec_id, embedding FROM embeddings
+       |         WHERE vec_id BETWEEN 1 AND 199),
+       |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+       |base AS (SELECT c.vec_id, c.embedding,
+       |           ${mmrCos("c.embedding", "qv.v")} AS simq
+       |         FROM cand c, qv),
+       |sel AS (
+       |  SELECT 0 AS step, []::BIGINT[] AS ids
+       |  UNION ALL
+       |  SELECT step + 1, list_append(ids, vec_id)
+       |  FROM (
+       |    SELECT step, ids, vec_id,
+       |           row_number() OVER (PARTITION BY step
+       |             ORDER BY 0.5 * simq - 0.5 * coalesce(maxsel, 0.0) DESC,
+       |                      vec_id ASC) AS rn
+       |    FROM (
+       |      SELECT s.step, s.ids, b.vec_id,
+       |             any_value(b.simq) AS simq,
+       |             max(${mmrCos("b.embedding", "e.embedding")}) AS maxsel
+       |      FROM sel s,
+       |           base b,
+       |           UNNEST(list_append(s.ids, -1)) AS t(sid)
+       |      LEFT JOIN cand e ON e.vec_id = t.sid
+       |      WHERE s.step < 8 AND NOT list_contains(s.ids, b.vec_id)
+       |      GROUP BY s.step, s.ids, b.vec_id))
+       |  WHERE rn = 1),
+       |final AS (SELECT ids FROM sel WHERE step = 8),
+       |ranked AS (SELECT g.r AS rank, f.ids[g.r] AS vec_id,
+       |                  f.ids[1:g.r-1] AS prefix
+       |           FROM final f, UNNEST(generate_series(1, 8)) AS g(r)),
+       |pairs AS (SELECT r.rank, r.vec_id, e.embedding AS sel_emb
+       |          FROM ranked r, UNNEST(list_append(r.prefix, -1)) AS t(sid)
+       |          LEFT JOIN cand e ON e.vec_id = t.sid),
+       |scored AS (SELECT p.rank, p.vec_id,
+       |    0.5 * any_value(b.simq)
+       |      - 0.5 * coalesce(max(${mmrCos("b.embedding", "p.sel_emb")}),
+       |          0.0) AS score
+       |  FROM pairs p JOIN base b ON b.vec_id = p.vec_id
+       |  GROUP BY p.rank, p.vec_id)
+       |SELECT rank, vec_id, score FROM scored ORDER BY rank""".stripMargin
+
   // ---- similarity search ---------------------------------------------
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
@@ -3006,6 +3074,7 @@ object PipelineQueries {
     "p75_unigram_encode" -> (tUnigramEncode _),
     "p76_gopher_rules" -> (cGopherRules _),
     "p77_tokenizer_pipeline" -> (cTokenizerPipeline _),
+    "p78_mmr_select" -> (sMmrSelect _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3096,5 +3165,6 @@ object PipelineQueries {
     "p75_unigram_encode" -> tUnigramEncodeSql,
     "p76_gopher_rules" -> cGopherRulesSql,
     "p77_tokenizer_pipeline" -> cTokenizerPipelineSql,
+    "p78_mmr_select" -> sMmrSelectSql,
   )
 }

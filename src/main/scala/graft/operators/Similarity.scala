@@ -317,4 +317,70 @@ object Similarity {
           array_max(zip_with(col("qvec"), xd,
             (q, x) => abs(q.cast("double") / col("scale") - x)))))
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein '98) —
+    * diversity-aware sampling for training-data curation: greedily pick
+    * `k` candidates maximizing
+    * `λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s)`, so each pick is
+    * relevant to the query BUT dissimilar to everything already taken
+    * (the redundancy-control step dedup thresholds are too blunt for).
+    * Ties break to the smaller id.
+    *
+    * Scale shape: k rounds, each a MAP-ONLY scan of the candidate
+    * relation + a TakeOrdered(1) — the selected set rides in the plan
+    * as k·dim double literals (KB), candidates are never collected or
+    * shuffled, and the scan parallelizes like any filter. k is small
+    * by construction (you are picking representatives); the O(k)
+    * driver loop is the algorithm's own sequential dependency, not an
+    * implementation shortcut.
+    *
+    * Oracle exactness (p78): every score is
+    * `lit(λ)·simq − lit(1−λ)·maxSel` over [[CosineSim]] values — the
+    * identical IEEE op sequence the DuckDB oracle states, with
+    * `greatest(...)` matching `max(...)` comparison-for-comparison, so
+    * scores hash-match as raw doubles (the p6 contract). */
+  def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Double], k: Int, lambda: Double = 0.5): DataFrame = {
+    require(k >= 1, s"k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda")
+    val spark = candidates.sparkSession
+    val qLit = array(queryVec.map(lit).toIndexedSeq: _*)
+    val base = candidates
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("vec"))
+      .withColumn("simq", cosine(col("vec"), qLit))
+      .persist()
+    try {
+      val sel = scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Double)]()
+      var exhausted = false
+      while (sel.size < k && !exhausted) {
+        val maxSel =
+          if (sel.isEmpty) lit(0.0)
+          else sel.map(s => cosine(col("vec"),
+              array(s._2.map(lit).toIndexedSeq: _*)): org.apache.spark.sql.Column)
+            .reduce(greatest(_, _))
+        val remaining =
+          if (sel.isEmpty) base
+          else base.filter(!col("vec_id").isin(sel.map(_._1).toIndexedSeq: _*))
+        val pick = remaining
+          .withColumn("score",
+            lit(lambda) * col("simq") - lit(1.0 - lambda) * maxSel)
+          .orderBy(col("score").desc, col("vec_id").asc)
+          .limit(1).select("vec_id", "vec", "score").collect().headOption
+        pick match {
+          case Some(row) =>
+            val v = row.getSeq[Any](1).map {
+              case f: Float => f.toDouble
+              case d: Double => d
+            }.toArray
+            sel += ((row.getLong(0), v, row.getDouble(2)))
+            ()
+          case None => exhausted = true
+        }
+      }
+      import spark.implicits._
+      sel.zipWithIndex
+        .map { case ((id, _, score), i) => ((i + 1).toLong, id, score) }.toSeq
+        .toDF("rank", "vec_id", "score")
+    } finally { base.unpersist(); () }
+  }
 }

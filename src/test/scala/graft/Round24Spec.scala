@@ -430,6 +430,31 @@ class Round24Spec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  // ---- MMR diversity selection ------------------------------------------
+
+  test("mmrSelect: diversity term suppresses near-duplicates of picks, " +
+      "k past the candidate count exhausts gracefully, runs are " +
+      "deterministic") {
+    import graft.operators.Similarity
+    // candidates 1 and 2 are near-duplicates of each other and both
+    // highly query-relevant; 3 is weakly relevant but diverse. Pure
+    // relevance ranks (2, 1); MMR must rank (2, 3): pick 1's diversity
+    // penalty vs 2 (cos ≈ 0.995) swamps its relevance edge over 3.
+    val cands = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.99, 0.1, 0.0)),
+      (3L, Seq(-0.1, 1.0, 0.2))
+    ).toDF("vec_id", "embedding")
+    val q = Array(0.9, 0.3, 0.32)
+    def run(k: Int) = Similarity
+      .mmrSelect(cands, "vec_id", "embedding", q, k)
+      .select($"rank", $"vec_id").as[(Long, Long)].collect().toSeq
+    assert(run(2) == Seq((1L, 2L), (2L, 3L)))
+    // k beyond the candidate count returns every candidate once
+    assert(run(5).map(_._2).sorted == Seq(1L, 2L, 3L))
+    assert(run(2) == run(2))
+  }
+
   // ---- Gopher rule battery --------------------------------------------
 
   test("Curation.gopherRules: each rule trips on its planted violation " +
