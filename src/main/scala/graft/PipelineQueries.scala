@@ -430,9 +430,15 @@ object PipelineQueries {
     val kept = docs.join(keep, Seq("doc_id")).select("doc_id", "text")
     val excised = Dedup.exactSubstrExcise(kept, "doc_id", "text", 20)
       .select(col("doc_id"), col("cleaned_text"))
+    // the cleaned corpus feeds TWO encodeStats consumers that cannot
+    // share an exchange (the distinct-word histogram and the per-doc
+    // explode) — without materialization each re-runs the Gopher
+    // filter + excision chain (the p73 lesson; 8.9 → ~3 s warm at
+    // sf0.1, and at corpus scale the excision shuffle dominates)
     val cleaned = kept.join(excised, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cleaned_text"), col("text")).as("text"))
+      .localCheckpoint()
     graft.operators.Unigram
       .encodeStats(cleaned, "doc_id", "text", topK = 512, maxPieceLen = 4)
       .orderBy("doc_id")
