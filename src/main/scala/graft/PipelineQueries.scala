@@ -594,6 +594,36 @@ object PipelineQueries {
        |  GROUP BY p.rank, p.vec_id)
        |SELECT rank, vec_id, score FROM scored ORDER BY rank""".stripMargin
 
+  /** Token-balanced shard assignment ([[Curation.balancedShards]]):
+    * every doc dealt onto 4 shards by salted snake order over token
+    * weight — per-doc assignments plus the per-shard totals the
+    * balance claim rides on, both exact. */
+  def cBalancedShards(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    Curation.balancedShards(docs, "doc_id", "n_tokens", shards = 4,
+        salts = 8)
+      .select(col("doc_id"), col("shard"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val cBalancedShardsSql =
+    """WITH d AS (SELECT doc_id,
+      |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+      |    ((strpos('0123456789abcdef',
+      |        substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
+      |     + strpos('0123456789abcdef',
+      |        substr(md5(doc_id::VARCHAR), 2, 1)) - 1) % 8 AS salt
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_tokens,
+      |    row_number() OVER (PARTITION BY salt
+      |      ORDER BY n_tokens DESC, doc_id ASC) - 1 AS rn
+      |  FROM d)
+      |SELECT doc_id,
+      |  CASE WHEN (rn // 4) % 2 = 0 THEN rn % 4 ELSE 3 - rn % 4 END AS shard,
+      |  n_tokens
+      |FROM r ORDER BY doc_id""".stripMargin
+
   // ---- similarity search ---------------------------------------------
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
@@ -3081,6 +3111,7 @@ object PipelineQueries {
     "p76_gopher_rules" -> (cGopherRules _),
     "p77_tokenizer_pipeline" -> (cTokenizerPipeline _),
     "p78_mmr_select" -> (sMmrSelect _),
+    "p79_balanced_shards" -> (cBalancedShards _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3172,5 +3203,6 @@ object PipelineQueries {
     "p76_gopher_rules" -> cGopherRulesSql,
     "p77_tokenizer_pipeline" -> cTokenizerPipelineSql,
     "p78_mmr_select" -> sMmrSelectSql,
+    "p79_balanced_shards" -> cBalancedShardsSql,
   )
 }

@@ -690,6 +690,42 @@ object Curation {
       .filter(col("domain_rank") <= maxPerDomain)
   }
 
+  /** Weight-balanced shard assignment — the "write the corpus into N
+    * equal-token training shards" step data loaders want: every doc
+    * gets a shard in [0, shards) such that per-shard total weight
+    * (token count) is near-equal, deterministically.
+    *
+    * Formulation (exact, engine-reproducible, skew-free): docs hash
+    * into `salts` buckets; within each bucket they rank by
+    * (weight desc, id asc); ranks deal onto shards in SNAKE order
+    * (0,1,…,S−1,S−1,…,1,0,…), which cancels the systematic bias of a
+    * plain modulo deal (where shard 0 would take the heaviest doc of
+    * every consecutive group). Balance: within a bucket, any two
+    * shards differ by at most one snake-group's weight spread; buckets
+    * are independent hash samples, so deviations average out rather
+    * than add. No global sort and no single-partition window — each
+    * rank window covers one hash bucket (the p67 discipline), so the
+    * largest task is O(corpus / salts) however skewed the weights.
+    * The salt derives from md5 (bit-identical in both engines — the
+    * deterministicSample discipline), which caps `salts` at 256. */
+  def balancedShards(df: DataFrame, idCol: String, weightCol: String,
+      shards: Int, salts: Int = 64): DataFrame = {
+    require(shards >= 1, s"shards=$shards")
+    require(salts >= 1 && salts <= 256, s"salts=$salts (md5-byte salt: <= 256)")
+    val w = Window.partitionBy("__salt")
+      .orderBy(col(weightCol).desc, col(idCol).asc)
+    df.withColumn("__salt",
+        conv(substring(md5(col(idCol).cast("string")), 1, 2), 16, 10)
+          .cast("int") % salts)
+      .withColumn("__rn", row_number().over(w) - 1)
+      .withColumn("shard",
+        when((col("__rn") / shards).cast("long") % 2 === 0,
+          col("__rn") % shards)
+          .otherwise(lit(shards - 1) - col("__rn") % shards)
+          .cast("long"))
+      .drop("__salt", "__rn")
+  }
+
   /** The complete Gopher quality-rule battery (Rae et al. '21 §A1.1)
     * as a per-doc DECISION surface — where p8/p24 compute the metric
     * families, this applies the published rule set and returns every

@@ -455,6 +455,32 @@ class Round24Spec extends AnyFunSuite {
     assert(run(2) == run(2))
   }
 
+  // ---- balanced shards --------------------------------------------------
+
+  test("balancedShards: every doc assigned once, per-shard token mass " +
+      "within a few percent of even, deterministic") {
+    import graft.operators.Curation
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    def run() = Curation.balancedShards(docs, "doc_id", "n_tokens",
+      shards = 4, salts = 8)
+    val out = run().persist()
+    try {
+      assert(out.count() == docs.count())
+      assert(out.select("doc_id").distinct().count() == docs.count())
+      assert(out.filter(col("shard") < 0 || col("shard") >= 4).count() == 0)
+      val totals = out.groupBy("shard").agg(sum("n_tokens").as("t"))
+        .select("t").as[Long].collect()
+      assert(totals.length == 4)
+      val (mx, mn) = (totals.max.toDouble, totals.min.toDouble)
+      assert((mx - mn) / mx < 0.05,
+        s"shard token totals spread ${(mx - mn) / mx}: ${totals.toSeq}")
+      // deterministic
+      assert(run().select("doc_id", "shard").as[(Long, Long)].collect().toSet ==
+        out.select("doc_id", "shard").as[(Long, Long)].collect().toSet)
+    } finally { out.unpersist(); () }
+  }
+
   // ---- Gopher rule battery --------------------------------------------
 
   test("Curation.gopherRules: each rule trips on its planted violation " +
