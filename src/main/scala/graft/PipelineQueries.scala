@@ -427,7 +427,10 @@ object PipelineQueries {
     val keep = r.filter(col("word_count_ok") && col("mean_word_len_ok") &&
         col("symbol_ratio_ok") && col("bullet_ok") && col("alpha_ratio_ok"))
       .select("doc_id")
+    // kept feeds both the excision and the cleaned join below — without
+    // materialization the scan + Gopher filter chain evaluates twice
     val kept = docs.join(keep, Seq("doc_id")).select("doc_id", "text")
+      .localCheckpoint()
     val excised = Dedup.exactSubstrExcise(kept, "doc_id", "text", 20)
       .select(col("doc_id"), col("cleaned_text"))
     // the cleaned corpus feeds TWO encodeStats consumers that cannot

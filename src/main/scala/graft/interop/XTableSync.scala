@@ -560,11 +560,14 @@ object XTableSync {
     v
   }
 
-  /** Delta log-retention cleaning: delete the JSON commits at or below
-    * the `_last_checkpoint` version (they are covered by the
-    * checkpoint; replay seeds from it). Refuses to clean an
-    * uncheckpointed log. Returns the deleted versions. */
-  def expireDeltaLog(root: String): Seq[Long] = {
+  /** Delta log-retention cleaning: delete the JSON commits the
+    * `_last_checkpoint` version covers, except the newest
+    * `keepVersions` of them (kept JSONs are redundant with the
+    * checkpoint but serve incremental/table_changes consumers that
+    * replay recent commits). Refuses to clean an uncheckpointed log.
+    * Returns the deleted versions. */
+  def expireDeltaLog(root: String, keepVersions: Int = 0): Seq[Long] = {
+    require(keepVersions >= 0, s"keepVersions=$keepVersions")
     val logDir = Paths.get(root, "_delta_log")
     require(Files.exists(logDir.resolve("_last_checkpoint")),
       s"_delta_log under $root has no _last_checkpoint — run " +
@@ -574,7 +577,7 @@ object XTableSync {
     graft.util.Fs.list(logDir)(_.map(_.getFileName.toString).toSeq)
       .filter(_.matches("\\d{20}\\.json"))
       .map(n => n.stripSuffix(".json").toLong -> n)
-      .filter(_._1 <= cpV).sortBy(_._1)
+      .filter(_._1 <= cpV - keepVersions).sortBy(_._1)
       .map { case (ver, n) => Files.delete(logDir.resolve(n)); ver }
   }
 
@@ -705,26 +708,32 @@ object XTableSync {
     * avro → non-deleted `file_path`s (absolute, per the spec). This is
     * the chain `CALL register_table(metadata_file => ...)` adopts
     * from, and the read side of [[readIceberg]]. */
-  def icebergLiveFiles(metaFile: java.nio.file.Path): Seq[String] = {
+  /** Read every record of an avro file; LOCATION strings resolve via
+    * [[icebergLocalPath]] (bare paths and file: URIs; remote schemes
+    * fail loudly there). */
+  private def avroRecords(location: String)
+      : List[org.apache.avro.generic.GenericRecord] = {
     import org.apache.avro.file.DataFileReader
     import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val r = new DataFileReader(icebergLocalPath(location).toFile,
+      new GenericDatumReader[GenericRecord]())
+    try Iterator.continually(r).takeWhile(_.hasNext).map(_.next()).toList
+    finally r.close()
+  }
+
+  def icebergLiveFiles(metaFile: java.nio.file.Path): Seq[String] = {
     val meta = mapper.readTree(Files.readAllBytes(metaFile))
     val snapId = meta.get("current-snapshot-id").asLong()
     val snap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == snapId)
       .getOrElse(throw new IllegalStateException(
         s"current-snapshot-id $snapId not in snapshots"))
-    def avroRecords(path: String): List[GenericRecord] = {
-      val r = new DataFileReader(Paths.get(path).toFile,
-        new GenericDatumReader[GenericRecord]())
-      try Iterator.continually(r).takeWhile(_.hasNext).map(_.next()).toList
-      finally r.close()
-    }
     for {
       m <- avroRecords(snap.get("manifest-list").asText())
       e <- avroRecords(m.get("manifest_path").toString)
       if e.get("status").asInstanceOf[Int] != 2 // 2 = DELETED
-    } yield e.get("data_file").asInstanceOf[GenericRecord]
+    } yield e.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
       .get("file_path").toString
   }
 
@@ -735,23 +744,25 @@ object XTableSync {
     * retention's. Missing files (already expired by an earlier pass)
     * are skipped. */
   private def icebergMetadataRefs(metaFile: java.nio.file.Path): Set[java.nio.file.Path] = {
-    import org.apache.avro.file.DataFileReader
-    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
     val meta = mapper.readTree(Files.readAllBytes(metaFile))
+    // a metadata.json without a snapshots array is a shape this
+    // retention pass cannot reason about — fail loudly rather than
+    // treating its manifests as unreferenced (which would delete files
+    // a kept version still needs) or as absent (which would leak them)
+    require(meta.has("snapshots") && meta.get("snapshots").isArray,
+      s"$metaFile has no snapshots array — not an Iceberg table metadata " +
+      "file this retention pass understands")
     val lists = meta.get("snapshots").elements().asScala
       .map(_.get("manifest-list").asText()).toSeq
     lists.flatMap { l =>
-      val lp = Paths.get(l)
-      if (!Files.exists(lp)) Seq.empty
-      else {
-        val r = new DataFileReader(lp.toFile,
-          new GenericDatumReader[GenericRecord]())
-        val manifests =
-          try Iterator.continually(r).takeWhile(_.hasNext)
-            .map(_.next().get("manifest_path").toString).toList
-          finally r.close()
-        lp +: manifests.map(Paths.get(_))
-      }
+      // LOCATION strings resolve like every other reader in this module
+      // (bare path or file: URI; remote schemes fail loudly) — a bare
+      // Paths.get would silently miss URI-style locations and leak the
+      // very manifest chains this pass exists to delete
+      val lp = icebergLocalPath(l)
+      if (!Files.exists(lp)) Seq.empty // expired by an earlier pass
+      else lp +: avroRecords(l)
+        .map(m => icebergLocalPath(m.get("manifest_path").toString))
     }.toSet
   }
 

@@ -503,8 +503,11 @@ final class GraftSql(catalog: GraftCatalog) {
           java.nio.file.Paths.get(t.root, dir))
         val removed: Seq[(String, String)] =
           (if (fmt == "delta" || (fmt == "all" && present("_delta_log"))) {
+            // keep = newest JSON commits retained past the checkpoint
+            // (for incremental consumers), mirroring Iceberg's newest-
+            // versions semantics
             XTableSync.checkpointDelta(t.spark, t.root)
-            XTableSync.expireDeltaLog(t.root)
+            XTableSync.expireDeltaLog(t.root, keepVersions = keep)
               .map(v => "delta" -> f"$v%020d.json")
           } else Nil) ++
           (if (fmt == "iceberg" || (fmt == "all" && present("metadata")))
