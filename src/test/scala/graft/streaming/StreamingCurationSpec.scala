@@ -91,4 +91,25 @@ class StreamingCurationSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("cur_stateless").count() >= 0L)
   }
+
+  test("gopherRules runs unchanged under streaming (map-only decision " +
+      "surface) and equals the batch verdicts") {
+    val in = tmp()
+    writeJson(in, "b1.json",
+      s"""{"doc_id":1,"text":"${("the of and " * 20).trim}"}""",
+      """{"doc_id":2,"text":"too short"}""")
+    writeJson(in, "b2.json",
+      s"""{"doc_id":3,"text":"${("# ## " * 40).trim}"}""")
+    def rules(df: DataFrame) = Curation.gopherRules(df, "doc_id", "text")
+    val q = rules(spark.readStream.schema(schema).json(in))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gopher_stream").start()
+    val streamed =
+      try { q.processAllAvailable(); spark.table("gopher_stream").collect() }
+      finally q.stop()
+    val batch = rules(spark.read.schema(schema).json(in)).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.toSeq).toSet
+    assert(streamed.length == 3 && key(streamed) == key(batch))
+  }
 }
