@@ -627,6 +627,65 @@ object PipelineQueries {
       |  n_tokens
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** In-engine perceptron training ([[Selection.trainPerceptron]]):
+    * three batch epochs of the en-vs-rest language classifier over
+    * 64 hashed unigram buckets + bias — final INTEGER weights, every
+    * epoch replayed by the oracle's recursive CTE. */
+  def cPerceptron(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fit = graft.operators.Selection.trainPerceptron(
+      Tables.load(spark, dir, "documents"), "doc_id", "text",
+      when(col("lang") === "en", 1L).otherwise(-1L), dim = 64, epochs = 3)
+    fit.weights.zipWithIndex
+      .map { case (wt, i) => (i.toLong, wt) }.toSeq
+      .toDF("idx", "weight").orderBy("idx")
+  }
+
+  private val cPerceptronSql =
+    """WITH RECURSIVE feats AS (
+      |  SELECT doc_id AS id,
+      |         ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS idx,
+      |         count(*)::BIGINT AS cnt
+      |  FROM (SELECT doc_id,
+      |          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      |        FROM documents)
+      |  GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT doc_id, 64, 1 FROM documents),
+      |labels AS (SELECT doc_id AS id,
+      |             CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+      |           FROM documents),
+      |ep AS (
+      |  SELECT 0 AS epoch,
+      |         list_transform(generate_series(1, 65), j -> 0::BIGINT) AS w
+      |  UNION ALL
+      |  SELECT epoch + 1, list(wj + dj ORDER BY j)
+      |  FROM (
+      |    SELECT epoch, w, g.j AS j,
+      |           any_value(w[g.j]) AS wj,
+      |           coalesce(sum(CASE WHEN idx = g.j - 1 THEN ycnt END), 0)::BIGINT
+      |             AS dj
+      |    FROM (
+      |      SELECT m.epoch, m.w, f2.idx, m.y * f2.cnt AS ycnt, m.id
+      |      FROM (
+      |        SELECT mg.epoch, mg.w, mg.id, l.y
+      |        FROM (
+      |          SELECT e.epoch, e.w, f.id,
+      |                 sum(f.cnt * e.w[f.idx + 1])::BIGINT AS margin
+      |          FROM ep e, feats f
+      |          WHERE e.epoch < 3
+      |          GROUP BY e.epoch, e.w, f.id) mg
+      |        JOIN labels l ON l.id = mg.id
+      |        WHERE l.y * mg.margin <= 0) m
+      |      JOIN feats f2 ON f2.id = m.id) miscl,
+      |      UNNEST(generate_series(1, 65)) AS g(j)
+      |    GROUP BY epoch, w, g.j)
+      |  GROUP BY epoch, w)
+      |SELECT g.j - 1 AS idx, f.w[g.j] AS weight
+      |FROM (SELECT w FROM ep WHERE epoch = (SELECT max(epoch) FROM ep)) f,
+      |     UNNEST(generate_series(1, 65)) AS g(j)
+      |ORDER BY idx""".stripMargin
+
   // ---- similarity search ---------------------------------------------
 
   /** Brute-force cosine top-5 for query vectors vec_id < 10. */
@@ -3115,6 +3174,7 @@ object PipelineQueries {
     "p77_tokenizer_pipeline" -> (cTokenizerPipeline _),
     "p78_mmr_select" -> (sMmrSelect _),
     "p79_balanced_shards" -> (cBalancedShards _),
+    "p80_perceptron" -> (cPerceptron _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3207,5 +3267,6 @@ object PipelineQueries {
     "p77_tokenizer_pipeline" -> cTokenizerPipelineSql,
     "p78_mmr_select" -> sMmrSelectSql,
     "p79_balanced_shards" -> cBalancedShardsSql,
+    "p80_perceptron" -> cPerceptronSql,
   )
 }

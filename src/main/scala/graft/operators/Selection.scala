@@ -351,4 +351,78 @@ object Selection {
         ntile(numBuckets).over(Window.orderBy(proxy.asc, col(idCol).asc))
           .cast("long"))
   }
+
+  /** A trained perceptron: final integer weights (index `dim` is the
+    * bias) and the misclassification count each epoch observed BEFORE
+    * its update. */
+  final case class PerceptronFit(weights: Array[Long],
+      errorsPerEpoch: Seq[Long])
+
+  /** Distributed BATCH perceptron training (Rosenblatt '58, the batch
+    * variant) over hashed unigram counts — training the
+    * quality/language classifier IN the engine instead of importing
+    * frozen weights (the p42 classifier's missing half). Labels are
+    * ±1; features are exact integer term counts hashed into `dim`
+    * buckets (the p42 md5 trick) plus a constant bias; each epoch adds
+    * `Σ_{misclassified} y·x` to the weights, where misclassified means
+    * `y·(w·x) ≤ 0`.
+    *
+    * EVERYTHING IS INTEGER — counts, margins, weights — so training is
+    * exactly reproducible anywhere, and the p80 oracle replays all
+    * epochs as a recursive CTE carrying the weight list and
+    * hash-matches the final weights value-for-value.
+    *
+    * Scale shape: the feature relation (one (id, idx, cnt) row per
+    * distinct term-bucket per doc) builds with ONE shuffle and is
+    * reused every epoch; per epoch the weights ride the plan as a
+    * (dim+1)-long literal (KB), margins are a map-multiply +
+    * per-doc partial-agg sum, and the update collects O(dim) deltas —
+    * never rows. Epochs are sequential by the algorithm's own
+    * dependency; each costs two bounded-key shuffles over the cached
+    * features. */
+  def trainPerceptron(docs: DataFrame, idCol: String, textCol: String,
+      label: Column, dim: Int = 64, epochs: Int = 3): PerceptronFit = {
+    require(dim >= 1 && epochs >= 1, s"dim=$dim epochs=$epochs")
+    val feats = docs
+      .select(col(idCol).as("id"), explode(expr(
+        s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("term"))
+      .select(col("id"),
+        (conv(substring(md5(col("term")), 1, 8), 16, 10)
+          .cast("long") % dim).as("idx"))
+      .groupBy("id", "idx").agg(count(lit(1)).as("cnt"))
+      .unionByName(docs.select(col(idCol).as("id"),
+        lit(dim.toLong).as("idx"), lit(1L).as("cnt")))
+      .persist()
+    val labels = docs.select(col(idCol).as("id"), label.cast("long").as("y"))
+    try {
+      val w = Array.fill(dim + 1)(0L)
+      val errs = Seq.newBuilder[Long]
+      var ep = 0
+      var converged = false
+      while (ep < epochs && !converged) {
+        val wLit = array(w.toIndexedSeq.map(lit): _*)
+        val miscl = feats
+          .withColumn("m",
+            col("cnt") * element_at(wLit, (col("idx") + 1).cast("int")))
+          .groupBy("id").agg(sum("m").as("margin"))
+          .join(labels, Seq("id"))
+          .filter(col("y") * col("margin") <= 0)
+        val agg = miscl.join(feats, Seq("id"))
+          .groupBy("idx")
+          .agg(sum(col("y") * col("cnt")).as("d"),
+            countDistinct(col("id")).as("n"))
+          .collect()
+        // every misclassified doc carries the bias feature, so the
+        // bias row's distinct-id count IS the epoch's error count —
+        // one job per epoch, no second pass
+        val e = agg.find(_.getLong(0) == dim.toLong).map(_.getLong(2))
+          .getOrElse(0L)
+        errs += e
+        agg.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+        converged = e == 0L
+        ep += 1
+      }
+      PerceptronFit(w, errs.result())
+    } finally { feats.unpersist(); () }
+  }
 }

@@ -481,6 +481,41 @@ class Round24Spec extends AnyFunSuite {
     } finally { out.unpersist(); () }
   }
 
+  // ---- perceptron training ----------------------------------------------
+
+  test("trainPerceptron: converges on a separable corpus, the learned " +
+      "weights classify the training set, and runs are deterministic") {
+    import graft.operators.Selection
+    // two disjoint vocabularies — linearly separable by construction
+    val docs = (1L to 20L).map { i =>
+      if (i % 2 == 0) (i, "good clean prose text here", 1L)
+      else (i, "zzz qqq xxx jjj vvv", -1L)
+    }.toDF("doc_id", "text", "y")
+    def fit() = Selection.trainPerceptron(docs, "doc_id", "text",
+      col("y"), dim = 64, epochs = 10)
+    val f = fit()
+    // converged: a zero-error epoch appears and training stops there
+    assert(f.errorsPerEpoch.last == 0L, f.errorsPerEpoch.toString)
+    assert(f.errorsPerEpoch.length < 10, "separable corpus must stop early")
+    assert(f.errorsPerEpoch.head > 0L)
+    // the learned weights classify every training doc (margin recomputed
+    // here with the same md5 bucketing, independently of Spark)
+    def margin(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val terms = "[a-z]+".r.findAllIn(text.toLowerCase).toSeq
+      val m = terms.map { t =>
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        f.weights(((java.lang.Long.parseLong(hex, 16)) % 64).toInt)
+      }.sum
+      m + f.weights(64) // bias
+    }
+    assert(margin("good clean prose text here") > 0L)
+    assert(margin("zzz qqq xxx jjj vvv") < 0L)
+    // deterministic
+    assert(fit().weights.toSeq == f.weights.toSeq)
+  }
+
   // ---- Gopher rule battery --------------------------------------------
 
   test("Curation.gopherRules: each rule trips on its planted violation " +
