@@ -391,7 +391,8 @@ object XTableSync {
     * O(live files) driver metadata, the same order as the commit log
     * itself. */
   private def deltaActionLines(root: String,
-      spark: Option[org.apache.spark.sql.SparkSession]): Seq[String] = {
+      spark: Option[org.apache.spark.sql.SparkSession],
+      keepJson: Long => Boolean = _ => true): Seq[String] = {
     val chain = deltaChain(root)
     val cpLines = chain.checkpoint match {
       case None => Seq.empty[String]
@@ -409,7 +410,7 @@ object XTableSync {
           else Seq.empty
         part("protocol") ++ part("metaData") ++ part("remove") ++ part("add")
     }
-    cpLines ++ chain.jsons.flatMap { case (_, f) =>
+    cpLines ++ chain.jsons.filter(j => keepJson(j._1)).flatMap { case (_, f) =>
       Files.readAllLines(f).asScala.filter(_.nonEmpty)
     }
   }
@@ -676,9 +677,49 @@ object XTableSync {
     * MOR tombstone deltas are data to a format that encodes deletes as
     * file removes. */
   def readDelta(spark: org.apache.spark.sql.SparkSession,
-      root: String): org.apache.spark.sql.DataFrame = {
+      root: String): org.apache.spark.sql.DataFrame =
+    readDeltaState(spark, root, replayDelta(root, spark))
+
+  /** Delta time travel over the export — `VERSION AS OF` semantics: the
+    * live set as of log version `asOfVersion`. Versions the checkpoint
+    * has subsumed are reconstructable only while their JSON commits
+    * still exist: after [[expireDeltaLog]] a pre-checkpoint version is
+    * GONE and the read refuses loudly (the same contract real Delta
+    * readers apply to retention-cleaned history). */
+  def readDelta(spark: org.apache.spark.sql.SparkSession, root: String,
+      asOfVersion: Long): org.apache.spark.sql.DataFrame = {
+    val chain = deltaChain(root)
+    require(asOfVersion >= 0 && asOfVersion <= chain.lastVersion,
+      s"version $asOfVersion does not exist under $root " +
+      s"(head: ${chain.lastVersion})")
+    val lines = chain.checkpoint match {
+      case Some((cpV, _)) if cpV > asOfVersion =>
+        // the checkpoint subsumed this version — only a still-complete
+        // JSON prefix can reconstruct it
+        val logDir = Paths.get(root, "_delta_log")
+        val jsons = graft.util.Fs.list(logDir)(
+          _.map(_.getFileName.toString).toSeq)
+          .filter(_.matches("\\d{20}\\.json"))
+          .map(n => n.stripSuffix(".json").toLong -> n)
+          .filter(_._1 <= asOfVersion).sortBy(_._1)
+        require(jsons.map(_._1) == (0L to asOfVersion),
+          s"version $asOfVersion of $root predates the checkpoint and its " +
+          "JSON commits were retention-expired — that history is gone")
+        jsons.flatMap { case (_, n) =>
+          Files.readAllLines(logDir.resolve(n)).asScala.filter(_.nonEmpty)
+        }
+      case _ =>
+        deltaActionLines(root, Some(spark),
+          keepJson = v => v <= asOfVersion)
+    }
+    val st = replayActions(lines)
+    readDeltaState(spark, root,
+      DeltaState(st.schemaJson, st.partCols, st.live.keys.toSeq))
+  }
+
+  private def readDeltaState(spark: org.apache.spark.sql.SparkSession,
+      root: String, st: DeltaState): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types.{DataType, StructType}
-    val st = replayDelta(root, spark)
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
     if (st.liveFiles.isEmpty)
       spark.createDataFrame(

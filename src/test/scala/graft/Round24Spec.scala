@@ -270,6 +270,37 @@ class Round24Spec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("readDelta VERSION AS OF replays each exported version; expired " +
+      "pre-checkpoint history refuses loudly") {
+    val root = tmp("asof") + "/t"
+    val t = graft.core.GraftTable.create(spark, root,
+      graft.core.TableConfig(name = "asof", keyField = "id",
+        orderingField = "ts", numBuckets = 1))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[Long].collect().toSet
+    (1 to 3).foreach { i =>
+      t.upsert(Seq((i.toLong, i.toLong, i * 1.0)).toDF("id", "ts", "score"))
+      XTableSync.syncDelta(t)
+    }
+    // one version per upsert commit: v0..v2
+    assert(ids(XTableSync.readDelta(spark, root, 0L)) == Set(1L))
+    assert(ids(XTableSync.readDelta(spark, root, 1L)) == Set(1L, 2L))
+    assert(ids(XTableSync.readDelta(spark, root, 2L)) == Set(1L, 2L, 3L))
+    // past the head: refused
+    intercept[IllegalArgumentException](
+      XTableSync.readDelta(spark, root, 9L))
+    // checkpoint at head; while JSONs remain, old versions still read
+    XTableSync.checkpointDelta(spark, root)
+    assert(ids(XTableSync.readDelta(spark, root, 1L)) == Set(1L, 2L))
+    // after retention, pre-checkpoint history is gone — loudly
+    XTableSync.expireDeltaLog(root)
+    val e = intercept[IllegalArgumentException](
+      XTableSync.readDelta(spark, root, 1L))
+    assert(e.getMessage.contains("retention-expired"))
+    // the checkpointed head still reads
+    assert(ids(XTableSync.readDelta(spark, root, 2L)) == Set(1L, 2L, 3L))
+  }
+
   // ---- streaming incremental SemDeDup ---------------------------------
 
   import graft.operators.{IncrementalSemanticDedup, SemanticDedup}
