@@ -338,6 +338,13 @@ object XTableSync {
       (checkpoint.map(_._1).toSeq ++ jsons.map(_._1)).max
   }
 
+  /** (version, file) pairs of the JSON commit files under a log dir,
+    * ascending — THE name-parsing rule, shared by every consumer. */
+  private def listJsonVersions(logDir: java.nio.file.Path): Seq[(Long, java.nio.file.Path)] =
+    graft.util.Fs.list(logDir)(_.map(_.getFileName.toString).toSeq)
+      .filter(_.matches("\\d{20}\\.json")).sorted
+      .map(n => n.stripSuffix(".json").toLong -> logDir.resolve(n))
+
   private def deltaChain(root: String): DeltaChain = {
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log under $root")
@@ -367,9 +374,7 @@ object XTableSync {
     } else cpVersions.maxOption
     val cp = cpVer.map(v => v -> logDir.resolve(f"$v%020d.checkpoint.parquet"))
     val floor = cpVer.getOrElse(-1L)
-    val jsons = names.filter(_.matches("\\d{20}\\.json")).sorted
-      .map(n => n.stripSuffix(".json").toLong -> logDir.resolve(n))
-      .filter(_._1 > floor)
+    val jsons = listJsonVersions(logDir).filter(_._1 > floor)
     jsons.map(_._1).zipWithIndex.foreach { case (v, i) =>
       val expect = floor + 1 + i
       require(v == expect,
@@ -390,6 +395,21 @@ object XTableSync {
     * later JSONs replays correctly). The checkpoint collect is
     * O(live files) driver metadata, the same order as the commit log
     * itself. */
+  /** One action-JSON line per checkpoint-parquet row, in replay order
+    * (removes before adds — a checkpoint is a reconciled state, so a
+    * path tombstoned there cannot also be live there). */
+  private def checkpointLines(spark: org.apache.spark.sql.SparkSession,
+      p: java.nio.file.Path): Seq[String] = {
+    val df = spark.read.parquet(p.toString)
+    def part(colName: String): Seq[String] =
+      if (df.columns.contains(colName))
+        df.filter(col(colName).isNotNull)
+          .select(to_json(struct(col(colName))))
+          .collect().map(_.getString(0)).toSeq
+      else Seq.empty
+    part("protocol") ++ part("metaData") ++ part("remove") ++ part("add")
+  }
+
   private def deltaActionLines(root: String,
       spark: Option[org.apache.spark.sql.SparkSession],
       keepJson: Long => Boolean = _ => true): Seq[String] = {
@@ -401,14 +421,7 @@ object XTableSync {
           s"_delta_log under $root is checkpointed (version $v) — " +
           "replaying it reads the checkpoint parquet, which needs a " +
           "SparkSession: use replayDelta(root, spark) or adoptDelta"))
-        val df = s.read.parquet(p.toString)
-        def part(colName: String): Seq[String] =
-          if (df.columns.contains(colName))
-            df.filter(col(colName).isNotNull)
-              .select(to_json(struct(col(colName))))
-              .collect().map(_.getString(0)).toSeq
-          else Seq.empty
-        part("protocol") ++ part("metaData") ++ part("remove") ++ part("add")
+        checkpointLines(s, p)
     }
     cpLines ++ chain.jsons.filter(j => keepJson(j._1)).flatMap { case (_, f) =>
       Files.readAllLines(f).asScala.filter(_.nonEmpty)
@@ -575,11 +588,9 @@ object XTableSync {
       "checkpointDelta before expiring JSON commits")
     val chain = deltaChain(root) // validates the checkpoint file exists
     val cpV = chain.checkpoint.get._1
-    graft.util.Fs.list(logDir)(_.map(_.getFileName.toString).toSeq)
-      .filter(_.matches("\\d{20}\\.json"))
-      .map(n => n.stripSuffix(".json").toLong -> n)
-      .filter(_._1 <= cpV - keepVersions).sortBy(_._1)
-      .map { case (ver, n) => Files.delete(logDir.resolve(n)); ver }
+    listJsonVersions(logDir)
+      .filter(_._1 <= cpV - keepVersions)
+      .map { case (ver, f) => Files.delete(f); ver }
   }
 
   /** Reverse xTable leg (reference xtable/xtable_delta.yaml:17-25 —
@@ -694,20 +705,29 @@ object XTableSync {
       s"(head: ${chain.lastVersion})")
     val lines = chain.checkpoint match {
       case Some((cpV, _)) if cpV > asOfVersion =>
-        // the checkpoint subsumed this version — only a still-complete
-        // JSON prefix can reconstruct it
+        // the current checkpoint subsumed this version. A real Delta
+        // reader reconstructs it from ANY checkpoint ≤ V plus the
+        // contiguous JSONs up to V — superseded checkpoint parquets
+        // stay on disk, so consult the newest one ≤ V before falling
+        // back to a complete 0..V JSON prefix.
         val logDir = Paths.get(root, "_delta_log")
-        val jsons = graft.util.Fs.list(logDir)(
-          _.map(_.getFileName.toString).toSeq)
-          .filter(_.matches("\\d{20}\\.json"))
-          .map(n => n.stripSuffix(".json").toLong -> n)
-          .filter(_._1 <= asOfVersion).sortBy(_._1)
-        require(jsons.map(_._1) == (0L to asOfVersion),
-          s"version $asOfVersion of $root predates the checkpoint and its " +
-          "JSON commits were retention-expired — that history is gone")
-        jsons.flatMap { case (_, n) =>
-          Files.readAllLines(logDir.resolve(n)).asScala.filter(_.nonEmpty)
-        }
+        val jsons = listJsonVersions(logDir).filter(_._1 <= asOfVersion)
+        val seed = graft.util.Fs.list(logDir)(
+            _.map(_.getFileName.toString).toSeq)
+          .collect { case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
+            n.stripSuffix(".checkpoint.parquet").toLong }
+          .filter(_ <= asOfVersion).maxOption
+        val floor = seed.getOrElse(-1L)
+        val tail = jsons.filter(_._1 > floor)
+        require(tail.map(_._1) == (floor + 1).to(asOfVersion),
+          s"version $asOfVersion of $root predates the checkpoint and " +
+          "its JSON commits were retention-expired with no older " +
+          "checkpoint covering them — that history is gone")
+        seed.toSeq.flatMap(v => checkpointLines(spark,
+          logDir.resolve(f"$v%020d.checkpoint.parquet"))) ++
+          tail.flatMap { case (_, f) =>
+            Files.readAllLines(f).asScala.filter(_.nonEmpty)
+          }
       case _ =>
         deltaActionLines(root, Some(spark),
           keepJson = v => v <= asOfVersion)

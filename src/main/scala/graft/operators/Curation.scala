@@ -405,8 +405,7 @@ object Curation {
       i => concat_ws(" ", slice(toks, i, lit(2))))
     val terms = docs.select(col(idCol).as("id"),
       explode(concat(toks, bigrams)).as("term"))
-    val idx = conv(substring(md5(col("term")), 1, 8), 16, 10)
-      .cast("long") % dim
+    val idx = Selection.md5Bucket(col("term"), 8, dim)
     val w = (idx * 2654435761L + 12345L) % 1997L - 998L
     terms
       .select(col("id"), w.as("w"))

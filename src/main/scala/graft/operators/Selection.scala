@@ -35,8 +35,17 @@ object Selection {
   /** Portable feature-hash bucket: the first 16 bits of md5, mod
     * `numBuckets` — bit-identical in Spark and DuckDB
     * (`('0x' || substr(md5(t),1,4))::BIGINT` on the oracle side). */
+  /** THE portable feature-hash: md5 hex prefix → integer bucket,
+    * bit-identical in Spark and DuckDB (`('0x' || substr(md5(t), 1,
+    * n))::BIGINT % k`). Load-bearing for every gate whose oracle
+    * re-derives buckets (p42, p56, p80) — one spelling, shared. */
+  private[operators] def md5Bucket(term: Column, hexChars: Int,
+      numBuckets: Int): Column =
+    conv(substring(md5(term), 1, hexChars), 16, 10)
+      .cast("long") % numBuckets
+
   private def bucketOf(term: Column, numBuckets: Int): Column =
-    conv(substring(md5(term), 1, 4), 16, 10).cast("long") % numBuckets
+    md5Bucket(term, 4, numBuckets)
 
   /** DSIR's hashed feature stream: per doc, the bucket id of every
     * unigram and adjacent bigram — the fused native
@@ -386,14 +395,16 @@ object Selection {
     val feats = docs
       .select(col(idCol).as("id"), explode(expr(
         s"regexp_extract_all(lower($textCol), '[a-z]+', 0)")).as("term"))
-      .select(col("id"),
-        (conv(substring(md5(col("term")), 1, 8), 16, 10)
-          .cast("long") % dim).as("idx"))
+      .select(col("id"), md5Bucket(col("term"), 8, dim).as("idx"))
       .groupBy("id", "idx").agg(count(lit(1)).as("cnt"))
       .unionByName(docs.select(col(idCol).as("id"),
         lit(dim.toLong).as("idx"), lit(1L).as("cnt")))
       .persist()
+    // cached alongside feats: every epoch joins it, and without the
+    // cache each epoch would re-scan the source relation for an
+    // unchanged (id, y) pair
     val labels = docs.select(col(idCol).as("id"), label.cast("long").as("y"))
+      .persist()
     try {
       val w = Array.fill(dim + 1)(0L)
       val errs = Seq.newBuilder[Long]
@@ -423,6 +434,6 @@ object Selection {
         ep += 1
       }
       PerceptronFit(w, errs.result())
-    } finally { feats.unpersist(); () }
+    } finally { feats.unpersist(); labels.unpersist(); () }
   }
 }

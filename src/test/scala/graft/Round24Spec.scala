@@ -299,6 +299,22 @@ class Round24Spec extends AnyFunSuite {
     assert(e.getMessage.contains("retention-expired"))
     // the checkpointed head still reads
     assert(ids(XTableSync.readDelta(spark, root, 2L)) == Set(1L, 2L, 3L))
+    // superseded checkpoints keep serving: two more commits, a NEW
+    // checkpoint at the head, retention keeping the newest 2 JSONs —
+    // a version between the checkpoints reconstructs from the OLD
+    // checkpoint parquet plus the surviving JSON (the real-Delta
+    // any-checkpoint-≤-V rule)
+    (4 to 5).foreach { i =>
+      t.upsert(Seq((i.toLong, i.toLong, i * 1.0)).toDF("id", "ts", "score"))
+      XTableSync.syncDelta(t)
+    }
+    XTableSync.checkpointDelta(spark, root) // checkpoint at v4
+    XTableSync.expireDeltaLog(root, keepVersions = 2) // keeps v3, v4
+    assert(ids(XTableSync.readDelta(spark, root, 3L)) == Set(1L, 2L, 3L, 4L))
+    assert(ids(XTableSync.readDelta(spark, root, 4L)) == (1L to 5L).toSet)
+    // but a version no surviving checkpoint+JSON chain covers is gone
+    intercept[IllegalArgumentException](
+      XTableSync.readDelta(spark, root, 1L))
   }
 
   // ---- streaming incremental SemDeDup ---------------------------------
