@@ -200,4 +200,33 @@ object IvfPq {
       .filter(col("list").isin(probed.toIndexedSeq: _*))
     Pq.adcTopK(codes, "id", cb, queryVec, k)
   }
+
+  /** Two-stage retrieval — the standard compressed-index REFINE step
+    * (Jégou '11 §V.D): ADC scores are quantized approximations, so
+    * production queries take the ADC top-`candidates` (cheap: code
+    * bytes only) and RE-RANK just those against the RAW vectors the
+    * build already persists, returning the exact-inner-product top-k.
+    * IO stays two pruned reads — nProbe list partitions of codes, then
+    * the same partitions of assignments joined to ≤ `candidates` ids
+    * (a broadcast of KBs) — and the exact math touches `candidates`
+    * rows, never the corpus. With `candidates` ≫ k the result equals
+    * exact search over the probed lists (spec-pinned); the gap that
+    * remains is coarse-quantizer recall, which nProbe controls. */
+  def topKRerank(spark: SparkSession, path: String, cb: Pq.Codebooks,
+      queryVec: Array[Double], k: Int, nProbe: Int,
+      candidates: Int): DataFrame = {
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    val cand = topK(spark, path, cb, queryVec, candidates, nProbe)
+      .select("id")
+    val q = array(queryVec.toIndexedSeq.map(lit): _*)
+    val exact = expr(
+      "aggregate(zip_with(vec, q, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+    spark.read.parquet(s"$path/assignments")
+      .join(broadcast(cand), Seq("id"))
+      .withColumn("q", q)
+      .withColumn("score", exact)
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+      .select("id", "score")
+  }
 }

@@ -317,6 +317,34 @@ class Round24Spec extends AnyFunSuite {
       XTableSync.readDelta(spark, root, 1L))
   }
 
+  test("IvfPq.topKRerank: exact refine over ADC candidates equals " +
+      "brute-force inner product and beats raw ADC under lossy codes") {
+    import graft.operators.IvfPq
+    val rnd = new scala.util.Random(11)
+    val base = (1L to 48L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian()))).toDF("id", "embedding")
+    val p = tmp("rerank") + "/idx"
+    // aggressively lossy: 2 subspaces × 4 codes for 48 vectors
+    val cb = IvfPq.build(base, "id", "embedding", nLists = 2, m = 2,
+      codesPerSub = 4, path = p)
+    val q = Array.fill(8)(rnd.nextGaussian())
+    def dot(v: Seq[Double]) = v.zip(q).map { case (a, b) => a * b }.sum
+    val exact = base.as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, dot(v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+    val rr = IvfPq.topKRerank(spark, p, cb, q, k = 5, nProbe = 2,
+        candidates = 48)
+      .select("id").as[Long].collect().toSeq
+    assert(rr == exact, s"rerank $rr != exact $exact")
+    // raw ADC under these code budgets must be strictly worse or equal
+    val adc = IvfPq.topK(spark, p, cb, q, k = 5, nProbe = 2)
+      .select("id").as[Long].collect().toSet
+    assert((rr.toSet & exact.toSet).size >= (adc & exact.toSet).size)
+    // candidates < k refused
+    intercept[IllegalArgumentException](
+      IvfPq.topKRerank(spark, p, cb, q, k = 5, nProbe = 2, candidates = 3))
+  }
+
   // ---- streaming incremental SemDeDup ---------------------------------
 
   import graft.operators.{IncrementalSemanticDedup, SemanticDedup}
