@@ -216,12 +216,26 @@ object IvfPq {
       queryVec: Array[Double], k: Int, nProbe: Int,
       candidates: Int): DataFrame = {
     require(candidates >= k, s"candidates=$candidates must be >= k=$k")
-    val cand = topK(spark, path, cb, queryVec, candidates, nProbe)
-      .select("id")
+    val cents = spark.read.parquet(s"$path/centroids.parquet")
+      .orderBy("list").collect()
+      .map(r => r.getInt(0) -> r.getAs[Seq[Double]]("centroid").toArray)
+    val probed = cents.map { case (list, c) =>
+      var d = 0.0; var j = 0
+      while (j < c.length) { val t = queryVec(j) - c(j); d += t * t; j += 1 }
+      (list, d)
+    }.sortBy { case (list, d) => (d, list) }.take(nProbe).map(_._1)
+    val cand = Pq.adcTopK(
+      spark.read.parquet(s"$path/pq_codes")
+        .filter(col("list").isin(probed.toIndexedSeq: _*)),
+      "id", cb, queryVec, candidates).select("id")
     val q = array(queryVec.toIndexedSeq.map(lit): _*)
     val exact = expr(
       "aggregate(zip_with(vec, q, (x, y) -> x * y), 0D, (a, x) -> a + x)")
     spark.read.parquet(s"$path/assignments")
+      // candidate ids can only live in probed lists — the list filter
+      // makes the pruning REAL (a bare id join would scan every
+      // assignments partition and filter rows after the fact)
+      .filter(col("list").isin(probed.toIndexedSeq: _*))
       .join(broadcast(cand), Seq("id"))
       .withColumn("q", q)
       .withColumn("score", exact)
