@@ -79,7 +79,8 @@ object Bench {
     "p77_tokenizer_pipeline", // round 24: gopher → excise → unigram, composed
     "p78_mmr_select", // round 24: greedy MMR diversity selection, k TakeOrdered scans
     "p79_balanced_shards", // round 24: salted snake deal onto equal-token shards
-    "p80_perceptron") // round 24: integer batch-perceptron training, 3 epochs
+    "p80_perceptron", // round 24: integer batch-perceptron training, 3 epochs
+    "p81_ann_query_set") // round 25: 20-query IVF-PQ retrieval, one codes pass
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

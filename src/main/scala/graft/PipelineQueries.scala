@@ -345,7 +345,7 @@ object PipelineQueries {
       |           + 1 AS enc
       |       FROM vocab, total),
       |dp AS (
-      |  SELECT w, 0 AS i, [0::BIGINT] AS best FROM wf
+      |  SELECT w, 0 AS i, [0::BIGINT] AS best FROM wf WHERE len(w) < 1024
       |  UNION ALL
       |  SELECT d.w, d.i + 1 AS i,
       |         list_append(d.best, min(d.best[j + 1] + v.enc)) AS best
@@ -513,7 +513,7 @@ object PipelineQueries {
       |           + 1 AS enc
       |       FROM vocab, total),
       |dp AS (
-      |  SELECT w, 0 AS i, [0::BIGINT] AS best FROM wf
+      |  SELECT w, 0 AS i, [0::BIGINT] AS best FROM wf WHERE len(w) < 1024
       |  UNION ALL
       |  SELECT d.w, d.i + 1 AS i,
       |         list_append(d.best, min(d.best[j + 1] + v.enc)) AS best
@@ -2332,6 +2332,44 @@ object PipelineQueries {
       .orderBy("rnk")
   }
 
+  /** Query-SET IVF-PQ retrieval ([[graft.operators.IvfPq.topKBatch]]):
+    * the p64 lossless-full-probe setup over a 20-query set, with the
+    * exact re-rank on top — ONE pruned codes pass and ONE assignments
+    * pass serve all 20 queries (per-query invocation would be 20 jobs
+    * and 20 scans; the spec asserts the single-scan plan, this gate
+    * pins the values). With full probe, lossless codebooks, and
+    * candidates ≫ k, each query's answer is the exact inner-product
+    * top-k, so the oracle is the brute-force cross join ranked per
+    * query. Scores come from the re-rank's flat sequential fold
+    * ([[graft.functions.DotProductSet]], the CosineSim arithmetic
+    * contract), hash-exact against the oracle's `list_sum`. */
+  def sIvfPqBatch(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    val n = embs.count().toInt
+    val path = graft.util.TempDirs.create("graft-ivfpqb-gate-").toString
+    val cb = operators.IvfPq.build(embs, "vec_id", "embedding",
+      nLists = 4, m = 2, codesPerSub = n + 8, path = path)
+    val queries = embs.filter(col("vec_id") < 20)
+      .select("vec_id", "embedding")
+    operators.IvfPq.topKBatch(queries, "vec_id", "embedding", path, cb,
+        k = 10, nProbe = 4, candidates = 40)
+      .orderBy("query_id", "rnk")
+  }
+
+  private val sIvfPqBatchSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 20),
+      |s AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> q.qe[i]::DOUBLE * v.embedding[i]::DOUBLE)) AS score
+      |  FROM embeddings v, q),
+      |r AS (SELECT query_id, neighbor_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rnk
+      |  FROM s)
+      |SELECT query_id, neighbor_id, score, rnk FROM r WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin
+
   private val sIvfPqSql =
     """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
       |s AS (SELECT v.vec_id AS neighbor_id,
@@ -3175,6 +3213,7 @@ object PipelineQueries {
     "p78_mmr_select" -> (sMmrSelect _),
     "p79_balanced_shards" -> (cBalancedShards _),
     "p80_perceptron" -> (cPerceptron _),
+    "p81_ann_query_set" -> (sIvfPqBatch _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3268,5 +3307,6 @@ object PipelineQueries {
     "p78_mmr_select" -> sMmrSelectSql,
     "p79_balanced_shards" -> cBalancedShardsSql,
     "p80_perceptron" -> cPerceptronSql,
+    "p81_ann_query_set" -> sIvfPqBatchSql,
   )
 }

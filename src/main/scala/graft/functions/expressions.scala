@@ -1023,7 +1023,9 @@ object OovCount {
   * compared LEXICOGRAPHICALLY — encoded as one long
   * `cost · 1024 + n_pieces` so the DP value is engine-reproducible
   * integer arithmetic (the DuckDB oracle carries the same encoding;
-  * n_pieces ≤ word length < 1024). Ties beyond (cost, n_pieces) break
+  * n_pieces ≤ word length, and words of ≥ 1024 letters are DECLARED
+  * unsegmentable — see [[UnigramDp.MaxWordLen]]). Ties beyond (cost,
+  * n_pieces) break
   * to the longest piece ending at each position (smallest start index
   * — only observable in [[UnigramSegment]]'s piece array, which no
   * oracle consumes). Costs are integer micronats supplied with the
@@ -1056,11 +1058,22 @@ object UnigramDp {
       }
     }
 
-  /** (enc, choice array) — enc = Long.MaxValue when unreachable. */
+  /** The radix guard: `n_pieces` rides the low 10 bits of the
+    * `cost · 1024 + n_pieces` encoding, so a segmentation of ≥ 1024
+    * pieces would bleed into the cost field and silently break the
+    * documented (cost, n_pieces) lexicographic tie-break — undetectably,
+    * because the DuckDB oracle does the same arithmetic. Words this
+    * long (n_pieces ≤ word length) are therefore DECLARED unsegmentable
+    * → null, and every oracle filters `len(w) < 1024` identically. */
+  private[functions] val MaxWordLen = 1024
+
+  /** (enc, choice array) — enc = Long.MaxValue when unreachable or the
+    * word is ≥ [[MaxWordLen]] letters (radix guard above). */
   private[functions] def solve(w: String,
       costs: java.util.HashMap[String, Long],
       maxPieceLen: Int): (Long, Array[Int]) = {
     val n = w.length
+    if (n >= MaxWordLen) return (Long.MaxValue, Array.empty[Int])
     val best = Array.fill(n + 1)(Long.MaxValue)
     val choice = Array.fill(n + 1)(-1)
     best(0) = 0L
@@ -1194,11 +1207,146 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Query-SET ADC score ([[graft.operators.IvfPq.topKBatch]]): the
+  * per-query m×k lookup table cannot ride as a plan literal when there
+  * are thousands of queries, so the query VECTORS travel as one small
+  * broadcast (Q × dim doubles) and each executor materializes a
+  * query's LUT lazily on first use, cached per (broadcast, qid) — the
+  * LUT build is dim×k multiplies amortized over every code row the
+  * executor scans for that query. Scoring itself stays m table
+  * lookups per row, the PQ economics unchanged.
+  *
+  * Arithmetic contract (oracle-exact, the p64 discipline): each LUT
+  * entry is a sequential left-fold dot product within its subspace,
+  * and the row score sums the m entries in subspace order — identical
+  * grouping to the single-query [[graft.operators.Pq.adcTopK]] plan
+  * literals and to the oracle's per-subspace partial sums. Unknown
+  * qid (not in the broadcast) is a loud error, never a null score. */
+case class PqAdcScoreSet(left: Expression, right: Expression,
+    qvecs: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]],
+    books: Array[Array[Array[Double]]], subDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score_set"
+
+  @transient private lazy val luts = PqAdcScoreSet.lutsFor(qvecs, books, subDim)
+
+  override protected def nullSafeEval(qidAny: Any, codesAny: Any): Any = {
+    val qid = qidAny.asInstanceOf[Long]
+    val lut = luts.computeIfAbsent(qid, PqAdcScoreSet.build(qvecs, books, subDim))
+    val codes = codesAny.asInstanceOf[ArrayData]
+    var s = 0.0
+    var sub = 0
+    while (sub < lut.length) {
+      s += lut(sub)(codes.getInt(sub))
+      sub += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScoreSet =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcScoreSet {
+  // per-(broadcast object) LUT cache — the UnigramDp discipline: keyed
+  // by the Broadcast OBJECT (ids restart with a new SparkContext),
+  // weak keys age destroyed broadcasts out with GC
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]],
+      java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]]())
+
+  private def lutsFor(
+      bc: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]],
+      books: Array[Array[Array[Double]]], subDim: Int)
+      : java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]] =
+    cache.synchronized {
+      val got = cache.get(bc)
+      if (got != null) got
+      else {
+        val m = new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]()
+        cache.put(bc, m)
+        m
+      }
+    }
+
+  private def build(
+      bc: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]],
+      books: Array[Array[Array[Double]]], subDim: Int)
+      : java.util.function.Function[Long, Array[Array[Double]]] =
+    (qid: Long) => {
+      val q = bc.value.getOrElse(qid, throw new IllegalStateException(
+        s"pq_adc_score_set: query id $qid not in the broadcast query set"))
+      Array.tabulate(books.length) { sub =>
+        val off = sub * subDim
+        books(sub).map { c =>
+          var d = 0.0; var j = 0
+          while (j < subDim) { d += q(off + j) * c(j); j += 1 }
+          d
+        }
+      }
+    }
+}
+
+/** Query-SET exact inner product (the re-rank half of
+  * [[graft.operators.IvfPq.topKBatch]]): dot(query(qid), vec) with the
+  * query vectors in one broadcast — the [[CosineSim]] arithmetic
+  * contract (each element widens float→double BEFORE multiplying, one
+  * sequential left fold) so scores hash-match the oracle's
+  * `list_sum(list_transform(...))`. Unknown qid is a loud error;
+  * a dimension mismatch returns null (the zip_with convention). */
+case class DotProductSet(left: Expression, right: Expression,
+    qvecs: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product_set"
+
+  @transient private lazy val vecIsFloat = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"dot_product_set needs array<float|double>, got $other")
+  }
+
+  override protected def nullSafeEval(qidAny: Any, vecAny: Any): Any = {
+    val q = qvecs.value.getOrElse(qidAny.asInstanceOf[Long],
+      throw new IllegalStateException(
+        s"dot_product_set: query id $qidAny not in the broadcast query set"))
+    val v = vecAny.asInstanceOf[ArrayData]
+    if (v.numElements() != q.length) return null
+    var s = 0.0
+    var i = 0
+    while (i < q.length) {
+      if (v.isNullAt(i)) return null
+      val x = if (vecIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      s += q(i) * x
+      i += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductSet =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+
+  def pq_adc_score_set(qid: Column, codes: Column,
+      qvecs: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]],
+      books: Array[Array[Array[Double]]], subDim: Int): Column =
+    column(PqAdcScoreSet(expression(qid), expression(codes), qvecs, books, subDim))
+
+  def dot_product_set(qid: Column, vec: Column,
+      qvecs: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]]): Column =
+    column(DotProductSet(expression(qid), expression(vec), qvecs))
 
   def shingle_hashes(text: Column, k: Int): Column =
     column(ShingleHashes(expression(text), k))

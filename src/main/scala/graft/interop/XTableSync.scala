@@ -546,11 +546,74 @@ object XTableSync {
     * Works on any replayable `_delta_log` (a graft export or a foreign
     * table), not just graft-owned roots. Returns the checkpointed
     * version. */
+  /** Refuse to checkpoint a log whose replayed state the explicit
+    * [[checkpointSchema]] cannot carry — the spec requires a checkpoint
+    * to preserve ALL `txn` (setTransaction) actions, deletion vectors,
+    * and table-feature protocol rows, and after [[expireDeltaLog]]
+    * deletes the covered JSONs that state would be permanently lost
+    * (a foreign streaming writer's idempotency silently corrupted, a
+    * DV'd file silently resurrecting its deleted rows). Every other
+    * unsound shape in this module is refused loudly; this one is too. */
+  private def requireCheckpointable(root: String, lines: Seq[String]): Unit =
+    lines.foreach { line =>
+      val a = mapper.readTree(line)
+      def present(n: com.fasterxml.jackson.databind.JsonNode,
+          f: String): Boolean = n.has(f) && !n.get(f).isNull
+      require(!present(a, "txn"),
+        s"_delta_log under $root carries setTransaction (txn) actions — " +
+        "the Delta spec requires a checkpoint to preserve them and this " +
+        "writer's checkpoint schema does not; checkpoint from the source " +
+        "engine instead")
+      Seq("add", "remove").foreach { k =>
+        if (present(a, k)) require(!present(a.get(k), "deletionVector"),
+          s"_delta_log under $root carries $k.deletionVector — a " +
+          "checkpoint dropping it would silently resurrect deleted rows; " +
+          "checkpoint from the source engine instead")
+      }
+      if (present(a, "protocol")) {
+        val p = a.get("protocol")
+        require(p.get("minReaderVersion").asInt() <= 1 &&
+            p.get("minWriterVersion").asInt() <= 2 &&
+            !present(p, "readerFeatures") && !present(p, "writerFeatures"),
+          s"_delta_log under $root declares protocol " +
+          s"${mapper.writeValueAsString(mapper.treeToValue(p, classOf[Object]))} " +
+          "— beyond the supported (minReaderVersion=1, minWriterVersion=2) " +
+          "envelope; checkpoint from the source engine instead")
+      }
+    }
+
+  /** A prior FOREIGN checkpoint may carry state in columns
+    * [[checkpointLines]] never extracts (txn, add.deletionVector) —
+    * invisible to the line-level guard above, so probed at the parquet
+    * level before this writer re-checkpoints on top of it. */
+  private def requireCheckpointSeedCarryable(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      p: java.nio.file.Path): Unit = {
+    val df = spark.read.parquet(p.toString)
+    if (df.columns.contains("txn"))
+      require(df.filter(col("txn").isNotNull).isEmpty,
+        s"checkpoint $p carries txn (setTransaction) rows this writer's " +
+        "checkpoint schema cannot preserve; checkpoint from the source " +
+        "engine instead")
+    Seq("add", "remove").foreach { k =>
+      if (df.columns.contains(k) &&
+          df.schema(k).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.contains("deletionVector"))
+        require(df.filter(col(s"$k.deletionVector").isNotNull).isEmpty,
+          s"checkpoint $p carries $k.deletionVector rows; checkpoint from " +
+          "the source engine instead")
+    }
+  }
+
   def checkpointDelta(spark: org.apache.spark.sql.SparkSession,
       root: String): Long = {
     val chain = deltaChain(root)
     val v = chain.lastVersion
-    val st = replayActions(deltaActionLines(root, Some(spark)))
+    chain.checkpoint.foreach { case (_, p) =>
+      requireCheckpointSeedCarryable(spark, root, p) }
+    val rawLines = deltaActionLines(root, Some(spark))
+    requireCheckpointable(root, rawLines)
+    val st = replayActions(rawLines)
     // a continued foreign log may have had its protocol action expired
     // with a previous checkpoint's JSONs; re-seed the default
     val protocol = st.protocolLine.getOrElse(mapper.writeValueAsString(
@@ -804,7 +867,18 @@ object XTableSync {
     * is the table's clean service's job, never the metadata
     * retention's. Missing files (already expired by an earlier pass)
     * are skipped. */
-  private def icebergMetadataRefs(metaFile: java.nio.file.Path): Set[java.nio.file.Path] = {
+  private def icebergMetadataRefs(metaFile: java.nio.file.Path): Set[java.nio.file.Path] =
+    icebergMetadataRefsEx(metaFile)._1
+
+  /** Refs plus whether any referenced manifest-list avro was already
+    * missing on disk (an earlier partial expire). The caller must know:
+    * a missing list HIDES its manifest avros from this walk, so any of
+    * them still on disk would leak permanently once the metadata.json
+    * itself is deleted — [[expireIcebergMetadata]] falls back to an
+    * orphan sweep when this flag is set. */
+  private def icebergMetadataRefsEx(
+      metaFile: java.nio.file.Path): (Set[java.nio.file.Path], Boolean) = {
+    var missingList = false
     val meta = mapper.readTree(Files.readAllBytes(metaFile))
     // a metadata.json without a snapshots array is a shape this
     // retention pass cannot reason about — fail loudly rather than
@@ -821,10 +895,10 @@ object XTableSync {
       // Paths.get would silently miss URI-style locations and leak the
       // very manifest chains this pass exists to delete
       val lp = icebergLocalPath(l)
-      if (!Files.exists(lp)) Seq.empty // expired by an earlier pass
+      if (!Files.exists(lp)) { missingList = true; Seq.empty }
       else lp +: avroRecords(l)
         .map(m => icebergLocalPath(m.get("manifest_path").toString))
-    }.toSet
+    }.toSet -> missingList
   }
 
   /** Iceberg metadata retention — the [[expireDeltaLog]] twin: keep the
@@ -848,13 +922,16 @@ object XTableSync {
       .sortBy(_._1)
     if (versions.size <= keepVersions) return Nil
     val (drop, keep) = versions.splitAt(versions.size - keepVersions)
-    val keepRefs = keep.flatMap { case (_, n) =>
-      icebergMetadataRefs(metaDir.resolve(n))
-    }.toSet
+    val keepEx = keep.map { case (_, n) =>
+      icebergMetadataRefsEx(metaDir.resolve(n)) }
+    val keepRefs = keepEx.flatMap(_._1).toSet
     val deleted = Seq.newBuilder[String]
+    var brokenDropChain = false
     drop.foreach { case (_, n) =>
       val mf = metaDir.resolve(n)
-      icebergMetadataRefs(mf).foreach { p =>
+      val (refs, missing) = icebergMetadataRefsEx(mf)
+      if (missing) brokenDropChain = true
+      refs.foreach { p =>
         if (!keepRefs.contains(p) && Files.exists(p)) {
           Files.delete(p)
           deleted += p.toString
@@ -862,6 +939,26 @@ object XTableSync {
       }
       Files.delete(mf)
       deleted += mf.toString
+    }
+    // a dropped version whose manifest-list avro is already gone (an
+    // earlier partial expire) HIDES its surviving manifest avros from
+    // the ref walk — and with the metadata.json now deleted no later
+    // run can reach them either, so they would leak permanently. Fall
+    // back to an orphan sweep: every .avro under metadata/ not
+    // referenced by a kept version is unreachable by definition.
+    // Refused (loudly) when a KEPT version's own list is missing —
+    // that table is corrupt, and the sweep would delete manifests the
+    // kept version's chain nominally still owns.
+    if (brokenDropChain) {
+      require(!keepEx.exists(_._2),
+        s"metadata retention under $root needs an orphan sweep (a dropped " +
+        "version's manifest-list is already missing) but a KEPT version's " +
+        "manifest-list is missing too — the table metadata is corrupt; " +
+        "repair or re-sync before expiring")
+      graft.util.Fs.list(metaDir)(
+          _.filter(_.getFileName.toString.endsWith(".avro")).toSeq)
+        .filterNot(keepRefs.contains)
+        .foreach { p => Files.delete(p); deleted += p.toString }
     }
     deleted.result()
   }

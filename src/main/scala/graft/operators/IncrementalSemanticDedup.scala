@@ -98,6 +98,84 @@ class IncrementalSemanticDedup(spark: SparkSession, root: String,
     IvfIndex.build(reference, idCol, vecCol, nClusters, indexPath)
   }
 
+  /** Drift of a batch against the frozen quantizer — the
+    * [[IvfPq.append]] statistic for the dedup deployment: the batch's
+    * mean squared-L2 assigned-centroid distance over the freeze-time
+    * corpus mean. ~1.0 means the frozen lists still fit the incoming
+    * distribution; a sustained rise (rule of thumb: > 1.5) says the
+    * quantizer has drifted off the data and [[refreeze]] is the exit.
+    * -1 when the index predates the baseline field. */
+  def driftRatio(batch: DataFrame, vecCol: String): Double = {
+    val meta = IvfIndex.meta(indexPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no frozen quantizer at $indexPath — call freeze() first"))
+    val table = spark.read.parquet(s"$indexPath/centroids.parquet")
+      .orderBy("list").collect()
+      .map(_.getAs[Seq[Double]]("centroid").toArray)
+    val mean = batch.select(avg(graft.functions.GraftExpressions
+        .nearest_centroid_dist(col(vecCol).cast("array<double>"), table)))
+      .first().getDouble(0)
+    if (meta.meanAssignDist > 0) mean / meta.meanAssignDist else -1.0
+  }
+
+  /** Drift-consuming retrain — the exit [[freeze]]'s refusal points
+    * at: a curation team a year of crawls past the freeze has a
+    * degrading quantizer; refreeze re-learns it from everything seen
+    * WITHOUT losing a single released verdict.
+    *
+    *  - centroids re-train on the FULL member store via
+    *    [[IvfIndex.build]] (bounded deterministic sample, the same
+    *    training discipline as freeze — retrain is the rare
+    *    corpus-scale op, and even it only samples);
+    *  - members re-assign list-partitioned in one map-only pass and
+    *    the member table is INSERT OVERWRITE'd (rows may change list
+    *    partition — the overwrite IS the migration); per-row `_b`
+    *    stamps are preserved, so the batch high-water mark and the
+    *    `_b < batchNo` history reads are untouched;
+    *  - the verdict store MIGRATES: each verdict row's `cluster` and
+    *    `centroid_cos` update to the new quantizer, while `group_id`
+    *    and `keep` are PRESERVED verbatim — re-clustering must never
+    *    unrelease a kept doc or reshuffle group identity (groups are
+    *    transitive-closure facts about pairwise cosine, which the
+    *    quantizer does not define, only discovers).
+    *
+    * Idempotent: everything derives from the member store, so a crash
+    * mid-refreeze (mixed index state) is repaired by re-running it.
+    * Group DISCOVERY after refreeze follows the new lists: a pair the
+    * old quantizer split across clusters (a miss SemDeDup accepts)
+    * can be found for NEW arrivals under the new clustering — recall
+    * moves toward the batch operator's, released verdicts stand. */
+  def refreeze(): IvfIndex.Meta = {
+    require(members.log.lastInstant().nonEmpty,
+      s"member store at $root/members is empty — freeze() trains the " +
+      "initial quantizer; refreeze() re-learns it from seen members")
+    val seen = members.read().select(col("id"), col("vec"), col("_b"))
+    val meta = IvfIndex.build(seen, "id", "vec", nClusters, indexPath)
+    val centroidsDf = spark.read.parquet(s"$indexPath/centroids.parquet")
+    val table: Array[Array[Double]] = centroidsDf.orderBy("list").collect()
+      .map(_.getAs[Seq[Double]]("centroid").toArray)
+    val reassigned = seen
+      .withColumn("list", element_at(nearest_centroids(col("vec"), table, 1), 1))
+      .join(broadcast(centroidsDf), Seq("list"))
+      .withColumn("ccos", cosine(col("vec"), col("centroid")))
+      .select("id", "vec", "list", "ccos", "_b")
+    members.insertOverwriteTable(reassigned)
+    if (verdictStore.log.lastInstant().nonEmpty) {
+      val moved = members.read()
+        .select(col("id").as("vec_id"), col("list").as("new_cluster"),
+          col("ccos").as("new_ccos"))
+      val migrated = verdictStore.read()
+        .select(col("vec_id"), col("group_id"), col("keep"), col("_b"))
+        .join(moved, Seq("vec_id"))
+        .select(col("vec_id"), col("new_cluster").as("cluster"),
+          col("group_id"), col("new_ccos").as("centroid_cos"),
+          col("keep"), col("_b"))
+      verdictStore.upsert(migrated)
+      ()
+    }
+    meta
+  }
+
   /** High-water `_b` from commit-log file stats — zero IO, no job. */
   private def lastPublished(t: GraftTable): Option[Long] = {
     val bs = t.log.liveFiles()

@@ -151,6 +151,64 @@ object IvfPq {
     } finally { b.unpersist(); () }
   }
 
+  /** Drift-consuming retrain — the exit the [[append]] drift statistic
+    * points at: when `driftRatio` rises past the retrain rule of
+    * thumb, refreeze re-learns centroids AND codebooks from the full
+    * persisted corpus (raw vectors live in `assignments` precisely so
+    * exactness paths like this stay possible), re-encodes, and swaps
+    * the index in place. Same parameters as the original build,
+    * recovered from the persisted relations (nLists from meta, m/k
+    * from the codebooks) — a refreeze changes fit, never shape.
+    *
+    * The retrained index is built to a sibling directory while the old
+    * one keeps serving, then swapped with two renames. Crash contract:
+    * a crash during the build leaves the original untouched (stale
+    * `.refreeze-tmp` is cleared on the next run); a crash BETWEEN the
+    * renames leaves the original at `<path>.old` and possibly nothing
+    * at `<path>` — restore by renaming `.old` back, or re-running
+    * refreeze after renaming. The `_appends` journal CARRIES OVER to
+    * the new index: every appended batch is folded into the retrain,
+    * so a retried pre-refreeze batchId must still hit its `.done`
+    * marker (dropping the journal would double-append it). */
+  def refreeze(spark: SparkSession, path: String): Pq.Codebooks = {
+    import java.nio.file.{Files, Paths}
+    val meta = IvfIndex.meta(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no IVF-PQ index at $path — build() first"))
+    val appDir = Paths.get(path, "_appends")
+    if (Files.isDirectory(appDir)) {
+      val leftover = graft.util.Fs.list(appDir)(_
+        .filter(_.getFileName.toString.endsWith(".inprogress")).toSeq)
+      require(leftover.isEmpty,
+        s"IVF-PQ index at $path has a half-applied append " +
+        s"(${leftover.map(_.getFileName).mkString(", ")}) — rebuild() " +
+        "before refreezing")
+    }
+    val cbOld = codebooks(spark, path)
+    // rebuild under the ORIGINAL column names so the refrozen meta still
+    // matches every later append(idCol, vecCol) call
+    val (idCol, vecCol) =
+      (if (meta.idCol.nonEmpty) meta.idCol else "id",
+        if (meta.vecCol.nonEmpty) meta.vecCol else "vec")
+    val corpus = spark.read.parquet(s"$path/assignments")
+      .select(col("id").as(idCol), col("vec").as(vecCol))
+    val tmp = Paths.get(s"$path.refreeze-tmp")
+    if (Files.exists(tmp)) graft.util.TempDirs.deleteRecursively(tmp)
+    val cb = build(corpus, idCol, vecCol, meta.nLists, cbOld.m, cbOld.k,
+      tmp.toString)
+    val old = Paths.get(s"$path.old")
+    if (Files.exists(old)) graft.util.TempDirs.deleteRecursively(old)
+    Files.move(Paths.get(path), old)
+    Files.move(tmp, Paths.get(path))
+    val oldJournal = old.resolve("_appends")
+    if (Files.isDirectory(oldJournal)) {
+      Files.move(oldJournal, Paths.get(path, "_appends"))
+      ()
+    }
+    graft.util.TempDirs.deleteRecursively(old)
+    cb
+  }
+
   /** Streaming index maintenance: a foreachBatch sink that [[append]]s
     * every micro-batch to the persisted index — the vector-store
     * deployment shape (embeddings arrive as a stream; the index must
@@ -212,6 +270,103 @@ object IvfPq {
     * rows, never the corpus. With `candidates` ≫ k the result equals
     * exact search over the probed lists (spec-pinned); the gap that
     * remains is coarse-quantizer recall, which nProbe controls. */
+  /** Query-SET two-stage retrieval — production retrieval scores
+    * thousands of queries per pass, and per-query [[topKRerank]] calls
+    * mean per-query jobs and per-query code scans. This is the p58
+    * BM25 broadcast-query-set shape applied to ANN: ONE pruned pass
+    * over `pq_codes` and ONE over `assignments`, shared by every
+    * query, whatever Q is.
+    *
+    *  - the query table is driver-collected BOUNDED (`maxQueries`
+    *    guard, loud past it — Q × dim doubles is the broadcast, ~0.5 KB
+    *    per 64-dim query, so the default cap costs ~2 MB; the LUTs
+    *    that would be Q × m × k doubles are NOT broadcast — each
+    *    executor materializes a query's LUT lazily, cached per qid
+    *    ([[graft.functions.PqAdcScoreSet]]));
+    *  - per-query probed lists are computed driver-side over the
+    *    metadata-scale centroid table; their UNION prunes the codes
+    *    scan to list partitions, and the broadcast (qid, list) pair
+    *    join fans each code row to exactly the queries that probe its
+    *    list — same rows scanned as Q single-query calls, one job;
+    *  - per-query ADC ranking is `row_number() OVER (PARTITION BY
+    *    qid)` ≤ candidates — Spark's WindowGroupLimit pushes the limit
+    *    below the qid exchange, so the shuffle carries ≤ Q ×
+    *    candidates rows per map task, not every scored pair;
+    *  - the exact re-rank reads `assignments` pruned by the SAME list
+    *    union (every candidate id lives in a probed list by
+    *    construction — the 677d17d rule), joins the broadcast
+    *    candidate pairs, and scores dot(query, vec) via the broadcast
+    *    ([[graft.functions.DotProductSet]]), then ranks ≤ k per query.
+    *
+    * Same exactness contract as [[topKRerank]], per query: with
+    * `candidates` ≫ k the result equals exact search over that
+    * query's probed lists. Duplicate query ids are refused (they
+    * would silently merge candidate pools). */
+  def topKBatch(queries: DataFrame, qidCol: String, qvecCol: String,
+      path: String, cb: Pq.Codebooks, k: Int, nProbe: Int,
+      candidates: Int, maxQueries: Int = 4096): DataFrame = {
+    require(nProbe > 0, s"nProbe=$nProbe")
+    require(k > 0, s"k=$k")
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(qidCol).cast("long").as("qid"),
+        col(qvecCol).cast("array<double>").as("qvec"))
+      .limit(maxQueries + 1).collect()
+    require(qRows.length <= maxQueries,
+      s"topKBatch collected more than maxQueries=$maxQueries queries — " +
+      "the query set is driver-broadcast; raise the cap deliberately or " +
+      "split the query table into passes")
+    require(qRows.nonEmpty, "topKBatch: empty query table")
+    val qs = qRows.map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    require(qs.map(_._1).distinct.length == qs.length,
+      "topKBatch: duplicate query ids — each qid must be unique or the " +
+      "per-query candidate pools silently merge")
+    qs.foreach { case (qid, v) => require(v.length == cb.dim,
+      s"query $qid is ${v.length}-dim; index codebooks are ${cb.dim}-dim") }
+    val cents = spark.read.parquet(s"$path/centroids.parquet")
+      .orderBy("list").collect()
+      .map(r => r.getInt(0) -> r.getAs[Seq[Double]]("centroid").toArray)
+    // per-query probed lists: Q × nLists × dim flops on the driver —
+    // metadata-scale, same table the single-query path loads anyway
+    val pairs: Array[(Long, Int)] = qs.flatMap { case (qid, v) =>
+      cents.map { case (list, c) =>
+        var d = 0.0; var j = 0
+        while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        (list, d)
+      }.sortBy { case (list, d) => (d, list) }.take(nProbe)
+        .map { case (list, _) => (qid, list) }
+    }
+    val unionLists = pairs.map(_._2).distinct.toIndexedSeq
+    val bcQ = spark.sparkContext.broadcast(qs.toMap)
+    val pairsDf = pairs.toSeq.toDF("qid", "list")
+    val scored = spark.read.parquet(s"$path/pq_codes")
+      .filter(col("list").isin(unionLists: _*))
+      .join(broadcast(pairsDf), Seq("list"))
+      .select(col("qid"), col("id"),
+        graft.functions.GraftExpressions.pq_adc_score_set(
+          col("qid"), col("codes"), bcQ, cb.codes, cb.subDim).as("adc_score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+    val cand = scored
+      .withColumn("crnk", row_number().over(
+        w.orderBy(col("adc_score").desc, col("id").asc)))
+      .filter(col("crnk") <= candidates)
+      .select("qid", "id")
+    val exact = spark.read.parquet(s"$path/assignments")
+      .filter(col("list").isin(unionLists: _*))
+      .join(broadcast(cand), Seq("id"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        graft.functions.GraftExpressions.dot_product_set(
+          col("qid"), col("vec"), bcQ).as("score"))
+    exact
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "score", "rnk")
+  }
+
   def topKRerank(spark: SparkSession, path: String, cb: Pq.Codebooks,
       queryVec: Array[Double], k: Int, nProbe: Int,
       candidates: Int): DataFrame = {

@@ -104,9 +104,14 @@ object Unigram {
     // so the caches and the broadcast can be released before the lazy
     // result is returned — without this the corpus histogram would
     // recompute on every evaluation of the result
+    // unsegmentable words (null enc — a word of ≥ 1024 letters, the
+    // UnigramDp radix guard; single-char coverage makes any other cause
+    // impossible) are DROPPED from the per-doc stats, matching the
+    // oracle's inner join against its DP relation exactly
     val encoded =
       try words.select(col("w"),
           unigram_encode_stat(col("w"), bc, maxPieceLen).as("enc"))
+        .filter(col("enc").isNotNull)
         .localCheckpoint()
       finally { words.unpersist(); bc.destroy(); () }
     docs

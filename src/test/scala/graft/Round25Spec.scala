@@ -1,0 +1,442 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.interop.XTableSync
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-25 claims, part 1 — the r14 advisor findings, each refused or
+  * repaired loudly:
+  *
+  *  - [[XTableSync.checkpointDelta]] REFUSES a foreign `_delta_log`
+  *    whose replayed state its explicit checkpoint schema cannot carry
+  *    (setTransaction actions, deletion vectors, table-features
+  *    protocol) instead of silently dropping that state before
+  *    [[XTableSync.expireDeltaLog]] makes the loss permanent;
+  *  - [[XTableSync.expireIcebergMetadata]] orphan-sweeps manifest
+  *    avros hidden behind an already-missing manifest-list (an earlier
+  *    partial expire) instead of leaking them permanently;
+  *  - the unigram DP's `cost·1024 + n_pieces` radix guard: words of
+  *    ≥ 1024 letters are DECLARED unsegmentable in both engines rather
+  *    than silently bleeding the piece count into the cost field.
+  */
+class Round25Spec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Session.local(4)
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    graft.util.TempDirs.create(s"graft-r25-$tag-").toString
+
+  /** Minimal one-version foreign Delta log: protocol + metaData + one
+    * add, plus `extra` action lines appended as version 1. */
+  private def foreignDelta(root: String, extra: Seq[String] = Seq.empty,
+      protocolLine: String =
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+      : Unit = {
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    val tmpd = s"$root/.tmp"
+    Seq((1L, 1L, 1.0)).toDF("id", "ts", "score").coalesce(1)
+      .write.mode("overwrite").parquet(tmpd)
+    val part = graft.util.Fs.list(Paths.get(tmpd))(_
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
+    Files.move(part, Paths.get(root, "a.parquet"))
+    graft.util.TempDirs.deleteRecursively(Paths.get(tmpd))
+    val sz = Files.size(Paths.get(root, "a.parquet"))
+    val schema = Seq((1L, 1L, 0.0)).toDF("id", "ts", "score").schema.json
+    val meta = graft.core.CommitLog.mapper.writeValueAsString(Map(
+      "metaData" -> Map("id" -> "0", "format" -> Map("provider" -> "parquet"),
+        "schemaString" -> schema, "partitionColumns" -> Seq.empty)))
+    def w(ver: Long, actions: Seq[String]): Unit = Files.write(
+      Paths.get(root, "_delta_log", f"$ver%020d.json"),
+      actions.mkString("", "\n", "\n").getBytes("UTF-8"))
+    w(0L, Seq(protocolLine, meta,
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$sz,"modificationTime":1,"dataChange":true}}"""))
+    if (extra.nonEmpty) w(1L, extra)
+  }
+
+  test("checkpointDelta refuses txn (setTransaction) actions — the " +
+      "checkpoint schema cannot preserve them") {
+    val root = tmp("txn") + "/d"
+    foreignDelta(root, extra = Seq(
+      """{"txn":{"appId":"stream-7","version":42,"lastUpdated":3}}"""))
+    val e = intercept[IllegalArgumentException](
+      XTableSync.checkpointDelta(spark, root))
+    assert(e.getMessage.contains("setTransaction"))
+    // the log itself stays replayable — only checkpointing is refused
+    assert(XTableSync.replayDelta(root).liveFiles == Seq("a.parquet"))
+  }
+
+  test("checkpointDelta refuses deletion vectors on add and remove") {
+    val root = tmp("dv") + "/d"
+    foreignDelta(root, extra = Seq(
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":36,"cardinality":2}}}"""))
+    val e = intercept[IllegalArgumentException](
+      XTableSync.checkpointDelta(spark, root))
+    assert(e.getMessage.contains("deletionVector"))
+  }
+
+  test("checkpointDelta refuses protocol beyond the (1,2) envelope and " +
+      "table features") {
+    val root = tmp("proto") + "/d"
+    foreignDelta(root, protocolLine =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
+    val e = intercept[IllegalArgumentException](
+      XTableSync.checkpointDelta(spark, root))
+    assert(e.getMessage.contains("envelope"))
+  }
+
+  test("checkpointDelta refuses a prior FOREIGN checkpoint carrying txn " +
+      "rows in columns its own replay never extracts") {
+    val root = tmp("fcp") + "/d"
+    val logDir = Paths.get(root, "_delta_log")
+    Files.createDirectories(logDir)
+    // a foreign single-part checkpoint at v0 whose only surviving state
+    // beyond (protocol, metaData, add) is a txn row
+    val schema = Seq((1L, 1L, 0.0)).toDF("id", "ts", "score").schema.json
+    val cp = spark.range(3).select(
+      when($"id" === 0, struct(lit(1).as("minReaderVersion"),
+        lit(2).as("minWriterVersion"))).as("protocol"),
+      when($"id" === 1, struct(lit("0").as("id"),
+        lit(schema).as("schemaString"),
+        array().cast("array<string>").as("partitionColumns"))).as("metaData"),
+      when($"id" === 2, struct(lit("app-1").as("appId"),
+        lit(9L).as("version"))).as("txn"))
+    val tmpd = logDir.resolve(".cp")
+    cp.coalesce(1).write.parquet(tmpd.toString)
+    val part = graft.util.Fs.list(tmpd)(_
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
+    Files.move(part, logDir.resolve(f"${0L}%020d.checkpoint.parquet"))
+    graft.util.TempDirs.deleteRecursively(tmpd)
+    Files.writeString(logDir.resolve("_last_checkpoint"),
+      """{"version":0,"size":3}""")
+    val e = intercept[IllegalArgumentException](
+      XTableSync.checkpointDelta(spark, root))
+    assert(e.getMessage.contains("txn"))
+  }
+
+  test("checkpointDelta still succeeds on the clean shape after the " +
+      "guards — and self-written checkpoints re-checkpoint") {
+    val root = tmp("ok") + "/d"
+    foreignDelta(root)
+    assert(XTableSync.checkpointDelta(spark, root) == 0L)
+    // our own checkpoint passes the foreign-seed probe on the next call
+    assert(XTableSync.checkpointDelta(spark, root) == 0L)
+  }
+
+  test("expireIcebergMetadata orphan-sweeps manifests hidden behind an " +
+      "already-missing manifest-list instead of leaking them") {
+    val root = tmp("iceorph") + "/t"
+    val t = graft.core.GraftTable.create(spark, root,
+      graft.core.TableConfig(name = "iceorph", keyField = "id",
+        orderingField = "ts", numBuckets = 1))
+    (1 to 3).foreach { i =>
+      t.upsert(Seq((i.toLong, i.toLong, i * 1.0)).toDF("id", "ts", "score"))
+      XTableSync.syncIceberg(t)
+    }
+    val metaDir = Paths.get(root, "metadata")
+    def avros() = graft.util.Fs.list(metaDir)(
+      _.filter(_.getFileName.toString.endsWith(".avro")).toSeq).toSet
+    def versions() = graft.util.Fs.list(metaDir)(
+      _.map(_.getFileName.toString).toSeq)
+      .flatMap("^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(_)
+        .map(_.group(1).toLong)).sorted
+    def snapOf(v: Long): (java.nio.file.Path, Long) = {
+      val n = graft.core.CommitLog.mapper.readTree(
+          Files.readAllBytes(metaDir.resolve(s"v$v.metadata.json")))
+        .get("snapshots").elements().next()
+      (XTableSync.icebergLocalPath(n.get("manifest-list").asText()),
+        n.get("snapshot-id").asLong())
+    }
+    val vs = versions()
+    assert(vs.size == 3)
+    // simulate an earlier partial expire: a to-be-DROPPED version's
+    // manifest-LIST avro is gone, its manifest avro survives — the ref
+    // walk can no longer reach that manifest through its metadata.json
+    val (dropList, dropSnap) = snapOf(vs.head)
+    assert(Files.exists(metaDir.resolve(s"manifest-$dropSnap-m0.avro")))
+    Files.delete(dropList)
+    val deleted = XTableSync.expireIcebergMetadata(root, keepVersions = 1)
+    // the kept head still resolves, and NOTHING unreferenced survives:
+    // the only avros on disk are the kept snapshot's list + manifest
+    val (_, keptSnap) = snapOf(vs.last)
+    assert(avros().map(_.getFileName.toString) ==
+      Set(s"snap-$keptSnap.avro", s"manifest-$keptSnap-m0.avro"))
+    // specifically: the orphaned manifest avro is GONE
+    assert(!Files.exists(metaDir.resolve(s"manifest-$dropSnap-m0.avro")),
+      "the manifest hidden behind the missing list must be swept")
+    assert(deleted.exists(_.endsWith(s"manifest-$dropSnap-m0.avro")))
+    assert(XTableSync.readIceberg(spark, root).count() == 3)
+  }
+
+  test("expireIcebergMetadata refuses the orphan sweep when a KEPT " +
+      "version's manifest-list is missing (corrupt table)") {
+    val root = tmp("icecorr") + "/t"
+    val t = graft.core.GraftTable.create(spark, root,
+      graft.core.TableConfig(name = "icecorr", keyField = "id",
+        orderingField = "ts", numBuckets = 1))
+    (1 to 3).foreach { i =>
+      t.upsert(Seq((i.toLong, i.toLong, i * 1.0)).toDF("id", "ts", "score"))
+      XTableSync.syncIceberg(t)
+    }
+    val metaDir = Paths.get(root, "metadata")
+    val vs = graft.util.Fs.list(metaDir)(
+      _.map(_.getFileName.toString).toSeq)
+      .flatMap("^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(_)
+        .map(_.group(1).toLong)).sorted
+    def listOf(v: Long) = XTableSync.icebergLocalPath(
+      graft.core.CommitLog.mapper.readTree(
+        Files.readAllBytes(metaDir.resolve(s"v$v.metadata.json")))
+      .get("snapshots").elements().next().get("manifest-list").asText())
+    Files.delete(listOf(vs.head)) // broken DROP chain → sweep needed
+    Files.delete(listOf(vs.last)) // broken KEPT chain → sweep refused
+    val e = intercept[IllegalArgumentException](
+      XTableSync.expireIcebergMetadata(root, keepVersions = 1))
+    assert(e.getMessage.contains("corrupt"))
+  }
+
+  // ---- query-set ANN retrieval (IvfPq.topKBatch) ----------------------
+
+  import graft.operators.IvfPq
+
+  private def batchFixture(tag: String): (org.apache.spark.sql.DataFrame,
+      String, graft.operators.Pq.Codebooks) = {
+    val rnd = new scala.util.Random(25)
+    val base = (1L to 60L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian()))).toDF("id", "embedding")
+    val p = tmp(tag) + "/idx"
+    val cb = IvfPq.build(base, "id", "embedding", nLists = 4, m = 2,
+      codesPerSub = 4, path = p)
+    (base, p, cb)
+  }
+
+  test("topKBatch equals per-query topKRerank for every query — same " +
+      "neighbors, same ranks, bit-identical scores") {
+    val (base, p, cb) = batchFixture("batcheq")
+    val queries = base.filter($"id" <= 5)
+    val got = IvfPq.topKBatch(queries, "id", "embedding", p, cb,
+        k = 4, nProbe = 2, candidates = 12)
+      .select($"query_id", $"neighbor_id", $"score", $"rnk")
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).toSeq).toMap
+    val qvecs = queries.as[(Long, Seq[Double])].collect()
+    qvecs.foreach { case (qid, v) =>
+      val want = IvfPq.topKRerank(spark, p, cb, v.toArray, k = 4,
+          nProbe = 2, candidates = 12)
+        .select($"id", $"score").as[(Long, Double)].collect()
+        .zipWithIndex.map { case ((id, s), i) => (qid, id, s, i + 1L) }.toSeq
+      assert(got(qid) == want, s"query $qid: ${got(qid)} != $want")
+    }
+  }
+
+  test("topKBatch plans ONE pruned codes scan and ONE pruned " +
+      "assignments scan for the whole query set") {
+    val (base, p, cb) = batchFixture("batchscan")
+    val res = IvfPq.topKBatch(base.filter($"id" <= 5), "id", "embedding",
+      p, cb, k = 3, nProbe = 2, candidates = 8)
+    res.collect() // force execution so AQE finalizes the plan
+    // walk THROUGH adaptive wrappers: TreeNode.collect stops at
+    // AdaptiveSparkPlanExec/QueryStageExec boundaries
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        flatten(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        r +: flatten(r.child)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    def scansOf(rel: String) = flatten(res.queryExecution.executedPlan)
+      .collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains(rel)) =>
+          s.selectedPartitions.partitionCount
+      }
+    val codeScans = scansOf("pq_codes")
+    val asgScans = scansOf("assignments")
+    assert(codeScans.size == 1,
+      s"expected ONE codes scan for the whole set, got ${codeScans.size}")
+    assert(asgScans.size == 1,
+      s"expected ONE assignments scan, got ${asgScans.size}")
+    // 5 queries × nProbe=2 probe at most min(10, 4) = 4 lists; with a
+    // clustered fixture the union is typically smaller than nLists —
+    // the scan must be pruned to the union, never the full index
+    assert(codeScans.head <= 4 && asgScans.head <= 4)
+    // and the per-query rank filters push below the exchange
+    assert(flatten(res.queryExecution.executedPlan)
+        .exists(_.nodeName.contains("WindowGroupLimit")),
+      "row_number <= k must plan a WindowGroupLimit, not a full sort")
+  }
+
+  test("topKBatch guards: duplicate query ids and an over-cap query " +
+      "table are refused loudly") {
+    val (base, p, cb) = batchFixture("batchguard")
+    val dup = base.filter($"id" <= 2)
+      .union(base.filter($"id" === 1))
+    val e1 = intercept[IllegalArgumentException](
+      IvfPq.topKBatch(dup, "id", "embedding", p, cb,
+        k = 2, nProbe = 2, candidates = 4))
+    assert(e1.getMessage.contains("duplicate"))
+    val e2 = intercept[IllegalArgumentException](
+      IvfPq.topKBatch(base.filter($"id" <= 10), "id", "embedding", p, cb,
+        k = 2, nProbe = 2, candidates = 4, maxQueries = 5))
+    assert(e2.getMessage.contains("maxQueries"))
+  }
+
+  // ---- drift-consuming retrain (refreeze) -----------------------------
+
+  import graft.operators.{Dedup, IncrementalSemanticDedup}
+
+  private val semDim = 16
+
+  private def unitVec(v: Array[Double]): Seq[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toSeq
+  }
+
+  /** Two distribution waves: wave 1 near-orthogonal gaussians, wave 2
+    * SHIFTED (a constant offset dominates every coordinate) so wave-1
+    * centroids fit it badly — the drift regime refreeze exists for.
+    * Every 4th base in each wave gets a tight duplicate. */
+  private def waves: (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val rnd = new scala.util.Random(31)
+    def base(ids: Range, shift: Double) = ids.map { i =>
+      i.toLong -> unitVec(Array.fill(semDim)(rnd.nextGaussian() + shift))
+    }
+    def dups(b: Seq[(Long, Seq[Double])], off: Long) =
+      b.collect { case (i, v) if i % 4 == 0 =>
+        (off + i) -> unitVec(v.toArray.map(_ + 0.004 * rnd.nextGaussian()))
+      }
+    val w1b = base(0 until 20, 0.0)
+    val w2b = base(100 until 120, 3.0)
+    val w3d = dups(w2b, 2000L) // wave-3: NEW duplicates of wave-2 bases
+    ((w1b ++ dups(w1b, 1000L)).toDF("vec_id", "embedding"),
+      (w2b ++ dups(w2b, 1000L)).toDF("vec_id", "embedding"),
+      w3d.toDF("vec_id", "embedding"))
+  }
+
+  test("IncrementalSemanticDedup.refreeze: drift drops, released " +
+      "verdicts survive verbatim, and the union result still equals " +
+      "the batch operator") {
+    val (w1, w2, w3) = waves
+    val inc = new IncrementalSemanticDedup(spark, tmp("refreeze"),
+      nClusters = 8, threshold = 0.95)
+    inc.freeze(w1, "vec_id", "embedding")
+    val p1 = inc.dedupBatch(w1, "vec_id", "embedding", 1L).cache()
+    p1.count()
+    val driftBefore = inc.driftRatio(w2, "embedding")
+    assert(driftBefore > 1.5,
+      s"fixture must actually drift; got ratio $driftBefore")
+    val p2 = inc.dedupBatch(w2, "vec_id", "embedding", 2L).cache()
+    p2.count()
+    def verdictMap() = inc.verdictStore.read()
+      .select($"vec_id".cast("long"), $"group_id".cast("long"), $"keep")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val before = verdictMap()
+    assert(before.nonEmpty)
+    inc.refreeze()
+    // (1) group ids and released flags preserved VERBATIM
+    assert(verdictMap() == before,
+      "refreeze must never move a group id or unrelease a keeper")
+    // (2) the migrated clusters are consistent: every verdict row's
+    // cluster equals its member row's re-assigned list
+    val memberLists = inc.members.read()
+      .select($"id".cast("long"), $"list".cast("int"))
+      .as[(Long, Int)].collect().toMap
+    val verdictClusters = inc.verdictStore.read()
+      .select($"vec_id".cast("long"), $"cluster".cast("int"))
+      .as[(Long, Int)].collect().toMap
+    verdictClusters.foreach { case (id, cl) =>
+      assert(memberLists(id) == cl,
+        s"doc $id: verdict cluster $cl != member list ${memberLists(id)}")
+    }
+    // (3) the retrained quantizer fits the drifted wave again
+    val driftAfter = inc.driftRatio(w2, "embedding")
+    assert(driftAfter < driftBefore / 2,
+      s"drift must drop after refreeze: $driftBefore -> $driftAfter")
+    // (4) dedupBatch continues under the new quantizer, and the union
+    // of every batch's pairs equals exact all-pairs on the union corpus
+    val p3 = inc.dedupBatch(w3, "vec_id", "embedding", 3L)
+    val union = w1.unionByName(w2).unionByName(w3)
+    val exact = Dedup.embeddingCosinePairs(union, "vec_id", "embedding", 0.95)
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"))
+    def ps(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_a".cast("long"), $"doc_b".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    assert(ps(p1.unionByName(p2).unionByName(p3)) == ps(exact),
+      "post-refreeze union of batch pairs diverges from exact all-pairs")
+    // (5) no keeper lost: every pre-refreeze keeper still keeps
+    val keepersAfter = inc.verdictStore.read().filter($"keep")
+      .select($"vec_id".cast("long")).as[Long].collect().toSet
+    before.collect { case (id, (_, true)) => id }.foreach(id =>
+      assert(keepersAfter.contains(id), s"keeper $id was unreleased"))
+    p1.unpersist(); p2.unpersist()
+    ()
+  }
+
+  test("IvfPq.refreeze: retrains in place, preserves the appended " +
+      "corpus and the appends journal, resets the drift baseline") {
+    val rnd = new scala.util.Random(41)
+    val base = (1L to 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian()))).toDF("id", "embedding")
+    val drifted = (101L to 140L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian() + 3.0))).toDF("id", "embedding")
+    val p = tmp("pqrefreeze") + "/idx"
+    val n = 40 + 40
+    IvfPq.build(base, "id", "embedding", nLists = 2, m = 2,
+      codesPerSub = n + 8, path = p)
+    val st = IvfPq.append(drifted, "id", "embedding", p,
+      batchId = Some("wave2"))
+    assert(st.appended == 40L && st.driftRatio > 1.5,
+      s"fixture must drift: $st")
+    val cb2 = IvfPq.refreeze(spark, p)
+    // corpus preserved: meta count covers build + append
+    assert(graft.operators.IvfIndex.meta(p).get.corpusCount == n)
+    // the journal carried over: a retried pre-refreeze batch is a no-op
+    val retry = IvfPq.append(drifted, "id", "embedding", p,
+      batchId = Some("wave2"))
+    assert(retry.appended == 0L, "journal lost — retry double-appended")
+    // lossless codebooks + full probe + all candidates ⇒ the refrozen
+    // index answers EXACT inner-product top-k over the whole corpus
+    val q = Array.fill(8)(rnd.nextGaussian() + 3.0)
+    val all = base.unionByName(drifted).as[(Long, Seq[Double])].collect()
+    val want = all.map { case (id, v) =>
+      (id, v.zip(q).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+    val got = IvfPq.topKRerank(spark, p, cb2, q, k = 5, nProbe = 2,
+      candidates = n).select("id").as[Long].collect().toSeq
+    assert(got == want, s"refrozen index: $got != $want")
+    // drift baseline reset: the drifted wave now reads as in-family
+    val st2 = IvfPq.append(drifted.withColumn("id", $"id" + 1000),
+      "id", "embedding", p, batchId = Some("wave2-again"))
+    assert(st2.driftRatio < st.driftRatio / 2,
+      s"drift must reset after refreeze: ${st.driftRatio} -> ${st2.driftRatio}")
+  }
+
+  test("unigram radix guard: a word of >= 1024 letters is unsegmentable " +
+      "(null) and DROPPED from encodeStats in both engines' semantics") {
+    import graft.operators.Unigram
+    val long = "a" * 1100
+    val docs = Seq(
+      (1L, s"hello world $long"),
+      (2L, "hello world")
+    ).toDF("doc_id", "text")
+    val got = Unigram.encodeStats(docs, "doc_id", "text",
+        topK = 16, maxPieceLen = 4)
+      .select($"doc_id", $"n_words").as[(Long, Long)].collect().toMap
+    // the long word vanishes from doc 1's stats; short words unaffected
+    assert(got(1L) == 2L)
+    assert(got(2L) == 2L)
+    // and the segmenter returns null pieces for it
+    val learned = Unigram.learn(docs, "text", vocabSize = 16, emRounds = 0)
+    val seg = Unigram.segmentWords(Seq(long, "hello").toDF("w"), "w", learned)
+      .select($"w", $"pieces").collect()
+      .map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(seg(long), "long word must segment to null")
+    assert(!seg("hello"), "short word must still segment")
+  }
+}
