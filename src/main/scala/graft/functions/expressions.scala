@@ -1121,6 +1121,84 @@ case class UnigramEncodeStat(child: Expression,
     copy(child = newChild)
 }
 
+/** Per-DOC unigram encode statistics under a FROZEN vocabulary — the
+  * streaming deployment shape of [[graft.operators.Unigram.encodeStats]]
+  * (which learns its vocabulary from the corpus and amortizes the DP
+  * over a distinct-word relation — both corpus-wide moves a streaming
+  * micro-batch cannot make). Here the whole computation is MAP-ONLY
+  * per row: extract the `[a-z]+` words, Viterbi-encode each against
+  * the broadcast vocabulary, and fold (n_words, n_pieces,
+  * cost_micronats) in-row. The distinct-word amortization becomes a
+  * per-executor word→enc memo keyed by the broadcast (bounded; past
+  * the cap it computes uncached rather than growing without limit).
+  *
+  * Same word semantics as the join path: unsegmentable words — the
+  * ≥ 1024-letter radix guard, or (frozen-vocab-specific) a character
+  * the vocabulary never saw — are EXCLUDED from all three stats, as
+  * the inner join excludes them; a doc with no countable word yields
+  * null (the omission contract). */
+case class UnigramDocStats(child: Expression,
+    vocab: org.apache.spark.broadcast.Broadcast[Array[(String, Long)]],
+    maxPieceLen: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_pieces", LongType, nullable = false),
+    StructField("cost_micronats", LongType, nullable = false)))
+  override def prettyName: String = "unigram_doc_stats"
+
+  @transient private lazy val costs = UnigramDp.mapFor(vocab)
+  @transient private lazy val memo = UnigramDocStats.memoFor(vocab)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val m = UnigramDocStats.WordRe.matcher(text)
+    var nWords = 0L; var nPieces = 0L; var cost = 0L
+    while (m.find()) {
+      val w = m.group()
+      var enc = memo.get(w)
+      if (enc == null) {
+        enc = Long.box(UnigramDp.solve(w, costs, maxPieceLen)._1)
+        if (memo.size < UnigramDocStats.MemoCap) { memo.put(w, enc); () }
+      }
+      if (enc.longValue() != Long.MaxValue) {
+        nWords += 1
+        nPieces += enc.longValue() % 1024L
+        cost += enc.longValue() / 1024L
+      }
+    }
+    if (nWords == 0L) null
+    else org.apache.spark.sql.catalyst.InternalRow(nWords, nPieces, cost)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramDocStats =
+    copy(child = newChild)
+}
+
+object UnigramDocStats {
+  private[functions] val WordRe = java.util.regex.Pattern.compile("[a-z]+")
+  private[functions] val MemoCap = 1 << 20
+
+  // per-broadcast word→enc memo — the UnigramDp cache discipline
+  // (keyed by the Broadcast OBJECT, weak keys age out with GC)
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.broadcast.Broadcast[Array[(String, Long)]],
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]())
+
+  private def memoFor(
+      bc: org.apache.spark.broadcast.Broadcast[Array[(String, Long)]])
+      : java.util.concurrent.ConcurrentHashMap[String, java.lang.Long] =
+    cache.synchronized {
+      val got = cache.get(bc)
+      if (got != null) got
+      else {
+        val m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+        cache.put(bc, m)
+        m
+      }
+    }
+}
+
 /** The optimal piece sequence itself — the E-step of hard-EM unigram
   * training ([[graft.operators.Unigram.learn]]) and the apply half of
   * the tokenizer. Same DP and tie rules as [[UnigramEncodeStat]];
@@ -1372,6 +1450,11 @@ object GraftExpressions {
       vocab: org.apache.spark.broadcast.Broadcast[Array[(String, Long)]],
       maxPieceLen: Int): Column =
     column(UnigramEncodeStat(expression(word), vocab, maxPieceLen))
+
+  def unigram_doc_stats(text: Column,
+      vocab: org.apache.spark.broadcast.Broadcast[Array[(String, Long)]],
+      maxPieceLen: Int): Column =
+    column(UnigramDocStats(expression(text), vocab, maxPieceLen))
 
   def unigram_segment(word: Column,
       vocab: org.apache.spark.broadcast.Broadcast[Array[(String, Long)]],

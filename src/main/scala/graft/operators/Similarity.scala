@@ -340,8 +340,23 @@ object Similarity {
     * `greatest(...)` matching `max(...)` comparison-for-comparison, so
     * scores hash-match as raw doubles (the p6 contract). */
   def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String,
-      queryVec: Array[Double], k: Int, lambda: Double = 0.5): DataFrame = {
+      queryVec: Array[Double], k: Int, lambda: Double = 0.5,
+      maxK: Int = 128): DataFrame = {
     require(k >= 1, s"k=$k")
+    // the envelope guard: each pick is one driver-scheduled scan whose
+    // score expression carries the selected set as i·dim double
+    // literals, so round i costs O(i·dim) eval per candidate row —
+    // total O(k²·dim) work and k sequential jobs. Right for picking
+    // representatives (k ≤ ~100, measured: k=100 over 2k×64-dim
+    // candidates ≈ 20 s, BASELINE.md); at larger k the plan literals
+    // and job count dominate, so the cap fails loudly instead of
+    // letting a caller discover the quadratic wall in production.
+    // Raise maxK DELIBERATELY if the envelope genuinely fits.
+    require(k <= maxK,
+      s"mmrSelect k=$k exceeds maxK=$maxK — the greedy loop is k " +
+      "sequential driver-scheduled scans with the selected set as plan " +
+      "literals (O(k²·dim) score work); raise maxK deliberately only if " +
+      "that envelope fits, or pre-cluster and run MMR per cluster")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda")
     val spark = candidates.sparkSession
     val qLit = array(queryVec.map(lit).toIndexedSeq: _*)

@@ -124,6 +124,46 @@ object Unigram {
         sum(expr("enc DIV 1024")).as("cost_micronats"))
   }
 
+  /** Per-doc encode statistics under a FROZEN learned vocabulary — the
+    * streaming deployment shape, completing the tokenizer line's
+    * streaming story: [[encodeStats]] learns from its corpus (two
+    * corpus aggregations + an eager distinct-word DP — moves a
+    * micro-batch cannot make), while this is ONE map-only projection
+    * ([[graft.functions.UnigramDocStats]]) that runs unchanged on a
+    * batch or a streaming frame. The distinct-word amortization
+    * becomes a per-executor word memo.
+    *
+    * Broadcast lifecycle: the vocabulary broadcast is created ONCE at
+    * plan-build time and deliberately NOT destroyed — under Structured
+    * Streaming every micro-batch epoch re-executes the same plan
+    * against it (destroying it after the first epoch, the
+    * [[encodeStats]] eager pattern, would fail epoch 2). The caller
+    * owns the returned frame's lifetime; the broadcast ages out with
+    * the SparkContext.
+    *
+    * Word semantics match the join path exactly: unsegmentable words
+    * (the radix guard, or a character the frozen vocabulary never saw
+    * — possible here because NEW docs arrive after the freeze) are
+    * excluded from all three statistics; docs with no countable word
+    * are omitted. */
+  def encodeStatsFrozen(docs: DataFrame, idCol: String, textCol: String,
+      learned: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val total = learned.agg(sum("cnt")).first()
+    require(!total.isNullAt(0),
+      "encodeStatsFrozen under an empty vocabulary — learn() first")
+    val bc = spark.sparkContext.broadcast(
+      encTable(spark, learned, total.getLong(0)))
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.GraftExpressions
+          .unigram_doc_stats(col(textCol), bc, maxPieceLen).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), col("s.n_words").as("n_words"),
+        col("s.n_pieces").as("n_pieces"),
+        col("s.cost_micronats").as("cost_micronats"))
+  }
+
   /** Hard-EM (Viterbi-EM) vocabulary refinement — deterministic
     * unigram training: seed with [[vocab]]'s occurrence counts, then
     * `emRounds` times (E) Viterbi-segment the distinct words under the

@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Scratch measurements for the round-25 additions (not part of the
+  * driver contract):
+  *
+  *  1. query-set ANN: [[graft.operators.IvfPq.topKBatch]] over a
+  *     20-query table vs 20 sequential [[graft.operators.IvfPq
+  *     .topKRerank]] calls on the same index — the per-query-jobs
+  *     vs one-pass comparison the BASELINE.md row records;
+  *  2. the [[graft.operators.Similarity.mmrSelect]] k=100 envelope
+  *     point (k sequential driver-scheduled scans with the selected
+  *     set as plan literals).
+  *
+  * Usage: runMain graft.tools.ProfileQuerySet [nQueries=20] [mmrK=100]
+  */
+object ProfileQuerySet {
+  def main(args: Array[String]): Unit = {
+    val nQ = if (args.length > 0) args(0).toInt else 20
+    val mmrK = if (args.length > 1) args(1).toInt else 100
+    val spark = graft.Session.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val embs = graft.Tables.load(spark, dir, "embeddings").cache()
+    val n = embs.count()
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[queryset] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val p = graft.util.TempDirs.create("graft-qset-").toString + "/idx"
+    val cb = time(s"IVF-PQ build (corpus=$n)") {
+      graft.operators.IvfPq.build(embs, "vec_id", "embedding",
+        nLists = 16, m = 8, codesPerSub = 64, path = p)
+    }
+    val queries = embs.filter(col("vec_id") < nQ)
+      .select("vec_id", "embedding").cache()
+    queries.count()
+    // warm both paths once (parquet footers, codegen)
+    graft.operators.IvfPq.topKBatch(queries, "vec_id", "embedding", p, cb,
+      k = 10, nProbe = 4, candidates = 40).count()
+    time(s"topKBatch ($nQ queries, one pass)") {
+      graft.operators.IvfPq.topKBatch(queries, "vec_id", "embedding", p, cb,
+        k = 10, nProbe = 4, candidates = 40).count()
+    }
+    val qVecs = queries.collect().map(r =>
+      r.getSeq[Float](1).map(_.toDouble).toArray)
+    time(s"${nQ}x single-query topKRerank (per-query jobs)") {
+      qVecs.foreach { q =>
+        graft.operators.IvfPq.topKRerank(spark, p, cb, q,
+          k = 10, nProbe = 4, candidates = 40).count()
+      }
+    }
+    val q0 = qVecs.head
+    time(s"mmrSelect k=$mmrK over $n candidates") {
+      graft.operators.Similarity.mmrSelect(embs, "vec_id", "embedding",
+        q0, k = mmrK).count()
+    }
+    spark.stop()
+  }
+}

@@ -112,4 +112,59 @@ class StreamingCurationSpec extends AnyFunSuite {
       rows.map(r => r.toSeq).toSet
     assert(streamed.length == 3 && key(streamed) == key(batch))
   }
+
+  test("unigram encode runs unchanged under streaming with a FROZEN " +
+      "vocabulary, broadcast reused across epochs") {
+    import graft.operators.Unigram
+    val in = tmp()
+    writeJson(in, "b1.json",
+      """{"doc_id":1,"text":"the cat sat on the mat"}""",
+      """{"doc_id":2,"text":"a dog and a cat by the sea"}""")
+    writeJson(in, "b2.json",
+      """{"doc_id":3,"text":"streams of cats and dogs compose"}""",
+      // a char the frozen vocab never saw (digits-only "words" vanish
+      // under [a-z]+; 'zqxj' letters DO appear in no training doc) —
+      // those words must be EXCLUDED, not crash the stream
+      """{"doc_id":4,"text":"zqxj zqxj the cat"}""",
+      """{"doc_id":5,"text":"123 456"}""")
+    val trainCorpus = spark.read.schema(schema).json(s"$in/b1.json")
+    val learned = Unigram.learn(trainCorpus, "text", vocabSize = 32,
+      emRounds = 1).cache()
+    learned.count()
+    def enc(df: DataFrame) =
+      Unigram.encodeStatsFrozen(df, "doc_id", "text", learned)
+    // maxFilesPerTrigger=1 forces TWO epochs — the broadcast must
+    // survive past epoch 1 (the encodeStats eager-destroy pattern
+    // would kill it)
+    val q = enc(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(in))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("unigram_stream").start()
+    val streamed =
+      try { q.processAllAvailable(); spark.table("unigram_stream").collect() }
+      finally q.stop()
+    val batch = enc(spark.read.schema(schema).json(in)).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(_.toSeq).toSet
+    assert(key(streamed) == key(batch),
+      "micro-batch union must equal the batch answer")
+    val byId = streamed.map(r => r.getLong(0) -> r.toSeq).toMap
+    // doc 4: the OOV-letter words are excluded, the known words count
+    assert(byId(4L)(1) == 2L, s"doc 4 must count only known words: ${byId(4L)}")
+    // doc 5 has no countable word — omitted entirely
+    assert(!byId.contains(5L))
+    // and the frozen apply matches the self-learned batch path where
+    // they are defined to agree: segmentABILITY (n_words) is cost-
+    // independent, so per-doc word counts line up with encodeStats
+    // over the training corpus
+    val selfLearned = Unigram.encodeStats(trainCorpus, "doc_id", "text",
+        topK = 32).select("doc_id", "n_words")
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect().toMap
+    val frozenTrain = enc(trainCorpus).select("doc_id", "n_words")
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .collect().toMap
+    assert(frozenTrain == selfLearned)
+    learned.unpersist()
+    ()
+  }
 }
