@@ -361,6 +361,75 @@ object PipelineQueries {
       |FROM dw JOIN wenc USING (w) GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Frozen-vocabulary unigram encode ([[graft.operators.Unigram
+    * .encodeStatsFrozen]] — the tokenizer line's STREAMING deployment
+    * shape, map-only per doc): the vocabulary is learned from the
+    * even-doc_id HALF of the corpus and applied to ALL docs, so the
+    * gate exercises the frozen-apply semantics p75 cannot — words
+    * containing a character the training half never saw are
+    * unsegmentable and EXCLUDED from every statistic (the inner-join
+    * omission rule), and the cost table normalizes over the SELECTED
+    * vocabulary's total (the learn/segmentWords convention), not the
+    * raw substring total. The oracle's recursive-CTE DP dies at the
+    * first position no vocabulary piece can end — which under
+    * all-training-chars-kept single-char coverage is exactly the
+    * OOV-character rule the operator applies. */
+  def tUnigramFrozen(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val learned = graft.operators.Unigram.learn(
+      docs.filter(col("doc_id") % 2 === 0), "text",
+      vocabSize = 512, emRounds = 0)
+    graft.operators.Unigram.encodeStatsFrozen(docs, "doc_id", "text", learned)
+      .orderBy("doc_id")
+  }
+
+  private val tUnigramFrozenSql =
+    """WITH RECURSIVE dwt AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |wft AS (SELECT w, count(*) AS freq FROM dwt GROUP BY w),
+      |occ AS (SELECT substr(w, s, l) AS piece, freq
+      |        FROM wft, UNNEST(generate_series(1, len(w))) AS ts(s),
+      |             UNNEST(generate_series(1, least(4, len(w) - s + 1))) AS tl(l)),
+      |pc AS (SELECT piece, sum(freq)::BIGINT AS cnt FROM occ GROUP BY piece),
+      |vocab AS (
+      |  -- DISTINCT is EXPLICIT, not via UNION: inside a WITH RECURSIVE
+      |  -- block DuckDB gives UNION recursive-union semantics that skip
+      |  -- the cross-branch dedup, double-counting every single-char
+      |  -- piece that is also in the top-512 — and unlike p75 (total
+      |  -- over pc) this query SUMS the vocab, so the duplicates would
+      |  -- shift every piece cost by a constant qt error
+      |  SELECT DISTINCT piece, cnt FROM (
+      |    SELECT piece, cnt FROM (
+      |      SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece ASC LIMIT 512)
+      |    UNION ALL
+      |    SELECT piece, cnt FROM pc WHERE len(piece) = 1)),
+      |total AS (SELECT sum(cnt)::BIGINT AS tot FROM vocab),
+      |vc AS (SELECT piece,
+      |         (floor(1e6 * ln(tot)) - floor(1e6 * ln(cnt)))::BIGINT * 1024
+      |           + 1 AS enc
+      |       FROM vocab, total),
+      |dw AS (SELECT doc_id,
+      |         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |       FROM documents),
+      |wf AS (SELECT DISTINCT w FROM dw),
+      |dp AS (
+      |  SELECT w, 0 AS i, [0::BIGINT] AS best FROM wf WHERE len(w) < 1024
+      |  UNION ALL
+      |  SELECT d.w, d.i + 1 AS i,
+      |         list_append(d.best, min(d.best[j + 1] + v.enc)) AS best
+      |  FROM dp d,
+      |       UNNEST(generate_series(greatest(0, d.i + 1 - 4), d.i)) AS tj(j)
+      |       JOIN vc v ON v.piece = substr(d.w, j + 1, d.i + 1 - j)
+      |  WHERE d.i < len(d.w)
+      |  GROUP BY d.w, d.i, d.best),
+      |wenc AS (SELECT w, best[len(w) + 1] AS enc FROM dp WHERE i = len(w))
+      |SELECT doc_id, count(*) AS n_words,
+      |       sum(enc % 1024)::BIGINT AS n_pieces,
+      |       sum(enc // 1024)::BIGINT AS cost_micronats
+      |FROM dw JOIN wenc USING (w) GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** The complete Gopher rule battery ([[Curation.gopherRules]], Rae
     * et al. '21 §A1.1) as a per-doc decision surface: every rule's
     * verdict plus the conjunction, all thresholds integer
@@ -3214,6 +3283,7 @@ object PipelineQueries {
     "p79_balanced_shards" -> (cBalancedShards _),
     "p80_perceptron" -> (cPerceptron _),
     "p81_ann_query_set" -> (sIvfPqBatch _),
+    "p82_unigram_frozen" -> (tUnigramFrozen _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3308,5 +3378,6 @@ object PipelineQueries {
     "p79_balanced_shards" -> cBalancedShardsSql,
     "p80_perceptron" -> cPerceptronSql,
     "p81_ann_query_set" -> sIvfPqBatchSql,
+    "p82_unigram_frozen" -> tUnigramFrozenSql,
   )
 }

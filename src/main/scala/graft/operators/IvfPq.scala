@@ -367,6 +367,35 @@ object IvfPq {
       .select("query_id", "neighbor_id", "score", "rnk")
   }
 
+  /** Streaming retrieval serving — the [[appendStream]]/[[
+    * IncrementalSemanticDedup.dedupStream]] deployment shape applied
+    * to the QUERY side: queries arrive as a stream, each micro-batch
+    * is answered by one [[topKBatch]] pass against the frozen index,
+    * and results land under `outPath/epoch=N`. Exactly-once across
+    * restarts comes from PER-EPOCH OVERWRITE: a crash-replayed epoch
+    * rewrites its own directory with identical rows instead of
+    * appending duplicates (the idempotence the append-journal gives
+    * writes, achieved here by output layout alone — results are a
+    * pure function of the epoch's queries and the frozen index).
+    * Empty micro-batches are skipped. Readers mount `outPath` as an
+    * epoch-partitioned relation. */
+  def topKBatchStream(queries: DataFrame, qidCol: String, qvecCol: String,
+      path: String, cb: Pq.Codebooks, k: Int, nProbe: Int,
+      candidates: Int, checkpointDir: String, outPath: String,
+      maxQueries: Int = 4096)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, epoch: Long) =>
+        if (!df.isEmpty) {
+          topKBatch(df, qidCol, qvecCol, path, cb, k, nProbe,
+              candidates, maxQueries)
+            .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+          ()
+        }
+      }
+      .start()
+
   def topKRerank(spark: SparkSession, path: String, cb: Pq.Codebooks,
       queryVec: Array[Double], k: Int, nProbe: Int,
       candidates: Int): DataFrame = {

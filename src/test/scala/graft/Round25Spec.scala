@@ -286,6 +286,45 @@ class Round25Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("maxQueries"))
   }
 
+  test("topKBatchStream: streamed query micro-batches answer per epoch, " +
+      "and a checkpoint replay overwrites idempotently") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType,
+      StructField, StructType}
+    val (base, p, cb) = batchFixture("batchstream")
+    val in = tmp("qin")
+    val all = base.as[(Long, Seq[Double])].collect()
+    def writeQueries(name: String, ids: Seq[Long]): Unit =
+      Files.write(Paths.get(in, name),
+        all.filter(q => ids.contains(q._1)).map { case (id, v) =>
+          s"""{"id":$id,"embedding":[${v.mkString(",")}]}"""
+        }.mkString("\n").getBytes("UTF-8"))
+    writeQueries("q0.json", Seq(1L, 2L, 3L))
+    writeQueries("q1.json", Seq(4L, 5L))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val out = tmp("qout")
+    val ckpt = tmp("qckpt")
+    def start() = IvfPq.topKBatchStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in),
+      "id", "embedding", p, cb, k = 3, nProbe = 2, candidates = 8,
+      checkpointDir = ckpt, outPath = out)
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    def results() = spark.read.parquet(out)
+      .select($"query_id", $"neighbor_id", $"rnk")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = IvfPq.topKBatch(base.filter($"id" <= 5), "id", "embedding",
+        p, cb, k = 3, nProbe = 2, candidates = 8)
+      .select($"query_id", $"neighbor_id", $"rnk")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(results() == want,
+      "union of per-epoch answers must equal the one-shot batch answer")
+    // restart from the same checkpoint: nothing replays, results hold
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(results() == want)
+  }
+
   // ---- drift-consuming retrain (refreeze) -----------------------------
 
   import graft.operators.{Dedup, IncrementalSemanticDedup}
@@ -376,6 +415,67 @@ class Round25Spec extends AnyFunSuite {
       assert(keepersAfter.contains(id), s"keeper $id was unreleased"))
     p1.unpersist(); p2.unpersist()
     ()
+  }
+
+  test("refreeze mid-stream: stop, retrain, resume under a fresh " +
+      "checkpoint — verdicts hold, late duplicates group under the " +
+      "retrained quantizer") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType,
+      StructField, StructType}
+    val (w1, w2, w3) = waves
+    val inc = new IncrementalSemanticDedup(spark, tmp("refstream"),
+      nClusters = 8, threshold = 0.95)
+    inc.freeze(w1, "vec_id", "embedding")
+    val in = tmp("refin")
+    def writeBatch(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      Files.write(Paths.get(in, name),
+        df.as[(Long, Seq[Double])].collect().map { case (id, v) =>
+          s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+        }.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    writeBatch("b0.json", w1)
+    writeBatch("b1.json", w2)
+    val q = inc.dedupStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(in),
+      "vec_id", "embedding", checkpointDir = tmp("refck"), baseBatchNo = 1L)
+    try q.processAllAvailable() finally q.stop()
+    def verdictMap() = inc.verdictStore.read()
+      .select($"vec_id".cast("long"), $"group_id".cast("long"), $"keep")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val before = verdictMap()
+    assert(before.nonEmpty)
+    inc.refreeze()
+    assert(verdictMap() == before)
+    // resume with the post-refreeze wave under a fresh checkpoint and a
+    // baseBatchNo above the high-water mark
+    val in2 = tmp("refin2")
+    Files.write(Paths.get(in2, "b2.json"),
+      w3.as[(Long, Seq[Double])].collect().map { case (id, v) =>
+        s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+      }.mkString("\n").getBytes("UTF-8"))
+    val q2 = inc.dedupStream(
+      spark.readStream.schema(schema).json(in2),
+      "vec_id", "embedding", checkpointDir = tmp("refck2"),
+      baseBatchNo = 10L)
+    try q2.processAllAvailable() finally q2.stop()
+    // every wave-3 doc is a dup of a wave-2 base: grouped WITH its
+    // original (the canonical id may be an older merge's — wave-2's
+    // shifted vectors can legitimately bridge, and bridged groups keep
+    // both keepers, the documented stream-dedup consequence)
+    val after = verdictMap()
+    val w3Ids = w3.select($"vec_id").as[Long].collect().toSet
+    w3Ids.foreach { id =>
+      assert(after.contains(id), s"late duplicate $id not grouped")
+      assert(after.get(id - 2000L).exists(_._1 == after(id)._1),
+        s"late duplicate $id (group ${after(id)._1}) not co-grouped with " +
+        s"its original ${id - 2000L} (${after.get(id - 2000L)})")
+    }
+    assert(inc.survivors().filter($"vec_id".isin(w3Ids.toSeq: _*)).count() == 0,
+      "late duplicates of released docs must not survive")
+    // no pre-refreeze verdict moved
+    before.foreach { case (id, gk) => assert(after(id) == gk) }
   }
 
   test("IvfPq.refreeze: retrains in place, preserves the appended " +
