@@ -81,7 +81,8 @@ object Bench {
     "p79_balanced_shards", // round 24: salted snake deal onto equal-token shards
     "p80_perceptron", // round 24: integer batch-perceptron training, 3 epochs
     "p81_ann_query_set", // round 25: 20-query IVF-PQ retrieval, one codes pass
-    "p82_unigram_frozen") // round 25: frozen-vocab streaming-shape unigram encode
+    "p82_unigram_frozen", // round 25: frozen-vocab streaming-shape unigram encode
+    "l35_table_dedup") // round 25: in-table exact-dedup curation service
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -898,6 +898,45 @@ object LakehouseQueries {
        |FROM f JOIN live ON f.filename = '$checkpointDeltaRoot/' || live.path
        |ORDER BY event_type, user_id""".stripMargin
 
+  // ---- lakehouse↔pipeline bridge: in-table exact dedup (l35) ----------
+
+  /** [[TableServices.dedupExact]] end to end — "dedup the corpus" as a
+    * TABLE SERVICE whose outcome rides the timeline: a documents
+    * corpus with PLANTED exact duplicates (a negative-id copy of every
+    * 7th doc, so the canonical-min keep rule picks the PLANTED copy
+    * and the survivors genuinely differ from the input) is bulk-loaded
+    * into a graft table, curated in place, and read back. The
+    * duplicates leave through the table's own delete path — time
+    * travel still shows the pre-curation state, incremental consumers
+    * see ordinary tombstones. The oracle replays plant + md5-group +
+    * keep-min in SQL over the same parquet. */
+  def qTableDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "n_chars")
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", -col("doc_id") - 1))
+    val t = GraftTable.create(spark, freshRoot("doc_curated"),
+      TableConfig(name = "doc_curated", keyField = "doc_id",
+        orderingField = "doc_id", numBuckets = 2))
+    t.bulkInsert(planted)
+    TableServices.dedupExact(t, "text")
+    t.read()
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val tableDedupSql =
+    """WITH p AS (
+      |  SELECT doc_id, text, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT -doc_id - 1, text, n_chars FROM documents
+      |  WHERE doc_id % 7 = 0),
+      |k AS (SELECT md5(text) AS h, min(doc_id) AS keeper FROM p GROUP BY 1)
+      |SELECT p.doc_id, CAST(p.n_chars AS BIGINT) AS n_chars
+      |FROM p JOIN k ON md5(p.text) = k.h AND p.doc_id = k.keeper
+      |ORDER BY doc_id""".stripMargin
+
   // ---- T6++ foreign-reader Iceberg verification (l31) ----------------
 
   /** Fixed root for the same reason as l29: the oracle SQL is static. */
@@ -1227,6 +1266,7 @@ object LakehouseQueries {
     "l32_delta_adopt" -> (qDeltaAdopt _),
     "l33_adopt_roundtrip" -> (qAdoptRoundtrip _),
     "l34_delta_checkpoint" -> (qDeltaCheckpointRead _),
+    "l35_table_dedup" -> (qTableDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1264,5 +1304,6 @@ object LakehouseQueries {
     "l32_delta_adopt" -> deltaAdoptSql,
     "l33_adopt_roundtrip" -> adoptRoundtripSql,
     "l34_delta_checkpoint" -> deltaCheckpointSql,
+    "l35_table_dedup" -> tableDedupSql,
   )
 }

@@ -19,6 +19,39 @@ object TableServices {
     * one job whose tasks each own a group; no global shuffle beyond the
     * per-group latest-wins window.
     */
+  /** In-place exact-duplicate curation of a graft TABLE — the
+    * lakehouse↔pipeline bridge: the training-data dedup family
+    * ([[graft.operators.Dedup]]) operates on frames, but a curation
+    * team's corpus LIVES in a table, and "dedup the corpus" should be
+    * a table service whose outcome rides the timeline like any other
+    * write (time travel shows the pre-curation state, incremental and
+    * CDC consumers see the deletes as ordinary tombstones, OCC guards
+    * against concurrent writers).
+    *
+    * Rule: group rows by `md5(textCol)`, keep the LOWEST key per
+    * group (the dedup family's canonical-min convention), DELETE the
+    * rest through [[GraftTable.deleteRows]]. One shuffle on the text
+    * hash; victims never collect to the driver; the delete path is the
+    * table's own (COW rewrite or MOR tombstone deltas). Returns the
+    * number of rows deleted (0 = no commit made). */
+  def dedupExact(t: GraftTable, textCol: String): Long = {
+    val idCols = Seq(t.config.keyField, t.config.orderingField) ++
+      t.config.partitionField
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__h").orderBy(col(t.config.keyField).asc)
+    val victims = t.read()
+      .withColumn("__h", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(idCols.map(col): _*)
+      .persist()
+    try {
+      val n = victims.count()
+      if (n > 0) { t.deleteRows(victims); () }
+      n
+    } finally { victims.unpersist(); () }
+  }
+
   /** Delta-producing commits since the last compaction — a
     * METADATA-ONLY commit-log count (no data read, no Spark job), cheap
     * enough to evaluate after every micro-batch. */

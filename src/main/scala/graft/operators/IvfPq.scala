@@ -209,6 +209,75 @@ object IvfPq {
     cb
   }
 
+  /** Targeted removal — the right-to-be-forgotten half of the index
+    * lifecycle (build → [[append]] → query → [[refreeze]] → remove):
+    * delete the given ids from BOTH persisted relations by rewriting
+    * ONLY the list partitions that contain them. The victim ids join
+    * against the pruned assignments read to find affected lists
+    * (O(nProbe-scale) driver collect of list numbers, never rows);
+    * each affected partition rewrites via dynamic partition overwrite;
+    * a partition whose every row was removed would be SKIPPED by the
+    * dynamic overwrite (no rows → no files written → stale files
+    * survive), so emptied list directories are deleted explicitly.
+    *
+    * Crash contract mirrors [[append]]: an `.inprogress` journal
+    * marker brackets the two relation rewrites + meta update — a crash
+    * in between leaves the marker and the next append/remove refuses,
+    * demanding a rebuild, instead of serving an index whose
+    * assignments and codes disagree. Removal is idempotent by nature
+    * (removing absent ids is a no-op), so retries need no batch key.
+    * Returns the number of vectors removed. */
+  def remove(victims: DataFrame, idCol: String, path: String): Long = {
+    val spark = victims.sparkSession
+    val meta = IvfIndex.meta(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no IVF-PQ index at $path — build() first"))
+    import java.nio.file.{Files, Paths}
+    val appDir = Paths.get(path, "_appends")
+    Files.createDirectories(appDir)
+    val leftover = graft.util.Fs.list(appDir)(_
+      .filter(_.getFileName.toString.endsWith(".inprogress")).toSeq)
+    require(leftover.isEmpty,
+      s"IVF-PQ index at $path has a half-applied append/remove " +
+      s"(${leftover.map(_.getFileName).mkString(", ")}) — rebuild() first")
+    val ids = victims.select(col(idCol).as("id")).distinct().persist()
+    try {
+      val asg = spark.read.parquet(s"$path/assignments")
+      // affected lists: pruned metadata-scale collect (≤ nLists values)
+      val lists = asg.join(ids, Seq("id")).select("list").distinct()
+        .collect().map(_.getInt(0)).toIndexedSeq
+      if (lists.isEmpty) return 0L
+      val marker = appDir.resolve(
+        s"remove-${java.util.UUID.randomUUID()}.inprogress")
+      Files.writeString(marker, "")
+      var removed = 0L
+      Seq("assignments", "pq_codes").foreach { rel =>
+        val pruned = spark.read.parquet(s"$path/$rel")
+          .filter(col("list").isin(lists: _*))
+        val kept = pruned.join(ids, Seq("id"), "left_anti")
+          .localCheckpoint() // sever the self-read before the overwrite
+        if (rel == "assignments")
+          removed = pruned.count() - kept.count()
+        kept.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("list").parquet(s"$path/$rel")
+        // a fully-emptied list writes nothing under dynamic overwrite —
+        // its stale directory would resurrect the removed rows
+        val survivors = kept.select("list").distinct()
+          .collect().map(_.getInt(0)).toSet
+        lists.filterNot(survivors.contains).foreach { l =>
+          graft.util.TempDirs.deleteRecursively(
+            Paths.get(path, rel, s"list=$l"))
+        }
+      }
+      Files.write(Paths.get(path, "meta.json"),
+        graft.core.CommitLog.mapper.writeValueAsBytes(
+          meta.copy(corpusCount = meta.corpusCount - removed)))
+      Files.delete(marker)
+      removed
+    } finally { ids.unpersist(); () }
+  }
+
   /** Streaming index maintenance: a foreachBatch sink that [[append]]s
     * every micro-batch to the persisted index — the vector-store
     * deployment shape (embeddings arrive as a stream; the index must

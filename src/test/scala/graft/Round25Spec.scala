@@ -517,6 +517,74 @@ class Round25Spec extends AnyFunSuite {
       s"drift must reset after refreeze: ${st.driftRatio} -> ${st2.driftRatio}")
   }
 
+  test("IvfPq.remove: victims leave both relations, an emptied list " +
+      "cannot resurrect, meta updates, post-remove queries are exact") {
+    val rnd = new scala.util.Random(61)
+    val base = (1L to 48L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian()))).toDF("id", "embedding")
+    val p = tmp("pqremove") + "/idx"
+    val cb = IvfPq.build(base, "id", "embedding", nLists = 4, m = 2,
+      codesPerSub = 64, path = p)
+    val asg = spark.read.parquet(s"$p/assignments")
+      .select($"id".cast("long"), $"list".cast("int"))
+      .as[(Long, Int)].collect()
+    // victims: EVERY member of the smallest list (the emptied-dir
+    // case) plus two scattered ids from other lists
+    val smallest = asg.groupBy(_._2).minBy(_._2.length)._1
+    val wholeList = asg.filter(_._2 == smallest).map(_._1).toSeq
+    val scattered = asg.filter(_._2 != smallest).map(_._1).sorted.take(2)
+    val victims = (wholeList ++ scattered).toDF("id")
+    val n = IvfPq.remove(victims, "id", p)
+    assert(n == wholeList.size + 2L)
+    assert(graft.operators.IvfIndex.meta(p).get.corpusCount == 48L - n)
+    // the emptied list directory is GONE from both relations
+    Seq("assignments", "pq_codes").foreach { rel =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(p, rel, s"list=$smallest")),
+        s"$rel kept the emptied list directory")
+    }
+    // removal is idempotent
+    assert(IvfPq.remove(victims, "id", p) == 0L)
+    // full-probe exact re-rank equals brute force over the REMAINING
+    // corpus — no removed id can ever come back
+    val gone = (wholeList ++ scattered).toSet
+    val q = Array.fill(8)(rnd.nextGaussian())
+    val want = base.as[(Long, Seq[Double])].collect()
+      .filterNot { case (id, _) => gone(id) }
+      .map { case (id, v) => (id, v.zip(q).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+    val got = IvfPq.topKRerank(spark, p, cb, q, k = 5, nProbe = 4,
+      candidates = 48).select("id").as[Long].collect().toSeq
+    assert(got == want, s"post-remove: $got != $want")
+    // a half-applied journal marker blocks further maintenance loudly
+    val marker = java.nio.file.Paths.get(p, "_appends", "x.inprogress")
+    java.nio.file.Files.writeString(marker, "")
+    val e = intercept[IllegalArgumentException](
+      IvfPq.remove(victims, "id", p))
+    assert(e.getMessage.contains("half-applied"))
+    java.nio.file.Files.delete(marker)
+  }
+
+  test("TableServices.dedupExact on a MOR table: duplicates leave via " +
+      "tombstones, survivors follow keep-min, second pass is a no-op") {
+    import graft.core.{GraftTable, TableConfig, TableServices}
+    val root = tmp("tdedup") + "/t"
+    val t = GraftTable.create(spark, root,
+      TableConfig(name = "tdedup", keyField = "id", orderingField = "id",
+        tableType = TableConfig.Mor, numBuckets = 2))
+    t.bulkInsert(Seq(
+      (1L, "alpha"), (2L, "beta"), (3L, "alpha"), (4L, "gamma"),
+      (5L, "beta"), (6L, "alpha")).toDF("id", "text"))
+    assert(TableServices.dedupExact(t, "text") == 3L)
+    assert(t.read().select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L))
+    assert(TableServices.dedupExact(t, "text") == 0L)
+    // the curation rides the timeline: time travel shows the
+    // pre-curation state
+    val instants = t.log.commits().map(_.instant)
+    assert(t.read(asOf = Some(instants.head)).count() == 6L)
+  }
+
   test("unigram radix guard: a word of >= 1024 letters is unsegmentable " +
       "(null) and DROPPED from encodeStats in both engines' semantics") {
     import graft.operators.Unigram
