@@ -409,6 +409,15 @@ final class GraftSql(catalog: GraftCatalog) {
           case None =>
             graft.core.TableServices.compact(table).toSeq.toDF("instant")
         }
+      case "dedup_table" =>
+        // the l35 curation service on the SQL surface: exact-duplicate
+        // removal in place (md5-group, keep lowest key, the table's
+        // own delete path) — `CALL dedup_table(table => 't', column
+        // => 'text')`. Returns the number of rows deleted.
+        val col = arg("column", 1).getOrElse(throw new IllegalArgumentException(
+          "CALL dedup_table: missing column argument"))
+        Seq(graft.core.TableServices.dedupExact(table, col)).toDF("deleted")
+
       case "build_index" =>
         // backfill for CREATE INDEX: one service rewrite so EXISTING
         // files carry the new bloom/stats (future writes index
@@ -570,8 +579,8 @@ final class GraftSql(catalog: GraftCatalog) {
         s"unknown procedure '$other' — supported: run_compaction, " +
         "run_clustering, run_clean, run_archival, rollback_to_instant, " +
         "rollback_last_commit, table_changes, build_vector_index, " +
-        "register_table, sync_xtable, expire_metadata, show_commits, " +
-        "show_files")
+        "register_table, sync_xtable, expire_metadata, dedup_table, " +
+        "show_commits, show_files")
     }
   }
 

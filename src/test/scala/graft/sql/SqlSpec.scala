@@ -168,6 +168,23 @@ class SqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](gsql.sql("CALL bogus('svc')"))
   }
 
+  test("CALL dedup_table: exact-dup curation through the SQL surface") {
+    gsql.sql("""CREATE TABLE corp (id BIGINT, body STRING, ts BIGINT)
+      USING GRAFT OPTIONS (primaryKey='id', precombine='ts')""")
+    gsql.sql("INSERT INTO corp VALUES (1, 'aa', 1), (2, 'bb', 1), " +
+      "(3, 'aa', 1), (4, 'aa', 1), (5, 'cc', 1)")
+    val deleted = gsql.sql("CALL dedup_table(table => 'corp', column => 'body')")
+    assert(deleted.columns.sameElements(Array("deleted")))
+    assert(deleted.as[Long].head() == 2L)
+    assert(gsql.sql("SELECT id FROM corp ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 5L))
+    // second pass: nothing left to remove
+    assert(gsql.sql("CALL dedup_table('corp', 'body')").as[Long].head() == 0L)
+    // missing column argument is loud
+    intercept[IllegalArgumentException](
+      gsql.sql("CALL dedup_table(table => 'corp')"))
+  }
+
   test("DROP TABLE and TRUNCATE TABLE statements") {
     gsql.sql("""CREATE TABLE dt (id BIGINT, ts BIGINT)
       USING GRAFT OPTIONS (primaryKey='id', precombine='ts')""")
