@@ -82,7 +82,8 @@ object Bench {
     "p80_perceptron", // round 24: integer batch-perceptron training, 3 epochs
     "p81_ann_query_set", // round 25: 20-query IVF-PQ retrieval, one codes pass
     "p82_unigram_frozen", // round 25: frozen-vocab streaming-shape unigram encode
-    "l35_table_dedup") // round 25: in-table exact-dedup curation service
+    "l35_table_dedup", // round 25: in-table exact-dedup curation service
+    "p83_mixture_weights") // round 25: temperature source-mixing budget table
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -430,6 +430,38 @@ object PipelineQueries {
       |FROM dw JOIN wenc USING (w) GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Temperature mixture weights ([[operators.Selection
+    * .mixtureWeights]], α = 0.5 over per-source character mass): one
+    * corpus aggregation, then exact BigInt largest-remainder
+    * apportionment of a 1M budget on the metadata-scale source table.
+    * α = 0.5 makes the quantized weight an IEEE `sqrt` — correctly
+    * rounded, so both engines floor the same double and the oracle is
+    * bit-exact (HUGEINT carries the weight × budget products DuckDB-
+    * side, BigInt Spark-side). */
+  def cMixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    operators.Selection.mixtureWeights(
+        Tables.load(spark, dir, "documents"), "source", "n_chars",
+        totalBudget = 1000000L, alpha = 0.5)
+      .orderBy("source")
+
+  private val cMixtureWeightsSql =
+    """WITH c AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS size
+      |           FROM documents GROUP BY source),
+      |q AS (SELECT source, size,
+      |        CAST(floor(1e6 * sqrt(size)) AS BIGINT) AS w FROM c),
+      |t AS (SELECT sum(w)::HUGEINT AS qt FROM q),
+      |b AS (SELECT source, size, w,
+      |        (w::HUGEINT * 1000000) // qt AS base,
+      |        (w::HUGEINT * 1000000) % qt AS rem
+      |      FROM q, t),
+      |d AS (SELECT 1000000 - sum(base) AS deficit FROM b),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC)
+      |        AS rr FROM b)
+      |SELECT source, size, w AS weight_micro,
+      |  CAST(base + (CASE WHEN rr <= (SELECT deficit FROM d)
+      |               THEN 1 ELSE 0 END) AS BIGINT) AS budget
+      |FROM r ORDER BY source""".stripMargin
+
   /** The complete Gopher rule battery ([[Curation.gopherRules]], Rae
     * et al. '21 §A1.1) as a per-doc decision surface: every rule's
     * verdict plus the conjunction, all thresholds integer
@@ -3284,6 +3316,7 @@ object PipelineQueries {
     "p80_perceptron" -> (cPerceptron _),
     "p81_ann_query_set" -> (sIvfPqBatch _),
     "p82_unigram_frozen" -> (tUnigramFrozen _),
+    "p83_mixture_weights" -> (cMixtureWeights _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3379,5 +3412,6 @@ object PipelineQueries {
     "p80_perceptron" -> cPerceptronSql,
     "p81_ann_query_set" -> sIvfPqBatchSql,
     "p82_unigram_frozen" -> tUnigramFrozenSql,
+    "p83_mixture_weights" -> cMixtureWeightsSql,
   )
 }

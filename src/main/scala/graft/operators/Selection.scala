@@ -436,4 +436,68 @@ object Selection {
       PerceptronFit(w, errs.result())
     } finally { feats.unpersist(); labels.unpersist(); () }
   }
+
+  /** Temperature-based dataset MIXTURE weights — the source-mixing
+    * step every pretraining pipeline runs (multilingual mC4 / XLM-R
+    * style temperature sampling; the Pile/LLaMA per-source budget
+    * table): per source s with size n_s, sampling weight ∝ n_s^α, a
+    * total training budget apportioned across sources by largest
+    * remainder. α < 1 upweights small sources (α→0 approaches
+    * uniform), α = 1 is proportional.
+    *
+    * Scale shape: ONE corpus-scale aggregation (sum of `sizeCol` per
+    * source); everything after runs on the per-source table, which is
+    * metadata-scale by definition — collected to the driver like the
+    * centroid tables, where the apportionment is exact BigInt
+    * arithmetic (weight × budget products overflow a long at real
+    * sizes; no float ever touches a budget).
+    *
+    * Determinism (oracle-exact, p83): weights quantize PER SOURCE to
+    * `⌊1e6 · n^α⌋` before any arithmetic (the p57/p63 rule). At the
+    * gate's α = 0.5 the power is computed as IEEE `sqrt` — correctly
+    * rounded, bit-identical in both engines; other α use `pow` with
+    * the same flooring-odds caveat the micronat-ln discipline carries.
+    * Sizes must stay exactly double-representable (≤ 2^53) — REQUIREd,
+    * not assumed. Ties in the remainder distribution break by source
+    * ascending. Returns (source, size, weight_micro, budget) with
+    * Σ budget = totalBudget exactly. */
+  def mixtureWeights(docs: DataFrame, sourceCol: String, sizeCol: String,
+      totalBudget: Long, alpha: Double = 0.5): DataFrame = {
+    require(totalBudget > 0, s"totalBudget=$totalBudget")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha=$alpha")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perSource = docs
+      .groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(sum(col(sizeCol)).cast("long").as("size"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    require(perSource.nonEmpty, "mixtureWeights over an empty corpus")
+    perSource.foreach { case (s, n) =>
+      require(n > 0, s"source '$s' has non-positive size $n")
+      require(n <= (1L << 53),
+        s"source '$s' size $n exceeds exact double range — quantize the " +
+        "size column (e.g. to KB) before mixing")
+    }
+    def qpow(n: Long): Long = {
+      val p = if (alpha == 0.5) math.sqrt(n.toDouble)
+              else math.pow(n.toDouble, alpha)
+      math.floor(1e6 * p).toLong
+    }
+    val weighted = perSource.map { case (s, n) => (s, n, qpow(n)) }
+    val qTotal = BigInt(weighted.map(w => BigInt(w._3)).sum.toString)
+    val based = weighted.map { case (s, n, w) =>
+      val prod = BigInt(w) * totalBudget
+      (s, n, w, prod / qTotal, prod % qTotal)
+    }
+    val deficit = (BigInt(totalBudget) - based.map(_._4).sum).toLong
+    // largest remainder: remainder DESC, ties by source ASC
+    val ranked = based.sortWith { (a, b) =>
+      if (a._5 != b._5) a._5 > b._5 else a._1 < b._1
+    }.zipWithIndex.map { case ((s, n, w, base, _), i) =>
+      (s, n, w, (base + (if (i < deficit) 1 else 0)).toLong)
+    }
+    ranked.sortBy(_._1).toSeq
+      .toDF("source", "size", "weight_micro", "budget")
+  }
 }

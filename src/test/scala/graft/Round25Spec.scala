@@ -585,6 +585,40 @@ class Round25Spec extends AnyFunSuite {
     assert(t.read(asOf = Some(instants.head)).count() == 6L)
   }
 
+  test("mixtureWeights: budgets sum exactly, temperature upweights the " +
+      "small source, guards are loud") {
+    import graft.operators.Selection
+    val docs = Seq(
+      (1L, "big", 9000L), (2L, "big", 7000L), (3L, "big", 8000L),
+      (4L, "mid", 4000L), (5L, "mid", 2000L),
+      (6L, "tiny", 100L)
+    ).toDF("doc_id", "source", "n_chars")
+    val got = Selection.mixtureWeights(docs, "source", "n_chars",
+        totalBudget = 1000003L, alpha = 0.5)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(got.values.map(_._2).sum == 1000003L, "budget must apportion exactly")
+    // α = 0.5: sampling RATE (budget/size) must be strictly higher for
+    // smaller sources — the whole point of temperature mixing
+    val rate = got.view.mapValues { case (size, b) => b.toDouble / size }.toMap
+    assert(rate("tiny") > rate("mid") && rate("mid") > rate("big"),
+      s"temperature must upweight small sources: $rate")
+    // α = 1 is proportional: rates equalize (within the integer floor)
+    val prop = Selection.mixtureWeights(docs, "source", "n_chars",
+        totalBudget = 1000000L, alpha = 1.0)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._4.toDouble / r._2)).toMap
+    assert(prop.values.max / prop.values.min < 1.001,
+      s"alpha=1 must be proportional: $prop")
+    // guards
+    intercept[IllegalArgumentException](Selection.mixtureWeights(
+      docs.limit(0), "source", "n_chars", 100L))
+    intercept[IllegalArgumentException](Selection.mixtureWeights(
+      docs, "source", "n_chars", 100L, alpha = 0.0))
+    intercept[IllegalArgumentException](Selection.mixtureWeights(
+      docs.withColumn("n_chars", lit(1L << 60)), "source", "n_chars", 100L))
+  }
+
   test("unigram radix guard: a word of >= 1024 letters is unsegmentable " +
       "(null) and DROPPED from encodeStats in both engines' semantics") {
     import graft.operators.Unigram
