@@ -83,7 +83,8 @@ object Bench {
     "p81_ann_query_set", // round 25: 20-query IVF-PQ retrieval, one codes pass
     "p82_unigram_frozen", // round 25: frozen-vocab streaming-shape unigram encode
     "l35_table_dedup", // round 25: in-table exact-dedup curation service
-    "p83_mixture_weights") // round 25: temperature source-mixing budget table
+    "p83_mixture_weights", // round 25: temperature source-mixing budget table
+    "l36_table_dedup_fuzzy") // round 25: in-table MinHash near-dup curation
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -937,6 +937,35 @@ object LakehouseQueries {
       |FROM p JOIN k ON md5(p.text) = k.h AND p.doc_id = k.keeper
       |ORDER BY doc_id""".stripMargin
 
+  /** Fuzzy sibling of l35 ([[TableServices.dedupFuzzy]]): the fixture
+    * corpus carries REAL near-duplicates at Jaccard ≥ 0.7 (the p3/p13
+    * family's), so no planting is needed — MinHash-LSH pairs →
+    * transitive closure → keep-min, victims deleted through the table.
+    * The oracle reuses the p13 exact-Jaccard closure CTEs (the
+    * operator's band-bucketed path equals exact Jaccard at these
+    * parameters, the standing p3 contract) and keeps each cluster's
+    * least member plus every unclustered doc. */
+  def qTableDedupFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text", "n_chars")
+    val t = GraftTable.create(spark, freshRoot("doc_fuzzy"),
+      TableConfig(name = "doc_fuzzy", keyField = "doc_id",
+        orderingField = "doc_id", numBuckets = 2))
+    t.bulkInsert(docs)
+    TableServices.dedupFuzzy(t, "text")
+    t.read()
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val tableDedupFuzzySql = PipelineQueries.closureCtes + ",\n" +
+    """cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |       FROM reach GROUP BY a)
+      |SELECT d.doc_id AS doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+      |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+      |WHERE cl.doc_id IS NULL OR cl.cluster_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---- T6++ foreign-reader Iceberg verification (l31) ----------------
 
   /** Fixed root for the same reason as l29: the oracle SQL is static. */
@@ -1267,6 +1296,7 @@ object LakehouseQueries {
     "l33_adopt_roundtrip" -> (qAdoptRoundtrip _),
     "l34_delta_checkpoint" -> (qDeltaCheckpointRead _),
     "l35_table_dedup" -> (qTableDedup _),
+    "l36_table_dedup_fuzzy" -> (qTableDedupFuzzy _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1305,5 +1335,6 @@ object LakehouseQueries {
     "l33_adopt_roundtrip" -> adoptRoundtripSql,
     "l34_delta_checkpoint" -> deltaCheckpointSql,
     "l35_table_dedup" -> tableDedupSql,
+    "l36_table_dedup_fuzzy" -> tableDedupFuzzySql,
   )
 }

@@ -155,8 +155,9 @@ object PipelineQueries {
       .orderBy("doc_id")
 
   /** Shared transitive-closure CTE chain: exact-Jaccard pairs at 0.7 →
-    * symmetric edges → recursive reachability (p13 + p23 oracles). */
-  private val closureCtes =
+    * symmetric edges → recursive reachability (p13 + p23 oracles, and
+    * the l36 table-curation oracle). */
+  private[graft] val closureCtes =
     """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |        generate_series(1, greatest(1, len(ws) - 4)),

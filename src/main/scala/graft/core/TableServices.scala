@@ -52,6 +52,37 @@ object TableServices {
     } finally { victims.unpersist(); () }
   }
 
+  /** Fuzzy (near-duplicate) in-table curation — [[dedupExact]]'s
+    * scalable sibling: MinHash-LSH candidate pairs at `threshold`
+    * Jaccard over word `k`-shingles ([[graft.operators.Dedup
+    * .minhashLsh]] — band-bucketed, never all-pairs), transitive
+    * closure ([[graft.operators.Dedup.connectedComponents]] —
+    * pointer-jumping, O(log diameter) rounds), keep the LOWEST key per
+    * cluster, victims deleted through the table's own path. Same
+    * timeline semantics as the exact service. Returns rows deleted. */
+  def dedupFuzzy(t: GraftTable, textCol: String, k: Int = 5,
+      numHashes: Int = 128, numBands: Int = 32,
+      threshold: Double = 0.7): Long = {
+    val key = t.config.keyField
+    val idCols = Seq(key, t.config.orderingField) ++ t.config.partitionField
+    val snap = t.read().persist()
+    try {
+      val pairs = graft.operators.Dedup.minhashLsh(
+        snap, key, textCol, k, numHashes, numBands, threshold)
+      val victims = graft.operators.Dedup.connectedComponents(pairs)
+        .filter(col("doc_id") =!= col("cluster_id")) // canonical = min key
+        .select(col("doc_id").as(key))
+        .join(snap, Seq(key))
+        .select(idCols.map(col): _*)
+        .persist()
+      try {
+        val n = victims.count()
+        if (n > 0) { t.deleteRows(victims); () }
+        n
+      } finally { victims.unpersist(); () }
+    } finally { snap.unpersist(); () }
+  }
+
   /** Delta-producing commits since the last compaction — a
     * METADATA-ONLY commit-log count (no data read, no Spark job), cheap
     * enough to evaluate after every micro-batch. */
