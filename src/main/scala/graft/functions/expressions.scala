@@ -1151,7 +1151,11 @@ case class UnigramDocStats(child: Expression,
   @transient private lazy val memo = UnigramDocStats.memoFor(vocab)
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.toLowerCase
+    // Locale.ROOT, not the JVM default: under e.g. a tr_TR default
+    // locale "I".toLowerCase is dotless-ı, silently diverging from
+    // Spark's locale-independent lower() and the DuckDB oracle
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT)
     val m = UnigramDocStats.WordRe.matcher(text)
     var nWords = 0L; var nPieces = 0L; var cost = 0L
     while (m.find()) {

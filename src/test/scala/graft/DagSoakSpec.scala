@@ -88,8 +88,10 @@ class DagSoakSpec extends AnyFunSuite {
       // async-suite interleaving): post-schedule tombstones must
       // survive the plan-scoped fold
       val plan = TableServices.scheduleCompaction(t)
-      assert(t.config.isMor == plan.nonEmpty || !t.config.isMor,
-        "COW never parks a compaction plan")
+      // MOR upserts appended deltas → a plan parks; COW rewrote in
+      // place → nothing to schedule
+      assert(plan.nonEmpty == t.config.isMor,
+        s"round $r: compaction plan presence must track table type")
       ts += 1
       val dels = expected.keys.toSeq.sorted.take(500)
       t.deleteWhere(col("k").isin(dels: _*))
