@@ -410,13 +410,23 @@ final class GraftSql(catalog: GraftCatalog) {
             graft.core.TableServices.compact(table).toSeq.toDF("instant")
         }
       case "dedup_table" =>
-        // the l35 curation service on the SQL surface: exact-duplicate
-        // removal in place (md5-group, keep lowest key, the table's
-        // own delete path) — `CALL dedup_table(table => 't', column
-        // => 'text')`. Returns the number of rows deleted.
+        // the l35/l36 curation services on the SQL surface:
+        // `CALL dedup_table(table => 't', column => 'text')` — exact
+        // (md5-group, keep lowest key); `mode => 'fuzzy'` switches to
+        // MinHash-LSH near-dup curation with an optional `threshold`.
+        // Both delete through the table's own path and return the
+        // number of rows deleted.
         val col = arg("column", 1).getOrElse(throw new IllegalArgumentException(
           "CALL dedup_table: missing column argument"))
-        Seq(graft.core.TableServices.dedupExact(table, col)).toDF("deleted")
+        val mode = arg("mode", 2).getOrElse("exact").toLowerCase
+        val deleted = mode match {
+          case "exact" => graft.core.TableServices.dedupExact(table, col)
+          case "fuzzy" => graft.core.TableServices.dedupFuzzy(table, col,
+            threshold = arg("threshold", 3).map(_.toDouble).getOrElse(0.7))
+          case other => throw new IllegalArgumentException(
+            s"CALL dedup_table: mode must be exact|fuzzy, got '$other'")
+        }
+        Seq(deleted).toDF("deleted")
 
       case "build_index" =>
         // backfill for CREATE INDEX: one service rewrite so EXISTING

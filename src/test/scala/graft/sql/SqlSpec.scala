@@ -180,9 +180,16 @@ class SqlSpec extends AnyFunSuite {
       .as[Long].collect().toSeq == Seq(1L, 2L, 5L))
     // second pass: nothing left to remove
     assert(gsql.sql("CALL dedup_table('corp', 'body')").as[Long].head() == 0L)
-    // missing column argument is loud
+    // missing column argument is loud; so is a bogus mode
     intercept[IllegalArgumentException](
       gsql.sql("CALL dedup_table(table => 'corp')"))
+    intercept[IllegalArgumentException](
+      gsql.sql("CALL dedup_table('corp', 'body', 'bogus')"))
+    // fuzzy mode: the surviving texts are mutually dissimilar two-char
+    // strings (Jaccard 0 across shingles) — fuzzy removes nothing more
+    assert(gsql.sql(
+      "CALL dedup_table(table => 'corp', column => 'body', mode => 'fuzzy')")
+      .as[Long].head() == 0L)
   }
 
   test("DROP TABLE and TRUNCATE TABLE statements") {
