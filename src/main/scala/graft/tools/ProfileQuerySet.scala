@@ -14,15 +14,30 @@ import org.apache.spark.sql.functions._
   *     set as plan literals).
   *
   * Usage: runMain graft.tools.ProfileQuerySet [nQueries=20] [mmrK=100]
+  *          [corpusMult=1]
+  *
+  * `corpusMult` > 1 unions deterministic per-copy-perturbed replicas
+  * of the fixture embeddings (fresh ids) before building the index —
+  * the scale-sweep shape the other Profile* tools use.
   */
 object ProfileQuerySet {
   def main(args: Array[String]): Unit = {
     val nQ = if (args.length > 0) args(0).toInt else 20
     val mmrK = if (args.length > 1) args(1).toInt else 100
+    val mult = if (args.length > 2) args(2).toInt else 1
     val spark = graft.Session.local(32)
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val embs = graft.Tables.load(spark, dir, "embeddings").cache()
+    val base0 = graft.Tables.load(spark, dir, "embeddings")
+    val embs = (if (mult <= 1) base0
+      else (1 until mult).map { m =>
+        base0.select(
+          (col("vec_id") + lit(m * 1000000L)).as("vec_id"),
+          transform(col("embedding"), x =>
+            x + (xxhash64(col("vec_id") * lit(m)) % 1000).cast("float")
+              / lit(1e6f)).as("embedding"))
+      }.foldLeft(base0.select("vec_id", "embedding"))(_ unionByName _))
+      .cache()
     val n = embs.count()
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -45,8 +60,8 @@ object ProfileQuerySet {
       graft.operators.IvfPq.topKBatch(queries, "vec_id", "embedding", p, cb,
         k = 10, nProbe = 4, candidates = 40).count()
     }
-    val qVecs = queries.collect().map(r =>
-      r.getSeq[Float](1).map(_.toDouble).toArray)
+    val qVecs = queries.select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
     time(s"${nQ}x single-query topKRerank (per-query jobs)") {
       qVecs.foreach { q =>
         graft.operators.IvfPq.topKRerank(spark, p, cb, q,
