@@ -84,7 +84,9 @@ object Bench {
     "p82_unigram_frozen", // round 25: frozen-vocab streaming-shape unigram encode
     "l35_table_dedup", // round 25: in-table exact-dedup curation service
     "p83_mixture_weights", // round 25: temperature source-mixing budget table
-    "l36_table_dedup_fuzzy") // round 25: in-table MinHash near-dup curation
+    "l36_table_dedup_fuzzy", // round 25: in-table MinHash near-dup curation
+    "p84_ann_filtered", // round 26: metadata-filtered query-set ANN
+    "p85_mmr_clustered") // round 26: pool-collect scalable MMR
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -699,6 +699,30 @@ object PipelineQueries {
        |  GROUP BY p.rank, p.vec_id)
        |SELECT rank, vec_id, score FROM scored ORDER BY rank""".stripMargin
 
+  /** Scalable MMR (p85 — [[Similarity.mmrSelectClustered]], the
+    * documented exit past [[Similarity.mmrSelect]]'s maxK envelope):
+    * the same 8-pick fixture run through the pool-collect + local
+    * greedy path at numClusters = 1 with the pool covering every
+    * candidate — the operator's EXACTNESS CONTRACT says that is
+    * identical to mmrSelect, so the p78 recursive-CTE oracle applies
+    * verbatim and the scores hash-match bit for bit (cosineLocal is
+    * CosineSim's op sequence). The scale divergence is plan shape
+    * only: one window shuffle + a driver-local greedy instead of k
+    * sequential scans — which is why k=500 is reachable here
+    * (BASELINE.md round-26 row) and refused by the guarded path. */
+  def sMmrClustered(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    val q = embs.filter(col("vec_id") === 0).select("embedding").first()
+      .getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray
+    Similarity.mmrSelectClustered(embs.filter(col("vec_id").between(1, 199)),
+        "vec_id", "embedding", q, k = 8, lambda = 0.5,
+        numClusters = 1, poolPerCluster = 256)
+      .orderBy("rank")
+  }
+
   /** Token-balanced shard assignment ([[Curation.balancedShards]]):
     * every doc dealt onto 4 shards by salted snake order over token
     * weight — per-doc assignments plus the per-shard totals the
@@ -2458,6 +2482,45 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** FILTERED query-set retrieval (p84): the p81 setup with a metadata
+    * predicate — `label = 1` on the embeddings table — pushed into the
+    * retrieval itself ([[graft.operators.IvfPq.topKBatch]]'s `allowed`
+    * id set, LEFT-SEMI joined into the pruned codes scan BEFORE
+    * candidate ranking). Every candidate slot is spent on a
+    * filter-surviving row, so with full probe + lossless codebooks +
+    * candidates ≫ k the answer is the EXACT filtered top-k — the
+    * oracle is the brute-force cross join with the same WHERE. The
+    * label-1 stratum is ~1/10 of the corpus, well under `candidates`,
+    * so a post-ranking filter would visibly return the wrong rows —
+    * the gate pins filter-before-rank, not just row shape. */
+  def sIvfPqFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    val n = embs.count().toInt
+    val path = graft.util.TempDirs.create("graft-ivfpqf-gate-").toString
+    val cb = operators.IvfPq.build(embs, "vec_id", "embedding",
+      nLists = 4, m = 2, codesPerSub = n + 8, path = path)
+    val queries = embs.filter(col("vec_id") < 20)
+      .select("vec_id", "embedding")
+    val allowed = embs.filter(col("label") === 1).select("vec_id")
+    operators.IvfPq.topKBatch(queries, "vec_id", "embedding", path, cb,
+        k = 10, nProbe = 4, candidates = 40, allowed = Some(allowed))
+      .orderBy("query_id", "rnk")
+  }
+
+  private val sIvfPqFilteredSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 20),
+      |s AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> q.qe[i]::DOUBLE * v.embedding[i]::DOUBLE)) AS score
+      |  FROM embeddings v, q WHERE v.label = 1),
+      |r AS (SELECT query_id, neighbor_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rnk
+      |  FROM s)
+      |SELECT query_id, neighbor_id, score, rnk FROM r WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin
+
   private val sIvfPqBatchSql =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
       |           FROM embeddings WHERE vec_id < 20),
@@ -3318,6 +3381,8 @@ object PipelineQueries {
     "p81_ann_query_set" -> (sIvfPqBatch _),
     "p82_unigram_frozen" -> (tUnigramFrozen _),
     "p83_mixture_weights" -> (cMixtureWeights _),
+    "p84_ann_filtered" -> (sIvfPqFiltered _),
+    "p85_mmr_clustered" -> (sMmrClustered _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3414,5 +3479,9 @@ object PipelineQueries {
     "p81_ann_query_set" -> sIvfPqBatchSql,
     "p82_unigram_frozen" -> tUnigramFrozenSql,
     "p83_mixture_weights" -> cMixtureWeightsSql,
+    "p84_ann_filtered" -> sIvfPqFilteredSql,
+    // p85: numClusters=1 + full pool == mmrSelect exactly, so the p78
+    // recursive-CTE greedy oracle applies verbatim
+    "p85_mmr_clustered" -> sMmrSelectSql,
   )
 }

@@ -30,16 +30,21 @@ object TableServices {
     *
     * Rule: group rows by `md5(textCol)`, keep the LOWEST key per
     * group (the dedup family's canonical-min convention), DELETE the
-    * rest through [[GraftTable.deleteRows]]. One shuffle on the text
-    * hash; victims never collect to the driver; the delete path is the
-    * table's own (COW rewrite or MOR tombstone deltas). Returns the
-    * number of rows deleted (0 = no commit made). */
+    * rest through [[GraftTable.deleteRows]]. Rows whose `textCol` IS
+    * NULL are left untouched — null texts are not duplicates of each
+    * other (md5(null) is null, so without the filter the window would
+    * lump every null-text row into ONE group and delete all but one).
+    * One shuffle on the text hash; victims never collect to the
+    * driver; the delete path is the table's own (COW rewrite or MOR
+    * tombstone deltas). Returns the number of rows deleted (0 = no
+    * commit made). */
   def dedupExact(t: GraftTable, textCol: String): Long = {
     val idCols = Seq(t.config.keyField, t.config.orderingField) ++
       t.config.partitionField
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__h").orderBy(col(t.config.keyField).asc)
     val victims = t.read()
+      .filter(col(textCol).isNotNull)
       .withColumn("__h", md5(col(textCol)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") > 1)

@@ -1313,10 +1313,15 @@ case class PqAdcScoreSet(left: Expression, right: Expression,
   override def prettyName: String = "pq_adc_score_set"
 
   @transient private lazy val luts = PqAdcScoreSet.lutsFor(qvecs, books, subDim)
+  // one mapping-function instance per expression, NOT per scored row —
+  // computeIfAbsent's mapper argument is evaluated on every call, and
+  // this eval is the inner loop of the batch ADC scan
+  @transient private lazy val lutBuilder =
+    PqAdcScoreSet.build(qvecs, books, subDim)
 
   override protected def nullSafeEval(qidAny: Any, codesAny: Any): Any = {
     val qid = qidAny.asInstanceOf[Long]
-    val lut = luts.computeIfAbsent(qid, PqAdcScoreSet.build(qvecs, books, subDim))
+    val lut = luts.computeIfAbsent(qid, lutBuilder)
     val codes = codesAny.asInstanceOf[ArrayData]
     var s = 0.0
     var sub = 0

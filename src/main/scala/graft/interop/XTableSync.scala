@@ -325,14 +325,18 @@ object XTableSync {
     * after it. Every unsound shape fails loudly instead of replaying a
     * wrong live set:
     *  - multi-part checkpoints (`N.checkpoint.0000000001.0000000002
-    *    .parquet`) are refused — single-part only;
+    *    .parquet`, writers split at `delta.checkpoint.parts`) are READ
+    *    — all parts load and union before replay (each action row
+    *    lives in exactly one part); an INCOMPLETE part set is a
+    *    crashed writer's debris, ignored unless `_last_checkpoint`
+    *    names it, in which case it is refused loudly;
     *  - a `_last_checkpoint` naming a missing file is refused;
     *  - a GAP in the JSON chain (commits retention-cleaned without a
     *    covering checkpoint) is refused — replay would silently drop
     *    or resurrect files;
     *  - without a checkpoint the chain must start at version 0. */
   private final case class DeltaChain(
-      checkpoint: Option[(Long, java.nio.file.Path)],
+      checkpoint: Option[(Long, Seq[java.nio.file.Path])],
       jsons: Seq[(Long, java.nio.file.Path)]) {
     def lastVersion: Long =
       (checkpoint.map(_._1).toSeq ++ jsons.map(_._1)).max
@@ -345,34 +349,63 @@ object XTableSync {
       .filter(_.matches("\\d{20}\\.json")).sorted
       .map(n => n.stripSuffix(".json").toLong -> logDir.resolve(n))
 
+  private val multiPartCpRe =
+    "^(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet$".r
+
+  /** COMPLETE checkpoint part-sets per version under a log dir:
+    * single-part files plus multi-part groups with every part 1..n
+    * present under one consistent n. Incomplete groups (crash debris
+    * per the protocol — a checkpoint exists once all parts are down)
+    * are excluded here; [[deltaChain]] refuses them only when
+    * `_last_checkpoint` claims them. */
+  private def checkpointSets(names: Seq[String],
+      logDir: java.nio.file.Path): Map[Long, Seq[java.nio.file.Path]] = {
+    val multi = names.flatMap(n => multiPartCpRe.findFirstMatchIn(n)
+        .map(m => (m.group(1).toLong, m.group(2).toLong,
+          m.group(3).toLong, n)))
+      .groupBy(_._1).flatMap { case (v, parts) =>
+        val total = parts.head._3
+        val complete = parts.forall(_._3 == total) && total >= 1 &&
+          parts.map(_._2).toSet == (1L to total).toSet
+        if (complete)
+          Some(v -> parts.sortBy(_._2).map(p => logDir.resolve(p._4)))
+        else None
+      }
+    val single = names.collect {
+      case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
+        n.stripSuffix(".checkpoint.parquet").toLong ->
+          Seq(logDir.resolve(n))
+    }.toMap
+    // a version carrying both shapes reads from the single-part file
+    // (either is a complete reconciled state; one suffices)
+    multi ++ single
+  }
+
   private def deltaChain(root: String): DeltaChain = {
     val logDir = Paths.get(root, "_delta_log")
     require(Files.isDirectory(logDir), s"no _delta_log under $root")
     val names = graft.util.Fs.list(logDir)(
       _.map(_.getFileName.toString).toSeq)
-    require(!names.exists(_.matches(
-        "\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet")),
-      s"_delta_log under $root has a multi-part checkpoint — only " +
-      "single-part checkpoints are supported; write a single-part " +
-      "checkpoint from the source engine first")
-    val cpVersions = names.collect {
-      case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
-        n.stripSuffix(".checkpoint.parquet").toLong
-    }
+    val cpSets = checkpointSets(names, logDir)
     val cpVer: Option[Long] = if (names.contains("_last_checkpoint")) {
       val node = mapper.readTree(
         Files.readString(logDir.resolve("_last_checkpoint")))
-      require(!node.has("parts") || node.get("parts").asInt() <= 1,
-        s"_delta_log under $root has a multi-part checkpoint " +
-        s"(parts=${node.get("parts")}) — only single-part checkpoints " +
-        "are supported")
       val v = node.get("version").asLong()
-      require(cpVersions.contains(v),
-        s"_last_checkpoint under $root names version $v but " +
-        f"$v%020d.checkpoint.parquet is missing")
+      val declaredParts =
+        if (node.has("parts")) Some(node.get("parts").asLong()) else None
+      require(cpSets.contains(v),
+        s"_last_checkpoint under $root names version $v but no complete " +
+        s"checkpoint (single-part file or full multi-part set) for it " +
+        "exists — the log is damaged or a multi-part write was lost")
+      declaredParts.filter(_ > 1).foreach { p =>
+        require(cpSets(v).size == p,
+          s"_last_checkpoint under $root declares parts=$p for version " +
+          s"$v but ${cpSets(v).size} part(s) resolve — refusing a " +
+          "partial checkpoint read")
+      }
       Some(v)
-    } else cpVersions.maxOption
-    val cp = cpVer.map(v => v -> logDir.resolve(f"$v%020d.checkpoint.parquet"))
+    } else cpSets.keys.maxOption
+    val cp = cpVer.map(v => v -> cpSets(v))
     val floor = cpVer.getOrElse(-1L)
     val jsons = listJsonVersions(logDir).filter(_._1 > floor)
     jsons.map(_._1).zipWithIndex.foreach { case (v, i) =>
@@ -399,8 +432,11 @@ object XTableSync {
     * (removes before adds — a checkpoint is a reconciled state, so a
     * path tombstoned there cannot also be live there). */
   private def checkpointLines(spark: org.apache.spark.sql.SparkSession,
-      p: java.nio.file.Path): Seq[String] = {
-    val df = spark.read.parquet(p.toString)
+      ps: Seq[java.nio.file.Path]): Seq[String] = {
+    // multi-part checkpoints union before replay: each action row
+    // lives in exactly one part, so reading all parts as one relation
+    // IS the spec's reconciled state
+    val df = spark.read.parquet(ps.map(_.toString): _*)
     def part(colName: String): Seq[String] =
       if (df.columns.contains(colName))
         df.filter(col(colName).isNotNull)
@@ -416,12 +452,12 @@ object XTableSync {
     val chain = deltaChain(root)
     val cpLines = chain.checkpoint match {
       case None => Seq.empty[String]
-      case Some((v, p)) =>
+      case Some((v, ps)) =>
         val s = spark.getOrElse(throw new IllegalArgumentException(
           s"_delta_log under $root is checkpointed (version $v) — " +
           "replaying it reads the checkpoint parquet, which needs a " +
           "SparkSession: use replayDelta(root, spark) or adoptDelta"))
-        checkpointLines(s, p)
+        checkpointLines(s, ps)
     }
     cpLines ++ chain.jsons.filter(j => keepJson(j._1)).flatMap { case (_, f) =>
       Files.readAllLines(f).asScala.filter(_.nonEmpty)
@@ -439,7 +475,51 @@ object XTableSync {
       live: scala.collection.mutable.LinkedHashMap[String, String],
       tombstones: scala.collection.mutable.LinkedHashMap[String, String])
 
-  private def replayActions(lines: Seq[String]): DeltaReplay = {
+  /** Refuse to REPLAY actions whose row-level semantics this replay
+    * does not implement — the [[requireCheckpointable]] envelope
+    * applied to the read/adopt side. Without it, a real Delta table
+    * with deletion vectors (protocol (3,7), `add.deletionVector`) is
+    * adopted/read with its deleted rows RESURRECTED, and one with
+    * column mapping (`delta.columnMapping.mode=name`) has its physical
+    * parquet columns misread under logical names — both silently.
+    * Every other unsound shape in this module is refused loudly; so
+    * are these. */
+  private def requireReplayable(ctx: String,
+      a: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    def present(n: com.fasterxml.jackson.databind.JsonNode,
+        f: String): Boolean = n != null && n.has(f) && !n.get(f).isNull
+    Seq("add", "remove").foreach { k =>
+      if (present(a, k)) require(!present(a.get(k), "deletionVector"),
+        s"_delta_log under $ctx carries $k.deletionVector — replaying " +
+        "it without applying the vector would silently resurrect " +
+        "deleted rows; checkpoint/rewrite from the source engine first")
+    }
+    if (present(a, "protocol")) {
+      val p = a.get("protocol")
+      require(p.get("minReaderVersion").asInt() <= 1 &&
+          p.get("minWriterVersion").asInt() <= 2 &&
+          !present(p, "readerFeatures") && !present(p, "writerFeatures"),
+        s"_delta_log under $ctx declares protocol " +
+        s"${mapper.writeValueAsString(mapper.treeToValue(p, classOf[Object]))} " +
+        "— beyond the supported (minReaderVersion=1, minWriterVersion=2) " +
+        "envelope (deletion vectors, column mapping, and other table " +
+        "features change what a correct read means); checkpoint/rewrite " +
+        "from the source engine first")
+    }
+    if (present(a, "metaData")) {
+      val conf = a.get("metaData").get("configuration")
+      if (present(conf, "delta.columnMapping.mode"))
+        require(conf.get("delta.columnMapping.mode").asText() == "none",
+          s"_delta_log under $ctx sets delta.columnMapping.mode=" +
+          s"${conf.get("delta.columnMapping.mode").asText()} — physical " +
+          "parquet names differ from logical schema names and this " +
+          "replay reads parquet by name; rewrite from the source engine " +
+          "first")
+    }
+  }
+
+  private def replayActions(lines: Seq[String],
+      ctx: String = "(unknown root)"): DeltaReplay = {
     var schemaJson = ""
     var partCols = Seq.empty[String]
     var protocol: Option[String] = None
@@ -448,6 +528,7 @@ object XTableSync {
     val tombs = scala.collection.mutable.LinkedHashMap[String, String]()
     lines.foreach { line =>
       val a = mapper.readTree(line)
+      requireReplayable(ctx, a)
       if (a.has("protocol") && !a.get("protocol").isNull)
         protocol = Some(mapper.writeValueAsString(
           Map("protocol" -> mapper.treeToValue(a.get("protocol"), classOf[Object]))))
@@ -529,7 +610,7 @@ object XTableSync {
 
   private def replayDelta(root: String,
       spark: Option[org.apache.spark.sql.SparkSession]): DeltaState = {
-    val st = replayActions(deltaActionLines(root, spark))
+    val st = replayActions(deltaActionLines(root, spark), root)
     DeltaState(st.schemaJson, st.partCols, st.live.keys.toSeq)
   }
 
@@ -588,8 +669,11 @@ object XTableSync {
     * level before this writer re-checkpoints on top of it. */
   private def requireCheckpointSeedCarryable(
       spark: org.apache.spark.sql.SparkSession, root: String,
-      p: java.nio.file.Path): Unit = {
-    val df = spark.read.parquet(p.toString)
+      ps: Seq[java.nio.file.Path]): Unit = {
+    val df = spark.read.parquet(ps.map(_.toString): _*)
+    val p = ps.head.getParent.resolve(
+      if (ps.size == 1) ps.head.getFileName.toString
+      else s"${ps.head.getFileName} (+${ps.size - 1} parts)")
     if (df.columns.contains("txn"))
       require(df.filter(col("txn").isNotNull).isEmpty,
         s"checkpoint $p carries txn (setTransaction) rows this writer's " +
@@ -606,14 +690,29 @@ object XTableSync {
   }
 
   def checkpointDelta(spark: org.apache.spark.sql.SparkSession,
-      root: String): Long = {
+      root: String): Long = checkpointDelta(spark, root, parts = 1)
+
+  /** Multi-part variant (`delta.checkpoint.parts` in real writers):
+    * the reconciled action set splits into ≤ `parts` part files — at
+    * 100 TB a table's checkpoint is O(live files) rows and a single
+    * parquet becomes the bottleneck of every foreign mount; parts
+    * bound the file size and parallelize the reader's seed scan. Each
+    * action lands in exactly ONE part (the spec's only requirement);
+    * all parts share the explicit [[checkpointSchema]]. Fewer actions
+    * than `parts` writes fewer parts. `_last_checkpoint` declares the
+    * part count LAST, atomically — a crash mid-write leaves an
+    * incomplete set no reader consults (crash debris per
+    * [[checkpointSets]]). */
+  def checkpointDelta(spark: org.apache.spark.sql.SparkSession,
+      root: String, parts: Int): Long = {
+    require(parts >= 1, s"parts=$parts")
     val chain = deltaChain(root)
     val v = chain.lastVersion
-    chain.checkpoint.foreach { case (_, p) =>
-      requireCheckpointSeedCarryable(spark, root, p) }
+    chain.checkpoint.foreach { case (_, ps) =>
+      requireCheckpointSeedCarryable(spark, root, ps) }
     val rawLines = deltaActionLines(root, Some(spark))
     requireCheckpointable(root, rawLines)
-    val st = replayActions(rawLines)
+    val st = replayActions(rawLines, root)
     // a continued foreign log may have had its protocol action expired
     // with a previous checkpoint's JSONs; re-seed the default
     val protocol = st.protocolLine.getOrElse(mapper.writeValueAsString(
@@ -622,16 +721,33 @@ object XTableSync {
       st.tombstones.values.toSeq ++ st.live.values.toSeq
     val logDir = Paths.get(root, "_delta_log")
     import spark.implicits._
-    val tmpd = logDir.resolve(s".cp-tmp-${java.util.UUID.randomUUID()}")
-    spark.read.schema(checkpointSchema).json(spark.createDataset(lines))
-      .coalesce(1).write.parquet(tmpd.toString)
-    val part = graft.util.Fs.list(tmpd)(
-      _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
-    Files.move(part, logDir.resolve(f"$v%020d.checkpoint.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
-    graft.util.TempDirs.deleteRecursively(tmpd)
+    def writeOne(chunk: Seq[String], target: java.nio.file.Path): Unit = {
+      val tmpd = logDir.resolve(s".cp-tmp-${java.util.UUID.randomUUID()}")
+      spark.read.schema(checkpointSchema).json(spark.createDataset(chunk))
+        .coalesce(1).write.parquet(tmpd.toString)
+      val part = graft.util.Fs.list(tmpd)(
+        _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      graft.util.TempDirs.deleteRecursively(tmpd)
+    }
+    val lcJson =
+      if (parts == 1) {
+        writeOne(lines, logDir.resolve(f"$v%020d.checkpoint.parquet"))
+        s"""{"version":$v,"size":${lines.size}}"""
+      } else {
+        // round-robin deal: exactly min(parts, actions) part files,
+        // each action in exactly one part (the spec's only requirement)
+        val n = math.min(parts, lines.size)
+        val chunks = lines.zipWithIndex.groupBy(_._2 % n)
+          .toSeq.sortBy(_._1).map(_._2.map(_._1))
+        chunks.zipWithIndex.foreach { case (chunk, i) =>
+          writeOne(chunk, logDir.resolve(
+            f"$v%020d.checkpoint.${i + 1}%010d.$n%010d.parquet"))
+        }
+        s"""{"version":$v,"size":${lines.size},"parts":$n}"""
+      }
     val tmpf = logDir.resolve(s".tmp-lc-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmpf, s"""{"version":$v,"size":${lines.size}}""")
+    Files.writeString(tmpf, lcJson)
     Files.move(tmpf, logDir.resolve("_last_checkpoint"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     v
@@ -775,19 +891,16 @@ object XTableSync {
         // back to a complete 0..V JSON prefix.
         val logDir = Paths.get(root, "_delta_log")
         val jsons = listJsonVersions(logDir).filter(_._1 <= asOfVersion)
-        val seed = graft.util.Fs.list(logDir)(
-            _.map(_.getFileName.toString).toSeq)
-          .collect { case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
-            n.stripSuffix(".checkpoint.parquet").toLong }
-          .filter(_ <= asOfVersion).maxOption
+        val sets = checkpointSets(graft.util.Fs.list(logDir)(
+          _.map(_.getFileName.toString).toSeq), logDir)
+        val seed = sets.keys.filter(_ <= asOfVersion).maxOption
         val floor = seed.getOrElse(-1L)
         val tail = jsons.filter(_._1 > floor)
         require(tail.map(_._1) == (floor + 1).to(asOfVersion),
           s"version $asOfVersion of $root predates the checkpoint and " +
           "its JSON commits were retention-expired with no older " +
           "checkpoint covering them — that history is gone")
-        seed.toSeq.flatMap(v => checkpointLines(spark,
-          logDir.resolve(f"$v%020d.checkpoint.parquet"))) ++
+        seed.toSeq.flatMap(v => checkpointLines(spark, sets(v))) ++
           tail.flatMap { case (_, f) =>
             Files.readAllLines(f).asScala.filter(_.nonEmpty)
           }
@@ -795,7 +908,7 @@ object XTableSync {
         deltaActionLines(root, Some(spark),
           keepJson = v => v <= asOfVersion)
     }
-    val st = replayActions(lines)
+    val st = replayActions(lines, root)
     readDeltaState(spark, root,
       DeltaState(st.schemaJson, st.partCols, st.live.keys.toSeq))
   }
@@ -852,13 +965,40 @@ object XTableSync {
       .find(_.get("snapshot-id").asLong() == snapId)
       .getOrElse(throw new IllegalStateException(
         s"current-snapshot-id $snapId not in snapshots"))
+    // content gate (Iceberg v2 merge-on-read deletes): a DELETE
+    // manifest (manifest-list `content`=1) lists positional/equality
+    // delete files, and a data_file record with `content`=1/2 IS one.
+    // Treating either as data would adopt the delete file's rows as
+    // table rows AND ignore the deletes it encodes — the resurrection
+    // failure, silently. This reader implements content=0 only;
+    // anything else is refused loudly (absent field = v1 = data).
+    def contentOf(r: org.apache.avro.generic.GenericRecord): Int =
+      r.get("content") match {
+        case null => 0
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long => l.intValue()
+        case other => throw new IllegalStateException(
+          s"unreadable Iceberg content field: $other")
+      }
     for {
       m <- avroRecords(snap.get("manifest-list").asText())
+      _ = require(contentOf(m) == 0,
+        s"Iceberg table at $metaFile has a DELETE manifest " +
+        s"(content=${contentOf(m)}, ${m.get("manifest_path")}) — v2 " +
+        "merge-on-read deletes are not applied by this reader and " +
+        "ignoring them would resurrect deleted rows; rewrite the table " +
+        "(rewrite_data_files + rewrite_position_delete_files / compact) " +
+        "from the source engine first")
       e <- avroRecords(m.get("manifest_path").toString)
       if e.get("status").asInstanceOf[Int] != 2 // 2 = DELETED
-    } yield e.get("data_file")
-      .asInstanceOf[org.apache.avro.generic.GenericRecord]
-      .get("file_path").toString
+      df = e.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      _ = require(contentOf(df) == 0,
+        s"Iceberg table at $metaFile lists a delete file " +
+        s"(content=${contentOf(df)}, ${df.get("file_path")}) in a data " +
+        "manifest — v2 row-level deletes are not applied by this " +
+        "reader; rewrite from the source engine first")
+    } yield df.get("file_path").toString
   }
 
   /** Every METADATA file a `vN.metadata.json` references: each
@@ -922,9 +1062,17 @@ object XTableSync {
       .sortBy(_._1)
     if (versions.size <= keepVersions) return Nil
     val (drop, keep) = versions.splitAt(versions.size - keepVersions)
+    // every membership test below runs on NORMALIZED absolute paths:
+    // keepRefs come from metadata-JSON location strings (possibly
+    // file: URIs or relative spellings) while the orphan sweep lists
+    // the caller-supplied root — raw Path equality across those two
+    // producers can miss an equivalent-but-differently-spelled ref and
+    // delete a kept snapshot's live manifest avros
+    def norm(p: java.nio.file.Path): java.nio.file.Path =
+      p.toAbsolutePath.normalize
     val keepEx = keep.map { case (_, n) =>
       icebergMetadataRefsEx(metaDir.resolve(n)) }
-    val keepRefs = keepEx.flatMap(_._1).toSet
+    val keepRefs = keepEx.flatMap(_._1).map(norm).toSet
     val deleted = Seq.newBuilder[String]
     var brokenDropChain = false
     drop.foreach { case (_, n) =>
@@ -932,7 +1080,7 @@ object XTableSync {
       val (refs, missing) = icebergMetadataRefsEx(mf)
       if (missing) brokenDropChain = true
       refs.foreach { p =>
-        if (!keepRefs.contains(p) && Files.exists(p)) {
+        if (!keepRefs.contains(norm(p)) && Files.exists(p)) {
           Files.delete(p)
           deleted += p.toString
         }
@@ -957,7 +1105,7 @@ object XTableSync {
         "repair or re-sync before expiring")
       graft.util.Fs.list(metaDir)(
           _.filter(_.getFileName.toString.endsWith(".avro")).toSeq)
-        .filterNot(keepRefs.contains)
+        .filterNot(p => keepRefs.contains(norm(p)))
         .foreach { p => Files.delete(p); deleted += p.toString }
     }
     deleted.result()
@@ -993,6 +1141,21 @@ object XTableSync {
       root: String): org.apache.spark.sql.DataFrame = {
     val dataFiles = icebergLiveFiles(latestIcebergMetadataFile(root))
     spark.read.parquet(dataFiles: _*)
+  }
+
+  /** Iceberg time travel over the export — `VERSION AS OF` on the
+    * metadata lineage (the [[readDelta(spark*,asOfVersion*]] twin):
+    * the live file set as of `vN.metadata.json`. A version whose
+    * metadata file [[expireIcebergMetadata]] has dropped is GONE and
+    * refuses loudly — the contract real Iceberg readers apply to
+    * expired snapshots. */
+  def readIceberg(spark: org.apache.spark.sql.SparkSession,
+      root: String, version: Long): org.apache.spark.sql.DataFrame = {
+    val metaFile = Paths.get(root, "metadata", s"v$version.metadata.json")
+    require(Files.exists(metaFile),
+      s"no v$version.metadata.json under $root/metadata — that version " +
+      "does not exist or its metadata was retention-expired")
+    spark.read.parquet(icebergLiveFiles(metaFile): _*)
   }
 
   private def icebergType(dt: org.apache.spark.sql.types.DataType): String = {

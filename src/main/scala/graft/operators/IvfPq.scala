@@ -169,7 +169,10 @@ object IvfPq {
     * refreeze after renaming. The `_appends` journal CARRIES OVER to
     * the new index: every appended batch is folded into the retrain,
     * so a retried pre-refreeze batchId must still hit its `.done`
-    * marker (dropping the journal would double-append it). */
+    * marker (dropping the journal would double-append it). The journal
+    * is COPIED into the tmp build before the swap so it rides the
+    * renames atomically — no crash window leaves it only under
+    * `.old`, and a retry that clears stale `.old` cannot lose it. */
   def refreeze(spark: SparkSession, path: String): Pq.Codebooks = {
     import java.nio.file.{Files, Paths}
     val meta = IvfIndex.meta(path).getOrElse(
@@ -196,15 +199,24 @@ object IvfPq {
     if (Files.exists(tmp)) graft.util.TempDirs.deleteRecursively(tmp)
     val cb = build(corpus, idCol, vecCol, meta.nLists, cbOld.m, cbOld.k,
       tmp.toString)
+    // the journal travels WITH the swap: COPY it into tmp before any
+    // rename so there is no crash window in which it exists only under
+    // `.old` (a retried refreeze clears stale `.old` and would destroy
+    // it, letting a retried pre-refreeze batchId double-append)
+    if (Files.isDirectory(appDir))
+      graft.util.Fs.copyRecursively(appDir, tmp.resolve("_appends"))
     val old = Paths.get(s"$path.old")
-    if (Files.exists(old)) graft.util.TempDirs.deleteRecursively(old)
+    if (Files.exists(old)) {
+      // belt-and-braces for indexes swapped by older builds: never
+      // clobber a stale `.old` holding the ONLY copy of the journal
+      require(!Files.isDirectory(old.resolve("_appends")) ||
+          Files.isDirectory(appDir),
+        s"stale $old still holds the only _appends journal — restore it " +
+        s"(move $old/_appends under $path) before refreezing")
+      graft.util.TempDirs.deleteRecursively(old)
+    }
     Files.move(Paths.get(path), old)
     Files.move(tmp, Paths.get(path))
-    val oldJournal = old.resolve("_appends")
-    if (Files.isDirectory(oldJournal)) {
-      Files.move(oldJournal, Paths.get(path, "_appends"))
-      ()
-    }
     graft.util.TempDirs.deleteRecursively(old)
     cb
   }
@@ -312,8 +324,22 @@ object IvfPq {
   /** Single-query top-k: probe the `nProbe` coarse lists nearest the
     * query (driver-side over the nLists×dim centroid table), scan
     * ONLY those code partitions, ADC-score, TakeOrdered. */
+  /** LEFT-SEMI join a metadata-filter id set (one column) into a
+    * relation carrying `id` — the filter-BEFORE-ranking step every
+    * filtered retrieval path shares. Catalyst/AQE picks broadcast vs
+    * shuffle by the id set's runtime size. */
+  private def applyAllowed(rel: DataFrame,
+      allowed: Option[DataFrame]): DataFrame =
+    allowed.fold(rel) { a =>
+      require(a.columns.length == 1,
+        s"allowed must be a single id column, got ${a.columns.mkString(",")}")
+      rel.join(a.select(col(a.columns.head).cast("long").as("id")),
+        Seq("id"), "left_semi")
+    }
+
   def topK(spark: SparkSession, path: String, cb: Pq.Codebooks,
-      queryVec: Array[Double], k: Int, nProbe: Int): DataFrame = {
+      queryVec: Array[Double], k: Int, nProbe: Int,
+      allowed: Option[DataFrame] = None): DataFrame = {
     require(nProbe > 0, s"nProbe=$nProbe")
     val cents = spark.read.parquet(s"$path/centroids.parquet")
       .orderBy("list").collect()
@@ -323,8 +349,8 @@ object IvfPq {
       while (j < c.length) { val t = queryVec(j) - c(j); d += t * t; j += 1 }
       (list, d)
     }.sortBy { case (list, d) => (d, list) }.take(nProbe).map(_._1)
-    val codes = spark.read.parquet(s"$path/pq_codes")
-      .filter(col("list").isin(probed.toIndexedSeq: _*))
+    val codes = applyAllowed(spark.read.parquet(s"$path/pq_codes")
+      .filter(col("list").isin(probed.toIndexedSeq: _*)), allowed)
     Pq.adcTopK(codes, "id", cb, queryVec, k)
   }
 
@@ -370,33 +396,88 @@ object IvfPq {
     * Same exactness contract as [[topKRerank]], per query: with
     * `candidates` ≫ k the result equals exact search over that
     * query's probed lists. Duplicate query ids are refused (they
-    * would silently merge candidate pools). */
+    * would silently merge candidate pools).
+    *
+    * Query sets past `maxQueries` are CHUNKED by the engine: the
+    * query table splits into ≤ maxQueries passes and the union of
+    * per-pass results is returned — exact, because per-query results
+    * are independent (the cap stays the per-PASS broadcast bound).
+    * Each pass's query vectors ride in their own broadcast, all of
+    * which stay referenced by the returned plan, so total Q is still
+    * driver-bounded: past `maxQueries × 256` passes the call refuses
+    * loudly — an unbounded query stream belongs on
+    * [[topKBatchStream]], which pays one pass per epoch.
+    *
+    * METADATA FILTERING (`allowed`): production retrieval is almost
+    * always "top-k WHERE lang='en' AND split='train'". Pass the
+    * filter-surviving id set (one column, the corpus ids that satisfy
+    * the predicate — `corpus.filter(pred).select(id)`); it LEFT-SEMI
+    * joins into the pruned codes scan BEFORE candidate ranking, so
+    * every candidate slot and every returned row satisfies the
+    * predicate — no over-fetch-and-post-filter. The re-rank pass
+    * inherits the filter for free (its candidate set is already
+    * filter-surviving). Catalyst picks broadcast vs shuffle semi-join
+    * by the id set's size — a selective filter broadcasts, a
+    * half-corpus filter shuffles once on id. RECALL CONTRACT: the
+    * result is the exact top-k among filter-surviving rows WITHIN the
+    * probed lists; a highly selective filter thins each probed list,
+    * so raise nProbe to hold recall (the standard pre-filtered IVF
+    * trade — filtering never widens the probe). */
   def topKBatch(queries: DataFrame, qidCol: String, qvecCol: String,
       path: String, cb: Pq.Codebooks, k: Int, nProbe: Int,
-      candidates: Int, maxQueries: Int = 4096): DataFrame = {
+      candidates: Int, maxQueries: Int = 4096,
+      allowed: Option[DataFrame] = None, maxPasses: Int = 256): DataFrame = {
     require(nProbe > 0, s"nProbe=$nProbe")
     require(k > 0, s"k=$k")
     require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    require(maxQueries > 0, s"maxQueries=$maxQueries")
+    require(maxPasses > 0, s"maxPasses=$maxPasses")
+    // qid-only collect: 8 bytes per query, the chunk planner's input
+    val qids = queries.select(col(qidCol).cast("long"))
+      .limit(maxQueries * maxPasses + 1).collect().map(_.getLong(0))
+    require(qids.length <= maxQueries * maxPasses,
+      s"topKBatch: more than maxQueries*maxPasses=" +
+      s"${maxQueries * maxPasses} queries — every pass's query vectors " +
+      "stay broadcast-referenced by the returned plan, so total Q is " +
+      "driver-bounded; serve an unbounded query stream with " +
+      "topKBatchStream (one pass per epoch) instead")
+    require(qids.nonEmpty, "topKBatch: empty query table")
+    require(qids.distinct.length == qids.length,
+      "topKBatch: duplicate query ids — each qid must be unique or the " +
+      "per-query candidate pools silently merge")
+    // the O(nLists) centroid table loads ONCE, shared by every pass
+    val cents = queries.sparkSession.read
+      .parquet(s"$path/centroids.parquet")
+      .orderBy("list").collect()
+      .map(r => r.getInt(0) -> r.getAs[Seq[Double]]("centroid").toArray)
+    if (qids.length <= maxQueries)
+      topKBatchPass(queries, qidCol, qvecCol, path, cb, cents, k, nProbe,
+        candidates, allowed)
+    else
+      // engine-side chunking: per-query results are independent, so
+      // the union of ≤ maxQueries passes IS the unchunked answer
+      qids.sorted.grouped(maxQueries).map { chunk =>
+        topKBatchPass(queries.filter(col(qidCol).cast("long")
+            .isin(chunk.toIndexedSeq: _*)), qidCol, qvecCol, path, cb,
+          cents, k, nProbe, candidates, allowed)
+      }.reduce(_.unionByName(_))
+  }
+
+  /** One ≤-maxQueries pass — the single-broadcast plan described on
+    * [[topKBatch]]. */
+  private def topKBatchPass(queries: DataFrame, qidCol: String,
+      qvecCol: String, path: String, cb: Pq.Codebooks,
+      cents: Array[(Int, Array[Double])], k: Int,
+      nProbe: Int, candidates: Int, allowed: Option[DataFrame]): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val qRows = queries
       .select(col(qidCol).cast("long").as("qid"),
         col(qvecCol).cast("array<double>").as("qvec"))
-      .limit(maxQueries + 1).collect()
-    require(qRows.length <= maxQueries,
-      s"topKBatch collected more than maxQueries=$maxQueries queries — " +
-      "the query set is driver-broadcast; raise the cap deliberately or " +
-      "split the query table into passes")
-    require(qRows.nonEmpty, "topKBatch: empty query table")
+      .collect()
     val qs = qRows.map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-    require(qs.map(_._1).distinct.length == qs.length,
-      "topKBatch: duplicate query ids — each qid must be unique or the " +
-      "per-query candidate pools silently merge")
     qs.foreach { case (qid, v) => require(v.length == cb.dim,
       s"query $qid is ${v.length}-dim; index codebooks are ${cb.dim}-dim") }
-    val cents = spark.read.parquet(s"$path/centroids.parquet")
-      .orderBy("list").collect()
-      .map(r => r.getInt(0) -> r.getAs[Seq[Double]]("centroid").toArray)
     // per-query probed lists: Q × nLists × dim flops on the driver —
     // metadata-scale, same table the single-query path loads anyway
     val pairs: Array[(Long, Int)] = qs.flatMap { case (qid, v) =>
@@ -410,8 +491,12 @@ object IvfPq {
     val unionLists = pairs.map(_._2).distinct.toIndexedSeq
     val bcQ = spark.sparkContext.broadcast(qs.toMap)
     val pairsDf = pairs.toSeq.toDF("qid", "list")
-    val scored = spark.read.parquet(s"$path/pq_codes")
-      .filter(col("list").isin(unionLists: _*))
+    // metadata filter: semi-join the surviving id set BEFORE ranking
+    // so candidate slots are never spent on filtered-out rows
+    val filteredCodes = applyAllowed(
+      spark.read.parquet(s"$path/pq_codes")
+        .filter(col("list").isin(unionLists: _*)), allowed)
+    val scored = filteredCodes
       .join(broadcast(pairsDf), Seq("list"))
       .select(col("qid"), col("id"),
         graft.functions.GraftExpressions.pq_adc_score_set(
@@ -451,14 +536,18 @@ object IvfPq {
   def topKBatchStream(queries: DataFrame, qidCol: String, qvecCol: String,
       path: String, cb: Pq.Codebooks, k: Int, nProbe: Int,
       candidates: Int, checkpointDir: String, outPath: String,
-      maxQueries: Int = 4096)
+      maxQueries: Int = 4096,
+      allowed: Option[DataFrame] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, epoch: Long) =>
         if (!df.isEmpty) {
+          // `allowed` (the metadata-filter id set) is re-evaluated per
+          // epoch — a filter over a live corpus table serves each
+          // epoch against the corpus state at that epoch
           topKBatch(df, qidCol, qvecCol, path, cb, k, nProbe,
-              candidates, maxQueries)
+              candidates, maxQueries, allowed)
             .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
           ()
         }
@@ -467,7 +556,7 @@ object IvfPq {
 
   def topKRerank(spark: SparkSession, path: String, cb: Pq.Codebooks,
       queryVec: Array[Double], k: Int, nProbe: Int,
-      candidates: Int): DataFrame = {
+      candidates: Int, allowed: Option[DataFrame] = None): DataFrame = {
     require(candidates >= k, s"candidates=$candidates must be >= k=$k")
     val cents = spark.read.parquet(s"$path/centroids.parquet")
       .orderBy("list").collect()
@@ -478,8 +567,8 @@ object IvfPq {
       (list, d)
     }.sortBy { case (list, d) => (d, list) }.take(nProbe).map(_._1)
     val cand = Pq.adcTopK(
-      spark.read.parquet(s"$path/pq_codes")
-        .filter(col("list").isin(probed.toIndexedSeq: _*)),
+      applyAllowed(spark.read.parquet(s"$path/pq_codes")
+        .filter(col("list").isin(probed.toIndexedSeq: _*)), allowed),
       "id", cb, queryVec, candidates).select("id")
     val q = array(queryVec.toIndexedSeq.map(lit): _*)
     val exact = expr(

@@ -356,7 +356,8 @@ object Similarity {
       s"mmrSelect k=$k exceeds maxK=$maxK — the greedy loop is k " +
       "sequential driver-scheduled scans with the selected set as plan " +
       "literals (O(k²·dim) score work); raise maxK deliberately only if " +
-      "that envelope fits, or pre-cluster and run MMR per cluster")
+      "that envelope fits, or use mmrSelectClustered (one bounded pool " +
+      "pass, exact over the pool, k-independent plan)")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda")
     val spark = candidates.sparkSession
     val qLit = array(queryVec.map(lit).toIndexedSeq: _*)
@@ -395,6 +396,182 @@ object Similarity {
       import spark.implicits._
       sel.zipWithIndex
         .map { case ((id, _, score), i) => ((i + 1).toLong, id, score) }.toSeq
+        .toDF("rank", "vec_id", "score")
+    } finally { base.unpersist(); () }
+  }
+
+  /** [[graft.functions.CosineSim]]'s exact arithmetic, driver-local:
+    * one sequential fold accumulating sab/saa/sbb, then
+    * `sab / (sqrt(saa) * sqrt(sbb))` — the identical IEEE op sequence,
+    * so [[mmrSelectClustered]]'s scores hash-match [[mmrSelect]]'s
+    * (and the p78 oracle's) bit for bit. */
+  private def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    var sab = 0.0; var saa = 0.0; var sbb = 0.0; var i = 0
+    while (i < a.length) {
+      sab += a(i) * b(i); saa += a(i) * a(i); sbb += b(i) * b(i); i += 1
+    }
+    sab / (math.sqrt(saa) * math.sqrt(sbb))
+  }
+
+  private def widen(v: Seq[Any]): Array[Double] = v.map {
+    case f: Float => f.toDouble
+    case d: Double => d
+  }.toArray
+
+  /** Driver-local Lloyd over a BOUNDED deterministic sample (≤ 256
+    * vectors per cluster — the [[IvfIndex.build]] training budget,
+    * collected instead of shuffled because the sample is KBs–MBs):
+    * seeds are the lowest-id sample vectors, empty clusters keep their
+    * previous centroid, fixed iteration count ⇒ fully deterministic. */
+  private def kmeansLocal(base: DataFrame, numClusters: Int,
+      iterations: Int = 4): Array[Array[Double]] = {
+    val target = 256L * numClusters
+    val cnt = base.count()
+    val trainDf =
+      if (cnt <= target) base
+      else Curation.deterministicSample(base, "vec_id",
+        target.toDouble / cnt)
+    val train = trainDf.orderBy("vec_id")
+      .select(col("vec").cast("array<double>"))
+      .limit((target * 2).toInt).collect().map(_.getSeq[Double](0).toArray)
+    require(train.nonEmpty, "mmrSelectClustered: empty candidate set")
+    var cents = train.take(numClusters)
+    var iter = 0
+    while (iter < iterations) {
+      val sums = Array.fill(cents.length)(
+        new Array[Double](train.head.length))
+      val ns = new Array[Long](cents.length)
+      train.foreach { v =>
+        var bi = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var j = 0
+          val ct = cents(c)
+          while (j < v.length) { val t = v(j) - ct(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; bi = c }
+          c += 1
+        }
+        var j = 0
+        while (j < v.length) { sums(bi)(j) += v(j); j += 1 }
+        ns(bi) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (ns(c) == 0) cents(c)
+        else sums(c).map(_ / ns(c))
+      }.toArray
+      iter += 1
+    }
+    cents
+  }
+
+  /** MMR past the [[mmrSelect]] envelope — the documented alternative
+    * the `maxK` guard points at. [[mmrSelect]] is k sequential
+    * driver-scheduled scans with the selected set as plan literals:
+    * exact, but O(k²·dim) score work and k jobs — a wall near k ≈ 100
+    * (~20 s at k=100 over 2k candidates, BASELINE.md). This version
+    * inverts the shape: the CORPUS work becomes one bounded pass, and
+    * the greedy's sequential dependency runs driver-local over a
+    * bounded pool — zero jobs per pick.
+    *
+    *  1. score relevance (`simq`) map-only;
+    *  2. cluster candidates with a driver-trained k-means table
+    *     (map-only assignment, plan-literal centroids — no shuffle);
+    *  3. keep the top `poolPerCluster` per cluster BY RELEVANCE
+    *     (one window shuffle, WindowGroupLimit-pruned) — the cluster
+    *     stratification is what keeps the pool DIVERSE: top-N by
+    *     relevance alone could be one dense near-duplicate blob, while
+    *     top-N per cluster guarantees every region of the candidate
+    *     space keeps representatives;
+    *  4. collect the pool (≤ numClusters × poolPerCluster rows,
+    *     loud-capped at `maxPool`) and run the EXACT greedy locally —
+    *     same arithmetic, same tie-breaks as [[mmrSelect]].
+    *
+    * EXACTNESS CONTRACT: when the pool covers every candidate
+    * (numClusters × poolPerCluster ≥ candidate count — in particular
+    * `numClusters = 1` with a full pool, the p85 gate), the result is
+    * IDENTICAL to [[mmrSelect]], scores bit-for-bit. With a bounded
+    * pool the greedy is exact over the pool — the approximation is
+    * only in what the pool admits, and it admits the relevance top of
+    * every cluster. At 100 TB: one corpus scan + one bounded window
+    * shuffle, independent of k. */
+  def mmrSelectClustered(candidates: DataFrame, idCol: String,
+      vecCol: String, queryVec: Array[Double], k: Int,
+      lambda: Double = 0.5, numClusters: Int = 8,
+      poolPerCluster: Int = 1024, maxPool: Int = 1 << 16): DataFrame = {
+    require(k >= 1, s"k=$k")
+    require(numClusters >= 1, s"numClusters=$numClusters")
+    require(poolPerCluster >= 1, s"poolPerCluster=$poolPerCluster")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda")
+    require(numClusters.toLong * poolPerCluster <= maxPool,
+      s"mmrSelectClustered pool bound ${numClusters}x$poolPerCluster " +
+      s"exceeds maxPool=$maxPool — the pool is driver-collected; shrink " +
+      "the pool or raise maxPool deliberately")
+    require(numClusters.toLong * poolPerCluster >= k,
+      s"pool ${numClusters}x$poolPerCluster cannot hold k=$k picks")
+    val spark = candidates.sparkSession
+    val qLit = array(queryVec.map(lit).toIndexedSeq: _*)
+    val base = candidates
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("vec"))
+      .withColumn("simq", cosine(col("vec"), qLit))
+      .persist()
+    try {
+      val assigned =
+        if (numClusters == 1) base.withColumn("cl", lit(0))
+        else {
+          val table = kmeansLocal(base, numClusters)
+          base.withColumn("cl", element_at(graft.functions
+            .GraftExpressions.nearest_centroids(col("vec"), table, 1), 1))
+        }
+      val pool = assigned
+        .withColumn("prnk", row_number().over(Window.partitionBy("cl")
+          .orderBy(col("simq").desc, col("vec_id").asc)))
+        .filter(col("prnk") <= poolPerCluster)
+        .select("vec_id", "vec", "simq")
+        .collect()
+        .map(r => (r.getLong(0), widen(r.getSeq[Any](1)), r.getDouble(2)))
+      // exact greedy over the pool — mmrSelect's loop without the
+      // jobs. Each candidate carries a RUNNING max-similarity-to-
+      // selected (updated once per pick), so total work is
+      // O(k·pool·dim) cosines, not O(k²·pool·dim) — max accumulation
+      // is exact, so scores still match mmrSelect bit for bit.
+      // NegativeInfinity = "no selected neighbor yet"; the FIRST round
+      // scores against 0.0 (mmrSelect's lit(0.0)), later rounds against
+      // the true running max — which may be negative, so no 0-clamp
+      val maxSel = Array.fill(pool.length)(Double.NegativeInfinity)
+      val takenFlag = Array.fill(pool.length)(false)
+      val sel = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+      var picked = 0
+      while (picked < k && picked < pool.length) {
+        var bestI = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < pool.length) {
+          if (!takenFlag(i)) {
+            val ms = if (picked == 0) 0.0 else maxSel(i)
+            val score = lambda * pool(i)._3 - (1.0 - lambda) * ms
+            if (score > bestScore ||
+                (score == bestScore && (bestI < 0 ||
+                  pool(i)._1 < pool(bestI)._1))) {
+              bestScore = score; bestI = i
+            }
+          }
+          i += 1
+        }
+        takenFlag(bestI) = true
+        sel += ((pool(bestI)._1, bestScore))
+        val pv = pool(bestI)._2
+        i = 0
+        while (i < pool.length) {
+          if (!takenFlag(i)) {
+            val c = cosineLocal(pool(i)._2, pv)
+            if (c > maxSel(i)) maxSel(i) = c
+          }
+          i += 1
+        }
+        picked += 1
+      }
+      import spark.implicits._
+      sel.zipWithIndex
+        .map { case ((id, score), i) => ((i + 1).toLong, id, score) }.toSeq
         .toDF("rank", "vec_id", "score")
     } finally { base.unpersist(); () }
   }

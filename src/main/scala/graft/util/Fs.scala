@@ -22,4 +22,17 @@ object Fs {
   /** Materialized variants for the common list-then-iterate shape. */
   def listSeq(d: Path): Seq[Path] = list(d)(_.toSeq)
   def walkSeq(d: Path): Seq[Path] = walk(d)(_.toSeq)
+
+  /** Recursive file copy (src dir → dst dir, created as needed).
+    * Existing files at the destination are replaced. */
+  def copyRecursively(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    walk(src)(_.filter(Files.isRegularFile(_)).foreach { p =>
+      val target = dst.resolve(src.relativize(p))
+      Files.createDirectories(target.getParent)
+      Files.copy(p, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    })
+  }
 }

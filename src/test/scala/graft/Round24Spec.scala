@@ -172,8 +172,8 @@ class Round24Spec extends AnyFunSuite {
   }
 
   test("unsound _delta_log shapes are refused loudly: version gaps, " +
-      "multi-part checkpoints, _last_checkpoint naming a missing file, " +
-      "expire without a checkpoint") {
+      "incomplete multi-part debris ignored, _last_checkpoint naming a " +
+      "missing checkpoint, expire without a checkpoint") {
     val root = tmp("bad") + "/dsrc"
     foreignDelta(root)
     // expire before any checkpoint exists
@@ -184,22 +184,22 @@ class Round24Spec extends AnyFunSuite {
     Files.delete(Paths.get(root, "_delta_log", f"${0L}%020d.json"))
     val e1 = intercept[IllegalArgumentException](XTableSync.replayDelta(root))
     assert(e1.getMessage.contains("missing version 0"))
-    // multi-part checkpoint name
+    // an INCOMPLETE multi-part set (part 1-of-2 only) not named by
+    // _last_checkpoint is a crashed writer's debris: ignored, replay
+    // proceeds from the JSON chain (complete sets are READ — Round26Spec)
     val root2 = tmp("mp") + "/dsrc"
     foreignDelta(root2)
     Files.write(Paths.get(root2, "_delta_log",
       f"${1L}%020d.checkpoint.0000000001.0000000002.parquet"), Array[Byte]())
-    val e2 = intercept[IllegalArgumentException](
-      XTableSync.replayDelta(root2, spark))
-    assert(e2.getMessage.contains("multi-part"))
-    // _last_checkpoint pointing at a version with no checkpoint file
+    assert(XTableSync.replayDelta(root2, spark).liveFiles.nonEmpty)
+    // _last_checkpoint pointing at a version with no complete checkpoint
     val root3 = tmp("lc") + "/dsrc"
     foreignDelta(root3)
     Files.writeString(Paths.get(root3, "_delta_log", "_last_checkpoint"),
       """{"version":1,"size":3}""")
     val e3 = intercept[IllegalArgumentException](
       XTableSync.replayDelta(root3, spark))
-    assert(e3.getMessage.contains("missing"))
+    assert(e3.getMessage.contains("no complete checkpoint"))
   }
 
   test("expireIcebergMetadata keeps the newest versions' manifest " +

@@ -271,8 +271,9 @@ class Round25Spec extends AnyFunSuite {
       "row_number <= k must plan a WindowGroupLimit, not a full sort")
   }
 
-  test("topKBatch guards: duplicate query ids and an over-cap query " +
-      "table are refused loudly") {
+  test("topKBatch guards: duplicate query ids refused loudly; past " +
+      "maxQueries the engine chunks (Round26Spec), and only past " +
+      "maxQueries x maxPasses does it refuse") {
     val (base, p, cb) = batchFixture("batchguard")
     val dup = base.filter($"id" <= 2)
       .union(base.filter($"id" === 1))
@@ -280,10 +281,23 @@ class Round25Spec extends AnyFunSuite {
       IvfPq.topKBatch(dup, "id", "embedding", p, cb,
         k = 2, nProbe = 2, candidates = 4))
     assert(e1.getMessage.contains("duplicate"))
+    // over-cap now CHUNKS into passes instead of refusing: 10 queries
+    // at maxQueries=5 answer identically to one uncapped pass
+    val chunked = IvfPq.topKBatch(base.filter($"id" <= 10), "id",
+        "embedding", p, cb, k = 2, nProbe = 2, candidates = 4,
+        maxQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val onePass = IvfPq.topKBatch(base.filter($"id" <= 10), "id",
+        "embedding", p, cb, k = 2, nProbe = 2, candidates = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(chunked == onePass)
+    // the TOTAL bound (maxQueries x 256 passes) still refuses loudly —
+    // every pass's broadcast stays referenced by the returned plan
     val e2 = intercept[IllegalArgumentException](
       IvfPq.topKBatch(base.filter($"id" <= 10), "id", "embedding", p, cb,
-        k = 2, nProbe = 2, candidates = 4, maxQueries = 5))
-    assert(e2.getMessage.contains("maxQueries"))
+        k = 2, nProbe = 2, candidates = 4, maxQueries = 5,
+        maxPasses = 1))
+    assert(e2.getMessage.contains("maxPasses"))
   }
 
   test("topKBatchStream: streamed query micro-batches answer per epoch, " +
