@@ -435,8 +435,13 @@ object XTableSync {
       ps: Seq[java.nio.file.Path]): Seq[String] = {
     // multi-part checkpoints union before replay: each action row
     // lives in exactly one part, so reading all parts as one relation
-    // IS the spec's reconciled state
-    val df = spark.read.parquet(ps.map(_.toString): _*)
+    // IS the spec's reconciled state. mergeSchema: without it parquet
+    // resolves the relation from ONE part's footer, and a foreign
+    // writer whose parts carry different column subsets (legal — a
+    // part holding only adds need not spell the remove struct) would
+    // have whole action classes silently DROPPED from the replay
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(ps.map(_.toString): _*)
     def part(colName: String): Seq[String] =
       if (df.columns.contains(colName))
         df.filter(col(colName).isNotNull)
@@ -670,7 +675,8 @@ object XTableSync {
   private def requireCheckpointSeedCarryable(
       spark: org.apache.spark.sql.SparkSession, root: String,
       ps: Seq[java.nio.file.Path]): Unit = {
-    val df = spark.read.parquet(ps.map(_.toString): _*)
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(ps.map(_.toString): _*)
     val p = ps.head.getParent.resolve(
       if (ps.size == 1) ps.head.getFileName.toString
       else s"${ps.head.getFileName} (+${ps.size - 1} parts)")

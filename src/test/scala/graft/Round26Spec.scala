@@ -217,9 +217,9 @@ class Round26Spec extends AnyFunSuite {
   }
 
   private def writeCpPart(root: String, ver: Long, part: Int, of: Int,
-      lines: Seq[String]): Unit = {
+      lines: Seq[String], schema: StructType = cpSchema): Unit = {
     val tmpd = Paths.get(root, s".cp-${java.util.UUID.randomUUID()}")
-    spark.read.schema(cpSchema).json(spark.createDataset(lines))
+    spark.read.schema(schema).json(spark.createDataset(lines))
       .coalesce(1).write.parquet(tmpd.toString)
     val f = graft.util.Fs.list(tmpd)(
       _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
@@ -296,6 +296,29 @@ class Round26Spec extends AnyFunSuite {
     t.upsert(Seq((4L, 3L, 4.0)).toDF("id", "ts", "score"))
     XTableSync.syncDelta(t)
     assert(state(XTableSync.readDelta(spark, root)) == want + ((4L, 3L, 4.0)))
+  }
+
+  test("multi-part parts with DIFFERENT column subsets still replay " +
+      "completely (mergeSchema — one part's footer must never drop " +
+      "another part's action class)") {
+    val root = tmp("mphetero")
+    Files.createDirectories(Paths.get(root, "_delta_log"))
+    val s1 = writeData(root, "f1.parquet", Seq((1L, 2L, 1.0), (2L, 2L, 2.0)))
+    // part 1 spells ONLY protocol+metaData; part 2 ONLY remove+add —
+    // a legal foreign layout (each action in exactly one part)
+    val metaOnly = StructType(cpSchema.filter(f =>
+      f.name == "protocol" || f.name == "metaData"))
+    val fileOnly = StructType(cpSchema.filter(f =>
+      f.name == "remove" || f.name == "add"))
+    writeCpPart(root, 1L, 1, 2, Seq(protocol12, metaLine()), metaOnly)
+    writeCpPart(root, 1L, 2, 2, Seq(
+      """{"remove":{"path":"f0.parquet","deletionTimestamp":2,"dataChange":true}}""",
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$s1,"modificationTime":2,"dataChange":true}}"""),
+      fileOnly)
+    Files.writeString(Paths.get(root, "_delta_log", "_last_checkpoint"),
+      """{"version":1,"size":4,"parts":2}""")
+    assert(state(XTableSync.readDelta(spark, root)) ==
+      Set((1L, 2L, 1.0), (2L, 2L, 2.0)))
   }
 
   test("an INCOMPLETE multi-part set named by _last_checkpoint is " +
@@ -413,10 +436,30 @@ class Round26Spec extends AnyFunSuite {
       codesPerSub = 108, path = p)
     val allowed = corpus.filter($"id" % 2 === 0).select("id")
     val queries = corpus.filter($"id" === 1L)
-    val got = IvfPq.topKBatch(queries, "id", "embedding", p, cb,
+    val res = IvfPq.topKBatch(queries, "id", "embedding", p, cb,
         k = 5, nProbe = 2, candidates = 5, // NO over-fetch headroom
         allowed = Some(allowed))
-      .select("neighbor_id").as[Long].collect().toSeq
+    val got = res.orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    // plan-level: the semi join must sit BELOW the candidate-ranking
+    // window — filter-then-rank, never rank-then-filter. AQE-aware
+    // walk (the Round25Spec flatten): descend through adaptive/stage
+    // boundaries, which plain .children does not cross.
+    def flatten(n: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = n match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: flatten(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        r +: flatten(r.child)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val plan = flatten(res.queryExecution.executedPlan)
+    val windows = plan.filter(_.nodeName.contains("WindowGroupLimit"))
+    assert(windows.nonEmpty, "candidate ranking must plan WindowGroupLimit")
+    assert(windows.exists(w => flatten(w).exists(n =>
+        n.toString.contains("LeftSemi"))),
+      "the allowed-id semi join must be a descendant of the ranking window")
     // brute-force filtered top-k, driver-side
     val all = corpus.as[(Long, Seq[Double])].collect()
     val q = all.find(_._1 == 1L).get._2
