@@ -68,6 +68,19 @@ object ProfileQuerySet {
           k = 10, nProbe = 4, candidates = 40).count()
       }
     }
+    // filtered retrieval: selective (1/10 survives — AQE broadcasts
+    // the id set) vs broad (1/2 — the semi join shuffles); both must
+    // stay within the same order as the unfiltered pass
+    Seq(("selective 1/10", 10L), ("broad 1/2", 2L)).foreach {
+      case (label, mod) =>
+        val allowed = embs.filter(col("vec_id") % mod === 0L)
+          .select("vec_id")
+        time(s"topKBatch FILTERED ($label, $nQ queries)") {
+          graft.operators.IvfPq.topKBatch(queries, "vec_id", "embedding",
+            p, cb, k = 10, nProbe = 4, candidates = 40,
+            allowed = Some(allowed)).count()
+        }
+    }
     val q0 = qVecs.head
     time(s"mmrSelect k=$mmrK over $n candidates") {
       graft.operators.Similarity.mmrSelect(embs, "vec_id", "embedding",

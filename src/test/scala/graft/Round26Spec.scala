@@ -539,4 +539,75 @@ class Round26Spec extends AnyFunSuite {
     assert(t.read().select("id").as[Long].collect().toSet ==
       Set(1L, 2L, 4L, 7L))
   }
+
+  test("dedupExact races a concurrent writer under OCC: both land " +
+      "with retry-on-conflict, no lost commits, no surviving dups") {
+    val root = tmp("occdedup")
+    val t0 = GraftTable.create(spark, root, TableConfig(
+      name = "occdedup", keyField = "id", orderingField = "ts",
+      numBuckets = 2))
+    t0.insert(Seq(
+      (1L, 1L, "aaa"), (2L, 1L, "bbb"), (3L, 1L, "aaa"),
+      (4L, 1L, "ccc"), (5L, 1L, "bbb"), (6L, 1L, "aaa"))
+      .toDF("id", "ts", "text"))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def retrying(tag: String)(op: GraftTable => Unit): Thread =
+      new Thread(() => {
+        try {
+          val t = GraftTable.load(spark, root)
+          var done = false
+          var tries = 0
+          while (!done) {
+            try { op(t); done = true }
+            catch {
+              case _: graft.core.ConcurrentWriteException =>
+                tries += 1
+                if (tries > 50) throw new IllegalStateException(
+                  s"$tag starved after $tries conflicts")
+            }
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    val threads = Seq(
+      // the curation service is an ordinary OCC writer: a conflicting
+      // commit mid-delete surfaces as ConcurrentWriteException and the
+      // caller replans from a fresh snapshot, like any writer
+      retrying("curation") { t =>
+        TableServices.dedupExact(t, "text"); () },
+      retrying("writer") { t =>
+        t.upsert(Seq((7L, 2L, "ddd"), (8L, 2L, "eee"))
+          .toDF("id", "ts", "text")) })
+    threads.foreach(_.start())
+    threads.foreach(_.join(180000))
+    assert(failures.isEmpty, s"failures: ${failures.toArray.mkString("; ")}")
+    val t = GraftTable.load(spark, root)
+    // keep-min survivors of the planted dups + the writer's new keys —
+    // the unique final state whatever order the race resolved in
+    assert(t.read().select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L, 7L, 8L))
+    assert(graft.core.Validation.duplicateKeys(t).isEmpty)
+  }
+
+  test("dedupFuzzy victims tombstone correctly on a MOR table under " +
+      "the same schedule -> dedup -> run interleaving") {
+    val t = GraftTable.create(spark, tmp("morfuzzy"), TableConfig(
+      name = "morfuzzy", keyField = "id", orderingField = "ts",
+      tableType = TableConfig.Mor, numBuckets = 2))
+    // near-duplicate pairs share long word runs; singles are unique
+    def doc(seed: String) = (1 to 30).map(i => s"$seed$i").mkString(" ")
+    t.insert(Seq(
+      (1L, 1L, doc("a") + " tail1"), (2L, 1L, doc("b"))).toDF("id", "ts", "text"))
+    t.upsert(Seq(
+      (3L, 2L, doc("a") + " tail2"), // near-dup of 1 (shares 30-word run)
+      (4L, 2L, doc("c"))).toDF("id", "ts", "text"))
+    val plan = TableServices.scheduleCompaction(t)
+    assert(plan.nonEmpty)
+    val n = TableServices.dedupFuzzy(t, "text", k = 5, numHashes = 64,
+      numBands = 16, threshold = 0.5)
+    assert(n == 1L, s"exactly the near-dup of doc 1 must go, got $n")
+    plan.foreach(i => TableServices.runCompaction(t, i))
+    assert(t.read().select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L))
+    assert(graft.core.Validation.duplicateKeys(t).isEmpty)
+  }
 }
