@@ -85,8 +85,9 @@ object Bench {
     "l35_table_dedup", // round 25: in-table exact-dedup curation service
     "p83_mixture_weights", // round 25: temperature source-mixing budget table
     "l36_table_dedup_fuzzy", // round 25: in-table MinHash near-dup curation
-    "p84_ann_filtered", // round 26: metadata-filtered query-set ANN
-    "p85_mmr_clustered") // round 26: pool-collect scalable MMR
+    "p84_ann_filtered", // round 26: metadata-filtered query-set ANN (id-set path)
+    "p85_mmr_clustered", // round 26: pool-collect scalable MMR
+    "p86_ann_filtered_stored") // round 26: stored-column filtered ANN (pushdown path)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2507,6 +2507,27 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** STORED-column filtered retrieval (p86 — the same filtered answer
+    * as p84 through the other filtering path): `label` is declared at
+    * build time (`metaCols`) and persists beside the codes, so the
+    * query predicate pushes straight into the pruned parquet scan
+    * (PushedFilters — spec-asserted) instead of semi-joining an id
+    * set. Same oracle as p84: the two paths must agree bit-for-bit. */
+  def sIvfPqFilteredStored(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+    val n = embs.count().toInt
+    val path = graft.util.TempDirs.create("graft-ivfpqfs-gate-").toString
+    val cb = operators.IvfPq.build(embs, "vec_id", "embedding",
+      nLists = 4, m = 2, codesPerSub = n + 8, path = path,
+      metaCols = Seq("label"))
+    val queries = embs.filter(col("vec_id") < 20)
+      .select("vec_id", "embedding")
+    operators.IvfPq.topKBatch(queries, "vec_id", "embedding", path, cb,
+        k = 10, nProbe = 4, candidates = 40,
+        storedFilter = Some(col("label") === 1))
+      .orderBy("query_id", "rnk")
+  }
+
   private val sIvfPqFilteredSql =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
       |           FROM embeddings WHERE vec_id < 20),
@@ -3383,6 +3404,7 @@ object PipelineQueries {
     "p83_mixture_weights" -> (cMixtureWeights _),
     "p84_ann_filtered" -> (sIvfPqFiltered _),
     "p85_mmr_clustered" -> (sMmrClustered _),
+    "p86_ann_filtered_stored" -> (sIvfPqFilteredStored _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3483,5 +3505,7 @@ object PipelineQueries {
     // p85: numClusters=1 + full pool == mmrSelect exactly, so the p78
     // recursive-CTE greedy oracle applies verbatim
     "p85_mmr_clustered" -> sMmrSelectSql,
+    // p86: same filtered exact top-k as p84 via the stored-column path
+    "p86_ann_filtered_stored" -> sIvfPqFilteredSql,
   )
 }

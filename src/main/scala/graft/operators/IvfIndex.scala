@@ -44,11 +44,26 @@ object IvfIndex {
 
   private val mapper = graft.core.CommitLog.mapper
 
-  /** Train centroids and write the index. Returns the meta. */
+  /** Train centroids and write the index. Returns the meta.
+    *
+    * `metaCols` persist ALONGSIDE the vectors in both relations (and
+    * ride into [[Pq.encode]]'s codes, which carries every non-vector
+    * column): they are the STORED-filter-column path for metadata-
+    * filtered retrieval — a predicate over them pushes down into the
+    * pruned parquet scan itself, costing nothing at any selectivity
+    * (the id-set semi join alternative pays a shuffle when the
+    * surviving set is broad). The stored relations are self-
+    * describing: appends and refreezes recover the meta columns from
+    * the assignments schema, so the meta.json format is unchanged. */
   def build(embs: DataFrame, idCol: String, vecCol: String,
-      nLists: Int, path: String, iterations: Int = 4): Meta = {
+      nLists: Int, path: String, iterations: Int = 4,
+      metaCols: Seq[String] = Nil): Meta = {
     val spark = embs.sparkSession
-    val corpus = embs.select(col(idCol).as("id"), col(vecCol).as("vec")).persist()
+    require(!metaCols.exists(c => Set("id", "vec", "list").contains(c)),
+      s"metaCols ${metaCols.mkString(",")} collide with the index's own " +
+      "column names (id, vec, list)")
+    val corpus = embs.select((col(idCol).as("id") +: col(vecCol).as("vec") +:
+      metaCols.map(col)): _*).persist()
     try {
       val count = corpus.count()
       val dim = corpus.select(size(col("vec"))).first().getInt(0)

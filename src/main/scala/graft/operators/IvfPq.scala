@@ -25,11 +25,17 @@ import org.apache.spark.sql.functions._
   * directories (inputFiles-asserted). */
 object IvfPq {
 
-  /** Build coarse index + codebooks + encoded codes. */
+  /** Build coarse index + codebooks + encoded codes. `metaCols`
+    * persist beside the vectors AND the codes ([[IvfIndex.build]]'s
+    * stored-filter-column path): a retrieval predicate over them
+    * pushes down into the pruned codes scan itself — the
+    * any-selectivity filtering path, vs the id-set semi join that
+    * pays a shuffle when the surviving set is broad. */
   def build(embs: DataFrame, idCol: String, vecCol: String,
-      nLists: Int, m: Int, codesPerSub: Int, path: String): Pq.Codebooks = {
+      nLists: Int, m: Int, codesPerSub: Int, path: String,
+      metaCols: Seq[String] = Nil): Pq.Codebooks = {
     val spark = embs.sparkSession
-    IvfIndex.build(embs, idCol, vecCol, nLists, path)
+    IvfIndex.build(embs, idCol, vecCol, nLists, path, metaCols = metaCols)
     val cb = Pq.train(embs, idCol, vecCol, m, codesPerSub)
     // persist codebooks (m × k × subDim doubles — metadata-scale)
     import spark.implicits._
@@ -113,7 +119,16 @@ object IvfPq {
       s"${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}")
     if (Files.exists(appDir.resolve(s"$id.done")))
       return AppendStats(0L, meta.corpusCount, 0.0, meta.meanAssignDist, -1.0)
-    val b = batch.select(col(idCol).as("id"), col(vecCol).as("vec")).persist()
+    // the stored relations are self-describing: any column beside
+    // (id, vec, list) is a build-time meta column the batch MUST carry
+    // too, or appended rows would silently escape every stored-column
+    // filter (their meta would read back null)
+    val metaCols = storedMetaCols(spark, path)
+    metaCols.foreach { c => require(batch.columns.contains(c),
+      s"index at $path stores filter column '$c' beside the vectors — " +
+      "the append batch must carry it too") }
+    val b = batch.select((col(idCol).as("id") +: col(vecCol).as("vec") +:
+      metaCols.map(col)): _*).persist()
     try {
       // ONE pass answers both emptiness and the dim probe, BEFORE the
       // codebook/centroid loads — idle streaming micro-batches hit
@@ -193,12 +208,14 @@ object IvfPq {
     val (idCol, vecCol) =
       (if (meta.idCol.nonEmpty) meta.idCol else "id",
         if (meta.vecCol.nonEmpty) meta.vecCol else "vec")
+    val metaCols = storedMetaCols(spark, path)
     val corpus = spark.read.parquet(s"$path/assignments")
-      .select(col("id").as(idCol), col("vec").as(vecCol))
+      .select((col("id").as(idCol) +: col("vec").as(vecCol) +:
+        metaCols.map(col)): _*)
     val tmp = Paths.get(s"$path.refreeze-tmp")
     if (Files.exists(tmp)) graft.util.TempDirs.deleteRecursively(tmp)
     val cb = build(corpus, idCol, vecCol, meta.nLists, cbOld.m, cbOld.k,
-      tmp.toString)
+      tmp.toString, metaCols = metaCols)
     // the journal travels WITH the swap: COPY it into tmp before any
     // rename so there is no crash window in which it exists only under
     // `.old` (a retried refreeze clears stale `.old` and would destroy
@@ -324,6 +341,24 @@ object IvfPq {
   /** Single-query top-k: probe the `nProbe` coarse lists nearest the
     * query (driver-side over the nLists×dim centroid table), scan
     * ONLY those code partitions, ADC-score, TakeOrdered. */
+  /** Build-time meta columns stored beside the vectors: everything in
+    * the persisted assignments schema that is not the index's own
+    * (id, vec, list) — the relations are self-describing, so appends
+    * and refreezes need no meta.json field. */
+  private def storedMetaCols(spark: SparkSession, path: String): Seq[String] =
+    spark.read.parquet(s"$path/assignments").schema.fieldNames.toSeq
+      .filterNot(Set("id", "vec", "list").contains)
+
+  /** Stored-column predicate applied straight to the pruned codes
+    * scan — the build-time `metaCols` path: the predicate pushes down
+    * into the parquet read (PushedFilters), costing nothing at any
+    * selectivity. The complement of [[applyAllowed]]: use the stored
+    * path when the filter columns were declared at build, the id-set
+    * path when they were not. */
+  private def applyStored(rel: DataFrame,
+      f: Option[org.apache.spark.sql.Column]): DataFrame =
+    f.fold(rel)(rel.filter)
+
   /** LEFT-SEMI join a metadata-filter id set (one column) into a
     * relation carrying `id` — the filter-BEFORE-ranking step every
     * filtered retrieval path shares. Catalyst/AQE picks broadcast vs
@@ -339,7 +374,8 @@ object IvfPq {
 
   def topK(spark: SparkSession, path: String, cb: Pq.Codebooks,
       queryVec: Array[Double], k: Int, nProbe: Int,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      storedFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(nProbe > 0, s"nProbe=$nProbe")
     val cents = spark.read.parquet(s"$path/centroids.parquet")
       .orderBy("list").collect()
@@ -349,8 +385,10 @@ object IvfPq {
       while (j < c.length) { val t = queryVec(j) - c(j); d += t * t; j += 1 }
       (list, d)
     }.sortBy { case (list, d) => (d, list) }.take(nProbe).map(_._1)
-    val codes = applyAllowed(spark.read.parquet(s"$path/pq_codes")
-      .filter(col("list").isin(probed.toIndexedSeq: _*)), allowed)
+    val codes = applyAllowed(applyStored(
+      spark.read.parquet(s"$path/pq_codes")
+        .filter(col("list").isin(probed.toIndexedSeq: _*)), storedFilter),
+      allowed)
     Pq.adcTopK(codes, "id", cb, queryVec, k)
   }
 
@@ -426,7 +464,8 @@ object IvfPq {
   def topKBatch(queries: DataFrame, qidCol: String, qvecCol: String,
       path: String, cb: Pq.Codebooks, k: Int, nProbe: Int,
       candidates: Int, maxQueries: Int = 4096,
-      allowed: Option[DataFrame] = None, maxPasses: Int = 256): DataFrame = {
+      allowed: Option[DataFrame] = None, maxPasses: Int = 256,
+      storedFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(nProbe > 0, s"nProbe=$nProbe")
     require(k > 0, s"k=$k")
     require(candidates >= k, s"candidates=$candidates must be >= k=$k")
@@ -452,14 +491,14 @@ object IvfPq {
       .map(r => r.getInt(0) -> r.getAs[Seq[Double]]("centroid").toArray)
     if (qids.length <= maxQueries)
       topKBatchPass(queries, qidCol, qvecCol, path, cb, cents, k, nProbe,
-        candidates, allowed)
+        candidates, allowed, storedFilter)
     else
       // engine-side chunking: per-query results are independent, so
       // the union of ≤ maxQueries passes IS the unchunked answer
       qids.sorted.grouped(maxQueries).map { chunk =>
         topKBatchPass(queries.filter(col(qidCol).cast("long")
             .isin(chunk.toIndexedSeq: _*)), qidCol, qvecCol, path, cb,
-          cents, k, nProbe, candidates, allowed)
+          cents, k, nProbe, candidates, allowed, storedFilter)
       }.reduce(_.unionByName(_))
   }
 
@@ -468,7 +507,8 @@ object IvfPq {
   private def topKBatchPass(queries: DataFrame, qidCol: String,
       qvecCol: String, path: String, cb: Pq.Codebooks,
       cents: Array[(Int, Array[Double])], k: Int,
-      nProbe: Int, candidates: Int, allowed: Option[DataFrame]): DataFrame = {
+      nProbe: Int, candidates: Int, allowed: Option[DataFrame],
+      storedFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val qRows = queries
@@ -491,11 +531,13 @@ object IvfPq {
     val unionLists = pairs.map(_._2).distinct.toIndexedSeq
     val bcQ = spark.sparkContext.broadcast(qs.toMap)
     val pairsDf = pairs.toSeq.toDF("qid", "list")
-    // metadata filter: semi-join the surviving id set BEFORE ranking
-    // so candidate slots are never spent on filtered-out rows
-    val filteredCodes = applyAllowed(
+    // metadata filters BEFORE ranking so candidate slots are never
+    // spent on filtered-out rows: stored-column predicate pushes into
+    // the parquet scan; the id-set semi-join covers columns the build
+    // did not store
+    val filteredCodes = applyAllowed(applyStored(
       spark.read.parquet(s"$path/pq_codes")
-        .filter(col("list").isin(unionLists: _*)), allowed)
+        .filter(col("list").isin(unionLists: _*)), storedFilter), allowed)
     val scored = filteredCodes
       .join(broadcast(pairsDf), Seq("list"))
       .select(col("qid"), col("id"),
@@ -556,7 +598,8 @@ object IvfPq {
 
   def topKRerank(spark: SparkSession, path: String, cb: Pq.Codebooks,
       queryVec: Array[Double], k: Int, nProbe: Int,
-      candidates: Int, allowed: Option[DataFrame] = None): DataFrame = {
+      candidates: Int, allowed: Option[DataFrame] = None,
+      storedFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(candidates >= k, s"candidates=$candidates must be >= k=$k")
     val cents = spark.read.parquet(s"$path/centroids.parquet")
       .orderBy("list").collect()
@@ -567,8 +610,9 @@ object IvfPq {
       (list, d)
     }.sortBy { case (list, d) => (d, list) }.take(nProbe).map(_._1)
     val cand = Pq.adcTopK(
-      applyAllowed(spark.read.parquet(s"$path/pq_codes")
-        .filter(col("list").isin(probed.toIndexedSeq: _*)), allowed),
+      applyAllowed(applyStored(spark.read.parquet(s"$path/pq_codes")
+        .filter(col("list").isin(probed.toIndexedSeq: _*)), storedFilter),
+        allowed),
       "id", cb, queryVec, candidates).select("id")
     val q = array(queryVec.toIndexedSeq.map(lit): _*)
     val exact = expr(

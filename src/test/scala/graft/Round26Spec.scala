@@ -471,6 +471,74 @@ class Round26Spec extends AnyFunSuite {
       s"a post-ranking filter would return odd-id rows or too few: $got")
   }
 
+  // ---- stored filter columns: build-time metaCols ----------------------
+
+  test("stored filter columns: the predicate pushes into the pruned " +
+      "codes scan, appends must carry the column, refreeze keeps it") {
+    val rnd = new scala.util.Random(23)
+    def mk(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian()), (i % 3).toInt))
+      .toDF("id", "embedding", "lang")
+    val corpus = mk(1 to 100)
+    val p = tmp("stored") + "/idx"
+    val cb = IvfPq.build(corpus, "id", "embedding", nLists = 2, m = 2,
+      codesPerSub = 160, path = p, metaCols = Seq("lang"))
+    val queries = corpus.filter($"id" === 1L).select("id", "embedding")
+    val res = IvfPq.topKBatch(queries, "id", "embedding", p, cb,
+      k = 5, nProbe = 2, candidates = 5,
+      storedFilter = Some(col("lang") === 1))
+    val got = res.orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    // exact filtered top-k (lossless + full probe + candidates == k
+    // only works because the filter ran BEFORE ranking)
+    val all = corpus.as[(Long, Seq[Double], Int)].collect()
+    val q = all.find(_._1 == 1L).get._2
+    val want = all.filter(_._3 == 1).map { case (id, v, _) =>
+      (id, v.zip(q).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (id, sc) => (-sc, id) }.take(5).map(_._1).toSeq
+    assert(got == want)
+    // plan: the predicate is a parquet PushedFilter on the codes scan
+    def flatten(n: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = n match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a +: flatten(a.executedPlan)
+      case q2: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q2 +: flatten(q2.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val codeScans = flatten(res.queryExecution.executedPlan).collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(
+            _.toString.contains("pq_codes")) => sc
+    }
+    assert(codeScans.nonEmpty)
+    assert(codeScans.exists(_.metadata.getOrElse("PushedFilters", "")
+        .contains("lang")),
+      s"lang predicate must reach the codes scan: " +
+      codeScans.map(_.metadata.getOrElse("PushedFilters", "")).mkString(";"))
+    // append without the stored column refuses loudly
+    val bare = (200 to 205).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian()))).toDF("id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      IvfPq.append(bare, "id", "embedding", p, batchId = Some("bare")) }
+    assert(e.getMessage.contains("lang"), e.getMessage)
+    // an append CARRYING it lands, and its rows are filterable
+    IvfPq.append(mk(200 to 205), "id", "embedding", p,
+      batchId = Some("meta"))
+    // refreeze preserves the stored column through the rebuild
+    IvfPq.refreeze(spark, p)
+    val cb2 = IvfPq.codebooks(spark, p)
+    val res2 = IvfPq.topKBatch(queries, "id", "embedding", p, cb2,
+        k = 3, nProbe = 2, candidates = 106,
+        storedFilter = Some(col("lang") === 1))
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    val all2 = all ++ mk(200 to 205).as[(Long, Seq[Double], Int)].collect()
+    val want2 = all2.filter(_._3 == 1).map { case (id, v, _) =>
+      (id, v.zip(q).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (id, sc) => (-sc, id) }.take(3).map(_._1).toSeq
+    assert(res2 == want2,
+      s"stored column must survive append + refreeze: $res2 != $want2")
+  }
+
   // ---- mmrSelectClustered: the past-the-envelope MMR ------------------
 
   test("mmrSelectClustered equals mmrSelect exactly (scores included) " +
