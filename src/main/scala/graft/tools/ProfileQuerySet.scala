@@ -46,9 +46,13 @@ object ProfileQuerySet {
       r
     }
     val p = graft.util.TempDirs.create("graft-qset-").toString + "/idx"
-    val cb = time(s"IVF-PQ build (corpus=$n)") {
-      graft.operators.IvfPq.build(embs, "vec_id", "embedding",
-        nLists = 16, m = 8, codesPerSub = 64, path = p)
+    // `lab` is a stored filter column (metaCols): the p86 pushdown path
+    val withLab = embs.withColumn("lab",
+      pmod(col("vec_id"), lit(2L)).cast("int"))
+    val cb = time(s"IVF-PQ build (corpus=$n, metaCols=lab)") {
+      graft.operators.IvfPq.build(withLab, "vec_id", "embedding",
+        nLists = 16, m = 8, codesPerSub = 64, path = p,
+        metaCols = Seq("lab"))
     }
     val queries = embs.filter(col("vec_id") < nQ)
       .select("vec_id", "embedding").cache()
@@ -75,11 +79,16 @@ object ProfileQuerySet {
       case (label, mod) =>
         val allowed = embs.filter(col("vec_id") % mod === 0L)
           .select("vec_id")
-        time(s"topKBatch FILTERED ($label, $nQ queries)") {
+        time(s"topKBatch FILTERED ($label, $nQ queries, id-set semi join)") {
           graft.operators.IvfPq.topKBatch(queries, "vec_id", "embedding",
             p, cb, k = 10, nProbe = 4, candidates = 40,
             allowed = Some(allowed)).count()
         }
+    }
+    time(s"topKBatch FILTERED (broad 1/2, $nQ queries, STORED pushdown)") {
+      graft.operators.IvfPq.topKBatch(queries, "vec_id", "embedding",
+        p, cb, k = 10, nProbe = 4, candidates = 40,
+        storedFilter = Some(col("lab") === 0)).count()
     }
     val q0 = qVecs.head
     time(s"mmrSelect k=$mmrK over $n candidates") {
