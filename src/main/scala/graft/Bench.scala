@@ -87,7 +87,8 @@ object Bench {
     "l36_table_dedup_fuzzy", // round 25: in-table MinHash near-dup curation
     "p84_ann_filtered", // round 26: metadata-filtered query-set ANN (id-set path)
     "p85_mmr_clustered", // round 26: pool-collect scalable MMR
-    "p86_ann_filtered_stored") // round 26: stored-column filtered ANN (pushdown path)
+    "p86_ann_filtered_stored", // round 26: stored-column filtered ANN (pushdown path)
+    "l37_vector_search") // round 26: CALL vector_search over the table-service index
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -966,6 +966,51 @@ object LakehouseQueries {
       |WHERE cl.doc_id IS NULL OR cl.cluster_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---- vector search on the SQL surface (l37) --------------------------
+
+  /** `CALL vector_search` end to end — retrieval over the
+    * table-service IVF index, reachable from SQL: the embeddings
+    * corpus bulk-loads into a graft table, the CALL builds/refreshes
+    * the index on the snapshot stamp, probes at FULL probe (exact),
+    * restricts CANDIDATES with the `filter` predicate (pushed below
+    * ranking — the filtered-retrieval contract), and returns per-query
+    * ranked cosine neighbors. Oracle = brute-force filtered cosine
+    * top-k over the same parquet: full probe must equal it exactly,
+    * scores included ([[graft.functions.CosineSim]]'s fold is the
+    * oracle's list_sum arithmetic). */
+  def qVectorSearchSql(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val wh = freshRoot("emb_vsearch_wh")
+    val catalog = new graft.sql.GraftCatalog(spark, wh)
+    val gsql = new graft.sql.GraftSql(catalog)
+    val t = catalog.createTable(TableConfig(name = "emb_vs",
+      keyField = "vec_id", orderingField = "vec_id", numBuckets = 2))
+    t.bulkInsert(embs)
+    gsql.sql("CALL vector_search(table => 'emb_vs', id_col => 'vec_id', " +
+        "vec_col => 'embedding', k => 5, n_lists => 8, " +
+        "query_where => 'vec_id < 10', filter => 'vec_id % 3 = 0')")
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val vectorSearchSql =
+    """WITH v AS (SELECT vec_id, embedding FROM embeddings
+      |           WHERE vec_id % 3 = 0),
+      |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |s AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+      |  list_sum(list_transform(generate_series(1, len(q.embedding)),
+      |    i -> q.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE))
+      |  / (sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)),
+      |       i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+      |   * sqrt(list_sum(list_transform(generate_series(1, len(v.embedding)),
+      |       i -> v.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE)))) AS cosine
+      |      FROM q JOIN v ON q.vec_id <> v.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+      |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ---- T6++ foreign-reader Iceberg verification (l31) ----------------
 
   /** Fixed root for the same reason as l29: the oracle SQL is static. */
@@ -1297,6 +1342,7 @@ object LakehouseQueries {
     "l34_delta_checkpoint" -> (qDeltaCheckpointRead _),
     "l35_table_dedup" -> (qTableDedup _),
     "l36_table_dedup_fuzzy" -> (qTableDedupFuzzy _),
+    "l37_vector_search" -> (qVectorSearchSql _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1336,5 +1382,6 @@ object LakehouseQueries {
     "l34_delta_checkpoint" -> deltaCheckpointSql,
     "l35_table_dedup" -> tableDedupSql,
     "l36_table_dedup_fuzzy" -> tableDedupFuzzySql,
+    "l37_vector_search" -> vectorSearchSql,
   )
 }

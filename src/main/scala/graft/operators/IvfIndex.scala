@@ -160,7 +160,8 @@ object IvfIndex {
     * assignments scan is partition-pruned to exactly the probed lists —
     * no corpus-wide shuffle, no training work at query time. */
   def topK(spark: SparkSession, path: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val table = spark.read.parquet(s"$path/centroids.parquet")
       .orderBy("list").collect()
       .map(_.getAs[Seq[Double]]("centroid").toArray)
@@ -169,8 +170,18 @@ object IvfIndex {
     // queries are the small side by contract; their probed-list union
     // drives partition pruning of the assignments scan
     val probed = q.select("list").distinct().collect().map(_.getInt(0))
-    val c = spark.read.parquet(s"$path/assignments")
+    val pruned = spark.read.parquet(s"$path/assignments")
       .filter(col("list").isin(probed.toIndexedSeq: _*))
+    // metadata filter (the filtered-retrieval contract): the surviving
+    // id set semi-joins BEFORE ranking, so every returned neighbor
+    // satisfies the predicate and no rank slot is wasted
+    val filtered = allowed.fold(pruned) { a =>
+      require(a.columns.length == 1,
+        s"allowed must be a single id column, got ${a.columns.mkString(",")}")
+      pruned.join(a.select(col(a.columns.head).as("id")),
+        Seq("id"), "left_semi")
+    }
+    val c = filtered
       .select(col("id").as("neighbor_id"), col("vec").as("cvec"), col("list"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

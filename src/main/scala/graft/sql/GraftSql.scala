@@ -484,6 +484,34 @@ final class GraftSql(catalog: GraftCatalog) {
           vecCol = arg("vec_col", 2).getOrElse("embedding"),
           nLists = arg("n_lists", 3).map(_.toInt).getOrElse(16))
         Seq(path).toDF("index_path")
+      case "vector_search" =>
+        // retrieval on the SQL surface over the table-service IVF
+        // index: queries are rows of the SAME table selected by the
+        // `query_where` predicate (a SQL boolean over the table's
+        // columns); `filter` restricts CANDIDATES the same way, pushed
+        // below ranking (the filtered-retrieval contract — every
+        // returned neighbor satisfies it, no rank slot wasted). The
+        // index builds/refreshes first via the table service's
+        // snapshot stamp, so results always reflect the current
+        // snapshot. Full probe (n_probe = n_lists) is exact search.
+        val t = table
+        val idCol = arg("id_col", 1).getOrElse(t.config.keyField)
+        val vecCol = arg("vec_col", 2).getOrElse("embedding")
+        val k = arg("k", 3).map(_.toInt).getOrElse(10)
+        val nLists = arg("n_lists").map(_.toInt).getOrElse(16)
+        val nProbe = arg("n_probe", 4).map(_.toInt).getOrElse(nLists)
+        val queryWhere = arg("query_where").getOrElse(
+          throw new IllegalArgumentException(
+            "CALL vector_search: missing query_where argument (a SQL " +
+            "predicate selecting the query rows, e.g. 'vec_id < 10')"))
+        val path = graft.core.TableServices.buildVectorIndex(
+          t, idCol, vecCol, nLists)
+        val snap = t.read()
+        val queries = snap.filter(expr(queryWhere)).select(idCol, vecCol)
+        val allowed = arg("filter").map(f =>
+          snap.filter(expr(f)).select(idCol))
+        graft.operators.IvfIndex.topK(t.spark, path, queries,
+          idCol, vecCol, k, nProbe, allowed)
       case "show_commits" => Observability.commits(table)
       case "show_fsview_all_files" | "show_files" => Observability.files(table)
       case "sync_xtable" =>
@@ -589,8 +617,8 @@ final class GraftSql(catalog: GraftCatalog) {
         s"unknown procedure '$other' — supported: run_compaction, " +
         "run_clustering, run_clean, run_archival, rollback_to_instant, " +
         "rollback_last_commit, table_changes, build_vector_index, " +
-        "register_table, sync_xtable, expire_metadata, dedup_table, " +
-        "show_commits, show_files")
+        "vector_search, register_table, sync_xtable, expire_metadata, " +
+        "dedup_table, show_commits, show_files")
     }
   }
 
