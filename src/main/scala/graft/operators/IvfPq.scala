@@ -345,9 +345,14 @@ object IvfPq {
     * the persisted assignments schema that is not the index's own
     * (id, vec, list) — the relations are self-describing, so appends
     * and refreezes need no meta.json field. */
-  private def storedMetaCols(spark: SparkSession, path: String): Seq[String] =
-    spark.read.parquet(s"$path/assignments").schema.fieldNames.toSeq
+  private def storedMetaCols(spark: SparkSession, path: String): Seq[String] = {
+    // a cloned bare quantizer (meta + centroids + codebooks only) has
+    // no assignments yet — its first append creates them, meta-free
+    val asg = java.nio.file.Paths.get(path, "assignments")
+    if (!java.nio.file.Files.isDirectory(asg)) Nil
+    else spark.read.parquet(asg.toString).schema.fieldNames.toSeq
       .filterNot(Set("id", "vec", "list").contains)
+  }
 
   /** Stored-column predicate applied straight to the pruned codes
     * scan — the build-time `metaCols` path: the predicate pushes down

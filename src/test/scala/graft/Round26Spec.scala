@@ -539,6 +539,44 @@ class Round26Spec extends AnyFunSuite {
       s"stored column must survive append + refreeze: $res2 != $want2")
   }
 
+  test("topKBatchStream serves FILTERED epochs: every epoch's answers " +
+      "satisfy the allowed set and equal the filtered batch answer") {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType,
+      StructField, StructType}
+    val corpus = annCorpus(120, 8, 29).persist()
+    val p = tmp("fstream") + "/idx"
+    val cb = IvfPq.build(corpus, "id", "embedding", nLists = 2, m = 2,
+      codesPerSub = 128, path = p)
+    val allowed = corpus.filter($"id" % 2 === 0).select("id")
+    val in = tmp("fqin")
+    val all = corpus.as[(Long, Seq[Double])].collect()
+    java.nio.file.Files.write(Paths.get(in, "q0.json"),
+      all.filter(q => Seq(1L, 2L).contains(q._1)).map { case (id, v) =>
+        s"""{"id":$id,"embedding":[${v.mkString(",")}]}"""
+      }.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val out = tmp("fqout")
+    val q = IvfPq.topKBatchStream(
+      spark.readStream.schema(schema).json(in),
+      "id", "embedding", p, cb, k = 3, nProbe = 2, candidates = 8,
+      checkpointDir = tmp("fqckpt"), outPath = out,
+      allowed = Some(allowed))
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+      .select($"query_id", $"neighbor_id", $"rnk")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty && got.forall(_._2 % 2 == 0),
+      s"every served neighbor must satisfy the filter: $got")
+    val want = IvfPq.topKBatch(corpus.filter($"id" <= 2), "id",
+        "embedding", p, cb, k = 3, nProbe = 2, candidates = 8,
+        allowed = Some(allowed))
+      .select($"query_id", $"neighbor_id", $"rnk")
+      .as[(Long, Long, Long)].collect().toSet
+    corpus.unpersist()
+    assert(got == want)
+  }
+
   // ---- mmrSelectClustered: the past-the-envelope MMR ------------------
 
   test("mmrSelectClustered equals mmrSelect exactly (scores included) " +
