@@ -352,33 +352,40 @@ object XTableSync {
   private val multiPartCpRe =
     "^(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet$".r
 
-  /** COMPLETE checkpoint part-sets per version under a log dir:
-    * single-part files plus multi-part groups with every part 1..n
-    * present under one consistent n. Incomplete groups (crash debris
-    * per the protocol — a checkpoint exists once all parts are down)
-    * are excluded here; [[deltaChain]] refuses them only when
-    * `_last_checkpoint` claims them. */
+  /** COMPLETE checkpoint shapes per version under a log dir. A version
+    * may legitimately carry SEVERAL shapes at once — a single-part
+    * file, complete multi-part sets at different part counts (each
+    * keyed by its own `numParts`, the Delta layout's completeness
+    * unit), and crash debris from abandoned writes. Shapes resolve
+    * independently: the single-part file under key 1, each multi-part
+    * group under its declared total but only when every part 1..n is
+    * present. Incomplete groups (a crashed writer's debris) are
+    * simply absent — they can never shadow a complete set at the same
+    * version, and [[deltaChain]] refuses them only when
+    * `_last_checkpoint` claims their part count. */
   private def checkpointSets(names: Seq[String],
-      logDir: java.nio.file.Path): Map[Long, Seq[java.nio.file.Path]] = {
+      logDir: java.nio.file.Path)
+      : Map[Long, Map[Long, Seq[java.nio.file.Path]]] = {
     val multi = names.flatMap(n => multiPartCpRe.findFirstMatchIn(n)
         .map(m => (m.group(1).toLong, m.group(2).toLong,
           m.group(3).toLong, n)))
-      .groupBy(_._1).flatMap { case (v, parts) =>
-        val total = parts.head._3
-        val complete = parts.forall(_._3 == total) && total >= 1 &&
+      // completeness is per (version, numParts): debris at one part
+      // count must never invalidate a complete set at another
+      .groupBy(e => (e._1, e._3)).flatMap { case ((v, total), parts) =>
+        val complete = total >= 1 &&
           parts.map(_._2).toSet == (1L to total).toSet
         if (complete)
-          Some(v -> parts.sortBy(_._2).map(p => logDir.resolve(p._4)))
+          Some((v, total, parts.sortBy(_._2).map(p => logDir.resolve(p._4))))
         else None
-      }
+      }.toSeq
     val single = names.collect {
       case n if n.matches("\\d{20}\\.checkpoint\\.parquet") =>
-        n.stripSuffix(".checkpoint.parquet").toLong ->
-          Seq(logDir.resolve(n))
-    }.toMap
-    // a version carrying both shapes reads from the single-part file
-    // (either is a complete reconciled state; one suffices)
-    multi ++ single
+        (n.stripSuffix(".checkpoint.parquet").toLong, 1L,
+          Seq(logDir.resolve(n)))
+    }
+    (multi ++ single).groupBy(_._1).map { case (v, shapes) =>
+      v -> shapes.map(sh => sh._2 -> sh._3).toMap
+    }
   }
 
   private def deltaChain(root: String): DeltaChain = {
@@ -387,25 +394,37 @@ object XTableSync {
     val names = graft.util.Fs.list(logDir)(
       _.map(_.getFileName.toString).toSeq)
     val cpSets = checkpointSets(names, logDir)
-    val cpVer: Option[Long] = if (names.contains("_last_checkpoint")) {
-      val node = mapper.readTree(
-        Files.readString(logDir.resolve("_last_checkpoint")))
-      val v = node.get("version").asLong()
-      val declaredParts =
-        if (node.has("parts")) Some(node.get("parts").asLong()) else None
-      require(cpSets.contains(v),
-        s"_last_checkpoint under $root names version $v but no complete " +
-        s"checkpoint (single-part file or full multi-part set) for it " +
-        "exists — the log is damaged or a multi-part write was lost")
-      declaredParts.filter(_ > 1).foreach { p =>
-        require(cpSets(v).size == p,
-          s"_last_checkpoint under $root declares parts=$p for version " +
-          s"$v but ${cpSets(v).size} part(s) resolve — refusing a " +
-          "partial checkpoint read")
-      }
-      Some(v)
-    } else cpSets.keys.maxOption
-    val cp = cpVer.map(v => v -> cpSets(v))
+    // prefer the single-part shape when several complete shapes
+    // coexist and _last_checkpoint does not arbitrate — any complete
+    // shape is the same reconciled state, one file reads cheapest
+    def pick(shapes: Map[Long, Seq[java.nio.file.Path]]): Seq[java.nio.file.Path] =
+      shapes.getOrElse(1L, shapes(shapes.keys.min))
+    val cpResolved: Option[(Long, Seq[java.nio.file.Path])] =
+      if (names.contains("_last_checkpoint")) {
+        val node = mapper.readTree(
+          Files.readString(logDir.resolve("_last_checkpoint")))
+        val v = node.get("version").asLong()
+        val declaredParts =
+          if (node.has("parts")) Some(node.get("parts").asLong()) else None
+        val shapes = cpSets.getOrElse(v, Map.empty[Long, Seq[java.nio.file.Path]])
+        require(shapes.nonEmpty,
+          s"_last_checkpoint under $root names version $v but no complete " +
+          s"checkpoint (single-part file or full multi-part set) for it " +
+          "exists — the log is damaged or a multi-part write was lost")
+        val chosen = declaredParts.filter(_ > 1) match {
+          // _last_checkpoint arbitrates the SHAPE: resolve exactly the
+          // declared part count, never a stale sibling shape
+          case Some(p) => shapes.getOrElse(p, throw new IllegalArgumentException(
+            s"_last_checkpoint under $root declares parts=$p for version " +
+            s"$v but no complete $p-part set exists (complete shapes: " +
+            s"${shapes.keys.toSeq.sorted.mkString(",")}) — refusing a " +
+            "partial checkpoint read"))
+          case None => pick(shapes)
+        }
+        Some(v -> chosen)
+      } else cpSets.keys.maxOption.map(v => v -> pick(cpSets(v)))
+    val cpVer = cpResolved.map(_._1)
+    val cp = cpResolved
     val floor = cpVer.getOrElse(-1L)
     val jsons = listJsonVersions(logDir).filter(_._1 > floor)
     jsons.map(_._1).zipWithIndex.foreach { case (v, i) =>
@@ -489,27 +508,47 @@ object XTableSync {
     * parquet columns misread under logical names — both silently.
     * Every other unsound shape in this module is refused loudly; so
     * are these. */
+  private def jsonPresent(n: com.fasterxml.jackson.databind.JsonNode,
+      f: String): Boolean = n != null && n.has(f) && !n.get(f).isNull
+
+  /** The deletion-vector guard BOTH action-level gates share
+    * ([[requireReplayable]] and [[requireCheckpointable]]): a DV'd
+    * add/remove means row-level deletes this engine neither applies
+    * nor preserves — replaying or re-checkpointing it would silently
+    * resurrect deleted rows. */
+  private def requireNoDeletionVectors(ctx: String,
+      a: com.fasterxml.jackson.databind.JsonNode, remedy: String): Unit =
+    Seq("add", "remove").foreach { k =>
+      if (jsonPresent(a, k))
+        require(!jsonPresent(a.get(k), "deletionVector"),
+          s"_delta_log under $ctx carries $k.deletionVector — row-level " +
+          s"deletes would silently resurrect; $remedy")
+    }
+
   private def requireReplayable(ctx: String,
       a: com.fasterxml.jackson.databind.JsonNode): Unit = {
     def present(n: com.fasterxml.jackson.databind.JsonNode,
-        f: String): Boolean = n != null && n.has(f) && !n.get(f).isNull
-    Seq("add", "remove").foreach { k =>
-      if (present(a, k)) require(!present(a.get(k), "deletionVector"),
-        s"_delta_log under $ctx carries $k.deletionVector — replaying " +
-        "it without applying the vector would silently resurrect " +
-        "deleted rows; checkpoint/rewrite from the source engine first")
-    }
+        f: String): Boolean = jsonPresent(n, f)
+    requireNoDeletionVectors(ctx, a,
+      "checkpoint/rewrite from the source engine first")
     if (present(a, "protocol")) {
       val p = a.get("protocol")
+      // READ-side envelope only: minReaderVersion governs what a
+      // correct read means (DVs, column mapping, v2 checkpoints all
+      // raise it or add readerFeatures). Writer-only features
+      // (appendOnly, CDF, invariants — minWriterVersion 3..7 with no
+      // reader impact) do NOT change replay semantics and are accepted
+      // here; [[adoptDelta]] applies the stricter WRITER envelope
+      // separately, because adoption continues the log with this
+      // engine's own (1,2)-shaped commits.
       require(p.get("minReaderVersion").asInt() <= 1 &&
-          p.get("minWriterVersion").asInt() <= 2 &&
-          !present(p, "readerFeatures") && !present(p, "writerFeatures"),
+          !present(p, "readerFeatures"),
         s"_delta_log under $ctx declares protocol " +
         s"${mapper.writeValueAsString(mapper.treeToValue(p, classOf[Object]))} " +
-        "— beyond the supported (minReaderVersion=1, minWriterVersion=2) " +
-        "envelope (deletion vectors, column mapping, and other table " +
-        "features change what a correct read means); checkpoint/rewrite " +
-        "from the source engine first")
+        "— beyond the supported minReaderVersion=1 read envelope " +
+        "(deletion vectors, column mapping, and other reader features " +
+        "change what a correct read means); checkpoint/rewrite from the " +
+        "source engine first")
     }
     if (present(a, "metaData")) {
       val conf = a.get("metaData").get("configuration")
@@ -522,6 +561,29 @@ object XTableSync {
           "first")
     }
   }
+
+  /** WRITER envelope for adoption: [[adoptDelta]] CONTINUES the
+    * foreign log with this engine's own commits, which honor only the
+    * (minReaderVersion=1, minWriterVersion=2) contract — writing into
+    * a table whose protocol demands writer features (CDF change files,
+    * invariants, appendOnly enforcement) would silently violate them
+    * for every other writer/reader of that table. Read-only paths
+    * ([[readDelta]], register_table) do NOT apply this. */
+  private def requireWriterEnvelope(root: String, lines: Seq[String]): Unit =
+    lines.foreach { line =>
+      val a = mapper.readTree(line)
+      if (a.has("protocol") && !a.get("protocol").isNull) {
+        val p = a.get("protocol")
+        require(p.get("minWriterVersion").asInt() <= 2 &&
+            !(p.has("writerFeatures") && !p.get("writerFeatures").isNull),
+          s"_delta_log under $root declares protocol " +
+          s"${mapper.writeValueAsString(mapper.treeToValue(p, classOf[Object]))} " +
+          "— adoption would CONTINUE this log with (minWriterVersion=2)-" +
+          "shaped commits, silently violating the declared writer " +
+          "features; read it with readDelta, or rewrite from the source " +
+          "engine before adopting")
+      }
+    }
 
   private def replayActions(lines: Seq[String],
       ctx: String = "(unknown root)"): DeltaReplay = {
@@ -650,12 +712,8 @@ object XTableSync {
         "the Delta spec requires a checkpoint to preserve them and this " +
         "writer's checkpoint schema does not; checkpoint from the source " +
         "engine instead")
-      Seq("add", "remove").foreach { k =>
-        if (present(a, k)) require(!present(a.get(k), "deletionVector"),
-          s"_delta_log under $root carries $k.deletionVector — a " +
-          "checkpoint dropping it would silently resurrect deleted rows; " +
-          "checkpoint from the source engine instead")
-      }
+      requireNoDeletionVectors(root, a,
+        "checkpoint from the source engine instead")
       if (present(a, "protocol")) {
         val p = a.get("protocol")
         require(p.get("minReaderVersion").asInt() <= 1 &&
@@ -811,6 +869,7 @@ object XTableSync {
   def adoptDelta(spark: org.apache.spark.sql.SparkSession, root: String,
       config: graft.core.TableConfig): GraftTable = {
     require(!GraftTable.exists(root), s"$root is already a graft table")
+    requireWriterEnvelope(root, deltaActionLines(root, Some(spark)))
     val st = replayDelta(root, spark)
     require(st.liveFiles.nonEmpty, s"Delta table at $root has no live files")
     val lastForeignVer = deltaChain(root).lastVersion
@@ -906,7 +965,8 @@ object XTableSync {
           s"version $asOfVersion of $root predates the checkpoint and " +
           "its JSON commits were retention-expired with no older " +
           "checkpoint covering them — that history is gone")
-        seed.toSeq.flatMap(v => checkpointLines(spark, sets(v))) ++
+        seed.toSeq.flatMap(v => checkpointLines(spark,
+          sets(v).getOrElse(1L, sets(v)(sets(v).keys.min)))) ++
           tail.flatMap { case (_, f) =>
             Files.readAllLines(f).asScala.filter(_.nonEmpty)
           }

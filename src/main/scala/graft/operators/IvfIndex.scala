@@ -170,17 +170,13 @@ object IvfIndex {
     // queries are the small side by contract; their probed-list union
     // drives partition pruning of the assignments scan
     val probed = q.select("list").distinct().collect().map(_.getInt(0))
-    val pruned = spark.read.parquet(s"$path/assignments")
-      .filter(col("list").isin(probed.toIndexedSeq: _*))
-    // metadata filter (the filtered-retrieval contract): the surviving
-    // id set semi-joins BEFORE ranking, so every returned neighbor
-    // satisfies the predicate and no rank slot is wasted
-    val filtered = allowed.fold(pruned) { a =>
-      require(a.columns.length == 1,
-        s"allowed must be a single id column, got ${a.columns.mkString(",")}")
-      pruned.join(a.select(col(a.columns.head).as("id")),
-        Seq("id"), "left_semi")
-    }
+    // metadata filter (the filtered-retrieval contract, IvfPq's shared
+    // helper): the surviving id set semi-joins BEFORE ranking, so every
+    // returned neighbor satisfies the predicate and no rank slot is
+    // wasted
+    val filtered = IvfPq.applyAllowed(
+      spark.read.parquet(s"$path/assignments")
+        .filter(col("list").isin(probed.toIndexedSeq: _*)), allowed)
     val c = filtered
       .select(col("id").as("neighbor_id"), col("vec").as("cvec"), col("list"))
     val w = Window.partitionBy("query_id")

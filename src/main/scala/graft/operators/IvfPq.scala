@@ -119,6 +119,20 @@ object IvfPq {
       s"${System.currentTimeMillis()}-${java.util.UUID.randomUUID()}")
     if (Files.exists(appDir.resolve(s"$id.done")))
       return AppendStats(0L, meta.corpusCount, 0.0, meta.meanAssignDist, -1.0)
+    // ONE lean pass answers both emptiness and the dim probe FIRST —
+    // idle streaming micro-batches hit append every epoch and must pay
+    // neither the assignments footer read (storedMetaCols) nor the
+    // codebook/centroid loads
+    val probe = batch.select(col(vecCol).as("vec"))
+      .agg(count(lit(1)), first(size(col("vec")))).first()
+    val n = probe.getLong(0)
+    if (n == 0L)
+      return AppendStats(0L, meta.corpusCount, 0.0, meta.meanAssignDist, -1.0)
+    // a wrong-dimension batch would silently mis-assign (the distance
+    // loops compare only the common prefix) and mis-slice PQ subvectors
+    require(probe.getInt(1) == meta.dim,
+      s"batch vectors are ${probe.getInt(1)}-dim; index at " +
+      s"$path was built over ${meta.dim}-dim vectors")
     // the stored relations are self-describing: any column beside
     // (id, vec, list) is a build-time meta column the batch MUST carry
     // too, or appended rows would silently escape every stored-column
@@ -130,18 +144,6 @@ object IvfPq {
     val b = batch.select((col(idCol).as("id") +: col(vecCol).as("vec") +:
       metaCols.map(col)): _*).persist()
     try {
-      // ONE pass answers both emptiness and the dim probe, BEFORE the
-      // codebook/centroid loads — idle streaming micro-batches hit
-      // append on every epoch and must not pay two parquet collects
-      val probe = b.agg(count(lit(1)), first(size(col("vec")))).first()
-      val n = probe.getLong(0)
-      if (n == 0L)
-        return AppendStats(0L, meta.corpusCount, 0.0, meta.meanAssignDist, -1.0)
-      // a wrong-dimension batch would silently mis-assign (the distance
-      // loops compare only the common prefix) and mis-slice PQ subvectors
-      require(probe.getInt(1) == meta.dim,
-        s"batch vectors are ${probe.getInt(1)}-dim; index at " +
-        s"$path was built over ${meta.dim}-dim vectors")
       val cb = codebooks(spark, path)
       val table = spark.read.parquet(s"$path/centroids.parquet")
         .orderBy("list").collect()
@@ -368,7 +370,7 @@ object IvfPq {
     * relation carrying `id` — the filter-BEFORE-ranking step every
     * filtered retrieval path shares. Catalyst/AQE picks broadcast vs
     * shuffle by the id set's runtime size. */
-  private def applyAllowed(rel: DataFrame,
+  private[operators] def applyAllowed(rel: DataFrame,
       allowed: Option[DataFrame]): DataFrame =
     allowed.fold(rel) { a =>
       require(a.columns.length == 1,
@@ -476,53 +478,55 @@ object IvfPq {
     require(candidates >= k, s"candidates=$candidates must be >= k=$k")
     require(maxQueries > 0, s"maxQueries=$maxQueries")
     require(maxPasses > 0, s"maxPasses=$maxPasses")
-    // qid-only collect: 8 bytes per query, the chunk planner's input
-    val qids = queries.select(col(qidCol).cast("long"))
-      .limit(maxQueries * maxPasses + 1).collect().map(_.getLong(0))
-    require(qids.length <= maxQueries * maxPasses,
+    val spark = queries.sparkSession
+    // collect (qid, qvec) ONCE — the guards and EVERY pass work from
+    // this one snapshot, so a source that changes between evaluations
+    // can neither bypass the duplicate check nor serve different rows
+    // to different chunks, and the chunked path never rescans the
+    // query table (the old per-pass filter+collect was up to 256
+    // rescans and a TOCTOU window)
+    val qsAll: Array[(Long, Array[Double])] = queries
+      .select(col(qidCol).cast("long").as("qid"),
+        col(qvecCol).cast("array<double>").as("qvec"))
+      .limit(maxQueries * maxPasses + 1).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    require(qsAll.length <= maxQueries * maxPasses,
       s"topKBatch: more than maxQueries*maxPasses=" +
       s"${maxQueries * maxPasses} queries — every pass's query vectors " +
       "stay broadcast-referenced by the returned plan, so total Q is " +
       "driver-bounded; serve an unbounded query stream with " +
       "topKBatchStream (one pass per epoch) instead")
-    require(qids.nonEmpty, "topKBatch: empty query table")
-    require(qids.distinct.length == qids.length,
+    require(qsAll.nonEmpty, "topKBatch: empty query table")
+    require(qsAll.map(_._1).distinct.length == qsAll.length,
       "topKBatch: duplicate query ids — each qid must be unique or the " +
       "per-query candidate pools silently merge")
+    qsAll.foreach { case (qid, v) => require(v.length == cb.dim,
+      s"query $qid is ${v.length}-dim; index codebooks are ${cb.dim}-dim") }
     // the O(nLists) centroid table loads ONCE, shared by every pass
-    val cents = queries.sparkSession.read
+    val cents = spark.read
       .parquet(s"$path/centroids.parquet")
       .orderBy("list").collect()
       .map(r => r.getInt(0) -> r.getAs[Seq[Double]]("centroid").toArray)
-    if (qids.length <= maxQueries)
-      topKBatchPass(queries, qidCol, qvecCol, path, cb, cents, k, nProbe,
+    if (qsAll.length <= maxQueries)
+      topKBatchPass(spark, qsAll, path, cb, cents, k, nProbe,
         candidates, allowed, storedFilter)
     else
       // engine-side chunking: per-query results are independent, so
       // the union of ≤ maxQueries passes IS the unchunked answer
-      qids.sorted.grouped(maxQueries).map { chunk =>
-        topKBatchPass(queries.filter(col(qidCol).cast("long")
-            .isin(chunk.toIndexedSeq: _*)), qidCol, qvecCol, path, cb,
-          cents, k, nProbe, candidates, allowed, storedFilter)
+      qsAll.sortBy(_._1).grouped(maxQueries).map { chunk =>
+        topKBatchPass(spark, chunk, path, cb, cents, k, nProbe,
+          candidates, allowed, storedFilter)
       }.reduce(_.unionByName(_))
   }
 
   /** One ≤-maxQueries pass — the single-broadcast plan described on
-    * [[topKBatch]]. */
-  private def topKBatchPass(queries: DataFrame, qidCol: String,
-      qvecCol: String, path: String, cb: Pq.Codebooks,
+    * [[topKBatch]], over an already-collected query snapshot. */
+  private def topKBatchPass(spark: SparkSession,
+      qs: Array[(Long, Array[Double])], path: String, cb: Pq.Codebooks,
       cents: Array[(Int, Array[Double])], k: Int,
       nProbe: Int, candidates: Int, allowed: Option[DataFrame],
       storedFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    val spark = queries.sparkSession
     import spark.implicits._
-    val qRows = queries
-      .select(col(qidCol).cast("long").as("qid"),
-        col(qvecCol).cast("array<double>").as("qvec"))
-      .collect()
-    val qs = qRows.map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-    qs.foreach { case (qid, v) => require(v.length == cb.dim,
-      s"query $qid is ${v.length}-dim; index codebooks are ${cb.dim}-dim") }
     // per-query probed lists: Q × nLists × dim flops on the driver —
     // metadata-scale, same table the single-query path loads anyway
     val pairs: Array[(Long, Int)] = qs.flatMap { case (qid, v) =>
@@ -584,17 +588,20 @@ object IvfPq {
       path: String, cb: Pq.Codebooks, k: Int, nProbe: Int,
       candidates: Int, checkpointDir: String, outPath: String,
       maxQueries: Int = 4096,
-      allowed: Option[DataFrame] = None)
+      allowed: Option[DataFrame] = None,
+      storedFilter: Option[org.apache.spark.sql.Column] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, epoch: Long) =>
         if (!df.isEmpty) {
-          // `allowed` (the metadata-filter id set) is re-evaluated per
-          // epoch — a filter over a live corpus table serves each
-          // epoch against the corpus state at that epoch
+          // both filter paths serve streaming: `allowed` (the id set)
+          // is re-evaluated per epoch — a filter over a live corpus
+          // table serves each epoch against the corpus state at that
+          // epoch — and `storedFilter` pushes into the codes scan
           topKBatch(df, qidCol, qvecCol, path, cb, k, nProbe,
-              candidates, maxQueries, allowed)
+              candidates, maxQueries, allowed,
+              storedFilter = storedFilter)
             .write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
           ()
         }

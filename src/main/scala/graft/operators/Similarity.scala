@@ -548,9 +548,14 @@ object Similarity {
           if (!takenFlag(i)) {
             val ms = if (picked == 0) 0.0 else maxSel(i)
             val score = lambda * pool(i)._3 - (1.0 - lambda) * ms
-            if (score > bestScore ||
-                (score == bestScore && (bestI < 0 ||
-                  pool(i)._1 < pool(bestI)._1))) {
+            // Double.compare semantics, NOT `>`: Spark's descending
+            // sort in mmrSelect orders NaN as the LARGEST double (a
+            // zero vector's cosine is 0/0), and a plain `>` is false
+            // for NaN — the bit-for-bit equality contract includes
+            // degenerate rows, and an all-NaN round must still pick
+            val cmp = java.lang.Double.compare(score, bestScore)
+            if (cmp > 0 || (cmp == 0 && (bestI < 0 ||
+                pool(i)._1 < pool(bestI)._1))) {
               bestScore = score; bestI = i
             }
           }
@@ -563,7 +568,11 @@ object Similarity {
         while (i < pool.length) {
           if (!takenFlag(i)) {
             val c = cosineLocal(pool(i)._2, pv)
-            if (c > maxSel(i)) maxSel(i) = c
+            // Double.compare again: greatest() in mmrSelect treats NaN
+            // as the largest double, so once a NaN similarity enters a
+            // candidate's selected-set max it must STICK — a plain `>`
+            // would silently drop it and the two paths diverge
+            if (java.lang.Double.compare(c, maxSel(i)) > 0) maxSel(i) = c
           }
           i += 1
         }

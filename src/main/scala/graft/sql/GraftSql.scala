@@ -498,9 +498,12 @@ final class GraftSql(catalog: GraftCatalog) {
         val idCol = arg("id_col", 1).getOrElse(t.config.keyField)
         val vecCol = arg("vec_col", 2).getOrElse("embedding")
         val k = arg("k", 3).map(_.toInt).getOrElse(10)
-        val nLists = arg("n_lists").map(_.toInt).getOrElse(16)
+        // named-ONLY arguments: arg(name) defaults its positional
+        // fallback to slot 0 — the table name — so these must read the
+        // named map directly or a positional call would alias them
+        val nLists = args.get("n_lists").map(_.toInt).getOrElse(16)
         val nProbe = arg("n_probe", 4).map(_.toInt).getOrElse(nLists)
-        val queryWhere = arg("query_where").getOrElse(
+        val queryWhere = args.get("query_where").getOrElse(
           throw new IllegalArgumentException(
             "CALL vector_search: missing query_where argument (a SQL " +
             "predicate selecting the query rows, e.g. 'vec_id < 10')"))
@@ -508,7 +511,7 @@ final class GraftSql(catalog: GraftCatalog) {
           t, idCol, vecCol, nLists)
         val snap = t.read()
         val queries = snap.filter(expr(queryWhere)).select(idCol, vecCol)
-        val allowed = arg("filter").map(f =>
+        val allowed = args.get("filter").map(f =>
           snap.filter(expr(f)).select(idCol))
         graft.operators.IvfIndex.topK(t.spark, path, queries,
           idCol, vecCol, k, nProbe, allowed)

@@ -321,6 +321,52 @@ class Round26Spec extends AnyFunSuite {
       Set((1L, 2L, 1.0), (2L, 2L, 2.0)))
   }
 
+  test("re-checkpointing the same version in a different shape stays " +
+      "readable: _last_checkpoint arbitrates which shape resolves") {
+    val root = tmp("reshape")
+    val t = GraftTable.create(spark, root, TableConfig(
+      name = "reshape", keyField = "id", orderingField = "ts",
+      numBuckets = 1))
+    t.insert(Seq((1L, 1L, 1.0), (2L, 1L, 2.0)).toDF("id", "ts", "score"))
+    XTableSync.syncDelta(t)
+    val want = state(t.read())
+    XTableSync.checkpointDelta(spark, root) // single-part at v0
+    // re-checkpoint the SAME version multi-part: the stale single-part
+    // file stays on disk, _last_checkpoint now declares parts=2
+    XTableSync.checkpointDelta(spark, root, parts = 2)
+    assert(state(XTableSync.readDelta(spark, root)) == want)
+    XTableSync.expireDeltaLog(root)
+    assert(state(XTableSync.readDelta(spark, root)) == want)
+    // and back to single-part: still readable
+    XTableSync.checkpointDelta(spark, root)
+    assert(state(XTableSync.readDelta(spark, root)) == want)
+  }
+
+  test("crash debris at a DIFFERENT part count never invalidates a " +
+      "complete set at the same version") {
+    val root = multiPartFixture() // complete 2-part set at v1, parts=2
+    // a crashed 3-part writer left part 1-of-3 behind
+    Files.write(Paths.get(root, "_delta_log",
+      f"${1L}%020d.checkpoint.${1}%010d.${3}%010d.parquet"), Array[Byte]())
+    val head = Set((1L, 2L, 1.0), (2L, 2L, 2.0), (3L, 3L, 3.0))
+    assert(state(XTableSync.readDelta(spark, root)) == head)
+  }
+
+  test("writer-only protocol features ((1,4), no readerFeatures) READ " +
+      "fine but adoption refuses — continuing the log would violate them") {
+    val root = tmp("writeronly")
+    val s1 = writeData(root, "f1.parquet", Seq((1L, 1L, 1.0)))
+    writeLog(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      metaLine(),
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$s1,"modificationTime":1,"dataChange":true}}"""))
+    assert(state(XTableSync.readDelta(spark, root)) == Set((1L, 1L, 1.0)))
+    val e = intercept[IllegalArgumentException] {
+      XTableSync.adoptDelta(spark, root, TableConfig(name = "wonly",
+        keyField = "id", orderingField = "ts", numBuckets = 1)) }
+    assert(e.getMessage.contains("writer"), e.getMessage)
+  }
+
   test("an INCOMPLETE multi-part set named by _last_checkpoint is " +
       "refused loudly") {
     val root = multiPartFixture()
@@ -602,6 +648,29 @@ class Round26Spec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect()
     assert(rows.nonEmpty && rows.forall(_._2 % 2 == 0),
       s"every neighbor must satisfy the filter: ${rows.mkString(",")}")
+    // a POSITIONAL call must not alias the named-only arguments (the
+    // table name in slot 0 would otherwise bind n_lists/query_where)
+    val e2 = intercept[IllegalArgumentException] {
+      gsql.sql("CALL vector_search('vs2', 'vec_id', 'embedding', 5)") }
+    assert(e2.getMessage.contains("query_where"), e2.getMessage)
+  }
+
+  test("mmrSelectClustered matches mmrSelect on degenerate rows too: " +
+      "a zero vector's NaN score orders identically in both paths") {
+    val base = annCorpus(40, 8, 41)
+    val corpus = base.unionByName(
+      Seq((999L, Seq.fill(8)(0.0))).toDF("id", "embedding"))
+    val q = Array.tabulate(8)(i => 0.2 + 0.05 * i)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val exact = rows(graft.operators.Similarity.mmrSelect(
+      corpus, "id", "embedding", q, k = 6, lambda = 0.5))
+    val clustered = rows(graft.operators.Similarity.mmrSelectClustered(
+      corpus, "id", "embedding", q, k = 6, lambda = 0.5,
+      numClusters = 1, poolPerCluster = 64))
+    assert(clustered == exact,
+      s"NaN ordering diverged: $clustered != $exact")
   }
 
   // ---- mmrSelectClustered: the past-the-envelope MMR ------------------
