@@ -541,6 +541,10 @@ object XTableSync {
       // here; [[adoptDelta]] applies the stricter WRITER envelope
       // separately, because adoption continues the log with this
       // engine's own (1,2)-shaped commits.
+      require(present(p, "minReaderVersion"),
+        s"_delta_log under $ctx has a protocol action without " +
+        "minReaderVersion — a malformed log this replay refuses rather " +
+        "than guessing a read envelope for")
       require(p.get("minReaderVersion").asInt() <= 1 &&
           !present(p, "readerFeatures"),
         s"_delta_log under $ctx declares protocol " +
@@ -574,6 +578,10 @@ object XTableSync {
       val a = mapper.readTree(line)
       if (a.has("protocol") && !a.get("protocol").isNull) {
         val p = a.get("protocol")
+        require(jsonPresent(p, "minWriterVersion"),
+          s"_delta_log under $root has a protocol action without " +
+          "minWriterVersion — a malformed log adoption refuses rather " +
+          "than guessing a writer envelope for")
         require(p.get("minWriterVersion").asInt() <= 2 &&
             !(p.has("writerFeatures") && !p.get("writerFeatures").isNull),
           s"_delta_log under $root declares protocol " +

@@ -369,14 +369,30 @@ object IvfPq {
   /** LEFT-SEMI join a metadata-filter id set (one column) into a
     * relation carrying `id` — the filter-BEFORE-ranking step every
     * filtered retrieval path shares. Catalyst/AQE picks broadcast vs
-    * shuffle by the id set's runtime size. */
+    * shuffle by the id set's runtime size.
+    *
+    * The join runs on the index id column's NATIVE type: the id set is
+    * only aliased, never force-cast, so Catalyst widens both sides
+    * losslessly when they are different numeric widths, and a
+    * string-keyed index joins string id sets directly. A type-FAMILY
+    * mismatch (string id set against a numeric index or vice versa) is
+    * refused loudly — a forced cast there yields nulls and the semi
+    * join silently returns zero rows. */
   private[operators] def applyAllowed(rel: DataFrame,
       allowed: Option[DataFrame]): DataFrame =
     allowed.fold(rel) { a =>
       require(a.columns.length == 1,
         s"allowed must be a single id column, got ${a.columns.mkString(",")}")
-      rel.join(a.select(col(a.columns.head).cast("long").as("id")),
-        Seq("id"), "left_semi")
+      import org.apache.spark.sql.types.NumericType
+      val idType = rel.schema("id").dataType
+      val aType = a.schema.fields.head.dataType
+      require(aType == idType ||
+          (aType.isInstanceOf[NumericType] && idType.isInstanceOf[NumericType]),
+        s"allowed id column is ${aType.simpleString} but the index id " +
+        s"column is ${idType.simpleString} — casting across type families " +
+        "nulls values out and the filter would silently match nothing; " +
+        "pass the id set in the index id's type family")
+      rel.join(a.select(col(a.columns.head).as("id")), Seq("id"), "left_semi")
     }
 
   def topK(spark: SparkSession, path: String, cb: Pq.Codebooks,

@@ -384,10 +384,7 @@ object Similarity {
           .limit(1).select("vec_id", "vec", "score").collect().headOption
         pick match {
           case Some(row) =>
-            val v = row.getSeq[Any](1).map {
-              case f: Float => f.toDouble
-              case d: Double => d
-            }.toArray
+            val v = widen(row.getSeq[Any](1))
             sel += ((row.getLong(0), v, row.getDouble(2)))
             ()
           case None => exhausted = true
@@ -413,10 +410,25 @@ object Similarity {
     sab / (math.sqrt(saa) * math.sqrt(sbb))
   }
 
-  private def widen(v: Seq[Any]): Array[Double] = v.map {
-    case f: Float => f.toDouble
-    case d: Double => d
-  }.toArray
+  /** Widen a collected vector to doubles. Null vectors, null elements
+    * and non-float element types refuse LOUDLY here — a nullable array
+    * column reaching the driver-local greedy would otherwise surface
+    * as an opaque MatchError mid-selection. */
+  private[operators] def widen(v: Seq[Any]): Array[Double] = {
+    require(v != null, "MMR pool row carries a null vector — drop or " +
+      "impute null embeddings before diversity selection")
+    v.map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case null => throw new IllegalArgumentException(
+        "MMR pool vector carries a null element — vectors must be " +
+        "dense float/double arrays; drop or impute nulls first")
+      case other => throw new IllegalArgumentException(
+        s"MMR pool vector element is ${other.getClass.getSimpleName} — " +
+        "only float/double array embeddings are supported (cast the " +
+        "column to array<double> first)")
+    }.toArray
+  }
 
   /** Driver-local Lloyd over a BOUNDED deterministic sample (≤ 256
     * vectors per cluster — the [[IvfIndex.build]] training budget,
@@ -432,8 +444,8 @@ object Similarity {
       else Curation.deterministicSample(base, "vec_id",
         target.toDouble / cnt)
     val train = trainDf.orderBy("vec_id")
-      .select(col("vec").cast("array<double>"))
-      .limit((target * 2).toInt).collect().map(_.getSeq[Double](0).toArray)
+      .select(col("vec"))
+      .limit((target * 2).toInt).collect().map(r => widen(r.getSeq[Any](0)))
     require(train.nonEmpty, "mmrSelectClustered: empty candidate set")
     var cents = train.take(numClusters)
     var iter = 0
