@@ -439,30 +439,133 @@ object TableServices {
     else Some(restore(t, rowCommits(rowCommits.size - 2).instant))
   }
 
-  /** Vector-index table service: build (or refresh) the persisted IVF
-    * ANN index over an embedding column of the table's CURRENT
-    * snapshot. The index lives under `<root>/index/ivf-<col>/` and is
-    * stamped with the snapshot's last commit instant — `query` reads
-    * it without touching the corpus, and a stale index (table advanced
-    * past the stamp) rebuilds on the next service run, exactly like
-    * compaction/clustering maintenance. */
+  /** The vector-index service stamp: the last INDEXED commit instant
+    * plus the build parameters (changing any parameter must rebuild;
+    * an advanced instant only needs the delta applied). */
+  private[core] case class VectorIndexStamp(instant: String,
+      idCol: String, vecCol: String, nLists: Int)
+
+  /** Largest PQ subvector count ≤ 8 that divides `dim` — the service's
+    * deterministic default (8 subs at the usual 64/128/256 dims). */
+  private def pqSubvectors(dim: Int): Int =
+    (math.min(8, dim) to 1 by -1).find(dim % _ == 0).get
+
+  /** Vector-index table service: build or INCREMENTALLY refresh the
+    * persisted IVF(-PQ) ANN index over an embedding column. The index
+    * lives under `<root>/index/ivf-<col>/` and is stamped with the
+    * last indexed commit instant + build params.
+    *
+    * Maintenance is incremental, like every other table service — a
+    * commit must never trigger a full-corpus retrain (at 100 TB one
+    * 10-row upsert would otherwise re-shuffle the whole corpus through
+    * Lloyd's):
+    *  - params changed / no index / unparseable stamp → full
+    *    [[graft.operators.IvfPq.build]] (coarse centroids + raw
+    *    assignments + PQ codebooks/codes — the compressed tier rides
+    *    along so scale queries can scan m-int codes, while the raw
+    *    assignments keep exact re-rank and [[graft.operators
+    *    .IvfPq.refreeze]] possible);
+    *  - table advanced past the stamp → apply exactly the CDC delta
+    *    `(stamp, asOf]`: remove updated/deleted keys from both
+    *    persisted relations, append inserted/updated rows against the
+    *    FROZEN centroids/codebooks (O(batch), map-only), and retrain
+    *    via refreeze ONLY when the append's drift statistic demands
+    *    (`driftRatio > driftRetrain` — the frozen quantizer no longer
+    *    fits the incoming distribution);
+    *  - CDC refusals (a restore/bootstrap in range) and half-applied
+    *    append journals fall back to a full rebuild from the pinned
+    *    snapshot — the always-sound recovery.
+    *
+    * Crash contract: the remove/append pair is guarded by the append
+    * journal's deterministic batch id (`svc-<from>-<to>`): a crash
+    * after the append's `.done` marker but before the stamp write
+    * re-enters, sees the marker, and skips straight to the stamp —
+    * re-running the remove there would delete the freshly appended
+    * versions of updated keys. A crash before the marker re-runs the
+    * (idempotent) remove and the append from scratch.
+    *
+    * `asOf`/`snapshot` pin the ENTIRE call to one commit instant so a
+    * caller can serve index, queries, and filters from the same
+    * snapshot ([[graft.sql.GraftSql]] `CALL vector_search`). */
   def buildVectorIndex(t: GraftTable, idCol: String, vecCol: String,
-      nLists: Int = 16): String = {
+      nLists: Int = 16, asOf: Option[String] = None,
+      snapshot: Option[org.apache.spark.sql.DataFrame] = None,
+      driftRetrain: Double = 1.5): String = {
+    import org.apache.spark.sql.functions.{col, size => asize}
     val path = vectorIndexPath(t, vecCol)
-    // stamp carries the full index identity: snapshot instant AND the
-    // build parameters — changing nLists or idCol must rebuild
-    val stamp = s"${t.log.lastInstant().getOrElse("0")}:$idCol:$nLists"
+    val instant = asOf.orElse(t.log.lastInstant()).getOrElse("0")
     val stampFile = java.nio.file.Paths.get(path, "instant.stamp")
-    val current =
-      if (Files.exists(stampFile)) new String(Files.readAllBytes(stampFile), "UTF-8")
-      else ""
-    if (current != stamp) {
-      val corpus = t.read().select(idCol, vecCol)
-      require(!corpus.isEmpty,
-        s"cannot build a vector index over empty table ${t.config.name}")
-      graft.operators.IvfIndex.build(corpus, idCol, vecCol, nLists, path)
+    val mapper = graft.core.CommitLog.mapper
+    def writeStamp(): Unit = {
       Files.createDirectories(java.nio.file.Paths.get(path))
-      Files.write(stampFile, stamp.getBytes("UTF-8"))
+      Files.write(stampFile, mapper.writeValueAsBytes(
+        VectorIndexStamp(instant, idCol, vecCol, nLists)))
+      ()
+    }
+    def corpus() = snapshot.getOrElse(t.read(asOf = Some(instant)))
+      .select(idCol, vecCol)
+    def fullBuild(): Unit = {
+      val c = corpus()
+      require(!c.isEmpty,
+        s"cannot build a vector index over empty table ${t.config.name}")
+      val dim = c.select(asize(col(vecCol))).first().getInt(0)
+      // wipe any prior index so stale relations, journals, and stamps
+      // can never survive a rebuild
+      if (Files.isDirectory(java.nio.file.Paths.get(path)))
+        graft.util.TempDirs.deleteRecursively(java.nio.file.Paths.get(path))
+      graft.operators.IvfPq.build(c, idCol, vecCol, nLists,
+        m = pqSubvectors(dim), codesPerSub = 256, path = path)
+      writeStamp()
+    }
+    val prior: Option[VectorIndexStamp] =
+      if (!Files.exists(stampFile)) None
+      else try Some(mapper.readValue(Files.readAllBytes(stampFile),
+        classOf[VectorIndexStamp]))
+      catch { case _: Exception => None } // pre-JSON stamp → rebuild
+    prior match {
+      case Some(s) if s.idCol == idCol && s.vecCol == vecCol &&
+          s.nLists == nLists && s.instant == instant =>
+        () // fresh — zero Spark jobs
+      case Some(s) if s.idCol == idCol && s.vecCol == vecCol &&
+          s.nLists == nLists && s.instant < instant =>
+        // bound the CDC range at the PINNED instant: count the row
+        // commits in (stamp, asOf] and ask for exactly that many, so a
+        // commit landing mid-call never leaks into this refresh
+        val nRow = t.log.snapshot().commits
+          .count(c => c.instant > s.instant && c.instant <= instant &&
+            (c.action == "commit" || c.action == "replace"))
+        if (nRow == 0) writeStamp() // service-only commits: content unchanged
+        else {
+          try {
+            val batchId = s"svc-${s.instant}-$instant"
+            val doneMarker = java.nio.file.Paths.get(
+              path, "_appends", s"$batchId.done")
+            if (!Files.exists(doneMarker)) {
+              val cdc = t.readCdc(s.instant, maxCommits = nRow).persist()
+              try {
+                graft.operators.IvfPq.remove(
+                  cdc.filter(col("_change_type").isin("u", "d"))
+                    .select(col(idCol)), idCol, path)
+                val stats = graft.operators.IvfPq.append(
+                  cdc.filter(col("_change_type").isin("i", "u"))
+                    .select(col(idCol), col(vecCol)),
+                  idCol, vecCol, path, batchId = Some(batchId))
+                if (stats.driftRatio > driftRetrain) {
+                  graft.operators.IvfPq.refreeze(t.spark, path)
+                  ()
+                }
+              } finally { cdc.unpersist(); () }
+            }
+            writeStamp()
+          } catch {
+            // CDC refusal (restore/bootstrap in range) or a half-applied
+            // journal: full rebuild from the pinned snapshot is the
+            // always-sound recovery
+            case _: IllegalStateException | _: IllegalArgumentException =>
+              fullBuild()
+          }
+        }
+      case _ => fullBuild() // params changed, index ahead of asOf, or absent
     }
     path
   }

@@ -488,12 +488,18 @@ final class GraftSql(catalog: GraftCatalog) {
         // retrieval on the SQL surface over the table-service IVF
         // index: queries are rows of the SAME table selected by the
         // `query_where` predicate (a SQL boolean over the table's
-        // columns); `filter` restricts CANDIDATES the same way, pushed
-        // below ranking (the filtered-retrieval contract — every
-        // returned neighbor satisfies it, no rank slot wasted). The
-        // index builds/refreshes first via the table service's
-        // snapshot stamp, so results always reflect the current
-        // snapshot. Full probe (n_probe = n_lists) is exact search.
+        // columns) OR an externally-computed literal embedding via
+        // `query_vec => '[0.1, 0.2, ...]'` (returned query_id = -1);
+        // `filter` restricts CANDIDATES the same way, pushed below
+        // ranking (the filtered-retrieval contract — every returned
+        // neighbor satisfies it, no rank slot wasted). ONE pinned
+        // snapshot serves index maintenance, queries, AND the filter
+        // id set — a commit landing mid-call can neither serve a stale
+        // index against newer query rows nor vice versa. Index
+        // maintenance is incremental (TableServices.buildVectorIndex
+        // applies the CDC delta since its stamp; no full-corpus
+        // retrain per commit). Full probe (n_probe = n_lists) is
+        // exact search.
         val t = table
         val idCol = arg("id_col", 1).getOrElse(t.config.keyField)
         val vecCol = arg("vec_col", 2).getOrElse("embedding")
@@ -503,14 +509,34 @@ final class GraftSql(catalog: GraftCatalog) {
         // named map directly or a positional call would alias them
         val nLists = args.get("n_lists").map(_.toInt).getOrElse(16)
         val nProbe = arg("n_probe", 4).map(_.toInt).getOrElse(nLists)
-        val queryWhere = args.get("query_where").getOrElse(
-          throw new IllegalArgumentException(
-            "CALL vector_search: missing query_where argument (a SQL " +
-            "predicate selecting the query rows, e.g. 'vec_id < 10')"))
+        val inst = t.log.lastInstant()
+        val snap = t.read(asOf = inst)
         val path = graft.core.TableServices.buildVectorIndex(
-          t, idCol, vecCol, nLists)
-        val snap = t.read()
-        val queries = snap.filter(expr(queryWhere)).select(idCol, vecCol)
+          t, idCol, vecCol, nLists, asOf = inst, snapshot = Some(snap))
+        val qWhere = args.get("query_where")
+        val qVecArg = args.get("query_vec")
+        require(qWhere.isDefined != qVecArg.isDefined,
+          "CALL vector_search: give exactly one of query_where (a SQL " +
+          "predicate selecting query rows, e.g. 'vec_id < 10') or " +
+          "query_vec (a literal embedding, e.g. '[0.1, 0.2, ...]')")
+        val queries = qWhere match {
+          case Some(w) => snap.filter(expr(w)).select(idCol, vecCol)
+          case None =>
+            val v = qVecArg.get.stripPrefix("[").stripSuffix("]")
+              .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+            require(v.nonEmpty, "CALL vector_search: query_vec is empty")
+            graft.operators.IvfIndex.meta(path).foreach(m =>
+              require(v.length == m.dim,
+                s"CALL vector_search: query_vec is ${v.length}-dim; the " +
+                s"index over $vecCol is ${m.dim}-dim"))
+            // typed to the table's own columns so the index join and
+            // cosine run on the native vector type; query_id = -1
+            import org.apache.spark.sql.functions.{array, lit}
+            spark.range(1).select(
+              lit(-1L).cast(snap.schema(idCol).dataType).as(idCol),
+              array(v.toIndexedSeq.map(lit): _*)
+                .cast(snap.schema(vecCol).dataType).as(vecCol))
+        }
         val allowed = args.get("filter").map(f =>
           snap.filter(expr(f)).select(idCol))
         graft.operators.IvfIndex.topK(t.spark, path, queries,

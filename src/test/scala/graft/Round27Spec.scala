@@ -126,6 +126,143 @@ class Round27Spec extends AnyFunSuite {
     assert(e.getMessage.contains("malformed"))
   }
 
+  // ---- incremental vector-index maintenance ----------------------------
+
+  /** Scala-encoded Seq[Double] arrays carry containsNull=false, but
+    * parquet reads them back nullable — register the table schema with
+    * the nullable element type or later align casts refuse. */
+  private def nullableVec(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("embedding", $"embedding".cast(
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = true)))
+
+  /** Deterministic table of `n` 8-dim vectors keyed by vec_id. */
+  private def vecTable(root: String, n: Int): graft.core.GraftTable = {
+    val t = graft.core.GraftTable.create(spark, root, graft.core.TableConfig(
+      name = "vmaint", keyField = "vec_id", orderingField = "ver",
+      numBuckets = 2))
+    t.bulkInsert(nullableVec((0 until n).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j + 1) + 2.0).toSeq, 1L)
+    }.toDF("vec_id", "embedding", "ver")))
+    t
+  }
+
+  private def centroidBytes(path: String): Seq[(String, Long)] =
+    graft.util.Fs.list(Paths.get(path, "centroids.parquet"))(
+      _.filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString -> Files.size(p)).toSeq).sortBy(_._1)
+
+  test("vector-index service: a small upsert appends against frozen " +
+      "centroids — no full-corpus retrain — and searches reflect it") {
+    val t = vecTable(tmp("vmaint"), 60)
+    val path = graft.core.TableServices.buildVectorIndex(
+      t, "vec_id", "embedding", nLists = 4)
+    val centsBefore = centroidBytes(path)
+    // 1 new row + 1 updated key + 1 delete — one commit each
+    t.upsert(nullableVec(Seq((100L,
+      Array.tabulate(8)(j => math.cos(j + 3.0) + 2.0).toSeq, 2L))
+      .toDF("vec_id", "embedding", "ver")))
+    t.upsert(nullableVec(Seq((7L,
+      Array.tabulate(8)(j => math.cos(j + 9.0) + 2.0).toSeq, 2L))
+      .toDF("vec_id", "embedding", "ver")))
+    t.deleteWhere($"vec_id" === 13L)
+    graft.core.TableServices.buildVectorIndex(
+      t, "vec_id", "embedding", nLists = 4)
+    // the coarse quantizer is FROZEN: centroids identical byte-for-byte
+    assert(centroidBytes(path) == centsBefore,
+      "maintenance must not retrain the coarse quantizer")
+    // the CDC delta was journaled as a service append batch
+    val done = graft.util.Fs.list(Paths.get(path, "_appends"))(
+      _.map(_.getFileName.toString).toSeq)
+    assert(done.exists(n => n.startsWith("svc-") && n.endsWith(".done")),
+      s"expected a svc-*.done append journal marker, got $done")
+    // full-probe search off the maintained index == brute force over
+    // the CURRENT table state (new row present, update applied, delete
+    // gone)
+    val queries = t.read().filter($"vec_id".isin(100L, 7L, 0L))
+      .select("vec_id", "embedding")
+    val got = graft.operators.IvfIndex.topK(spark, path, queries,
+      "vec_id", "embedding", k = 3, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val want = graft.operators.Similarity.bruteForceTopK(
+      t.read().select("vec_id", "embedding"), queries,
+      "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(!got.exists(_._2 == 13L), "deleted key must not be served")
+    // same instant → pure no-op (stamp check only, no Spark jobs)
+    val stampM = Files.getLastModifiedTime(Paths.get(path, "instant.stamp"))
+    graft.core.TableServices.buildVectorIndex(
+      t, "vec_id", "embedding", nLists = 4)
+    assert(Files.getLastModifiedTime(
+      Paths.get(path, "instant.stamp")) == stampM)
+  }
+
+  test("vector-index service: param change forces a rebuild; a restore " +
+      "in the CDC range falls back to a sound full rebuild") {
+    val t = vecTable(tmp("vmaint2"), 40)
+    val path = graft.core.TableServices.buildVectorIndex(
+      t, "vec_id", "embedding", nLists = 2)
+    val centsBefore = centroidBytes(path)
+    // nLists change → full rebuild (different centroid count)
+    graft.core.TableServices.buildVectorIndex(
+      t, "vec_id", "embedding", nLists = 4)
+    assert(centroidBytes(path) != centsBefore)
+    // advance, then restore to an older instant: incremental refresh
+    // must NOT serve a cursor across the restore — it rebuilds
+    val mid = t.upsert(nullableVec(Seq((200L, Seq.fill(8)(1.5), 2L))
+      .toDF("vec_id", "embedding", "ver")))
+    graft.core.TableServices.buildVectorIndex(
+      t, "vec_id", "embedding", nLists = 4)
+    t.upsert(nullableVec(Seq((201L, Seq.fill(8)(2.5), 2L))
+      .toDF("vec_id", "embedding", "ver")))
+    graft.core.TableServices.restore(t, mid)
+    graft.core.TableServices.buildVectorIndex(
+      t, "vec_id", "embedding", nLists = 4)
+    val ids = spark.read.parquet(s"$path/assignments")
+      .select("id").as[Long].collect().toSet
+    assert(ids.contains(200L) && !ids.contains(201L),
+      "post-restore index must reflect the restored snapshot")
+  }
+
+  test("CALL vector_search: ad-hoc query_vec literal searches without " +
+      "inserting the query; both/neither query forms refuse") {
+    val wh = tmp("vsql3")
+    val catalog = new graft.sql.GraftCatalog(spark, wh)
+    val gsql = new graft.sql.GraftSql(catalog)
+    val t = catalog.createTable(graft.core.TableConfig(name = "vs3",
+      keyField = "vec_id", orderingField = "vec_id", numBuckets = 1))
+    t.bulkInsert((0 until 30).map { i =>
+      (i.toLong, Array.tabulate(4)(j => math.sin(i * 4 + j + 1) + 2.0).toSeq)
+    }.toDF("vec_id", "embedding"))
+    val qv = Array.tabulate(4)(j => math.sin(17 * 4 + j + 1) + 2.0) // ≈ row 17
+    val rows = gsql.sql("CALL vector_search(table => 'vs3', " +
+        "id_col => 'vec_id', vec_col => 'embedding', k => 3, " +
+        s"n_lists => 2, query_vec => '[${qv.mkString(", ")}]')")
+      .orderBy("rank")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_._1 == -1L), "literal queries report query_id=-1")
+    // equals brute force over the table at the same k
+    val brute = graft.operators.Similarity.bruteForceTopK(
+      t.read().select("vec_id", "embedding"),
+      spark.range(1).select(lit(-1L).as("vec_id"),
+        array(qv.toIndexedSeq.map(lit): _*).as("embedding")),
+      "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(rows.map(_._2).toSeq == brute.toSeq)
+    // the query vector itself was never inserted into the table
+    assert(t.read().count() == 30L)
+    val eBoth = intercept[IllegalArgumentException] {
+      gsql.sql("CALL vector_search(table => 'vs3', " +
+        "query_where => 'vec_id = 1', query_vec => '[1,2,3,4]')") }
+    assert(eBoth.getMessage.contains("exactly one"))
+    val eDim = intercept[IllegalArgumentException] {
+      gsql.sql("CALL vector_search(table => 'vs3', id_col => 'vec_id', " +
+        "vec_col => 'embedding', query_vec => '[1, 2]')") }
+    assert(eDim.getMessage.contains("dim"))
+  }
+
   // ---- MMR null-element refusal -----------------------------------------
 
   test("mmrSelectClustered refuses a null vector element loudly") {
