@@ -495,44 +495,75 @@ object IvfPq {
     require(maxQueries > 0, s"maxQueries=$maxQueries")
     require(maxPasses > 0, s"maxPasses=$maxPasses")
     val spark = queries.sparkSession
-    // collect (qid, qvec) ONCE — the guards and EVERY pass work from
-    // this one snapshot, so a source that changes between evaluations
-    // can neither bypass the duplicate check nor serve different rows
-    // to different chunks, and the chunked path never rescans the
-    // query table (the old per-pass filter+collect was up to 256
-    // rescans and a TOCTOU window)
-    val qsAll: Array[(Long, Array[Double])] = queries
+    val qproj = queries
       .select(col(qidCol).cast("long").as("qid"),
         col(qvecCol).cast("array<double>").as("qvec"))
-      .limit(maxQueries * maxPasses + 1).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-    require(qsAll.length <= maxQueries * maxPasses,
-      s"topKBatch: more than maxQueries*maxPasses=" +
-      s"${maxQueries * maxPasses} queries — every pass's query vectors " +
-      "stay broadcast-referenced by the returned plan, so total Q is " +
-      "driver-bounded; serve an unbounded query stream with " +
-      "topKBatchStream (one pass per epoch) instead")
-    require(qsAll.nonEmpty, "topKBatch: empty query table")
-    require(qsAll.map(_._1).distinct.length == qsAll.length,
+    // total cap in LONG — caller-supplied maxQueries*maxPasses can
+    // overflow Int, which would break both the limit and the guard
+    val capL = maxQueries.toLong * maxPasses
+    def capMsg =
+      s"topKBatch: more than maxQueries*maxPasses=$capL queries — " +
+      "every pass's query vectors stay broadcast-referenced by the " +
+      "returned plan, so total Q is driver-bounded; serve an unbounded " +
+      "query stream with topKBatchStream (one pass per epoch) instead"
+    def dupMsg =
       "topKBatch: duplicate query ids — each qid must be unique or the " +
-      "per-query candidate pools silently merge")
-    qsAll.foreach { case (qid, v) => require(v.length == cb.dim,
-      s"query $qid is ${v.length}-dim; index codebooks are ${cb.dim}-dim") }
+      "per-query candidate pools silently merge"
+    def dimCheck(qs: Array[(Long, Array[Double])]): Unit =
+      qs.foreach { case (qid, v) => require(v.length == cb.dim,
+        s"query $qid is ${v.length}-dim; index codebooks are ${cb.dim}-dim") }
+    // qid-ONLY planning probe (8 B per query, ~8 MB at the 1M default
+    // cap): the over-cap refusal fires BEFORE any query vector
+    // materializes on the driver — the old full-row probe collected up
+    // to ~0.5 GB of vectors just to refuse
+    val probeLimit = (math.min(capL, Int.MaxValue.toLong - 1) + 1L).toInt
+    val qidProbe = qproj.select("qid").limit(probeLimit)
+      .collect().map(_.getLong(0))
+    require(qidProbe.length.toLong <= capL, capMsg)
+    require(qidProbe.nonEmpty, "topKBatch: empty query table")
     // the O(nLists) centroid table loads ONCE, shared by every pass
     val cents = spark.read
       .parquet(s"$path/centroids.parquet")
       .orderBy("list").collect()
       .map(r => r.getInt(0) -> r.getAs[Seq[Double]]("centroid").toArray)
-    if (qsAll.length <= maxQueries)
+    if (qidProbe.length <= maxQueries) {
+      // single pass: one bounded (qid, qvec) collect; the guards
+      // re-check the collected snapshot itself, so a source that grew
+      // between probe and collect still refuses
+      val qsAll: Array[(Long, Array[Double])] = qproj
+        .limit(maxQueries + 1).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      require(qsAll.length <= maxQueries,
+        "topKBatch: query table grew past maxQueries mid-call")
+      require(qsAll.nonEmpty, "topKBatch: empty query table")
+      require(qsAll.map(_._1).distinct.length == qsAll.length, dupMsg)
+      dimCheck(qsAll)
       topKBatchPass(spark, qsAll, path, cb, cents, k, nProbe,
         candidates, allowed, storedFilter)
-    else
+    } else {
       // engine-side chunking: per-query results are independent, so
-      // the union of ≤ maxQueries passes IS the unchunked answer
-      qsAll.sortBy(_._1).grouped(maxQueries).map { chunk =>
+      // the union of ≤ maxQueries passes IS the unchunked answer. The
+      // query projection pins ONE executor-resident snapshot
+      // (localCheckpoint) — every guard and every chunk fetch serves
+      // the same rows (no TOCTOU between passes) — and the driver
+      // plans chunks from a qid-only collect, fetching each chunk's
+      // vectors separately: peak driver residency is one chunk of
+      // vectors plus the pass broadcasts, never the whole query set
+      // in row form
+      val snap = qproj.localCheckpoint()
+      val qids = snap.select("qid").collect().map(_.getLong(0))
+      require(qids.length.toLong <= capL, capMsg)
+      require(qids.distinct.length == qids.length, dupMsg)
+      qids.sorted.grouped(maxQueries).map { chunkIds =>
+        val chunk: Array[(Long, Array[Double])] = snap
+          .filter(col("qid").isin(chunkIds.map(Long.box).toIndexedSeq: _*))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        dimCheck(chunk)
         topKBatchPass(spark, chunk, path, cb, cents, k, nProbe,
           candidates, allowed, storedFilter)
       }.reduce(_.unionByName(_))
+    }
   }
 
   /** One ≤-maxQueries pass — the single-broadcast plan described on
