@@ -994,6 +994,31 @@ object LakehouseQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---- diversity selection on the SQL surface (l38) ---------------------
+
+  /** `CALL mmr_select` — the p85 clustered-MMR operator reached through
+    * the procedure surface, on the p78 fixture (query = vec_id 0,
+    * candidates 1..199, k = 8): numClusters = 1 with a covering pool is
+    * bit-identical to the guarded mmrSelect, so the p78 recursive-CTE
+    * oracle applies verbatim even though the rows took a round trip
+    * through a graft table. */
+  def qMmrSelectSql(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val wh = freshRoot("emb_mmr_wh")
+    val catalog = new graft.sql.GraftCatalog(spark, wh)
+    val gsql = new graft.sql.GraftSql(catalog)
+    val t = catalog.createTable(TableConfig(name = "emb_mmr",
+      keyField = "vec_id", orderingField = "vec_id", numBuckets = 2))
+    t.bulkInsert(embs)
+    gsql.sql("CALL mmr_select(table => 'emb_mmr', id_col => 'vec_id', " +
+        "vec_col => 'embedding', k => 8, lambda => '0.5', " +
+        "num_clusters => 1, pool_per_cluster => 256, " +
+        "query_where => 'vec_id = 0', " +
+        "filter => 'vec_id BETWEEN 1 AND 199')")
+      .orderBy("rank")
+  }
+
   private val vectorSearchSql =
     """WITH v AS (SELECT vec_id, embedding FROM embeddings
       |           WHERE vec_id % 3 = 0),
@@ -1343,6 +1368,7 @@ object LakehouseQueries {
     "l35_table_dedup" -> (qTableDedup _),
     "l36_table_dedup_fuzzy" -> (qTableDedupFuzzy _),
     "l37_vector_search" -> (qVectorSearchSql _),
+    "l38_mmr_select" -> (qMmrSelectSql _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1383,5 +1409,9 @@ object LakehouseQueries {
     "l35_table_dedup" -> tableDedupSql,
     "l36_table_dedup_fuzzy" -> tableDedupFuzzySql,
     "l37_vector_search" -> vectorSearchSql,
+    // the SQL-surface MMR equals the p78/p85 operator bit for bit on
+    // the same fixture rows, so the recursive-CTE oracle applies
+    // verbatim
+    "l38_mmr_select" -> PipelineQueries.sMmrSelectSql,
   )
 }

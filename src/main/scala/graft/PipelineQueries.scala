@@ -656,7 +656,9 @@ object PipelineQueries {
        |   * sqrt(list_sum(list_transform(generate_series(1, len($b)),
        |       i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))""".stripMargin
 
-  private val sMmrSelectSql =
+  // shared with LakehouseQueries: the l38 SQL-surface MMR gate reuses
+  // this oracle verbatim (same fixture rows through a graft table)
+  private[graft] val sMmrSelectSql =
     s"""WITH RECURSIVE
        |cand AS (SELECT vec_id, embedding FROM embeddings
        |         WHERE vec_id BETWEEN 1 AND 199),

@@ -541,6 +541,55 @@ final class GraftSql(catalog: GraftCatalog) {
           snap.filter(expr(f)).select(idCol))
         graft.operators.IvfIndex.topK(t.spark, path, queries,
           idCol, vecCol, k, nProbe, allowed)
+      case "mmr_select" =>
+        // diversity selection on the SQL surface — the curation stage
+        // between retrieval (vector_search) and dedup (dedup_table):
+        // pick k rows balancing relevance to the query against mutual
+        // redundancy (Carbonell–Goldstein MMR), via the scale path
+        // (Similarity.mmrSelectClustered: one relevance scan + one
+        // bounded window shuffle + a driver-local exact greedy —
+        // k-independent plan). `filter` restricts CANDIDATES; the
+        // query vector comes from query_where (a predicate selecting
+        // EXACTLY ONE row of the table) or a query_vec literal.
+        // Returns (rank, vec_id, score) — vec_id is the id column's
+        // value.
+        val t = table
+        val idCol = arg("id_col", 1).getOrElse(t.config.keyField)
+        val vecCol = arg("vec_col", 2).getOrElse("embedding")
+        val k = arg("k", 3).map(_.toInt).getOrElse(10)
+        val lambda = args.get("lambda").map(_.toDouble).getOrElse(0.5)
+        val numClusters = args.get("num_clusters").map(_.toInt).getOrElse(8)
+        val poolPerCluster =
+          args.get("pool_per_cluster").map(_.toInt).getOrElse(1024)
+        val snap = t.read()
+        val qWhere = args.get("query_where")
+        val qVecArg = args.get("query_vec")
+        require(qWhere.isDefined != qVecArg.isDefined,
+          "CALL mmr_select: give exactly one of query_where (a SQL " +
+          "predicate selecting exactly ONE query row) or query_vec (a " +
+          "literal embedding, e.g. '[0.1, 0.2, ...]')")
+        val qv: Array[Double] = qWhere match {
+          case Some(w) =>
+            val rows = snap.filter(expr(w)).select(vecCol).limit(2).collect()
+            require(rows.length == 1,
+              s"CALL mmr_select: query_where must select exactly one row" +
+              s"${if (rows.isEmpty) " (matched none)" else " (matched several)"}")
+            rows.head.getSeq[Any](0).map {
+              case f: Float => f.toDouble
+              case d: Double => d
+              case other => throw new IllegalArgumentException(
+                s"CALL mmr_select: query row's $vecCol is not a " +
+                s"float/double array (element: $other)")
+            }.toArray
+          case None =>
+            qVecArg.get.stripPrefix("[").stripSuffix("]")
+              .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+        }
+        require(qv.nonEmpty, "CALL mmr_select: empty query vector")
+        val candidates = args.get("filter").fold(snap)(f => snap.filter(expr(f)))
+        graft.operators.Similarity.mmrSelectClustered(candidates, idCol,
+          vecCol, qv, k, lambda = lambda, numClusters = numClusters,
+          poolPerCluster = poolPerCluster)
       case "show_commits" => Observability.commits(table)
       case "show_fsview_all_files" | "show_files" => Observability.files(table)
       case "sync_xtable" =>
@@ -646,8 +695,8 @@ final class GraftSql(catalog: GraftCatalog) {
         s"unknown procedure '$other' — supported: run_compaction, " +
         "run_clustering, run_clean, run_archival, rollback_to_instant, " +
         "rollback_last_commit, table_changes, build_vector_index, " +
-        "vector_search, register_table, sync_xtable, expire_metadata, " +
-        "dedup_table, show_commits, show_files")
+        "vector_search, mmr_select, register_table, sync_xtable, " +
+        "expire_metadata, dedup_table, show_commits, show_files")
     }
   }
 

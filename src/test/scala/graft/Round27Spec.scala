@@ -263,6 +263,51 @@ class Round27Spec extends AnyFunSuite {
     assert(eDim.getMessage.contains("dim"))
   }
 
+  test("CALL mmr_select: ≡ the operator result on the same fixture; " +
+      "ambiguous/missing query rows refuse") {
+    val wh = tmp("mmrsql")
+    val catalog = new graft.sql.GraftCatalog(spark, wh)
+    val gsql = new graft.sql.GraftSql(catalog)
+    val t = catalog.createTable(graft.core.TableConfig(name = "mm1",
+      keyField = "vec_id", orderingField = "vec_id", numBuckets = 1))
+    t.bulkInsert((0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j + 1) + 2.0).toSeq)
+    }.toDF("vec_id", "embedding"))
+    val got = gsql.sql("CALL mmr_select(table => 'mm1', " +
+        "id_col => 'vec_id', vec_col => 'embedding', k => 5, " +
+        "num_clusters => 1, pool_per_cluster => 64, " +
+        "query_where => 'vec_id = 0', filter => 'vec_id > 0')")
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val q = t.read().filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>"))
+      .first().getSeq[Double](0).toArray
+    val want = Similarity.mmrSelectClustered(
+      t.read().filter($"vec_id" > 0), "vec_id", "embedding", q, k = 5,
+      numClusters = 1, poolPerCluster = 64)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq)
+    val eMany = intercept[IllegalArgumentException] {
+      gsql.sql("CALL mmr_select(table => 'mm1', k => 3, " +
+        "vec_col => 'embedding', query_where => 'vec_id < 5')") }
+    assert(eMany.getMessage.contains("exactly one row"))
+    val eNone = intercept[IllegalArgumentException] {
+      gsql.sql("CALL mmr_select(table => 'mm1', k => 3, " +
+        "vec_col => 'embedding', query_where => 'vec_id = 999')") }
+    assert(eNone.getMessage.contains("matched none"))
+    val eBoth = intercept[IllegalArgumentException] {
+      gsql.sql("CALL mmr_select(table => 'mm1', k => 3, " +
+        "query_where => 'vec_id = 0', query_vec => '[1,2]')") }
+    assert(eBoth.getMessage.contains("exactly one of"))
+    // literal query vector path
+    val lit8 = (0 until 8).map(j => math.sin(j + 1) + 2.0)
+    val gotLit = gsql.sql("CALL mmr_select(table => 'mm1', " +
+        "id_col => 'vec_id', vec_col => 'embedding', k => 3, " +
+        "num_clusters => 1, pool_per_cluster => 64, " +
+        s"query_vec => '[${lit8.mkString(", ")}]', filter => 'vec_id > 0')")
+      .orderBy("rank").collect()
+    assert(gotLit.length == 3)
+  }
+
   // ---- MMR null-element refusal -----------------------------------------
 
   test("mmrSelectClustered refuses a null vector element loudly") {
