@@ -994,6 +994,116 @@ object LakehouseQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---- T6++ Iceberg v2 position-delete READ (l39) -----------------------
+
+  /** Fixed root, same reason as l29/l31: the oracle SQL is static. */
+  private val posDeleteRoot = "/tmp/graft_xtable_l39"
+
+  private def writeOneSorted(df: DataFrame, sortCol: String,
+      dest: java.nio.file.Path): Unit = {
+    val tmpd = s"$dest.tmp"
+    df.repartition(1).sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(tmpd)
+    val part = graft.util.Fs.list(java.nio.file.Paths.get(tmpd))(
+      _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
+    java.nio.file.Files.createDirectories(dest.getParent)
+    java.nio.file.Files.move(part, dest)
+    graft.util.TempDirs.deleteRecursively(java.nio.file.Paths.get(tmpd))
+  }
+
+  private def writeAvro(path: java.nio.file.Path, schemaJson: String,
+      rows: Seq[Map[String, Any]]): Unit = {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val w = new org.apache.avro.file.DataFileWriter(
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, path.toFile)
+    def rec(s: org.apache.avro.Schema, m: Map[String, Any]): GenericRecord = {
+      val r = new GenericData.Record(s)
+      m.foreach {
+        case (k, sub: Map[_, _]) =>
+          r.put(k, rec(s.getField(k).schema(), sub.asInstanceOf[Map[String, Any]]))
+        case (k, v) => r.put(k, v)
+      }
+      r
+    }
+    rows.foreach(m => w.append(rec(schema, m)))
+    w.close()
+  }
+
+  private val l39ManifestListSchema =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"content","type":"int"}]}""".stripMargin
+  private val l39ManifestSchema =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"file_path","type":"string"},
+      |{"name":"content","type":"int"}]}}]}""".stripMargin
+
+  /** The foreign-read leg REAL Flink/Spark-written Iceberg v2 tables
+    * exercise constantly: merge-on-read POSITION deletes. The fixture
+    * forges a v2 tree — two sorted data files (even/odd event_id) plus
+    * a position-delete parquet ((file_path, pos) tuples) under a
+    * DELETE manifest (manifest-list content=1) — and the engine's
+    * [[graft.interop.XTableSync.readIceberg]] must apply the deletes
+    * by (file, row-ordinal) anti-join. The DuckDB oracle resolves the
+    * SAME fixture independently via read_parquet(filename,
+    * file_row_number): the gate matches only if delete-manifest
+    * routing, position semantics (0-based file ordinal), and path
+    * normalization are all correct. Equality deletes stay refused
+    * (Round27Spec). */
+  def qIcebergPosDelete(spark: SparkSession, dir: String): DataFrame = {
+    graft.util.TempDirs.deleteRecursively(
+      java.nio.file.Paths.get(posDeleteRoot))
+    val ev = events(spark, dir).select(
+      col("event_id"), col("event_type"), col("value"))
+    val metaDir = java.nio.file.Paths.get(posDeleteRoot, "metadata")
+    java.nio.file.Files.createDirectories(metaDir)
+    val fA = java.nio.file.Paths.get(posDeleteRoot, "data", "fA.parquet")
+    val fB = java.nio.file.Paths.get(posDeleteRoot, "data", "fB.parquet")
+    writeOneSorted(ev.filter(col("event_id") % 2 === 0), "event_id", fA)
+    writeOneSorted(ev.filter(col("event_id") % 2 === 1), "event_id", fB)
+    val delFile = java.nio.file.Paths.get(posDeleteRoot, "deletes", "pd.parquet")
+    import spark.implicits._
+    writeOneSorted(Seq(
+        (fA.toString, 0L), (fA.toString, 3L), (fA.toString, 5L),
+        (fA.toString, 10L), (fA.toString, 20L),
+        (fB.toString, 1L), (fB.toString, 2L), (fB.toString, 30L))
+      .toDF("file_path", "pos"), "pos", delFile)
+    val dataMan = metaDir.resolve("m-data.avro")
+    writeAvro(dataMan, l39ManifestSchema, Seq(fA, fB).map(f => Map(
+      "status" -> Int.box(1),
+      "data_file" -> Map("file_path" -> f.toString, "content" -> Int.box(0)))))
+    val delMan = metaDir.resolve("m-del.avro")
+    writeAvro(delMan, l39ManifestSchema, Seq(Map(
+      "status" -> Int.box(1),
+      "data_file" -> Map("file_path" -> delFile.toString,
+        "content" -> Int.box(1)))))
+    val list = metaDir.resolve("snap-1.avro")
+    writeAvro(list, l39ManifestListSchema, Seq(
+      Map("manifest_path" -> dataMan.toString, "content" -> Int.box(0)),
+      Map("manifest_path" -> delMan.toString, "content" -> Int.box(1))))
+    java.nio.file.Files.writeString(metaDir.resolve("v1.metadata.json"),
+      s"""{"current-snapshot-id":1,"snapshots":[
+         |{"snapshot-id":1,"manifest-list":"$list"}]}""".stripMargin)
+    graft.interop.XTableSync.readIceberg(spark, posDeleteRoot)
+      .orderBy("event_id", "event_type")
+  }
+
+  private val icebergPosDeleteSql =
+    s"""WITH d AS (
+       |  SELECT event_id, event_type, value, filename, file_row_number
+       |  FROM read_parquet('$posDeleteRoot/data/*.parquet',
+       |                    filename=true, file_row_number=true)),
+       |del AS (SELECT file_path, pos
+       |        FROM read_parquet('$posDeleteRoot/deletes/*.parquet'))
+       |SELECT event_id, event_type, value FROM d
+       |WHERE NOT EXISTS (SELECT 1 FROM del
+       |  WHERE del.file_path = d.filename AND del.pos = d.file_row_number)
+       |ORDER BY event_id, event_type""".stripMargin
+
   // ---- diversity selection on the SQL surface (l38) ---------------------
 
   /** `CALL mmr_select` — the p85 clustered-MMR operator reached through
@@ -1369,6 +1479,7 @@ object LakehouseQueries {
     "l36_table_dedup_fuzzy" -> (qTableDedupFuzzy _),
     "l37_vector_search" -> (qVectorSearchSql _),
     "l38_mmr_select" -> (qMmrSelectSql _),
+    "l39_iceberg_pos_delete" -> (qIcebergPosDelete _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1413,5 +1524,6 @@ object LakehouseQueries {
     // the same fixture rows, so the recursive-CTE oracle applies
     // verbatim
     "l38_mmr_select" -> PipelineQueries.sMmrSelectSql,
+    "l39_iceberg_pos_delete" -> icebergPosDeleteSql,
   )
 }

@@ -1032,20 +1032,27 @@ object XTableSync {
     finally r.close()
   }
 
-  def icebergLiveFiles(metaFile: java.nio.file.Path): Seq[String] = {
+  /** Resolve a snapshot's live DATA files and live POSITION-DELETE
+    * files through the manifest chain — Iceberg v2 merge-on-read
+    * layout: the manifest list carries `content`=0 (data) and
+    * `content`=1 (delete) manifests; inside a delete manifest,
+    * data_file `content`=1 is a position-delete parquet
+    * ((file_path, pos) tuples) and `content`=2 an equality-delete.
+    *
+    * Position deletes are mechanical to APPLY (anti-join (file_path,
+    * pos) against the pruned data scan — [[readIceberg]] does exactly
+    * that); equality deletes need the full row-predicate machinery and
+    * stay refused loudly. Shape violations (a delete file inside a
+    * data manifest, a data file inside a delete manifest) refuse
+    * loudly — guessing either way resurrects or loses rows silently. */
+  def icebergLiveFilesEx(
+      metaFile: java.nio.file.Path): (Seq[String], Seq[String]) = {
     val meta = mapper.readTree(Files.readAllBytes(metaFile))
     val snapId = meta.get("current-snapshot-id").asLong()
     val snap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == snapId)
       .getOrElse(throw new IllegalStateException(
         s"current-snapshot-id $snapId not in snapshots"))
-    // content gate (Iceberg v2 merge-on-read deletes): a DELETE
-    // manifest (manifest-list `content`=1) lists positional/equality
-    // delete files, and a data_file record with `content`=1/2 IS one.
-    // Treating either as data would adopt the delete file's rows as
-    // table rows AND ignore the deletes it encodes — the resurrection
-    // failure, silently. This reader implements content=0 only;
-    // anything else is refused loudly (absent field = v1 = data).
     def contentOf(r: org.apache.avro.generic.GenericRecord): Int =
       r.get("content") match {
         case null => 0
@@ -1054,25 +1061,63 @@ object XTableSync {
         case other => throw new IllegalStateException(
           s"unreadable Iceberg content field: $other")
       }
-    for {
-      m <- avroRecords(snap.get("manifest-list").asText())
-      _ = require(contentOf(m) == 0,
-        s"Iceberg table at $metaFile has a DELETE manifest " +
-        s"(content=${contentOf(m)}, ${m.get("manifest_path")}) — v2 " +
-        "merge-on-read deletes are not applied by this reader and " +
-        "ignoring them would resurrect deleted rows; rewrite the table " +
-        "(rewrite_data_files + rewrite_position_delete_files / compact) " +
-        "from the source engine first")
-      e <- avroRecords(m.get("manifest_path").toString)
-      if e.get("status").asInstanceOf[Int] != 2 // 2 = DELETED
-      df = e.get("data_file")
-        .asInstanceOf[org.apache.avro.generic.GenericRecord]
-      _ = require(contentOf(df) == 0,
-        s"Iceberg table at $metaFile lists a delete file " +
-        s"(content=${contentOf(df)}, ${df.get("file_path")}) in a data " +
-        "manifest — v2 row-level deletes are not applied by this " +
-        "reader; rewrite from the source engine first")
-    } yield df.get("file_path").toString
+    val data = Seq.newBuilder[String]
+    val deletes = Seq.newBuilder[String]
+    for (m <- avroRecords(snap.get("manifest-list").asText())) {
+      val mContent = contentOf(m)
+      require(mContent == 0 || mContent == 1,
+        s"Iceberg table at $metaFile has a manifest of unknown content=" +
+        s"$mContent (${m.get("manifest_path")}) — refusing to guess")
+      for {
+        e <- avroRecords(m.get("manifest_path").toString)
+        if e.get("status").asInstanceOf[Int] != 2 // 2 = DELETED
+      } {
+        val df = e.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        val fContent = contentOf(df)
+        if (mContent == 0) {
+          require(fContent == 0,
+            s"Iceberg table at $metaFile lists a delete file " +
+            s"(content=$fContent, ${df.get("file_path")}) in a data " +
+            "manifest — a malformed tree this reader refuses rather " +
+            "than resurrecting or dropping rows")
+          data += df.get("file_path").toString
+        } else {
+          require(fContent != 0,
+            s"Iceberg table at $metaFile lists a data file " +
+            s"(content=0, ${df.get("file_path")}) inside a DELETE " +
+            "manifest — a malformed tree this reader refuses")
+          require(fContent == 1,
+            s"Iceberg table at $metaFile carries an EQUALITY-delete " +
+            s"file (content=$fContent, ${df.get("file_path")}) — " +
+            "equality deletes need row-predicate application this " +
+            "reader does not implement; rewrite the table " +
+            "(rewrite_data_files + compact) from the source engine first")
+          deletes += df.get("file_path").toString
+        }
+      }
+    }
+    (data.result(), deletes.result())
+  }
+
+  /** Live data files of a snapshot that carries NO row-level deletes —
+    * the ADOPTION/registration contract: a graft bootstrap adopts
+    * whole parquet files and has no way to represent a foreign
+    * position-delete, so any delete file refuses loudly here.
+    * [[readIceberg]] APPLIES position deletes instead — read the data
+    * through it, or compact from the source engine before adopting. */
+  def icebergLiveFiles(metaFile: java.nio.file.Path): Seq[String] = {
+    val (data, dels) = icebergLiveFilesEx(metaFile)
+    require(dels.isEmpty,
+      s"Iceberg table at $metaFile has a DELETE manifest with live " +
+      s"position-delete files (${dels.take(3).mkString(", ")}${
+        if (dels.size > 3) ", …" else ""}) — adoption/registration " +
+      "cannot represent row-level deletes (deleted rows would " +
+      "resurrect); read it with readIceberg (which applies them) or " +
+      "rewrite the table (rewrite_data_files + " +
+      "rewrite_position_delete_files / compact) from the source engine " +
+      "first")
+    data
   }
 
   /** Every METADATA file a `vN.metadata.json` references: each
@@ -1210,11 +1255,39 @@ object XTableSync {
 
   /** Read the synced table as an Iceberg reader would: latest
     * `vN.metadata.json` → current snapshot's manifest list → manifests
-    * → data files (absolute paths per the spec). */
+    * → data files (absolute paths per the spec) — APPLYING v2
+    * position deletes: each delete parquet lists (file_path, pos)
+    * tuples and the live scan anti-joins on (file, row ordinal). */
   def readIceberg(spark: org.apache.spark.sql.SparkSession,
-      root: String): org.apache.spark.sql.DataFrame = {
-    val dataFiles = icebergLiveFiles(latestIcebergMetadataFile(root))
-    spark.read.parquet(dataFiles: _*)
+      root: String): org.apache.spark.sql.DataFrame =
+    readIcebergMeta(spark, latestIcebergMetadataFile(root))
+
+  private def readIcebergMeta(spark: org.apache.spark.sql.SparkSession,
+      metaFile: java.nio.file.Path): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val (dataFiles, deleteFiles) = icebergLiveFilesEx(metaFile)
+    val base = spark.read.parquet(dataFiles: _*)
+    if (deleteFiles.isEmpty) base
+    else {
+      // (file_path, pos) application: Spark's parquet _metadata column
+      // supplies the row's file and ordinal for free (no shuffle on
+      // the scan side); the delete set anti-joins in — AQE broadcasts
+      // the usual small delete relation, and a mass-delete set falls
+      // back to a shuffled anti-join instead of an OOM. Path forms are
+      // normalized (producers write bare absolute paths or file: URIs;
+      // Spark reports file:///…) so equal files compare equal.
+      def norm(c: org.apache.spark.sql.Column) =
+        regexp_replace(c, "^file:/+", "/")
+      val cols = base.columns.toSeq
+      val withMeta = base
+        .withColumn("__fp", norm(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index"))
+      val dels = spark.read.parquet(deleteFiles: _*)
+        .select(norm(col("file_path")).as("__fp"),
+          col("pos").cast("long").as("__pos"))
+      withMeta.join(dels, Seq("__fp", "__pos"), "left_anti")
+        .select(cols.map(col): _*)
+    }
   }
 
   /** Iceberg time travel over the export — `VERSION AS OF` on the
@@ -1229,7 +1302,7 @@ object XTableSync {
     require(Files.exists(metaFile),
       s"no v$version.metadata.json under $root/metadata — that version " +
       "does not exist or its metadata was retention-expired")
-    spark.read.parquet(icebergLiveFiles(metaFile): _*)
+    readIcebergMeta(spark, metaFile)
   }
 
   private def icebergType(dt: org.apache.spark.sql.types.DataType): String = {

@@ -126,6 +126,119 @@ class Round27Spec extends AnyFunSuite {
     assert(e.getMessage.contains("malformed"))
   }
 
+  // ---- Iceberg v2 position deletes --------------------------------------
+
+  private def writeAvro(path: java.nio.file.Path, schemaJson: String,
+      rows: Seq[Map[String, Any]]): Unit = {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val w = new org.apache.avro.file.DataFileWriter(
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, path.toFile)
+    def rec(s: org.apache.avro.Schema, m: Map[String, Any]): GenericRecord = {
+      val r = new GenericData.Record(s)
+      m.foreach {
+        case (k, sub: Map[_, _]) =>
+          r.put(k, rec(s.getField(k).schema(),
+            sub.asInstanceOf[Map[String, Any]]))
+        case (k, v) => r.put(k, v)
+      }
+      r
+    }
+    rows.foreach(m => w.append(rec(schema, m)))
+    w.close()
+  }
+
+  private val manifestListSchema =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"content","type":"int"}]}""".stripMargin
+
+  private val manifestSchema =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"file_path","type":"string"},
+      |{"name":"content","type":"int"}]}}]}""".stripMargin
+
+  /** Write `df` as exactly ONE sorted parquet file at `dest`; row
+    * ordinal within the file == rank by id. */
+  private def writeOneParquet(df: org.apache.spark.sql.DataFrame,
+      dest: java.nio.file.Path): Unit = {
+    val tmpd = s"$dest.tmp-${java.util.UUID.randomUUID()}"
+    df.repartition(1).sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(tmpd)
+    val part = graft.util.Fs.list(Paths.get(tmpd))(
+      _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq).head
+    Files.createDirectories(dest.getParent)
+    Files.move(part, dest)
+    graft.util.TempDirs.deleteRecursively(Paths.get(tmpd))
+  }
+
+  /** Forge a v2 tree: two sorted data files (ids 0..19, 20..39), one
+    * position-delete parquet removing ids 3, 7 (f1 pos 3, 7) and 25
+    * (f2 pos 5); a data manifest and a DELETE manifest side by side in
+    * the manifest list. `deleteContent` forges the delete file's
+    * content field (1 = position, 2 = equality). */
+  private def forgePosDeleteTable(root: String,
+      deleteContent: Int = 1): Unit = {
+    val metaDir = Paths.get(root, "metadata")
+    Files.createDirectories(metaDir)
+    val f1 = Paths.get(root, "data", "f1.parquet")
+    val f2 = Paths.get(root, "data", "f2.parquet")
+    writeOneParquet((0L until 20L).map(i => (i, s"r$i")).toDF("id", "v"), f1)
+    writeOneParquet((20L until 40L).map(i => (i, s"r$i")).toDF("id", "v"), f2)
+    val delFile = Paths.get(root, "deletes", "pd1.parquet")
+    writeOneParquet(Seq(
+        (f1.toString, 3L, 0L), (f1.toString, 7L, 1L), (f2.toString, 5L, 2L))
+      .toDF("file_path", "pos", "id").select("file_path", "pos", "id"), delFile)
+    val dataMan = metaDir.resolve("m-data.avro")
+    writeAvro(dataMan, manifestSchema, Seq(f1, f2).map(f => Map(
+      "status" -> Int.box(1),
+      "data_file" -> Map("file_path" -> f.toString, "content" -> Int.box(0)))))
+    val delMan = metaDir.resolve("m-del.avro")
+    writeAvro(delMan, manifestSchema, Seq(Map(
+      "status" -> Int.box(1),
+      "data_file" -> Map("file_path" -> delFile.toString,
+        "content" -> Int.box(deleteContent)))))
+    val list = metaDir.resolve("snap-1.avro")
+    writeAvro(list, manifestListSchema, Seq(
+      Map("manifest_path" -> dataMan.toString, "content" -> Int.box(0)),
+      Map("manifest_path" -> delMan.toString, "content" -> Int.box(1))))
+    Files.writeString(metaDir.resolve("v1.metadata.json"),
+      s"""{"current-snapshot-id":1,"snapshots":[
+         |{"snapshot-id":1,"manifest-list":"$list"}]}""".stripMargin)
+    ()
+  }
+
+  test("readIceberg APPLIES v2 position deletes: (file_path, pos) " +
+      "anti-join against the live scan") {
+    val root = tmp("icepd")
+    forgePosDeleteTable(root)
+    val got = graft.interop.XTableSync.readIceberg(spark, root)
+      .select("id").as[Long].collect().toSet
+    val want = (0L until 40L).toSet -- Set(3L, 7L, 25L)
+    assert(got == want)
+  }
+
+  test("adoption still refuses live position deletes (cannot be " +
+      "represented); equality deletes refuse everywhere") {
+    val root = tmp("icepd2")
+    forgePosDeleteTable(root)
+    val e = intercept[IllegalArgumentException] {
+      graft.interop.XTableSync.adoptIceberg(spark, root,
+        graft.core.TableConfig(name = "t", keyField = "id",
+          orderingField = "id", numBuckets = 1))
+    }
+    assert(e.getMessage.contains("readIceberg"), e.getMessage)
+    val root2 = tmp("iceeq")
+    forgePosDeleteTable(root2, deleteContent = 2)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.interop.XTableSync.readIceberg(spark, root2).collect()
+    }
+    assert(e2.getMessage.contains("EQUALITY"), e2.getMessage)
+  }
+
   // ---- incremental vector-index maintenance ----------------------------
 
   /** Scala-encoded Seq[Double] arrays carry containsNull=false, but
