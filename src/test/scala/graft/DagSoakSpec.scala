@@ -31,16 +31,32 @@ class DagSoakSpec extends AnyFunSuite {
   private def tmp(tag: String) =
     graft.util.TempDirs.create(s"graft-dagsoak-$tag-").toString
 
+  private def centroidBytes(path: String): Seq[(String, Long)] =
+    graft.util.Fs.list(java.nio.file.Paths.get(path, "centroids.parquet"))(
+      _.filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.size(p)).toSeq).sortBy(_._1)
+
   private def runDag(tableType: String, rounds: Int): Unit = {
     val catalog = new graft.sql.GraftCatalog(spark, tmp(tableType))
+    val gsql = new graft.sql.GraftSql(catalog)
     val name = s"dagsoak_$tableType"
     val t = catalog.createTable(TableConfig(name = name, keyField = "k",
       orderingField = "ts", tableType = tableType, numBuckets = 2))
     // the ValidateDatasetNode's accumulated expected input:
-    // k -> (ts, v), latest-wins on ts — exactly the upsert contract
+    // k -> (ts, v), latest-wins on ts — exactly the upsert contract.
+    // txt/emb are DERIVED columns (txt from v, emb from k), so the
+    // expected map needs no extra state: the same derivation runs on
+    // the expected side in validate().
     var expected = Map.empty[Long, (Long, Double)]
     var ts = 0L
+    var centsAfterBuild: Seq[(String, Long)] = Nil
     def df(rows: Seq[(Long, Long, Double)]) = rows.toDF("k", "ts", "v")
+      .withColumn("txt", col("v").cast("string"))
+      .withColumn("emb",
+        expr("transform(sequence(0, 5), j -> sin(k * 6 + j) + 2.0d)")
+          .cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = true)))
     def fold(rows: Seq[(Long, Long, Double)]): Unit = rows.foreach {
       case (k, t2, v) =>
         if (!expected.get(k).exists(_._1 > t2)) expected += k -> ((t2, v))
@@ -68,8 +84,10 @@ class DagSoakSpec extends AnyFunSuite {
       // insert×3 (100 / 1000 / 300 rows — the yaml's node sizes)
       Seq(100, 1000, 300).zipWithIndex.foreach { case (n, i) =>
         ts += 1
+        // v = k so txt (derived from v) is globally unique except the
+        // deliberate duplicates the dedup stage below plants
         val rows = (0 until n).map(j =>
-          (base + i * 10000L + j, ts, (i * 10000L + j) * 1.0))
+          (base + i * 10000L + j, ts, (base + i * 10000L + j) * 1.0))
         t.insert(df(rows))
         fold(rows)
       }
@@ -98,6 +116,53 @@ class DagSoakSpec extends AnyFunSuite {
       expected --= dels
       plan.foreach(i => TableServices.runCompaction(t, i))
       validate(r, "second_validate")
+      // vector_search rides the SAME timeline (the reference's DAG adds
+      // a service per round): round 1 builds the index; every later
+      // round's commits maintain it INCREMENTALLY — frozen centroids,
+      // svc-journaled CDC append — and the full-probe search must equal
+      // brute force over the live snapshot (round's inserts present,
+      // deletes absent)
+      val qk = ups.head._1
+      val viaSql = gsql.sql(s"CALL vector_search(table => '$name', " +
+          s"id_col => 'k', vec_col => 'emb', k => 3, n_lists => 4, " +
+          s"query_where => 'k = $qk')")
+        .select("neighbor_id").as[Long].collect().toSet
+      val brute = graft.operators.Similarity.bruteForceTopK(
+        t.read().select("k", "emb"),
+        t.read().filter(col("k") === qk).select("k", "emb"),
+        "k", "emb", k = 3)
+        .select("neighbor_id").as[Long].collect().toSet
+      assert(viaSql == brute,
+        s"round $r: indexed search diverged from brute force")
+      assert(viaSql.intersect(dels.toSet).isEmpty,
+        s"round $r: a deleted key was served as a neighbor")
+      val idxPath = TableServices.vectorIndexPath(t, "emb")
+      if (r == 1) centsAfterBuild = centroidBytes(idxPath)
+      else {
+        assert(centroidBytes(idxPath) == centsAfterBuild,
+          s"round $r: index maintenance retrained the frozen centroids")
+        assert(graft.util.Fs.list(
+            java.nio.file.Paths.get(idxPath, "_appends"))(
+            _.exists(p => p.getFileName.toString.startsWith("svc-") &&
+              p.getFileName.toString.endsWith(".done"))),
+          s"round $r: no svc append journal — maintenance was not the " +
+          "incremental path")
+      }
+      // dedup curation service on the same timeline: 5 duplicate-text
+      // rows land (same v as live keys → same derived txt), CALL
+      // dedup_table removes exactly them (keep-best = lowest key), and
+      // the invariants hold again
+      ts += 1
+      val dupSrc = expected.keys.toSeq.sorted.take(5)
+      val dupRows = dupSrc.map(k => (k + 77777777L, ts, expected(k)._2))
+      t.insert(df(dupRows))
+      fold(dupRows)
+      val removed = gsql.sql(s"CALL dedup_table(table => '$name', " +
+          "column => 'txt')")
+        .collect().head.getLong(0)
+      assert(removed == 5L, s"round $r: dedup removed $removed, wanted 5")
+      expected --= dupRows.map(_._1)
+      validate(r, "post_dedup")
     }
     // after the soak the table keeps working: one more write round-trips
     ts += 1
