@@ -539,8 +539,31 @@ final class GraftSql(catalog: GraftCatalog) {
         }
         val allowed = args.get("filter").map(f =>
           snap.filter(expr(f)).select(idCol))
-        graft.operators.IvfIndex.topK(t.spark, path, queries,
-          idCol, vecCol, k, nProbe, allowed)
+        args.get("rerank").map(_.toInt) match {
+          case None =>
+            // exact tier: cosine over the raw assignments of the
+            // probed lists, self-matches excluded — the l37 contract
+            graft.operators.IvfIndex.topK(t.spark, path, queries,
+              idCol, vecCol, k, nProbe, allowed)
+          case Some(cand) =>
+            // compressed tier (`rerank => <candidates>`): the probed
+            // scan reads PQ CODES (m ints/row, ~32× fewer bytes than
+            // raw vectors — the 100 TB query shape), ADC-ranks
+            // `candidates` per query, then re-ranks exactly against
+            // the raw vectors of just those candidates. Ranking is by
+            // INNER PRODUCT (the PQ tier's metric; ≡ cosine for
+            // normalized embeddings) and a query row of the table
+            // matches itself — pass query_vec for external queries.
+            require(snap.schema(idCol).dataType
+                .isInstanceOf[org.apache.spark.sql.types.NumericType],
+              s"CALL vector_search: rerank mode batches queries by a " +
+              s"numeric query id; id column '$idCol' is " +
+              s"${snap.schema(idCol).dataType.simpleString}")
+            val cb = graft.operators.IvfPq.codebooks(t.spark, path)
+            graft.operators.IvfPq.topKBatch(queries, idCol, vecCol,
+                path, cb, k, nProbe, candidates = cand, allowed = allowed)
+              .withColumnRenamed("rnk", "rank")
+        }
       case "mmr_select" =>
         // diversity selection on the SQL surface — the curation stage
         // between retrieval (vector_search) and dedup (dedup_table):

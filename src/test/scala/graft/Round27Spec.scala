@@ -376,6 +376,47 @@ class Round27Spec extends AnyFunSuite {
     assert(eDim.getMessage.contains("dim"))
   }
 
+  test("CALL vector_search rerank mode: codes-scan + exact re-rank ≡ " +
+      "the topKRerank operator; string ids refuse") {
+    val wh = tmp("vsqlpq")
+    val catalog = new graft.sql.GraftCatalog(spark, wh)
+    val gsql = new graft.sql.GraftSql(catalog)
+    val t = catalog.createTable(graft.core.TableConfig(name = "vs4",
+      keyField = "vec_id", orderingField = "vec_id", numBuckets = 1))
+    t.bulkInsert((0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j + 1) + 2.0).toSeq)
+    }.toDF("vec_id", "embedding"))
+    val qv = Array.tabulate(8)(j => math.sin(23 * 8 + j + 1) + 2.0)
+    val got = gsql.sql("CALL vector_search(table => 'vs4', " +
+        "id_col => 'vec_id', vec_col => 'embedding', k => 5, " +
+        "n_lists => 4, n_probe => 4, rerank => 60, " +
+        s"query_vec => '[${qv.mkString(", ")}]')")
+      .orderBy("rank")
+      .select("neighbor_id", "score").as[(Long, Double)].collect()
+    // the SQL surface must equal the operator on the same persisted
+    // index (full probe + candidates ≥ corpus ⇒ exact inner-product
+    // top-k, spec-pinned on the operator side)
+    val path = graft.core.TableServices.vectorIndexPath(t, "embedding")
+    val cb = IvfPq.codebooks(spark, path)
+    val want = IvfPq.topKRerank(spark, path, cb, qv, k = 5, nProbe = 4,
+        candidates = 60)
+      .select("id", "score").as[(Long, Double)].collect()
+    assert(got.toSeq == want.toSeq)
+    // string-keyed tables refuse rerank mode loudly (qid batching is
+    // numeric), rather than nulling every query id
+    val t2 = catalog.createTable(graft.core.TableConfig(name = "vs5",
+      keyField = "doc", orderingField = "doc", numBuckets = 1))
+    t2.bulkInsert((0 until 10).map { i =>
+      (s"d$i", Array.tabulate(8)(j => math.cos(i * 8 + j) + 2.0).toSeq)
+    }.toDF("doc", "embedding"))
+    val e = intercept[IllegalArgumentException] {
+      gsql.sql("CALL vector_search(table => 'vs5', id_col => 'doc', " +
+        "vec_col => 'embedding', k => 3, n_lists => 2, rerank => 10, " +
+        "query_vec => '[1,1,1,1,1,1,1,1]')")
+    }
+    assert(e.getMessage.contains("numeric"), e.getMessage)
+  }
+
   test("CALL mmr_select: ≡ the operator result on the same fixture; " +
       "ambiguous/missing query rows refuse") {
     val wh = tmp("mmrsql")
