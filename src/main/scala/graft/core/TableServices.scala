@@ -486,7 +486,16 @@ object TableServices {
     *
     * `asOf`/`snapshot` pin the ENTIRE call to one commit instant so a
     * caller can serve index, queries, and filters from the same
-    * snapshot ([[graft.sql.GraftSql]] `CALL vector_search`). */
+    * snapshot ([[graft.sql.GraftSql]] `CALL vector_search`).
+    *
+    * Contracts: (1) `idCol` must be a STABLE row identity — normally
+    * the table's key field. CDC classifies changes by the table key,
+    * so an update that rewrites a non-key idCol value would remove the
+    * new id (a no-op) and leave the OLD id's vector stale in the
+    * index. (2) Like compaction/clustering/cleaning, the index is
+    * maintained by ONE service caller at a time — concurrent
+    * maintainers of the SAME index directory race on its relations
+    * (concurrent readers of a quiescent index are fine). */
   def buildVectorIndex(t: GraftTable, idCol: String, vecCol: String,
       nLists: Int = 16, asOf: Option[String] = None,
       snapshot: Option[org.apache.spark.sql.DataFrame] = None,

@@ -597,6 +597,8 @@ final class GraftSql(catalog: GraftCatalog) {
             require(rows.length == 1,
               s"CALL mmr_select: query_where must select exactly one row" +
               s"${if (rows.isEmpty) " (matched none)" else " (matched several)"}")
+            require(!rows.head.isNullAt(0),
+              s"CALL mmr_select: the selected query row's $vecCol is null")
             rows.head.getSeq[Any](0).map {
               case f: Float => f.toDouble
               case d: Double => d

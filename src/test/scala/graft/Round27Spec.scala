@@ -376,6 +376,44 @@ class Round27Spec extends AnyFunSuite {
     assert(eDim.getMessage.contains("dim"))
   }
 
+  test("topKBatchStream chunks an over-maxQueries epoch: the snapshot " +
+      "pins inside foreachBatch and the union equals the unchunked batch") {
+    import org.apache.spark.sql.types._
+    val path = tmp("streamchunk")
+    val corpus = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j + 1) + 2.0).toSeq)
+    }.toDF("id", "embedding")
+    val cb = IvfPq.build(corpus, "id", "embedding", nLists = 2, m = 4,
+      codesPerSub = 16, path = path)
+    // ONE epoch of 10 queries with maxQueries = 4 → 3 chunked passes
+    val in = tmp("sc-in")
+    val qs = (0 until 10).map { i =>
+      val v = Array.tabulate(8)(j => math.sin(i * 8 + j + 1) + 2.0)
+      s"""{"id":${100 + i},"embedding":[${v.mkString(",")}]}"""
+    }
+    Files.write(Paths.get(in, "q.json"), qs.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val out = tmp("sc-out")
+    val q = IvfPq.topKBatchStream(
+      spark.readStream.schema(schema).json(in),
+      "id", "embedding", path, cb, k = 3, nProbe = 2, candidates = 8,
+      checkpointDir = tmp("sc-ckpt"), outPath = out, maxQueries = 4)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Long)].collect().toSet
+    val batchQs = (0 until 10).map { i =>
+      (100L + i, Array.tabulate(8)(j => math.sin(i * 8 + j + 1) + 2.0).toSeq)
+    }.toDF("id", "embedding")
+    val want = IvfPq.topKBatch(batchQs, "id", "embedding", path, cb,
+        k = 3, nProbe = 2, candidates = 8) // default maxQueries: one pass
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.map(_._1).size == 10 * 3 || got.groupBy(_._1).size == 10)
+  }
+
   test("CALL vector_search rerank mode: codes-scan + exact re-rank ≡ " +
       "the topKRerank operator; string ids refuse") {
     val wh = tmp("vsqlpq")
