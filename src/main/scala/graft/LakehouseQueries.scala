@@ -1104,6 +1104,69 @@ object LakehouseQueries {
        |  WHERE del.file_path = d.filename AND del.pos = d.file_row_number)
        |ORDER BY event_id, event_type""".stripMargin
 
+  // ---- incremental vector-index maintenance under the oracle (l40) ------
+
+  /** The round-27 maintenance path under the DuckDB oracle: build the
+    * index on the even half, then ONE upsert delivers new rows (odd
+    * vec_ids) AND moved vectors (evens < 20 shifted by +1.0 — float
+    * arithmetic, exact on both sides), and the next `CALL
+    * vector_search` must serve the post-upsert state through the
+    * incrementally-maintained index (CDC remove+append against frozen
+    * centroids — the full-rebuild path would also pass, but the specs
+    * pin WHICH path runs; this gate pins that the result is exact).
+    * Full probe ⇒ cosine top-k over the final snapshot, which the
+    * oracle recomputes from the raw parquet with the p6 cosine form. */
+  def qVectorSearchIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val wh = freshRoot("emb_vinc_wh")
+    val catalog = new graft.sql.GraftCatalog(spark, wh)
+    val gsql = new graft.sql.GraftSql(catalog)
+    val t = catalog.createTable(TableConfig(name = "emb_vinc",
+      keyField = "vec_id", orderingField = "ver", numBuckets = 2))
+    t.bulkInsert(embs.filter(col("vec_id") % 2 === 0).withColumn("ver", lit(1L)))
+    gsql.sql("CALL build_vector_index(table => 'emb_vinc', " +
+      "id_col => 'vec_id', vec_col => 'embedding', n_lists => 8)")
+    val up = embs.filter(col("vec_id") % 2 === 1)
+      .unionByName(embs
+        .filter(col("vec_id") % 2 === 0 && col("vec_id") < 20)
+        .withColumn("embedding",
+          expr("transform(embedding, x -> x + cast(1.0 as float))")))
+      .withColumn("ver", lit(2L))
+    t.upsert(up)
+    gsql.sql("CALL vector_search(table => 'emb_vinc', " +
+        "id_col => 'vec_id', vec_col => 'embedding', k => 5, " +
+        "n_lists => 8, query_where => 'vec_id < 10')")
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val vectorSearchIncrementalSql =
+    """WITH up AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+      |  UNION ALL
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(x + 1.0 AS REAL))
+      |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 20),
+      |fin AS (
+      |  SELECT vec_id, embedding FROM up
+      |  UNION ALL
+      |  SELECT vec_id, embedding FROM embeddings
+      |  WHERE vec_id % 2 = 0 AND vec_id NOT IN (SELECT vec_id FROM up)),
+      |q AS (SELECT vec_id, embedding FROM fin WHERE vec_id < 10),
+      |s AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+      |  list_sum(list_transform(generate_series(1, len(q.embedding)),
+      |    i -> q.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE))
+      |  / (sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)),
+      |       i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+      |   * sqrt(list_sum(list_transform(generate_series(1, len(v.embedding)),
+      |       i -> v.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE)))) AS cosine
+      |      FROM q JOIN fin v ON q.vec_id <> v.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s)
+      |SELECT query_id, neighbor_id, rank, cosine FROM r
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ---- diversity selection on the SQL surface (l38) ---------------------
 
   /** `CALL mmr_select` — the p85 clustered-MMR operator reached through
@@ -1480,6 +1543,7 @@ object LakehouseQueries {
     "l37_vector_search" -> (qVectorSearchSql _),
     "l38_mmr_select" -> (qMmrSelectSql _),
     "l39_iceberg_pos_delete" -> (qIcebergPosDelete _),
+    "l40_vector_search_incremental" -> (qVectorSearchIncremental _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1525,5 +1589,6 @@ object LakehouseQueries {
     // verbatim
     "l38_mmr_select" -> PipelineQueries.sMmrSelectSql,
     "l39_iceberg_pos_delete" -> icebergPosDeleteSql,
+    "l40_vector_search_incremental" -> vectorSearchIncrementalSql,
   )
 }
