@@ -17,7 +17,8 @@ import java.nio.file.{Files, Paths}
   *  - MMR pool vectors with null / non-float elements refuse loudly
   *    instead of an opaque MatchError mid-greedy.
   */
-class Round27Spec extends AnyFunSuite {
+class Round27Spec extends AnyFunSuite
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   lazy val spark: SparkSession = Session.local(4)
   import spark.implicits._
@@ -215,10 +216,18 @@ class Round27Spec extends AnyFunSuite {
       "anti-join against the live scan") {
     val root = tmp("icepd")
     forgePosDeleteTable(root)
-    val got = graft.interop.XTableSync.readIceberg(spark, root)
-      .select("id").as[Long].collect().toSet
+    val df = graft.interop.XTableSync.readIceberg(spark, root)
+    val got = df.select("id").as[Long].collect().toSet
     val want = (0L until 40L).toSet -- Set(3L, 7L, 25L)
     assert(got == want)
+    // the small delete set must BROADCAST into the anti-join (no
+    // shuffle of the data scan) — the 100 TB plan shape
+    val antis = collect(df.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(antis.nonEmpty,
+      s"expected a broadcast LeftAnti join, plan:\n${df.queryExecution.executedPlan}")
   }
 
   test("adoption still refuses live position deletes (cannot be " +
