@@ -552,14 +552,43 @@ object TableServices {
             if (!Files.exists(doneMarker)) {
               val cdc = t.readCdc(s.instant, maxCommits = nRow).persist()
               try {
-                graft.operators.IvfPq.remove(
-                  cdc.filter(col("_change_type").isin("u", "d"))
-                    .select(col(idCol)), idCol, path)
+                // UPDATE victims: tombstone (O(victims) — superseded
+                // versions of live rows may keep their bytes until the
+                // refreeze fold). DELETE victims: physical remove —
+                // deleted data's bytes must leave the index, tombstones
+                // only hide them. Legacy (pre-epoch) indexes take the
+                // physical path for both.
+                val epochAware =
+                  graft.operators.IvfPq.isEpochAware(t.spark, path)
+                if (epochAware) {
+                  graft.operators.IvfPq.tombstone(
+                    cdc.filter(col("_change_type") === "u")
+                      .select(col(idCol)), idCol, path, epoch = instant)
+                  graft.operators.IvfPq.remove(
+                    cdc.filter(col("_change_type") === "d")
+                      .select(col(idCol)), idCol, path)
+                  ()
+                } else {
+                  graft.operators.IvfPq.remove(
+                    cdc.filter(col("_change_type").isin("u", "d"))
+                      .select(col(idCol)), idCol, path)
+                  ()
+                }
                 val stats = graft.operators.IvfPq.append(
                   cdc.filter(col("_change_type").isin("i", "u"))
                     .select(col(idCol), col(vecCol)),
-                  idCol, vecCol, path, batchId = Some(batchId))
-                if (stats.driftRatio > driftRetrain) {
+                  idCol, vecCol, path, batchId = Some(batchId),
+                  epoch = Some(instant))
+                // retrain exits: the frozen quantizer stopped fitting
+                // (drift), or dead versions outgrew the fold threshold
+                // (every query pays the tombstone anti-join until then)
+                val tombDir = java.nio.file.Paths.get(path, "tombstones")
+                lazy val tombCount =
+                  if (!Files.isDirectory(tombDir)) 0L
+                  else t.spark.read.parquet(tombDir.toString).count()
+                if (stats.driftRatio > driftRetrain ||
+                    (epochAware && stats.corpusCount > 0 &&
+                      tombCount > 0.2 * stats.corpusCount)) {
                   graft.operators.IvfPq.refreeze(t.spark, path)
                   ()
                 }

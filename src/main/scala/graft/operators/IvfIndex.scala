@@ -59,11 +59,18 @@ object IvfIndex {
       nLists: Int, path: String, iterations: Int = 4,
       metaCols: Seq[String] = Nil): Meta = {
     val spark = embs.sparkSession
-    require(!metaCols.exists(c => Set("id", "vec", "list").contains(c)),
+    require(!metaCols.exists(c =>
+        Set("id", "vec", "list", "epoch").contains(c)),
       s"metaCols ${metaCols.mkString(",")} collide with the index's own " +
-      "column names (id, vec, list)")
+      "column names (id, vec, list, epoch)")
+    // `epoch` orders row versions against update tombstones
+    // ([[IvfPq.tombstone]]): build-time rows carry the empty epoch
+    // (before every tombstone), appended rows carry their maintenance
+    // instant. A stale tombstone relation from a previous index at
+    // this path would poison the new one — clear it.
+    graft.util.TempDirs.deleteRecursively(Paths.get(path, "tombstones"))
     val corpus = embs.select((col(idCol).as("id") +: col(vecCol).as("vec") +:
-      metaCols.map(col)): _*).persist()
+      lit("").as("epoch") +: metaCols.map(col)): _*).persist()
     try {
       val count = corpus.count()
       val dim = corpus.select(size(col("vec"))).first().getInt(0)
@@ -174,9 +181,9 @@ object IvfIndex {
     // helper): the surviving id set semi-joins BEFORE ranking, so every
     // returned neighbor satisfies the predicate and no rank slot is
     // wasted
-    val filtered = IvfPq.applyAllowed(
+    val filtered = IvfPq.applyAllowed(IvfPq.applyTombstones(
       spark.read.parquet(s"$path/assignments")
-        .filter(col("list").isin(probed.toIndexedSeq: _*)), allowed)
+        .filter(col("list").isin(probed.toIndexedSeq: _*)), path), allowed)
     val c = filtered
       .select(col("id").as("neighbor_id"), col("vec").as("cvec"), col("list"))
     val w = Window.partitionBy("query_id")

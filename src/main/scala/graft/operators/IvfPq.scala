@@ -99,7 +99,8 @@ object IvfPq {
     * make retries idempotent: a batch whose `.done` marker exists is
     * skipped (0 appended) rather than double-appended. */
   def append(batch: DataFrame, idCol: String, vecCol: String,
-      path: String, batchId: Option[String] = None): AppendStats = {
+      path: String, batchId: Option[String] = None,
+      epoch: Option[String] = None): AppendStats = {
     val spark = batch.sparkSession
     val meta = IvfIndex.meta(path).getOrElse(throw new IllegalArgumentException(
       s"no IVF-PQ index at $path — build() first"))
@@ -141,8 +142,15 @@ object IvfPq {
     metaCols.foreach { c => require(batch.columns.contains(c),
       s"index at $path stores filter column '$c' beside the vectors — " +
       "the append batch must carry it too") }
+    // `epoch` orders these rows against update tombstones; attached
+    // only when the stored relations carry the column (legacy indexes
+    // keep their schema and the physical-remove maintenance path)
+    val epochCols =
+      if (isEpochAware(spark, path))
+        Seq(lit(epoch.getOrElse("")).as("epoch"))
+      else Nil
     val b = batch.select((col(idCol).as("id") +: col(vecCol).as("vec") +:
-      metaCols.map(col)): _*).persist()
+      (epochCols ++ metaCols.map(col))): _*).persist()
     try {
       val cb = codebooks(spark, path)
       val table = spark.read.parquet(s"$path/centroids.parquet")
@@ -211,7 +219,12 @@ object IvfPq {
       (if (meta.idCol.nonEmpty) meta.idCol else "id",
         if (meta.vecCol.nonEmpty) meta.vecCol else "vec")
     val metaCols = storedMetaCols(spark, path)
-    val corpus = spark.read.parquet(s"$path/assignments")
+    // tombstone FOLD: superseded versions drop out of the retrain
+    // corpus here, epochs reset to the build-time empty epoch, and the
+    // tombstone relation does NOT carry into the swapped index — this
+    // is the compaction exit the tombstone path points at
+    val corpus = applyTombstones(
+        spark.read.parquet(s"$path/assignments"), path)
       .select((col("id").as(idCol) +: col("vec").as(vecCol) +:
         metaCols.map(col)): _*)
     val tmp = Paths.get(s"$path.refreeze-tmp")
@@ -349,11 +362,84 @@ object IvfPq {
     * and refreezes need no meta.json field. */
   private def storedMetaCols(spark: SparkSession, path: String): Seq[String] = {
     // a cloned bare quantizer (meta + centroids + codebooks only) has
-    // no assignments yet — its first append creates them, meta-free
+    // no assignments yet — its first append creates them, meta-free.
+    // `epoch` is the index's own version-ordering column, never a
+    // caller-supplied meta column.
     val asg = java.nio.file.Paths.get(path, "assignments")
     if (!java.nio.file.Files.isDirectory(asg)) Nil
     else spark.read.parquet(asg.toString).schema.fieldNames.toSeq
-      .filterNot(Set("id", "vec", "list").contains)
+      .filterNot(Set("id", "vec", "list", "epoch").contains)
+  }
+
+  /** Whether the persisted relations carry the `epoch` version-order
+    * column (indexes built before it existed do not — they take the
+    * physical-remove maintenance path instead of tombstones). A bare
+    * quantizer with no assignments yet is epoch-aware: its first
+    * append defines the schema and attaches the column. */
+  private[graft] def isEpochAware(spark: SparkSession,
+      path: String): Boolean = {
+    val asg = java.nio.file.Paths.get(path, "assignments")
+    !java.nio.file.Files.isDirectory(asg) ||
+      spark.read.parquet(asg.toString).schema.fieldNames.contains("epoch")
+  }
+
+  /** UPDATE-victim tombstones — the cheap half of incremental index
+    * maintenance. A scattered update batch touches most list
+    * partitions, so physically rewriting them ([[remove]]) costs
+    * nearly a corpus rewrite for a 0.5% change; instead, superseded
+    * versions are declared dead by appending (id, epoch) rows to the
+    * `tombstones/` side relation, and every query path drops a stored
+    * row when a tombstone for its id carries a LATER epoch (strict
+    * `>`, so the new version appended at the same maintenance instant
+    * survives). Epochs are zero-padded commit instants — string order
+    * is numeric order — and build-time rows carry the empty epoch.
+    *
+    * Cost model: the tombstone write is O(victims); each query pays a
+    * broadcast anti-join against the (small, bounded-by-churn-since-
+    * refreeze) tombstone set — zero when the relation is absent.
+    * [[refreeze]] folds tombstones away (dead rows dropped, epochs
+    * reset, relation cleared); the maintenance service triggers it
+    * when tombstones outgrow a corpus fraction. PHYSICAL deletes
+    * (right-to-be-forgotten) must still use [[remove]] — a tombstone
+    * leaves the vector bytes on disk.
+    *
+    * Retries are naturally idempotent: duplicate (id, epoch) rows have
+    * the same effect as one. Returns the number of tombstone rows
+    * written. */
+  def tombstone(victims: DataFrame, idCol: String, path: String,
+      epoch: String): Long = {
+    val spark = victims.sparkSession
+    require(IvfIndex.meta(path).isDefined,
+      s"no IVF-PQ index at $path — build() first")
+    require(isEpochAware(spark, path),
+      s"index at $path predates the epoch column — tombstones cannot " +
+      "order against its rows; use remove() or rebuild")
+    require(epoch.nonEmpty, "tombstone epoch must be a commit instant")
+    val t = victims.select(col(idCol).as("id")).distinct()
+      .withColumn("epoch", org.apache.spark.sql.functions.lit(epoch))
+    if (t.isEmpty) return 0L
+    t.write.mode("append").parquet(
+      java.nio.file.Paths.get(path, "tombstones").toString)
+    t.count()
+  }
+
+  /** Drop stored rows superseded by a LATER tombstone for their id —
+    * applied by every query path to both persisted relations. No-op
+    * (zero cost) when the tombstone relation is absent or the index
+    * predates epochs. The anti-join condition is `tomb.epoch >
+    * row.epoch`: a row re-appended after its tombstone carries a later
+    * epoch and survives. */
+  private[operators] def applyTombstones(rel: DataFrame,
+      path: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(path, "tombstones")
+    if (!java.nio.file.Files.isDirectory(dir) ||
+        !rel.columns.contains("epoch")) rel
+    else {
+      val t = rel.sparkSession.read.parquet(dir.toString)
+        .select(col("id").as("__tid"), col("epoch").as("__tepoch"))
+      rel.join(t, rel("id") === col("__tid") &&
+        col("__tepoch") > rel("epoch"), "left_anti")
+    }
   }
 
   /** Stored-column predicate applied straight to the pruned codes
@@ -408,10 +494,10 @@ object IvfPq {
       while (j < c.length) { val t = queryVec(j) - c(j); d += t * t; j += 1 }
       (list, d)
     }.sortBy { case (list, d) => (d, list) }.take(nProbe).map(_._1)
-    val codes = applyAllowed(applyStored(
+    val codes = applyAllowed(applyStored(applyTombstones(
       spark.read.parquet(s"$path/pq_codes")
-        .filter(col("list").isin(probed.toIndexedSeq: _*)), storedFilter),
-      allowed)
+        .filter(col("list").isin(probed.toIndexedSeq: _*)), path),
+      storedFilter), allowed)
     Pq.adcTopK(codes, "id", cb, queryVec, k)
   }
 
@@ -591,9 +677,10 @@ object IvfPq {
     // spent on filtered-out rows: stored-column predicate pushes into
     // the parquet scan; the id-set semi-join covers columns the build
     // did not store
-    val filteredCodes = applyAllowed(applyStored(
+    val filteredCodes = applyAllowed(applyStored(applyTombstones(
       spark.read.parquet(s"$path/pq_codes")
-        .filter(col("list").isin(unionLists: _*)), storedFilter), allowed)
+        .filter(col("list").isin(unionLists: _*)), path),
+      storedFilter), allowed)
     val scored = filteredCodes
       .join(broadcast(pairsDf), Seq("list"))
       .select(col("qid"), col("id"),
@@ -605,8 +692,11 @@ object IvfPq {
         w.orderBy(col("adc_score").desc, col("id").asc)))
       .filter(col("crnk") <= candidates)
       .select("qid", "id")
-    val exact = spark.read.parquet(s"$path/assignments")
-      .filter(col("list").isin(unionLists: _*))
+    // the assignments side must tombstone-filter too: a candidate id
+    // alive on the codes side may still have superseded VERSIONS here,
+    // and the id join would pull their stale vectors into the re-rank
+    val exact = applyTombstones(spark.read.parquet(s"$path/assignments")
+        .filter(col("list").isin(unionLists: _*)), path)
       .join(broadcast(cand), Seq("id"))
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
         graft.functions.GraftExpressions.dot_product_set(
@@ -669,18 +759,19 @@ object IvfPq {
       (list, d)
     }.sortBy { case (list, d) => (d, list) }.take(nProbe).map(_._1)
     val cand = Pq.adcTopK(
-      applyAllowed(applyStored(spark.read.parquet(s"$path/pq_codes")
-        .filter(col("list").isin(probed.toIndexedSeq: _*)), storedFilter),
-        allowed),
+      applyAllowed(applyStored(applyTombstones(
+        spark.read.parquet(s"$path/pq_codes")
+          .filter(col("list").isin(probed.toIndexedSeq: _*)), path),
+        storedFilter), allowed),
       "id", cb, queryVec, candidates).select("id")
     val q = array(queryVec.toIndexedSeq.map(lit): _*)
     val exact = expr(
       "aggregate(zip_with(vec, q, (x, y) -> x * y), 0D, (a, x) -> a + x)")
-    spark.read.parquet(s"$path/assignments")
+    applyTombstones(spark.read.parquet(s"$path/assignments")
       // candidate ids can only live in probed lists — the list filter
       // makes the pruning REAL (a bare id join would scan every
       // assignments partition and filter rows after the fact)
-      .filter(col("list").isin(probed.toIndexedSeq: _*))
+      .filter(col("list").isin(probed.toIndexedSeq: _*)), path)
       .join(broadcast(cand), Seq("id"))
       .withColumn("q", q)
       .withColumn("score", exact)

@@ -320,6 +320,88 @@ class Round27Spec extends AnyFunSuite
       Paths.get(path, "instant.stamp")) == stampM)
   }
 
+  test("vector-index service: scattered UPDATES maintain via tombstones " +
+      "(no partition rewrite), deletes stay physical, refreeze folds") {
+    val t = vecTable(tmp("vtomb"), 60)
+    val path = graft.core.TableServices.buildVectorIndex(
+      t, "vec_id", "embedding", nLists = 4)
+    def asgCount() = spark.read.parquet(s"$path/assignments").count()
+    assert(asgCount() == 60L)
+    // update 6 keys (10% — below the 20% fold threshold)
+    val updKeys = Seq(2L, 9L, 17L, 25L, 33L, 41L)
+    t.upsert(nullableVec(updKeys.map(k => (k,
+      Array.tabulate(8)(j => math.cos(k * 8 + j + 5.0) + 2.0).toSeq, 2L))
+      .toDF("vec_id", "embedding", "ver")))
+    graft.core.TableServices.buildVectorIndex(
+      t, "vec_id", "embedding", nLists = 4)
+    // tombstones, not rewrites: superseded versions still on disk
+    // (66 stored rows), the tombstone relation holds the 6 victims,
+    // and queries see exactly the live 60
+    assert(asgCount() == 66L,
+      "update maintenance must append, not rewrite partitions")
+    assert(Files.isDirectory(Paths.get(path, "tombstones")))
+    assert(spark.read.parquet(s"$path/tombstones").count() == 6L)
+    val queries = t.read().filter($"vec_id".isin(2L, 0L))
+      .select("vec_id", "embedding")
+    val got = graft.operators.IvfIndex.topK(spark, path, queries,
+      "vec_id", "embedding", k = 4, nProbe = 4)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = Similarity.bruteForceTopK(
+      t.read().select("vec_id", "embedding"), queries,
+      "vec_id", "embedding", k = 4)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want, "stale versions must never be served")
+    // the PQ tier excludes dead versions too: full probe + covering
+    // candidates ⇒ exact inner-product top-k == a FRESH index built
+    // from the current table state
+    val cb = IvfPq.codebooks(spark, path)
+    val qv = t.read().filter($"vec_id" === 2L)
+      .select($"embedding".cast("array<double>"))
+      .first().getSeq[Double](0).toArray
+    val viaTomb = IvfPq.topKRerank(spark, path, cb, qv, k = 4,
+        nProbe = 4, candidates = 100)
+      .as[(Long, Double)].collect().toSeq
+    val fresh = tmp("vtomb-fresh")
+    val cbF = IvfPq.build(t.read().select("vec_id", "embedding"),
+      "vec_id", "embedding", nLists = 4, m = 4, codesPerSub = 16,
+      path = fresh)
+    val viaFresh = IvfPq.topKRerank(spark, fresh, cbF, qv, k = 4,
+        nProbe = 4, candidates = 100)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaTomb == viaFresh)
+    // delete stays PHYSICAL: the id's bytes leave the relation entirely
+    t.deleteWhere($"vec_id" === 9L)
+    graft.core.TableServices.buildVectorIndex(
+      t, "vec_id", "embedding", nLists = 4)
+    val storedIds = spark.read.parquet(s"$path/assignments")
+      .select("id").as[Long].collect().toSet
+    assert(!storedIds.contains(9L),
+      "deleted keys' vectors must physically leave the index")
+    // update PAST the fold threshold (> 20% of corpus): maintenance
+    // refreezes — tombstones cleared, one live version per id
+    t.upsert(nullableVec((0L until 20L).filterNot(_ == 9L).map(k => (k,
+      Array.tabulate(8)(j => math.sin(k * 8 + j + 11.0) + 2.0).toSeq, 3L))
+      .toDF("vec_id", "embedding", "ver")))
+    graft.core.TableServices.buildVectorIndex(
+      t, "vec_id", "embedding", nLists = 4)
+    assert(!Files.isDirectory(Paths.get(path, "tombstones")),
+      "past the threshold the refreeze fold must clear tombstones")
+    assert(asgCount() == t.read().count(),
+      "after the fold: exactly one live version per id")
+    val got2 = graft.operators.IvfIndex.topK(spark, path,
+      t.read().filter($"vec_id" === 3L).select("vec_id", "embedding"),
+      "vec_id", "embedding", k = 4, nProbe = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    val want2 = Similarity.bruteForceTopK(
+      t.read().select("vec_id", "embedding"),
+      t.read().filter($"vec_id" === 3L).select("vec_id", "embedding"),
+      "vec_id", "embedding", k = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got2 == want2)
+  }
+
   test("vector-index service: param change forces a rebuild; a restore " +
       "in the CDC range falls back to a sound full rebuild") {
     val t = vecTable(tmp("vmaint2"), 40)
