@@ -441,9 +441,12 @@ object TableServices {
 
   /** The vector-index service stamp: the last INDEXED commit instant
     * plus the build parameters (changing any parameter must rebuild;
-    * an advanced instant only needs the delta applied). */
+    * an advanced instant only needs the delta applied). Stamps written
+    * before `metaCols` existed deserialize it as null — which never
+    * equals a requested list, so they rebuild (the sound default). */
   private[core] case class VectorIndexStamp(instant: String,
-      idCol: String, vecCol: String, nLists: Int)
+      idCol: String, vecCol: String, nLists: Int,
+      metaCols: Seq[String] = Nil)
 
   /** Largest PQ subvector count ≤ 8 that divides `dim` — the service's
     * deterministic default (8 subs at the usual 64/128/256 dims). */
@@ -499,7 +502,7 @@ object TableServices {
   def buildVectorIndex(t: GraftTable, idCol: String, vecCol: String,
       nLists: Int = 16, asOf: Option[String] = None,
       snapshot: Option[org.apache.spark.sql.DataFrame] = None,
-      driftRetrain: Double = 1.5): String = {
+      driftRetrain: Double = 1.5, metaCols: Seq[String] = Nil): String = {
     import org.apache.spark.sql.functions.{col, size => asize}
     val path = vectorIndexPath(t, vecCol)
     val instant = asOf.orElse(t.log.lastInstant()).getOrElse("0")
@@ -508,11 +511,11 @@ object TableServices {
     def writeStamp(): Unit = {
       Files.createDirectories(java.nio.file.Paths.get(path))
       Files.write(stampFile, mapper.writeValueAsBytes(
-        VectorIndexStamp(instant, idCol, vecCol, nLists)))
+        VectorIndexStamp(instant, idCol, vecCol, nLists, metaCols)))
       ()
     }
     def corpus() = snapshot.getOrElse(t.read(asOf = Some(instant)))
-      .select(idCol, vecCol)
+      .select((Seq(idCol, vecCol) ++ metaCols).map(col): _*)
     def fullBuild(): Unit = {
       val c = corpus()
       require(!c.isEmpty,
@@ -523,7 +526,8 @@ object TableServices {
       if (Files.isDirectory(java.nio.file.Paths.get(path)))
         graft.util.TempDirs.deleteRecursively(java.nio.file.Paths.get(path))
       graft.operators.IvfPq.build(c, idCol, vecCol, nLists,
-        m = pqSubvectors(dim), codesPerSub = 256, path = path)
+        m = pqSubvectors(dim), codesPerSub = 256, path = path,
+        metaCols = metaCols)
       writeStamp()
     }
     val prior: Option[VectorIndexStamp] =
@@ -533,10 +537,12 @@ object TableServices {
       catch { case _: Exception => None } // pre-JSON stamp → rebuild
     prior match {
       case Some(s) if s.idCol == idCol && s.vecCol == vecCol &&
-          s.nLists == nLists && s.instant == instant =>
+          s.nLists == nLists && s.metaCols == metaCols &&
+          s.instant == instant =>
         () // fresh — zero Spark jobs
       case Some(s) if s.idCol == idCol && s.vecCol == vecCol &&
-          s.nLists == nLists && s.instant < instant =>
+          s.nLists == nLists && s.metaCols == metaCols &&
+          s.instant < instant =>
         // bound the CDC range at the PINNED instant: count the row
         // commits in (stamp, asOf] and ask for exactly that many, so a
         // commit landing mid-call never leaks into this refresh
@@ -574,9 +580,12 @@ object TableServices {
                       .select(col(idCol)), idCol, path)
                   ()
                 }
+                // stored filter columns (metaCols) MUST ride every
+                // append or the new rows silently escape stored-column
+                // predicates (their meta reads back null)
                 val stats = graft.operators.IvfPq.append(
                   cdc.filter(col("_change_type").isin("i", "u"))
-                    .select(col(idCol), col(vecCol)),
+                    .select((Seq(idCol, vecCol) ++ metaCols).map(col): _*),
                   idCol, vecCol, path, batchId = Some(batchId),
                   epoch = Some(instant))
                 // retrain exits: the frozen quantizer stopped fitting
@@ -610,6 +619,22 @@ object TableServices {
 
   def vectorIndexPath(t: GraftTable, vecCol: String): String =
     Paths.get(t.root, "index", s"ivf-$vecCol").toString
+
+  /** The stored filter columns the existing index was built with (from
+    * its stamp; empty when no index or a pre-JSON stamp). Callers that
+    * don't pass meta_cols inherit these — otherwise a search after
+    * `build_vector_index(meta_cols => …)` would silently REBUILD the
+    * index without its stored columns and the stored-filter predicate
+    * would stop resolving. */
+  def stampedMetaCols(t: GraftTable, vecCol: String): Seq[String] = {
+    val f = java.nio.file.Paths.get(
+      vectorIndexPath(t, vecCol), "instant.stamp")
+    if (!Files.exists(f)) Nil
+    else try Option(graft.core.CommitLog.mapper
+        .readValue(Files.readAllBytes(f), classOf[VectorIndexStamp])
+        .metaCols).getOrElse(Nil)
+    catch { case _: Exception => Nil }
+  }
 
   /** Latest-wins on record identity — delegates to the table's own
     * merge so derived-partition identity (partition VALUE, key) is

@@ -168,7 +168,8 @@ object IvfIndex {
     * no corpus-wide shuffle, no training work at query time. */
   def topK(spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int,
-      allowed: Option[DataFrame] = None): DataFrame = {
+      allowed: Option[DataFrame] = None,
+      storedFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val table = spark.read.parquet(s"$path/centroids.parquet")
       .orderBy("list").collect()
       .map(_.getAs[Seq[Double]]("centroid").toArray)
@@ -181,9 +182,14 @@ object IvfIndex {
     // helper): the surviving id set semi-joins BEFORE ranking, so every
     // returned neighbor satisfies the predicate and no rank slot is
     // wasted
-    val filtered = IvfPq.applyAllowed(IvfPq.applyTombstones(
+    // stored-column predicate (the build-time metaCols path): applied
+    // straight to the pruned assignments scan, where it pushes into
+    // the parquet read at any selectivity
+    val base = storedFilter.foldLeft(
       spark.read.parquet(s"$path/assignments")
-        .filter(col("list").isin(probed.toIndexedSeq: _*)), path), allowed)
+        .filter(col("list").isin(probed.toIndexedSeq: _*)))(_.filter(_))
+    val filtered = IvfPq.applyAllowed(
+      IvfPq.applyTombstones(base, path), allowed)
     val c = filtered
       .select(col("id").as("neighbor_id"), col("vec").as("cvec"), col("list"))
     val w = Window.partitionBy("query_id")

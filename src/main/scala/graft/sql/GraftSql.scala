@@ -479,10 +479,17 @@ final class GraftSql(catalog: GraftCatalog) {
       case "rollback_last_commit" =>
         graft.core.TableServices.rollbackLastCommit(table).toSeq.toDF("instant")
       case "build_vector_index" =>
+        // `meta_cols` declares stored filter columns at build: their
+        // values persist beside the vectors AND codes, so a later
+        // vector_search `stored_filter` predicate pushes into the
+        // pruned parquet scan itself (the any-selectivity filter path)
         val path = graft.core.TableServices.buildVectorIndex(table,
           idCol = arg("id_col", 1).getOrElse("id"),
           vecCol = arg("vec_col", 2).getOrElse("embedding"),
-          nLists = arg("n_lists", 3).map(_.toInt).getOrElse(16))
+          nLists = arg("n_lists", 3).map(_.toInt).getOrElse(16),
+          metaCols = args.get("meta_cols")
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil))
         Seq(path).toDF("index_path")
       case "vector_search" =>
         // retrieval on the SQL surface over the table-service IVF
@@ -509,10 +516,17 @@ final class GraftSql(catalog: GraftCatalog) {
         // named map directly or a positional call would alias them
         val nLists = args.get("n_lists").map(_.toInt).getOrElse(16)
         val nProbe = arg("n_probe", 4).map(_.toInt).getOrElse(nLists)
+        // omitted meta_cols INHERIT the existing index's stored
+        // columns — otherwise this call would silently rebuild the
+        // index without them and stored_filter would stop resolving
+        val metaCols = args.get("meta_cols")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(graft.core.TableServices.stampedMetaCols(t, vecCol))
         val inst = t.log.lastInstant()
         val snap = t.read(asOf = inst)
         val path = graft.core.TableServices.buildVectorIndex(
-          t, idCol, vecCol, nLists, asOf = inst, snapshot = Some(snap))
+          t, idCol, vecCol, nLists, asOf = inst, snapshot = Some(snap),
+          metaCols = metaCols)
         val qWhere = args.get("query_where")
         val qVecArg = args.get("query_vec")
         require(qWhere.isDefined != qVecArg.isDefined,
@@ -539,12 +553,17 @@ final class GraftSql(catalog: GraftCatalog) {
         }
         val allowed = args.get("filter").map(f =>
           snap.filter(expr(f)).select(idCol))
+        // stored_filter: a predicate over the build-time meta_cols —
+        // lands in the pruned index scan's PushedFilters instead of an
+        // id-set semi join (free at any selectivity; the columns must
+        // have been declared at build)
+        val storedFilter = args.get("stored_filter").map(expr)
         args.get("rerank").map(_.toInt) match {
           case None =>
             // exact tier: cosine over the raw assignments of the
             // probed lists, self-matches excluded — the l37 contract
             graft.operators.IvfIndex.topK(t.spark, path, queries,
-              idCol, vecCol, k, nProbe, allowed)
+              idCol, vecCol, k, nProbe, allowed, storedFilter)
           case Some(cand) =>
             // compressed tier (`rerank => <candidates>`): the probed
             // scan reads PQ CODES (m ints/row, ~32× fewer bytes than
@@ -561,7 +580,8 @@ final class GraftSql(catalog: GraftCatalog) {
               s"${snap.schema(idCol).dataType.simpleString}")
             val cb = graft.operators.IvfPq.codebooks(t.spark, path)
             graft.operators.IvfPq.topKBatch(queries, idCol, vecCol,
-                path, cb, k, nProbe, candidates = cand, allowed = allowed)
+                path, cb, k, nProbe, candidates = cand, allowed = allowed,
+                storedFilter = storedFilter)
               .withColumnRenamed("rnk", "rank")
         }
       case "mmr_select" =>

@@ -546,6 +546,72 @@ class Round27Spec extends AnyFunSuite
     assert(e.getMessage.contains("numeric"), e.getMessage)
   }
 
+  test("CALL vector_search stored_filter: build-time meta_cols push " +
+      "into the scan; incremental maintenance carries them") {
+    val wh = tmp("vsqlsf")
+    val catalog = new graft.sql.GraftCatalog(spark, wh)
+    val gsql = new graft.sql.GraftSql(catalog)
+    val t = catalog.createTable(graft.core.TableConfig(name = "vs6",
+      keyField = "vec_id", orderingField = "ver", numBuckets = 1))
+    t.bulkInsert((0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j + 1) + 2.0).toSeq,
+        (i % 2).toLong, 1L)
+    }.toDF("vec_id", "embedding", "lang", "ver"))
+    gsql.sql("CALL build_vector_index(table => 'vs6', id_col => 'vec_id', " +
+      "vec_col => 'embedding', n_lists => 4, meta_cols => 'lang')")
+    val qv = Array.tabulate(8)(j => math.sin(11 * 8 + j + 1) + 2.0)
+    def searchEven() = gsql.sql("CALL vector_search(table => 'vs6', " +
+        "id_col => 'vec_id', vec_col => 'embedding', k => 5, " +
+        "n_lists => 4, stored_filter => 'lang = 0', " +
+        s"query_vec => '[${qv.mkString(", ")}]')")
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    val got = searchEven()
+    val want = Similarity.bruteForceTopK(
+      t.read().filter($"lang" === 0).select("vec_id", "embedding"),
+      spark.range(1).select(lit(-1L).as("vec_id"),
+        array(qv.toIndexedSeq.map(lit): _*).as("embedding")),
+      "vec_id", "embedding", k = 5)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == want)
+    assert(got.forall(_ % 2 == 0))
+    // the predicate reaches the parquet scan itself (PushedFilters)
+    val df = graft.operators.IvfIndex.topK(spark,
+      graft.core.TableServices.vectorIndexPath(t, "embedding"),
+      spark.range(1).select(lit(-1L).as("vec_id"),
+        array(qv.toIndexedSeq.map(lit): _*).cast(
+          t.read().schema("embedding").dataType).as("embedding")),
+      "vec_id", "embedding", k = 5, nProbe = 4,
+      storedFilter = Some($"lang" === 0))
+    df.collect()
+    val pushed = collect(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("PushedFilters").exists(_.contains("lang")) => s
+    }
+    assert(pushed.nonEmpty,
+      s"lang predicate must land in PushedFilters:\n${df.queryExecution.executedPlan}")
+    // a commit must NOT degrade to a rebuild: maintenance appends carry
+    // the stored column, centroids stay byte-identical, and the new
+    // rows obey the filter
+    val path = graft.core.TableServices.vectorIndexPath(t, "embedding")
+    val centsBefore = centroidBytes(path)
+    t.upsert(nullableVec(Seq(
+        (100L, Array.tabulate(8)(j => math.sin(11 * 8 + j + 1) + 2.001).toSeq, 0L, 2L),
+        (101L, Array.tabulate(8)(j => math.sin(11 * 8 + j + 1) + 2.001).toSeq, 1L, 2L))
+      .toDF("vec_id", "embedding", "lang", "ver")))
+    val got2 = searchEven()
+    assert(centroidBytes(path) == centsBefore,
+      "maintenance with stored meta_cols must stay incremental")
+    assert(got2.contains(100L), "new lang=0 row must be served")
+    assert(!got2.contains(101L), "new lang=1 row must be filtered out")
+    // rerank mode serves the same stored_filter
+    val got3 = gsql.sql("CALL vector_search(table => 'vs6', " +
+        "id_col => 'vec_id', vec_col => 'embedding', k => 5, " +
+        "n_lists => 4, rerank => 64, stored_filter => 'lang = 0', " +
+        s"query_vec => '[${qv.mkString(", ")}]')")
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got3.forall(_ % 2 == 0) && got3.contains(100L))
+  }
+
   test("CALL mmr_select: ≡ the operator result on the same fixture; " +
       "ambiguous/missing query rows refuse") {
     val wh = tmp("mmrsql")
