@@ -1104,6 +1104,112 @@ object LakehouseQueries {
        |  WHERE del.file_path = d.filename AND del.pos = d.file_row_number)
        |ORDER BY event_id, event_type""".stripMargin
 
+  // ---- T6++ Iceberg v2 equality-delete READ (l41) -----------------------
+
+  /** Fixed root, same reason as l39: the oracle SQL is static. */
+  private val eqDeleteRoot = "/tmp/graft_xtable_l41"
+
+  private val l41ManifestListSchema =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":"long"}]}""".stripMargin
+  private val l41ManifestSchema =
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"file_path","type":"string"},
+      |{"name":"content","type":"int"},
+      |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+      |"default":null}]}}]}""".stripMargin
+
+  /** The foreign-read leg Flink CDC pipelines exercise constantly:
+    * Iceberg v2 merge-on-read EQUALITY deletes (data_file content=2).
+    * The fixture forges a v2 tree with real SEQUENCE NUMBERS:
+    *  - fA (seq 1): even event_ids;
+    *  - eq1 (seq 2, equality_ids=[event_id]): deletes event_id%10=0 —
+    *    applies to fA only (1 < 2);
+    *  - fB (seq 3): odd event_ids PLUS event_id%20=0 RE-INSERTED with
+    *    value+1000 — the re-inserts survive eq1 (3 > 2, the spec's
+    *    strictly-smaller ordering a naive join-all would violate);
+    *  - eq2 (seq 4, equality_ids=[event_type]): deletes the
+    *    alphabetically-first event_type from BOTH files (1,3 < 4).
+    * [[graft.interop.XTableSync.readIceberg]] must group the deletes
+    * by equality_ids set, resolve field ids through the metadata
+    * schema, and anti-join each group with the sequence comparison.
+    * The DuckDB oracle recomputes the post-delete state independently
+    * from the same parquet files. Reference analog: the Iceberg leg of
+    * xTable (xtable/xtable_iceberg.yaml:17-24). */
+  def qIcebergEqDelete(spark: SparkSession, dir: String): DataFrame = {
+    graft.util.TempDirs.deleteRecursively(
+      java.nio.file.Paths.get(eqDeleteRoot))
+    val ev = events(spark, dir).select(
+      col("event_id"), col("event_type"), col("value"))
+    val metaDir = java.nio.file.Paths.get(eqDeleteRoot, "metadata")
+    java.nio.file.Files.createDirectories(metaDir)
+    val fA = java.nio.file.Paths.get(eqDeleteRoot, "data", "fA.parquet")
+    val fB = java.nio.file.Paths.get(eqDeleteRoot, "data", "fB.parquet")
+    writeOneSorted(ev.filter(col("event_id") % 2 === 0), "event_id", fA)
+    writeOneSorted(
+      ev.filter(col("event_id") % 2 === 1).unionByName(
+        ev.filter(col("event_id") % 20 === 0)
+          .withColumn("value", col("value") + 1000.0)),
+      "event_id", fB)
+    val eq1 = java.nio.file.Paths.get(eqDeleteRoot, "deletes", "eq1.parquet")
+    val eq2 = java.nio.file.Paths.get(eqDeleteRoot, "deletes", "eq2.parquet")
+    writeOneSorted(ev.filter(col("event_id") % 10 === 0)
+      .select("event_id").distinct(), "event_id", eq1)
+    writeOneSorted(ev.select("event_type").distinct()
+      .orderBy("event_type").limit(1), "event_type", eq2)
+    val dataMan = metaDir.resolve("m-data.avro")
+    writeAvro(dataMan, l41ManifestSchema, Seq(
+      Map("status" -> Int.box(1), "sequence_number" -> Long.box(1L),
+        "data_file" -> Map(
+          "file_path" -> fA.toString, "content" -> Int.box(0))),
+      Map("status" -> Int.box(1), "sequence_number" -> Long.box(3L),
+        "data_file" -> Map(
+          "file_path" -> fB.toString, "content" -> Int.box(0)))))
+    val delMan = metaDir.resolve("m-del.avro")
+    writeAvro(delMan, l41ManifestSchema, Seq(
+      Map("status" -> Int.box(1), "sequence_number" -> Long.box(2L),
+        "data_file" -> Map("file_path" -> eq1.toString,
+          "content" -> Int.box(2),
+          "equality_ids" -> java.util.Arrays.asList(Int.box(1)))),
+      Map("status" -> Int.box(1), "sequence_number" -> Long.box(4L),
+        "data_file" -> Map("file_path" -> eq2.toString,
+          "content" -> Int.box(2),
+          "equality_ids" -> java.util.Arrays.asList(Int.box(2))))))
+    val list = metaDir.resolve("snap-1.avro")
+    writeAvro(list, l41ManifestListSchema, Seq(
+      Map("manifest_path" -> dataMan.toString, "content" -> Int.box(0),
+        "sequence_number" -> Long.box(3L)),
+      Map("manifest_path" -> delMan.toString, "content" -> Int.box(1),
+        "sequence_number" -> Long.box(4L))))
+    java.nio.file.Files.writeString(metaDir.resolve("v1.metadata.json"),
+      s"""{"current-snapshot-id":1,"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[
+         |{"id":1,"name":"event_id","required":true,"type":"long"},
+         |{"id":2,"name":"event_type","required":false,"type":"string"},
+         |{"id":3,"name":"value","required":false,"type":"double"}]}],
+         |"snapshots":[{"snapshot-id":1,"manifest-list":"$list"}]}""".stripMargin)
+    graft.interop.XTableSync.readIceberg(spark, eqDeleteRoot)
+      .orderBy("event_id", "event_type", "value")
+  }
+
+  private val icebergEqDeleteSql =
+    s"""WITH fa AS (SELECT event_id, event_type, value, 1 AS seq
+       |            FROM read_parquet('$eqDeleteRoot/data/fA.parquet')),
+       |fb AS (SELECT event_id, event_type, value, 3 AS seq
+       |       FROM read_parquet('$eqDeleteRoot/data/fB.parquet')),
+       |d AS (SELECT * FROM fa UNION ALL SELECT * FROM fb)
+       |SELECT event_id, event_type, value FROM d
+       |WHERE NOT (seq < 2 AND event_id IN (SELECT event_id
+       |  FROM read_parquet('$eqDeleteRoot/deletes/eq1.parquet')))
+       |  AND NOT (seq < 4 AND event_type IN (SELECT event_type
+       |  FROM read_parquet('$eqDeleteRoot/deletes/eq2.parquet')))
+       |ORDER BY event_id, event_type, value""".stripMargin
+
   // ---- incremental vector-index maintenance under the oracle (l40) ------
 
   /** The round-27 maintenance path under the DuckDB oracle: build the
@@ -1544,6 +1650,7 @@ object LakehouseQueries {
     "l38_mmr_select" -> (qMmrSelectSql _),
     "l39_iceberg_pos_delete" -> (qIcebergPosDelete _),
     "l40_vector_search_incremental" -> (qVectorSearchIncremental _),
+    "l41_iceberg_eq_delete" -> (qIcebergEqDelete _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1590,5 +1697,6 @@ object LakehouseQueries {
     "l38_mmr_select" -> PipelineQueries.sMmrSelectSql,
     "l39_iceberg_pos_delete" -> icebergPosDeleteSql,
     "l40_vector_search_incremental" -> vectorSearchIncrementalSql,
+    "l41_iceberg_eq_delete" -> icebergEqDeleteSql,
   )
 }

@@ -1032,39 +1032,100 @@ object XTableSync {
     finally r.close()
   }
 
-  /** Resolve a snapshot's live DATA files and live POSITION-DELETE
-    * files through the manifest chain — Iceberg v2 merge-on-read
-    * layout: the manifest list carries `content`=0 (data) and
-    * `content`=1 (delete) manifests; inside a delete manifest,
-    * data_file `content`=1 is a position-delete parquet
-    * ((file_path, pos) tuples) and `content`=2 an equality-delete.
+  /** One snapshot's resolved file set — Iceberg v2 merge-on-read
+    * layout. `data` pairs each live data file with its DATA SEQUENCE
+    * NUMBER (entry-level when present, inherited from the manifest
+    * list otherwise, 0 for v1 trees that carry none); equality deletes
+    * carry their sequence number and `equality_ids` field-id list;
+    * `fieldNames` maps the current schema's field ids to column names
+    * (the ids are what equality deletes reference). */
+  final case class IcebergFileSet(
+      data: Seq[(String, Long)],
+      positionDeletes: Seq[String],
+      equalityDeletes: Seq[(String, Long, Seq[Int])],
+      fieldNames: Map[Int, String])
+
+  /** Field-id → column-name map of the CURRENT schema: the v2
+    * `schemas` array resolved by `current-schema-id`, falling back to
+    * the v1 single `schema` object. Empty when the metadata carries
+    * neither (our own minimal emission) — only equality-delete
+    * application needs it, and that path refuses loudly on a miss. */
+  private def icebergFieldNames(
+      meta: com.fasterxml.jackson.databind.JsonNode): Map[Int, String] = {
+    val schemaNode =
+      if (meta.has("schemas") && meta.get("schemas").isArray) {
+        val cur =
+          if (meta.has("current-schema-id")) meta.get("current-schema-id").asInt()
+          else 0
+        meta.get("schemas").elements().asScala
+          .find(s => s.has("schema-id") && s.get("schema-id").asInt() == cur)
+          .orNull
+      } else if (meta.has("schema")) meta.get("schema")
+      else null
+    if (schemaNode == null || !schemaNode.has("fields")) Map.empty
+    else schemaNode.get("fields").elements().asScala
+      .filter(f => f.has("id") && f.has("name"))
+      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+  }
+
+  /** Resolve a snapshot's live DATA files, POSITION-DELETE files, and
+    * EQUALITY-DELETE files through the manifest chain — Iceberg v2
+    * merge-on-read layout: the manifest list carries `content`=0
+    * (data) and `content`=1 (delete) manifests; inside a delete
+    * manifest, data_file `content`=1 is a position-delete parquet
+    * ((file_path, pos) tuples) and `content`=2 an equality-delete
+    * parquet (rows of the `equality_ids` columns).
     *
-    * Position deletes are mechanical to APPLY (anti-join (file_path,
-    * pos) against the pruned data scan — [[readIceberg]] does exactly
-    * that); equality deletes need the full row-predicate machinery and
-    * stay refused loudly. Shape violations (a delete file inside a
-    * data manifest, a data file inside a delete manifest) refuse
-    * loudly — guessing either way resurrects or loses rows silently. */
-  def icebergLiveFilesEx(
-      metaFile: java.nio.file.Path): (Seq[String], Seq[String]) = {
+    * Both delete kinds are APPLIED by [[readIceberg]]: position
+    * deletes anti-join (file_path, pos); equality deletes anti-join
+    * the id columns against data rows from files with STRICTLY SMALLER
+    * data sequence numbers (the spec's ordering — a row re-inserted
+    * after the delete survives). An equality delete without
+    * `equality_ids` or without an orderable sequence number is a
+    * malformed tree and refuses loudly — guessing either way
+    * resurrects or loses rows silently. Shape violations (a delete
+    * file inside a data manifest, a data file inside a delete
+    * manifest) refuse loudly too. */
+  def icebergLiveFilesEx(metaFile: java.nio.file.Path): IcebergFileSet = {
     val meta = mapper.readTree(Files.readAllBytes(metaFile))
     val snapId = meta.get("current-snapshot-id").asLong()
     val snap = meta.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == snapId)
       .getOrElse(throw new IllegalStateException(
         s"current-snapshot-id $snapId not in snapshots"))
+    // avro's GenericRecord.get THROWS on a field its schema never
+    // declared (v1 trees lack sequence_number/equality_ids entirely) —
+    // resolve through the schema so absent-field and null-valued both
+    // read as null
+    def fieldOf(r: org.apache.avro.generic.GenericRecord,
+        name: String): AnyRef =
+      if (r.getSchema.getField(name) == null) null else r.get(name)
     def contentOf(r: org.apache.avro.generic.GenericRecord): Int =
-      r.get("content") match {
+      fieldOf(r, "content") match {
         case null => 0
         case i: java.lang.Integer => i.intValue()
         case l: java.lang.Long => l.intValue()
         case other => throw new IllegalStateException(
           s"unreadable Iceberg content field: $other")
       }
-    val data = Seq.newBuilder[String]
-    val deletes = Seq.newBuilder[String]
+    // sequence numbers are absent from v1 trees and from this engine's
+    // own minimal emission → 0; entry-level numbers override the
+    // manifest's (the spec's inheritance: a null entry sequence number
+    // inherits the sequence number the manifest was committed with)
+    def seqOf(r: org.apache.avro.generic.GenericRecord,
+        inherit: Long): Long = fieldOf(r, "sequence_number") match {
+      case null => inherit
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+      case other => throw new IllegalStateException(
+        s"unreadable Iceberg sequence_number field: $other")
+    }
+    val data = Seq.newBuilder[(String, Long)]
+    val posDeletes = Seq.newBuilder[String]
+    val eqDeletes = Seq.newBuilder[(String, Long, Seq[Int])]
     for (m <- avroRecords(snap.get("manifest-list").asText())) {
       val mContent = contentOf(m)
+      val mSeq = seqOf(m, 0L)
       require(mContent == 0 || mContent == 1,
         s"Iceberg table at $metaFile has a manifest of unknown content=" +
         s"$mContent (${m.get("manifest_path")}) — refusing to guess")
@@ -1075,29 +1136,50 @@ object XTableSync {
         val df = e.get("data_file")
           .asInstanceOf[org.apache.avro.generic.GenericRecord]
         val fContent = contentOf(df)
+        val seq = seqOf(e, mSeq)
         if (mContent == 0) {
           require(fContent == 0,
             s"Iceberg table at $metaFile lists a delete file " +
             s"(content=$fContent, ${df.get("file_path")}) in a data " +
             "manifest — a malformed tree this reader refuses rather " +
             "than resurrecting or dropping rows")
-          data += df.get("file_path").toString
+          data += df.get("file_path").toString -> seq
         } else {
           require(fContent != 0,
             s"Iceberg table at $metaFile lists a data file " +
             s"(content=0, ${df.get("file_path")}) inside a DELETE " +
             "manifest — a malformed tree this reader refuses")
-          require(fContent == 1,
-            s"Iceberg table at $metaFile carries an EQUALITY-delete " +
-            s"file (content=$fContent, ${df.get("file_path")}) — " +
-            "equality deletes need row-predicate application this " +
-            "reader does not implement; rewrite the table " +
-            "(rewrite_data_files + compact) from the source engine first")
-          deletes += df.get("file_path").toString
+          require(fContent == 1 || fContent == 2,
+            s"Iceberg table at $metaFile carries a delete file of " +
+            s"unknown content=$fContent (${df.get("file_path")}) — " +
+            "refusing to guess")
+          if (fContent == 1) posDeletes += df.get("file_path").toString
+          else {
+            val ids = fieldOf(df, "equality_ids") match {
+              case null => Nil
+              case l: java.util.List[_] =>
+                l.asScala.map(_.asInstanceOf[Number].intValue()).toSeq
+              case other => throw new IllegalStateException(
+                s"unreadable Iceberg equality_ids field: $other")
+            }
+            require(ids.nonEmpty,
+              s"Iceberg table at $metaFile carries an EQUALITY-delete " +
+              s"file (${df.get("file_path")}) with no equality_ids — a " +
+              "malformed tree; this reader cannot know which columns " +
+              "identify the deleted rows")
+            require(seq > 0L,
+              s"Iceberg table at $metaFile carries an EQUALITY-delete " +
+              s"file (${df.get("file_path")}) with no sequence number — " +
+              "equality deletes apply only to rows with strictly " +
+              "smaller data sequence numbers, so an unordered delete " +
+              "cannot be applied soundly")
+            eqDeletes += ((df.get("file_path").toString, seq, ids))
+          }
         }
       }
     }
-    (data.result(), deletes.result())
+    IcebergFileSet(data.result(), posDeletes.result(), eqDeletes.result(),
+      icebergFieldNames(meta))
   }
 
   /** Live data files of a snapshot that carries NO row-level deletes —
@@ -1107,17 +1189,18 @@ object XTableSync {
     * [[readIceberg]] APPLIES position deletes instead — read the data
     * through it, or compact from the source engine before adopting. */
   def icebergLiveFiles(metaFile: java.nio.file.Path): Seq[String] = {
-    val (data, dels) = icebergLiveFilesEx(metaFile)
+    val fs = icebergLiveFilesEx(metaFile)
+    val dels = fs.positionDeletes ++ fs.equalityDeletes.map(_._1)
     require(dels.isEmpty,
       s"Iceberg table at $metaFile has a DELETE manifest with live " +
-      s"position-delete files (${dels.take(3).mkString(", ")}${
+      s"delete files (${dels.take(3).mkString(", ")}${
         if (dels.size > 3) ", …" else ""}) — adoption/registration " +
       "cannot represent row-level deletes (deleted rows would " +
       "resurrect); read it with readIceberg (which applies them) or " +
       "rewrite the table (rewrite_data_files + " +
       "rewrite_position_delete_files / compact) from the source engine " +
       "first")
-    data
+    fs.data.map(_._1)
   }
 
   /** Every METADATA file a `vN.metadata.json` references: each
@@ -1255,39 +1338,86 @@ object XTableSync {
 
   /** Read the synced table as an Iceberg reader would: latest
     * `vN.metadata.json` → current snapshot's manifest list → manifests
-    * → data files (absolute paths per the spec) — APPLYING v2
-    * position deletes: each delete parquet lists (file_path, pos)
-    * tuples and the live scan anti-joins on (file, row ordinal). */
+    * → data files (absolute paths per the spec) — APPLYING v2 row
+    * deletes: position deletes ((file_path, pos) tuples anti-joined on
+    * (file, row ordinal)) and equality deletes (the `equality_ids`
+    * columns anti-joined against rows with strictly smaller data
+    * sequence numbers). */
   def readIceberg(spark: org.apache.spark.sql.SparkSession,
       root: String): org.apache.spark.sql.DataFrame =
     readIcebergMeta(spark, latestIcebergMetadataFile(root))
 
   private def readIcebergMeta(spark: org.apache.spark.sql.SparkSession,
       metaFile: java.nio.file.Path): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, regexp_replace}
-    val (dataFiles, deleteFiles) = icebergLiveFilesEx(metaFile)
-    val base = spark.read.parquet(dataFiles: _*)
-    if (deleteFiles.isEmpty) base
-    else {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
+    val fs = icebergLiveFilesEx(metaFile)
+    val base = spark.read.parquet(fs.data.map(_._1): _*)
+    if (fs.positionDeletes.isEmpty && fs.equalityDeletes.isEmpty) return base
+    // the helper columns ride beside the data columns during delete
+    // application; a data file that already carries one of these names
+    // would be silently clobbered by withColumn — refuse loudly
+    val helpers = Seq("__fp", "__pos", "__seq")
+    val clash = base.columns.toSet.intersect(helpers.toSet)
+    require(clash.isEmpty,
+      s"Iceberg table at $metaFile has data column(s) " +
+      s"${clash.mkString(", ")} that collide with this reader's " +
+      "delete-application helper columns — rename them in the source " +
+      "table or compact the deletes away before reading")
+    // Path forms are normalized (producers write bare absolute paths
+    // or file: URIs; Spark reports file:///…) so equal files compare
+    // equal.
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^file:/+", "/")
+    def normStr(s: String): String = s.replaceFirst("^file:/+", "/")
+    val cols = base.columns.toSeq
+    var df = base.withColumn("__fp", norm(col("_metadata.file_path")))
+    if (fs.positionDeletes.nonEmpty) {
       // (file_path, pos) application: Spark's parquet _metadata column
       // supplies the row's file and ordinal for free (no shuffle on
       // the scan side); the delete set anti-joins in — AQE broadcasts
       // the usual small delete relation, and a mass-delete set falls
-      // back to a shuffled anti-join instead of an OOM. Path forms are
-      // normalized (producers write bare absolute paths or file: URIs;
-      // Spark reports file:///…) so equal files compare equal.
-      def norm(c: org.apache.spark.sql.Column) =
-        regexp_replace(c, "^file:/+", "/")
-      val cols = base.columns.toSeq
-      val withMeta = base
-        .withColumn("__fp", norm(col("_metadata.file_path")))
-        .withColumn("__pos", col("_metadata.row_index"))
-      val dels = spark.read.parquet(deleteFiles: _*)
+      // back to a shuffled anti-join instead of an OOM.
+      val dels = spark.read.parquet(fs.positionDeletes: _*)
         .select(norm(col("file_path")).as("__fp"),
           col("pos").cast("long").as("__pos"))
-      withMeta.join(dels, Seq("__fp", "__pos"), "left_anti")
-        .select(cols.map(col): _*)
+      df = df.withColumn("__pos", col("_metadata.row_index"))
+        .join(dels, Seq("__fp", "__pos"), "left_anti")
     }
+    if (fs.equalityDeletes.nonEmpty) {
+      // equality application (spec §Scan Planning): a delete row kills
+      // data rows whose equality_ids columns ALL match (null matches
+      // null — the <=> join keys) AND whose data sequence number is
+      // STRICTLY SMALLER than the delete's — a row re-inserted at or
+      // after the delete's sequence number survives. The per-row
+      // sequence number attaches via a broadcast (file → seq) join on
+      // the _metadata file path (metadata-scale relation, never a
+      // shuffle of the scan); delete files group by their equality_ids
+      // set, one hash anti-join per distinct set, the seq comparison
+      // riding as the join's extra condition.
+      import spark.implicits._
+      val seqDf = fs.data.map { case (p, s) => (normStr(p), s) }
+        .toDF("__fp", "__seq")
+      df = df.join(broadcast(seqDf), Seq("__fp"))
+      fs.equalityDeletes.groupBy(_._3).foreach { case (ids, group) =>
+        val delCols = ids.map { id =>
+          fs.fieldNames.getOrElse(id, throw new IllegalArgumentException(
+            s"Iceberg table at $metaFile has an equality delete over " +
+            s"field id $id, which the current schema does not define — " +
+            "a malformed tree this reader refuses"))
+        }
+        val delDf = group.map { case (p, seq, _) =>
+          val raw = spark.read.parquet(p)
+          delCols.foreach(c => require(raw.columns.contains(c),
+            s"equality-delete file $p lacks column '$c' its " +
+            "equality_ids promise — a malformed tree this reader refuses"))
+          raw.select(delCols.map(col) :+ lit(seq).as("__dseq"): _*)
+        }.reduce(_.unionByName(_))
+        val cond = delCols.map(c => df(c) <=> delDf(c))
+          .reduce(_ && _) && df("__seq") < delDf("__dseq")
+        df = df.join(delDf, cond, "left_anti")
+      }
+    }
+    df.select(cols.map(col): _*)
   }
 
   /** Iceberg time travel over the export — `VERSION AS OF` on the

@@ -231,7 +231,8 @@ class Round27Spec extends AnyFunSuite
   }
 
   test("adoption still refuses live position deletes (cannot be " +
-      "represented); equality deletes refuse everywhere") {
+      "represented); a MALFORMED equality delete (no equality_ids) " +
+      "refuses — well-formed ones now APPLY (Round28Spec)") {
     val root = tmp("icepd2")
     forgePosDeleteTable(root)
     val e = intercept[IllegalArgumentException] {
@@ -245,7 +246,7 @@ class Round27Spec extends AnyFunSuite
     val e2 = intercept[IllegalArgumentException] {
       graft.interop.XTableSync.readIceberg(spark, root2).collect()
     }
-    assert(e2.getMessage.contains("EQUALITY"), e2.getMessage)
+    assert(e2.getMessage.contains("no equality_ids"), e2.getMessage)
   }
 
   // ---- incremental vector-index maintenance ----------------------------
