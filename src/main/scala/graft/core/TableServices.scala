@@ -446,7 +446,32 @@ object TableServices {
     * equals a requested list, so they rebuild (the sound default). */
   private[core] case class VectorIndexStamp(instant: String,
       idCol: String, vecCol: String, nLists: Int,
-      metaCols: Seq[String] = Nil)
+      metaCols: Seq[String] = Nil,
+      // maintenance knobs are part of the stamp identity (param change
+      // → rebuild, like nLists); Option so stamps written before the
+      // fields existed read as "the defaults" instead of 0.0 — a raw
+      // Double would deserialize missing as 0.0 and make every append
+      // refreeze
+      driftRetrain: Option[Double] = None,
+      foldThreshold: Option[Double] = None)
+
+  /** Operational state of a table's vector index — the observability
+    * row `CALL vector_index_stats` serves. All fields come from the
+    * persisted index (stamp, meta.json, relations, journals); the
+    * drift/action pair is the LAST maintenance outcome, journaled by
+    * [[buildVectorIndex]] at each stamp write. */
+  final case class VectorIndexStats(indexPath: String, stampInstant: String,
+      idCol: String, vecCol: String, nLists: Int, metaCols: Seq[String],
+      driftRetrain: Double, foldThreshold: Double, corpusCount: Long,
+      tombstoneCount: Long, tombstoneFraction: Double,
+      appendsJournalDepth: Long, lastDriftRatio: Double, lastAction: String,
+      epochAware: Boolean)
+
+  /** The last maintenance outcome, journaled beside the stamp so the
+    * stats surface can report drift without re-deriving it. */
+  private[core] case class VectorMaintRecord(action: String,
+      driftRatio: Double, appended: Long = 0L, tombstoned: Long = 0L,
+      removed: Long = 0L, refroze: Boolean = false)
 
   /** Largest PQ subvector count ≤ 8 that divides `dim` — the service's
     * deterministic default (8 subs at the usual 64/128/256 dims). */
@@ -502,8 +527,15 @@ object TableServices {
   def buildVectorIndex(t: GraftTable, idCol: String, vecCol: String,
       nLists: Int = 16, asOf: Option[String] = None,
       snapshot: Option[org.apache.spark.sql.DataFrame] = None,
-      driftRetrain: Double = 1.5, metaCols: Seq[String] = Nil): String = {
+      driftRetrain: Double = 1.5, metaCols: Seq[String] = Nil,
+      foldThreshold: Double = 0.2): String = {
     import org.apache.spark.sql.functions.{col, size => asize}
+    require(driftRetrain > 0,
+      s"driftRetrain=$driftRetrain — must be positive (drift ~1.0 means " +
+      "the frozen quantizer still fits; retrain fires above the ratio)")
+    require(foldThreshold > 0 && foldThreshold <= 1,
+      s"foldThreshold=$foldThreshold — must be in (0, 1]: the tombstone " +
+      "fraction of the corpus past which the refreeze folds dead rows")
     val path = vectorIndexPath(t, vecCol)
     val instant = asOf.orElse(t.log.lastInstant()).getOrElse("0")
     val stampFile = java.nio.file.Paths.get(path, "instant.stamp")
@@ -511,7 +543,14 @@ object TableServices {
     def writeStamp(): Unit = {
       Files.createDirectories(java.nio.file.Paths.get(path))
       Files.write(stampFile, mapper.writeValueAsBytes(
-        VectorIndexStamp(instant, idCol, vecCol, nLists, metaCols)))
+        VectorIndexStamp(instant, idCol, vecCol, nLists, metaCols,
+          Some(driftRetrain), Some(foldThreshold))))
+      ()
+    }
+    def writeMaint(rec: VectorMaintRecord): Unit = {
+      Files.createDirectories(java.nio.file.Paths.get(path))
+      Files.write(java.nio.file.Paths.get(path, "last_maint.json"),
+        mapper.writeValueAsBytes(rec))
       ()
     }
     def corpus() = snapshot.getOrElse(t.read(asOf = Some(instant)))
@@ -529,20 +568,26 @@ object TableServices {
         m = pqSubvectors(dim), codesPerSub = 256, path = path,
         metaCols = metaCols)
       writeStamp()
+      writeMaint(VectorMaintRecord("rebuild", driftRatio = 1.0))
     }
     val prior: Option[VectorIndexStamp] =
       if (!Files.exists(stampFile)) None
       else try Some(mapper.readValue(Files.readAllBytes(stampFile),
         classOf[VectorIndexStamp]))
       catch { case _: Exception => None } // pre-JSON stamp → rebuild
+    // old stamps carry no knob fields — they read as the defaults, so
+    // an existing index maintained at default knobs never rebuilds
+    def knobsMatch(s: VectorIndexStamp): Boolean =
+      s.driftRetrain.getOrElse(1.5) == driftRetrain &&
+        s.foldThreshold.getOrElse(0.2) == foldThreshold
     prior match {
       case Some(s) if s.idCol == idCol && s.vecCol == vecCol &&
           s.nLists == nLists && s.metaCols == metaCols &&
-          s.instant == instant =>
+          knobsMatch(s) && s.instant == instant =>
         () // fresh — zero Spark jobs
       case Some(s) if s.idCol == idCol && s.vecCol == vecCol &&
           s.nLists == nLists && s.metaCols == metaCols &&
-          s.instant < instant =>
+          knobsMatch(s) && s.instant < instant =>
         // bound the CDC range at the PINNED instant: count the row
         // commits in (stamp, asOf] and ask for exactly that many, so a
         // commit landing mid-call never leaks into this refresh
@@ -566,20 +611,18 @@ object TableServices {
                 // physical path for both.
                 val epochAware =
                   graft.operators.IvfPq.isEpochAware(t.spark, path)
-                if (epochAware) {
-                  graft.operators.IvfPq.tombstone(
-                    cdc.filter(col("_change_type") === "u")
-                      .select(col(idCol)), idCol, path, epoch = instant)
-                  graft.operators.IvfPq.remove(
-                    cdc.filter(col("_change_type") === "d")
-                      .select(col(idCol)), idCol, path)
-                  ()
-                } else {
-                  graft.operators.IvfPq.remove(
+                val (tombstoned, removed) =
+                  if (epochAware) {
+                    val ts = graft.operators.IvfPq.tombstone(
+                      cdc.filter(col("_change_type") === "u")
+                        .select(col(idCol)), idCol, path, epoch = instant)
+                    val rm = graft.operators.IvfPq.remove(
+                      cdc.filter(col("_change_type") === "d")
+                        .select(col(idCol)), idCol, path)
+                    (ts, rm)
+                  } else (0L, graft.operators.IvfPq.remove(
                     cdc.filter(col("_change_type").isin("u", "d"))
-                      .select(col(idCol)), idCol, path)
-                  ()
-                }
+                      .select(col(idCol)), idCol, path))
                 // stored filter columns (metaCols) MUST ride every
                 // append or the new rows silently escape stored-column
                 // predicates (their meta reads back null)
@@ -595,20 +638,31 @@ object TableServices {
                 lazy val tombCount =
                   if (!Files.isDirectory(tombDir)) 0L
                   else t.spark.read.parquet(tombDir.toString).count()
-                if (stats.driftRatio > driftRetrain ||
-                    (epochAware && stats.corpusCount > 0 &&
-                      tombCount > 0.2 * stats.corpusCount)) {
+                val refroze = stats.driftRatio > driftRetrain ||
+                  (epochAware && stats.corpusCount > 0 &&
+                    tombCount > foldThreshold * stats.corpusCount)
+                if (refroze) {
                   graft.operators.IvfPq.refreeze(t.spark, path)
                   ()
                 }
+                writeMaint(VectorMaintRecord("incremental",
+                  driftRatio = stats.driftRatio, appended = stats.appended,
+                  tombstoned = tombstoned, removed = removed,
+                  refroze = refroze))
               } finally { cdc.unpersist(); () }
             }
             writeStamp()
           } catch {
             // CDC refusal (restore/bootstrap in range) or a half-applied
             // journal: full rebuild from the pinned snapshot is the
-            // always-sound recovery
-            case _: IllegalStateException | _: IllegalArgumentException =>
+            // always-sound recovery. SURFACE the cause first — a
+            // persistent failure here would otherwise silently degrade
+            // every call to an O(corpus) rebuild with no signal that
+            // the incremental path never engages.
+            case e @ (_: IllegalStateException | _: IllegalArgumentException) =>
+              System.err.println(
+                s"[graft] incremental vector-index maintenance at $path " +
+                s"fell back to a full rebuild: ${e.getMessage}")
               fullBuild()
           }
         }
@@ -634,6 +688,69 @@ object TableServices {
         .readValue(Files.readAllBytes(f), classOf[VectorIndexStamp])
         .metaCols).getOrElse(Nil)
     catch { case _: Exception => Nil }
+  }
+
+  /** The maintenance knobs the existing index was stamped with
+    * ((driftRetrain, foldThreshold); the defaults when no index or a
+    * pre-knob stamp). Callers that don't pass the knobs inherit these
+    * — otherwise a plain `CALL vector_search` after a
+    * `build_vector_index(drift_retrain => …)` would silently rebuild
+    * the index back to default knobs. */
+  def stampedKnobs(t: GraftTable, vecCol: String): (Double, Double) = {
+    val f = java.nio.file.Paths.get(
+      vectorIndexPath(t, vecCol), "instant.stamp")
+    val s =
+      if (!Files.exists(f)) None
+      else try Some(graft.core.CommitLog.mapper
+          .readValue(Files.readAllBytes(f), classOf[VectorIndexStamp]))
+        catch { case _: Exception => None }
+    (s.flatMap(x => Option(x.driftRetrain).flatten).getOrElse(1.5),
+      s.flatMap(x => Option(x.foldThreshold).flatten).getOrElse(0.2))
+  }
+
+  /** Operational stats of the table's vector index over `vecCol` —
+    * the observability row behind `CALL vector_index_stats`. Reads
+    * ONLY metadata-scale state (stamp, meta.json, the tombstone
+    * relation's count, journal listing) — no corpus scan. Refuses
+    * loudly when no index exists (an empty row would read as "index
+    * healthy, zero rows"). */
+  def vectorIndexStats(t: GraftTable, vecCol: String): VectorIndexStats = {
+    val path = vectorIndexPath(t, vecCol)
+    val stampFile = java.nio.file.Paths.get(path, "instant.stamp")
+    require(Files.exists(stampFile),
+      s"no vector index over '$vecCol' for table ${t.config.name} — " +
+      "CALL build_vector_index first")
+    val mapper = graft.core.CommitLog.mapper
+    val s = mapper.readValue(Files.readAllBytes(stampFile),
+      classOf[VectorIndexStamp])
+    val meta = graft.operators.IvfIndex.meta(path).getOrElse(
+      throw new IllegalStateException(
+        s"vector index at $path has a stamp but no meta.json — rebuild"))
+    val tombDir = java.nio.file.Paths.get(path, "tombstones")
+    val tombCount =
+      if (!Files.isDirectory(tombDir)) 0L
+      else t.spark.read.parquet(tombDir.toString).count()
+    val appDir = java.nio.file.Paths.get(path, "_appends")
+    val journalDepth =
+      if (!Files.isDirectory(appDir)) 0L
+      else graft.util.Fs.list(appDir)(
+        _.count(_.getFileName.toString.endsWith(".done")).toLong)
+    val last =
+      try Some(mapper.readValue(
+        Files.readAllBytes(java.nio.file.Paths.get(path, "last_maint.json")),
+        classOf[VectorMaintRecord]))
+      catch { case _: Exception => None } // pre-journal index
+    VectorIndexStats(path, s.instant, s.idCol, s.vecCol, s.nLists,
+      Option(s.metaCols).getOrElse(Nil),
+      s.driftRetrain.getOrElse(1.5), s.foldThreshold.getOrElse(0.2),
+      corpusCount = meta.corpusCount, tombstoneCount = tombCount,
+      tombstoneFraction =
+        if (meta.corpusCount <= 0) 0.0
+        else tombCount.toDouble / meta.corpusCount,
+      appendsJournalDepth = journalDepth,
+      lastDriftRatio = last.map(_.driftRatio).getOrElse(-1.0),
+      lastAction = last.map(_.action).getOrElse("unknown"),
+      epochAware = graft.operators.IvfPq.isEpochAware(t.spark, path))
   }
 
   /** Latest-wins on record identity — delegates to the table's own

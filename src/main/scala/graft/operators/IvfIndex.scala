@@ -166,10 +166,16 @@ object IvfIndex {
     * doubles), each query probes its `nProbe` nearest lists, and the
     * assignments scan is partition-pruned to exactly the probed lists —
     * no corpus-wide shuffle, no training work at query time. */
+  /** `excludeSelf` drops the row whose id equals the query's id — the
+    * contract when queries ARE corpus rows. Pass false for EXTERNAL
+    * query vectors carrying a sentinel id: self-exclusion there would
+    * silently drop a legitimate corpus row that happens to share the
+    * sentinel value. */
   def topK(spark: SparkSession, path: String, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int,
       allowed: Option[DataFrame] = None,
-      storedFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      storedFilter: Option[org.apache.spark.sql.Column] = None,
+      excludeSelf: Boolean = true): DataFrame = {
     val table = spark.read.parquet(s"$path/centroids.parquet")
       .orderBy("list").collect()
       .map(_.getAs[Seq[Double]]("centroid").toArray)
@@ -194,8 +200,9 @@ object IvfIndex {
       .select(col("id").as("neighbor_id"), col("vec").as("cvec"), col("list"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), Seq("list"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val joined = c.join(broadcast(q), Seq("list"))
+    (if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id"))
+     else joined)
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine", cosine(col("qvec"), col("cvec")))
       .withColumn("rank", row_number().over(w))

@@ -2,7 +2,7 @@ package graft.sql
 
 import graft.core.TableConfig
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, lit}
 import org.apache.spark.sql.types.StructType
 
 /** SQL entry point covering the demo transcripts' statement surface
@@ -383,6 +383,20 @@ final class GraftSql(catalog: GraftCatalog) {
     * the reference's spark-sql sessions use for table services). Args
     * are named (`k => 'v'`) or positional; every procedure returns its
     * result as rows, like Hudi's procedures do. */
+  /** Parse a `[0.1, 0.2, …]` vector literal; a malformed element
+    * surfaces as the module's loud IllegalArgumentException naming the
+    * argument, not a raw NumberFormatException. */
+  private def parseVecLiteral(s: String, what: String): Array[Double] = {
+    val parts = s.stripPrefix("[").stripSuffix("]")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    try parts.map(_.toDouble)
+    catch {
+      case e: NumberFormatException => throw new IllegalArgumentException(
+        s"$what is not a numeric array literal " +
+        s"(e.g. '[0.1, 0.2, ...]'): ${e.getMessage}")
+    }
+  }
+
   private def callProcedure(proc: String, argStr: String): DataFrame = {
     val s = spark
     import s.implicits._
@@ -482,15 +496,44 @@ final class GraftSql(catalog: GraftCatalog) {
         // `meta_cols` declares stored filter columns at build: their
         // values persist beside the vectors AND codes, so a later
         // vector_search `stored_filter` predicate pushes into the
-        // pruned parquet scan itself (the any-selectivity filter path)
+        // pruned parquet scan itself (the any-selectivity filter path).
+        // `drift_retrain` / `fold_threshold` tune the maintenance
+        // exits (refreeze on quantizer drift / on the tombstone
+        // fraction); they are stamped — changing one rebuilds, and
+        // omitting them INHERITS the existing stamp's values so a
+        // plain re-call never silently resets a tuned index.
+        val vecCol = arg("vec_col", 2).getOrElse("embedding")
+        val (dInherit, fInherit) =
+          graft.core.TableServices.stampedKnobs(table, vecCol)
         val path = graft.core.TableServices.buildVectorIndex(table,
           idCol = arg("id_col", 1).getOrElse("id"),
-          vecCol = arg("vec_col", 2).getOrElse("embedding"),
+          vecCol = vecCol,
           nLists = arg("n_lists", 3).map(_.toInt).getOrElse(16),
           metaCols = args.get("meta_cols")
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-            .getOrElse(Nil))
+            .getOrElse(Nil),
+          driftRetrain = args.get("drift_retrain").map(_.toDouble)
+            .getOrElse(dInherit),
+          foldThreshold = args.get("fold_threshold").map(_.toDouble)
+            .getOrElse(fInherit))
         Seq(path).toDF("index_path")
+      case "vector_index_stats" =>
+        // index observability — the S15 LakeView analog one level
+        // down: the index's own operational state (stamp instant,
+        // knobs, corpus/tombstone counts, journal depth, the last
+        // maintenance outcome). Metadata-scale: no corpus scan.
+        val s = graft.core.TableServices.vectorIndexStats(table,
+          vecCol = arg("vec_col", 1).getOrElse("embedding"))
+        Seq((s.indexPath, s.stampInstant, s.idCol, s.vecCol,
+            s.nLists, s.metaCols.mkString(","), s.driftRetrain,
+            s.foldThreshold, s.corpusCount, s.tombstoneCount,
+            s.tombstoneFraction, s.appendsJournalDepth,
+            s.lastDriftRatio, s.lastAction, s.epochAware))
+          .toDF("index_path", "stamp_instant", "id_col", "vec_col",
+            "n_lists", "meta_cols", "drift_retrain", "fold_threshold",
+            "corpus_count", "tombstone_count", "tombstone_fraction",
+            "appends_journal_depth", "last_drift_ratio", "last_action",
+            "epoch_aware")
       case "vector_search" =>
         // retrieval on the SQL surface over the table-service IVF
         // index: queries are rows of the SAME table selected by the
@@ -522,11 +565,20 @@ final class GraftSql(catalog: GraftCatalog) {
         val metaCols = args.get("meta_cols")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(graft.core.TableServices.stampedMetaCols(t, vecCol))
+        // maintenance knobs inherit from the stamp when not passed —
+        // otherwise a plain search after build_vector_index(
+        // drift_retrain => …) would silently rebuild at default knobs
+        val (dInherit, fInherit) =
+          graft.core.TableServices.stampedKnobs(t, vecCol)
         val inst = t.log.lastInstant()
         val snap = t.read(asOf = inst)
         val path = graft.core.TableServices.buildVectorIndex(
           t, idCol, vecCol, nLists, asOf = inst, snapshot = Some(snap),
-          metaCols = metaCols)
+          metaCols = metaCols,
+          driftRetrain = args.get("drift_retrain").map(_.toDouble)
+            .getOrElse(dInherit),
+          foldThreshold = args.get("fold_threshold").map(_.toDouble)
+            .getOrElse(fInherit))
         val qWhere = args.get("query_where")
         val qVecArg = args.get("query_vec")
         require(qWhere.isDefined != qVecArg.isDefined,
@@ -536,8 +588,8 @@ final class GraftSql(catalog: GraftCatalog) {
         val queries = qWhere match {
           case Some(w) => snap.filter(expr(w)).select(idCol, vecCol)
           case None =>
-            val v = qVecArg.get.stripPrefix("[").stripSuffix("]")
-              .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+            val v = parseVecLiteral(qVecArg.get,
+              "CALL vector_search: query_vec")
             require(v.nonEmpty, "CALL vector_search: query_vec is empty")
             graft.operators.IvfIndex.meta(path).foreach(m =>
               require(v.length == m.dim,
@@ -558,12 +610,32 @@ final class GraftSql(catalog: GraftCatalog) {
         // id-set semi join (free at any selectivity; the columns must
         // have been declared at build)
         val storedFilter = args.get("stored_filter").map(expr)
+        // EMPTY-QUERY CONTRACT (both tiers): a query_where matching no
+        // rows returns an empty result set — the SQL-natural shape (a
+        // refusal would make "search whatever matched" un-composable).
+        // Lazy: the exact tier is naturally empty-in-empty-out and
+        // must not pay the probe action.
+        lazy val emptyResult = queries.isEmpty
         args.get("rerank").map(_.toInt) match {
           case None =>
             // exact tier: cosine over the raw assignments of the
-            // probed lists, self-matches excluded — the l37 contract
+            // probed lists, self-matches excluded when queries are
+            // table rows — the l37 contract. A LITERAL query_vec keeps
+            // self-matches: its query_id is a sentinel (-1), and
+            // excluding it would silently drop a legitimate corpus row
+            // that happens to be keyed -1.
             graft.operators.IvfIndex.topK(t.spark, path, queries,
-              idCol, vecCol, k, nProbe, allowed, storedFilter)
+              idCol, vecCol, k, nProbe, allowed, storedFilter,
+              excludeSelf = qWhere.isDefined)
+          case Some(cand) if emptyResult =>
+            // topKBatch refuses empty query tables (its cap guards need
+            // rows); honor the empty-in-empty-out contract here with a
+            // schema-identical empty relation
+            spark.range(0).select(
+              lit(null).cast(snap.schema(idCol).dataType).as("query_id"),
+              lit(null).cast(snap.schema(idCol).dataType).as("neighbor_id"),
+              lit(null).cast("double").as("score"),
+              lit(null).cast("long").as("rank"))
           case Some(cand) =>
             // compressed tier (`rerank => <candidates>`): the probed
             // scan reads PQ CODES (m ints/row, ~32× fewer bytes than
@@ -627,8 +699,7 @@ final class GraftSql(catalog: GraftCatalog) {
                 s"float/double array (element: $other)")
             }.toArray
           case None =>
-            qVecArg.get.stripPrefix("[").stripSuffix("]")
-              .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble)
+            parseVecLiteral(qVecArg.get, "CALL mmr_select: query_vec")
         }
         require(qv.nonEmpty, "CALL mmr_select: empty query vector")
         val candidates = args.get("filter").fold(snap)(f => snap.filter(expr(f)))
@@ -740,8 +811,9 @@ final class GraftSql(catalog: GraftCatalog) {
         s"unknown procedure '$other' — supported: run_compaction, " +
         "run_clustering, run_clean, run_archival, rollback_to_instant, " +
         "rollback_last_commit, table_changes, build_vector_index, " +
-        "vector_search, mmr_select, register_table, sync_xtable, " +
-        "expire_metadata, dedup_table, show_commits, show_files")
+        "vector_index_stats, vector_search, mmr_select, register_table, " +
+        "sync_xtable, expire_metadata, dedup_table, show_commits, " +
+        "show_files")
     }
   }
 

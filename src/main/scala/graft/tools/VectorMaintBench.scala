@@ -56,17 +56,50 @@ object VectorMaintBench {
       .withColumn("embedding", emb("ver")))
     val maintUpd = maint()
     val (searchA, _) = time(search(path))
+    // ---- tombstone query-cost envelope (round-28): the price of the
+    // anti-join + resident superseded versions as dead rows accumulate
+    // from ~0% to the 20% fold point, and the post-fold recovery. Each
+    // step updates a fresh id range so the tombstone count is the
+    // range size; corpusCount grows by the appended versions, so the
+    // fractions land at ~9% / ~18% / fold.
+    def tombStats() = {
+      val dir = java.nio.file.Paths.get(path, "tombstones")
+      val tc = if (!java.nio.file.Files.isDirectory(dir)) 0L
+        else spark.read.parquet(dir.toString).count()
+      val cc = graft.operators.IvfIndex.meta(path).map(_.corpusCount).getOrElse(0L)
+      (tc, cc)
+    }
+    def updateRange(from: Long, until: Long, ver: Long): Double = {
+      t.upsert(spark.range(from, until).select(
+        $"id".as("vec_id"), lit(ver).as("ver"))
+        .withColumn("embedding", emb("ver")))
+      maint()
+    }
+    updateRange(0, 10000, 4) // ~9% tombstones (10k / 110k-ish corpus)
+    val (tomb9, corp9) = tombStats()
+    val (search9, _) = time(search(path))
+    updateRange(10000, 22000, 4) // ~18%
+    val (tomb18, corp18) = tombStats()
+    val (search18, _) = time(search(path))
+    updateRange(22000, 30000, 4) // crosses 20% → the maintenance folds
+    val (tombF, corpF) = tombStats()
+    val (searchF, _) = time(search(path))
     // pre-round-27 comparator: wipe the stamp so the service pays the
     // old full-corpus rebuild, then search
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(path, "instant.stamp"))
     val rebuildS = maint()
     val (searchB, _) = time(search(path))
+    def pct(tc: Long, cc: Long) = "%.1f".format(100.0 * tc / math.max(cc, 1L))
     println(s"""{"corpus":$n,"dim":64,"initial_build_sec":${"%.2f".format(buildS)},""" +
       s""""maint_10row_sec":${"%.2f".format(maint10)},""" +
       s""""maint_1pct_insert_sec":${"%.2f".format(maintIns)},""" +
       s""""maint_0p5pct_scattered_update_sec":${"%.2f".format(maintUpd)},""" +
       s""""search_after_incremental_sec":${"%.2f".format(searchA)},""" +
+      s""""tomb_pct_a":${pct(tomb9, corp9)},"search_tomb_a_sec":${"%.2f".format(search9)},""" +
+      s""""tomb_pct_b":${pct(tomb18, corp18)},"search_tomb_b_sec":${"%.2f".format(search18)},""" +
+      s""""tomb_pct_post_fold":${pct(tombF, corpF)},""" +
+      s""""search_post_fold_sec":${"%.2f".format(searchF)},""" +
       s""""full_rebuild_sec":${"%.2f".format(rebuildS)},""" +
       s""""search_after_rebuild_sec":${"%.2f".format(searchB)}}""")
     spark.stop()
