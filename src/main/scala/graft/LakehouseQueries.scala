@@ -1210,6 +1210,97 @@ object LakehouseQueries {
        |  FROM read_parquet('$eqDeleteRoot/deletes/eq2.parquet')))
        |ORDER BY event_id, event_type, value""".stripMargin
 
+  // ---- T6++ Delta deletion-vector READ (l42) ----------------------------
+
+  /** Fixed root, same reason as l39/l41: the oracle SQL is static. */
+  private val deltaDvRoot = "/tmp/graft_xtable_l42"
+
+  /** Delta deletion vectors on the foreign-read path — the row-level
+    * deletes modern Delta writers attach BY DEFAULT (protocol
+    * (3, readerFeatures=[deletionVectors])). The fixture forges a real
+    * DV table per the public Delta protocol: two data files; fA
+    * carries a storageType=u DV (framed `.bin` under a random prefix —
+    * z85 uuid name derivation, big-endian size word, CRC32) deleting
+    * rows where event_id % 20 = 0; fB an INLINE (storageType=i) DV
+    * deleting rows where event_id % 7 = 0. The DV ordinals are derived
+    * through Spark's `_metadata.row_index` over the written files and
+    * round-trip the full portable-roaring encode → z85/frame → decode
+    * pipeline; the DuckDB oracle re-derives the surviving rows from
+    * the predicates alone — the two agree only if the ordinal mapping
+    * is exact. Reference analog: the Delta leg of xTable
+    * (xtable/xtable_delta.yaml). */
+  def qDeltaDv(spark: SparkSession, dir: String): DataFrame = {
+    graft.util.TempDirs.deleteRecursively(
+      java.nio.file.Paths.get(deltaDvRoot))
+    val ev = events(spark, dir).select(
+      col("event_id"), col("event_type"), col("value"))
+    val fA = java.nio.file.Paths.get(deltaDvRoot, "data-a.parquet")
+    val fB = java.nio.file.Paths.get(deltaDvRoot, "data-b.parquet")
+    writeOneSorted(ev.filter(col("event_id") % 2 === 0), "event_id", fA)
+    writeOneSorted(ev.filter(col("event_id") % 2 === 1), "event_id", fB)
+    def ords(f: java.nio.file.Path,
+        pred: org.apache.spark.sql.Column): Seq[Long] =
+      spark.read.parquet(f.toString)
+        .select(col("_metadata.row_index").as("ri")).where(pred)
+        .orderBy("ri").collect().map(_.getLong(0)).toSeq
+    import graft.interop.DeltaDv
+    // fA: storageType=u — the framed on-disk blob under prefix "ab"
+    val ordsA = ords(fA, col("event_id") % 20 === 0)
+    val bmA = DeltaDv.encodeBitmap(ordsA)
+    val (blobA, offA) = DeltaDv.frameFile(bmA)
+    val uuid = java.util.UUID.fromString(
+      "6bd5f62b-1abc-4d9e-b4d1-5a3e1e6b0001")
+    val uuidBytes = java.nio.ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits)
+      .putLong(uuid.getLeastSignificantBits).array()
+    val dvPath = java.nio.file.Paths.get(deltaDvRoot, "ab",
+      s"deletion_vector_$uuid.bin")
+    java.nio.file.Files.createDirectories(dvPath.getParent)
+    java.nio.file.Files.write(dvPath, blobA)
+    val dvA = s"""{"storageType":"u","pathOrInlineDv":"ab${
+      DeltaDv.z85Encode(uuidBytes)}","offset":$offA,"sizeInBytes":${
+      bmA.length},"cardinality":${ordsA.size}}"""
+    // fB: storageType=i — the bitmap rides inline, z85-padded
+    val ordsB = ords(fB, col("event_id") % 7 === 0)
+    val bmB = DeltaDv.encodeBitmap(ordsB)
+    val padded = java.util.Arrays.copyOf(bmB, (bmB.length + 3) / 4 * 4)
+    val dvB = s"""{"storageType":"i","pathOrInlineDv":"${
+      DeltaDv.z85Encode(padded)}","sizeInBytes":${bmB.length},""" +
+      s""""cardinality":${ordsB.size}}"""
+    val schemaQ = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(ev.schema.json)
+    val logDir = java.nio.file.Paths.get(deltaDvRoot, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    java.nio.file.Files.writeString(
+      logDir.resolve("00000000000000000000.json"), Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["deletionVectors"],""" +
+          """"writerFeatures":["deletionVectors"]}}""",
+        s"""{"metaData":{"id":"l42","format":{"provider":"parquet",""" +
+          s""""options":{}},"schemaString":$schemaQ,""" +
+          s""""partitionColumns":[],"configuration":{},"createdTime":0}}""",
+        s"""{"add":{"path":"data-a.parquet","partitionValues":{},""" +
+          s""""size":1,"modificationTime":0,"dataChange":true,""" +
+          s""""deletionVector":$dvA}}""",
+        s"""{"add":{"path":"data-b.parquet","partitionValues":{},""" +
+          s""""size":1,"modificationTime":0,"dataChange":true,""" +
+          s""""deletionVector":$dvB}}""").mkString("\n"))
+    graft.interop.XTableSync.readDelta(spark, deltaDvRoot)
+      .orderBy("event_id", "event_type", "value")
+  }
+
+  private val deltaDvSql =
+    s"""WITH d AS (
+       |  SELECT event_id, event_type, value
+       |  FROM read_parquet('$deltaDvRoot/data-a.parquet')
+       |  WHERE event_id % 20 <> 0
+       |  UNION ALL
+       |  SELECT event_id, event_type, value
+       |  FROM read_parquet('$deltaDvRoot/data-b.parquet')
+       |  WHERE event_id % 7 <> 0)
+       |SELECT event_id, event_type, value FROM d
+       |ORDER BY event_id, event_type, value""".stripMargin
+
   // ---- incremental vector-index maintenance under the oracle (l40) ------
 
   /** The round-27 maintenance path under the DuckDB oracle: build the
@@ -1651,6 +1742,7 @@ object LakehouseQueries {
     "l39_iceberg_pos_delete" -> (qIcebergPosDelete _),
     "l40_vector_search_incremental" -> (qVectorSearchIncremental _),
     "l41_iceberg_eq_delete" -> (qIcebergEqDelete _),
+    "l42_delta_dv" -> (qDeltaDv _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1698,5 +1790,6 @@ object LakehouseQueries {
     "l39_iceberg_pos_delete" -> icebergPosDeleteSql,
     "l40_vector_search_incremental" -> vectorSearchIncrementalSql,
     "l41_iceberg_eq_delete" -> icebergEqDeleteSql,
+    "l42_delta_dv" -> deltaDvSql,
   )
 }

@@ -526,11 +526,20 @@ object XTableSync {
     }
 
   private def requireReplayable(ctx: String,
-      a: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      a: com.fasterxml.jackson.databind.JsonNode,
+      dvRead: Boolean = false): Unit = {
     def present(n: com.fasterxml.jackson.databind.JsonNode,
         f: String): Boolean = jsonPresent(n, f)
-    requireNoDeletionVectors(ctx, a,
-      "checkpoint/rewrite from the source engine first")
+    // [[readDelta]] APPLIES deletion vectors (dvRead=true), so its
+    // replay accepts DV'd adds and the (3, readerFeatures=
+    // [deletionVectors]) protocol; every other replay consumer
+    // (adoption, sync, checkpoint) keeps the refusal — they REPRESENT
+    // the live set rather than read it, and a DV'd add cannot be
+    // represented without resurrecting rows.
+    if (!dvRead)
+      requireNoDeletionVectors(ctx, a,
+        "read it with readDelta (which applies deletion vectors) or " +
+        "checkpoint/rewrite from the source engine first")
     if (present(a, "protocol")) {
       val p = a.get("protocol")
       // READ-side envelope only: minReaderVersion governs what a
@@ -545,14 +554,24 @@ object XTableSync {
         s"_delta_log under $ctx has a protocol action without " +
         "minReaderVersion — a malformed log this replay refuses rather " +
         "than guessing a read envelope for")
-      require(p.get("minReaderVersion").asInt() <= 1 &&
-          !present(p, "readerFeatures"),
+      val mrv = p.get("minReaderVersion").asInt()
+      val plainOk = mrv <= 1 && !present(p, "readerFeatures")
+      // (3, readerFeatures ⊆ {deletionVectors}) is the ONE raised
+      // envelope the DV read path implements; a missing features list
+      // at mrv=3 is malformed (the spec requires it) and anything else
+      // in the list still changes what a correct read means
+      lazy val dvOk = dvRead && mrv == 3 &&
+        present(p, "readerFeatures") &&
+        p.get("readerFeatures").elements().asScala
+          .forall(_.asText() == "deletionVectors")
+      require(plainOk || dvOk,
         s"_delta_log under $ctx declares protocol " +
         s"${mapper.writeValueAsString(mapper.treeToValue(p, classOf[Object]))} " +
-        "— beyond the supported minReaderVersion=1 read envelope " +
-        "(deletion vectors, column mapping, and other reader features " +
-        "change what a correct read means); checkpoint/rewrite from the " +
-        "source engine first")
+        "— beyond the supported read envelope (column mapping and " +
+        "other reader features change what a correct read means" +
+        (if (dvRead) "; deletionVectors alone is supported here" else
+          "; deletion vectors apply only via readDelta") +
+        "); checkpoint/rewrite from the source engine first")
     }
     if (present(a, "metaData")) {
       val conf = a.get("metaData").get("configuration")
@@ -594,7 +613,8 @@ object XTableSync {
     }
 
   private def replayActions(lines: Seq[String],
-      ctx: String = "(unknown root)"): DeltaReplay = {
+      ctx: String = "(unknown root)",
+      dvRead: Boolean = false): DeltaReplay = {
     var schemaJson = ""
     var partCols = Seq.empty[String]
     var protocol: Option[String] = None
@@ -603,7 +623,7 @@ object XTableSync {
     val tombs = scala.collection.mutable.LinkedHashMap[String, String]()
     lines.foreach { line =>
       val a = mapper.readTree(line)
-      requireReplayable(ctx, a)
+      requireReplayable(ctx, a, dvRead)
       if (a.has("protocol") && !a.get("protocol").isNull)
         protocol = Some(mapper.writeValueAsString(
           Map("protocol" -> mapper.treeToValue(a.get("protocol"), classOf[Object]))))
@@ -935,13 +955,19 @@ object XTableSync {
   }
 
   /** Read the synced table as a Delta reader would: replayed live file
-    * set under the log's schemaString. Meaningful for COW tables and
-    * compacted MOR states (like xTable's read-optimized sync target) —
-    * MOR tombstone deltas are data to a format that encodes deletes as
-    * file removes. */
+    * set under the log's schemaString — APPLYING deletion vectors
+    * (the add-level roaring bitmaps modern Delta writers attach by
+    * default; protocol (3, readerFeatures=[deletionVectors])).
+    * Meaningful for COW tables and compacted MOR states (like
+    * xTable's read-optimized sync target) — MOR tombstone deltas are
+    * data to a format that encodes deletes as file removes.
+    * Checkpointed DV logs still refuse ([[checkpointLines]]): this
+    * engine's checkpoint schema cannot represent DV'd adds. */
   def readDelta(spark: org.apache.spark.sql.SparkSession,
       root: String): org.apache.spark.sql.DataFrame =
-    readDeltaState(spark, root, replayDelta(root, spark))
+    readDeltaReplay(spark, root,
+      replayActions(deltaActionLines(root, Some(spark)), root,
+        dvRead = true))
 
   /** Delta time travel over the export — `VERSION AS OF` semantics: the
     * live set as of log version `asOfVersion`. Versions the checkpoint
@@ -982,9 +1008,72 @@ object XTableSync {
         deltaActionLines(root, Some(spark),
           keepJson = v => v <= asOfVersion)
     }
-    val st = replayActions(lines, root)
-    readDeltaState(spark, root,
+    readDeltaReplay(spark, root,
+      replayActions(lines, root, dvRead = true))
+  }
+
+  /** Base live-set read plus deletion-vector application: each DV'd
+    * add resolves to its deleted row ordinals ([[DeltaDv]] — framed
+    * blob, CRC, portable 64-bit roaring, cardinality all validated)
+    * and the scan anti-joins on (file, row ordinal) via Spark's
+    * parquet `_metadata` column — the same no-scan-shuffle shape as
+    * Iceberg position deletes; AQE broadcasts the usual small delete
+    * relation. The decode is driver-side (the bitmaps are
+    * metadata-scale by design), loud-capped at 10M total deleted
+    * rows — a table past that needs a compaction from the source
+    * engine, not a silent driver OOM. */
+  private def readDeltaReplay(spark: org.apache.spark.sql.SparkSession,
+      root: String, st: DeltaReplay): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    def base() = readDeltaState(spark, root,
       DeltaState(st.schemaJson, st.partCols, st.live.keys.toSeq))
+    val dvs: Seq[(String, DeltaDv.Descriptor)] = st.live.toSeq.flatMap {
+      case (p, line) =>
+        val add = mapper.readTree(line).get("add")
+        if (!jsonPresent(add, "deletionVector")) None
+        else {
+          val d = add.get("deletionVector")
+          Seq("storageType", "pathOrInlineDv", "sizeInBytes", "cardinality")
+            .foreach(f => require(jsonPresent(d, f),
+              s"_delta_log under $root: deletionVector on $p lacks " +
+              s"'$f' — a malformed descriptor this reader refuses"))
+          Some(p -> DeltaDv.Descriptor(
+            d.get("storageType").asText(), d.get("pathOrInlineDv").asText(),
+            if (jsonPresent(d, "offset")) Some(d.get("offset").asLong())
+            else None,
+            d.get("sizeInBytes").asInt(), d.get("cardinality").asLong()))
+        }
+    }
+    if (dvs.isEmpty) return base()
+    val totalCard = dvs.map(_._2.cardinality).sum
+    require(totalCard <= 10000000L,
+      s"_delta_log under $root carries deletion vectors totalling " +
+      s"$totalCard deleted rows — beyond this reader's 10M driver " +
+      "decode cap; compact the deletes away (OPTIMIZE / purge) from " +
+      "the source engine first")
+    // descriptor resolution + bitmap decode FIRST: a corrupt or
+    // malformed DV must refuse on its own validation, not on whatever
+    // the data scan happens to throw first
+    val absRoot = java.nio.file.Paths.get(root).toAbsolutePath
+    import spark.implicits._
+    val dels = dvs.flatMap { case (rel, d) =>
+      val fp = absRoot.resolve(rel).toString
+      DeltaDv.deletedOrdinals(root, d).map(o => (fp, o))
+    }.toDF("__fp", "__pos")
+    val b = base()
+    val helpers = Seq("__fp", "__pos")
+    val clash = b.columns.toSet.intersect(helpers.toSet)
+    require(clash.isEmpty,
+      s"Delta table at $root has data column(s) ${clash.mkString(", ")} " +
+      "that collide with this reader's delete-application helper " +
+      "columns — rename them in the source table first")
+    val cols = b.columns.toSeq
+    b
+      .withColumn("__fp",
+        regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(dels, Seq("__fp", "__pos"), "left_anti")
+      .select(cols.map(col): _*)
   }
 
   private def readDeltaState(spark: org.apache.spark.sql.SparkSession,

@@ -71,34 +71,55 @@ class Round26Spec extends AnyFunSuite {
 
   // ---- replayActions: foreign row-level deletes refused ---------------
 
-  test("readDelta/adoptDelta refuse a _delta_log carrying " +
-      "add.deletionVector — deleted rows must never resurrect") {
+  test("adoptDelta/replayDelta refuse a _delta_log carrying " +
+      "add.deletionVector — deleted rows must never resurrect; " +
+      "readDelta now APPLIES valid DVs (Round28Spec) and refuses a " +
+      "MALFORMED descriptor loudly") {
     val root = tmp("dv")
     writeLog(root, 0L, Seq(protocol12, metaLine(),
       """{"add":{"path":"a.parquet","partitionValues":{},"size":10,""" +
         """"modificationTime":1,"dataChange":true,""" +
         """"deletionVector":{"storageType":"u","pathOrInlineDv":"x",""" +
         """"offset":1,"sizeInBytes":40,"cardinality":3}}}"""))
+    // 'x' is not a Z85 uuid — the read path validates the descriptor
+    // instead of silently resurrecting or mis-deleting rows
     val e = intercept[IllegalArgumentException] {
       XTableSync.readDelta(spark, root) }
-    assert(e.getMessage.contains("deletionVector"), e.getMessage)
+    assert(e.getMessage.contains("Z85"), e.getMessage)
     val e2 = intercept[IllegalArgumentException] {
       XTableSync.adoptDelta(spark, root, TableConfig(name = "dv",
         keyField = "id", orderingField = "ts", numBuckets = 1)) }
     assert(e2.getMessage.contains("deletionVector"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      XTableSync.replayDelta(root, spark) }
+    assert(e3.getMessage.contains("deletionVector"), e3.getMessage)
   }
 
-  test("readDelta refuses a table-features protocol ((3,7) + " +
-      "readerFeatures) — features change what a correct read means") {
+  test("readDelta accepts protocol (3, readerFeatures=" +
+      "[deletionVectors]) — the one raised envelope it implements — " +
+      "and refuses any OTHER reader feature; adoption still refuses " +
+      "the raised protocol") {
     val root = tmp("proto")
     writeLog(root, 0L, Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["deletionVectors"],""" +
         """"writerFeatures":["deletionVectors"]}}""",
       metaLine()))
+    // empty live set under the DV protocol reads as an empty relation
+    assert(XTableSync.readDelta(spark, root).count() == 0L)
+    val eAdopt = intercept[IllegalArgumentException] {
+      XTableSync.adoptDelta(spark, root, TableConfig(name = "p",
+        keyField = "id", orderingField = "ts", numBuckets = 1)) }
+    assert(eAdopt.getMessage.contains("writer"), eAdopt.getMessage)
+    val root2 = tmp("proto2")
+    writeLog(root2, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors","timestampNtz"],""" +
+        """"writerFeatures":["deletionVectors"]}}""",
+      metaLine()))
     val e = intercept[IllegalArgumentException] {
-      XTableSync.readDelta(spark, root) }
-    assert(e.getMessage.contains("minReaderVersion=1"), e.getMessage)
+      XTableSync.readDelta(spark, root2) }
+    assert(e.getMessage.contains("read envelope"), e.getMessage)
   }
 
   test("readDelta refuses delta.columnMapping.mode=name — physical " +
