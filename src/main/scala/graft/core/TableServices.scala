@@ -465,7 +465,7 @@ object TableServices {
       driftRetrain: Double, foldThreshold: Double, corpusCount: Long,
       tombstoneCount: Long, tombstoneFraction: Double,
       appendsJournalDepth: Long, lastDriftRatio: Double, lastAction: String,
-      epochAware: Boolean)
+      lastRefroze: Boolean, epochAware: Boolean)
 
   /** The last maintenance outcome, journaled beside the stamp so the
     * stats surface can report drift without re-deriving it. */
@@ -750,6 +750,7 @@ object TableServices {
       appendsJournalDepth = journalDepth,
       lastDriftRatio = last.map(_.driftRatio).getOrElse(-1.0),
       lastAction = last.map(_.action).getOrElse("unknown"),
+      lastRefroze = last.exists(_.refroze),
       epochAware = graft.operators.IvfPq.isEpochAware(t.spark, path))
   }
 

@@ -528,12 +528,12 @@ final class GraftSql(catalog: GraftCatalog) {
             s.nLists, s.metaCols.mkString(","), s.driftRetrain,
             s.foldThreshold, s.corpusCount, s.tombstoneCount,
             s.tombstoneFraction, s.appendsJournalDepth,
-            s.lastDriftRatio, s.lastAction, s.epochAware))
+            s.lastDriftRatio, s.lastAction, s.lastRefroze, s.epochAware))
           .toDF("index_path", "stamp_instant", "id_col", "vec_col",
             "n_lists", "meta_cols", "drift_retrain", "fold_threshold",
             "corpus_count", "tombstone_count", "tombstone_fraction",
             "appends_journal_depth", "last_drift_ratio", "last_action",
-            "epoch_aware")
+            "last_refroze", "epoch_aware")
       case "vector_search" =>
         // retrieval on the SQL surface over the table-service IVF
         // index: queries are rows of the SAME table selected by the

@@ -148,6 +148,18 @@ class DagSoakSpec extends AnyFunSuite {
           s"round $r: no svc append journal — maintenance was not the " +
           "incremental path")
       }
+      // the stats row rides every round: the index reports the
+      // maintained stamp and the action the round actually took
+      val srow = gsql.sql(s"CALL vector_index_stats(table => '$name', " +
+          "vec_col => 'emb')").collect().head
+      assert(srow.getAs[String]("stamp_instant") == t.log.lastInstant().get,
+        s"round $r: stats stamp must be the maintained instant")
+      assert(srow.getAs[String]("last_action") ==
+          (if (r == 1) "rebuild" else "incremental"),
+        s"round $r: unexpected last_action " +
+          srow.getAs[String]("last_action"))
+      val sFrac = srow.getAs[Double]("tombstone_fraction")
+      assert(sFrac >= 0.0 && sFrac <= 1.0, s"round $r: fraction $sFrac")
       // dedup curation service on the same timeline: 5 duplicate-text
       // rows land (same v as live keys → same derived txt), CALL
       // dedup_table removes exactly them (keep-best = lowest key), and

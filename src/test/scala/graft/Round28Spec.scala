@@ -276,4 +276,263 @@ class Round28Spec extends AnyFunSuite
     }
     assert(e.getMessage.contains("__fp"), e.getMessage)
   }
+
+  // ---- Delta deletion-vector READ leg ----------------------------------
+
+  import graft.interop.DeltaDv
+
+  private val dvSchemaString =
+    """{"type":"struct","fields":[""" +
+    """{"name":"id","type":"long","nullable":true,"metadata":{}},""" +
+    """{"name":"v","type":"string","nullable":true,"metadata":{}}]}"""
+
+  /** One data file (ids 0..9), a storageType=u DV deleting ordinals
+    * {1,3,5}. Corruption knobs forge the refusal cases. */
+  private def forgeDvTable(root: String, breakCrc: Boolean = false,
+      wrongCard: Boolean = false, extraFeature: Boolean = false): Unit = {
+    val f0 = Paths.get(root, "f0.parquet")
+    writeOneParquet((0 until 10).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), f0)
+    val ords = Seq(1L, 3L, 5L)
+    val bm = DeltaDv.encodeBitmap(ords)
+    val (blob, off) = DeltaDv.frameFile(bm)
+    if (breakCrc) blob(blob.length - 1) = (blob(blob.length - 1) ^ 0x7).toByte
+    val uuid = java.util.UUID.fromString(
+      "0f0e0d0c-0b0a-4908-8706-050403020100")
+    val uuidBytes = java.nio.ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits)
+      .putLong(uuid.getLeastSignificantBits).array()
+    Files.write(Paths.get(root, s"deletion_vector_$uuid.bin"), blob)
+    val card = if (wrongCard) 2 else ords.size
+    val feats = """"deletionVectors"""" +
+      (if (extraFeature) ""","v2Checkpoint"""" else "")
+    val logDir = Paths.get(root, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.writeString(logDir.resolve("00000000000000000000.json"), Seq(
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":[$feats],"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"dv","format":{"provider":"parquet",""" +
+        s""""options":{}},"schemaString":${
+          new com.fasterxml.jackson.databind.ObjectMapper()
+            .writeValueAsString(dvSchemaString)},"partitionColumns":[],""" +
+        s""""configuration":{},"createdTime":0}}""",
+      s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":1,""" +
+        s""""modificationTime":0,"dataChange":true,"deletionVector":""" +
+        s"""{"storageType":"u","pathOrInlineDv":"${
+          DeltaDv.z85Encode(uuidBytes)}","offset":$off,""" +
+        s""""sizeInBytes":${bm.length},"cardinality":$card}}}""")
+      .mkString("\n"))
+    ()
+  }
+
+  test("Z85 and the portable roaring bitmap round-trip exactly") {
+    val bytes = Array.tabulate(16)(i => (i * 37 + 11).toByte)
+    assert(DeltaDv.z85Decode(DeltaDv.z85Encode(bytes)).toSeq == bytes.toSeq)
+    // ordinals spanning two 32-bit keys exercise the multi-bitmap leg
+    val ords = Seq(0L, 5L, 1L << 20, (1L << 32) + 3L, (1L << 32) + 9L)
+    assert(DeltaDv.decodeBitmap(DeltaDv.encodeBitmap(ords)).toSeq ==
+      ords.sorted)
+  }
+
+  test("readDelta applies deletion vectors: u-storage framed blob, " +
+      "broadcast anti-join on (file, row ordinal)") {
+    val root = tmp("dvapply")
+    forgeDvTable(root)
+    val df = graft.interop.XTableSync.readDelta(spark, root)
+    val got = df.select("id").as[Long].collect().toSet
+    assert(got == Set(0L, 2L, 4L, 6L, 7L, 8L, 9L))
+    df.collect()
+    val antis = collect(df.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(antis.nonEmpty,
+      s"expected a broadcast LeftAnti join:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("deletion-vector corruption refuses loudly: CRC mismatch, " +
+      "cardinality mismatch, unsupported extra reader feature") {
+    val r1 = tmp("dvcrc")
+    forgeDvTable(r1, breakCrc = true)
+    val e1 = intercept[IllegalArgumentException] {
+      graft.interop.XTableSync.readDelta(spark, r1).collect() }
+    assert(e1.getMessage.contains("CRC32"), e1.getMessage)
+    val r2 = tmp("dvcard")
+    forgeDvTable(r2, wrongCard = true)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.interop.XTableSync.readDelta(spark, r2).collect() }
+    assert(e2.getMessage.contains("cardinality"), e2.getMessage)
+    val r3 = tmp("dvfeat")
+    forgeDvTable(r3, extraFeature = true)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.interop.XTableSync.readDelta(spark, r3).collect() }
+    assert(e3.getMessage.contains("read envelope"), e3.getMessage)
+  }
+
+  test("adoption of a deletion-vector table still refuses (cannot be " +
+      "represented); sync/replay paths keep refusing DV'd adds") {
+    val root = tmp("dvadopt")
+    forgeDvTable(root)
+    val e = intercept[IllegalArgumentException] {
+      graft.interop.XTableSync.adoptDelta(spark, root,
+        graft.core.TableConfig(name = "t", keyField = "id",
+          orderingField = "id", numBuckets = 1))
+    }
+    assert(e.getMessage.contains("readDelta"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.interop.XTableSync.replayDelta(root, spark)
+    }
+    assert(e2.getMessage.contains("readDelta") ||
+      e2.getMessage.contains("read envelope"), e2.getMessage)
+  }
+
+  // ---- vector-index observability / maintenance knobs / contracts ------
+
+  private def nullableVec(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("embedding", $"embedding".cast(
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = true)))
+
+  private def emb(i: Long): Seq[Double] =
+    Array.tabulate(8)(j => math.sin(i * 8 + j + 1) + 2.0).toSeq
+
+  test("CALL vector_index_stats: the row tracks build → append → " +
+      "tombstone → refreeze; refuses when no index exists") {
+    val wh = tmp("vstats")
+    val catalog = new graft.sql.GraftCatalog(spark, wh)
+    val gsql = new graft.sql.GraftSql(catalog)
+    val t = catalog.createTable(graft.core.TableConfig(name = "vs8",
+      keyField = "vec_id", orderingField = "ver", numBuckets = 1))
+    val eNone = intercept[IllegalArgumentException] {
+      gsql.sql("CALL vector_index_stats(table => 'vs8')") }
+    assert(eNone.getMessage.contains("no vector index"), eNone.getMessage)
+    t.bulkInsert(nullableVec((0 until 60).map(i =>
+      (i.toLong, emb(i), 1L)).toDF("vec_id", "embedding", "ver")))
+    // drift_retrain high: this test drives the TOMBSTONE exits, and a
+    // 6-row batch's drift estimate is noisy enough to cross 1.5
+    gsql.sql("CALL build_vector_index(table => 'vs8', id_col => 'vec_id', " +
+      "vec_col => 'embedding', n_lists => 4, drift_retrain => '10')")
+    def stats() = gsql.sql(
+      "CALL vector_index_stats(table => 'vs8', vec_col => 'embedding')")
+      .collect().head
+    val s0 = stats()
+    assert(s0.getAs[String]("last_action") == "rebuild")
+    assert(s0.getAs[Long]("corpus_count") == 60L)
+    assert(s0.getAs[Long]("tombstone_count") == 0L)
+    assert(s0.getAs[Double]("drift_retrain") == 10.0)
+    assert(s0.getAs[Double]("fold_threshold") == 0.2)
+    assert(s0.getAs[Boolean]("epoch_aware"))
+    // 10 new rows → one incremental append batch, journaled
+    t.upsert(nullableVec((100 until 110).map(i =>
+      (i.toLong, emb(i), 2L)).toDF("vec_id", "embedding", "ver")))
+    graft.core.TableServices.buildVectorIndex(
+      t, "vec_id", "embedding", nLists = 4, driftRetrain = 10.0)
+    val s1 = stats()
+    assert(s1.getAs[String]("last_action") == "incremental")
+    assert(s1.getAs[Long]("corpus_count") == 70L)
+    assert(s1.getAs[Long]("appends_journal_depth") == 1L)
+    assert(!s1.getAs[Boolean]("last_refroze"))
+    assert(s1.getAs[String]("stamp_instant") == t.log.lastInstant().get)
+    // 6 updated keys → epoch tombstones; 6/76 is under the 0.2 fold
+    t.upsert(nullableVec((0 until 6).map(i =>
+      (i.toLong, emb(i + 500), 3L)).toDF("vec_id", "embedding", "ver")))
+    graft.core.TableServices.buildVectorIndex(
+      t, "vec_id", "embedding", nLists = 4, driftRetrain = 10.0)
+    val s2 = stats()
+    assert(s2.getAs[Long]("tombstone_count") == 6L, s2.toString)
+    val frac = s2.getAs[Double]("tombstone_fraction")
+    assert(frac > 0 && frac < 0.2, s"fraction $frac")
+    // 14 more updates → 20 tombstones over a 90-row corpus crosses the
+    // 0.2 fold: the maintenance refreezes and the stats say so
+    t.upsert(nullableVec((6 until 20).map(i =>
+      (i.toLong, emb(i + 900), 4L)).toDF("vec_id", "embedding", "ver")))
+    graft.core.TableServices.buildVectorIndex(
+      t, "vec_id", "embedding", nLists = 4, driftRetrain = 10.0)
+    val s3 = stats()
+    assert(s3.getAs[Boolean]("last_refroze"))
+    assert(s3.getAs[Long]("tombstone_count") == 0L)
+    assert(s3.getAs[Long]("corpus_count") == 70L,
+      "the fold must drop the 20 superseded versions")
+  }
+
+  test("fold_threshold from SQL: a low threshold folds on a small " +
+      "update batch, the post-fold search plan drops the tombstone " +
+      "anti-join, and knobs inherit / rebuild on change") {
+    val wh = tmp("vknobs")
+    val catalog = new graft.sql.GraftCatalog(spark, wh)
+    val gsql = new graft.sql.GraftSql(catalog)
+    val t = catalog.createTable(graft.core.TableConfig(name = "vs9",
+      keyField = "vec_id", orderingField = "ver", numBuckets = 1))
+    t.bulkInsert(nullableVec((0 until 60).map(i =>
+      (i.toLong, emb(i), 1L)).toDF("vec_id", "embedding", "ver")))
+    gsql.sql("CALL build_vector_index(table => 'vs9', id_col => 'vec_id', " +
+      "vec_col => 'embedding', n_lists => 4, fold_threshold => '0.05')")
+    val path = graft.core.TableServices.vectorIndexPath(t, "embedding")
+    def stats() = gsql.sql("CALL vector_index_stats(table => 'vs9')")
+      .collect().head
+    assert(stats().getAs[Double]("fold_threshold") == 0.05)
+    // 5 updated keys: 5 tombstones > 0.05 × 65 → the NEXT maintenance
+    // folds. The maintaining call is a PLAIN search with no knob args —
+    // it must inherit the stamped 0.05, not rebuild back to defaults.
+    t.upsert(nullableVec((0 until 5).map(i =>
+      (i.toLong, emb(i + 300), 2L)).toDF("vec_id", "embedding", "ver")))
+    val got = gsql.sql("CALL vector_search(table => 'vs9', " +
+        "id_col => 'vec_id', vec_col => 'embedding', k => 3, " +
+        "n_lists => 4, query_where => 'vec_id = 30')")
+      .select("neighbor_id").as[Long].collect()
+    assert(got.length == 3)
+    val s = stats()
+    assert(s.getAs[Boolean]("last_refroze"),
+      "5/65 tombstones must cross the stamped 0.05 fold")
+    assert(s.getAs[Double]("fold_threshold") == 0.05,
+      "a plain search must not reset stamped knobs")
+    assert(s.getAs[Long]("tombstone_count") == 0L)
+    assert(!Files.isDirectory(Paths.get(path, "tombstones")))
+    // post-fold, the raw-tier search plan has NO anti-join node — the
+    // tombstone relation is gone and applyTombstones is a no-op
+    val q = t.read().filter($"vec_id" === 30L).select("vec_id", "embedding")
+    val df = graft.operators.IvfIndex.topK(spark, path, q,
+      "vec_id", "embedding", k = 3, nProbe = 4)
+    df.collect()
+    val antis = collect(df.queryExecution.executedPlan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(antis.isEmpty,
+      s"post-fold search must not anti-join:\n${df.queryExecution.executedPlan}")
+    // changing a knob is a new index identity → rebuild, new stamp
+    gsql.sql("CALL build_vector_index(table => 'vs9', id_col => 'vec_id', " +
+      "vec_col => 'embedding', n_lists => 4, fold_threshold => '0.5')")
+    val s2 = stats()
+    assert(s2.getAs[String]("last_action") == "rebuild")
+    assert(s2.getAs[Double]("fold_threshold") == 0.5)
+    // invalid knobs refuse loudly
+    val eBad = intercept[IllegalArgumentException] {
+      gsql.sql("CALL build_vector_index(table => 'vs9', " +
+        "id_col => 'vec_id', vec_col => 'embedding', " +
+        "fold_threshold => '1.5')") }
+    assert(eBad.getMessage.contains("foldThreshold"), eBad.getMessage)
+  }
+
+  test("empty-query contract: a query_where matching no rows returns " +
+      "an empty result in BOTH search tiers") {
+    val wh = tmp("vempty")
+    val catalog = new graft.sql.GraftCatalog(spark, wh)
+    val gsql = new graft.sql.GraftSql(catalog)
+    val t = catalog.createTable(graft.core.TableConfig(name = "vs10",
+      keyField = "vec_id", orderingField = "ver", numBuckets = 1))
+    t.bulkInsert(nullableVec((0 until 30).map(i =>
+      (i.toLong, emb(i), 1L)).toDF("vec_id", "embedding", "ver")))
+    val exact = gsql.sql("CALL vector_search(table => 'vs10', " +
+      "id_col => 'vec_id', vec_col => 'embedding', k => 3, " +
+      "n_lists => 2, query_where => 'vec_id = -999')")
+    assert(exact.count() == 0L, "exact tier: empty in, empty out")
+    val rerank = gsql.sql("CALL vector_search(table => 'vs10', " +
+      "id_col => 'vec_id', vec_col => 'embedding', k => 3, " +
+      "n_lists => 2, rerank => 8, query_where => 'vec_id = -999')")
+    assert(rerank.count() == 0L, "rerank tier: empty in, empty out")
+    assert(rerank.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "score", "rank"),
+      "the empty rerank relation must keep the tier's schema")
+  }
 }

@@ -349,4 +349,71 @@ class ConcurrencyAndInteropSpec extends AnyFunSuite {
     assert(deleted.intersect(liveBefore).isEmpty)
     assert(t.read().select("volume").as[Long].head() == 4L)
   }
+
+  test("vector-index maintenance races a live writer: each call pins " +
+      "a snapshot instant; a commit landing mid-maintenance is served " +
+      "by the NEXT call — 3 consecutive runs") {
+    def nv(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding", col("embedding").cast(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true)))
+    def emb(i: Long): Seq[Double] =
+      Array.tabulate(8)(j => math.sin(i * 8 + j + 1) + 2.0).toSeq
+    for (run <- 1 to 3) {
+      val t = GraftTable.create(spark, tmp(), TableConfig(
+        name = s"vrace$run", keyField = "vec_id", orderingField = "ver",
+        numBuckets = 2))
+      t.bulkInsert(nv((0 until 80).map(i =>
+        (i.toLong, emb(i), 1L)).toDF("vec_id", "embedding", "ver")))
+      graft.core.TableServices.buildVectorIndex(
+        t, "vec_id", "embedding", nLists = 4)
+      def stampInstant(): String =
+        TableServices.vectorIndexStats(t, "embedding").stampInstant
+      // ONE writer commits batches while the ONE maintainer loops —
+      // the documented one-maintainer contract; the race is between
+      // table commits and the service's snapshot pin
+      val failure =
+        new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val writer = new Thread(() => {
+        try for (b <- 0 until 6) {
+          val lo = 1000 + b * 10
+          t.upsert(nv((lo until lo + 10).map(i =>
+            (i.toLong, emb(i), 2L)).toDF("vec_id", "embedding", "ver")))
+        } catch { case e: Throwable => failure.set(e) }
+      })
+      writer.start()
+      for (_ <- 0 until 4) {
+        // the stamp after a call must be an instant that EXISTED during
+        // the call — never past the timeline (a mid-call commit is not
+        // folded in; the next call picks it up)
+        val before = t.log.lastInstant().get
+        graft.core.TableServices.buildVectorIndex(
+          t, "vec_id", "embedding", nLists = 4)
+        val after = t.log.lastInstant().get
+        val stamp = stampInstant()
+        assert(stamp >= before && stamp <= after,
+          s"run $run: stamp $stamp outside [$before, $after]")
+      }
+      writer.join()
+      assert(failure.get() == null, s"run $run writer failed: ${failure.get()}")
+      // the writer is quiet: the NEXT call reaches the timeline head
+      graft.core.TableServices.buildVectorIndex(
+        t, "vec_id", "embedding", nLists = 4)
+      assert(stampInstant() == t.log.lastInstant().get,
+        s"run $run: post-race maintenance must reach the head")
+      // and the index serves the full post-race state exactly
+      val queries = t.read()
+        .filter(col("vec_id").isin(5L, 1000L, 1059L))
+        .select("vec_id", "embedding")
+      val path = TableServices.vectorIndexPath(t, "embedding")
+      val got = graft.operators.IvfIndex.topK(spark, path, queries,
+        "vec_id", "embedding", k = 3, nProbe = 4)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val want = graft.operators.Similarity.bruteForceTopK(
+        t.read().select("vec_id", "embedding"), queries,
+        "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      assert(got == want, s"run $run: post-race search diverged")
+    }
+  }
 }
