@@ -1301,6 +1301,63 @@ object LakehouseQueries {
        |SELECT event_id, event_type, value FROM d
        |ORDER BY event_id, event_type, value""".stripMargin
 
+  // ---- T6++ Delta column-mapping READ (l43) -----------------------------
+
+  /** Fixed root, same reason as l39/l41/l42: the oracle SQL is static. */
+  private val colMapRoot = "/tmp/graft_xtable_l43"
+
+  /** Delta column mapping on the foreign-read path — the physical-name
+    * indirection every renamed-column Delta table carries
+    * (`delta.columnMapping.mode=name`, minReaderVersion=2). The
+    * fixture writes the data file under PHYSICAL names
+    * (`col-<tag>`) and a schemaString whose fields map logical →
+    * physical via `delta.columnMapping.physicalName` metadata;
+    * [[graft.interop.XTableSync.readDelta]] must read the parquet
+    * under the physical schema and surface logical names. The DuckDB
+    * oracle performs the remap independently (SELECT "col-.." AS
+    * logical). Reference analog: the Delta leg of xTable
+    * (xtable/xtable_delta.yaml). */
+  def qDeltaColumnMapping(spark: SparkSession, dir: String): DataFrame = {
+    graft.util.TempDirs.deleteRecursively(
+      java.nio.file.Paths.get(colMapRoot))
+    val ev = events(spark, dir).select(
+      col("event_id").as("col-8d1e"), col("event_type").as("col-2b7a"),
+      col("value").as("col-f903"))
+    val f = java.nio.file.Paths.get(colMapRoot, "data.parquet")
+    writeOneSorted(ev, "col-8d1e", f)
+    val fields = Seq(
+      ("event_id", "long", 1, "col-8d1e"),
+      ("event_type", "string", 2, "col-2b7a"),
+      ("value", "double", 3, "col-f903")).map { case (n, t, id, ph) =>
+      s"""{"name":"$n","type":"$t","nullable":true,"metadata":{""" +
+        s""""delta.columnMapping.id":$id,""" +
+        s""""delta.columnMapping.physicalName":"$ph"}}"""
+    }.mkString("[", ",", "]")
+    val schemaQ = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(s"""{"type":"struct","fields":$fields}""")
+    val logDir = java.nio.file.Paths.get(colMapRoot, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    java.nio.file.Files.writeString(
+      logDir.resolve("00000000000000000000.json"), Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"l43","format":{"provider":"parquet",""" +
+          s""""options":{}},"schemaString":$schemaQ,""" +
+          s""""partitionColumns":[],"configuration":{""" +
+          s""""delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"3"},"createdTime":0}}""",
+        s"""{"add":{"path":"data.parquet","partitionValues":{},""" +
+          s""""size":1,"modificationTime":0,"dataChange":true}}""")
+        .mkString("\n"))
+    graft.interop.XTableSync.readDelta(spark, colMapRoot)
+      .orderBy("event_id", "event_type", "value")
+  }
+
+  private val deltaColumnMappingSql =
+    s"""SELECT "col-8d1e" AS event_id, "col-2b7a" AS event_type,
+       |  "col-f903" AS value
+       |FROM read_parquet('$colMapRoot/data.parquet')
+       |ORDER BY event_id, event_type, value""".stripMargin
+
   // ---- incremental vector-index maintenance under the oracle (l40) ------
 
   /** The round-27 maintenance path under the DuckDB oracle: build the
@@ -1743,6 +1800,7 @@ object LakehouseQueries {
     "l40_vector_search_incremental" -> (qVectorSearchIncremental _),
     "l41_iceberg_eq_delete" -> (qIcebergEqDelete _),
     "l42_delta_dv" -> (qDeltaDv _),
+    "l43_delta_column_mapping" -> (qDeltaColumnMapping _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1791,5 +1849,6 @@ object LakehouseQueries {
     "l40_vector_search_incremental" -> vectorSearchIncrementalSql,
     "l41_iceberg_eq_delete" -> icebergEqDeleteSql,
     "l42_delta_dv" -> deltaDvSql,
+    "l43_delta_column_mapping" -> deltaColumnMappingSql,
   )
 }

@@ -530,12 +530,13 @@ object XTableSync {
       dvRead: Boolean = false): Unit = {
     def present(n: com.fasterxml.jackson.databind.JsonNode,
         f: String): Boolean = jsonPresent(n, f)
-    // [[readDelta]] APPLIES deletion vectors (dvRead=true), so its
-    // replay accepts DV'd adds and the (3, readerFeatures=
-    // [deletionVectors]) protocol; every other replay consumer
+    // [[readDelta]] APPLIES deletion vectors and column mapping
+    // (dvRead=true), so its replay accepts DV'd adds, mapped schemas,
+    // and the matching raised protocols; every other replay consumer
     // (adoption, sync, checkpoint) keeps the refusal — they REPRESENT
-    // the live set rather than read it, and a DV'd add cannot be
-    // represented without resurrecting rows.
+    // the live set rather than read it, and neither a DV'd add nor a
+    // physically-renamed schema can be represented without
+    // resurrecting rows or misreading columns.
     if (!dvRead)
       requireNoDeletionVectors(ctx, a,
         "read it with readDelta (which applies deletion vectors) or " +
@@ -556,32 +557,46 @@ object XTableSync {
         "than guessing a read envelope for")
       val mrv = p.get("minReaderVersion").asInt()
       val plainOk = mrv <= 1 && !present(p, "readerFeatures")
-      // (3, readerFeatures ⊆ {deletionVectors}) is the ONE raised
-      // envelope the DV read path implements; a missing features list
-      // at mrv=3 is malformed (the spec requires it) and anything else
+      // the read path implements TWO raised envelopes: legacy
+      // minReaderVersion=2 (column mapping) and (3, readerFeatures ⊆
+      // {deletionVectors, columnMapping}); a missing features list at
+      // mrv=3 is malformed (the spec requires it) and anything else
       // in the list still changes what a correct read means
-      lazy val dvOk = dvRead && mrv == 3 &&
-        present(p, "readerFeatures") &&
-        p.get("readerFeatures").elements().asScala
-          .forall(_.asText() == "deletionVectors")
-      require(plainOk || dvOk,
+      lazy val readOk = dvRead && (
+        (mrv == 2 && !present(p, "readerFeatures")) ||
+        (mrv == 3 && present(p, "readerFeatures") &&
+          p.get("readerFeatures").elements().asScala.map(_.asText())
+            .forall(Set("deletionVectors", "columnMapping"))))
+      require(plainOk || readOk,
         s"_delta_log under $ctx declares protocol " +
         s"${mapper.writeValueAsString(mapper.treeToValue(p, classOf[Object]))} " +
-        "— beyond the supported read envelope (column mapping and " +
-        "other reader features change what a correct read means" +
-        (if (dvRead) "; deletionVectors alone is supported here" else
-          "; deletion vectors apply only via readDelta") +
+        "— beyond the supported read envelope (reader features change " +
+        "what a correct read means" +
+        (if (dvRead)
+          "; deletionVectors and columnMapping are the implemented set"
+        else
+          "; deletion vectors and column mapping apply only via readDelta") +
         "); checkpoint/rewrite from the source engine first")
     }
     if (present(a, "metaData")) {
       val conf = a.get("metaData").get("configuration")
-      if (present(conf, "delta.columnMapping.mode"))
-        require(conf.get("delta.columnMapping.mode").asText() == "none",
-          s"_delta_log under $ctx sets delta.columnMapping.mode=" +
-          s"${conf.get("delta.columnMapping.mode").asText()} — physical " +
-          "parquet names differ from logical schema names and this " +
-          "replay reads parquet by name; rewrite from the source engine " +
-          "first")
+      if (present(conf, "delta.columnMapping.mode")) {
+        val mode = conf.get("delta.columnMapping.mode").asText()
+        if (dvRead)
+          // name and id modes both persist every field's physicalName
+          // ([[physicalSchema]] reads by it and refuses a field
+          // missing one); any OTHER mode string is from a future spec
+          require(mode == "none" || mode == "name" || mode == "id",
+            s"_delta_log under $ctx sets delta.columnMapping.mode=" +
+            s"$mode — not a mode this reader knows (none/name/id)")
+        else
+          require(mode == "none",
+            s"_delta_log under $ctx sets delta.columnMapping.mode=" +
+            s"$mode — physical parquet names differ from logical " +
+            "schema names and this replay reads parquet by name; read " +
+            "it with readDelta (which remaps) or rewrite from the " +
+            "source engine first")
+      }
     }
   }
 
@@ -1025,8 +1040,7 @@ object XTableSync {
   private def readDeltaReplay(spark: org.apache.spark.sql.SparkSession,
       root: String, st: DeltaReplay): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
-    def base() = readDeltaState(spark, root,
-      DeltaState(st.schemaJson, st.partCols, st.live.keys.toSeq))
+    def base() = readDeltaMapped(spark, root, st)
     val dvs: Seq[(String, DeltaDv.Descriptor)] = st.live.toSeq.flatMap {
       case (p, line) =>
         val add = mapper.readTree(line).get("add")
@@ -1074,6 +1088,70 @@ object XTableSync {
       .withColumn("__pos", col("_metadata.row_index"))
       .join(dels, Seq("__fp", "__pos"), "left_anti")
       .select(cols.map(col): _*)
+  }
+
+  /** The column-mapping mode of the replayed metaData (`none` when
+    * the table never declared one). */
+  private def columnMappingMode(st: DeltaReplay): String =
+    st.metaDataLine.map { l =>
+      val m = mapper.readTree(l).get("metaData")
+      val conf = if (m != null && m.has("configuration"))
+        m.get("configuration") else null
+      if (jsonPresent(conf, "delta.columnMapping.mode"))
+        conf.get("delta.columnMapping.mode").asText()
+      else "none"
+    }.getOrElse("none")
+
+  /** The schema under PHYSICAL names: every field (at every nesting
+    * level) renamed to its `delta.columnMapping.physicalName` — what
+    * the data files actually spell. Both `name` and `id` modes persist
+    * the physical name per the public protocol; a mapped field missing
+    * one is a malformed schema this reader refuses (guessing would
+    * read the wrong column). */
+  private def physicalSchema(logical: org.apache.spark.sql.types.StructType,
+      ctx: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val key = "delta.columnMapping.physicalName"
+    def remap(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        require(f.metadata.contains(key),
+          s"Delta table at $ctx declares column mapping but field " +
+          s"'${f.name}' carries no $key — a malformed schema this " +
+          "reader refuses rather than reading the wrong column")
+        f.copy(name = f.metadata.getString(key), dataType = remap(f.dataType))
+      })
+      case a: ArrayType => a.copy(elementType = remap(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = remap(m.keyType), valueType = remap(m.valueType))
+      case other => other
+    }
+    remap(logical).asInstanceOf[StructType]
+  }
+
+  /** Live-set read honoring column mapping: `none` reads by logical
+    * name directly; `name`/`id` read the parquet under the PHYSICAL
+    * schema and cast each top-level column back to its logical type —
+    * struct casts rename nested fields positionally, so the result
+    * carries logical names at every level. Plan cost: the rename is
+    * pure projection metadata; pushdown and pruning operate on the
+    * physical scan as usual. */
+  private def readDeltaMapped(spark: org.apache.spark.sql.SparkSession,
+      root: String, st: DeltaReplay): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val state = DeltaState(st.schemaJson, st.partCols, st.live.keys.toSeq)
+    val mode = columnMappingMode(st)
+    if (mode == "none") return readDeltaState(spark, root, state)
+    val logical = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val phys = physicalSchema(logical, root)
+    if (state.liveFiles.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
+    else spark.read.schema(phys)
+      .parquet(state.liveFiles.map(p => s"$root/$p"): _*)
+      .select(logical.fields.zip(phys.fields).map { case (lf, pf) =>
+        col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+      }.toIndexedSeq: _*)
   }
 
   private def readDeltaState(spark: org.apache.spark.sql.SparkSession,

@@ -122,14 +122,21 @@ class Round26Spec extends AnyFunSuite {
     assert(e.getMessage.contains("read envelope"), e.getMessage)
   }
 
-  test("readDelta refuses delta.columnMapping.mode=name — physical " +
-      "parquet names differ from the logical schema") {
+  test("replayDelta/adoption refuse delta.columnMapping.mode=name — " +
+      "readDelta now REMAPS it (Round28Spec), but a mapped schema " +
+      "cannot be represented by name-based replay") {
     val root = tmp("colmap")
     writeLog(root, 0L, Seq(protocol12,
       metaLine(Map("delta.columnMapping.mode" -> "name"))))
     val e = intercept[IllegalArgumentException] {
-      XTableSync.readDelta(spark, root) }
+      XTableSync.replayDelta(root, spark) }
     assert(e.getMessage.contains("columnMapping"), e.getMessage)
+    // readDelta under mode=name demands per-field physicalName
+    // metadata — this schema has none, so it refuses on the SCHEMA,
+    // not the mode
+    val e2 = intercept[IllegalArgumentException] {
+      XTableSync.readDelta(spark, root) }
+    assert(e2.getMessage.contains("physicalName"), e2.getMessage)
   }
 
   // ---- icebergLiveFiles: v2 delete manifests / delete files refused ---

@@ -386,6 +386,105 @@ class Round28Spec extends AnyFunSuite
       e2.getMessage.contains("read envelope"), e2.getMessage)
   }
 
+  // ---- Delta column-mapping READ leg -----------------------------------
+
+  /** Column-mapped table with a NESTED struct: logical
+    * (id long, info struct<tag string, score double>) stored under
+    * physical names (c1, c2 struct<c3, c4>). `mrv3` uses the
+    * table-features protocol instead of legacy (2,5); `withDv` also
+    * attaches a DV deleting ordinal 0 — the composition case. */
+  private def forgeMappedTable(root: String, mrv3: Boolean = false,
+      withDv: Boolean = false): Unit = {
+    val f = Paths.get(root, "data.parquet")
+    writeOneParquet(
+      Seq((0L, ("a", 1.5)), (1L, ("b", 2.5)), (2L, ("c", 3.5)))
+        .toDF("c1", "nested")
+        .select($"c1", $"nested._1".as("c3"), $"nested._2".as("c4"))
+        .select($"c1", struct($"c3", $"c4").as("c2")),
+      f, sortCol = "c1")
+    def meta(n: String, id: Int, ph: String) =
+      s""""metadata":{"delta.columnMapping.id":$id,""" +
+        s""""delta.columnMapping.physicalName":"$ph"}"""
+    val schemaString =
+      s"""{"type":"struct","fields":[""" +
+      s"""{"name":"id","type":"long","nullable":true,${meta("id", 1, "c1")}},""" +
+      s"""{"name":"info","type":{"type":"struct","fields":[""" +
+      s"""{"name":"tag","type":"string","nullable":true,${meta("tag", 3, "c3")}},""" +
+      s"""{"name":"score","type":"double","nullable":true,${meta("score", 4, "c4")}}]},""" +
+      s""""nullable":true,${meta("info", 2, "c2")}}]}"""
+    val protocol =
+      if (mrv3)
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["columnMapping","deletionVectors"],""" +
+          """"writerFeatures":["columnMapping"]}}"""
+      else """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    val dv =
+      if (!withDv) ""
+      else {
+        val bm = DeltaDv.encodeBitmap(Seq(0L))
+        val padded = java.util.Arrays.copyOf(bm, (bm.length + 3) / 4 * 4)
+        s""","deletionVector":{"storageType":"i","pathOrInlineDv":"${
+          DeltaDv.z85Encode(padded)}","sizeInBytes":${bm.length},""" +
+          s""""cardinality":1}"""
+      }
+    val logDir = Paths.get(root, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.writeString(logDir.resolve("00000000000000000000.json"), Seq(
+      protocol,
+      s"""{"metaData":{"id":"cm","format":{"provider":"parquet",""" +
+        s""""options":{}},"schemaString":${
+          new com.fasterxml.jackson.databind.ObjectMapper()
+            .writeValueAsString(schemaString)},"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"4"},"createdTime":0}}""",
+      s"""{"add":{"path":"data.parquet","partitionValues":{},"size":1,""" +
+        s""""modificationTime":0,"dataChange":true$dv}}""")
+      .mkString("\n"))
+    ()
+  }
+
+  test("readDelta remaps column mapping: physical parquet names " +
+      "surface as logical names at every nesting level") {
+    val root = tmp("cmapply")
+    forgeMappedTable(root)
+    val df = graft.interop.XTableSync.readDelta(spark, root)
+    assert(df.columns.toSeq == Seq("id", "info"))
+    assert(df.schema("info").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Seq("tag", "score"))
+    val got = df.select($"id", $"info.tag", $"info.score")
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((0L, "a", 1.5), (1L, "b", 2.5), (2L, "c", 3.5)))
+  }
+
+  test("column mapping composes with deletion vectors under the " +
+      "table-features protocol") {
+    val root = tmp("cmdv")
+    forgeMappedTable(root, mrv3 = true, withDv = true)
+    val got = graft.interop.XTableSync.readDelta(spark, root)
+      .select($"id", $"info.tag").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "b"), (2L, "c")), "ordinal 0 must be deleted")
+  }
+
+  test("column-mapped tables refuse on replay/adoption; an unknown " +
+      "mapping mode refuses even on read") {
+    val root = tmp("cmadopt")
+    forgeMappedTable(root)
+    val e = intercept[IllegalArgumentException] {
+      graft.interop.XTableSync.replayDelta(root, spark) }
+    assert(e.getMessage.contains("column mapping"), e.getMessage)
+    val root2 = tmp("cmmode")
+    forgeMappedTable(root2)
+    val log = Paths.get(root2, "_delta_log",
+      "00000000000000000000.json")
+    Files.writeString(log, Files.readString(log)
+      .replace(""""delta.columnMapping.mode":"name"""",
+        """"delta.columnMapping.mode":"exotic""""))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.interop.XTableSync.readDelta(spark, root2).collect() }
+    assert(e2.getMessage.contains("exotic"), e2.getMessage)
+  }
+
   // ---- vector-index observability / maintenance knobs / contracts ------
 
   private def nullableVec(df: org.apache.spark.sql.DataFrame) =
