@@ -350,6 +350,31 @@ class Round28Spec extends AnyFunSuite
       s"expected a broadcast LeftAnti join:\n${df.queryExecution.executedPlan}")
   }
 
+  test("VERSION AS OF applies the DVs of THAT version: v0 without a " +
+      "DV reads whole, v1's re-add with a DV reads deleted") {
+    val root = tmp("dvasof")
+    forgeDvTable(root)
+    // rewrite v0 WITHOUT the DV and re-add the file with it at v1 —
+    // the upgrade shape a writer produces when DELETE first touches a
+    // file (same protocol from the start, so both versions replay)
+    val logDir = Paths.get(root, "_delta_log")
+    val v0 = logDir.resolve("00000000000000000000.json")
+    val lines = Files.readString(v0).split("\n").toSeq
+    val plainAdd =
+      """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,""" +
+        """"modificationTime":0,"dataChange":true}}"""
+    Files.writeString(v0, (lines.dropRight(1) :+ plainAdd).mkString("\n"))
+    Files.writeString(logDir.resolve("00000000000000000001.json"),
+      lines.last)
+    assert(graft.interop.XTableSync.readDelta(spark, root, 0L)
+      .count() == 10L, "v0 predates the delete")
+    assert(graft.interop.XTableSync.readDelta(spark, root, 1L)
+      .select("id").as[Long].collect().toSet ==
+      Set(0L, 2L, 4L, 6L, 7L, 8L, 9L))
+    assert(graft.interop.XTableSync.readDelta(spark, root)
+      .count() == 7L, "head == v1")
+  }
+
   test("deletion-vector corruption refuses loudly: CRC mismatch, " +
       "cardinality mismatch, unsupported extra reader feature") {
     val r1 = tmp("dvcrc")
