@@ -1358,6 +1358,100 @@ object LakehouseQueries {
        |FROM read_parquet('$colMapRoot/data.parquet')
        |ORDER BY event_id, event_type, value""".stripMargin
 
+  // ---- T6++ Delta change-data-feed READ (l44) ---------------------------
+
+  /** Fixed root, same reason as l39/l41/l42/l43: the oracle SQL is
+    * static. */
+  private val cdfRoot = "/tmp/graft_xtable_l44"
+
+  /** Foreign Delta CHANGE DATA FEED — the `table_changes` semantics
+    * over a forged `_delta_log`, the incremental-consumption leg of
+    * the xTable story (chain a foreign Delta table without snapshot
+    * diffing):
+    *  - v0 adds fA (even event_ids) → inserts;
+    *  - v1 carries `cdc` change files (update pre/post images for
+    *    event_id % 10 = 0, post = value + 1000) AND a decoy
+    *    add(rewritten fA)/remove(fA) pair describing the same change —
+    *    [[graft.interop.XTableSync.readDeltaChanges]] must serve the
+    *    commit from EXACTLY its change files or the rows double-count;
+    *  - v2 adds fB (odd event_ids) → derived inserts;
+    *  - v3 removes fB → derived deletes read from the still-on-disk
+    *    file.
+    * The DuckDB oracle recomputes all four versions' change rows from
+    * the raw parquet + the fixture predicates independently. */
+  def qDeltaCdf(spark: SparkSession, dir: String): DataFrame = {
+    graft.util.TempDirs.deleteRecursively(java.nio.file.Paths.get(cdfRoot))
+    val ev = events(spark, dir).select(
+      col("event_id"), col("event_type"), col("value"))
+    val fA = java.nio.file.Paths.get(cdfRoot, "fa.parquet")
+    val fR = java.nio.file.Paths.get(cdfRoot, "fr.parquet")
+    val fB = java.nio.file.Paths.get(cdfRoot, "fb.parquet")
+    val c1 = java.nio.file.Paths.get(cdfRoot, "c1.parquet")
+    val evA = ev.filter(col("event_id") % 2 === 0)
+    writeOneSorted(evA, "event_id", fA)
+    writeOneSorted(evA.withColumn("value",
+      when(col("event_id") % 10 === 0, col("value") + 1000.0)
+        .otherwise(col("value"))), "event_id", fR)
+    writeOneSorted(ev.filter(col("event_id") % 2 === 1), "event_id", fB)
+    val ups = evA.filter(col("event_id") % 10 === 0)
+    writeOneSorted(
+      ups.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(ups.withColumn("value", col("value") + 1000.0)
+          .withColumn("_change_type", lit("update_postimage"))),
+      "event_id", c1)
+    val schemaQ = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(ev.schema.json)
+    val logDir = java.nio.file.Paths.get(cdfRoot, "_delta_log")
+    java.nio.file.Files.createDirectories(logDir)
+    def add(p: String) =
+      s"""{"add":{"path":"$p","partitionValues":{},"size":1,""" +
+        s""""modificationTime":0,"dataChange":true}}"""
+    def commit(v: Long, lines: Seq[String]): Unit = {
+      java.nio.file.Files.writeString(
+        logDir.resolve(f"$v%020d.json"), lines.mkString("\n"))
+      ()
+    }
+    commit(0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"l44","format":{"provider":"parquet",""" +
+        s""""options":{}},"schemaString":$schemaQ,""" +
+        s""""partitionColumns":[],"configuration":{""" +
+        s""""delta.enableChangeDataFeed":"true"},"createdTime":0}}""",
+      add("fa.parquet")))
+    commit(1L, Seq(
+      s"""{"cdc":{"path":"c1.parquet","partitionValues":{},"size":1,""" +
+        s""""dataChange":false}}""",
+      add("fr.parquet"),
+      """{"remove":{"path":"fa.parquet","deletionTimestamp":1,""" +
+        """"dataChange":true}}"""))
+    commit(2L, Seq(add("fb.parquet")))
+    commit(3L, Seq(
+      """{"remove":{"path":"fb.parquet","deletionTimestamp":3,""" +
+        """"dataChange":true}}"""))
+    graft.interop.XTableSync.readDeltaChanges(spark, cdfRoot, 0L)
+      .orderBy("_commit_version", "event_id", "_change_type", "value")
+  }
+
+  private val deltaCdfSql =
+    s"""WITH fa AS (SELECT event_id, event_type, value
+       |            FROM read_parquet('$cdfRoot/fa.parquet')),
+       |fb AS (SELECT event_id, event_type, value
+       |       FROM read_parquet('$cdfRoot/fb.parquet')),
+       |ups AS (SELECT * FROM fa WHERE event_id % 10 = 0),
+       |d AS (
+       |  SELECT event_id, event_type, value,
+       |         'insert' AS _change_type, 0 AS _commit_version FROM fa
+       |  UNION ALL SELECT event_id, event_type, value,
+       |         'update_preimage', 1 FROM ups
+       |  UNION ALL SELECT event_id, event_type, value + 1000,
+       |         'update_postimage', 1 FROM ups
+       |  UNION ALL SELECT event_id, event_type, value, 'insert', 2 FROM fb
+       |  UNION ALL SELECT event_id, event_type, value, 'delete', 3 FROM fb)
+       |SELECT event_id, event_type, value, _change_type,
+       |       CAST(_commit_version AS BIGINT) AS _commit_version
+       |FROM d
+       |ORDER BY _commit_version, event_id, _change_type, value""".stripMargin
+
   // ---- incremental vector-index maintenance under the oracle (l40) ------
 
   /** The round-27 maintenance path under the DuckDB oracle: build the
@@ -1801,6 +1895,7 @@ object LakehouseQueries {
     "l41_iceberg_eq_delete" -> (qIcebergEqDelete _),
     "l42_delta_dv" -> (qDeltaDv _),
     "l43_delta_column_mapping" -> (qDeltaColumnMapping _),
+    "l44_delta_cdf" -> (qDeltaCdf _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1850,5 +1945,6 @@ object LakehouseQueries {
     "l41_iceberg_eq_delete" -> icebergEqDeleteSql,
     "l42_delta_dv" -> deltaDvSql,
     "l43_delta_column_mapping" -> deltaColumnMappingSql,
+    "l44_delta_cdf" -> deltaCdfSql,
   )
 }

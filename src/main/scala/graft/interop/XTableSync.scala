@@ -991,12 +991,20 @@ object XTableSync {
     * GONE and the read refuses loudly (the same contract real Delta
     * readers apply to retention-cleaned history). */
   def readDelta(spark: org.apache.spark.sql.SparkSession, root: String,
-      asOfVersion: Long): org.apache.spark.sql.DataFrame = {
+      asOfVersion: Long): org.apache.spark.sql.DataFrame =
+    readDeltaReplay(spark, root,
+      replayActions(deltaLinesAsOf(spark, root, asOfVersion), root,
+        dvRead = true))
+
+  /** The action lines reconstructing table state AS OF `asOfVersion` —
+    * the shared assembly behind time travel and the change feed. */
+  private def deltaLinesAsOf(spark: org.apache.spark.sql.SparkSession,
+      root: String, asOfVersion: Long): Seq[String] = {
     val chain = deltaChain(root)
     require(asOfVersion >= 0 && asOfVersion <= chain.lastVersion,
       s"version $asOfVersion does not exist under $root " +
       s"(head: ${chain.lastVersion})")
-    val lines = chain.checkpoint match {
+    chain.checkpoint match {
       case Some((cpV, _)) if cpV > asOfVersion =>
         // the current checkpoint subsumed this version. A real Delta
         // reader reconstructs it from ANY checkpoint ≤ V plus the
@@ -1023,8 +1031,106 @@ object XTableSync {
         deltaActionLines(root, Some(spark),
           keepJson = v => v <= asOfVersion)
     }
-    readDeltaReplay(spark, root,
-      replayActions(lines, root, dvRead = true))
+  }
+
+  /** Foreign Delta CHANGE DATA FEED read — the `table_changes` TVF
+    * semantics over a foreign `_delta_log`: every row-level change in
+    * versions [fromVersion, toVersion] (toVersion = -1 means head),
+    * as the data columns plus `_change_type` and `_commit_version`.
+    * Per the public protocol: a commit that wrote `cdc` actions is
+    * served from EXACTLY its change files (which carry insert /
+    * update_preimage / update_postimage / delete rows — the commit's
+    * add/remove actions describe the same change and would double
+    * count); a commit without them derives changes from its
+    * `dataChange=true` actions — adds read as inserts, removes read
+    * as deletes from the still-on-disk removed file (a vacuumed file
+    * refuses loudly: that history is gone). A DV'd add in a derivation
+    * commit is a row-level change the actions alone cannot classify
+    * and refuses loudly. Column-mapped tables refuse (their change
+    * files spell physical names). This is the incremental-consumption
+    * leg of the xTable story — chain a foreign Delta table into
+    * table-incremental processing without snapshot diffing.
+    * Reference analog: the incremental pipelines the demos build on
+    * the native table format's incremental queries. */
+  def readDeltaChanges(spark: org.apache.spark.sql.SparkSession,
+      root: String, fromVersion: Long,
+      toVersion: Long = -1L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.{DataType, StringType, StructType}
+    val logDir = Paths.get(root, "_delta_log")
+    require(Files.isDirectory(logDir), s"no _delta_log under $root")
+    val jsons = listJsonVersions(logDir)
+    require(jsons.nonEmpty, s"no JSON commits under $root/_delta_log")
+    val head = deltaChain(root).lastVersion
+    val to = if (toVersion < 0L) head else toVersion
+    require(fromVersion >= 0L && fromVersion <= to && to <= head,
+      s"change range [$fromVersion, $to] is not within [0, $head] " +
+      s"of $root")
+    val byVer = jsons.filter(j => j._1 >= fromVersion && j._1 <= to).toMap
+    val missing = (fromVersion to to).filterNot(byVer.contains)
+    require(missing.isEmpty,
+      s"versions ${missing.mkString(", ")} of $root have no JSON " +
+      "commit files (retention-expired into a checkpoint) — the " +
+      "change feed needs the per-commit actions; that history is gone")
+    // schema + read envelope from the state as of `to` (protocol and
+    // column-mapping checks ride the replay)
+    val st = replayActions(deltaLinesAsOf(spark, root, to), root,
+      dvRead = true)
+    require(columnMappingMode(st) == "none",
+      s"Delta table at $root uses column mapping — its change files " +
+      "spell physical names this change reader does not remap; read " +
+      "snapshots with readDelta or rewrite from the source engine")
+    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val cdcSchema = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_change_type", StringType))
+    val perVersion = (fromVersion to to).flatMap { v =>
+      val acts = Files.readAllLines(byVer(v)).asScala
+        .filter(_.nonEmpty).map(mapper.readTree).toSeq
+      def dataChange(n: com.fasterxml.jackson.databind.JsonNode) =
+        !jsonPresent(n, "dataChange") || n.get("dataChange").asBoolean()
+      def paths(key: String, onlyDataChange: Boolean) = acts
+        .filter(a => jsonPresent(a, key))
+        .map(_.get(key))
+        .filter(n => !onlyDataChange || dataChange(n))
+        .map(n => s"$root/${decodeDeltaPath(n.get("path").asText())}")
+      val cdc = paths("cdc", onlyDataChange = false)
+      if (cdc.nonEmpty)
+        // the commit's own change files are the complete, exact record
+        Some(spark.read.schema(cdcSchema).parquet(cdc: _*)
+          .withColumn("_commit_version", lit(v)))
+      else {
+        acts.filter(a => jsonPresent(a, "add") && dataChange(a.get("add")))
+          .foreach(a => require(
+            !jsonPresent(a.get("add"), "deletionVector"),
+            s"version $v of $root adds a file with a deletion vector " +
+            "and no cdc actions — the actions alone cannot classify " +
+            "which rows changed; enable change data feed on the " +
+            "source table for this range"))
+        val adds = paths("add", onlyDataChange = true)
+        val removes = paths("remove", onlyDataChange = true)
+        removes.foreach(p => require(
+          Files.isRegularFile(Paths.get(p.replaceFirst("^file:/+", "/"))),
+          s"version $v of $root removes $p, which no longer exists " +
+          "(vacuumed) — its deleted rows cannot be reproduced; that " +
+          "history is gone"))
+        def tagged(ps: Seq[String], tag: String) =
+          if (ps.isEmpty) None
+          else Some(spark.read.schema(schema).parquet(ps: _*)
+            .withColumn("_change_type", lit(tag))
+            .withColumn("_commit_version", lit(v)))
+        Seq(tagged(adds, "insert"), tagged(removes, "delete")).flatten
+      }
+    }
+    val outCols = (schema.fieldNames.toSeq :+ "_change_type" :+
+      "_commit_version").map(col)
+    perVersion
+      .reduceOption(_.unionByName(_))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(cdcSchema.fields :+ org.apache.spark.sql.types
+          .StructField("_commit_version", org.apache.spark.sql.types
+            .LongType))))
+      .select(outCols: _*)
   }
 
   /** Base live-set read plus deletion-vector application: each DV'd

@@ -411,6 +411,110 @@ class Round28Spec extends AnyFunSuite
       e2.getMessage.contains("read envelope"), e2.getMessage)
   }
 
+  // ---- Delta change-data-feed READ leg ---------------------------------
+
+  private def cdfMetaLine = {
+    val schema = """{"type":"struct","fields":[""" +
+      """{"name":"id","type":"long","nullable":true,"metadata":{}},""" +
+      """{"name":"v","type":"string","nullable":true,"metadata":{}}]}"""
+    s"""{"metaData":{"id":"cdf","format":{"provider":"parquet",""" +
+      s""""options":{}},"schemaString":${
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .writeValueAsString(schema)},"partitionColumns":[],""" +
+      s""""configuration":{},"createdTime":0}}"""
+  }
+
+  private def cdfCommit(root: String, v: Long, lines: Seq[String]): Unit = {
+    val logDir = Paths.get(root, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.writeString(logDir.resolve(f"$v%020d.json"), lines.mkString("\n"))
+    ()
+  }
+
+  private def cdfAdd(p: String, dv: String = "") =
+    s"""{"add":{"path":"$p","partitionValues":{},"size":1,""" +
+      s""""modificationTime":0,"dataChange":true$dv}}"""
+
+  test("readDeltaChanges: derived inserts/deletes, version filtering, " +
+      "and compaction (dataChange=false) contributing nothing") {
+    val root = tmp("cdf1")
+    writeOneParquet(Seq((0L, "a"), (1L, "b")).toDF("id", "v"),
+      Paths.get(root, "f0.parquet"))
+    writeOneParquet(Seq((2L, "c")).toDF("id", "v"),
+      Paths.get(root, "f1.parquet"))
+    writeOneParquet(Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v"),
+      Paths.get(root, "fc.parquet"))
+    cdfCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      cdfMetaLine, cdfAdd("f0.parquet")))
+    cdfCommit(root, 1L, Seq(cdfAdd("f1.parquet")))
+    // compaction: rewrites with dataChange=false — NOT a change
+    cdfCommit(root, 2L, Seq(
+      """{"add":{"path":"fc.parquet","partitionValues":{},"size":1,""" +
+        """"modificationTime":0,"dataChange":false}}""",
+      """{"remove":{"path":"f0.parquet","deletionTimestamp":1,""" +
+        """"dataChange":false}}""",
+      """{"remove":{"path":"f1.parquet","deletionTimestamp":1,""" +
+        """"dataChange":false}}"""))
+    cdfCommit(root, 3L, Seq(
+      """{"remove":{"path":"fc.parquet","deletionTimestamp":3,""" +
+        """"dataChange":true}}"""))
+    val all = graft.interop.XTableSync.readDeltaChanges(spark, root, 0L)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(all == Set(
+      (0L, "insert", 0L), (1L, "insert", 0L), (2L, "insert", 1L),
+      (0L, "delete", 3L), (1L, "delete", 3L), (2L, "delete", 3L)))
+    // range filtering: only v1
+    val v1 = graft.interop.XTableSync.readDeltaChanges(spark, root, 1L, 1L)
+      .select("id").as[Long].collect().toSeq
+    assert(v1 == Seq(2L))
+    // bad ranges refuse
+    val eR = intercept[IllegalArgumentException] {
+      graft.interop.XTableSync.readDeltaChanges(spark, root, 2L, 9L) }
+    assert(eR.getMessage.contains("within"), eR.getMessage)
+  }
+
+  test("readDeltaChanges refusals: DV'd derivation commit, vacuumed " +
+      "removed file, column-mapped table") {
+    val root = tmp("cdf2")
+    writeOneParquet(Seq((0L, "a")).toDF("id", "v"),
+      Paths.get(root, "f0.parquet"))
+    cdfCommit(root, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""",
+      cdfMetaLine, cdfAdd("f0.parquet")))
+    val bm = DeltaDv.encodeBitmap(Seq(0L))
+    val padded = java.util.Arrays.copyOf(bm, (bm.length + 3) / 4 * 4)
+    cdfCommit(root, 1L, Seq(cdfAdd("f0.parquet",
+      s""","deletionVector":{"storageType":"i","pathOrInlineDv":"${
+        DeltaDv.z85Encode(padded)}","sizeInBytes":${bm.length},""" +
+        s""""cardinality":1}""")))
+    val e = intercept[IllegalArgumentException] {
+      graft.interop.XTableSync.readDeltaChanges(spark, root, 0L) }
+    assert(e.getMessage.contains("deletion vector"), e.getMessage)
+    // snapshot reads still work over the same table (DV applied)
+    assert(graft.interop.XTableSync.readDelta(spark, root).count() == 0L)
+    val root2 = tmp("cdf3")
+    writeOneParquet(Seq((0L, "a")).toDF("id", "v"),
+      Paths.get(root2, "f0.parquet"))
+    cdfCommit(root2, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      cdfMetaLine, cdfAdd("f0.parquet")))
+    cdfCommit(root2, 1L, Seq(
+      """{"remove":{"path":"gone.parquet","deletionTimestamp":1,""" +
+        """"dataChange":true}}"""))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.interop.XTableSync.readDeltaChanges(spark, root2, 0L) }
+    assert(e2.getMessage.contains("vacuumed"), e2.getMessage)
+    val root3 = tmp("cdf4")
+    forgeMappedTable(root3)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.interop.XTableSync.readDeltaChanges(spark, root3, 0L) }
+    assert(e3.getMessage.contains("column mapping"), e3.getMessage)
+  }
+
   // ---- Delta column-mapping READ leg -----------------------------------
 
   /** Column-mapped table with a NESTED struct: logical
