@@ -1210,6 +1210,90 @@ object LakehouseQueries {
        |  FROM read_parquet('$eqDeleteRoot/deletes/eq2.parquet')))
        |ORDER BY event_id, event_type, value""".stripMargin
 
+  // ---- T6++ Iceberg incremental READ (l45) ------------------------------
+
+  /** Fixed root, same reason as l39/l41: the oracle SQL is static. */
+  private val iceChangesRoot = "/tmp/graft_xtable_l45"
+
+  /** Foreign Iceberg INCREMENTAL read — the l44 twin: three metadata
+    * versions (v1 appends fA, v2 appends fB, v3 position-deletes the
+    * event_id % 10 = 0 rows of fA — the MOR delete shape), and
+    * [[graft.interop.XTableSync.readIcebergChanges]] must classify
+    * each step from the file-set diff alone: appended files as
+    * inserts, new delete files as the referenced rows read back as
+    * deletes. The fixture derives the delete positions through
+    * `_metadata.row_index`; the DuckDB oracle re-derives every
+    * version's change rows from the predicates independently. */
+  def qIcebergChanges(spark: SparkSession, dir: String): DataFrame = {
+    graft.util.TempDirs.deleteRecursively(
+      java.nio.file.Paths.get(iceChangesRoot))
+    val ev = events(spark, dir).select(
+      col("event_id"), col("event_type"), col("value"))
+    val metaDir = java.nio.file.Paths.get(iceChangesRoot, "metadata")
+    java.nio.file.Files.createDirectories(metaDir)
+    val fA = java.nio.file.Paths.get(iceChangesRoot, "data", "fA.parquet")
+    val fB = java.nio.file.Paths.get(iceChangesRoot, "data", "fB.parquet")
+    writeOneSorted(ev.filter(col("event_id") % 2 === 0), "event_id", fA)
+    writeOneSorted(ev.filter(col("event_id") % 2 === 1), "event_id", fB)
+    import spark.implicits._
+    val pd = java.nio.file.Paths.get(iceChangesRoot, "deletes", "pd.parquet")
+    writeOneSorted(
+      spark.read.parquet(fA.toString)
+        .where(col("event_id") % 10 === 0)
+        .select(lit(fA.toString).as("file_path"),
+          col("_metadata.row_index").as("pos")),
+      "pos", pd)
+    def dataMan(name: String, files: Seq[java.nio.file.Path]) = {
+      val p = metaDir.resolve(name)
+      writeAvro(p, l39ManifestSchema, files.map(f => Map(
+        "status" -> Int.box(1),
+        "data_file" -> Map("file_path" -> f.toString,
+          "content" -> Int.box(0)))))
+      p
+    }
+    val mA = dataMan("m-a.avro", Seq(fA))
+    val mB = dataMan("m-b.avro", Seq(fB))
+    val mDel = metaDir.resolve("m-del.avro")
+    writeAvro(mDel, l39ManifestSchema, Seq(Map(
+      "status" -> Int.box(1),
+      "data_file" -> Map("file_path" -> pd.toString,
+        "content" -> Int.box(1)))))
+    def version(v: Long, dataMans: Seq[java.nio.file.Path],
+        delMans: Seq[java.nio.file.Path]): Unit = {
+      val list = metaDir.resolve(s"snap-$v.avro")
+      writeAvro(list, l39ManifestListSchema,
+        dataMans.map(m => Map[String, Any](
+          "manifest_path" -> m.toString, "content" -> Int.box(0))) ++
+        delMans.map(m => Map[String, Any](
+          "manifest_path" -> m.toString, "content" -> Int.box(1))))
+      java.nio.file.Files.writeString(metaDir.resolve(s"v$v.metadata.json"),
+        s"""{"current-snapshot-id":$v,"snapshots":[
+           |{"snapshot-id":$v,"manifest-list":"$list"}]}""".stripMargin)
+      ()
+    }
+    version(1L, Seq(mA), Nil)
+    version(2L, Seq(mA, mB), Nil)
+    version(3L, Seq(mA, mB), Seq(mDel))
+    graft.interop.XTableSync.readIcebergChanges(spark, iceChangesRoot, 1L)
+      .orderBy("_commit_version", "event_id", "event_type")
+  }
+
+  private val icebergChangesSql =
+    s"""WITH fa AS (SELECT event_id, event_type, value
+       |            FROM read_parquet('$iceChangesRoot/data/fA.parquet')),
+       |fb AS (SELECT event_id, event_type, value
+       |       FROM read_parquet('$iceChangesRoot/data/fB.parquet')),
+       |d AS (
+       |  SELECT event_id, event_type, value,
+       |         'insert' AS _change_type, 1 AS _commit_version FROM fa
+       |  UNION ALL SELECT event_id, event_type, value, 'insert', 2 FROM fb
+       |  UNION ALL SELECT event_id, event_type, value, 'delete', 3
+       |  FROM fa WHERE event_id % 10 = 0)
+       |SELECT event_id, event_type, value, _change_type,
+       |       CAST(_commit_version AS BIGINT) AS _commit_version
+       |FROM d
+       |ORDER BY _commit_version, event_id, event_type""".stripMargin
+
   // ---- T6++ Delta deletion-vector READ (l42) ----------------------------
 
   /** Fixed root, same reason as l39/l41: the oracle SQL is static. */
@@ -1896,6 +1980,7 @@ object LakehouseQueries {
     "l42_delta_dv" -> (qDeltaDv _),
     "l43_delta_column_mapping" -> (qDeltaColumnMapping _),
     "l44_delta_cdf" -> (qDeltaCdf _),
+    "l45_iceberg_changes" -> (qIcebergChanges _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1946,5 +2031,6 @@ object LakehouseQueries {
     "l42_delta_dv" -> deltaDvSql,
     "l43_delta_column_mapping" -> deltaColumnMappingSql,
     "l44_delta_cdf" -> deltaCdfSql,
+    "l45_iceberg_changes" -> icebergChangesSql,
   )
 }

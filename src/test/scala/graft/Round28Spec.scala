@@ -411,6 +411,126 @@ class Round28Spec extends AnyFunSuite
       e2.getMessage.contains("read envelope"), e2.getMessage)
   }
 
+  // ---- Iceberg incremental READ leg ------------------------------------
+
+  /** Versioned tree driven by a file-set map per version; reuses the
+    * minimal l39-style manifest schemas. */
+  private def forgeIceVersions(root: String,
+      versions: Seq[(Seq[String], Seq[String])]): Unit = {
+    val metaDir = Paths.get(root, "metadata")
+    Files.createDirectories(metaDir)
+    versions.zipWithIndex.foreach { case ((data, dels), i) =>
+      val v = i + 1
+      val man = metaDir.resolve(s"m-$v.avro")
+      writeAvro(man, manifestSchema,
+        data.map(f => Map[String, Any]("status" -> Int.box(1),
+          "sequence_number" -> Long.box(1L),
+          "data_file" -> Map[String, Any](
+            "file_path" -> Paths.get(root, f).toString,
+            "content" -> Int.box(0)))) ++
+        dels.map(f => Map[String, Any]("status" -> Int.box(1),
+          "sequence_number" -> Long.box(1L),
+          "data_file" -> Map[String, Any](
+            "file_path" -> Paths.get(root, f).toString,
+            "content" -> Int.box(1)))))
+      val list = metaDir.resolve(s"snap-$v.avro")
+      writeAvro(list, manifestListSchema, Seq(
+        Map[String, Any]("manifest_path" -> man.toString,
+          "content" -> Int.box(if (dels.isEmpty) 0 else 1),
+          "sequence_number" -> Long.box(1L))))
+      // one manifest carrying both kinds needs content=0 at the list
+      // level when data files are present
+      if (data.nonEmpty && dels.nonEmpty) {
+        val mData = metaDir.resolve(s"m-$v-data.avro")
+        val mDel = metaDir.resolve(s"m-$v-del.avro")
+        writeAvro(mData, manifestSchema,
+          data.map(f => Map[String, Any]("status" -> Int.box(1),
+            "sequence_number" -> Long.box(1L),
+            "data_file" -> Map[String, Any](
+              "file_path" -> Paths.get(root, f).toString,
+              "content" -> Int.box(0)))))
+        writeAvro(mDel, manifestSchema,
+          dels.map(f => Map[String, Any]("status" -> Int.box(1),
+            "sequence_number" -> Long.box(1L),
+            "data_file" -> Map[String, Any](
+              "file_path" -> Paths.get(root, f).toString,
+              "content" -> Int.box(1)))))
+        writeAvro(list, manifestListSchema, Seq(
+          Map[String, Any]("manifest_path" -> mData.toString,
+            "content" -> Int.box(0), "sequence_number" -> Long.box(1L)),
+          Map[String, Any]("manifest_path" -> mDel.toString,
+            "content" -> Int.box(1), "sequence_number" -> Long.box(1L))))
+      }
+      Files.writeString(metaDir.resolve(s"v$v.metadata.json"),
+        s"""{"current-snapshot-id":$v,"snapshots":[
+           |{"snapshot-id":$v,"manifest-list":"$list"}]}""".stripMargin)
+    }
+    ()
+  }
+
+  test("readIcebergChanges: pure removal emits deletes minus " +
+      "already-deleted positions; rewrites and equality-delete " +
+      "changes refuse; empty range is empty") {
+    val root = tmp("icechg")
+    writeOneParquet((0L until 6L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Paths.get(root, "f0.parquet"))
+    writeOneParquet(Seq((10L, "x")).toDF("id", "v"),
+      Paths.get(root, "f1.parquet"))
+    writeOneParquet(
+      Seq((Paths.get(root, "f0.parquet").toString, 1L),
+        (Paths.get(root, "f0.parquet").toString, 4L))
+        .toDF("file_path", "pos"),
+      Paths.get(root, "pd.parquet"), sortCol = "pos")
+    forgeIceVersions(root, Seq(
+      (Seq("f0.parquet"), Nil),                      // v1: insert f0
+      (Seq("f0.parquet"), Seq("pd.parquet")),        // v2: pos-delete 1,4
+      (Seq("f0.parquet", "f1.parquet"), Seq("pd.parquet")), // v3: +f1
+      (Seq("f1.parquet"), Nil),                      // v4: drop f0 (+pd)
+      (Seq("f1.parquet"), Nil)))                     // v5: no change
+    val got = graft.interop.XTableSync
+      .readIcebergChanges(spark, root, 1L)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (0L, "insert", 1L), (1L, "insert", 1L), (2L, "insert", 1L),
+      (3L, "insert", 1L), (4L, "insert", 1L), (5L, "insert", 1L),
+      (1L, "delete", 2L), (4L, "delete", 2L),
+      (10L, "insert", 3L),
+      // v4 deletes f0's REMAINING rows — 1 and 4 died at v2
+      (0L, "delete", 4L), (2L, "delete", 4L), (3L, "delete", 4L),
+      (5L, "delete", 4L)), got.toString)
+    // empty range → empty relation, schema intact
+    val empty = graft.interop.XTableSync
+      .readIcebergChanges(spark, root, 5L, 5L)
+    assert(empty.count() == 0L)
+    assert(empty.columns.contains("_change_type"))
+    assert(graft.interop.XTableSync
+      .readIcebergChanges(spark, root, 4L, 4L).count() == 4L)
+    // rewrite (add+remove, no new deletes) refuses
+    val r2 = tmp("icechg2")
+    writeOneParquet(Seq((0L, "a")).toDF("id", "v"),
+      Paths.get(r2, "f0.parquet"))
+    writeOneParquet(Seq((0L, "a")).toDF("id", "v"),
+      Paths.get(r2, "f0b.parquet"))
+    forgeIceVersions(r2, Seq(
+      (Seq("f0.parquet"), Nil), (Seq("f0b.parquet"), Nil)))
+    val e = intercept[IllegalArgumentException] {
+      graft.interop.XTableSync.readIcebergChanges(spark, r2, 2L, 2L)
+        .collect() }
+    assert(e.getMessage.contains("rewrite"), e.getMessage)
+    // equality-delete set change refuses
+    val r3 = tmp("icechg3")
+    forgeEqTree(r3)
+    writeOneParquet(Seq((0L, "a")).toDF("id", "v"),
+      Paths.get(r3, "f9.parquet"))
+    // v2 metadata on the eq tree: same snapshot renamed — the eq set
+    // appears at v1 (from empty baseline) → refuse on v1 itself
+    val e3 = intercept[IllegalArgumentException] {
+      graft.interop.XTableSync.readIcebergChanges(spark, r3, 1L, 1L)
+        .collect() }
+    assert(e3.getMessage.contains("EQUALITY"), e3.getMessage)
+  }
+
   // ---- Delta change-data-feed READ leg ---------------------------------
 
   private def cdfMetaLine = {
