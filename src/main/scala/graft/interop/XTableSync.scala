@@ -1747,7 +1747,12 @@ object XTableSync {
     require(fromVersion >= 1L && fromVersion <= to && to <= head,
       s"change range [$fromVersion, $to] is not within [1, $head] " +
       s"of $root")
-    val needed = (fromVersion - 1L).max(versions.min) to to
+    // the step fromVersion needs the state of fromVersion-1; only
+    // version 0 (before the first metadata ever written — lineages
+    // start at v1) is legitimately empty. A retention-expired v(from-1)
+    // must refuse, NOT read as an empty baseline — that would
+    // misreport every surviving file as a fresh insert.
+    val needed = (fromVersion - 1L).max(1L) to to
     val missing = needed.filterNot(v => Files.exists(metaOf(v)))
     require(missing.isEmpty,
       s"metadata versions ${missing.mkString(", ")} of $root were " +
@@ -1758,7 +1763,7 @@ object XTableSync {
     def normStr(s: String) = s.replaceFirst("^file:/+", "/")
     val emptySet = IcebergFileSet(Nil, Nil, Nil, Map.empty)
     def fileSet(v: Long): IcebergFileSet =
-      if (v < versions.min) emptySet else icebergLiveFilesEx(metaOf(v))
+      if (v == 0L) emptySet else icebergLiveFilesEx(metaOf(v))
     def withMeta(files: Seq[String]) = spark.read.parquet(files: _*)
       .withColumn("__fp", norm(col("_metadata.file_path")))
       .withColumn("__pos", col("_metadata.row_index"))

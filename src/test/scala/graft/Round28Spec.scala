@@ -518,6 +518,14 @@ class Round28Spec extends AnyFunSuite
       graft.interop.XTableSync.readIcebergChanges(spark, r2, 2L, 2L)
         .collect() }
     assert(e.getMessage.contains("rewrite"), e.getMessage)
+    // a retention-expired baseline refuses — it must NOT read as an
+    // empty prior state (every surviving file would misreport as a
+    // fresh insert)
+    Files.delete(Paths.get(root, "metadata", "v1.metadata.json"))
+    val eExp = intercept[IllegalArgumentException] {
+      graft.interop.XTableSync.readIcebergChanges(spark, root, 2L, 2L)
+        .collect() }
+    assert(eExp.getMessage.contains("retention-expired"), eExp.getMessage)
     // equality-delete set change refuses
     val r3 = tmp("icechg3")
     forgeEqTree(r3)
