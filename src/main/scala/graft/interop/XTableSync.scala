@@ -50,7 +50,8 @@ object XTableSync {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def metaDataAction(t: GraftTable, schemaJson: String): String =
+  private def metaDataAction(t: GraftTable, schemaJson: String,
+      changeDataFeed: Boolean = false): String =
     mapper.writeValueAsString(Map(
       "metaData" -> Map(
         "id" -> java.util.UUID.nameUUIDFromBytes(t.root.getBytes).toString,
@@ -58,7 +59,9 @@ object XTableSync {
         "format" -> Map("provider" -> "parquet", "options" -> Map.empty),
         "schemaString" -> schemaJson,
         "partitionColumns" -> t.config.partitionField.toSeq,
-        "configuration" -> Map.empty,
+        "configuration" ->
+          (if (changeDataFeed) Map("delta.enableChangeDataFeed" -> "true")
+           else Map.empty),
         "createdTime" -> 0L)))
 
   /** The Delta protocol stores `add`/`remove` paths URL-ENCODED
@@ -78,13 +81,14 @@ object XTableSync {
   private def decodeDeltaPath(p: String): String =
     java.net.URLDecoder.decode(p.replace("+", "%2B"), "UTF-8")
 
-  private def removeAction(path: String, tsMs: Long): String =
+  private def removeAction(path: String, tsMs: Long,
+      dataChange: Boolean = true): String =
     mapper.writeValueAsString(Map(
-      "remove" -> Map("path" -> encodeDeltaPath(path), "dataChange" -> true,
-        "deletionTimestamp" -> tsMs)))
+      "remove" -> Map("path" -> encodeDeltaPath(path),
+        "dataChange" -> dataChange, "deletionTimestamp" -> tsMs)))
 
   private def addAction(t: GraftTable, instantMs: Long,
-      f: graft.core.DataFileMeta): String = {
+      f: graft.core.DataFileMeta, dataChange: Boolean = true): String = {
     val stats = Map(
       "numRecords" -> f.rows,
       "minValues" -> f.stats.map { case (k, v) => k -> v.min },
@@ -97,19 +101,99 @@ object XTableSync {
           .map(p => Map(p -> f.partition)).getOrElse(Map.empty),
         "size" -> f.bytes,
         "modificationTime" -> instantMs,
-        "dataChange" -> true,
+        "dataChange" -> dataChange,
         "stats" -> mapper.writeValueAsString(stats))))
   }
 
+  /** One row commit's CDC as change-data parquet + its `cdc` action
+    * lines: reads exactly that commit's changes with pre-images
+    * through the table's own CDC, maps the vocabulary to the public
+    * CDF one, writes `_change_data/cdc-<ver>-*.parquet`, and returns
+    * one action per part file (dataChange=false — change files
+    * describe, they do not change state). An empty change set still
+    * writes one empty file: the action's presence is what stops a
+    * CDF reader from falling back to add/remove derivation. */
+  private def cdcActions(t: GraftTable, prevInstant: String,
+      ver: Long): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val cdc = t.readCdc(prevInstant, maxCommits = 1, withPreimages = true)
+    val vocab = when(col("_change_type") === "i", lit("insert"))
+      .when(col("_change_type") === "d", lit("delete"))
+      .when(col("_change_type") === "ub", lit("update_preimage"))
+      .otherwise(lit("update_postimage"))
+    val dataCols = cdc.columns
+      .filterNot(c => c == "_change_type" || c == "_partition_path").toSeq
+    val out = cdc.select(
+      dataCols.map(col) :+ vocab.as("_change_type"): _*)
+    val cdDir = Paths.get(t.root, "_change_data")
+    Files.createDirectories(cdDir)
+    val tmp = Paths.get(t.root, s".cdc-$ver-tmp")
+    def writeParts(df: org.apache.spark.sql.DataFrame) = {
+      df.write.mode("overwrite").parquet(tmp.toString)
+      graft.util.Fs.list(tmp)(
+        _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+        .sortBy(_.getFileName.toString)
+    }
+    val parts = {
+      val p = writeParts(out)
+      if (p.nonEmpty) p else writeParts(out.coalesce(1))
+    }
+    val actions = parts.zipWithIndex.map { case (p, i) =>
+      val dest = cdDir.resolve(f"cdc-$ver%020d-$i%05d.parquet")
+      Files.move(p, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      mapper.writeValueAsString(Map("cdc" -> Map(
+        "path" -> encodeDeltaPath(s"_change_data/${dest.getFileName}"),
+        "partitionValues" -> Map.empty,
+        "size" -> Files.size(dest),
+        "dataChange" -> false)))
+    }
+    graft.util.TempDirs.deleteRecursively(tmp)
+    actions
+  }
+
   /** Translate commits newer than the cursor into Delta-log versions
-    * (one Delta version per graft commit). Returns versions written. */
-  def syncDelta(t: GraftTable): Seq[Long] = {
+    * (one Delta version per graft commit). Returns versions written.
+    *
+    * `changeDataFeed = true` additionally emits the public CHANGE DATA
+    * FEED protocol per row commit: the commit's own CDC (the table's
+    * [[graft.core.GraftTable.readCdc]] with pre-images) lands as
+    * `_change_data/` parquet named by `cdc` actions (vocabulary
+    * insert / delete / update_preimage / update_postimage), service
+    * commits' file swaps carry `dataChange=false` so derivation-mode
+    * readers skip them, and metaData declares
+    * `delta.enableChangeDataFeed=true`. [[readDeltaChanges]] (or any
+    * CDF reader) then serves the exact row-level history. Restrictions
+    * match the CDC the feed is built from: MOR tables refuse (the
+    * foreign log tracks the read-optimized view — row changes would
+    * surface before the RO view moves), and a restore/bootstrap in
+    * the unsynced range refuses (those rows cannot be classified as
+    * changes — resync from a snapshot). cdc files carry all columns
+    * inline with empty partitionValues (how an unpartitioned reader
+    * consumes them); the data files beside them keep their partition
+    * encoding. */
+  def syncDelta(t: GraftTable): Seq[Long] =
+    syncDelta(t, changeDataFeed = false)
+
+  def syncDelta(t: GraftTable, changeDataFeed: Boolean): Seq[Long] = {
     val logDir = Paths.get(t.root, "_delta_log")
     Files.createDirectories(logDir)
     val (from, lastVer) = readCursor(t, "delta")
     val fresh = t.log.commits().filter(_.instant > from)
     if (fresh.isEmpty) return Nil
+    if (changeDataFeed) {
+      require(!t.config.isMor,
+        s"change-data-feed sync of MOR table ${t.config.name}: the " +
+        "foreign log tracks the read-optimized view, so row changes " +
+        "would surface in the feed before the RO view moves — compact " +
+        "to COW semantics first or sync without change_data_feed")
+      fresh.find(c => c.operation == "restore" || c.operation == "bootstrap")
+        .foreach(c => throw new IllegalArgumentException(
+          s"change-data-feed sync range crosses ${c.operation} commit " +
+          s"${c.instant}: those rows cannot be classified as changes — " +
+          "resync the export from a snapshot, then resume"))
+    }
     var ver = lastVer
+    var prevInstant = from
     // Delta readers take the LAST metaData action as the schema: a
     // fresh one must be emitted whenever a commit evolves the schema —
     // the previous v0-only emission froze foreign readers on the
@@ -125,13 +209,21 @@ object XTableSync {
           "protocol" -> Map("minReaderVersion" -> 1, "minWriterVersion" -> 2)))
         lastSchema = Option(c.schemaJson).filter(_.nonEmpty)
           .getOrElse(t.schema.json)
-        actions += metaDataAction(t, lastSchema)
+        actions += metaDataAction(t, lastSchema, changeDataFeed)
       } else Option(c.schemaJson).filter(_.nonEmpty).foreach { cs =>
         if (cs != lastSchema) {
-          actions += metaDataAction(t, cs)
+          actions += metaDataAction(t, cs, changeDataFeed)
           lastSchema = cs
         }
       }
+      // under CDF, a row commit is served from its change files; its
+      // add/remove (and every service commit's) must not double-count
+      // in derivation-mode readers — but only ROW commits' actions
+      // keep dataChange=true (the flag means "rows changed here")
+      val isRow = c.action == "commit" || c.action == "replace"
+      if (changeDataFeed && isRow)
+        actions ++= cdcActions(t, prevInstant, ver)
+      val dc = !changeDataFeed || isRow
       // MOR: the foreign log tracks the READ-OPTIMIZED view — base
       // files only. Delta has no delta-file concept, so exporting a
       // MOR delta parquet as an add-action would make a foreign reader
@@ -142,13 +234,15 @@ object XTableSync {
       // this is a no-op there.
       c.removed.foreach { path =>
         if (!path.endsWith(".delta.parquet"))
-          actions += removeAction(path, c.instant.toLong)
+          actions += removeAction(path, c.instant.toLong, dataChange = dc)
       }
       c.added.foreach { f =>
-        if (!f.delta) actions += addAction(t, c.instant.toLong, f)
+        if (!f.delta) actions += addAction(t, c.instant.toLong, f,
+          dataChange = dc)
       }
       Files.write(logDir.resolve(f"$ver%020d.json"),
         actions.mkString("", "\n", "\n").getBytes("UTF-8"))
+      prevInstant = c.instant
       ver
     }
     writeCursor(t, "delta", fresh.last.instant, ver)

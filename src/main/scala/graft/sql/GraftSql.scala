@@ -718,9 +718,14 @@ final class GraftSql(catalog: GraftCatalog) {
         val fmt = arg("format", 1).getOrElse("all").toLowerCase
         require(Set("delta", "iceberg", "all").contains(fmt),
           s"CALL sync_xtable: format must be delta|iceberg|all, got '$fmt'")
+        // change_data_feed => 'true' emits the public CDF protocol on
+        // the Delta leg (cdc change files per row commit) so foreign
+        // readers can consume the export incrementally
+        val cdf = args.get("change_data_feed").exists(_.toBoolean)
         val versions: Seq[(String, Long)] =
           (if (fmt == "delta" || fmt == "all")
-            graft.interop.XTableSync.syncDelta(t).map("delta" -> _)
+            graft.interop.XTableSync.syncDelta(t, changeDataFeed = cdf)
+              .map("delta" -> _)
           else Nil) ++
           (if (fmt == "iceberg" || fmt == "all")
             graft.interop.XTableSync.syncIceberg(t).map("iceberg" -> _).toSeq

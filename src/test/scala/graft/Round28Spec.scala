@@ -411,6 +411,74 @@ class Round28Spec extends AnyFunSuite
       e2.getMessage.contains("read envelope"), e2.getMessage)
   }
 
+  // ---- Delta change-data-feed WRITE leg (sync emission) -----------------
+
+  test("syncDelta(changeDataFeed) emits the CDF protocol: cdc files " +
+      "per row commit, service swaps dataChange=false, and " +
+      "readDeltaChanges round-trips the exact history") {
+    val root = tmp("cdfw")
+    val t = graft.core.GraftTable.create(spark, root,
+      graft.core.TableConfig(name = "cdfw", keyField = "id",
+        orderingField = "ts", numBuckets = 2))
+    t.bulkInsert((0L until 6L).map(i => (i, 1L, s"v$i"))
+      .toDF("id", "ts", "txt"))
+    t.upsert(Seq((2L, 2L, "v2b"), (100L, 2L, "new"))
+      .toDF("id", "ts", "txt"))
+    t.deleteWhere($"id" === 5L)
+    // service commit: clustering rewrites files without changing rows
+    assert(graft.core.TableServices.cluster(t, sortCols = Seq("txt"))
+      .nonEmpty)
+    val vers = graft.interop.XTableSync.syncDelta(t, changeDataFeed = true)
+    assert(vers.size == 4)
+    // metaData declares the feed
+    val v0 = Files.readString(
+      Paths.get(root, "_delta_log", "00000000000000000000.json"))
+    assert(v0.contains("delta.enableChangeDataFeed"))
+    val got = graft.interop.XTableSync.readDeltaChanges(spark, root, 0L)
+      .select("id", "txt", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    val want = (0L until 6L).map(i => (i, s"v$i", "insert", 0L)).toSet ++
+      Set((2L, "v2", "update_preimage", 1L),
+        (2L, "v2b", "update_postimage", 1L),
+        (100L, "new", "insert", 1L),
+        (5L, "v5", "delete", 2L))
+    assert(got == want, got.toString)
+    // the clustering version derives NOTHING (dataChange=false) and
+    // the snapshot read still matches the table
+    assert(graft.interop.XTableSync.readDeltaChanges(spark, root, 3L, 3L)
+      .count() == 0L)
+    val snap = graft.interop.XTableSync.readDelta(spark, root)
+      .select("id").as[Long].collect().toSet
+    assert(snap == t.read().select("id").as[Long].collect().toSet)
+    // checkpointing drops the cdc actions but keeps the state sound
+    graft.interop.XTableSync.checkpointDelta(spark, root)
+    assert(graft.interop.XTableSync.readDelta(spark, root)
+      .select("id").as[Long].collect().toSet == snap)
+  }
+
+  test("changeDataFeed sync refuses MOR tables and restore in range") {
+    val root = tmp("cdfmor")
+    val t = graft.core.GraftTable.create(spark, root,
+      graft.core.TableConfig(name = "cdfmor", keyField = "id",
+        orderingField = "ts", numBuckets = 1,
+        tableType = graft.core.TableConfig.Mor))
+    t.bulkInsert(Seq((1L, 1L, "a")).toDF("id", "ts", "txt"))
+    val e = intercept[IllegalArgumentException] {
+      graft.interop.XTableSync.syncDelta(t, changeDataFeed = true) }
+    assert(e.getMessage.contains("read-optimized"), e.getMessage)
+    val root2 = tmp("cdfrestore")
+    val t2 = graft.core.GraftTable.create(spark, root2,
+      graft.core.TableConfig(name = "cdfrestore", keyField = "id",
+        orderingField = "ts", numBuckets = 1))
+    t2.bulkInsert(Seq((1L, 1L, "a")).toDF("id", "ts", "txt"))
+    val inst1 = t2.log.lastInstant().get
+    t2.upsert(Seq((2L, 2L, "b")).toDF("id", "ts", "txt"))
+    graft.core.TableServices.restore(t2, inst1)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.interop.XTableSync.syncDelta(t2, changeDataFeed = true) }
+    assert(e2.getMessage.contains("restore"), e2.getMessage)
+  }
+
   // ---- Iceberg incremental READ leg ------------------------------------
 
   /** Versioned tree driven by a file-set map per version; reuses the
