@@ -279,6 +279,14 @@ final class GraftTable private (
       dropSoftDeleted: Boolean = false): Seq[DataFileMeta] = {
     require(!(dedupLatest && rangeBy.isDefined),
       "in-shuffle dedup requires hash layout, not range clustering")
+    // phase timing for write-path profiling (spark.graft.write.timing)
+    val timing = spark.conf.get("spark.graft.write.timing", "false").toBoolean
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      println(f"[writeFiles] $name%-18s ${(now - tPhase) / 1e9}%7.3fs")
+      tPhase = now
+    }
     val keyed = df
       .withColumn("_part", partExpr)
       .withColumn("_bucket", bucketExpr)
@@ -332,7 +340,9 @@ final class GraftTable private (
       // and blooms doubling small-file-group storage.
       .option("parquet.bloom.filter.adaptive.enabled", "true")
     val writer = maxRecordsPerFile.fold(writer0)(n => writer0.option("maxRecordsPerFile", n))
+    phase("plan")
     writer.parquet(staging.toString)
+    phase("shuffle+write")
 
     // Per-file stats (key range + ordering range + rows). Primary
     // path: parquet FOOTER harvest — O(files) metadata reads, no data
@@ -393,6 +403,7 @@ final class GraftTable private (
     val statsByFile: Map[String, (Long, Map[String, ColStat])] =
       if (stagedParquet.isEmpty) Map.empty
       else footerHarvest().getOrElse(scanHarvest())
+    phase("stats harvest")
 
     // move staged files into the stable layout
     val metas = scala.collection.mutable.ArrayBuffer[DataFileMeta]()
@@ -429,6 +440,7 @@ final class GraftTable private (
       // clean staging remains (_SUCCESS etc.)
       graft.util.Fs.walkSeq(staging).reverse.foreach(Files.deleteIfExists(_))
     }
+    phase("move+clean")
     metas.toSeq
   }
 

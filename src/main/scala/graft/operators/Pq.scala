@@ -106,8 +106,20 @@ object Pq {
       }
     }
     var cents = seedIdx.map(i => pts(i).clone()).toArray
-    var iter = 0
-    while (iter < iterations) {
+    // Fixed-point shortcuts (bit-exact, results unchanged):
+    //  - every point its own seed (k ≥ n, all points distinct — the
+    //    lossless-codebook setting the exactness gates use): each point
+    //    assigns to itself at distance 0, every cluster is a singleton,
+    //    and mean = p/1 = p exactly, so Lloyd is a no-op from iteration
+    //    one — skip it entirely instead of paying `iterations` × O(n·k·
+    //    subDim) of driver flops re-deriving the seeds;
+    //  - otherwise, stop as soon as an iteration reproduces its input
+    //    centroids BITWISE: one iteration is a pure function of `cents`
+    //    (deterministic assignment order, fixed summation order), so a
+    //    fixed point stays fixed for every remaining iteration.
+    var iter = if (seedIdx.length == pts.length) iterations else 0
+    var converged = false
+    while (iter < iterations && !converged) {
       val sums = Array.fill(cents.length)(new Array[Double](pts(0).length))
       val ns = new Array[Long](cents.length)
       pts.foreach { p =>
@@ -116,10 +128,13 @@ object Pq {
         var j = 0
         while (j < p.length) { sums(c)(j) += p(j); j += 1 }
       }
-      cents = cents.indices.map { c =>
+      val next = cents.indices.map { c =>
         if (ns(c) == 0L) cents(c)
         else sums(c).map(_ / ns(c))
       }.toArray
+      converged = next.indices.forall(c =>
+        java.util.Arrays.equals(next(c), cents(c)))
+      cents = next
       iter += 1
     }
     if (cents.length >= padTo) cents
