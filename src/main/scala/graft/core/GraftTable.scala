@@ -322,7 +322,13 @@ final class GraftTable private (
       if (dropSoftDeleted) d.filter(!coalesce(col(softDel), lit(false)))
       else d
     }
-    val writer0 = (config.keyField +: config.bloomColumns).distinct
+    // profiling escape hatch only (spark.graft.write.bloom=false):
+    // quantifies the bloom write cost; reads degrade to footer-stats
+    // pruning when a file has no bloom, so flipping it is safe but
+    // point lookups pay full row-group scans — default stays on
+    val bloomOn = spark.conf.get("spark.graft.write.bloom", "true").toBoolean
+    val writer0 = (if (bloomOn) (config.keyField +: config.bloomColumns).distinct
+      else Seq.empty[String])
       // T7 key-lookup index: parquet bloom filter on the record key —
       // upsert/point-lookup scans skip row groups without the key
       // (the reference's hoodie.index.type BLOOM analog,

@@ -34,7 +34,24 @@ object Bpe {
 
   /** The first `numMerges` BPE merges over `textCol`, as
     * (merge_rank, left_sym, right_sym, pair_count). Stops early if the
-    * corpus runs out of pairs. */
+    * corpus runs out of pairs.
+    *
+    * Two executions of the SAME algorithm (identical merge sequence
+    * and counts — exact integer pair counts, ties by (count desc,
+    * left, right), and lowercase-ASCII symbols order the same under
+    * Java strings and UTF8String):
+    *  - vocab ≤ `spark.graft.bpe.driverVocabCap` (default 2²⁰): the
+    *    word histogram — already the bounded distinct-word relation,
+    *    the same O(vocab) driver move as the PQ training sample —
+    *    collects once and the merge rounds run driver-side. Each
+    *    distributed round was one shuffle + a 1-row collect whose cost
+    *    is pure job overhead at vocab scale (measured ~0.3 s/round on
+    *    a 31-word fixture vocabulary — the rounds were 8× the corpus
+    *    pass).
+    *  - larger vocabularies keep the round-per-shuffle shape: rounds
+    *    stay O(vocab) distributed work and nothing unbounded ever
+    *    reaches the driver (the 100 TB contract — Heaps-law vocabs can
+    *    reach hundreds of millions of distinct words). */
   def mergeStats(docs: DataFrame, textCol: String,
       numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -47,6 +64,14 @@ object Bpe {
     var seg = words.select(
       concat(lit("  "), expr("regexp_replace(w, '(.)', '$1  ')")).as("s"),
       col("freq")).persist()
+    val cap = spark.conf.get("spark.graft.bpe.driverVocabCap",
+      (1 << 20).toString).toInt
+    val head = seg.limit(cap + 1).collect()
+    if (head.length <= cap) {
+      seg.unpersist()
+      return mergeStatsDriver(spark,
+        head.map(r => (r.getString(0), r.getLong(1))), numMerges)
+    }
     var prev: Option[DataFrame] = None
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     try {
@@ -85,6 +110,11 @@ object Bpe {
       seg.unpersist()
       ()
     }
+    mergesDf(spark, merges.result())
+  }
+
+  private def mergesDf(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
     val schema = StructType(Seq(
       StructField("merge_rank", IntegerType, nullable = false),
       StructField("left_sym", StringType, nullable = false),
@@ -92,8 +122,64 @@ object Bpe {
       StructField("pair_count", LongType, nullable = false)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(
-        merges.result().map { case (i, l, r, c) => Row(i, l, r, c) }, 1),
+        merges.map { case (i, l, r, c) => Row(i, l, r, c) }, 1),
       schema)
+  }
+
+  /** Driver-side merge rounds over the collected (segmentation, freq)
+    * vocabulary — the bounded fast path of [[mergeStats]]. Greedy
+    * left-to-right non-overlapping merge application, mirroring the
+    * distributed path's `replace(s, ' l  r ', ' lr ')` exactly. */
+  private def mergeStatsDriver(spark: org.apache.spark.sql.SparkSession,
+      vocab: Array[(String, Long)], numMerges: Int): DataFrame = {
+    // segmentation string "  h  i  " → symbol array ["h", "i"]
+    var words: Array[(Array[String], Long)] = vocab.map { case (s, f) =>
+      (s.trim.split("  "), f)
+    }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var round = 1
+    var dry = false
+    while (round <= numMerges && !dry) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) dry = true
+      else {
+        // argmax with the distributed path's tie order:
+        // count desc, then (left, right) ascending
+        var best: ((String, String), Long) = null
+        counts.foreach { case (p, c) =>
+          if (best == null || c > best._2 ||
+              (c == best._2 && (p._1 < best._1._1 ||
+                (p._1 == best._1._1 && p._2 < best._1._2)))) best = (p, c)
+        }
+        val ((l, r), cnt) = best
+        merges += ((round, l, r, cnt))
+        // greedy left-to-right non-overlapping application — a match
+        // consumes both symbols, scanning resumes after the merged one
+        words = words.map { case (syms, f) =>
+          if (syms.length < 2) (syms, f)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                out += l + r; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, f)
+          }
+        }
+        round += 1
+      }
+    }
+    mergesDf(spark, merges.result())
   }
 
   /** ENCODE with a learned merge table: per-doc token counts after

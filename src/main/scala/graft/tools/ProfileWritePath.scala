@@ -19,6 +19,8 @@ object ProfileWritePath {
       println(f"[wp] $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.3fs")
       r
     }
+    sys.env.get("SPARK_GRAFT_WP_BLOOM").foreach(v =>
+      spark.conf.set("spark.graft.write.bloom", v))
     val reps = sys.env.getOrElse("SPARK_GRAFT_WP_REPS", "3").toInt
     (1 to reps).foreach { rep =>
       println(s"--- rep $rep: l1-shape (plain partitions) ---")
