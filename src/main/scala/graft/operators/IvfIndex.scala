@@ -96,13 +96,18 @@ object IvfIndex {
           .map(_.getSeq[Double](0).toArray)
       var iter = 0
       while (iter < iterations) {
+        // per-dimension means in ONE aggregation: the posexplode +
+        // (list,pos) groupBy + collect_list re-assembly paid two
+        // shuffles and a dim-fold sort per round — the same means come
+        // from `dim` avg columns over the assigned sample directly
+        // (float summation order differs only the way any shuffle
+        // merge already varies run to run; gates and specs are
+        // ULP-robust by construction)
         val means = train
           .withColumn("list", element_at(nearest_centroids(col("vec"), table, 1), 1))
-          .select(col("list"), posexplode(col("vec")).as(Seq("pos", "x")))
-          .groupBy("list", "pos").agg(avg(col("x").cast("double")).as("m"))
-          .groupBy("list").agg(
-            sort_array(collect_list(struct(col("pos"), col("m")))).as("vals"))
-          .select(col("list"), col("vals.m").as("centroid"))
+          .groupBy("list")
+          .agg(array((0 until dim).map(i =>
+            avg(element_at(col("vec"), i + 1).cast("double"))): _*).as("centroid"))
           .collect()
           .map(r => r.getAs[Int]("list") -> r.getAs[Seq[Double]]("centroid").toArray)
           .toMap
