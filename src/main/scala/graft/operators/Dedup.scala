@@ -681,8 +681,11 @@ object Dedup {
       k: Int = 8, minTokens: Int = 20, maxDf: Int = 64): DataFrame = {
     require(k >= 2 && minTokens >= k,
       s"need k >= 2 and minTokens >= k, got k=$k minTokens=$minTokens")
-    val grams = docs
-      .select(col(idCol).as("id"), split(col(textCol), "\\s+").as("toks"))
+    // spread: gram-string construction + xxhash64 per token position is
+    // the scan-fused CPU wall on narrow inputs (see Par.spread)
+    val grams = graft.util.Par.spread(
+        docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), split(col(textCol), "\\s+").as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("id"), explode(expr(
         s"transform(sequence(1, size(toks) - ${k - 1}), " +
@@ -748,9 +751,13 @@ object Dedup {
     // literal single-space split (the repo tokenization contract, and
     // the oracle's string_split): join(" ") is then the EXACT inverse,
     // so untouched text — including runs of spaces or embedded
-    // tabs/newlines, which stay inside tokens — survives byte-for-byte
-    val toks = docs.select(col(idCol).as("id"),
-      split(col(textCol), " ", -1).as("toks"))
+    // tabs/newlines, which stay inside tokens — survives byte-for-byte.
+    // spread: the per-position md5 window digests below are the
+    // operator's CPU wall (measured 2× on a one-row-group input) —
+    // widen the narrow scan before that work fuses into it
+    val toks = graft.util.Par.spread(
+        docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), split(col(textCol), " ", -1).as("toks"))
     val grams = toks
       .filter(size(col("toks")) >= L)
       .select(col("id"), explode(expr(
