@@ -151,8 +151,9 @@ object Dedup {
     // one shingle-hash pass feeds signatures, set sizes, AND the
     // verify relation (grams keyed by 64-bit hash — collision odds
     // ~|grams|²/2⁶⁵, immaterial); cached so the text is shingled once
-    val withHashes = docs.select(col(idCol).as("id"),
-        shingleHashes(col(textCol), k).as("hashes"))
+    val withHashes = graft.util.Par.spread(
+        docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), shingleHashes(col(textCol), k).as("hashes"))
       .persist()
     try {
       val sigs = withHashes
@@ -461,8 +462,9 @@ object Dedup {
     // shingles' postings; at 2⁻⁶⁴ pair probability the p1-p3 stack
     // already accepts this trade, and the sf0.01 oracle (string
     // identity) stays green.
-    val terms = docs
-      .select(col(idCol).as("id"),
+    val terms = graft.util.Par.spread(
+        docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"),
         explode(wordShinglesAll(col(textCol), k)).as("term"))
       .groupBy(col("id"), xxhash64(col("term")).as("term"))
       .agg(count(lit(1)).as("tf"))
@@ -547,8 +549,9 @@ object Dedup {
     // unchanged integer cross-multiplication; prefix lengths are the
     // exact integer ⌈⌉ via (num·n + den − 1) DIV den, so no float
     // enters candidate generation either.
-    val kept = docs
-      .select(col(idCol).as("id"),
+    val kept = graft.util.Par.spread(
+        docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"),
         explode(wordShingles(col(textCol), k)).as("term"))
       .groupBy(xxhash64(col("term")).as("term"))
       .agg(count(lit(1)).as("df"), collect_list(col("id")).as("ids"))
