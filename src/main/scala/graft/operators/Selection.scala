@@ -189,8 +189,11 @@ object Selection {
             element_at(toks, i + lit(1)).as("w"))))
       .otherwise(array().cast("array<struct<v:string,w:string>>"))
     // two consumers (the type aggregation and the scoring join) —
-    // checkpoint so the scan+explode runs once
-    val docBg = docs.select(col(idCol), explode(prs).as("p"))
+    // checkpoint so the scan+explode runs once; spread first so the
+    // tokenize+pair explode AND the checkpoint write parallelize on
+    // one-row-group inputs (see Par.spread)
+    val docBg = graft.util.Par.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(prs).as("p"))
       .select(col(idCol), col("p.v").as("v"), col("p.w").as("w"))
       .localCheckpoint()
     // four consumers read the type relation (cv, n1w, n1all, lp);

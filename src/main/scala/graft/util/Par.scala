@@ -23,6 +23,9 @@ import org.apache.spark.sql.DataFrame
   * narrow column select, never around a filtered scan. */
 object Par {
   def spread(df: DataFrame): DataFrame = {
+    // streaming frames cannot be probed via .rdd (and micro-batches
+    // are planned per epoch anyway) — pass them through untouched
+    if (df.isStreaming) return df
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
   }
