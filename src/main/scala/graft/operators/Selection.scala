@@ -402,11 +402,18 @@ object Selection {
       .groupBy("id", "idx").agg(count(lit(1)).as("cnt"))
       .unionByName(docs.select(col(idCol).as("id"),
         lit(dim.toLong).as("idx"), lit(1L).as("cnt")))
+      // cache CLUSTERED BY id: every epoch's margin aggregation and
+      // misclassified join are keyed on id, so the persisted hash(id)
+      // layout satisfies them and the per-epoch exchanges of the
+      // corpus-sized feature relation disappear (epochs shuffle only
+      // the O(dim) update rows); integer sums are order-exact
+      .repartition(col("id"))
       .persist()
     // cached alongside feats: every epoch joins it, and without the
     // cache each epoch would re-scan the source relation for an
     // unchanged (id, y) pair
     val labels = docs.select(col(idCol).as("id"), label.cast("long").as("y"))
+      .repartition(col("id"))
       .persist()
     try {
       val w = Array.fill(dim + 1)(0L)
