@@ -403,8 +403,11 @@ object Curation {
     val bigrams = transform(
       sequence(lit(1), greatest(lit(1), size(toks) - lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(2))))
-    val terms = docs.select(col(idCol).as("id"),
-      explode(concat(toks, bigrams)).as("term"))
+    // spread: the per-term md5 bucketing below is the plan's CPU wall
+    // on one-row-group inputs (see Par.spread)
+    val terms = graft.util.Par.spread(
+        docs.select(col(idCol).as("id"), col(textCol)))
+      .select(col("id"), explode(concat(toks, bigrams)).as("term"))
     val idx = Selection.md5Bucket(col("term"), 8, dim)
     val w = (idx * 2654435761L + 12345L) % 1997L - 998L
     terms
