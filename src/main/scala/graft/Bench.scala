@@ -148,10 +148,21 @@ object Bench {
     val sentinelAfter = (1 to 3).map(_ => sentinelOnce()).min
     val sentinel = math.min(sentinelBefore, sentinelAfter)
     def f3(v: Double) = f"$v%.3f"
+    // compact value rendering for the stdout line: 2 decimals, trailing
+    // zeros trimmed ("0.35", "1.7", "12") — valid JSON numbers, and the
+    // 72-query line stays under the harness' ~2KB output-tail capture
+    def fc(v: Double): String = {
+      val s = f"$v%.2f"
+      if (!s.contains('.')) s
+      else {
+        val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+        if (t.isEmpty || t == "-") "0" else t
+      }
+    }
     val best = results.map { case (k, rs) =>
       k -> (if (rs.exists(_ < 0)) -1.0 else rs.min)
     }
-    val qJson = best.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    val qJson = best.map { case (k, v) => "\"" + k + "\":" + fc(v) }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, rs) =>
       "\"" + k + "\":" + rs.map(f3).mkString("[", ",", "]")
@@ -168,7 +179,16 @@ object Bench {
     val normJson = best.map { case (k, v) =>
       "\"" + k + "\":" + (if (v < 0) "-1.0" else f3(v / sentinel))
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"runs":$runsJson,"sentinel":${f3(sentinel)},"normalized":$normJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Full-precision detail record (per-run values + normalized map) on
+    // STDERR: the harness captures only the last ~2000 chars of output,
+    // and this record is ~9KB — printed on stdout it truncated mid-JSON
+    // and the whole bench line parsed as null from round 15 through 18.
+    // The queries/methodology are unchanged; only where each field is
+    // printed moved.
+    System.err.println(f"""{"metric":"total_detail","value":$total%.3f,"unit":"sec","runs":$runsJson,"sentinel":${f3(sentinel)},"normalized":$normJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The driver-contract line: ONE compact JSON line, printed LAST on
+    // stdout, small enough to survive the output-tail capture whole.
+    println(f"""{"metric":"total","value":${fc(total)},"unit":"sec","queries":$qJson,"sentinel":${f3(sentinel)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
