@@ -85,35 +85,59 @@ object IvfIndex {
         if (count <= targetTrain) corpus
         else Curation.deterministicSample(corpus, "id",
           targetTrain.toDouble / count).persist()
-      // deterministic seed centroids: the nLists lowest-id vectors
-      // (from the full corpus if a pathological sample is too small)
-      var table: Array[Array[Double]] = train.orderBy("id").limit(nLists)
+      // The whole Lloyd loop runs on the DRIVER over the collected
+      // sample: the sample is bounded (≤ ~256·nLists vectors — the same
+      // bounded-collect discipline as the PQ training sample and the
+      // BPE vocab cap), so `iterations` Spark aggregation rounds of
+      // one exchange + one collect each were pure job overhead — the
+      // flops are O(sample·nLists·dim) either way, but driver-side
+      // they cost zero scheduler round-trips. Collected id-ordered so
+      // the seed rule (nLists lowest-id vectors) and the per-list
+      // float summation order are deterministic run-to-run — STRONGER
+      // than the distributed aggregation, whose shuffle-merge order
+      // varied per run (the gates are exactness-constructed, so
+      // centroid ULPs cannot move results; re-verified at 3 SFs).
+      // Assignment math mirrors NearestCentroids exactly: squared L2,
+      // ties by lowest index.
+      val sample: Array[Array[Double]] = train.orderBy("id")
         .select(col("vec").cast("array<double>")).collect()
         .map(_.getSeq[Double](0).toArray)
-      if (table.length < nLists)
-        table = corpus.orderBy("id").limit(nLists)
+      // validate ONCE at build time: a ragged corpus would otherwise
+      // train on truncated distances here and fail obscurely at query
+      // time (the old posexplode path silently zero-padded instead)
+      sample.zipWithIndex.foreach { case (v, i) => require(v.length == dim,
+        s"ragged vector at sample row $i: length ${v.length}, expected $dim") }
+      var table: Array[Array[Double]] =
+        if (sample.length >= nLists) sample.take(nLists).map(_.clone())
+        else corpus.orderBy("id").limit(nLists)
           .select(col("vec").cast("array<double>")).collect()
           .map(_.getSeq[Double](0).toArray)
+      def nearestList(v: Array[Double]): Int = {
+        var best = Double.MaxValue; var bestC = 0; var c = 0
+        while (c < table.length) {
+          val cv = table(c); var d = 0.0; var i = 0
+          val m = math.min(v.length, cv.length)
+          while (i < m) { val t = v(i) - cv(i); d += t * t; i += 1 }
+          if (d < best) { best = d; bestC = c } // strict <: ties keep lowest index
+          c += 1
+        }
+        bestC
+      }
       var iter = 0
       while (iter < iterations) {
-        // per-dimension means in ONE aggregation: the posexplode +
-        // (list,pos) groupBy + collect_list re-assembly paid two
-        // shuffles and a dim-fold sort per round — the same means come
-        // from `dim` avg columns over the assigned sample directly
-        // (float summation order differs only the way any shuffle
-        // merge already varies run to run; gates and specs are
-        // ULP-robust by construction)
-        val means = train
-          .withColumn("list", element_at(nearest_centroids(col("vec"), table, 1), 1))
-          .groupBy("list")
-          .agg(array((0 until dim).map(i =>
-            avg(element_at(col("vec"), i + 1).cast("double"))): _*).as("centroid"))
-          .collect()
-          .map(r => r.getAs[Int]("list") -> r.getAs[Seq[Double]]("centroid").toArray)
-          .toMap
-        // list ids are the 0-based centroid indexes nearest_centroids
-        // emits; a list that lost all members keeps its previous centroid
-        table = table.indices.map(i => means.getOrElse(i, table(i))).toArray
+        val sums = Array.fill(table.length)(new Array[Double](dim))
+        val cnts = new Array[Long](table.length)
+        sample.foreach { v =>
+          val l = nearestList(v)
+          cnts(l) += 1
+          var i = 0; while (i < dim) { sums(l)(i) += v(i); i += 1 }
+        }
+        // a list that lost all members keeps its previous centroid
+        table = table.indices.map { c =>
+          if (cnts(c) == 0L) table(c)
+          else { val m = sums(c); var i = 0
+            while (i < dim) { m(i) /= cnts(c); i += 1 }; m }
+        }.toArray
         iter += 1
       }
       if (train ne corpus) { train.unpersist(); () }
