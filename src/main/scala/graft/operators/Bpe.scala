@@ -66,8 +66,14 @@ object Bpe {
       col("freq")).persist()
     val cap = spark.conf.get("spark.graft.bpe.driverVocabCap",
       (1 << 20).toString).toInt
-    val head = seg.limit(cap + 1).collect()
-    if (head.length <= cap) {
+    // probe cardinality with a COUNT first and collect only when under
+    // the cap: the previous limit(cap+1).collect() shipped up to 2²⁰+1
+    // full segmentation strings to the driver even when the vocabulary
+    // exceeded the cap and the distributed path was then taken anyway —
+    // a large wasted transfer + driver memory spike at Heaps-law vocab
+    // scale. The count reads the (persisted) histogram, no row moves.
+    if (seg.limit(cap + 1).count() <= cap) {
+      val head = seg.collect()
       seg.unpersist()
       return mergeStatsDriver(spark,
         head.map(r => (r.getString(0), r.getLong(1))), numMerges)
@@ -126,6 +132,24 @@ object Bpe {
       schema)
   }
 
+  /** Unsigned byte-wise comparison of the UTF-8 encodings — the exact
+    * ordering `UTF8String.compareTo` gives the distributed path's
+    * `orderBy(l, r)`. Equal to `String.compareTo` for ASCII; differs
+    * for supplementary-plane code points (UTF-16 surrogates sort below
+    * some BMP chars, UTF-8 bytes never do). */
+  private[operators] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Driver-side merge rounds over the collected (segmentation, freq)
     * vocabulary — the bounded fast path of [[mergeStats]]. Greedy
     * left-to-right non-overlapping merge application, mirroring the
@@ -151,13 +175,19 @@ object Bpe {
       }
       if (counts.isEmpty) dry = true
       else {
-        // argmax with the distributed path's tie order:
-        // count desc, then (left, right) ascending
+        // argmax with the distributed path's tie order: count desc,
+        // then (left, right) ascending — compared on UTF-8 BYTES, the
+        // ordering Spark's UTF8String uses, not Java's UTF-16 chars.
+        // The two agree on ASCII (mergeStats' symbols are [a-z]+ by
+        // construction) but diverge for supplementary-plane symbols;
+        // byte order here keeps the driver path equal to the
+        // distributed path for ANY symbol alphabet a future caller
+        // feeds in, so the result can never depend on the vocab cap.
         var best: ((String, String), Long) = null
         counts.foreach { case (p, c) =>
           if (best == null || c > best._2 ||
-              (c == best._2 && (p._1 < best._1._1 ||
-                (p._1 == best._1._1 && p._2 < best._1._2)))) best = (p, c)
+              (c == best._2 && (utf8Cmp(p._1, best._1._1) < 0 ||
+                (p._1 == best._1._1 && utf8Cmp(p._2, best._1._2) < 0)))) best = (p, c)
         }
         val ((l, r), cnt) = best
         merges += ((round, l, r, cnt))
