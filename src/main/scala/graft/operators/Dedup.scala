@@ -176,8 +176,8 @@ object Dedup {
         "ids", "struct(__x AS doc_a, y AS doc_b)")
         .select(col("p.doc_a"), col("p.doc_b"))
         .distinct()
-      jaccardOfCandidates(withHashes.select("id", "hashes"), candidates, threshold)
-        .localCheckpoint() // materialize before unpersisting the cache
+      graft.util.Lineage.cut( // materialize before unpersisting the cache
+        jaccardOfCandidates(withHashes.select("id", "hashes"), candidates, threshold))
     } finally withHashes.unpersist()
   }
 
@@ -497,7 +497,7 @@ object Dedup {
         .select(col("id_a"), col("id_b"),
           ((col("dot") * col("dot")).cast("double") /
             (col("n2_a") * col("n2_b")).cast("double")).as("cos2"))
-        .localCheckpoint() // materialize before unpersisting the cache
+        .transform(graft.util.Lineage.cut) // materialize before unpersisting
     } finally buckets.unpersist()
   }
 
@@ -602,7 +602,7 @@ object Dedup {
           greatest(col("id_a"), col("id_b")).as("id_b"),
           (col("inter").cast("double") /
             least(col("n_a"), col("n_b")).cast("double")).as("containment"))
-        .localCheckpoint()
+        .transform(graft.util.Lineage.cut) // materialize before unpersisting
     } finally marked.unpersist()
   }
 

@@ -28,6 +28,11 @@ object PlanDump {
     Files.createDirectories(outDir)
     val spark = graft.Session.local(8)
     spark.sparkContext.setLogLevel("WARN")
+    // see [[graft.util.Lineage]]: keep full lineage through the
+    // operators' eager localCheckpoints so the dumped plan shows the
+    // computation, not `Scan ExistingRDD` (the round-18 p3/p36/p40
+    // dumps were vacuous). Plan-dump only — never set for timed runs.
+    spark.conf.set("spark.graft.explain.keepLineage", "true")
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, dir)
       // queryExecution.explainString mirrors explain("formatted")
