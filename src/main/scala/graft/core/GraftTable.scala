@@ -327,6 +327,11 @@ final class GraftTable private (
     // pruning when a file has no bloom, so flipping it is safe but
     // point lookups pay full row-group scans — default stays on
     val bloomOn = spark.conf.get("spark.graft.write.bloom", "true").toBoolean
+    // a leaked profiling setting would silently degrade every later
+    // commit's point-lookup pruning — make it visible in the output
+    if (!bloomOn) System.err.println(s"[graft] WARN spark.graft.write." +
+      s"bloom=false: commit $instant writes NO key blooms (profiling " +
+      "flag — point lookups degrade to footer-stats pruning)")
     val writer0 = (if (bloomOn) (config.keyField +: config.bloomColumns).distinct
       else Seq.empty[String])
       // T7 key-lookup index: parquet bloom filter on the record key —
