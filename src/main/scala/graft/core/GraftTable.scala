@@ -662,6 +662,55 @@ final class GraftTable private (
     } finally batch.unpersist()
   }
 
+  /** One-commit COW full sync — the MERGE `WHEN MATCHED UPDATE SET *`
+    * + `WHEN NOT MATCHED BY SOURCE DELETE` execution path: merge `df`
+    * latest-wins into its file groups AND delete every stored key
+    * absent from `df`, in a single commit.
+    *
+    * The two-commit upsert-then-delete sequence read and rewrote every
+    * live file group TWICE (the source's key set is the complement of
+    * nothing — a full sync touches the whole table by definition).
+    * Fused: each overlapping group is read once, merged and key-
+    * filtered in the same write shuffle; groups whose key range cannot
+    * intersect the batch are dropped WITHOUT being read at all (every
+    * key they hold is absent from the source, so the BY SOURCE delete
+    * removes the whole group — file removal is metadata). Halves the
+    * table-scale I/O of a reconciliation MERGE.
+    *
+    * Caller contract (GraftSql.merge): `df` must already be restricted
+    * to keys that exist in the table — this path has no INSERT clause,
+    * and unmatched batch rows would otherwise be written. */
+  private[graft] def fullSyncCow(df: DataFrame): String = {
+    require(!config.isMor,
+      "fullSyncCow is the COW fused path; MOR merges via upsert + tombstones")
+    val snap = log.snapshot()
+    val planning = snap.lastInstant.getOrElse("0")
+    val instant = log.nextInstantAfter(snap.lastInstant)
+    val (batch0, evolved) = prepare(df, instant, snap)
+    val batch = batch0.persist()
+    try {
+      val touched = touchedKeyRanges(batch)
+      val keyType = evolved.fields.find(_.name == config.keyField)
+        .map(_.dataType).getOrElse(StringType)
+      val (rewrite, dropped) = snap.liveFiles().partition(
+        overlapsIncoming(_, touched, keyType))
+      val existing = readFiles(rewrite, evolved)
+      // stored keys absent from the source are deleted: semi-join on
+      // the batch's key set — the same key-only identity the
+      // deleteBySource anti-join used (partition-agnostic, matching
+      // MERGE ON key equality)
+      val kept = existing.join(
+        batch.select(col(config.keyField)).distinct(),
+        Seq(config.keyField), "left_semi")
+      val added = writeFiles(kept.unionByName(batch), instant,
+        delta = false, dedupLatest = true, dropSoftDeleted = true)
+      commitValidated(Commit(instant, "commit", "full_sync",
+        added = added, removed = (rewrite ++ dropped).map(_.path),
+        schemaJson = evolved.json), planning,
+        touched.keySet ++ dropped.map(f => (f.partition, f.bucket)))
+    } finally batch.unpersist()
+  }
+
   /** ALTER TABLE DROP COLUMN — schema narrowing as a zero-row commit.
     * No file is rewritten: reads select columns BY NAME from an
     * explicit schema ([[readFiles]]), so narrowing the committed

@@ -964,6 +964,17 @@ final class GraftSql(catalog: GraftCatalog) {
       applyDeleteBySource()
       return
     }
+    // the full-table-sync shape (UPDATE SET * + NOT MATCHED BY SOURCE
+    // DELETE, no INSERT) fuses into ONE commit on COW: the two-commit
+    // upsert-then-delete sequence read and rewrote every file group
+    // twice — see [[graft.core.GraftTable.fullSyncCow]]. Identical
+    // final state: same latest-wins merge machinery, same key-only
+    // delete identity, source restricted to matched keys as before.
+    if (updateAll && !insertAll && !deleteMatched && deleteBySource &&
+        !t.config.isMor) {
+      t.fullSyncCow(src.join(existingKeys, Seq(key), "left_semi"))
+      return
+    }
     (updateAll, insertAll, deleteMatched) match {
       case (true, true, false) => t.upsert(src) // classic upsert merge
       case (true, false, false) => // matched-only update
