@@ -137,7 +137,7 @@ object Bpe {
     * `orderBy(l, r)`. Equal to `String.compareTo` for ASCII; differs
     * for supplementary-plane code points (UTF-16 surrogates sort below
     * some BMP chars, UTF-8 bytes never do). */
-  private[operators] def utf8Cmp(a: String, b: String): Int = {
+  private[graft] def utf8Cmp(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = math.min(x.length, y.length)

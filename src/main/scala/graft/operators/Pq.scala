@@ -43,17 +43,17 @@ object Pq {
 
   /** Train per-subspace codebooks on a bounded deterministic sample.
     * `iterations` Lloyd rounds; empty clusters keep their seed. */
+  /** `corpusCount` (when ≥ 0) replaces the train's own `count()` job —
+    * same threading contract as [[IvfIndex.build]]. */
   def train(embs: DataFrame, idCol: String, vecCol: String,
-      m: Int, codesPerSub: Int, iterations: Int = 8): Codebooks = {
+      m: Int, codesPerSub: Int, iterations: Int = 8,
+      corpusCount: Long = -1L): Codebooks = {
     require(m > 0, s"m=$m")
     require(codesPerSub > 0 && codesPerSub <= 65536, s"codesPerSub=$codesPerSub")
-    val dim = embs.select(size(col(vecCol))).first().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val subDim = dim / m
 
     // bounded deterministic training sample → driver (≤ 256·k rows of
     // dim doubles — the IVF centroid-table argument)
-    val count = embs.count()
+    val count = if (corpusCount >= 0L) corpusCount else embs.count()
     val target = 256L * codesPerSub
     val sampled =
       if (count <= target) embs
@@ -63,6 +63,11 @@ object Pq {
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(train.nonEmpty, "empty training set")
+    // dim from the collected sample — the separate size().first()
+    // probe was one more Spark job per train
+    val dim = train(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
 
     val books = Array.tabulate(m) { sub =>
       val off = sub * subDim
@@ -84,6 +89,20 @@ object Pq {
     * code. */
   private def lloyd(pts: Array[Array[Double]], k: Int, iterations: Int,
       padTo: Int): Array[Array[Double]] = {
+    // k ≥ n (the lossless-codebook setting the exactness gates use):
+    // every point becomes a seed anyway, so the farthest-point
+    // traversal below — O(n²·subDim) driver flops whose only output
+    // is a PERMUTATION of the points — is skipped and the seeds are
+    // the points in sample order. Code indexes permute vs the
+    // traversal order, but a code is only ever DECODED (ADC sums the
+    // looked-up centroid values); no score, rank or id can change.
+    // Lloyd is likewise a no-op here (singleton clusters, mean = p/1),
+    // matching the seedIdx.length == pts.length skip below.
+    if (k >= pts.length) {
+      val cents = pts.map(_.clone())
+      return if (cents.length >= padTo) cents
+      else cents ++ Array.fill(padTo - cents.length)(cents.last.clone())
+    }
     val seedIdx = scala.collection.mutable.ArrayBuffer(0)
     val minD = pts.map(p => dist2(p, pts(0)))
     var exhausted = false // fewer than k distinct points
