@@ -2451,10 +2451,13 @@ object PipelineQueries {
     * l-family write gates). */
   def sIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.load(spark, dir, "embeddings")
-    val n = embs.count().toInt
+    // footer-metadata count: zero Spark jobs, threaded into the build
+    // so neither IvfIndex.build nor Pq.train re-counts the corpus
+    val n = Tables.footerRowCount(spark, dir, "embeddings").toInt
     val path = graft.util.TempDirs.create("graft-ivfpq-gate-").toString
     val cb = operators.IvfPq.build(embs, "vec_id", "embedding",
-      nLists = 4, m = 2, codesPerSub = n + 8, path = path)
+      nLists = 4, m = 2, codesPerSub = n + 8, path = path,
+      corpusCount = n.toLong)
     val q = embs.filter(col("vec_id") === 0)
       .select("embedding").first().getSeq[Float](0).map(_.toDouble).toArray
     operators.IvfPq.topK(spark, path, cb, q, k = 10, nProbe = 4)
@@ -2477,10 +2480,13 @@ object PipelineQueries {
     * contract), hash-exact against the oracle's `list_sum`. */
   def sIvfPqBatch(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.load(spark, dir, "embeddings")
-    val n = embs.count().toInt
+    // footer-metadata count: zero Spark jobs, threaded into the build
+    // so neither IvfIndex.build nor Pq.train re-counts the corpus
+    val n = Tables.footerRowCount(spark, dir, "embeddings").toInt
     val path = graft.util.TempDirs.create("graft-ivfpqb-gate-").toString
     val cb = operators.IvfPq.build(embs, "vec_id", "embedding",
-      nLists = 4, m = 2, codesPerSub = n + 8, path = path)
+      nLists = 4, m = 2, codesPerSub = n + 8, path = path,
+      corpusCount = n.toLong)
     val queries = embs.filter(col("vec_id") < 20)
       .select("vec_id", "embedding")
     operators.IvfPq.topKBatch(queries, "vec_id", "embedding", path, cb,
@@ -2501,10 +2507,13 @@ object PipelineQueries {
     * the gate pins filter-before-rank, not just row shape. */
   def sIvfPqFiltered(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.load(spark, dir, "embeddings")
-    val n = embs.count().toInt
+    // footer-metadata count: zero Spark jobs, threaded into the build
+    // so neither IvfIndex.build nor Pq.train re-counts the corpus
+    val n = Tables.footerRowCount(spark, dir, "embeddings").toInt
     val path = graft.util.TempDirs.create("graft-ivfpqf-gate-").toString
     val cb = operators.IvfPq.build(embs, "vec_id", "embedding",
-      nLists = 4, m = 2, codesPerSub = n + 8, path = path)
+      nLists = 4, m = 2, codesPerSub = n + 8, path = path,
+      corpusCount = n.toLong)
     val queries = embs.filter(col("vec_id") < 20)
       .select("vec_id", "embedding")
     val allowed = embs.filter(col("label") === 1).select("vec_id")
@@ -2521,11 +2530,13 @@ object PipelineQueries {
     * set. Same oracle as p84: the two paths must agree bit-for-bit. */
   def sIvfPqFilteredStored(spark: SparkSession, dir: String): DataFrame = {
     val embs = Tables.load(spark, dir, "embeddings")
-    val n = embs.count().toInt
+    // footer-metadata count: zero Spark jobs, threaded into the build
+    // so neither IvfIndex.build nor Pq.train re-counts the corpus
+    val n = Tables.footerRowCount(spark, dir, "embeddings").toInt
     val path = graft.util.TempDirs.create("graft-ivfpqfs-gate-").toString
     val cb = operators.IvfPq.build(embs, "vec_id", "embedding",
       nLists = 4, m = 2, codesPerSub = n + 8, path = path,
-      metaCols = Seq("label"))
+      metaCols = Seq("label"), corpusCount = n.toLong)
     val queries = embs.filter(col("vec_id") < 20)
       .select("vec_id", "embedding")
     operators.IvfPq.topKBatch(queries, "vec_id", "embedding", path, cb,

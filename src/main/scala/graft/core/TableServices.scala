@@ -557,16 +557,21 @@ object TableServices {
       .select((Seq(idCol, vecCol) ++ metaCols).map(col): _*)
     def fullBuild(): Unit = {
       val c = corpus()
-      require(!c.isEmpty,
+      // one probe job answers emptiness, count AND dim — the previous
+      // isEmpty + size().first() pair plus the build's two internal
+      // counts were four jobs re-scanning the same merged read
+      val probe = c.agg(count(lit(1)), first(asize(col(vecCol)))).first()
+      val n = probe.getLong(0)
+      require(n > 0,
         s"cannot build a vector index over empty table ${t.config.name}")
-      val dim = c.select(asize(col(vecCol))).first().getInt(0)
+      val dim = probe.getInt(1)
       // wipe any prior index so stale relations, journals, and stamps
       // can never survive a rebuild
       if (Files.isDirectory(java.nio.file.Paths.get(path)))
         graft.util.TempDirs.deleteRecursively(java.nio.file.Paths.get(path))
       graft.operators.IvfPq.build(c, idCol, vecCol, nLists,
         m = pqSubvectors(dim), codesPerSub = 256, path = path,
-        metaCols = metaCols)
+        metaCols = metaCols, corpusCount = n)
       writeStamp()
       writeMaint(VectorMaintRecord("rebuild", driftRatio = 1.0))
     }

@@ -55,9 +55,13 @@ object IvfIndex {
     * surviving set is broad). The stored relations are self-
     * describing: appends and refreezes recover the meta columns from
     * the assignments schema, so the meta.json format is unchanged. */
+  /** `corpusCount` (when ≥ 0) replaces the build's own `count()` job —
+    * callers with metadata counts (parquet footers, commit-log stats,
+    * or a count already paid at the call site) thread it through so
+    * the build never re-scans for a number the caller has. */
   def build(embs: DataFrame, idCol: String, vecCol: String,
       nLists: Int, path: String, iterations: Int = 4,
-      metaCols: Seq[String] = Nil): Meta = {
+      metaCols: Seq[String] = Nil, corpusCount: Long = -1L): Meta = {
     val spark = embs.sparkSession
     require(!metaCols.exists(c =>
         Set("id", "vec", "list", "epoch").contains(c)),
@@ -72,8 +76,7 @@ object IvfIndex {
     val corpus = embs.select((col(idCol).as("id") +: col(vecCol).as("vec") +:
       lit("").as("epoch") +: metaCols.map(col)): _*).persist()
     try {
-      val count = corpus.count()
-      val dim = corpus.select(size(col("vec"))).first().getInt(0)
+      val count = if (corpusCount >= 0L) corpusCount else corpus.count()
       // Train the quantizer on a BOUNDED deterministic sample (~256
       // vectors per centroid, the standard training budget — Lloyd's
       // means converge on a sample); only the final assignment below
@@ -102,6 +105,12 @@ object IvfIndex {
       val sample: Array[Array[Double]] = train.orderBy("id")
         .select(col("vec").cast("array<double>")).collect()
         .map(_.getSeq[Double](0).toArray)
+      // dim from the already-collected sample — the separate
+      // `select(size(vec)).first()` probe was one more Spark job per
+      // build; the scan fallback only fires for a pathologically empty
+      // sample over a non-empty corpus
+      val dim = if (sample.nonEmpty) sample(0).length
+        else corpus.select(size(col("vec"))).first().getInt(0)
       // validate ONCE at build time: a ragged corpus would otherwise
       // train on truncated distances here and fail obscurely at query
       // time (the old posexplode path silently zero-padded instead)
@@ -187,7 +196,8 @@ object IvfIndex {
     meta(path) match {
       case Some(m) if m.nLists == nLists && m.idCol == idCol &&
           m.vecCol == vecCol && m.corpusCount == liveCount => m
-      case _ => build(embs, idCol, vecCol, nLists, path)
+      case _ => build(embs, idCol, vecCol, nLists, path,
+        corpusCount = liveCount)
     }
   }
 

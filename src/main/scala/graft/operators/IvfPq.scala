@@ -33,10 +33,12 @@ object IvfPq {
     * pays a shuffle when the surviving set is broad. */
   def build(embs: DataFrame, idCol: String, vecCol: String,
       nLists: Int, m: Int, codesPerSub: Int, path: String,
-      metaCols: Seq[String] = Nil): Pq.Codebooks = {
+      metaCols: Seq[String] = Nil, corpusCount: Long = -1L): Pq.Codebooks = {
     val spark = embs.sparkSession
-    IvfIndex.build(embs, idCol, vecCol, nLists, path, metaCols = metaCols)
-    val cb = Pq.train(embs, idCol, vecCol, m, codesPerSub)
+    IvfIndex.build(embs, idCol, vecCol, nLists, path, metaCols = metaCols,
+      corpusCount = corpusCount)
+    val cb = Pq.train(embs, idCol, vecCol, m, codesPerSub,
+      corpusCount = corpusCount)
     // persist codebooks (m × k × subDim doubles — metadata-scale)
     import spark.implicits._
     cb.codes.zipWithIndex.flatMap { case (book, sub) =>
