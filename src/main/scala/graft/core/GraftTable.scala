@@ -820,12 +820,16 @@ final class GraftTable private (
     val wPick = Window.partitionBy(idCols.map(col): _*)
       .orderBy(col(config.orderingField).desc_nulls_last, contentTie.desc)
     val alignedTypes = aligned.schema.fields.map(f => f.name -> f.dataType).toMap
+    // persisted: the batch-sized fold feeds the overlap probe here,
+    // then the patch join, then upsert's own range probe and write —
+    // unpersisted, the fold windows re-evaluated once per consumer
     val folded = dataCols.foldLeft(aligned) { (d, c) =>
         d.withColumn(c, foldLastNonNull(col(c), alignedTypes(c), wAll))
       }
       .withColumn(config.orderingField, max(col(config.orderingField)).over(wAll))
       .withColumn("__rn", row_number().over(wPick))
       .filter(col("__rn") === 1).drop("__rn")
+      .persist()
     // (2) patch from current state, reading only overlapping file groups
     val patchCols = dataCols.filter(current.fieldNames.contains)
     val keyType = current.fields.find(_.name == config.keyField)
@@ -870,8 +874,11 @@ final class GraftTable private (
             when(incWins, col(config.orderingField)).otherwise(col(curOrd)))
           .drop(curOrd +: patchCols.map(c => s"__cur_$c"): _*)
       }
-    // (3) ordinary upsert of the patched full rows
-    upsert(patched.drop(PartValCol), extra)
+    // (3) ordinary upsert of the patched full rows (upsert persists
+    // its own prepared batch and materializes it before writing, so
+    // the fold cache is safe to release afterwards)
+    try upsert(patched.drop(PartValCol), extra)
+    finally { folded.unpersist(); () }
   }
 
   /** `coalesce` generalized to STRUCT columns: when both sides are
